@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators re-expressing the reference's pipeline steps
+  * as composable DataFrame transforms. All of these stay declarative so
+  * Catalyst can push filters/projections to the scan and pick join
+  * strategies (broadcast for the small dim side).
+  */
+object Relational {
+
+  /** W1: date-range predicate where NULL timestamps PASS.
+    * Reference `dentro_do_periodo` (/root/reference/src/jurimetria_pipeline.py:208-215)
+    * returns True for rows with missing dates — the null-passes branch is
+    * load-bearing and the opposite of Spark's default 3-valued-logic drop. */
+  def withinPeriod(ts: Column, de: Column, ate: Column): Column =
+    ts.isNull || (ts >= de && ts <= ate)
+
+  /** J1: small-dimension lookup enrichment — broadcast left-outer equi-join
+    * with fallback to the original key when unmatched, null key stays null.
+    * Reference municipio map probe (/root/reference/src/jurimetria_pipeline.py:202-206,
+    * :236-237): `municipios_map.get(int(x), x)`.
+    *
+    * At scale: the dim side is broadcast (no shuffle of the fact table);
+    * the fact side keeps its partitioning.
+    *
+    * @param facts     large input
+    * @param dim       small lookup relation (will be broadcast)
+    * @param factKey   join key on the fact side
+    * @param dimKey    join key on the dim side
+    * @param dimValue  value column to pull from the dim
+    * @param outCol    name of the enriched output column
+    * @param fallback  value when unmatched (reference keeps the raw code)
+    */
+  def lookupEnrich(facts: DataFrame, dim: DataFrame, factKey: Column,
+                   dimKey: Column, dimValue: Column, outCol: String,
+                   fallback: Column): DataFrame =
+    facts.join(broadcast(dim), factKey === dimKey, "left")
+      .withColumn(outCol, coalesce(dimValue, fallback))
+
+  /** U1: union-all of per-source frames by column name; empty list → caller
+    * supplies the empty frame. Reference pd.concat
+    * (/root/reference/src/jurimetria_pipeline.py:233). */
+  def unionAll(frames: Seq[DataFrame]): Option[DataFrame] =
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+}
