@@ -26,5 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Reference semantics are permissive (unparseable → null, bad cast →
+  // null); Spark 4 defaults to ANSI mode which throws instead. Pin off
+  // here AND in every SparkSession.builder (ADVICE.md r1, high).
+  "-Dspark.sql.ansi.enabled=false",
+  // Harness parquet uses naive timestamps (read as plain TimestampType —
+  // session tz is UTC so instants match the DuckDB oracle) and the events
+  // table is TIMESTAMP(NANOS), which Spark only reads as raw longs
+  // (normalized in graft.Tables.events).
+  "-Dspark.sql.parquet.inferTimestampNTZ.enabled=false",
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

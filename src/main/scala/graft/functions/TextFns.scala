@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token counting, and document
+  * fingerprinting. Everything is built from codegen'd Catalyst built-ins
+  * (higher-order array functions, regexes, md5) — no UDFs — so the whole
+  * stage stays inside WholeStageCodegen and distributes trivially: each is
+  * a narrow per-row map, no shuffle.
+  *
+  * Cross-engine determinism: hashes are md5 hex strings (identical in any
+  * engine) rather than engine-private hash functions, so every operator
+  * here is oracle-checkable in DuckDB.
+  */
+object TextFns {
+
+  /** Whitespace tokens. NOTE Spark's split() takes a regex; a single space
+    * matches DuckDB string_split(text, ' ') including trailing empties. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word-level token count (whitespace segmentation). */
+  def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** Regex tokens: alnum runs (lowercased corpora). Mirrors a BPE
+    * pre-tokenizer's word-split stage. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish subword count: each regex token contributes ceil(len/4)
+    * subwords — a deterministic proxy for a 4-chars-per-token BPE budget. */
+  def bpeishCount(text: Column): Column =
+    aggregate(regexTokens(text), lit(0L),
+      (acc, t) => acc + ((length(t) + lit(3)) / lit(4)).cast("long"))
+
+  /** Stopword-hit count against a small lexicon (used by language ID). */
+  def stopwordHits(ws: Column, lexicon: Seq[String]): Column =
+    size(filter(ws, w => w.isin(lexicon: _*))).cast("long")
+
+  /** English / Portuguese lexicons for the n-gram-free language heuristic.
+    * (The reference corpus is pt-BR judicial text; the harness `documents`
+    * table is en-ish synthetic — the heuristic is what's under test.) */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+  val PtStop: Seq[String] = Seq("de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com", "por")
+
+  /** Language ID: stopword-lexicon scoring; ties/no-signal → "und". */
+  def langId(text: Column): Column = {
+    val ws = words(text)
+    val en = stopwordHits(ws, EnStop)
+    val pt = stopwordHits(ws, PtStop)
+    when(en > pt, "en").when(pt > en, "pt").otherwise("und")
+  }
+
+  /** Ratio of non-[a-z0-9 space] characters to total length (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[a-z0-9 ]", ""))
+    when(length(text) > 0, punct.cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean word length over whitespace tokens (0 for empty). */
+  def avgWordLen(text: Column): Column = {
+    val ws = words(text)
+    val total = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    when(size(ws) > 0, total.cast("double") / size(ws).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Stopword ratio over whitespace tokens (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) > 0,
+      stopwordHits(ws, EnStop).cast("double") / size(ws).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: long-enough, low punctuation, sane
+    * mean word length, some stopwords — the standard cheap pre-filter a
+    * training-data pipeline applies before expensive dedup. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text) >= 100, 1.0).otherwise(
+      length(text).cast("double") / 100.0)
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val wlen = avgWordLen(text)
+    val wlenOk = when(wlen >= 3.0 && wlen <= 10.0, 1.0).otherwise(0.5)
+    val stopOk = least(stopwordRatio(text) * 4.0, lit(1.0))
+    (lenOk + punctOk + wlenOk + stopOk) / 4.0
+  }
+
+  /** Content fingerprint: md5 over the punctuation/case-normalized text —
+    * robust to formatting-only differences. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Rolling (polynomial) hash over characters, mod 1e9+7 — the classic
+    * Rabin-Karp document fingerprint, order-sensitive unlike md5-of-whole.
+    * Pure fold over `sequence`, stays codegen'd. */
+  def rollingHash(text: Column): Column =
+    when(length(text) > 0,
+      aggregate(
+        sequence(lit(1), length(text)),
+        lit(0L),
+        (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % 1000000007L))
+      .otherwise(lit(0L))
+}

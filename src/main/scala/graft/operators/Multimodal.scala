@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: image/audio/video payloads travel as opaque
+  * `binary` columns next to typed metadata, and per-record decode /
+  * feature-extraction runs as a typed `mapPartitions` stage (the Scala
+  * analog of a batched Pandas UDF: amortized per-partition setup, one
+  * deserialization boundary, no driver involvement).
+  *
+  * The actual codec call is STUBBED — this container ships no image/audio
+  * libraries — behind [[MediaFeaturizer.decodeStub]], a clearly-marked
+  * deterministic fake. Everything around it (schema, encoders, partition
+  * batching, the query surface) is real and tested; swapping the stub for
+  * a JNI/javacv decoder changes one function.
+  */
+object Multimodal {
+
+  /** A multimodal record: opaque payload + typed metadata. */
+  case class MediaRecord(id: Long, kind: String, content: Array[Byte])
+
+  /** Extracted features (decode stub output). */
+  case class MediaFeatures(id: Long, kind: String, byte_len: Long,
+                           content_md5: String, width: Int, height: Int,
+                           n_frames: Int)
+
+  object MediaFeaturizer {
+    /** STUB — stands in for the real image/audio decoder (not available in
+      * this container). Deterministic pure function of the payload so the
+      * pipeline is testable end-to-end and oracle-checkable: pretends the
+      * payload decodes to a (byte_len mod 640) × (byte_len mod 480) frame
+      * grid with (byte_len mod 30 + 1) frames. */
+    def decodeStub(content: Array[Byte]): (Int, Int, Int) = {
+      val n = content.length
+      (n % 640, n % 480, n % 30 + 1)
+    }
+
+    def md5Hex(bytes: Array[Byte]): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(bytes).map("%02x".format(_)).mkString
+    }
+  }
+
+  /** Decode + featurize: one partition at a time, codec state (here: the
+    * digest; in production: the decoder context) allocated once per
+    * partition, not once per row. */
+  def featurize(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val (w, h, f) = MediaFeaturizer.decodeStub(r.content)
+        digest.reset()
+        val hex = digest.digest(r.content).map("%02x".format(_)).mkString
+        MediaFeatures(r.id, r.kind, r.content.length.toLong, hex, w, h, f)
+      }
+    }
+  }
+
+  /** Frame sampling plumbing: every `stride`-th frame index of a video
+    * record, as (id, frame_idx) rows — the fan-out shape a real frame
+    * extractor produces. Pure Spark (explode over a sequence), so the
+    * expensive decode can be partition-parallel downstream. */
+  def sampleFrameIndexes(features: DataFrame, stride: Int): DataFrame =
+    features.select(col("id"),
+      explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+}

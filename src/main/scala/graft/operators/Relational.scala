@@ -10,17 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** W1: date-range predicate where NULL timestamps PASS.
+  /** W1: date-range predicate where NULL timestamps PASS and each bound is
+    * independently optional (a NULL bound means that side is open).
     * Reference `dentro_do_periodo` (/root/reference/src/jurimetria_pipeline.py:208-215)
-    * returns True for rows with missing dates — the null-passes branch is
-    * load-bearing and the opposite of Spark's default 3-valued-logic drop. */
+    * returns True for rows with missing dates and treats a falsy/missing
+    * bound as open — both branches are load-bearing and the opposite of
+    * Spark's default 3-valued-logic drop. */
   def withinPeriod(ts: Column, de: Column, ate: Column): Column =
-    ts.isNull || (ts >= de && ts <= ate)
+    ts.isNull || ((de.isNull || ts >= de) && (ate.isNull || ts <= ate))
 
   /** J1: small-dimension lookup enrichment — broadcast left-outer equi-join
     * with fallback to the original key when unmatched, null key stays null.
     * Reference municipio map probe (/root/reference/src/jurimetria_pipeline.py:202-206,
-    * :236-237): `municipios_map.get(int(x), x)`.
+    * :236-237): `municipios_map.get(int(x), x)` — a dict probe is strictly
+    * 1:1, so the dim side is deduplicated on its key before the join (no
+    * fact fan-out on dirty dims), and the dim's own columns are dropped from
+    * the output (callers see only `outCol`).
     *
     * At scale: the dim side is broadcast (no shuffle of the fact table);
     * the fact side keeps its partitioning.
@@ -28,16 +33,19 @@ object Relational {
     * @param facts     large input
     * @param dim       small lookup relation (will be broadcast)
     * @param factKey   join key on the fact side
-    * @param dimKey    join key on the dim side
-    * @param dimValue  value column to pull from the dim
+    * @param dimKey    join key column NAME on the dim side
+    * @param dimValue  value column NAME to pull from the dim
     * @param outCol    name of the enriched output column
     * @param fallback  value when unmatched (reference keeps the raw code)
     */
   def lookupEnrich(facts: DataFrame, dim: DataFrame, factKey: Column,
-                   dimKey: Column, dimValue: Column, outCol: String,
-                   fallback: Column): DataFrame =
-    facts.join(broadcast(dim), factKey === dimKey, "left")
-      .withColumn(outCol, coalesce(dimValue, fallback))
+                   dimKey: String, dimValue: String, outCol: String,
+                   fallback: Column): DataFrame = {
+    val lookup = dim.select(dimKey, dimValue).dropDuplicates(dimKey)
+    facts.join(broadcast(lookup), factKey === lookup(dimKey), "left")
+      .withColumn(outCol, coalesce(lookup(dimValue), fallback))
+      .drop(lookup(dimKey)).drop(lookup(dimValue))
+  }
 
   /** U1: union-all of per-source frames by column name; empty list → caller
     * supplies the empty frame. Reference pd.concat

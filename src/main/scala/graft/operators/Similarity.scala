@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
+  *    against the corpus, one narrow pass, top-k per query via window. At
+  *    100 TB the corpus side never shuffles; cost is queries × corpus dot
+  *    products, embarrassingly parallel.
+  *  - [[lshTopK]] — scale path: random-hyperplane LSH buckets both sides,
+  *    the join shuffles on the bucket key only, and each query scores just
+  *    its bucket's candidates (recall traded for a ~2^planes fan-in cut).
+  */
+object Similarity {
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("cos"))
+
+  /** Exact cosine top-k: every query against every corpus vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", VectorFns.cosine(col("q_vec"), col("n_vec")))
+    ranked(scored, k)
+  }
+
+  /** LSH-bucketed cosine top-k: candidates limited to the query's bucket. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucket = VectorFns.lshBucket(col(vecCol), nPlanes, dim)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      bucket.as("bkt"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      bucket.as("bkt"))
+    val scored = c.join(broadcast(q), Seq("bkt"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", VectorFns.cosine(col("q_vec"), col("n_vec")))
+    ranked(scored, k)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, blocked on
+    * `blockCol` (cluster/label/LSH bucket) so the pair join never goes
+    * quadratic in the corpus. */
+  def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                   blockCol: Column, threshold: Double): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      blockCol.as("blk"))
+    val a = base.select(col("id").as("a_id"), col("vec").as("vec_a"), col("blk"))
+    val b = base.select(col("id").as("b_id"), col("vec").as("vec_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFns.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's incremental
+  * ingestion (SURVEY.md §2 Streaming row: the `search_after` pagination
+  * loop IS a resumable-cursor source; arriving hit files are the stream).
+  *
+  * Batch/stream parity: [[tumblingHourCounts]] over a bounded batch frame
+  * equals the batch hour histogram — same plan, plus watermark-driven
+  * state eviction when the input is unbounded.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event counts with late-data tolerance. Works on both
+    * streaming and batch frames (watermark is a no-op in batch). */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col(keyCol), col("cnt"))
+
+  /** One user's open-session accumulator. */
+  case class SessionState(start: Long, last: Long, n: Long)
+  /** Emitted when a session closes (gap exceeded or state timeout). */
+  case class ClosedSession(user: Long, start: Long, end: Long, n: Long)
+  /** Minimal event for stateful sessionization. */
+  case class UserEvent(user: Long, tsMillis: Long)
+
+  /** Custom-state sessionization: the streaming analog of
+    * [[graft.operators.Sessions]] — gap-bounded sessions maintained in the
+    * state store via flatMapGroupsWithState, emitting sessions as they
+    * close. State is per-user and O(1); eviction via processing-time
+    * timeout keeps the store bounded on 100 TB-scale key cardinality. */
+  def sessionize(events: Dataset[UserEvent], gapMillis: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => ClosedSession(user, s.start, s.last, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.tsMillis)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMillis - s.last <= gapMillis =>
+                  cur = Some(s.copy(last = e.tsMillis, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+                case None =>
+                  cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMillis)
+            closed.reverseIterator
+          }
+      }
+  }
+}
