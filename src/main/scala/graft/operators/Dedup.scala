@@ -53,29 +53,56 @@ object Dedup {
     * band key) — at 100 TB this is the only way the pair search scales. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    // Staged projections, NOT one nested expression: each alias below is
+    // referenced several times by the next stage, which stops
+    // CollapseProject from inlining it — shingles are built once per row,
+    // not once per hash function (8× less md5 work).
     val banded = docs
-      .select(col(idCol).as("id"),
-        bandKeys(minhashSignature(shingles(col(textCol)), numHashes),
-          numHashes, bands).as("bks"))
+      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), bandKeys(col("sig"), numHashes, bands).as("bks"))
       .select(col("id"), posexplode(col("bks")).as(Seq("band", "bk")))
       .filter(col("bk").isNotNull)
-    val a = banded.select(col("id").as("a_id"), col("band"), col("bk"))
-    val b = banded.select(col("id").as("b_id"), col("band"), col("bk"))
-    a.join(b, Seq("band", "bk"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    // Self-join via alias of the SAME plan: canonically identical sides
+    // let AQE reuse one shuffle exchange instead of hashing every
+    // document's signature twice.
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
   }
 
   /** SimHash signature as a bit-string of length `bits` (≤32 with md5 hex
     * digits): bit p is 1 when the majority of tokens have a high p-th hex
     * digit in their md5. Hamming-close signatures ⇒ similar documents. */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val w = split(text, " ")
+  /** Per-token md5 digests — the shared input of every simhash bit. Must
+    * be materialized in its OWN projection (see [[simhashed]]) so the
+    * digest work is linear in tokens, not tokens × bits. */
+  def wordDigests(text: Column): Column = transform(split(text, " "), t => md5(t))
+
+  /** SimHash bits from pre-materialized digests: bit p is 1 when the
+    * majority of tokens have a high p-th hex digit. */
+  def simhashFromDigests(digests: Column, bits: Int = 16): Column =
     concat((1 to bits).map { p =>
-      when(size(filter(w, t => substring(md5(t), p, 1) >= "8")) * 2 > size(w), "1")
+      when(size(filter(digests, dg => substring(dg, p, 1) >= "8")) * 2 > size(digests), "1")
         .otherwise("0")
     }: _*)
-  }
+
+  /** Convenience single-expression form — fine for tests/small data, but
+    * recomputes the digests once per bit; use the staged [[simhashed]]
+    * for real corpora. */
+  def simhash(text: Column, bits: Int = 16): Column =
+    simhashFromDigests(wordDigests(text), bits)
+
+  /** Staged simhash frame: (idCol, sig). The intermediate digest column
+    * is an alias referenced `bits`× by the next projection, which stops
+    * CollapseProject from inlining it — digests compute once per row. */
+  def simhashed(docs: DataFrame, idCol: String, textCol: String,
+                bits: Int = 16): DataFrame =
+    docs.select(col(idCol), wordDigests(col(textCol)).as("dg"))
+      .select(col(idCol), simhashFromDigests(col("dg"), bits).as("sig"))
 
   /** Blocked n-gram Jaccard: exact Jaccard over distinct word-shingle
     * sets, evaluated only for pairs sharing `blockKey` (e.g. language +
@@ -86,13 +113,15 @@ object Dedup {
       col(idCol).as("id"),
       blockKey.as("blk"),
       array_distinct(shingles(col(textCol), k)).as("sh"))
-    val a = base.select(col("id").as("a_id"), col("blk"), col("sh").as("sh_a"))
-    val b = base.select(col("id").as("b_id"), col("blk"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("jaccard", when(union > 0.0, inter / union).otherwise(lit(0.0)))
+    // staged: the intersect is computed once and reused by union + ratio
+    base.alias("a").join(base.alias("b"),
+      col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0.0, col("inter") / col("uni")).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

@@ -27,13 +27,24 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"), col("cos"))
 
+  /** Cosine from per-side precomputed norms: the norm of each vector is
+    * computed once per ROW (pre-join projection) instead of once per PAIR
+    * — same IEEE result, corpus-size instead of pair-count sqrt work. */
+  private def cosFromNorms: Column = {
+    val d = VectorFns.dot(col("q_vec"), col("n_vec"))
+    when(col("q_nrm") > 0.0 && col("n_nrm") > 0.0,
+      d / (col("q_nrm") * col("n_nrm")))
+  }
+
   /** Exact cosine top-k: every query against every corpus vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFns.l2Norm(col(vecCol)).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFns.l2Norm(col(vecCol)).as("n_nrm"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", VectorFns.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", cosFromNorms)
     ranked(scored, k)
   }
 
@@ -43,12 +54,12 @@ object Similarity {
               nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val bucket = VectorFns.lshBucket(col(vecCol), nPlanes, dim)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      bucket.as("bkt"))
+      VectorFns.l2Norm(col(vecCol)).as("q_nrm"), bucket.as("bkt"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      bucket.as("bkt"))
+      VectorFns.l2Norm(col(vecCol)).as("n_nrm"), bucket.as("bkt"))
     val scored = c.join(broadcast(q), Seq("bkt"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", VectorFns.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", cosFromNorms)
     ranked(scored, k)
   }
 
@@ -57,13 +68,15 @@ object Similarity {
     * quadratic in the corpus. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                    blockCol: Column, threshold: Double): DataFrame = {
+    // per-row norms + aliased self-join (one exchange, reused by AQE)
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      blockCol.as("blk"))
-    val a = base.select(col("id").as("a_id"), col("vec").as("vec_a"), col("blk"))
-    val b = base.select(col("id").as("b_id"), col("vec").as("vec_b"), col("blk"))
-    a.join(b, Seq("blk"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", VectorFns.cosine(col("vec_a"), col("vec_b")))
+      blockCol.as("blk"), VectorFns.l2Norm(col(vecCol)).as("nrm"))
+    base.alias("a").join(base.alias("b"),
+      col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        when(col("a.nrm") > 0.0 && col("b.nrm") > 0.0,
+          VectorFns.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }

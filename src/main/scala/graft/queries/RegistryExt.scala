@@ -61,8 +61,7 @@ object RegistryExt {
       |      x -> substr(md5(x), p, 1) >= '8')) > len(string_split(text, ' '))
       |    THEN '1' ELSE '0' END), '') AS sig
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    docs(s, d).select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sig"))
-      .orderBy("doc_id")
+    Dedup.simhashed(docs(s, d), "doc_id", "text", 16).orderBy("doc_id")
   }
 
   /** Blocked exact n-gram Jaccard (block = language × length bucket). */

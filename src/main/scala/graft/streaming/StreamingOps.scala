@@ -37,12 +37,14 @@ object StreamingOps {
     * state store via flatMapGroupsWithState, emitting sessions as they
     * close. State is per-user and O(1); eviction via processing-time
     * timeout keeps the store bounded on 100 TB-scale key cardinality. */
-  def sessionize(events: Dataset[UserEvent], gapMillis: Long): Dataset[ClosedSession] = {
+  def sessionize(events: Dataset[UserEvent], gapMillis: Long,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.ProcessingTimeTimeout()): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         (user, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s => ClosedSession(user, s.start, s.last, s.n))
@@ -64,7 +66,8 @@ object StreamingOps {
               }
             }
             cur.foreach(state.update)
-            state.setTimeoutDuration(gapMillis)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+              state.setTimeoutDuration(gapMillis)
             closed.reverseIterator
           }
       }

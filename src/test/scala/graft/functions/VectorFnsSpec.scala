@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(2.0f, 0.0f, 0.0f)),   // parallel to 1
+    (4L, Array(1.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot / l2Norm / cosine basics") {
+    val r = vecs.filter($"vec_id" === 4).select(
+      VectorFns.dot($"embedding", $"embedding").as("d"),
+      VectorFns.l2Norm($"embedding").as("n")).head()
+    assert(r.getDouble(0) == 2.0 && math.abs(r.getDouble(1) - math.sqrt(2)) < 1e-12)
+  }
+
+  test("cosine: orthogonal → 0, parallel → 1") {
+    val a = vecs.filter($"vec_id" === 1).select($"embedding".as("a"))
+    val cross = a.crossJoin(vecs.select($"vec_id", $"embedding".as("b")))
+      .select($"vec_id", VectorFns.cosine($"a", $"b").as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cross(2L) == 0.0 && cross(3L) == 1.0)
+  }
+
+  test("plane: deterministic ±1 components") {
+    val p0 = VectorFns.plane(0, 8)
+    assert(p0.toSeq == VectorFns.plane(0, 8).toSeq)   // stable
+    assert(p0.forall(v => v == 1.0 || v == -1.0))
+    assert(VectorFns.plane(1, 8).toSeq != p0.toSeq)    // planes differ
+  }
+
+  test("bruteForceTopK: parallel vector ranks first for its query") {
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getAs[Long]("n_id"), r.getAs[Int]("rnk")))
+    assert(top.head == (3L, 1))
+  }
+
+  test("lshTopK: identical-direction vectors share a bucket") {
+    val top = Similarity.lshTopK(
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding",
+      k = 2, nPlanes = 2, dim = 3)
+      .collect().map(_.getAs[Long]("n_id"))
+    assert(top.contains(3L)) // parallel vector has identical sign pattern
+  }
+}

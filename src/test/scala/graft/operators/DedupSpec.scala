@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (4L, "completely different words appear here today"),
+    (5L, "ab")                                            // < 3 words
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: dup texts collapse, smallest id kept") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() == 4)
+    val dup = g.filter($"cnt" === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("shingles: k-grams; short docs get empty set") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+    val r1 = sh.filter($"doc_id" === 1).head().getSeq[String](1)
+    assert(r1.head == "the quick brown" && r1.size == 7)
+    assert(sh.filter($"doc_id" === 5).head().getSeq[String](1).isEmpty)
+  }
+
+  test("minhashCandidates: exact+near dups collide, distinct docs don't, short docs never join") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))            // identical → all bands match
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L))) // near-dup likely
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // null bands never join
+  }
+
+  test("simhash: identical texts share signatures; signature is 16 bits") {
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) == sigs(3L))
+    assert(sigs.values.forall(s => s.length == 16 && s.forall("01".contains(_))))
+    // near-dups are hamming-close (≤ 4 of 16 bits differ)
+    val ham = sigs(1L).zip(sigs(2L)).count { case (a, b) => a != b }
+    assert(ham <= 4)
+  }
+
+  test("ngramJaccardPairs: exact dup scores 1.0; blocking prevents cross-block pairs") {
+    val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockKey = when($"doc_id" <= 3, "a").otherwise("b"), threshold = 0.0)
+    val m = blocked.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 3L)) == 1.0)
+    assert(m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
+    assert(!m.keySet.exists(p => p._1 <= 3 && p._2 > 3))
+  }
+}

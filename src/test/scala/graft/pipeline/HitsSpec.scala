@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end pipeline over a JSON hit fixture mirroring the reference's
+  * mocked hit (/root/reference/tests/test_anpp_pipeline.py:79-96). */
+class HitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the reference's sample hit + edge rows (null date, null movimento ts)
+  private val hitLines = Seq(
+    """{"_source":{"numeroProcesso":"0000001-00.2023.8.26.0000","classe":{"codigo":12729,"nome":"ANPP"},"dataAjuizamento":"2023-01-10T03:00:00Z","dataHoraUltimaAtualizacao":"2023-02-01T12:00:00Z","formato":{"nome":"Eletrônico"},"orgaoJulgador":{"codigo":"123","nome":"Vara X","codigoMunicipioIBGE":"3550308"},"grau":"G1","assuntos":[{"codigo":1,"nome":"Assunto A"},{"codigo":2,"nome":null}],"movimentos":[{"codigo":2,"nome":"B","dataHora":"2023-01-12T00:00:00Z"},{"codigo":1,"nome":"A","dataHora":"2023-01-11T00:00:00Z"},{"codigo":3,"nome":"C","dataHora":null}]},"sort":[1673319600000]}""",
+    """{"_source":{"numeroProcesso":"0000002-00.2023.8.26.0000","classe":{"codigo":12729,"nome":"ANPP"},"dataAjuizamento":null,"formato":{"nome":"Físico"},"orgaoJulgador":{"codigo":"9","nome":"Vara Y","codigoMunicipioIBGE":"9999999"},"grau":"G1","assuntos":[],"movimentos":[]},"sort":[9]}""")
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("hits").toFile
+    val f = new java.io.File(d, "tjsp.json")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    hitLines.foreach(w.println)
+    w.close()
+    d.getAbsolutePath
+  }
+
+  private lazy val municipios =
+    Seq((3550308L, "São Paulo")).toDF("CD_MUN", "NM_MUN")
+
+  test("parseHits: 13-column flatten, null-tolerant, movimentos sorted nulls-first") {
+    val raw = spark.read.schema(Hits.hitSchema).json(dir)
+    val p = Hits.parseHits(raw, lit("TJSP"))
+    assert(p.columns.toSeq == Seq("tribunal", "numero_processo", "classe",
+      "data_ajuizamento", "ultima_atualizacao", "formato", "codigo_orgao",
+      "orgao_julgador", "municipio", "grau", "assuntos", "movimentos", "sort"))
+    val r1 = p.filter($"numero_processo".startsWith("0000001")).head()
+    // F2: null assunto nome → ""
+    assert(r1.getSeq[String](r1.fieldIndex("assuntos")) == Seq("Assunto A", ""))
+    // F3: null dataHora sorts FIRST (as epoch), then by timestamp
+    val movs = r1.getSeq[org.apache.spark.sql.Row](r1.fieldIndex("movimentos"))
+    assert(movs.map(_.getLong(0)) == Seq(3L, 1L, 2L))
+    // null date row survives with null data_ajuizamento
+    val r2 = p.filter($"numero_processo".startsWith("0000002")).head()
+    assert(r2.isNullAt(r2.fieldIndex("data_ajuizamento")))
+  }
+
+  test("run: full DAG — filter passes null date, municipio enriched with fallback") {
+    val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
+      PipelineConfig(de = Some("2023-01-01"), ate = Some("2023-06-30")))
+    val rows = out.orderBy("numero_processo").collect()
+    assert(rows.length == 2) // null-date row passes W1
+    assert(rows(0).getAs[String]("municipio") == "São Paulo")     // matched
+    assert(rows(1).getAs[String]("municipio") == "9999999")       // fallback
+    // F4: movimentos serialized to a JSON string at the sink boundary
+    assert(rows(0).getAs[String]("movimentos").startsWith("[{"))
+  }
+
+  test("run: empty input and out-of-window input stay total") {
+    val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
+      PipelineConfig(de = Some("1990-01-01"), ate = Some("1990-12-31")))
+    // only the null-date row passes
+    assert(out.count() == 1)
+    assert(!JurimetriaPipeline.persist(out.limit(0),
+      Files.createTempDirectory("sink").toString)) // K5 empty guard
+  }
+
+  test("persist: parquet+csv written, arrays stringified for CSV") {
+    val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
+      PipelineConfig())
+    val sink = Files.createTempDirectory("sink2").toString
+    assert(JurimetriaPipeline.persist(out, sink))
+    assert(spark.read.parquet(s"$sink/processos.parquet").count() == 2)
+    assert(spark.read.option("header", "true").csv(s"$sink/processos.csv").count() == 2)
+  }
+
+  test("hourHistogram: SP wall-clock hour (UTC 03:00 → hour 0)") {
+    val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
+      PipelineConfig())
+    val h = JurimetriaPipeline.hourHistogram(out
+      .withColumn("data_ajuizamento", $"data_ajuizamento")).head()
+    assert(h.getLong(0) == 0L && h.getLong(1) == 1L)
+  }
+}

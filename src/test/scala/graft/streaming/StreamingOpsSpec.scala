@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumblingCounts on a real stream: watermark + windowed agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.tumblingCounts(df, "ts", "event_type")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "click"),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view"))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 10:00 window
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), "click"))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
+  }
+
+  test("sessionize: flatMapGroupsWithState emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.UserEvent]
+    // NoTimeout in the unit test: ProcessingTimeTimeout keeps scheduling
+    // no-data batches, which livelocks processAllAvailable()
+    val q = StreamingOps.sessionize(mem.toDS(), gapMillis = 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamingOps.UserEvent(1L, 1000L),
+      StreamingOps.UserEvent(1L, 2000L))
+    q.processAllAvailable()
+    // second batch: gap > 60s closes the first session
+    mem.addData(StreamingOps.UserEvent(1L, 500000L))
+    q.processAllAvailable()
+    val rows = spark.table("sessions").as[StreamingOps.ClosedSession].collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head == StreamingOps.ClosedSession(1L, 1000L, 2000L, 2L))
+  }
+
+  test("batch/stream parity: tumblingCounts equals the batch histogram plan") {
+    val batch = graft.Tables.events(spark, sf)
+    val streamed = StreamingOps.tumblingCounts(batch, "ts", "event_type")
+      .orderBy("ws", "event_type").collect()
+    val direct = batch.groupBy(date_trunc("hour", $"ts").as("ws"), $"event_type")
+      .agg(count(lit(1)).as("cnt")).orderBy("ws", "event_type").collect()
+    assert(streamed.sameElements(direct))
+  }
+}
