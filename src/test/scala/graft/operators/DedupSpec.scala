@@ -49,7 +49,7 @@ class DedupSpec extends SparkSpec {
 
   test("ngramJaccardPairs: exact dup scores 1.0; blocking prevents cross-block pairs") {
     val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      blockKey = when($"doc_id" <= 3, "a").otherwise("b"), threshold = 0.0)
+      blockKey = when($"doc_id" <= 3, "a").otherwise("b"), threshold = 0.01)
     val m = blocked.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(m((1L, 3L)) == 1.0)
