@@ -14,6 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: session/scheduler/codegen bring-up otherwise lands on
+    // whichever query happens to run first (~4s of fixed overhead).
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     // noop sink forces full materialization of every operator (a bare
     // count() lets Catalyst prune projections and under-reports work).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

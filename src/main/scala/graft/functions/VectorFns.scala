@@ -19,13 +19,29 @@ object VectorFns {
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
 
-  /** Dot product of two float/double arrays (double precision). */
+  /** Dot product of two float/double arrays (double precision), for
+    * dynamic dimensionality. Higher-order functions evaluate interpreted —
+    * prefer [[dotN]] when the dimension is known. */
   def dot(a: Column, b: Column): Column =
     fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
-  /** L2 norm (double). */
+  /** Fast dot product: custom codegen'd Catalyst expression — one fused
+    * loop, no per-element lambda dispatch, same left-fold-from-0.0 add
+    * order as [[dot]] and the DuckDB oracle. See
+    * [[graft.expressions.DotProduct]]. The `dim` parameter is kept for
+    * API compatibility; the loop uses the runtime array length. */
+  def dotN(a: Column, b: Column, dim: Int = -1): Column =
+    org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.DotProduct(
+        org.apache.spark.sql.GraftExpr.expr(a),
+        org.apache.spark.sql.GraftExpr.expr(b)))
+
+  /** L2 norm (double), dynamic-dimension fold form. */
   def l2Norm(a: Column): Column =
     sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** L2 norm via the fused dot kernel (see [[dotN]]). */
+  def l2NormN(a: Column, dim: Int = -1): Column = sqrt(dotN(a, a, dim))
 
   /** Cosine similarity; null/zero-norm → null (never divide-by-zero). */
   def cosine(a: Column, b: Column): Column = {
@@ -51,14 +67,14 @@ object VectorFns {
     }
   }
 
-  private def planeLit(planeId: Int, dim: Int): Column =
-    array(plane(planeId, dim).map(lit(_)): _*)
-
   /** Random-hyperplane LSH bucket key: `nPlanes` sign bits concatenated.
     * Vectors with high cosine similarity collide with high probability —
-    * the scale path for ANN at 100 TB (bucket join instead of cross join). */
+    * the scale path for ANN at 100 TB (bucket join instead of cross join).
+    * The ±1 plane components are driver-side constants folded into an
+    * unrolled codegen'd sum (same add order as the oracle's fold). */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
     concat((0 until nPlanes).map { p =>
-      when(dot(vec, planeLit(p, dim)) >= 0.0, "1").otherwise("0")
+      val planeCol = array(plane(p, dim).map(lit(_)): _*)
+      when(dotN(vec, planeCol, dim) >= 0.0, "1").otherwise("0")
     }: _*)
 }

@@ -30,21 +30,22 @@ object Similarity {
   /** Cosine from per-side precomputed norms: the norm of each vector is
     * computed once per ROW (pre-join projection) instead of once per PAIR
     * — same IEEE result, corpus-size instead of pair-count sqrt work. */
-  private def cosFromNorms: Column = {
-    val d = VectorFns.dot(col("q_vec"), col("n_vec"))
+  private def cosFromNorms(dim: Int): Column = {
+    val d = VectorFns.dotN(col("q_vec"), col("n_vec"), dim)
     when(col("q_nrm") > 0.0 && col("n_nrm") > 0.0,
       d / (col("q_nrm") * col("n_nrm")))
   }
 
   /** Exact cosine top-k: every query against every corpus vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int,
+                     dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      VectorFns.l2Norm(col(vecCol)).as("q_nrm"))
+      VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      VectorFns.l2Norm(col(vecCol)).as("n_nrm"))
+      VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosFromNorms)
+      .withColumn("cos", cosFromNorms(dim))
     ranked(scored, k)
   }
 
@@ -54,12 +55,12 @@ object Similarity {
               nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val bucket = VectorFns.lshBucket(col(vecCol), nPlanes, dim)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      VectorFns.l2Norm(col(vecCol)).as("q_nrm"), bucket.as("bkt"))
+      VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"), bucket.as("bkt"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      VectorFns.l2Norm(col(vecCol)).as("n_nrm"), bucket.as("bkt"))
+      VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"), bucket.as("bkt"))
     val scored = c.join(broadcast(q), Seq("bkt"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosFromNorms)
+      .withColumn("cos", cosFromNorms(dim))
     ranked(scored, k)
   }
 
@@ -67,15 +68,16 @@ object Similarity {
     * `blockCol` (cluster/label/LSH bucket) so the pair join never goes
     * quadratic in the corpus. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-                   blockCol: Column, threshold: Double): DataFrame = {
+                   blockCol: Column, threshold: Double,
+                   dim: Int = 64): DataFrame = {
     // per-row norms + aliased self-join (one exchange, reused by AQE)
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      blockCol.as("blk"), VectorFns.l2Norm(col(vecCol)).as("nrm"))
+      blockCol.as("blk"), VectorFns.l2NormN(col(vecCol), dim).as("nrm"))
     base.alias("a").join(base.alias("b"),
       col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         when(col("a.nrm") > 0.0 && col("b.nrm") > 0.0,
-          VectorFns.dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          VectorFns.dotN(col("a.vec"), col("b.vec"), dim) / (col("a.nrm") * col("b.nrm")))
           .as("cos"))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")

@@ -38,7 +38,7 @@ class VectorFnsSpec extends SparkSpec {
 
   test("bruteForceTopK: parallel vector ranks first for its query") {
     val top = Similarity.bruteForceTopK(
-      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2)
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", k = 2, dim = 3)
       .collect().map(r => (r.getAs[Long]("n_id"), r.getAs[Int]("rnk")))
     assert(top.head == (3L, 1))
   }
