@@ -95,12 +95,11 @@ object TextFns {
 
   /** Rolling (polynomial) hash over characters, mod 1e9+7 — the classic
     * Rabin-Karp document fingerprint, order-sensitive unlike md5-of-whole.
-    * Pure fold over `sequence`, stays codegen'd. */
+    * Custom codegen'd expression ([[graft.expressions.RollingHash]]):
+    * the equivalent `aggregate(sequence(...))` fold pays an interpreted
+    * lambda dispatch + substring per character. */
   def rollingHash(text: Column): Column =
-    when(length(text) > 0,
-      aggregate(
-        sequence(lit(1), length(text)),
-        lit(0L),
-        (acc, i) => (acc * 31 + ascii(text.substr(i, lit(1)))) % 1000000007L))
-      .otherwise(lit(0L))
+    org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.RollingHash(
+        org.apache.spark.sql.GraftExpr.expr(text)))
 }
