@@ -21,21 +21,26 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   /** Word k-shingles (k=3): the standard unit for near-dup detection.
-    * Documents with fewer than k words get an empty shingle set. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = split(text, " ")
-    when(size(w) >= k,
-      transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(off => element_at(w, i + off)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * Documents with fewer than k words get an empty shingle set.
+    * Codegen'd single-pass expression ([[graft.expressions.WordShingles]])
+    * — the equivalent `transform(sequence(...), i -> concat_ws(...))`
+    * evaluates interpreted and dominated the dedup pipelines. */
+  def shingles(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.WordShingles(
+        org.apache.spark.sql.GraftExpr.expr(text), k))
 
-  /** MinHash signature: `numHashes` permutations simulated as
-    * min(md5(j + ":" + shingle)) — the lexicographic min of a hex digest
-    * is a uniform min-hash, identical in every engine. */
+  /** MinHash signature: `numHashes` permutations derived as 8-hex-char
+    * slices of ⌈numHashes/4⌉ salted md5 digests — min(substr(md5(⌊j/4⌋ +
+    * ":" + shingle), (j%4)*8+1, 8)). Non-overlapping 32-bit slices of one
+    * digest are independent uniform hashes, so one md5 feeds 4
+    * permutations (4× less digest work than one md5 per permutation);
+    * the lexicographic min of a hex slice is a uniform min-hash,
+    * identical in every engine. */
   def minhashSignature(shingleArr: Column, numHashes: Int = 8): Column =
     array((0 until numHashes).map { j =>
-      array_min(transform(shingleArr, s => md5(concat(lit(s"$j:"), s))))
+      array_min(transform(shingleArr, s =>
+        substring(md5(concat(lit(s"${j / 4}:"), s)), (j % 4) * 8 + 1, 8)))
     }: _*)
 
   /** LSH band keys: signature split into `bands` bands of
@@ -64,10 +69,15 @@ object Dedup {
     val exploded = docs
       .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .select(col("id"), explode(col("sh")).as("s"))
+    // materialize the salted digests once; each feeds 4 slice-minhashes
+    val nDigests = (numHashes + 3) / 4
+    val digested = exploded.select(
+      col("id") +: (0 until nDigests).map(d =>
+        md5(concat(lit(s"$d:"), col("s"))).as(s"dg$d")): _*)
     val mh = (0 until numHashes).map { j =>
-      min(md5(concat(lit(s"$j:"), col("s")))).as(s"mh$j")
+      min(substring(col(s"dg${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"mh$j")
     }
-    val sig = exploded.groupBy("id").agg(mh.head, mh.tail: _*)
+    val sig = digested.groupBy("id").agg(mh.head, mh.tail: _*)
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as(s"bk$b")
@@ -125,13 +135,24 @@ object Dedup {
     // positive threshold keeps anyway, and the join/agg shuffles stay
     // bounded by shared-shingle density instead of block-size².
     require(threshold > 0.0, "explode-based Jaccard never emits 0-overlap pairs")
+    // Grams are interned to 64-bit rolling hashes before the join: the
+    // shuffle carries (id, blk, hash) longs instead of ~20-char strings
+    // and the equi-join compares longs (hash-set Jaccard — the standard
+    // hashing trick; both engines hash identically so the oracle still
+    // bit-matches). The shuffled-hash hint skips the SMJ sorts: gram keys
+    // are near-unique, so per-partition hash maps beat sorting both sides.
+    val gramHash = (s: Column) =>
+      org.apache.spark.sql.GraftExpr.col(graft.expressions.RollingHash(
+        org.apache.spark.sql.GraftExpr.expr(s)))
     val ex = docs
       .select(col(idCol).as("id"), blockKey.as("blk"),
         array_distinct(shingles(col(textCol), k)).as("sh"))
-      .select(col("id"), col("blk"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .select(col("id"), col("blk"),
+        array_distinct(transform(col("sh"), gramHash)).as("hs"))
+      .select(col("id"), col("blk"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
     val inter = ex.alias("a")
-      .join(ex.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+      .join(ex.alias("b").hint("shuffle_hash"),
+        col("a.blk") === col("b.blk") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .groupBy(
         col("a.id").as("a_id"), col("b.id").as("b_id"),

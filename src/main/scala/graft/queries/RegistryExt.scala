@@ -36,13 +36,16 @@ object RegistryExt {
     Dedup.exactGroups(docs(s, d), "doc_id", "text").orderBy("h")
   }
 
-  /** MinHash+LSH candidate pairs (8 hashes, 4 bands × 2 rows). */
+  /** MinHash+LSH candidate pairs (8 hashes as 4 slices × 2 salted
+    * digests, 4 bands × 2 rows). */
   val dedupMinhash = Q("dedup_minhash_lsh",
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
       |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
       |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
       |sig AS (SELECT doc_id, list_transform(range(0, 8),
-      |  j -> list_min(list_transform(shl, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) AS mh
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
       |  FROM sh),
       |bands AS (SELECT doc_id, t.bnd, md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t)
@@ -64,23 +67,32 @@ object RegistryExt {
     Dedup.simhashed(docs(s, d), "doc_id", "text", 16).orderBy("doc_id")
   }
 
-  /** Blocked exact n-gram Jaccard (block = language × length bucket). */
+  /** Blocked n-gram Jaccard over hashed gram sets (block = language ×
+    * length bucket). The oracle reproduces the same rolling hash per gram
+    * and the same shared-gram counting join as the Spark plan. */
   val dedupJaccard = Q("dedup_ngram_jaccard",
     """WITH base AS (SELECT doc_id AS id,
       |    lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk,
-      |    list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
-      |           || ' ' || string_split(text,' ')[i+2])) AS sh
-      |  FROM documents)
+      |    list_distinct(list_transform(
+      |      list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |             || ' ' || string_split(text,' ')[i+2])),
+      |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, length(s) + 1),
+      |               ci -> CAST(ascii(s[ci]) AS BIGINT))),
+      |             (x, y) -> (x * 31 + y) % 1000000007))) AS hs
+      |  FROM documents),
+      |ex AS (SELECT id, blk, len(hs) AS n, unnest(hs) AS h FROM base)
       |SELECT a_id, b_id, jaccard FROM (
       |  SELECT a.id AS a_id, b.id AS b_id,
-      |    CASE WHEN CAST(len(a.sh) + len(b.sh) AS DOUBLE)
-      |           - CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) > 0.0
-      |      THEN CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
-      |           / (CAST(len(a.sh) + len(b.sh) AS DOUBLE)
-      |              - CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE))
+      |    CAST(a.n AS INT) AS na, CAST(b.n AS INT) AS nb,
+      |    CAST(COUNT(*) AS DOUBLE) AS inter,
+      |    CASE WHEN CAST(a.n + b.n AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) > 0.0
+      |      THEN CAST(COUNT(*) AS DOUBLE)
+      |           / (CAST(a.n + b.n AS DOUBLE) - CAST(COUNT(*) AS DOUBLE))
       |      ELSE 0.0 END AS jaccard
-      |  FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id)
+      |  FROM ex a JOIN ex b ON a.blk = b.blk AND a.h = b.h AND a.id < b.id
+      |  GROUP BY a.id, b.id, a.n, b.n)
       |WHERE jaccard >= 0.02 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
       concat(col("lang"), lit("|"),
