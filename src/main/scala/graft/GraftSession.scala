@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession factory for the graft engine.
+  *
+  * Required semantics (every entry point must set these):
+  *  - `ansi.enabled=false` — reference semantics are permissive:
+  *    unparseable timestamps and failed casts null out instead of
+  *    aborting (ADVICE r1; SURVEY §2 F1/F6).
+  *  - `session.timeZone=UTC` — TimestampType is tz-less UTC micros;
+  *    São Paulo wall-clock is derived explicitly (SURVEY §7.4.1).
+  *  - `parquet.inferTimestampNTZ.enabled=false` + `nanosAsLong=true` —
+  *    harness parquet carries naive ms/ns timestamps.
+  *
+  * Scale posture (local[32] here; the same knobs scale to a cluster):
+  *  - AQE on (default): runtime coalescing, skew-join splitting, and
+  *    dynamic broadcast decisions replace hand-tuned partition counts.
+  *  - `shuffle.partitions` sized to cores locally; on a 1000-executor
+  *    cluster raise it (or let AQE coalesce from a high initial value).
+  *  - All operators in this library shuffle on compact derived keys
+  *    (digests, hashes, ids) — never on document bodies or vectors —
+  *    so partition sizing is governed by row counts, not payload width.
+  */
+object GraftSession {
+  def builder(cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Cores from the driver contract env (default 32 = harness shape). */
+  def coresFromEnv: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def create(): SparkSession = {
+    val s = builder(coresFromEnv).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

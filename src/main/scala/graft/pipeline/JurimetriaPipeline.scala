@@ -102,6 +102,20 @@ object JurimetriaPipeline {
     true
   }
 
+  /** K1 at scale: hive-partitioned zstd parquet. Partitioning by court
+    * (and optionally filing month) is what makes the 100 TB layout
+    * queryable — per-court readers prune at the directory level and the
+    * date filter prunes row groups via parquet stats. */
+  def persistPartitioned(df: DataFrame, outDir: String,
+                         partitionCols: Seq[String] = Seq("tribunal")): Boolean = {
+    if (df.isEmpty) return false
+    df.write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$outDir/processos_part.parquet")
+    true
+  }
+
   /** A1/F7/O2: the reference's one analytical query — filing-hour
     * histogram in São Paulo wall-clock (plot_horario :271-296). */
   def hourHistogram(processos: DataFrame): DataFrame =

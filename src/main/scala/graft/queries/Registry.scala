@@ -330,9 +330,46 @@ object Registry {
       .orderBy("gid", "rf", "ls")
   }
 
+  /** Pivot (wide aggregation) with explicit value list — null cells
+    * coalesced to 0 to match the oracle's FILTER-count formulation. */
+  val q20Pivot = Q("q20_pivot",
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+      |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val vals = Seq("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "notspec", "5-LOW" -> "low")
+    val pivoted = o(s, d).groupBy("o_orderstatus")
+      .pivot("o_orderpriority", vals.map(_._1)).count()
+    pivoted.select(col("o_orderstatus") +: vals.map { case (v, alias) =>
+      coalesce(col(s"`$v`"), lit(0L)).as(alias)
+    }: _*).orderBy("o_orderstatus")
+  }
+
+  /** Rolling-frame window aggregate (moving 4-row sum per user) with the
+    * decimal-exact sum discipline so frame recomputation order can't
+    * produce engine-dependent floats. */
+  val q21RollingWindow = Q("q21_rolling_window",
+    """SELECT user_id, event_id,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS roll_sum
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-3, 0)
+    ev(s, d).select(col("user_id"), col("event_id"),
+      round(sum(col("value").cast(DecimalType(30, 10))).over(w), 4)
+        .cast("double").as("roll_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
   val core: Seq[Q] = Seq(q01PricingAgg, q02FilterSortLimit, q03JoinAgg,
     q04LookupEnrich, q05UnionByName, q06WithinPeriod, q07HourHistogram,
     q08StatsDistinct, q09WindowRank, q10TopN, q11JsonExtract,
     q12DateReformat, q13JsonShape, q14ArrayOps, q15Sessionize,
-    q16TumblingWindow, q17SemiJoin, q18AntiJoin, q19Rollup)
+    q16TumblingWindow, q17SemiJoin, q18AntiJoin, q19Rollup, q20Pivot,
+    q21RollingWindow)
 }

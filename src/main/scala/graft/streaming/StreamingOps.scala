@@ -14,6 +14,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Streaming ingestion of raw DataJud hits: the reference's
+    * `search_after` pagination loop is a resumable cursor over arriving
+    * pages (SURVEY.md §2 Streaming row); re-hosted as files, that cursor
+    * IS Structured Streaming's file-source offset — each new hit file is
+    * a page, checkpointing replaces the cursor-repeat guards
+    * (/root/reference/src/jurimetria_pipeline.py:114-158), and the whole
+    * flatten tail runs unchanged on the streaming frame. */
+  def streamHits(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 tribunal: String): DataFrame =
+    graft.pipeline.Hits.parseHits(
+      spark.readStream.schema(graft.pipeline.Hits.hitSchema).json(dir),
+      lit(tribunal))
+
   /** Tumbling-window event counts with late-data tolerance. Works on both
     * streaming and batch frames (watermark is a no-op in batch). */
   def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,

@@ -72,6 +72,19 @@ class HitsSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$sink/processos.csv").count() == 2)
   }
 
+  test("persistPartitioned: hive layout by tribunal, prunable on read") {
+    val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
+      PipelineConfig())
+    val sink = Files.createTempDirectory("sink3").toString
+    assert(JurimetriaPipeline.persistPartitioned(out, sink))
+    val back = spark.read.parquet(s"$sink/processos_part.parquet")
+    assert(back.filter($"tribunal" === "TJSP").count() == 2)
+    // partition pruning: the tribunal filter appears as a PartitionFilter
+    val plan = back.filter($"tribunal" === "TJSP")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(tribunal"))
+  }
+
   test("hourHistogram: SP wall-clock hour (UTC 03:00 → hour 0)") {
     val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
       PipelineConfig())

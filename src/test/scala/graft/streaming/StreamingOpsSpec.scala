@@ -51,6 +51,32 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.head == StreamingOps.ClosedSession(1L, 1000L, 2000L, 2L))
   }
 
+  test("streamHits: arriving hit files flow through the flatten tail incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-hits").toFile
+    def writeHits(name: String, nums: Seq[Int]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      nums.foreach { i =>
+        w.println(s"""{"_source":{"numeroProcesso":"$i","grau":"G1","dataAjuizamento":"2023-01-0${i}T03:00:00Z"},"sort":[$i]}""")
+      }
+      w.close()
+    }
+    writeHits("page1.json", Seq(1, 2))
+    val q = StreamingOps.streamHits(spark, dir.getAbsolutePath, "TJSP")
+      .filter(graft.operators.Relational.withinPeriod($"data_ajuizamento",
+        to_timestamp(lit("2023-01-01 00:00:00")), lit(null).cast("timestamp")))
+      .select("tribunal", "numero_processo", "sort")
+      .writeStream.format("memory").queryName("hits")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    assert(spark.table("hits").count() == 2)
+    writeHits("page2.json", Seq(3)) // the next "page" of the cursor
+    q.processAllAvailable()
+    val rows = spark.table("hits").orderBy("numero_processo").collect()
+    q.stop()
+    assert(rows.length == 3 && rows.map(_.getString(1)).toSeq == Seq("1", "2", "3"))
+    assert(rows.forall(_.getString(0) == "TJSP"))
+  }
+
   test("batch/stream parity: tumblingCounts equals the batch histogram plan") {
     val batch = graft.Tables.events(spark, sf)
     val streamed = StreamingOps.tumblingCounts(batch, "ts", "event_type")
