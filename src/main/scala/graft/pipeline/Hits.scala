@@ -49,6 +49,15 @@ object Hits {
     * (/root/reference/src/jurimetria_pipeline.py:82). */
   private val epoch: Column = to_timestamp(lit("1970-01-01 00:00:00"))
 
+  /** F3's ordering comparator, exposed for property tests: sorts an
+    * array<struct<…, dataHora timestamp>> ascending with null timestamps
+    * first (as epoch-1970). */
+  def sortMovimentos(mov: Column): Column =
+    array_sort(mov, (l, r) =>
+      when(coalesce(l("dataHora"), epoch) < coalesce(r("dataHora"), epoch), -1)
+        .when(coalesce(l("dataHora"), epoch) > coalesce(r("dataHora"), epoch), 1)
+        .otherwise(0))
+
   /** P1-P3 + F1-F3: flatten raw hits into the 13-column `processos` frame.
     *
     * - F1: ISO strings parsed as UTC instants, exposed São Paulo semantics
@@ -77,10 +86,7 @@ object Hits {
       src("orgaoJulgador")("codigoMunicipioIBGE").as("municipio"),
       src("grau").as("grau"),
       transform(src("assuntos"), a => coalesce(a("nome"), lit(""))).as("assuntos"),
-      array_sort(movParsed, (l, r) =>
-        when(coalesce(l("dataHora"), epoch) < coalesce(r("dataHora"), epoch), -1)
-          .when(coalesce(l("dataHora"), epoch) > coalesce(r("dataHora"), epoch), 1)
-          .otherwise(0)).as("movimentos"),
+      sortMovimentos(movParsed).as("movimentos"),
       element_at(col("sort"), 1).as("sort"))
   }
 

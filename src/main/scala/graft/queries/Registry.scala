@@ -366,10 +366,35 @@ object Registry {
       .orderBy("user_id", "event_id")
   }
 
+  /** Exact interpolated percentiles per group (rank p·(n-1), linear
+    * interpolation — the same definition as DuckDB quantile_cont). */
+  val q22Percentiles = Q("q22_percentiles",
+    """SELECT event_type,
+      |  quantile_cont(value, 0.25) AS p25,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    ev(s, d).groupBy("event_type").agg(
+      percentile(col("value"), lit(0.25)).as("p25"),
+      percentile(col("value"), lit(0.5)).as("p50"),
+      percentile(col("value"), lit(0.9)).as("p90"))
+      .orderBy("event_type")
+  }
+
+  /** Sketch aggregates (HyperLogLog++): approximate by construction, so
+    * the driver records a rows-only check — the exact-distinct companion
+    * is q08. At 100 TB the sketch is the only affordable distinct. */
+  val q23ApproxDistinct = Q.noOracle("q23_approx_distinct") { (s, d) =>
+    ev(s, d).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
   val core: Seq[Q] = Seq(q01PricingAgg, q02FilterSortLimit, q03JoinAgg,
     q04LookupEnrich, q05UnionByName, q06WithinPeriod, q07HourHistogram,
     q08StatsDistinct, q09WindowRank, q10TopN, q11JsonExtract,
     q12DateReformat, q13JsonShape, q14ArrayOps, q15Sessionize,
     q16TumblingWindow, q17SemiJoin, q18AntiJoin, q19Rollup, q20Pivot,
-    q21RollingWindow)
+    q21RollingWindow, q22Percentiles, q23ApproxDistinct)
 }
