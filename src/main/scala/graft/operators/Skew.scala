@@ -27,6 +27,25 @@ object Skew {
     small.withColumn("_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
 
+  /** Salted two-stage aggregation for skewed group keys: stage 1 partially
+    * aggregates on (key, salt) — a hot key spreads over `buckets` reducers
+    * — stage 2 combines the per-salt partials on the key alone (tiny:
+    * ≤ buckets rows per key). count and decimal-sum both re-combine
+    * exactly, so the result is identical to the unsalted groupBy.
+    *
+    * Returns `keys :+ cnt :+ sum_v` with the same decimal-exact sum
+    * discipline as [[graft.functions.AggFns.dsum]]. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valCol: String,
+                     buckets: Int): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(30, 10)
+    val stage1 = saltBig(df, buckets)
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_cnt"), sum(col(valCol).cast(D)).as("_sum"))
+    stage1.groupBy(keys.map(col): _*)
+      .agg(sum(col("_cnt")).as("cnt"),
+        round(sum(col("_sum")), 4).cast("double").as("sum_v"))
+  }
+
   /** Equi-join `big ⋈ small` on `bigKey === smallKey`, salted. Result is
     * identical to the unsalted join (salts match by construction). */
   def saltedJoin(big: DataFrame, small: DataFrame,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal/interval join operators Spark lacks as built-ins, expressed in
+  * the scalable shapes (SURVEY.md §2 "no other joins exist" — these are
+  * engine extensions for the training-data/analytics surface).
+  *
+  * - [[asofJoinBackward]]: for each left row, the latest right row at or
+  *   before its timestamp (per key). NOT a sort-merge band join or a
+  *   windowed cross product: both sides are unioned, shuffled ONCE on the
+  *   key, and resolved with a running `last(ignoreNulls)` window — a
+  *   linear per-partition scan. This is the only shape that survives
+  *   100 TB: cost is one shuffle of (key, ts, payload), no pair blow-up.
+  * - [[rangeJoinBinned]]: point-in-interval join via bin bucketing. Each
+  *   interval explodes to the fixed-width bins it covers, each point maps
+  *   to exactly one bin, and the join becomes an equi-join on the bin key
+  *   plus a residual between-filter — turning an unbounded theta join
+  *   into a bounded hash join (the standard range-join optimization).
+  */
+object Temporal {
+
+  /** Backward as-of join (per-key "latest value at or before ts").
+    *
+    * @param left      probe side; all its columns are preserved
+    * @param right     reference side (e.g. quotes/clicks/checkpoints)
+    * @param on        equi-key column name present on both sides
+    * @param leftTs    timestamp column name on `left`
+    * @param rightTs   timestamp column name on `right`
+    * @param rightVals right columns to carry onto matches (null when no
+    *                  right row precedes the left row)
+    *
+    * Ties: a right row at exactly the left timestamp matches (inclusive).
+    * Multiple right rows on the same (key, ts) must be pre-deduplicated by
+    * the caller (deterministic reducer, e.g. groupBy + max) — same
+    * contract as DuckDB/pandas ASOF.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, on: String,
+                       leftTs: String, rightTs: String,
+                       rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // _side: right=0 sorts before left=1 at equal ts → inclusive match
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+    val r = right.select(
+      (col(on) +: col(rightTs).as("_ts") +: lit(0).as("_side") +:
+        rightVals.map(v => col(v).as(s"_rv_$v"))): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(on)
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = rightVals.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(col(s"_rv_$v"), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("_side") === 1)
+      .select((leftCols ++ rightVals).map(col): _*)
+  }
+
+  /** Point-in-interval join: rows of `points` paired with every row of
+    * `intervals` whose [lo, hi] contains the point (inclusive bounds).
+    *
+    * @param binWidth bucketing granularity — intervals explode to
+    *                 ceil(span/binWidth)+1 bin keys; choose it near the
+    *                 typical interval span so replication stays O(1)
+    */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("_bin",
+      floor(col(pointCol) / binWidth).cast("long"))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(iv, p("_bin") === iv("_bin") &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+}

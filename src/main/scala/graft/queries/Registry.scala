@@ -299,12 +299,16 @@ object Registry {
       .orderBy("c_custkey")
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no large order. The
+    * predicate keeps the result non-empty on the harness data (every
+    * customer has some order), so the check exercises real row flow. */
   val q18AntiJoin = Q("q18_anti_join",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-    c(s, d).join(o(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+    c(s, d).join(o(s, d).filter(col("o_totalprice") > 200000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.AggFns
+import graft.operators.{Skew, Temporal}
+
+/** Round-2 operator extensions: as-of join, binned range join, set
+  * operations, cube, full-outer join, salted aggregation. Same
+  * determinism rules as [[Registry]]. */
+object Registry2 {
+
+  private def o(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def c(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def n(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** As-of join (last-click attribution): each view event matched to the
+    * latest click by the same user at or before it. One shuffle on the
+    * user key (union + running last — [[Temporal.asofJoinBackward]]);
+    * DuckDB's native ASOF JOIN is the oracle. Right side is deduped per
+    * (user, ts) with MAX(event_id) — the ASOF tie contract. */
+  val q24AsofJoin = Q("q24_asof_join",
+    """WITH v AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view' AND ts IS NOT NULL),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2)
+      |SELECT v.event_id, v.user_id, c.click_id,
+      |  date_diff('second', c.ts, v.ts) AS gap_s
+      |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts
+      |ORDER BY v.event_id""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val views = e.filter(col("event_type") === "view" && col("ts").isNotNull)
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click" && col("ts").isNotNull)
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+      .withColumnRenamed("ts", "click_ts")
+    Temporal.asofJoinBackward(views, clicks, on = "user_id",
+      leftTs = "ts", rightTs = "click_ts",
+      rightVals = Seq("click_id", "click_ts"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("ts").cast("long") - col("click_ts").cast("long")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  /** Binned range join: orders classified into overlapping price bands
+    * (intervals derived from nation so both engines build the identical
+    * relation). The bin equi-join replaces the unbounded theta join. */
+  val q25RangeJoin = Q("q25_range_join",
+    s"""WITH bands AS (SELECT n_nationkey AS band_id,
+       |    CAST(n_nationkey AS DOUBLE) * 20000.0 AS lo,
+       |    CAST(n_nationkey AS DOUBLE) * 20000.0 + 39999.0 AS hi
+       |  FROM nation)
+       |SELECT band_id, COUNT(*) AS cnt,
+       |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_price
+       |FROM orders JOIN bands
+       |  ON o_totalprice >= lo AND o_totalprice <= hi
+       |GROUP BY band_id ORDER BY band_id""".stripMargin) { (s, d) =>
+    val bands = n(s, d).select(col("n_nationkey").as("band_id"),
+      (col("n_nationkey").cast("double") * 20000.0).as("lo"),
+      (col("n_nationkey").cast("double") * 20000.0 + 39999.0).as("hi"))
+    Temporal.rangeJoinBinned(o(s, d), "o_totalprice", bands, "lo", "hi",
+      binWidth = 20000.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("cnt"), AggFns.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("band_id")
+  }
+
+  /** INTERSECT (distinct set semantics): customers that do have orders. */
+  val q26Intersect = Q("q26_intersect",
+    """SELECT c_custkey FROM customer
+      |INTERSECT
+      |SELECT o_custkey AS c_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    c(s, d).select("c_custkey")
+      .intersect(o(s, d).select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  /** EXCEPT (distinct set semantics): customer keys minus big-order keys. */
+  val q27Except = Q("q27_except",
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    c(s, d).select("c_custkey")
+      .except(o(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  /** CUBE over (event_type, day) with explicit subtotal labels — the q19
+    * discipline (grouped cols pre-coalesced so the null-detection CASE is
+    * unambiguous; ts-null rows land in a 'none' day bucket). */
+  val q28Cube = Q("q28_cube",
+    """WITH t AS (SELECT event_type,
+      |    COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'none') AS day,
+      |    value
+      |  FROM events)
+      |SELECT
+      |  CAST(CASE WHEN event_type IS NULL THEN 2 ELSE 0 END +
+      |       CASE WHEN day IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+      |  COALESCE(event_type, 'ALL') AS et, COALESCE(day, 'ALL') AS d,
+      |  COUNT(*) AS cnt,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_v
+      |FROM t GROUP BY CUBE (event_type, day)
+      |ORDER BY gid, et, d""".stripMargin) { (s, d) =>
+    val t = ev(s, d).select(col("event_type"),
+      coalesce(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"),
+        lit("none")).as("day"),
+      col("value"))
+    t.cube("event_type", "day")
+      .agg(count(lit(1)).as("cnt"), AggFns.dsum(col("value")).as("sum_v"))
+      .select(
+        (when(col("event_type").isNull, 2).otherwise(0) +
+          when(col("day").isNull, 1).otherwise(0)).cast("long").as("gid"),
+        coalesce(col("event_type"), lit("ALL")).as("et"),
+        coalesce(col("day"), lit("ALL")).as("d"),
+        col("cnt"), col("sum_v"))
+      .orderBy("gid", "et", "d")
+  }
+
+  /** FULL OUTER join of two derived relations, null-completing both sides
+    * (the only outer-join shape q04/q18 don't already cover). */
+  val q29FullOuter = Q("q29_full_outer",
+    """WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+      |  WHERE o_custkey < 600 GROUP BY 1),
+      |b AS (SELECT c_custkey AS k, c_name FROM customer
+      |  WHERE c_custkey BETWEEN 300 AND 900)
+      |SELECT COALESCE(a.k, b.k) AS k, a.n_orders, b.c_name
+      |FROM a FULL JOIN b ON a.k = b.k
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    val a = o(s, d).filter(col("o_custkey") < 600)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+    val b = c(s, d).filter(col("c_custkey").between(300, 900))
+      .select(col("c_custkey").as("bk"), col("c_name"))
+    a.join(b, a("k") === b("bk"), "full_outer")
+      .select(coalesce(a("k"), col("bk")).as("k"), col("n_orders"), col("c_name"))
+      .orderBy("k")
+  }
+
+  /** Salted two-stage aggregation ([[Skew.saltedSumCount]]): identical
+    * result to the plain GROUP BY oracle — proof the salting recombines
+    * exactly — while the skewed key (event_type has ~5 values over 100k
+    * rows: maximal skew) spreads over 8× the reducers. */
+  val q30SaltedAgg = Q("q30_salted_agg",
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Skew.saltedSumCount(ev(s, d), Seq("event_type"), "value", buckets = 8)
+      .orderBy("event_type")
+  }
+
+  val more: Seq[Q] = Seq(q24AsofJoin, q25RangeJoin, q26Intersect,
+    q27Except, q28Cube, q29FullOuter, q30SaltedAgg)
+}

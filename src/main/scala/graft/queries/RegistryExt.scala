@@ -342,5 +342,5 @@ object RegistryExt {
     pipelineHits)
 
   /** Everything the engine exposes. */
-  val all: Seq[Q] = Registry.core ++ ext
+  val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext
 }

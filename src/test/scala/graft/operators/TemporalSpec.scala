@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoinBackward: latest right row at or before each left ts, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // after two quotes
+      (2L, 10L, ts("2024-01-01 08:30:00")),  // between the quotes
+      (3L, 10L, ts("2024-01-01 07:00:00")),  // before any quote → null
+      (4L, 20L, ts("2024-01-01 12:00:00"))   // other key, exact-ts tie
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 100L),
+      (10L, ts("2024-01-01 09:00:00"), 200L),
+      (20L, ts("2024-01-01 12:00:00"), 300L)  // exactly at left ts → matches
+    ).toDF("k", "rt", "v")
+    val out = Temporal.asofJoinBackward(left, right, "k", "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(200L))
+    assert(out(2L).contains(100L))
+    assert(out(3L).isEmpty)
+    assert(out(4L).contains(300L))
+  }
+
+  test("asofJoinBackward preserves every left row and all left columns") {
+    val left = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "x")).toDF("id", "k", "t", "tag")
+    val right = Seq((99L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "rt", "v")
+    val out = Temporal.asofJoinBackward(left, right, "k", "t", "rt", Seq("v"))
+    assert(out.columns.toSeq == Seq("id", "k", "t", "tag", "v"))
+    assert(out.count() == 1)
+    assert(out.select("v").as[Option[Long]].head().isEmpty) // key 5 has no right rows
+  }
+
+  test("rangeJoinBinned equals the plain theta join, intervals spanning bins") {
+    val points = (0 until 100).map(i => (i.toLong, i * 7.0)).toDF("pid", "x")
+    val ivs = Seq(
+      (1L, 0.0, 50.0),     // spans multiple 20-wide bins
+      (2L, 45.0, 45.0),    // degenerate single-point interval
+      (3L, 600.0, 800.0),  // overlaps the tail
+      (4L, 1000.0, 1100.0) // beyond all points → no matches
+    ).toDF("iid", "lo", "hi")
+    val binned = Temporal.rangeJoinBinned(points, "x", ivs, "lo", "hi", binWidth = 20.0)
+      .select("pid", "iid")
+    val theta = points.join(ivs, $"x" >= $"lo" && $"x" <= $"hi").select("pid", "iid")
+    assert(binned.count() == theta.count())
+    assert(binned.exceptAll(theta).isEmpty && theta.exceptAll(binned).isEmpty)
+  }
+
+  test("saltedSumCount equals plain groupBy count/sum") {
+    val df = (1 to 500).map(i => (if (i <= 450) "hot" else "cold", i * 0.25)).toDF("k", "v")
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v", buckets = 8)
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum($"v".cast(org.apache.spark.sql.types.DecimalType(30, 10))), 4)
+          .cast("double").as("sum_v"))
+      .orderBy("k").as[(String, Long, Double)].collect().toSeq
+    assert(salted == plain)
+  }
+}
