@@ -64,6 +64,55 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nCells`
+    * Voronoi cells around centroid vectors, each query probes its
+    * `nProbe` nearest cells, and scoring touches only those cells'
+    * members — the second classic scale path next to [[lshTopK]].
+    *
+    * Centroids here are the `nCells` lowest-id corpus vectors
+    * (deterministic, engine-portable "training"; a production build
+    * would k-means them — the dataflow is identical). Cell assignment is
+    * one broadcast join + max(struct) partial aggregation (no window, no
+    * extra shuffle of the corpus); the probe join shuffles on the cell
+    * key only. Ties break toward the higher cell id on both engines.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              dim: Int = 64): DataFrame = {
+    val cent = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).cast("int").as("cell"), col(vecCol).as("c_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("c_nrm"))
+    val cos = (v: Column, nrm: Column) =>
+      when(nrm > 0.0 && col("c_nrm") > 0.0,
+        VectorFns.dotN(v, col("c_vec"), dim) / (nrm * col("c_nrm")))
+    // corpus → cell: argmax cosine over centroids (tie → higher cell)
+    val asg = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+      .join(broadcast(cent))
+      .groupBy("n_id")
+      .agg(
+        max(struct(cos(col("n_vec"), col("n_nrm")).as("s"), col("cell").as("cell")))
+          .as("best"),
+        first(col("n_vec")).as("n_vec"), first(col("n_nrm")).as("n_nrm"))
+      .select(col("n_id"), col("best.cell").as("cell"), col("n_vec"), col("n_nrm"))
+    // query → its nProbe best cells
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+      .join(broadcast(cent))
+      .withColumn("prb", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(cos(col("q_vec"), col("q_nrm")).desc, col("cell").desc)))
+      .filter(col("prb") <= nProbe)
+      .select("q_id", "q_vec", "q_nrm", "cell")
+    val scored = asg.join(probes, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosFromNorms(dim))
+    ranked(scored, k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked on
     * `blockCol` (cluster/label/LSH bucket) so the pair join never goes
     * quadratic in the corpus. */

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.AggFns
-import graft.operators.{Skew, Temporal}
+import graft.functions.{AggFns, HeavyHitters}
+import graft.operators.{Similarity, Skew, Temporal}
 
 /** Round-2 operator extensions: as-of join, binned range join, set
   * operations, cube, full-outer join, salted aggregation. Same
@@ -152,6 +152,60 @@ object Registry2 {
       .orderBy("event_type")
   }
 
+  /** Misra-Gries heavy hitters ([[HeavyHitters]], custom typed
+    * Aggregator). k=8 exceeds the event_type cardinality, so the sketch
+    * is provably exact here and the plain-GROUP-BY oracle applies; at
+    * k < distinct it degrades gracefully to guaranteed lower bounds. */
+  val q31HeavyHitters = Q("q31_heavy_hitters",
+    """SELECT event_type AS item, COUNT(*) AS cnt FROM events
+      |WHERE event_type IS NOT NULL
+      |GROUP BY 1 ORDER BY cnt DESC, item""".stripMargin) { (s, d) =>
+    val hh = udaf(new HeavyHitters(8))
+    ev(s, d).agg(hh(col("event_type")).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item").as("item"), col("h.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** DuckDB left-fold cosine (same shape as RegistryExt's). */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+  private def sqlCos(a: String, b: String): String =
+    s"""(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"""
+
+  /** IVF ANN ([[Similarity.ivfTopK]]): 16 cells, 4 probes, top-3. The
+    * oracle rebuilds the identical index (same centroids, same argmax
+    * tie-breaks), so both engines score the same candidate sets. */
+  val annIvf = Q("ann_ivf_topk",
+    s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell, q_vec FROM (
+       |  SELECT q.vec_id AS q_id, c.cell, q.embedding AS q_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 4),
+       |sc AS (SELECT q_id, n_id, ${sqlCos("p.q_vec", "a.n_vec")} AS cos
+       |  FROM probes p JOIN asg a USING (cell) WHERE q_id <> n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER
+       |  (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val more: Seq[Q] = Seq(q24AsofJoin, q25RangeJoin, q26Intersect,
-    q27Except, q28Cube, q29FullOuter, q30SaltedAgg)
+    q27Except, q28Cube, q29FullOuter, q30SaltedAgg, q31HeavyHitters,
+    annIvf)
 }

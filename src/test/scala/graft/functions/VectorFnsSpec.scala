@@ -50,4 +50,25 @@ class VectorFnsSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("n_id"))
     assert(top.contains(3L)) // parallel vector has identical sign pattern
   }
+
+  test("ivfTopK: probing every cell reproduces the brute-force ranking") {
+    // centroids = ids < 3 = vecs {1,2}; nProbe=2 probes both cells →
+    // candidate set is the whole corpus, so the result must equal brute force
+    val q = vecs.filter($"vec_id" === 4)
+    val ivf = Similarity.ivfTopK(q, vecs, "vec_id", "embedding",
+      k = 3, nCells = 3, nProbe = 2, dim = 3)
+      .select("q_id", "n_id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", k = 3, dim = 3)
+      .select("q_id", "n_id", "rnk").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK: single probe restricts candidates to the query's cell") {
+    val q = vecs.filter($"vec_id" === 3) // parallel to centroid 1
+    val ids = Similarity.ivfTopK(q, vecs, "vec_id", "embedding",
+      k = 4, nCells = 3, nProbe = 1, dim = 3)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    // cell of centroid 1 holds vecs {1, 3}; vec 2's cell is unprobed
+    assert(ids.contains(1L) && !ids.contains(2L))
+  }
 }
