@@ -23,6 +23,20 @@ import graft.expressions.{DotProduct, RollingHash, WordShingles}
   *   ([[WordShingles]]; k must be a literal)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.functions
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** Same registrations for a session that already exists (extensions
+    * bind at build time; this is the attach-later path). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftExpr.registerFunction(spark, id, info, builder)
+    }
 
   private def litInt(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -37,27 +51,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal long argument, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
+  /** The registry rows shared by both attachment paths. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_rolling_hash"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => RollingHash(c)
         case Seq(c, m) => RollingHash(c, litLong(m, "graft_rolling_hash"))
         case _ => throw new IllegalArgumentException(
           "graft_rolling_hash(text[, modulus])")
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("graft_word_shingles"),
+      }),
+    (FunctionIdentifier("graft_word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
       (args: Seq[Expression]) => args match {
         case Seq(c, k) => WordShingles(c, litInt(k, "graft_word_shingles"))
         case _ => throw new IllegalArgumentException(
           "graft_word_shingles(text, k)")
       }))
-  }
 }

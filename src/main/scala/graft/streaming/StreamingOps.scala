@@ -38,6 +38,29 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col(keyCol), col("cnt"))
 
+  /** Streaming exact dedup with bounded state: re-deliveries of the same
+    * key within the watermark horizon are dropped, and the state store
+    * evicts keys once the watermark passes them. Plain `dropDuplicates`
+    * on a stream keeps ALL keys forever — at 100 TB/day of re-deliverable
+    * ingest (the reference's paginated fetch CAN re-deliver on cursor
+    * retry — /root/reference/src/jurimetria_pipeline.py:150-157), the
+    * watermark-bounded variant is the only sustainable shape. Batch
+    * frames pass through it unchanged semantically (watermark is a
+    * no-op there). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String,
+                           keyCols: Seq[String],
+                           watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-static enrichment: the municipio broadcast lookup
+    * ([[graft.pipeline.JurimetriaPipeline.enrichMunicipio]]) applied to a
+    * streaming hit frame. Stream-static joins need no state: the static
+    * side broadcasts to every micro-batch. */
+  def enrichStreamingHits(streamedHits: DataFrame,
+                          municipios: DataFrame): DataFrame =
+    graft.pipeline.JurimetriaPipeline.enrichMunicipio(streamedHits, municipios)
+
   /** One user's open-session accumulator. */
   case class SessionState(start: Long, last: Long, n: Long)
   /** Emitted when a session closes (gap exceeded or state timeout). */

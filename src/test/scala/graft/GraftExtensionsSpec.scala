@@ -1,26 +1,24 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSessionExtensions
 
-/** The SQL face of the custom expressions: a session built with
-  * [[GraftExtensions]] resolves graft_* functions in plain SQL and the
-  * results match the Column-API path. Uses its own session (extensions
-  * bind at session build time). */
-class GraftExtensionsSpec extends AnyFunSuite {
+/** The SQL face of the custom expressions. Uses the attach-later path
+  * ([[GraftExtensions.registerAll]]) on the shared test session —
+  * `withExtensions` only binds at session build time and the suite
+  * shares one session; `injectFunction` is exercised structurally. */
+class GraftExtensionsSpec extends SparkSpec {
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.registerAll(spark)
+  }
+
+  test("injectFunction path registers the same three functions") {
+    // apply() to a fresh SparkSessionExtensions must not throw and must
+    // cover every row of the shared registry
+    new GraftExtensions().apply(new SparkSessionExtensions)
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
+      Seq("graft_dot", "graft_rolling_hash", "graft_word_shingles"))
   }
 
   test("graft_dot resolves in SQL and matches the manual sum") {
@@ -31,11 +29,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
   }
 
   test("graft_rolling_hash matches the library fold, default and custom modulus") {
-    val Array(h1, h2) = spark.sql(
+    val row = spark.sql(
       "SELECT graft_rolling_hash('abc') AS a, graft_rolling_hash('abc', 97L) AS b")
-      .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    assert(h1 == graft.expressions.RollingHash.hash("abc", 1000000007L))
-    assert(h2 == graft.expressions.RollingHash.hash("abc", 97L))
+      .head()
+    assert(row.getLong(0) == graft.expressions.RollingHash.hash("abc", 1000000007L))
+    assert(row.getLong(1) == graft.expressions.RollingHash.hash("abc", 97L))
   }
 
   test("graft_word_shingles builds k-grams; short input gives empty array") {

@@ -77,6 +77,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.forall(_.getString(0) == "TJSP"))
   }
 
+  test("dedupWithinWatermark: re-delivered keys are dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "key")
+    val q = StreamingOps.dedupWithinWatermark(df, "ts", Seq("key"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: key 1 re-delivered inside the watermark → dropped; key 3 new
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 3L))
+    q.processAllAvailable()
+    val keys = spark.table("dedup_stream").collect().map(_.getLong(1)).sorted.toSeq
+    q.stop()
+    assert(keys == Seq(1L, 2L, 3L))
+  }
+
+  test("enrichStreamingHits: stream-static broadcast lookup joins each batch") {
+    val dir = java.nio.file.Files.createTempDirectory("stream-enrich").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "p1.json"), "UTF-8")
+    w.println("""{"_source":{"numeroProcesso":"7","orgaoJulgador":{"codigoMunicipioIBGE":"11"}},"sort":[7]}""")
+    w.println("""{"_source":{"numeroProcesso":"8","orgaoJulgador":{"codigoMunicipioIBGE":"99"}},"sort":[8]}""")
+    w.close()
+    val dim = Seq((11L, "Alfa"), (12L, "Beta")).toDF("CD_MUN", "NM_MUN")
+    val q = StreamingOps.enrichStreamingHits(
+      StreamingOps.streamHits(spark, dir.getAbsolutePath, "TJCE"), dim)
+      .select("numero_processo", "municipio")
+      .writeStream.format("memory").queryName("enriched_hits")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val got = spark.table("enriched_hits").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(got == Map("7" -> "Alfa", "8" -> "99")) // matched → name, unmatched → raw code
+  }
+
   test("batch/stream parity: tumblingCounts equals the batch histogram plan") {
     val batch = graft.Tables.events(spark, sf)
     val streamed = StreamingOps.tumblingCounts(batch, "ts", "event_type")
