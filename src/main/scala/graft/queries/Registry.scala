@@ -305,9 +305,9 @@ object Registry {
   val q18AntiJoin = Q("q18_anti_join",
     """SELECT c_custkey, c_name FROM customer
       |WHERE NOT EXISTS (SELECT 1 FROM orders
-      |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-    c(s, d).join(o(s, d).filter(col("o_totalprice") > 200000),
+    c(s, d).join(o(s, d).filter(col("o_totalprice") > 300000),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")

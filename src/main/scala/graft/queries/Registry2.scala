@@ -82,10 +82,10 @@ object Registry2 {
   val q27Except = Q("q27_except",
     """SELECT c_custkey FROM customer
       |EXCEPT
-      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 200000
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     c(s, d).select("c_custkey")
-      .except(o(s, d).filter(col("o_totalprice") > 200000)
+      .except(o(s, d).filter(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
   }

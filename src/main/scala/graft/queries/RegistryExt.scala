@@ -272,6 +272,44 @@ object RegistryExt {
       .orderBy("id")
   }
 
+  /** Frame-sampling fan-out ([[Multimodal.sampleFrameIndexes]]): every
+    * 4th frame index per record — the (id, frame_idx) shape a real
+    * decoder stage consumes, partition-parallel downstream. */
+  val multimodalFrames = Q("multimodal_frames",
+    """SELECT doc_id AS id,
+      |  CAST(unnest(range(0, length(text) % 30 + 1, 4)) AS BIGINT) AS frame_idx
+      |FROM documents ORDER BY id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val records = docs(s, d).select(col("doc_id").as("id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.MediaRecord(id, "text", text.getBytes("UTF-8"))
+      }
+    Multimodal.sampleFrameIndexes(Multimodal.featurize(records).toDF(), stride = 4)
+      .select(col("id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("id", "frame_idx")
+  }
+
+  /** The engine's SQL face: the same library running pure `spark.sql`
+    * text over registered views — scalar subquery + IN-subquery (shapes
+    * the DataFrame queries don't cover). MAX, not AVG, as the scalar:
+    * exact in both engines (double AVG is order-dependent). */
+  val sqlSubquery = Q("q32_sql_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 0.8 * (SELECT MAX(o_totalprice) FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+    Tables.customer(s, d).createOrReplaceTempView("customer_sq")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders_sq
+        |WHERE o_totalprice > 0.8 * (SELECT MAX(o_totalprice) FROM orders_sq)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer_sq
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** The reference pipeline end-to-end (SURVEY.md §2 DAG) over hit-shaped
     * records built from `orders`: flatten (P1-P3, F1, F3) → W2 class
     * filter → W1 date window → L1 limit → J1 municipio broadcast lookup
@@ -339,7 +377,7 @@ object RegistryExt {
   val ext: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
     dedupJaccard, dedupEmbedding, annBrute, annLsh, textLangid,
     textQuality, textTokens, textFingerprint, multimodalFeatures,
-    pipelineHits)
+    multimodalFrames, sqlSubquery, pipelineHits)
 
   /** Everything the engine exposes. */
   val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext

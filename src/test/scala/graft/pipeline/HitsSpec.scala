@@ -72,6 +72,26 @@ class HitsSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$sink/processos.csv").count() == 2)
   }
 
+  test("CSV roundtrip (S2 source semantics): typed read-back preserves values") {
+    val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
+      PipelineConfig())
+    val sink = Files.createTempDirectory("sink-csv").toString
+    assert(JurimetriaPipeline.persist(out, sink))
+    // read the CSV as a typed source (explicit schema, like the municipio
+    // lookup would be): stringified timestamp parses back to the instant
+    val schema = "tribunal STRING, numero_processo STRING, classe STRING, " +
+      "data_ajuizamento TIMESTAMP, ultima_atualizacao TIMESTAMP, formato STRING, " +
+      "codigo_orgao STRING, orgao_julgador STRING, municipio STRING, grau STRING, " +
+      "assuntos STRING, movimentos STRING, sort BIGINT"
+    val back = spark.read.option("header", "true").schema(schema)
+      .csv(s"$sink/processos.csv")
+    val r = back.filter($"numero_processo".startsWith("0000001")).head()
+    assert(r.getAs[String]("municipio") == "São Paulo")
+    assert(r.getAs[java.sql.Timestamp]("data_ajuizamento") ==
+      java.sql.Timestamp.valueOf("2023-01-10 03:00:00"))
+    assert(r.getAs[Long]("sort") == 1673319600000L)
+  }
+
   test("persistPartitioned: hive layout by tribunal, prunable on read") {
     val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
       PipelineConfig())
