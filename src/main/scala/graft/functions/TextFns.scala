@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Fused single-pass stats struct ([[graft.expressions.TextStats]]).
+    * Every signal below is a field of this one struct; within a single
+    * projection Catalyst's subexpression elimination evaluates the pass
+    * once per row no matter how many signals are selected. */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.TextStats(
+        org.apache.spark.sql.GraftExpr.expr(text)))
+
   /** Whitespace tokens. NOTE Spark's split() takes a regex; a single space
     * matches DuckDB string_split(text, ' ') including trailing empties. */
   def words(text: Column): Column = split(text, " ")
 
   /** Word-level token count (whitespace segmentation). */
-  def wsTokenCount(text: Column): Column = size(words(text)).cast("long")
+  def wsTokenCount(text: Column): Column = textStats(text).getField("n_words")
 
   /** Regex tokens: alnum runs (lowercased corpora). Mirrors a BPE
     * pre-tokenizer's word-split stage. */
@@ -46,32 +55,34 @@ object TextFns {
 
   /** Language ID: stopword-lexicon scoring; ties/no-signal → "und". */
   def langId(text: Column): Column = {
-    val ws = words(text)
-    val en = stopwordHits(ws, EnStop)
-    val pt = stopwordHits(ws, PtStop)
+    val st = textStats(text)
+    val en = st.getField("en_hits")
+    val pt = st.getField("pt_hits")
     when(en > pt, "en").when(pt > en, "pt").otherwise("und")
   }
 
   /** Ratio of non-[a-z0-9 space] characters to total length (0 for empty). */
   def punctRatio(text: Column): Column = {
-    val punct = length(regexp_replace(text, "[a-z0-9 ]", ""))
+    val punct = textStats(text).getField("punct")
     when(length(text) > 0, punct.cast("double") / length(text).cast("double"))
       .otherwise(lit(0.0))
   }
 
   /** Mean word length over whitespace tokens (0 for empty). */
   def avgWordLen(text: Column): Column = {
-    val ws = words(text)
-    val total = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
-    when(size(ws) > 0, total.cast("double") / size(ws).cast("double"))
+    val st = textStats(text)
+    when(st.getField("n_words") > 0,
+      st.getField("total_word_len").cast("double") /
+        st.getField("n_words").cast("double"))
       .otherwise(lit(0.0))
   }
 
   /** Stopword ratio over whitespace tokens (quality signal). */
   def stopwordRatio(text: Column): Column = {
-    val ws = words(text)
-    when(size(ws) > 0,
-      stopwordHits(ws, EnStop).cast("double") / size(ws).cast("double"))
+    val st = textStats(text)
+    when(st.getField("n_words") > 0,
+      st.getField("en_hits").cast("double") /
+        st.getField("n_words").cast("double"))
       .otherwise(lit(0.0))
   }
 

@@ -205,7 +205,47 @@ object Registry2 {
       .orderBy("q_id", "rnk")
   }
 
+  /** UNPIVOT (wide → long, the inverse of q20's pivot), oracle as the
+    * portable UNION ALL expansion. */
+  val q33Unpivot = Q("q33_unpivot",
+    """SELECT * FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+      |    l_quantity AS val FROM lineitem WHERE l_orderkey < 200
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey < 200
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 200)
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+  }
+
+  /** lead/lag window navigation: previous event type and gap to the next
+    * event per user ((ts, event_id) is a unique, deterministic order). */
+  val q34LeadLag = Q("q34_lead_lag",
+    """SELECT event_id, user_id,
+      |  lag(event_type) OVER w AS prev_type,
+      |  date_diff('second', ts, lead(ts) OVER w) AS next_gap_s
+      |FROM events WHERE ts IS NOT NULL
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, d).filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        (lead(col("ts"), 1).over(w).cast("long") - col("ts").cast("long"))
+          .as("next_gap_s"))
+      .orderBy("event_id")
+  }
+
   val more: Seq[Q] = Seq(q24AsofJoin, q25RangeJoin, q26Intersect,
     q27Except, q28Cube, q29FullOuter, q30SaltedAgg, q31HeavyHitters,
-    annIvf)
+    annIvf, q33Unpivot, q34LeadLag)
 }

@@ -32,6 +32,27 @@ class TextFnsSpec extends SparkSpec {
     assert(r.getDouble(1) == 3.0) // "ab"(2) + "cd!!"(4) over 2 words
   }
 
+  test("textStats fused pass matches the HOF formulations on edge inputs") {
+    val inputs = Seq("", " ", "a  b", "the cat and o gato é", "héllo wörld!!",
+      "multi  space   runs", "trailing space ")
+    val df = inputs.toDF("text").select(
+      $"text",
+      TextFns.textStats($"text").as("st"),
+      size(split($"text", " ")).cast("long").as("nw_hof"),
+      aggregate(split($"text", " "), lit(0L), (a, w) => a + length(w).cast("long")).as("tl_hof"),
+      length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long").as("p_hof"),
+      size(filter(split($"text", " "), w => w.isin(TextFns.EnStop: _*))).cast("long").as("en_hof"),
+      size(filter(split($"text", " "), w => w.isin(TextFns.PtStop: _*))).cast("long").as("pt_hof"))
+    df.collect().foreach { r =>
+      val st = r.getStruct(1)
+      assert(st.getLong(0) == r.getLong(2), s"n_words for '${r.getString(0)}'")
+      assert(st.getLong(1) == r.getLong(3), s"total_word_len for '${r.getString(0)}'")
+      assert(st.getLong(2) == r.getLong(4), s"punct for '${r.getString(0)}'")
+      assert(st.getLong(3) == r.getLong(5), s"en_hits for '${r.getString(0)}'")
+      assert(st.getLong(4) == r.getLong(6), s"pt_hits for '${r.getString(0)}'")
+    }
+  }
+
   test("fingerprint: normalization collapses case/punct; rollingHash is order-sensitive") {
     val df = Seq("Hello, World!", "hello world", "world hello").toDF("text")
       .select(TextFns.fingerprint($"text").as("fp"),
