@@ -117,6 +117,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Map("7" -> "Alfa", "8" -> "99")) // matched → name, unmatched → raw code
   }
 
+  test("checkpoint resume: restart continues from the cursor, no duplicates") {
+    // the reference's search_after cursor-resume (jurimetria_pipeline.py
+    // :114-158) re-expressed: the checkpoint IS the cursor
+    val src = java.nio.file.Files.createTempDirectory("ckpt-src").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-state").toString
+    val sink = java.nio.file.Files.createTempDirectory("ckpt-sink").toString
+    def writeHits(name: String, ids: Seq[Int]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(src, name), "UTF-8")
+      ids.foreach(i => w.println(
+        s"""{"_source":{"numeroProcesso":"$i","grau":"G1"},"sort":[$i]}"""))
+      w.close()
+    }
+    def run(): Unit = {
+      val q = StreamingOps.streamHits(spark, src.getAbsolutePath, "TJSP")
+        .select("tribunal", "numero_processo", "sort")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeHits("page1.json", Seq(1, 2))
+    run()
+    writeHits("page2.json", Seq(3, 4))
+    run() // restart: page1 must NOT be reprocessed
+    val nums = spark.read.parquet(sink)
+      .select("numero_processo").as[String].collect().sorted.toSeq
+    assert(nums == Seq("1", "2", "3", "4"))
+  }
+
   test("batch/stream parity: tumblingCounts equals the batch histogram plan") {
     val batch = graft.Tables.events(spark, sf)
     val streamed = StreamingOps.tumblingCounts(batch, "ts", "event_type")
