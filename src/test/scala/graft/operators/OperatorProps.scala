@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** ScalaCheck properties for the round-2 operators: each compares the
+  * distributed Spark implementation row-wise against a direct Scala model
+  * on randomized inputs (same style as [[NullSemanticsProps]]). */
+object OperatorProps extends Properties("Operators") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(5)
+
+  // as-of join == per-row "latest right at or before ts" model
+  property("asofJoinBackward == argmax{rt <= lt} model") =
+    forAll(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 1000L))),
+      Gen.listOfN(25, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 1000L)))
+    ) { (leftRaw, rightRaw) =>
+      // dedupe right per (key, ts) — the operator's documented contract
+      // (rv == rt here, so distinct pairs are already 1:1 per (k, ts))
+      val right = rightRaw.distinct
+      val left = leftRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val lDf = left.toDF("id", "k", "t")
+        .select($"id", $"k", timestamp_seconds($"t").as("t"))
+      val rDf = right.toDF("k", "rt")
+        .select($"k", timestamp_seconds($"rt").as("rt"), $"rt".as("rv"))
+      val got = Temporal.asofJoinBackward(lDf, rDf, "k", "t", "rt", Seq("rv"))
+        .select("id", "rv").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+      val want = left.map { case (id, k, t) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= t).map(_._2)
+        id -> (if (cands.isEmpty) None else Some(cands.max))
+      }.toMap
+      got == want
+    }
+
+  // binned range join == theta join, any bin width
+  property("rangeJoinBinned == theta join") =
+    forAll(
+      Gen.listOfN(40, Gen.choose(0.0, 100.0)),
+      Gen.listOfN(10, Gen.zip(Gen.choose(0.0, 100.0), Gen.choose(0.0, 40.0))),
+      Gen.oneOf(5.0, 13.0, 50.0)
+    ) { (points, spans, binW) =>
+      val p = points.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("pid", "x")
+      val iv = spans.zipWithIndex.map { case ((lo, span), i) => (i.toLong, lo, lo + span) }
+        .toDF("iid", "lo", "hi")
+      val got = Temporal.rangeJoinBinned(p, "x", iv, "lo", "hi", binW)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (x, i) <- points.zipWithIndex
+        ((lo, span), j) <- spans.zipWithIndex
+        if x >= lo && x <= lo + span
+      } yield (i.toLong, j.toLong)).toSet
+      got == want
+    }
+
+  // Misra-Gries guarantee: items with freq > n/(k+1) always reported,
+  // with counts that are lower bounds off by at most n/(k+1)
+  property("HeavyHitters keeps every item with freq > n/(k+1)") =
+    forAll(
+      Gen.listOfN(300, Gen.frequency(5 -> Gen.const("hot"), 3 -> Gen.alphaLowerStr.map(_.take(3)))),
+      Gen.choose(2, 6)
+    ) { (items, k) =>
+      val hh = udaf(new graft.functions.HeavyHitters(k))
+      val out = items.toDF("x").repartition(4)
+        .agg(hh($"x").as("hh"))
+        .select(explode($"hh").as("h")).select($"h.item", $"h.cnt")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val bound = items.size.toDouble / (k + 1)
+      exact.forall { case (item, freq) =>
+        val reported = out.get(item)
+        (freq <= bound || reported.nonEmpty) &&
+          reported.forall(c => c <= freq && c >= freq - bound)
+      }
+    }
+
+  // salted aggregation recombines exactly for any bucket count
+  property("saltedSumCount == plain groupBy for any buckets") =
+    forAll(
+      Gen.listOfN(120, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-50.0, 50.0))),
+      Gen.choose(1, 16)
+    ) { (rows, buckets) =>
+      val df = rows.toDF("k", "v")
+      val got = Skew.saltedSumCount(df, Seq("k"), "v", buckets)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = df.groupBy("k")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum($"v".cast(org.apache.spark.sql.types.DecimalType(30, 10))), 4)
+            .cast("double").as("sum_v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      got == want
+    }
+}
