@@ -145,17 +145,32 @@ final class HitPartitionReader(part: HitInputPartition,
         .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString).iterator
     else Iterator.empty
   }
-  private var lines: Iterator[String] = Iterator.empty
+  // stream lines (constant memory per page file, like the reference's
+  // hit-at-a-time generator) rather than materializing whole files
+  private var reader: java.io.BufferedReader = _
+  private var pending: String = _
   private var current: InternalRow = _
   private var served = 0
 
+  private def nextLine(): String = {
+    while (true) {
+      if (reader == null) {
+        if (!files.hasNext) return null
+        reader = java.nio.file.Files.newBufferedReader(files.next())
+      }
+      val l = reader.readLine()
+      if (l != null) return l
+      reader.close()
+      reader = null
+    }
+    null // unreachable
+  }
+
   override def next(): Boolean = {
     if (limit >= 0 && served >= limit) return false // stop paging (L1)
-    while (!lines.hasNext && files.hasNext) {
-      lines = java.nio.file.Files.readAllLines(files.next()).asScala.iterator
-    }
-    if (!lines.hasNext) return false
-    val line = lines.next()
+    pending = nextLine()
+    if (pending == null) return false
+    val line = pending
     val parsed = parser.nullSafeEval(UTF8String.fromString(line))
       .asInstanceOf[InternalRow]
     val out = new GenericInternalRow(required.length)
@@ -176,5 +191,6 @@ final class HitPartitionReader(part: HitInputPartition,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (reader != null) { reader.close(); reader = null }
 }

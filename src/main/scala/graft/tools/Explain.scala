@@ -1,16 +1,19 @@
-import org.apache.spark.sql.SparkSession
-object ExplainTmp {
+package graft.tools
+
+/** Plan inspection for any registered query:
+  * `runMain graft.tools.Explain <query> [sfDir] [exec]`
+  * — `exec` additionally runs the query and prints the AQE-final
+  * executed plan (broadcast decisions, coalesced partitions). */
+object Explain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+    val spark = graft.GraftSession.create()
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val df = graft.SparkEntry.queries(args(0))(spark, sfDir)
     df.explain("formatted")
+    if (args.contains("exec")) {
+      df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

@@ -1,21 +1,17 @@
-import org.apache.spark.sql.SparkSession
-object TimeTmp {
+package graft.tools
+
+/** Steady-state timing for selected queries:
+  * `runMain graft.tools.Time <sfDir> <query...>` — two runs each (run 2
+  * is post-JIT/post-plan-compile). */
+object Time {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    for (q <- args.tail; sf = args(0)) {
+    val spark = graft.GraftSession.create()
+    val sf = args(0)
+    for (q <- args.tail; pass <- 1 to 2) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
-      println(s"TIME $q ${(System.nanoTime()-t0)/1e9}")
-      val t1 = System.nanoTime()
-      graft.SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
-      println(s"TIME2 $q ${(System.nanoTime()-t1)/1e9}")
+      graft.SparkEntry.queries(q)(spark, sf)
+        .write.format("noop").mode("overwrite").save()
+      println(s"TIME pass$pass $q ${(System.nanoTime() - t0) / 1e9}")
     }
     spark.stop()
   }
