@@ -95,6 +95,8 @@ object Similarity {
       .agg(
         max(struct(cos(col("n_vec"), col("n_nrm")).as("s"), col("cell").as("cell")))
           .as("best"),
+        // first() here is deterministic IN VALUE: every row of the group
+        // carries the same n_vec/n_nrm (functionally dependent on n_id)
         first(col("n_vec")).as("n_vec"), first(col("n_nrm")).as("n_nrm"))
       .select(col("n_id"), col("best.cell").as("cell"), col("n_vec"), col("n_nrm"))
     // query → its nProbe best cells

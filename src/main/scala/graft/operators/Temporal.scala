@@ -41,6 +41,8 @@ object Temporal {
                        leftTs: String, rightTs: String,
                        rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(rightVals.intersect(leftCols).isEmpty,
+      s"rightVals ${rightVals.intersect(leftCols).mkString(",")} collide with left columns")
     // _side: right=0 sorts before left=1 at equal ts → inclusive match
     val l = left
       .withColumn("_ts", col(leftTs))
@@ -72,7 +74,9 @@ object Temporal {
     require(binWidth > 0, "binWidth must be positive")
     val p = points.withColumn("_bin",
       floor(col(pointCol) / binWidth).cast("long"))
-    val iv = intervals.withColumn("_bin",
+    // degenerate hi<lo intervals would make sequence() count DOWN and
+    // fabricate bins; they can never match, so drop them up front
+    val iv = intervals.filter(col(loCol) <= col(hiCol)).withColumn("_bin",
       explode(sequence(floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))
     p.join(iv, p("_bin") === iv("_bin") &&

@@ -53,13 +53,23 @@ object JurimetriaPipeline {
     })
 
   /** Full run over raw hit files (one dir per tribunal) + municipio dim.
-    * `municipios` must have columns (CD_MUN: long, NM_MUN: string). */
+    * `municipios` must have columns (CD_MUN: long, NM_MUN: string).
+    *
+    * W6 error tolerance: a court whose directory is absent contributes
+    * zero rows and the run continues — the reference treats a court
+    * returning HTTP 400/404 the same way (skip, keep collecting;
+    * /root/reference/src/jurimetria_pipeline.py:138-141). Malformed lines
+    * inside existing files null out via the PERMISSIVE JSON read over the
+    * fully-nullable schema. */
   def run(spark: SparkSession, hitDirs: Map[String, String],
           municipios: DataFrame, conf: PipelineConfig): DataFrame = {
-    val perCourt = hitDirs.toSeq.sortBy(_._1).map { case (trib, dir) =>
-      val raw = spark.read.schema(Hits.hitSchema).json(dir)
-      Hits.parseHits(raw, lit(trib))
-    }
+    val perCourt = hitDirs.toSeq.sortBy(_._1)
+      .filter { case (_, dir) => java.nio.file.Files.exists(java.nio.file.Paths.get(
+        dir.stripPrefix("file:"))) }
+      .map { case (trib, dir) =>
+        val raw = spark.read.schema(Hits.hitSchema).json(dir)
+        Hits.parseHits(raw, lit(trib))
+      }
     val emptyRaw = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Hits.hitSchema)
     val unioned = transformTail(perCourt, conf)

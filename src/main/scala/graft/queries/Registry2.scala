@@ -245,7 +245,43 @@ object Registry2 {
       .orderBy("event_id")
   }
 
+  /** Value-based (RANGE) window frame: per-user running sum over the
+    * trailing hour — the time-window companion to q21's ROWS frame.
+    * Ordering key is epoch seconds, so the frame bound is exact and
+    * identical in both engines. */
+  val q35RangeFrame = Q("q35_range_frame",
+    """SELECT event_id, user_id,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch(ts)
+      |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS hour_sum
+      |FROM events WHERE ts IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, 0)
+    ev(s, d).filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value").cast(DecimalType(30, 10))).over(w), 4)
+          .cast("double").as("hour_sum"))
+      .orderBy("event_id")
+  }
+
+  /** Collect-to-array aggregation made deterministic: the distinct event
+    * types per user as a sorted joined string (collect_set/list is
+    * unordered in every engine — sort before it leaves the engine). */
+  val q36CollectSorted = Q("q36_collect_sorted",
+    """SELECT user_id,
+      |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+      |FROM events WHERE event_type IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    ev(s, d).filter(col("event_type").isNotNull)
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"))
+      .orderBy("user_id")
+  }
+
   val more: Seq[Q] = Seq(q24AsofJoin, q25RangeJoin, q26Intersect,
     q27Except, q28Cube, q29FullOuter, q30SaltedAgg, q31HeavyHitters,
-    annIvf, q33Unpivot, q34LeadLag)
+    annIvf, q33Unpivot, q34LeadLag, q35RangeFrame, q36CollectSorted)
 }

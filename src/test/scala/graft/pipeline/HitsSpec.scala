@@ -105,6 +105,23 @@ class HitsSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(tribunal"))
   }
 
+  test("W6 error tolerance: malformed lines null out, absent court yields zero rows") {
+    val d = Files.createTempDirectory("bad-hits").toFile
+    val w = new java.io.PrintWriter(new java.io.File(d, "tjx.json"), "UTF-8")
+    w.println("""{"_source":{"numeroProcesso":"ok-1","grau":"G1"},"sort":[1]}""")
+    w.println("""this is not json at all""")                    // malformed
+    w.println("""{"_source":{"numeroProcesso":42},"sort":"x"}""") // type mismatch
+    w.close()
+    // PERMISSIVE read (the default with a fully-nullable schema): bad rows
+    // become all-null records, the reference's skip-and-continue analog
+    val out = JurimetriaPipeline.run(spark,
+      Map("TJX" -> d.getAbsolutePath,
+        "TJGONE" -> (d.getAbsolutePath + "/does-not-exist")),
+      municipios, PipelineConfig())
+    assert(out.filter($"numero_processo" === "ok-1").count() == 1)
+    assert(out.count() == 3) // malformed rows survive as null records, not crashes
+  }
+
   test("hourHistogram: SP wall-clock hour (UTC 03:00 → hour 0)") {
     val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
       PipelineConfig())
