@@ -23,6 +23,7 @@ import graft.functions.TimeFns
   * Config mirrors the CLI surface (:306-341). */
 final case class PipelineConfig(
     classeNome: Option[String] = None,
+    classeCodigo: Option[Long] = None, // mutually exclusive with classeNome (CLI :311-318)
     de: Option[String] = None,   // yyyy-MM-dd, São Paulo midnight lower bound
     ate: Option[String] = None,  // yyyy-MM-dd, São Paulo midnight upper bound
     maxProcessos: Option[Int] = None)
@@ -68,7 +69,12 @@ object JurimetriaPipeline {
         dir.stripPrefix("file:"))) }
       .map { case (trib, dir) =>
         val raw = spark.read.schema(Hits.hitSchema).json(dir)
-        Hits.parseHits(raw, lit(trib))
+        // W2 on the numeric class code happens PRE-flatten (the flattened
+        // frame keeps only classe.nome) — the ES `term` on classe.codigo;
+        // Catalyst pushes it into the JSON scan
+        val classed = conf.classeCodigo.fold(raw)(cc =>
+          raw.filter(col("_source.classe.codigo") === cc))
+        Hits.parseHits(classed, lit(trib))
       }
     val emptyRaw = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Hits.hitSchema)
