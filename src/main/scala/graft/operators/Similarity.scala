@@ -115,6 +115,41 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** One Lloyd (k-means) refinement step for IVF centroids: assign each
+    * corpus vector to its nearest centroid (same argmax-cosine rule as
+    * [[ivfTopK]]), then average each cell's members per dimension.
+    *
+    * Returns (cell, c_vec: array<double>) for NON-EMPTY cells. One
+    * broadcast join + one shuffle on the cell key; the per-dimension
+    * means go through posexplode + decimal-exact sums, so the refined
+    * centroids are bit-deterministic under any partitioning — re-runs
+    * and cluster-size changes can't drift the index. Iterate as needed;
+    * the dataflow per step is identical. */
+  def kmeansIter(corpus: DataFrame, centroids: DataFrame,
+                 idCol: String, vecCol: String,
+                 dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cent = centroids.select(col("cell"), col("c_vec"),
+      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
+    val cos = when(col("n_nrm") > 0.0 && col("c_nrm") > 0.0,
+      VectorFns.dotN(col("n_vec"), col("c_vec"), dim) / (col("n_nrm") * col("c_nrm")))
+    val asg = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+      .join(broadcast(cent))
+      .groupBy("n_id")
+      .agg(max(struct(cos.as("s"), col("cell").as("cell"))).as("best"),
+        first(col("n_vec")).as("n_vec")) // constant per group
+      .select(col("best.cell").as("cell"), col("n_vec"))
+    asg.select(col("cell"), posexplode(col("n_vec")).as(Seq("d", "x")))
+      .groupBy("cell", "d")
+      .agg((sum(col("x").cast(DecimalType(30, 10))) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+      .select(col("cell"), expr("transform(dm, p -> p.m)").as("c_vec"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked on
     * `blockCol` (cluster/label/LSH bucket) so the pair join never goes
     * quadratic in the corpus. */

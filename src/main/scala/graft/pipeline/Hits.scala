@@ -95,4 +95,28 @@ object Hits {
     * Arrow workaround (:239-255); we keep the typed array internally and
     * emit `to_json` array-of-objects — declared deviation (SURVEY.md §7.3). */
   def movimentosJson(mov: Column): Column = to_json(mov)
+
+  /** One movimento, typed (SURVEY.md §1.3). */
+  final case class Movimento(codigo: Option[Long], nome: Option[String],
+                             dataHora: Option[java.sql.Timestamp])
+
+  /** The 13-column `processos` record, typed (SURVEY.md §1.6 "optional
+    * polish": a case-class `Dataset[T]` face over the flattened frame for
+    * callers who want compile-time columns; the DataFrame remains the
+    * primary currency because the reference's schema is dynamic). */
+  final case class Processo(
+      tribunal: Option[String], numero_processo: Option[String],
+      classe: Option[String], data_ajuizamento: Option[java.sql.Timestamp],
+      ultima_atualizacao: Option[java.sql.Timestamp], formato: Option[String],
+      codigo_orgao: Option[String], orgao_julgador: Option[String],
+      municipio: Option[String], grau: Option[String],
+      assuntos: Option[Seq[String]], movimentos: Option[Seq[Movimento]],
+      sort: Option[Long])
+
+  /** Typed view of [[parseHits]]' output (pre-JSON-serialization). */
+  def typed(flat: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[Processo] = {
+    val spark = flat.sparkSession
+    import spark.implicits._
+    flat.as[Processo]
+  }
 }

@@ -385,12 +385,14 @@ object Registry {
       .orderBy("event_type")
   }
 
-  /** Sketch aggregates (HyperLogLog++): approximate by construction, so
-    * the driver records a rows-only check — the exact-distinct companion
-    * is q08. At 100 TB the sketch is the only affordable distinct. */
+  /** Sketch aggregates (HyperLogLog++ distinct, KLL-style quantile):
+    * approximate by construction, so the driver records a rows-only check
+    * — the exact companions are q08 (distinct) and q22 (percentiles). At
+    * 100 TB the sketches are the only affordable forms. */
   val q23ApproxDistinct = Q.noOracle("q23_approx_distinct") { (s, d) =>
     ev(s, d).groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
         count(lit(1)).as("cnt"))
       .orderBy("event_type")
   }

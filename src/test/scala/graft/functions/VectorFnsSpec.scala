@@ -63,6 +63,25 @@ class VectorFnsSpec extends SparkSpec {
     assert(ivf == bf)
   }
 
+  test("kmeansIter: refined centroids are the per-cell dimension means") {
+    // centroids at the axes; members cluster around each axis
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.2f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0, Array(1.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0)))
+      .toDF("cell", "c_vec")
+    val refined = Similarity.kmeansIter(corpus, cent, "vec_id", "embedding", dim = 3)
+      .orderBy("cell").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(close(refined(0), Seq(0.9, 0.1, 0.0)))   // mean of vecs 1,2
+    assert(close(refined(1), Seq(0.0, 0.95, 0.05))) // mean of vecs 3,4
+  }
+
   test("ivfTopK: single probe restricts candidates to the query's cell") {
     val q = vecs.filter($"vec_id" === 3) // parallel to centroid 1
     val ids = Similarity.ivfTopK(q, vecs, "vec_id", "embedding",

@@ -122,6 +122,17 @@ class HitsSpec extends SparkSpec {
     assert(out.count() == 3) // malformed rows survive as null records, not crashes
   }
 
+  test("typed Dataset face: Processo encoder round-trips the flattened frame") {
+    val raw = spark.read.schema(Hits.hitSchema).json(dir)
+    val ds = Hits.typed(Hits.parseHits(raw, lit("TJSP")))
+    val p = ds.filter(_.numero_processo.exists(_.startsWith("0000001")))
+      .collect().head
+    assert(p.tribunal.contains("TJSP") && p.grau.contains("G1"))
+    assert(p.assuntos.get == Seq("Assunto A", ""))
+    assert(p.movimentos.get.map(_.codigo.get) == Seq(3L, 1L, 2L)) // nulls-first order
+    assert(p.movimentos.get.head.dataHora.isEmpty)
+  }
+
   test("hourHistogram: SP wall-clock hour (UTC 03:00 → hour 0)") {
     val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
       PipelineConfig())
