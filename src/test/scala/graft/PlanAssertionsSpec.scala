@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: SCALE.md's claims, executable. Each test checks
+  * the physical plan property that makes the operator scale, not just its
+  * result. sf0.001 keeps them fast — plan SHAPE is scale-invariant
+  * (modulo size-based broadcast choices, asserted where forced). */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val plan = planOf(q("q01_pricing_agg"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // only the 6 needed columns (4 measures + 2 group keys) are read —
+    // none of the wide string columns reach the scan
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_returnflag"))
+    assert(!plan.contains("l_comment") && !plan.contains("l_shipmode"))
+  }
+
+  test("q01: aggregation is partial (map-side combine before the exchange)") {
+    val plan = planOf(q("q01_pricing_agg"))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"))
+  }
+
+  test("q02/q10: top-k is TakeOrderedAndProject, never a global sort") {
+    assert(planOf(q("q10_topn")).contains("TakeOrderedAndProject"))
+    assert(planOf(q("q02_filter_sort_limit")).contains("TakeOrderedAndProject"))
+  }
+
+  test("q04: the lookup join broadcasts the dim side") {
+    val plan = planOf(q("q04_lookup_enrich"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("BroadcastExchange"))
+  }
+
+  test("q09: rank-filter plants partial+final WindowGroupLimit") {
+    val plan = planOf(q("q09_window_rank"))
+    assert(plan.contains("WindowGroupLimit"))
+    assert(plan.contains("Partial") && plan.contains("Final"))
+  }
+
+  test("q24: as-of join is ONE key exchange + window, no join node") {
+    val plan = planOf(q("q24_asof_join"))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "as-of must not materialize a pair join")
+  }
+
+  test("q25: range join runs as a broadcast equi-join on the bin key") {
+    val plan = planOf(q("q25_range_join"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
+    assert(plan.contains("_bin"), "join key must be the derived bin")
+  }
+
+  test("dedup_exact: the shuffle carries the digest, not the text") {
+    val plan = planOf(q("dedup_exact"))
+    // the group key is the md5 expression (planner-aliased as
+    // _groupingexpression); the raw text column must NOT ride the exchange
+    val exchanges = plan.split("Exchange hashpartitioning").drop(1)
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.head.split("\n").head.contains("text#"),
+      s"exchange must not partition on the document text:\n$plan")
+  }
+
+  test("ann_brute: corpus side never shuffles (query set broadcasts)") {
+    val plan = planOf(q("ann_brute_topk"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("custom kernels stay inside WholeStageCodegen") {
+    val df = Tables.documents(spark, sf).select(
+      graft.functions.TextFns.rollingHash(col("text")).as("rh"),
+      graft.functions.TextFns.wsTokenCount(col("text")).as("n"))
+    val plan = planOf(df)
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage;
+    // the kernel projection must carry one (no interpreted fallback)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"kernel projection fell out of codegen:\n$plan")
+  }
+}
