@@ -61,6 +61,24 @@ object StreamingOps {
                           municipios: DataFrame): DataFrame =
     graft.pipeline.JurimetriaPipeline.enrichMunicipio(streamedHits, municipios)
 
+  /** Stream-stream inner join with bounded state: both sides carry
+    * watermarks and the join condition carries a time bound, so each
+    * side's state store evicts rows once the other side's watermark
+    * passes them — the only join shape that runs indefinitely on two
+    * unbounded inputs. Here: click→view attribution within `windowSec`
+    * (the streaming analog of [[graft.operators.Temporal.asofJoinBackward]];
+    * the batch as-of picks THE latest click, the streaming join emits all
+    * clicks inside the window — exact as-of needs the batch pass). */
+  def joinWithinWindow(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       windowSec: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key) &&
+      r(rightTs) <= l(leftTs) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   /** One user's open-session accumulator. */
   case class SessionState(start: Long, last: Long, n: Long)
   /** Emitted when a session closes (gap exceeded or state timeout). */

@@ -117,6 +117,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Map("7" -> "Alfa", "8" -> "99")) // matched → name, unmatched → raw code
   }
 
+  test("stream-stream join: time-bounded attribution with watermarked state") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val v = views.toDF().toDF("vts", "user", "page")
+    val c = clicks.toDF().toDF("cts", "cuser", "ad")
+    val joined = StreamingOps.joinWithinWindow(
+      v.withColumnRenamed("user", "key"),
+      c.withColumnRenamed("cuser", "key2").withColumnRenamed("cts", "kts")
+        .withColumnRenamed("key2", "key"),
+      "key", "vts", "kts", windowSec = 600)
+    val q = joined.select(v("vts"), col("page"), col("ad"))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData((ts("2024-01-01 10:00:00"), 1L, "adA"),
+      (ts("2024-01-01 09:00:00"), 1L, "adOld"))
+    views.addData((ts("2024-01-01 10:05:00"), 1L, "home"),
+      (ts("2024-01-01 10:05:00"), 2L, "other"))
+    q.processAllAvailable()
+    val rows = spark.table("attributed").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    q.stop()
+    // view@10:05 attributes to click@10:00 (within 600s) but NOT to the
+    // 09:00 click (outside) and user 2's view matches nothing
+    assert(rows == Set(("home", "adA")))
+  }
+
   test("checkpoint resume: restart continues from the cursor, no duplicates") {
     // the reference's search_after cursor-resume (jurimetria_pipeline.py
     // :114-158) re-expressed: the checkpoint IS the cursor
