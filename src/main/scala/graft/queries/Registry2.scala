@@ -247,12 +247,15 @@ object Registry2 {
 
   /** Value-based (RANGE) window frame: per-user running sum over the
     * trailing hour — the time-window companion to q21's ROWS frame.
-    * Ordering key is epoch seconds, so the frame bound is exact and
-    * identical in both engines. */
+    * Ordering key is WHOLE epoch seconds on both sides: Spark's
+    * cast(ts as long) truncates sub-second precision, and DuckDB's
+    * epoch() is a fractional DOUBLE, so the oracle truncates via
+    * date_trunc before epoch — otherwise frame membership differs on
+    * rows exactly ±3600.xx s apart (caught at sf0.1). */
   val q35RangeFrame = Q("q35_range_frame",
     """SELECT event_id, user_id,
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))) OVER (
-      |    PARTITION BY user_id ORDER BY epoch(ts)
+      |    PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
       |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS hour_sum
       |FROM events WHERE ts IS NOT NULL
       |ORDER BY event_id""".stripMargin) { (s, d) =>
