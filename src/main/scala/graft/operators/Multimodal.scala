@@ -65,4 +65,32 @@ object Multimodal {
   def sampleFrameIndexes(features: DataFrame, stride: Int): DataFrame =
     features.select(col("id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** A resized frame: original record id + target-box dimensions. */
+  case class ResizedFrame(id: Long, width: Int, height: Int,
+                          scale: Double, content_md5: String)
+
+  /** Resize stage: fit each record's decoded frame into `maxW`×`maxH`
+    * preserving aspect ratio (the standard thumbnail contract). The
+    * PIXEL work is the decode stub's job ([[MediaFeaturizer.decodeStub]]
+    * — no codec libs in this container); the geometry, batching and
+    * typed output are the real production shape: a `mapPartitions`
+    * stage downstream of [[featurize]], partition-parallel, no driver
+    * involvement, no shuffle. */
+  def resizeTo(records: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[ResizedFrame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val (w0, h0, _) = MediaFeaturizer.decodeStub(r.content)
+        val w = math.max(w0, 1)
+        val h = math.max(h0, 1)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        digest.reset()
+        val hex = digest.digest(r.content).map("%02x".format(_)).mkString
+        ResizedFrame(r.id, math.max(1, (w * scale).toInt),
+          math.max(1, (h * scale).toInt), scale, hex)
+      }
+    }
+  }
 }
