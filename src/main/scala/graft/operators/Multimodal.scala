@@ -40,6 +40,13 @@ object Multimodal {
       val d = java.security.MessageDigest.getInstance("MD5")
       d.digest(bytes).map("%02x".format(_)).mkString
     }
+
+    /** Per-partition hasher: one MessageDigest allocated, reused per row
+      * (shared by [[Multimodal.featurize]] and [[Multimodal.resizeTo]]). */
+    def hasher(): Array[Byte] => String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      bytes => { d.reset(); d.digest(bytes).map("%02x".format(_)).mkString }
+    }
   }
 
   /** Decode + featurize: one partition at a time, codec state (here: the
@@ -48,12 +55,10 @@ object Multimodal {
   def featurize(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
+      val md5 = MediaFeaturizer.hasher()
       it.map { r =>
         val (w, h, f) = MediaFeaturizer.decodeStub(r.content)
-        digest.reset()
-        val hex = digest.digest(r.content).map("%02x".format(_)).mkString
-        MediaFeatures(r.id, r.kind, r.content.length.toLong, hex, w, h, f)
+        MediaFeatures(r.id, r.kind, r.content.length.toLong, md5(r.content), w, h, f)
       }
     }
   }
@@ -80,16 +85,16 @@ object Multimodal {
   def resizeTo(records: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[ResizedFrame] = {
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
+      val md5 = MediaFeaturizer.hasher()
       it.map { r =>
         val (w0, h0, _) = MediaFeaturizer.decodeStub(r.content)
+        // a resize box needs nonzero extents; featurize reports the RAW
+        // decode geometry (0 allowed), resize clamps — deliberate
         val w = math.max(w0, 1)
         val h = math.max(h0, 1)
         val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-        digest.reset()
-        val hex = digest.digest(r.content).map("%02x".format(_)).mkString
         ResizedFrame(r.id, math.max(1, (w * scale).toInt),
-          math.max(1, (h * scale).toInt), scale, hex)
+          math.max(1, (h * scale).toInt), scale, md5(r.content))
       }
     }
   }

@@ -143,7 +143,9 @@ object Similarity {
       .select(col("best.cell").as("cell"), col("n_vec"))
     asg.select(col("cell"), posexplode(col("n_vec")).as(Seq("d", "x")))
       .groupBy("cell", "d")
-      .agg((sum(col("x").cast(DecimalType(30, 10))) / count(lit(1)))
+      // divisor counts NON-NULL elements (count(x), not count(*)): sum
+      // skips nulls, so a null element must not deflate the mean
+      .agg((sum(col("x").cast(DecimalType(30, 10))) / count(col("x")))
         .cast("double").as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))

@@ -10,7 +10,9 @@ package graft.pipeline
   *   [--classe <nome>] [--classe-codigo <n>]   # mutually exclusive, like argparse
   *   [--de yyyy-MM-dd] [--ate yyyy-MM-dd]
   *   [--max-processos N]
-  *   --municipios <csv>           # CD_MUN,NM_MUN lookup (XLS converted; SURVEY §7.3)
+  *   [--municipios <csv>]         # CD_MUN,NM_MUN lookup (XLS converted;
+  *                                # SURVEY §7.3); omitted → codes pass
+  *                                # through unenriched (J1 fallback)
   *   --out <dir>
   * }}}
   *
@@ -36,21 +38,27 @@ object JurimetriaCli {
       out: String = "")
 
   /** argparse-equivalent: flags with values, --tribunais consuming
-    * everything until the next flag; unknown flag → IllegalArgumentException. */
+    * everything until the next flag; unknown flag or a flag token where a
+    * value is expected → IllegalArgumentException (argparse rejects both). */
   def parseArgs(argv: Seq[String]): Args = {
+    def value(flag: String, v: String): String = {
+      if (v.startsWith("--")) throw new IllegalArgumentException(
+        s"$flag expects a value, got flag '$v'")
+      v
+    }
     def go(rest: List[String], acc: Args): Args = rest match {
       case Nil => acc
-      case "--hits-dir" :: v :: t => go(t, acc.copy(hitsDir = v))
+      case (f @ "--hits-dir") :: v :: t => go(t, acc.copy(hitsDir = value(f, v)))
       case "--tribunais" :: t =>
         val (ts, t2) = t.span(!_.startsWith("--"))
         go(t2, acc.copy(tribunais = ts))
-      case "--classe" :: v :: t => go(t, acc.copy(classeNome = Some(v)))
-      case "--classe-codigo" :: v :: t => go(t, acc.copy(classeCodigo = Some(v.toLong)))
-      case "--de" :: v :: t => go(t, acc.copy(de = Some(v)))
-      case "--ate" :: v :: t => go(t, acc.copy(ate = Some(v)))
-      case "--max-processos" :: v :: t => go(t, acc.copy(maxProcessos = Some(v.toInt)))
-      case "--municipios" :: v :: t => go(t, acc.copy(municipiosCsv = Some(v)))
-      case "--out" :: v :: t => go(t, acc.copy(out = v))
+      case (f @ "--classe") :: v :: t => go(t, acc.copy(classeNome = Some(value(f, v))))
+      case (f @ "--classe-codigo") :: v :: t => go(t, acc.copy(classeCodigo = Some(value(f, v).toLong)))
+      case (f @ "--de") :: v :: t => go(t, acc.copy(de = Some(value(f, v))))
+      case (f @ "--ate") :: v :: t => go(t, acc.copy(ate = Some(value(f, v))))
+      case (f @ "--max-processos") :: v :: t => go(t, acc.copy(maxProcessos = Some(value(f, v).toInt)))
+      case (f @ "--municipios") :: v :: t => go(t, acc.copy(municipiosCsv = Some(value(f, v))))
+      case (f @ "--out") :: v :: t => go(t, acc.copy(out = value(f, v)))
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
     }
     val a = go(argv.toList, Args())
@@ -77,17 +85,22 @@ object JurimetriaCli {
     val conf = PipelineConfig(
       classeNome = a.classeNome, classeCodigo = a.classeCodigo,
       de = a.de, ate = a.ate, maxProcessos = a.maxProcessos)
-    val df = JurimetriaPipeline.run(spark, hitDirs, municipios, conf)
-    val persisted = JurimetriaPipeline.persist(df, a.out)
-    println(s"processos=${df.count()} persisted=$persisted") // A2 (:362)
-    if (persisted) {
-      // K3's feeding query (A1/F7/O2): the histogram RELATION as CSV —
-      // the reference re-derives the agg input from the persisted column
-      // (:275), which run()'s frame already is
-      JurimetriaPipeline.hourHistogram(df)
-        .write.mode("overwrite").option("header", "true")
-        .csv(s"${a.out}/horario.csv")
-    }
+    // cache: persist() (isEmpty + parquet + csv), count and the histogram
+    // are four actions over the same frame — without this the JSON scan +
+    // flatten + join would recompute per action
+    val df = JurimetriaPipeline.run(spark, hitDirs, municipios, conf).cache()
+    try {
+      val persisted = JurimetriaPipeline.persist(df, a.out)
+      println(s"processos=${df.count()} persisted=$persisted") // A2 (:362)
+      if (persisted) {
+        // K3's feeding query (A1/F7/O2): the histogram RELATION as CSV —
+        // the reference re-derives the agg input from the persisted column
+        // (:275), which run()'s frame already is
+        JurimetriaPipeline.hourHistogram(df)
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"${a.out}/horario.csv")
+      }
+    } finally df.unpersist()
     spark.stop()
   }
 }

@@ -64,9 +64,16 @@ object JurimetriaPipeline {
     * fully-nullable schema. */
   def run(spark: SparkSession, hitDirs: Map[String, String],
           municipios: DataFrame, conf: PipelineConfig): DataFrame = {
+    // existence is checked through the Hadoop FileSystem of each path —
+    // the FS Spark will actually read with — so hdfs://, s3a:// and glob
+    // paths behave the same as local dirs instead of being silently
+    // dropped by a driver-local java.nio check
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
     val perCourt = hitDirs.toSeq.sortBy(_._1)
-      .filter { case (_, dir) => java.nio.file.Files.exists(java.nio.file.Paths.get(
-        dir.stripPrefix("file:"))) }
+      .filter { case (_, dir) => exists(dir) }
       .map { case (trib, dir) =>
         val raw = spark.read.schema(Hits.hitSchema).json(dir)
         // W2 on the numeric class code happens PRE-flatten (the flattened

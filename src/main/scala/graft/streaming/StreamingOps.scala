@@ -69,14 +69,22 @@ object StreamingOps {
     * (the streaming analog of [[graft.operators.Temporal.asofJoinBackward]];
     * the batch as-of picks THE latest click, the streaming join emits all
     * clicks inside the window — exact as-of needs the batch pass). */
-  def joinWithinWindow(left: DataFrame, right: DataFrame, key: String,
+  def joinWithinWindow(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
                        leftTs: String, rightTs: String,
                        windowSec: Long, watermark: String = "1 hour"): DataFrame = {
+    // distinct left/right key names keep the output unambiguous (and a
+    // same-name condition on two frames derived from ONE source stream
+    // would risk trivially-true self-join resolution); the right key is
+    // dropped after the join — it equals the left key by construction
+    require(leftKey != rightKey,
+      "leftKey and rightKey must be distinct column names")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
-    l.join(r, l(key) === r(key) &&
-      r(rightTs) <= l(leftTs) &&
-      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $windowSec SECONDS"))
+    l.join(r, col(leftKey) === col(rightKey) &&
+        col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSec SECONDS"))
+      .drop(rightKey)
   }
 
   /** One user's open-session accumulator. */

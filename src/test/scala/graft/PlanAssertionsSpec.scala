@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
 class PlanAssertionsSpec extends SparkSpec {
 
   private def planOf(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    // collect() executes THIS DataFrame's QueryExecution, so the plan
+    // string reflects AQE's FINAL decisions (a noop write would execute
+    // a separate command QueryExecution and leave this one un-run)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("isFinalPlan=false"),
+      "expected the AQE-final executed plan")
+    plan
   }
 
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)

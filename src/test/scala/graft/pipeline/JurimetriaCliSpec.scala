@@ -22,6 +22,10 @@ class JurimetriaCliSpec extends SparkSpec {
     intercept[IllegalArgumentException](JurimetriaCli.parseArgs(Seq(
       "--hits-dir", "/d", "--tribunais", "T", "--out", "/o", "--bogus", "v")))
     intercept[IllegalArgumentException](JurimetriaCli.parseArgs(Seq("--out", "/o")))
+    // a flag token where a value is expected is rejected, like argparse
+    intercept[IllegalArgumentException](JurimetriaCli.parseArgs(Seq(
+      "--hits-dir", "/d", "--tribunais", "T", "--out", "/o",
+      "--classe", "--classe-codigo")))
   }
 
   test("classeCodigo filters pre-flatten (W2 on the numeric code)") {

@@ -124,11 +124,8 @@ class StreamingOpsSpec extends SparkSpec {
     val v = views.toDF().toDF("vts", "user", "page")
     val c = clicks.toDF().toDF("cts", "cuser", "ad")
     val joined = StreamingOps.joinWithinWindow(
-      v.withColumnRenamed("user", "key"),
-      c.withColumnRenamed("cuser", "key2").withColumnRenamed("cts", "kts")
-        .withColumnRenamed("key2", "key"),
-      "key", "vts", "kts", windowSec = 600)
-    val q = joined.select(v("vts"), col("page"), col("ad"))
+      v, c, "user", "cuser", "vts", "cts", windowSec = 600)
+    val q = joined.select(col("vts"), col("page"), col("ad"))
       .writeStream.format("memory").queryName("attributed")
       .outputMode(OutputMode.Append()).start()
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
