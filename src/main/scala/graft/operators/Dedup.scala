@@ -181,9 +181,22 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Exact-dedup survivor view: one row per distinct md5(text), keeping
+  /** Exact-dedup group view: one row per distinct md5(text), keeping
     * the smallest id (deterministic winner, standard keep-first policy). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
+
+  /** Exact-dedup applied: the SURVIVING rows (full payload), one per
+    * distinct text, smallest id wins. min(id)-over-hash window + filter —
+    * one shuffle on the digest, no self-join back to the corpus, and the
+    * document text never rides the exchange twice (the window carries
+    * the already-projected row once). This is the operator a training
+    * pipeline actually runs; [[exactGroups]] is its audit view. */
+  def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    docs.withColumn("_keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("_keep"))
+      .drop("_keep")
+  }
 }

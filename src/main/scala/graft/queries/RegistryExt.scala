@@ -36,6 +36,20 @@ object RegistryExt {
     Dedup.exactGroups(docs(s, d), "doc_id", "text").orderBy("h")
   }
 
+  /** Exact dedup APPLIED: the surviving rows themselves (smallest doc_id
+    * per distinct text) — [[Dedup.dedupKeepFirst]]; dedup_exact above is
+    * the audit view of the same groups. */
+  val dedupSurvivors = Q("dedup_survivors",
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |  FROM documents)
+      |WHERE doc_id = keep ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.dedupKeepFirst(docs(s, d), "doc_id", "text")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** MinHash+LSH candidate pairs (8 hashes as 4 slices × 2 salted
     * digests, 4 bands × 2 rows). */
   val dedupMinhash = Q("dedup_minhash_lsh",
@@ -374,7 +388,7 @@ object RegistryExt {
       .orderBy("numero_processo")
   }
 
-  val ext: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupSimhash,
+  val ext: Seq[Q] = Seq(dedupExact, dedupSurvivors, dedupMinhash, dedupSimhash,
     dedupJaccard, dedupEmbedding, annBrute, annLsh, textLangid,
     textQuality, textTokens, textFingerprint, multimodalFeatures,
     multimodalFrames, sqlSubquery, pipelineHits)

@@ -14,6 +14,16 @@ class DedupSpec extends SparkSpec {
     (5L, "ab")                                            // < 3 words
   ).toDF("doc_id", "text")
 
+  test("dedupKeepFirst: only the smallest-id row of each text survives, payload intact") {
+    import spark.implicits._
+    val docs = Seq((3L, "same text", "a"), (1L, "same text", "b"),
+      (2L, "other", "c")).toDF("doc_id", "text", "tag")
+    val out = Dedup.dedupKeepFirst(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(out == Seq((1L, "b"), (2L, "c"))) // id 3's duplicate dropped
+  }
+
   test("exactGroups: dup texts collapse, smallest id kept") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() == 4)
