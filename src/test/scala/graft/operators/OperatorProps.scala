@@ -82,6 +82,31 @@ object OperatorProps extends Properties("Operators") {
       }
     }
 
+  // blocked n-gram Jaccard == the set-theoretic model on the shared-gram
+  // candidate pairs (0-overlap pairs are never emitted by construction)
+  property("ngramJaccardPairs == distinct-shingle-set model") =
+    forAll(Gen.listOfN(12, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")))) { wordLists =>
+      val docs = wordLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        org.apache.spark.sql.functions.lit("blk"), threshold = 0.001, k = 3)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toMap
+      def shingleSet(ws: Seq[String]) =
+        ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val want = (for {
+        (a, ia) <- wordLists.zipWithIndex; (b, ib) <- wordLists.zipWithIndex
+        if ia < ib
+        sa = shingleSet(a); sb = shingleSet(b)
+        inter = (sa & sb).size if inter > 0
+        j = inter.toDouble / (sa | sb).size
+      } yield ((ia.toLong, ib.toLong),
+        BigDecimal(j).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toMap
+      got == want
+    }
+
   // salted aggregation recombines exactly for any bucket count
   property("saltedSumCount == plain groupBy for any buckets") =
     forAll(
