@@ -284,7 +284,37 @@ object Registry2 {
       .orderBy("user_id")
   }
 
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * per-type totals, per-day totals, and the grand total — but NOT the
+    * (type, day) cross — in ONE aggregation pass. Runs through the SQL
+    * face (the DataFrame API exposes only rollup/cube). */
+  val q37GroupingSets = Q("q37_grouping_sets",
+    """WITH t AS (SELECT event_type,
+      |    COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'none') AS day
+      |  FROM events)
+      |SELECT
+      |  CAST(CASE WHEN event_type IS NULL THEN 2 ELSE 0 END +
+      |       CASE WHEN day IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+      |  COALESCE(event_type, 'ALL') AS et, COALESCE(day, 'ALL') AS d,
+      |  COUNT(*) AS cnt
+      |FROM t GROUP BY GROUPING SETS ((event_type), (day), ())
+      |ORDER BY gid, et, d""".stripMargin) { (s, d) =>
+    ev(s, d).select(col("event_type"),
+      coalesce(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"),
+        lit("none")).as("day"))
+      .createOrReplaceTempView("events_gs")
+    s.sql(
+      """SELECT
+        |  CAST(CASE WHEN event_type IS NULL THEN 2 ELSE 0 END +
+        |       CASE WHEN day IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+        |  COALESCE(event_type, 'ALL') AS et, COALESCE(day, 'ALL') AS d,
+        |  COUNT(*) AS cnt
+        |FROM events_gs GROUP BY GROUPING SETS ((event_type), (day), ())
+        |ORDER BY gid, et, d""".stripMargin)
+  }
+
   val more: Seq[Q] = Seq(q24AsofJoin, q25RangeJoin, q26Intersect,
     q27Except, q28Cube, q29FullOuter, q30SaltedAgg, q31HeavyHitters,
-    annIvf, q33Unpivot, q34LeadLag, q35RangeFrame, q36CollectSorted)
+    annIvf, q33Unpivot, q34LeadLag, q35RangeFrame, q36CollectSorted,
+    q37GroupingSets)
 }
