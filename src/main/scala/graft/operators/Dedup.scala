@@ -187,16 +187,19 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
 
-  /** Exact-dedup applied: the SURVIVING rows (full payload), one per
-    * distinct text, smallest id wins. min(id)-over-hash window + filter —
-    * one shuffle on the digest, no self-join back to the corpus, and the
+  /** Exact-dedup applied: the SURVIVING rows (full payload), EXACTLY one
+    * per distinct text — smallest id wins (row_number, so a duplicated id
+    * still yields a single survivor, arbitrary among its exact id-ties).
+    * One shuffle on the digest, no self-join back to the corpus, and the
     * document text never rides the exchange twice (the window carries
     * the already-projected row once). This is the operator a training
     * pipeline actually runs; [[exactGroups]] is its audit view. */
   def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol)))
-    docs.withColumn("_keep", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("_keep"))
-      .drop("_keep")
+    val rn = "_graft_dedup_rn"
+    require(!docs.columns.contains(rn), s"input already has a $rn column")
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 }

@@ -94,7 +94,7 @@ object Registry2 {
     * discipline (grouped cols pre-coalesced so the null-detection CASE is
     * unambiguous; ts-null rows land in a 'none' day bucket). */
   val q28Cube = Q("q28_cube",
-    """WITH t AS (SELECT event_type,
+    """WITH t AS (SELECT COALESCE(event_type, 'none') AS event_type,
       |    COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'none') AS day,
       |    value
       |  FROM events)
@@ -106,7 +106,8 @@ object Registry2 {
       |  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_v
       |FROM t GROUP BY CUBE (event_type, day)
       |ORDER BY gid, et, d""".stripMargin) { (s, d) =>
-    val t = ev(s, d).select(col("event_type"),
+    val t = ev(s, d).select(
+      coalesce(col("event_type"), lit("none")).as("event_type"),
       coalesce(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"),
         lit("none")).as("day"),
       col("value"))
@@ -289,7 +290,7 @@ object Registry2 {
     * (type, day) cross — in ONE aggregation pass. Runs through the SQL
     * face (the DataFrame API exposes only rollup/cube). */
   val q37GroupingSets = Q("q37_grouping_sets",
-    """WITH t AS (SELECT event_type,
+    """WITH t AS (SELECT COALESCE(event_type, 'none') AS event_type,
       |    COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'none') AS day
       |  FROM events)
       |SELECT
@@ -299,7 +300,8 @@ object Registry2 {
       |  COUNT(*) AS cnt
       |FROM t GROUP BY GROUPING SETS ((event_type), (day), ())
       |ORDER BY gid, et, d""".stripMargin) { (s, d) =>
-    ev(s, d).select(col("event_type"),
+    ev(s, d).select(
+      coalesce(col("event_type"), lit("none")).as("event_type"),
       coalesce(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"),
         lit("none")).as("day"))
       .createOrReplaceTempView("events_gs")

@@ -42,9 +42,9 @@ object RegistryExt {
   val dedupSurvivors = Q("dedup_survivors",
     """SELECT doc_id, lang, n_chars FROM (
       |  SELECT doc_id, lang, n_chars,
-      |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
       |  FROM documents)
-      |WHERE doc_id = keep ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
     Dedup.dedupKeepFirst(docs(s, d), "doc_id", "text")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")

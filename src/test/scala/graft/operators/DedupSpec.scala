@@ -22,6 +22,9 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(2))).toSeq
     assert(out == Seq((1L, "b"), (2L, "c"))) // id 3's duplicate dropped
+    // duplicated ids still yield EXACTLY one survivor per distinct text
+    val dupIds = Seq((1L, "same", "a"), (1L, "same", "b")).toDF("doc_id", "text", "tag")
+    assert(Dedup.dedupKeepFirst(dupIds, "doc_id", "text").count() == 1)
   }
 
   test("exactGroups: dup texts collapse, smallest id kept") {
