@@ -107,6 +107,18 @@ object OperatorProps extends Properties("Operators") {
       got == want
     }
 
+  // applied dedup == keep-min-id-per-distinct-text model, exactly one
+  // survivor per text even under duplicate ids
+  property("dedupKeepFirst == min-id-per-text model") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(0L, 10L), Gen.oneOf("t1", "t2", "t3")))) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val got = Dedup.dedupKeepFirst(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val wantKeys = rows.groupBy(_._2).toSeq
+        .map { case (t, rs) => (rs.map(_._1).min, t) }.toSet
+      got.toSet == wantKeys && got.length == wantKeys.size // exactly one each
+    }
+
   // salted aggregation recombines exactly for any bucket count
   property("saltedSumCount == plain groupBy for any buckets") =
     forAll(
