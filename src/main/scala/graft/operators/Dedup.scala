@@ -123,11 +123,16 @@ object Dedup {
     * majority votes are `bits` conditional-sum aggregates with map-side
     * partial aggregation — the shuffle carries (id, 17 longs), never the
     * token strings. Same result, ~5× faster at bench scale, and the
-    * explode/partial-agg shape is what a 100 TB corpus needs anyway. */
+    * explode/partial-agg shape is what a 100 TB corpus needs anyway.
+    *
+    * NULL text: explode_outer keeps the row (one null token → zero votes),
+    * so NULL-text documents get the same all-zero sig the array-lambda
+    * form produces — the two paths stay row-for-row equivalent on
+    * nullable corpora. */
   def simhashed(docs: DataFrame, idCol: String, textCol: String,
                 bits: Int = 16): DataFrame = {
     val ex = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .select(col(idCol), explode_outer(split(col(textCol), " ")).as("t"))
       .select(col(idCol), md5(col("t")).as("dg"))
     val votes = (1 to bits).map(p =>
       sum(when(substring(col("dg"), p, 1) >= "8", 1L).otherwise(0L)).as(s"c$p"))

@@ -43,22 +43,28 @@ object Temporal {
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"rightVals ${rightVals.intersect(leftCols).mkString(",")} collide with left columns")
+    val working = Seq("_ts", "_side", "_rv")
+    require(working.intersect(leftCols).isEmpty,
+      s"left columns ${working.intersect(leftCols).mkString(",")} collide with asof working columns")
     // _side: right=0 sorts before left=1 at equal ts → inclusive match
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
+    // All rightVals ride ONE struct so the match resolves once: the whole
+    // winning right row is carried, and a legitimately-NULL field inside it
+    // stays attached to that row (per-column last(ignoreNulls) would blend
+    // fields from different right rows when a value column holds NULLs).
     val r = right.select(
-      (col(on) +: col(rightTs).as("_ts") +: lit(0).as("_side") +:
-        rightVals.map(v => col(v).as(s"_rv_$v"))): _*)
+      col(on), col(rightTs).as("_ts"), lit(0).as("_side"),
+      struct(rightVals.map(col): _*).as("_rv"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(on)
       .orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rightVals.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(s"_rv_$v"), ignoreNulls = true).over(w))
-    }
+    val matched = unioned
+      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
     matched.filter(col("_side") === 1)
-      .select((leftCols ++ rightVals).map(col): _*)
+      .select(leftCols.map(col) ++ rightVals.map(v => col("_rv")(v).as(v)): _*)
   }
 
   /** Point-in-interval join: rows of `points` paired with every row of
@@ -72,6 +78,8 @@ object Temporal {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "input frames must not contain a _bin column (internal working column)")
     val p = points.withColumn("_bin",
       floor(col(pointCol) / binWidth).cast("long"))
     // degenerate hi<lo intervals would make sequence() count DOWN and

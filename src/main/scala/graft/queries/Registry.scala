@@ -216,7 +216,7 @@ object Registry {
     * Oracle extracts with a regex to avoid the DuckDB JSON extension. */
   val q11JsonExtract = Q("q11_json_extract",
     """SELECT event_type,
-      |  SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
       |  COUNT(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS n_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val k = get_json_object(col("props"), "$.k").cast("long")

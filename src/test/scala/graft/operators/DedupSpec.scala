@@ -60,6 +60,18 @@ class DedupSpec extends SparkSpec {
     assert(ham <= 4)
   }
 
+  test("simhashed keeps NULL-text rows with all-zero sig, matching the array-lambda form") {
+    val withNull = Seq((1L, Option("the quick brown fox")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val staged = Dedup.simhashed(withNull, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lambda = withNull.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(staged.keySet == Set(1L, 2L)) // NULL row survives
+    assert(staged(2L) == "0" * 16)
+    assert(staged == lambda)
+  }
+
   test("ngramJaccardPairs: exact dup scores 1.0; blocking prevents cross-block pairs") {
     val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockKey = when($"doc_id" <= 3, "a").otherwise("b"), threshold = 0.01)

@@ -38,6 +38,32 @@ class TemporalSpec extends SparkSpec {
     assert(out.select("v").as[Option[Long]].head().isEmpty) // key 5 has no right rows
   }
 
+  test("asofJoinBackward: NULL fields in the matched right row stay attached to that row") {
+    val left = Seq((1L, 10L, ts("2024-01-01 03:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 01:00:00"), Option(1L), Option.empty[Long]),
+      (10L, ts("2024-01-01 02:00:00"), Option.empty[Long], Option(2L))
+    ).toDF("k", "rt", "a", "b")
+    // the winning right row is (t=02:00, a=NULL, b=2) — a must be NULL, not
+    // the stale a=1 from the older row (no (a=1, b=2) right row exists)
+    val out = Temporal.asofJoinBackward(left, right, "k", "t", "rt", Seq("a", "b"))
+      .select("a", "b").as[(Option[Long], Option[Long])].head()
+    assert(out == ((None, Some(2L))))
+  }
+
+  test("asofJoinBackward / rangeJoinBinned reject working-column collisions") {
+    val l = Seq((1L, ts("2024-01-01 00:00:00"), 0)).toDF("k", "t", "_side")
+    val r = Seq((1L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "rt", "v")
+    assertThrows[IllegalArgumentException] {
+      Temporal.asofJoinBackward(l, r, "k", "t", "rt", Seq("v"))
+    }
+    val pts = Seq((1L, 1.0, 9L)).toDF("pid", "x", "_bin")
+    val ivs = Seq((1L, 0.0, 2.0)).toDF("iid", "lo", "hi")
+    assertThrows[IllegalArgumentException] {
+      Temporal.rangeJoinBinned(pts, "x", ivs, "lo", "hi", binWidth = 1.0)
+    }
+  }
+
   test("rangeJoinBinned equals the plain theta join, intervals spanning bins") {
     val points = (0 until 100).map(i => (i.toLong, i * 7.0)).toDF("pid", "x")
     val ivs = Seq(
