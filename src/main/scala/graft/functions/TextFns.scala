@@ -104,6 +104,27 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
+  /** PII redaction for training corpora: emails → `<EMAIL>`, URLs →
+    * `<URL>`, long digit runs (ids/cards/phones, ≥8 digits) → `<NUM>`.
+    * Order matters — emails first (their local part may contain digits),
+    * then URLs (whose paths may contain digits), then bare digit runs.
+    *
+    * Patterns are deliberately RE2-compatible (no lookaround, no
+    * backrefs) so external engines (DuckDB/RE2 with the 'g' flag)
+    * reproduce the output byte-for-byte — which also keeps them in the
+    * cheap-regex class (linear scan, codegen'd `regexp_replace`, no
+    * backtracking blowup on adversarial documents). */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ \\t\\n]+"
+    val digits = "[0-9]{8,}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        url, "<URL>"),
+      digits, "<NUM>")
+  }
+
   /** Rolling (polynomial) hash over characters, mod 1e9+7 — the classic
     * Rabin-Karp document fingerprint, order-sensitive unlike md5-of-whole.
     * Custom codegen'd expression ([[graft.expressions.RollingHash]]):

@@ -186,6 +186,49 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Connected components over an undirected candidate-pair list
+    * (e.g. [[minhashCandidates]] output): the missing middle of the dedup
+    * pipeline — pairs → CLUSTERS → survivors. Returns (id, cluster) where
+    * cluster is the smallest node id in the component (deterministic rep).
+    * Only nodes present in `pairs` appear; callers left-join the corpus
+    * and coalesce to the row's own id for singletons.
+    *
+    * Algorithm: iterative min-label propagation — every node starts as its
+    * own label; each round takes the min of its and its neighbors' labels;
+    * fixpoint when the label sum stops changing (labels only decrease, so
+    * the sum is a strictly decreasing convergence witness — no extra
+    * diff-join). Rounds = component diameter; near-dup clusters are
+    * near-cliques (diameter ≤ ~3), so this runs 2–4 rounds in practice.
+    * Each round is one shuffle-join of (edges ⋈ labels) plus a partial
+    * agg — linear in edges, never materializing the transitive closure.
+    * `localCheckpoint` truncates the per-round lineage so the plan stays
+    * O(1) deep (the 100 TB version checkpoints to reliable storage). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint()
+    var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val s = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    labels
+  }
+
   /** Exact-dedup group view: one row per distinct md5(text), keeping
     * the smallest id (deterministic winner, standard keep-first policy). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling / capping for training-data curation. A corpus
+  * sample must be REPRODUCIBLE (same rows on every run, any cluster size,
+  * any partitioning) — `rand()`-based sampling is none of those. Hash
+  * thresholding is: a row is kept iff a salted md5 of its key falls under
+  * the fraction threshold, a pure per-row predicate.
+  *
+  * Scale shape: [[stratifiedSample]] is a filter — zero shuffles, full
+  * codegen, perfectly parallel. [[quotaPerGroup]] is one hash-shuffle on
+  * the group key (the window needs group locality; at 100 TB pre-bucket
+  * the corpus by the quota key to make it exchange-free).
+  */
+object Sampling {
+
+  /** First-8-hex-chars threshold for a Bernoulli fraction: md5's leading
+    * 32 bits are uniform, so P(hex8 < "%08x"(f·2³²)) = f. Lowercase-hex
+    * string comparison is identical in every engine. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    f"${(fraction * (1L << 32)).toLong.min((1L << 32) - 1)}%08x"
+  }
+
+  /** Deterministic stratified Bernoulli sample: keeps ~`fraction` of the
+    * rows of EACH stratum, independent of row order and partitioning.
+    * The stratum rides inside the hash so re-salting per stratum keeps
+    * draws independent across strata sharing key values.
+    *
+    * DuckDB oracle mirror:
+    * `WHERE substr(md5(salt || ':' || strata || ':' || key), 1, 8) < 'xx'`.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+                       fraction: Double, salt: String = "graft"): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(
+      substring(md5(concat_ws(":", lit(salt), strata, key)), 1, 8)
+        < lit(hexThreshold(fraction)))
+
+  /** Per-group quota: at most `n` rows per group, chosen by a
+    * deterministic salted-hash order (a fixed "random" draw) with the key
+    * itself as the tiebreak. The standard cap-per-domain /
+    * cap-per-source curation op. */
+  def quotaPerGroup(df: DataFrame, group: Column, key: Column, n: Int,
+                    salt: String = "graft"): DataFrame = {
+    require(n > 0, "quota must be positive")
+    val rn = "_graft_quota_rn"
+    require(!df.columns.contains(rn), s"input already has a $rn column")
+    val w = Window.partitionBy(group)
+      .orderBy(md5(concat_ws(":", lit(salt), key)), key)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
+  }
+}

@@ -39,7 +39,21 @@ object Temporal {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, on: String,
                        leftTs: String, rightTs: String,
-                       rightVals: Seq[String]): DataFrame = {
+                       rightVals: Seq[String]): DataFrame =
+    asofJoin(left, right, on, leftTs, rightTs, rightVals, forward = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row at or
+    * after its timestamp (per key) — the mirror of [[asofJoinBackward]]
+    * (e.g. "next click after each view"). Same contract, same single-
+    * shuffle shape; only the scan direction flips. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, on: String,
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String]): DataFrame =
+    asofJoin(left, right, on, leftTs, rightTs, rightVals, forward = true)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, on: String,
+                       leftTs: String, rightTs: String,
+                       rightVals: Seq[String], forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"rightVals ${rightVals.intersect(leftCols).mkString(",")} collide with left columns")
@@ -58,8 +72,12 @@ object Temporal {
       col(on), col(rightTs).as("_ts"), lit(0).as("_side"),
       struct(rightVals.map(col): _*).as("_rv"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // backward: ascending scan, nearest ts ≤ left; forward: descending
+    // scan, nearest ts ≥ left. Right (side 0) sorts before left at equal
+    // ts in both directions → inclusive match.
+    val tsOrder = if (forward) col("_ts").desc else col("_ts").asc
     val w = Window.partitionBy(on)
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(tsOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{Dedup, Prune, Sampling, Temporal}
+
+/** Round-3 extensions: the missing middle of the dedup pipeline
+  * (candidate pairs → connected-component clusters), Bloom-prefiltered
+  * semi joins, deterministic sampling/quota curation ops, PII redaction,
+  * per-group embedding centroids, and the forward as-of join. Same
+  * determinism rules as [[Registry]]. */
+object Registry3 {
+
+  private def o(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Near-dup CLUSTERS: MinHash+LSH candidate pairs closed under
+    * transitivity ([[Dedup.connectedComponents]] min-label propagation),
+    * every document labeled with its component's smallest doc_id
+    * (singletons label themselves). This is the operator that turns
+    * pairwise dedup signals into the keep/drop decision a training
+    * pipeline actually executes. Oracle: the same pair SQL as
+    * dedup_minhash_lsh, closed with a recursive CTE. */
+  val dedupClusters = Q("dedup_clusters",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, list_transform(range(0, 8),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.bnd, md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bnd = b.bnd AND a.bk = b.bk
+      |    AND a.doc_id < b.doc_id),
+      |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+      |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+      |SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cluster_id
+      |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val corpus = docs(s, d)
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    corpus.select("doc_id")
+      .join(cc, corpus("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Bloom-prefiltered semi join ([[Prune.bloomSemiJoin]]): lineitems of
+    * high-value orders. The Bloom pass prunes the fact scan before the
+    * shuffle; the result is exactly the semi join, so the plain IN
+    * subquery is the oracle. */
+  val q38BloomSemiJoin = Q("q38_bloom_semi_join",
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    val dim = o(s, d).filter(col("o_totalprice") > 400000).select("o_orderkey")
+    Prune.bloomSemiJoin(
+      li(s, d).select("l_orderkey", "l_quantity"), "l_orderkey",
+      dim, "o_orderkey", expectedItems = 100000L)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(30, 10))).cast("double").as("sum_qty"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Deterministic stratified Bernoulli sample, 25% per language
+    * ([[Sampling.stratifiedSample]]): pure filter, zero shuffles, same
+    * rows on any cluster at any partitioning. */
+  val sampleStratified = Q("sample_stratified",
+    """SELECT doc_id, lang FROM documents
+      |WHERE substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+      |      < '40000000'
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.stratifiedSample(docs(s, d), col("lang"), col("doc_id"), 0.25)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Per-source quota ([[Sampling.quotaPerGroup]]): at most 5 documents
+    * per source, drawn by deterministic salted-hash order — the
+    * cap-per-domain curation op. */
+  val sampleQuota = Q("sample_quota",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source, ROW_NUMBER() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.quotaPerGroup(docs(s, d), col("source"), col("doc_id"), 5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction ([[TextFns.redactPii]]) over synthetic PII built from
+    * real event columns (the corpus itself contains none): emails, URLs
+    * and long digit runs all hit. DuckDB mirrors with RE2 + 'g'. */
+  val textRedact = Q("text_redact",
+    """SELECT event_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    'u' || CAST(user_id AS VARCHAR) || ' mail user' || CAST(user_id AS VARCHAR)
+      |      || '@mail.example.com see https://ex.com/p/' || CAST(event_id AS VARCHAR)
+      |      || '?c=4111222233334444 ' || props,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    'https?://[^ \t\n]+', '<URL>', 'g'),
+      |    '[0-9]{8,}', '<NUM>', 'g') AS redacted
+      |FROM events WHERE event_type = 'click'
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val raw = concat(
+      lit("u"), col("user_id").cast("string"),
+      lit(" mail user"), col("user_id").cast("string"),
+      lit("@mail.example.com see https://ex.com/p/"), col("event_id").cast("string"),
+      lit("?c=4111222233334444 "), col("props"))
+    ev(s, d).filter(col("event_type") === "click")
+      .select(col("event_id"), TextFns.redactPii(raw).as("redacted"))
+      .orderBy("event_id")
+  }
+
+  /** Per-label embedding centroids (the k-means update step / class
+    * prototype op): posexplode to (label, pos, v), one partial-agg
+    * shuffle on (label, pos) — the 64-float vectors never ride the
+    * exchange whole. Decimal sums + single IEEE division keep the
+    * centroid bit-identical across engines ([[graft.functions.AggFns]]
+    * discipline); floats widen to double BEFORE the decimal cast. */
+  val embCentroids = Q("emb_centroids",
+    """SELECT label, t.i - 1 AS pos,
+      |  CAST(ROUND(SUM(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(30,10))), 4)
+      |       AS DOUBLE) / COUNT(*) AS centroid,
+      |  COUNT(*) AS n
+      |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+      |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin) { (s, d) =>
+    emb(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        (round(sum(col("v").cast("double").cast(DecimalType(30, 10))), 4)
+          .cast("double") / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+  }
+
+  /** Forward as-of join ([[Temporal.asofJoinForward]]): each view matched
+    * to the EARLIEST click by the same user at or after it — the "time to
+    * next action" mirror of q24. DuckDB native ASOF with `<=`. */
+  val q39AsofForward = Q("q39_asof_forward",
+    """WITH v AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view' AND ts IS NOT NULL),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2)
+      |SELECT v.event_id, v.user_id, c.click_id,
+      |  date_diff('second', v.ts, c.ts) AS gap_s
+      |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts <= c.ts
+      |ORDER BY v.event_id""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val views = e.filter(col("event_type") === "view" && col("ts").isNotNull)
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click" && col("ts").isNotNull)
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+      .withColumnRenamed("ts", "click_ts")
+    Temporal.asofJoinForward(views, clicks, on = "user_id",
+      leftTs = "ts", rightTs = "click_ts",
+      rightVals = Seq("click_id", "click_ts"))
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("click_ts").cast("long") - col("ts").cast("long")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
+    sampleQuota, textRedact, embCentroids, q39AsofForward)
+}

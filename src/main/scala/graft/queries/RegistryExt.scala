@@ -394,5 +394,5 @@ object RegistryExt {
     multimodalFrames, sqlSubquery, pipelineHits)
 
   /** Everything the engine exposes. */
-  val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext
+  val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext ++ Registry3.round3
 }

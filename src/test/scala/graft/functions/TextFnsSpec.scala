@@ -53,6 +53,22 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("redactPii: emails, URLs, long digit runs; short numbers and nulls untouched") {
+    val rows = Seq(
+      "mail a.user+x@sub.example.org now",
+      "go to https://ex.com/p/123?q=1 then stop",
+      "card 4111222233334444 pin 12 ok",
+      "clean text stays clean",
+      null
+    ).toDF("text").select(TextFns.redactPii($"text").as("r"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(rows(0).contains("mail <EMAIL> now"))
+    assert(rows(1).contains("go to <URL> then stop"))
+    assert(rows(2).contains("card <NUM> pin 12 ok"))
+    assert(rows(3).contains("clean text stays clean"))
+    assert(rows(4).isEmpty)
+  }
+
   test("fingerprint: normalization collapses case/punct; rollingHash is order-sensitive") {
     val df = Seq("Hello, World!", "hello world", "world hello").toDF("text")
       .select(TextFns.fingerprint($"text").as("fp"),

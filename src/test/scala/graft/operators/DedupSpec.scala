@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     assert(staged == lambda)
   }
 
+  test("connectedComponents: chain closes transitively, min id labels, components stay apart") {
+    // components: {1,2,3,4} (a chain — needs propagation), {10,11}, {20,21,22} (triangle)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // empty pair list → empty labeling
+    assert(Dedup.connectedComponents(pairs.filter($"a_id" < 0), "a_id", "b_id").count() == 0)
+  }
+
   test("ngramJaccardPairs: exact dup scores 1.0; blocking prevents cross-block pairs") {
     val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockKey = when($"doc_id" <= 3, "a").otherwise("b"), threshold = 0.01)

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = (1 to 2000)
+    .map(i => (i.toLong, if (i % 4 == 0) "de" else "en"))
+    .toDF("id", "lang")
+
+  test("stratifiedSample: ~fraction kept per stratum, deterministic, partition-invariant") {
+    val sampled = Sampling.stratifiedSample(corpus, $"lang", $"id", 0.25)
+    val perStratum = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binomial(1500, .25) and binomial(500, .25): ±5σ bands
+    assert(perStratum("en") > 280 && perStratum("en") < 470)
+    assert(perStratum("de") > 75 && perStratum("de") < 175)
+    // same rows regardless of physical partitioning
+    val again = Sampling.stratifiedSample(corpus.repartition(13), $"lang", $"id", 0.25)
+    assert(sampled.select("id").exceptAll(again.select("id")).isEmpty)
+    assert(again.select("id").exceptAll(sampled.select("id")).isEmpty)
+    // fraction 1.0 keeps everything
+    assert(Sampling.stratifiedSample(corpus, $"lang", $"id", 1.0).count() == 2000)
+  }
+
+  test("quotaPerGroup: caps each group at n, deterministic winners, payload intact") {
+    val out = Sampling.quotaPerGroup(corpus, $"lang", $"id", 7)
+    val counts = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("en" -> 7L, "de" -> 7L))
+    assert(out.columns.toSeq == Seq("id", "lang"))
+    val again = Sampling.quotaPerGroup(corpus.repartition(17), $"lang", $"id", 7)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // quota larger than the group passes the whole group through
+    assert(Sampling.quotaPerGroup(corpus, $"lang", $"id", 10000).count() == 2000)
+  }
+}

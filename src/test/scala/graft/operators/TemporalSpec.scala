@@ -51,6 +51,26 @@ class TemporalSpec extends SparkSpec {
     assert(out == ((None, Some(2L))))
   }
 
+  test("asofJoinForward: earliest right row at or after each left ts, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 07:00:00")),  // before both quotes → first
+      (2L, 10L, ts("2024-01-01 08:30:00")),  // between → second
+      (3L, 10L, ts("2024-01-01 10:00:00")),  // after all → null
+      (4L, 20L, ts("2024-01-01 12:00:00"))   // exact-ts tie → matches
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 100L),
+      (10L, ts("2024-01-01 09:00:00"), 200L),
+      (20L, ts("2024-01-01 12:00:00"), 300L)
+    ).toDF("k", "rt", "v")
+    val out = Temporal.asofJoinForward(left, right, "k", "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(100L))
+    assert(out(2L).contains(200L))
+    assert(out(3L).isEmpty)
+    assert(out(4L).contains(300L))
+  }
+
   test("asofJoinBackward / rangeJoinBinned reject working-column collisions") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), 0)).toDF("k", "t", "_side")
     val r = Seq((1L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "rt", "v")
