@@ -81,6 +81,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
 
+  test("sample_stratified: pure filter — zero exchanges besides the oracle's order") {
+    val plan = planOf(q("sample_stratified"))
+    // the sample itself is a scan-side filter; the only exchange allowed
+    // is the final ORDER BY's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"stratified sample must not shuffle:\n$plan")
+  }
+
+  test("q39: forward as-of is the same no-join single-exchange shape as q24") {
+    val plan = planOf(q("q39_asof_forward"))
+    assert(plan.contains("Window"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "forward as-of must not materialize a pair join")
+  }
+
+  test("q38: bloom prefilter sits in the fact scan stage, before the exchange") {
+    val plan = planOf(q("q38_bloom_semi_join"))
+    assert(plan.contains("LeftSemi"), "exactness comes from the semi join")
+    // the bloom probe is a scan-stage Filter (UDF), so pruned fact rows
+    // never reach an exchange
+    val filterLine = plan.linesIterator.find(l => l.contains("Filter") && l.contains("UDF"))
+    assert(filterLine.nonEmpty, s"bloom probe filter missing from the plan:\n$plan")
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     val df = Tables.documents(spark, sf).select(
       graft.functions.TextFns.rollingHash(col("text")).as("rh"),
