@@ -229,6 +229,30 @@ object Dedup {
     labels
   }
 
+  /** Benchmark decontamination: drop corpus documents sharing at least
+    * `minShared` distinct k-shingles with ANY holdout document (the
+    * eval-set leak check every training pipeline must run). Holdout
+    * shingles are deduplicated across the whole holdout and broadcast —
+    * eval sets are tiny next to the corpus, so the corpus never shuffles
+    * for the probe; only the contaminated-id set (bounded by real leak
+    * density) feeds the final anti join. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    holdout: DataFrame, holdoutTextCol: String,
+                    minShared: Int = 5, k: Int = 3): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    val cSh = corpus.select(col(idCol).as("_graft_cid"),
+      explode(array_distinct(shingles(col(textCol), k))).as("_graft_s"))
+    val hSh = holdout
+      .select(explode(array_distinct(shingles(col(holdoutTextCol), k))).as("_graft_s"))
+      .distinct()
+    val contaminated = cSh
+      .join(broadcast(hSh), "_graft_s")
+      .groupBy("_graft_cid").agg(count(lit(1)).as("_graft_shared"))
+      .filter(col("_graft_shared") >= minShared)
+      .select("_graft_cid")
+    corpus.join(contaminated, corpus(idCol) === contaminated("_graft_cid"), "left_anti")
+  }
+
   /** Exact-dedup group view: one row per distinct md5(text), keeping
     * the smallest id (deterministic winner, standard keep-first policy). */
   def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -182,6 +182,101 @@ object Registry3 {
       .orderBy("event_id")
   }
 
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): the corpus with
+    * every document leaking ≥5 distinct 3-shingles into the holdout
+    * split (source = src0) removed — the eval-leak check. Holdout
+    * shingles broadcast; the corpus never shuffles for the probe. */
+  val decontaminateQ = Q("decontaminate",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS shl FROM w),
+      |c AS (SELECT doc_id, unnest(shl) AS s FROM sh WHERE source <> 'src0'),
+      |h AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE source = 'src0'),
+      |bad AS (SELECT c.doc_id FROM c JOIN h USING (s)
+      |  GROUP BY c.doc_id HAVING COUNT(*) >= 5)
+      |SELECT doc_id, source FROM documents
+      |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val all = docs(s, d)
+    Dedup.decontaminate(
+      all.filter(col("source") =!= "src0"), "doc_id", "text",
+      all.filter(col("source") === "src0"), "text", minShared = 5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary head: global top-100 tokens by frequency (tokenizer-
+    * vocab construction). Partial-agg wordcount + TakeOrderedAndProject —
+    * never a full sort of the vocabulary. */
+  val textVocabTopk = Q("text_vocab_topk",
+    """SELECT t AS token, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 100""".stripMargin) { (s, d) =>
+    docs(s, d).select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(100)
+  }
+
+  /** TF-IDF term scoring (corpus-relevance weighting). The idf is kept
+    * rational — tf·N/df via exactly-rounded IEEE multiply/divide — so the
+    * score bit-matches across engines (a transcendental log would not).
+    * Shape: one tokenize pass feeds both the tf agg and the distinct-df
+    * agg; N is a broadcast scalar. */
+  val textTfidf = Q("text_tfidf",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT t, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, t FROM toks) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT tf.doc_id, tf.t AS token, tf.tf, df.df,
+      |  CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+      |FROM tf JOIN df USING (t) CROSS JOIN n
+      |WHERE tf.doc_id < 50
+      |ORDER BY doc_id, token""".stripMargin) { (s, d) =>
+    val toks = docs(s, d).select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.filter(col("doc_id") < 50)
+      .join(dfreq, "t")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t").as("token"), col("tf"), col("df"),
+        (col("tf").cast("double") * col("n_docs").cast("double")
+          / col("df").cast("double")).as("score"))
+      .orderBy("doc_id", "token")
+  }
+
+  /** Sliding-window counts ([[graft.streaming.StreamingOps.slidingCounts]]
+    * batch face): 1-hour windows sliding every 15 minutes — each event
+    * lands in exactly 4 windows. Oracle replays Spark's epoch-aligned
+    * window starts arithmetically. */
+  val q40SlidingWindow = Q("q40_sliding_window",
+    """SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - 900 * t.k AS ws,
+      |  event_type, COUNT(*) AS cnt
+      |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t
+      |WHERE ts IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    graft.streaming.StreamingOps.slidingCounts(
+      ev(s, d).filter(col("ts").isNotNull), "ts", "event_type")
+      .select(col("ws").cast("long").as("ws"), col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** Quantile bucketing: per-language length deciles (curriculum/quality
+    * binning). NTILE's equal-fill definition matches across engines; the
+    * (n_chars, doc_id) order is total, so buckets are deterministic. */
+  val q41Ntile = Q("q41_ntile_bucketing",
+    """SELECT doc_id, lang, NTILE(10) OVER (
+      |  PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    docs(s, d).select(col("doc_id"), col("lang"),
+      ntile(10).over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .cast("long").as("decile"))
+      .orderBy("doc_id")
+  }
+
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
-    sampleQuota, textRedact, embCentroids, q39AsofForward)
+    sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
+    textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile)
 }

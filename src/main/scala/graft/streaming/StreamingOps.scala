@@ -38,6 +38,19 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("ws"), col(keyCol), col("cnt"))
 
+  /** Sliding-window event counts: overlapping windows (one row per
+    * covering window × key — windowLen/slide windows per event). Works on
+    * both streaming and batch frames; the watermark bounds streaming
+    * state to the horizon × key cardinality. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String = "1 hour", slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col(keyCol), col("cnt"))
+
   /** Streaming exact dedup with bounded state: re-deliveries of the same
     * key within the watermark horizon are dropped, and the state store
     * evicts keys once the watermark passes them. Plain `dropDuplicates`
@@ -93,6 +106,28 @@ object StreamingOps {
   case class ClosedSession(user: Long, start: Long, end: Long, n: Long)
   /** Minimal event for stateful sessionization. */
   case class UserEvent(user: Long, tsMillis: Long)
+
+  /** Streaming per-key admission quota: passes through the first `n`
+    * arrivals of each key and drops the rest — the streaming face of
+    * [[graft.operators.Sampling.quotaPerGroup]] (arrival order replaces
+    * the deterministic hash draw; a stream gets no second pass). State is
+    * one counter per key, capped at `n` — O(1) regardless of arrival
+    * volume, so the store is bounded by key cardinality alone. */
+  def quotaPerKey(events: Dataset[UserEvent], n: Int): Dataset[UserEvent] = {
+    import events.sparkSession.implicits._
+    require(n > 0, "quota must be positive")
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[Long, UserEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = (n - admitted).toInt
+          val batch = it.take(math.max(room, 0)).toSeq
+          if (batch.nonEmpty) state.update(admitted + batch.size)
+          batch.iterator
+      }
+  }
 
   /** Custom-state sessionization: the streaming analog of
     * [[graft.operators.Sessions]] — gap-bounded sessions maintained in the

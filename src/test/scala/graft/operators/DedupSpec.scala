@@ -84,6 +84,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs.filter($"a_id" < 0), "a_id", "b_id").count() == 0)
   }
 
+  test("decontaminate: drops only docs sharing >= minShared shingles with the holdout") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // heavy overlap
+      (2L, "completely different words appear here today again"),
+      (3L, "the quick brown cat sat still")                      // 1 shared shingle
+    ).toDF("doc_id", "text")
+    val holdout = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val k3 = Dedup.decontaminate(corpus, "doc_id", "text", holdout, "text", minShared = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k3 == Set(2L, 3L)) // doc 1 leaks 7 shingles; doc 3 only 1
+    val k1 = Dedup.decontaminate(corpus, "doc_id", "text", holdout, "text", minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 == Set(2L))
+    // empty holdout keeps everything
+    val all = Dedup.decontaminate(corpus, "doc_id", "text",
+      holdout.filter($"doc_id" < 0), "text", minShared = 1)
+    assert(all.count() == 3)
+  }
+
   test("ngramJaccardPairs: exact dup scores 1.0; blocking prevents cross-block pairs") {
     val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       blockKey = when($"doc_id" <= 3, "a").otherwise("b"), threshold = 0.01)

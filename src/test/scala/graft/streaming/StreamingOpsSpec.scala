@@ -29,6 +29,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L)))
   }
 
+  test("quotaPerKey: first n arrivals pass, later batches stay capped per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.UserEvent]
+    val q = StreamingOps.quotaPerKey(mem.toDS(), n = 2)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamingOps.UserEvent(1L, 1000L),
+      StreamingOps.UserEvent(1L, 2000L),
+      StreamingOps.UserEvent(1L, 3000L),  // over quota in the same batch
+      StreamingOps.UserEvent(2L, 1000L))
+    q.processAllAvailable()
+    // a later batch must not re-open user 1's quota; user 2 has room
+    mem.addData(
+      StreamingOps.UserEvent(1L, 4000L),
+      StreamingOps.UserEvent(2L, 2000L),
+      StreamingOps.UserEvent(2L, 3000L))
+    q.processAllAvailable()
+    val rows = spark.table("quota").as[StreamingOps.UserEvent].collect()
+    q.stop()
+    assert(rows.count(_.user == 1L) == 2)
+    assert(rows.count(_.user == 2L) == 2)
+  }
+
+  test("slidingCounts: each event lands in windowLen/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.slidingCounts(df, "ts", "event_type")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click"))
+    q.processAllAvailable()
+    mem.addData((java.sql.Timestamp.valueOf("2024-01-01 15:00:00"), "view"))
+    q.processAllAvailable()
+    val starts = spark.table("sliding").collect()
+      .filter(_.getString(1) == "click").map(_.getTimestamp(0).toString).sorted
+    q.stop()
+    // 10:05 is covered by the 4 windows starting 09:15..10:00
+    assert(starts.toSeq == Seq("2024-01-01 09:15:00.0", "2024-01-01 09:30:00.0",
+      "2024-01-01 09:45:00.0", "2024-01-01 10:00:00.0"))
+  }
+
   test("sessionize: flatMapGroupsWithState emits closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.UserEvent]
