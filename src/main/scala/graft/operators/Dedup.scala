@@ -186,6 +186,21 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Incremental exact dedup — the production shape: each arriving batch
+    * dedups within itself ([[dedupKeepFirst]]) and then against the
+    * corpus's digest LEDGER (32-byte digests, never the stored text),
+    * and only survivors append. The ledger side ships digests alone, so
+    * at 100 TB the anti join shuffles hashes, not documents — and a
+    * bucketed ledger makes the batch side the only thing that moves. */
+  def dedupIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       seenDigests: DataFrame, digestCol: String): DataFrame = {
+    val h = "_graft_seen_h"
+    require(!batch.columns.contains(h), s"input already has a $h column")
+    dedupKeepFirst(batch, idCol, textCol)
+      .join(seenDigests.select(col(digestCol).as(h)).distinct(),
+        md5(col(textCol)) === col(h), "left_anti")
+  }
+
   /** Connected components over an undirected candidate-pair list
     * (e.g. [[minhashCandidates]] output): the missing middle of the dedup
     * pipeline — pairs → CLUSTERS → survivors. Returns (id, cluster) where

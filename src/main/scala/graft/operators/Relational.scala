@@ -50,6 +50,21 @@ object Relational {
   /** U1: union-all of per-source frames by column name; empty list → caller
     * supplies the empty frame. Reference pd.concat
     * (/root/reference/src/jurimetria_pipeline.py:233). */
+  /** Fixed-width histogram profile of a numeric column: one row per
+    * occupied bin with count and exact min/max (comparisons, not sums —
+    * order-independent, so no decimal discipline needed). Out-of-range
+    * values clamp into the edge bins. A single partial-agg pass — the
+    * data-profiling primitive that sizes skew/salting decisions before a
+    * 100 TB run. NULLs are excluded (no bin). */
+  def histogram(df: DataFrame, value: Column, lo: Double, width: Double,
+                nBins: Int): DataFrame = {
+    require(width > 0 && nBins > 0, "width and nBins must be positive")
+    val bin = least(greatest(floor((value - lo) / width), lit(0L)), lit(nBins - 1L))
+    df.filter(value.isNotNull)
+      .groupBy(bin.cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"), min(value).as("lo_v"), max(value).as("hi_v"))
+  }
+
   def unionAll(frames: Seq[DataFrame]): Option[DataFrame] =
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
 }

@@ -276,7 +276,43 @@ object Registry3 {
       .orderBy("doc_id")
   }
 
+  /** Incremental exact dedup ([[Dedup.dedupIncremental]]): the batch
+    * (doc_id ≥ 250) dedups within itself, then against the ledger of
+    * already-ingested digests (doc_id < 250) — only digests ride the
+    * anti join. */
+  val dedupIncrementalQ = Q("dedup_incremental",
+    """WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+      |surv AS (SELECT doc_id, n_chars, text FROM (
+      |  SELECT doc_id, n_chars, text,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents WHERE doc_id >= 250)
+      |  WHERE rn = 1)
+      |SELECT doc_id, n_chars FROM surv
+      |WHERE md5(text) NOT IN (SELECT h FROM seen)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val all = docs(s, d)
+    val ledger = all.filter(col("doc_id") < 250).select(md5(col("text")).as("h"))
+    Dedup.dedupIncremental(all.filter(col("doc_id") >= 250), "doc_id", "text",
+      ledger, "h")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** Fixed-width histogram profile ([[graft.operators.Relational
+    * .histogram]]) of event values: 10 bins of width 50 from 0 — the
+    * one-pass profiling primitive (counts + exact min/max per bin). */
+  val profileHistogram = Q("profile_histogram",
+    """SELECT LEAST(GREATEST(CAST(floor(value / 50.0) AS BIGINT), 0), 9) AS bin,
+      |  COUNT(*) AS cnt, MIN(value) AS lo_v, MAX(value) AS hi_v
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    graft.operators.Relational.histogram(ev(s, d), col("value"),
+      lo = 0.0, width = 50.0, nBins = 10)
+      .orderBy("bin")
+  }
+
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
     sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
-    textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile)
+    textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
+    profileHistogram)
 }

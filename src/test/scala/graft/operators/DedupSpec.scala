@@ -84,6 +84,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs.filter($"a_id" < 0), "a_id", "b_id").count() == 0)
   }
 
+  test("dedupIncremental: within-batch winner survives only if unseen in the ledger") {
+    val batch = Seq(
+      (10L, "seen before"),   // in ledger → dropped
+      (11L, "fresh text"),    // survives
+      (12L, "fresh text"),    // within-batch dup of 11 → dropped
+      (13L, "also new")       // survives
+    ).toDF("doc_id", "text")
+    val ledger = Seq("seen before").toDF("t").select(md5($"t").as("h"))
+    val out = Dedup.dedupIncremental(batch, "doc_id", "text", ledger, "h")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L))
+    // empty ledger → plain within-batch dedup
+    assert(Dedup.dedupIncremental(batch, "doc_id", "text",
+      ledger.filter($"h" === ""), "h").count() == 3)
+  }
+
   test("decontaminate: drops only docs sharing >= minShared shingles with the holdout") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"), // heavy overlap

@@ -47,4 +47,17 @@ class RelationalSpec extends SparkSpec {
     assert(u.count() == 2 && u.columns.toSet == Set("id", "s"))
     assert(Relational.unionAll(Nil).isEmpty)
   }
+
+  test("histogram: fixed-width bins, out-of-range clamps to edges, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(Option(-5.0), Option(0.0), Option(9.9), Option(10.0),
+      Option(25.0), Option(99.0), Option(250.0), None).toDF("v")
+    val bins = Relational.histogram(df, $"v", lo = 0.0, width = 10.0, nBins = 10)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // -5 clamps into bin 0; 250 clamps into bin 9; null dropped
+    assert(bins.toSeq == Seq(
+      (0L, 3L, -5.0, 9.9), (1L, 1L, 10.0, 10.0), (2L, 1L, 25.0, 25.0),
+      (9L, 2L, 99.0, 250.0)))
+  }
 }
