@@ -224,8 +224,13 @@ object Dedup {
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
+    // seed with round 1 fused into initialization: label(id) = min(id,
+    // direct neighbors) in the same shuffle that enumerates the nodes
+    // (edges are symmetric, so every node appears as src)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_nbr"))
+      .select(col("id"), least(col("id"), col("_nbr")).as("cluster"))
+      .localCheckpoint()
     var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
     var converged = false
     var i = 0
