@@ -311,8 +311,23 @@ object Registry3 {
       .orderBy("bin")
   }
 
+  /** Sketch percentiles (Greenwald-Khanna via percentile_approx) — the
+    * 100 TB drop-in for q22's exact interpolation (SCALE.md). Approximate
+    * by construction → rows-only driver check, same contract as
+    * q23_approx_distinct; q22 is the exact-oracle twin. */
+  val q42ApproxPercentiles = Q.noOracle("q42_approx_percentiles") { (s, d) =>
+    li(s, d).groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
+      .select(col("l_returnflag"),
+        element_at(col("p"), 1).as("p50"),
+        element_at(col("p"), 2).as("p95"),
+        element_at(col("p"), 3).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
     sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
     textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
-    profileHistogram)
+    profileHistogram, q42ApproxPercentiles)
 }
