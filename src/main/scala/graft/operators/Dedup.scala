@@ -143,6 +143,38 @@ object Dedup {
         when(col(s"c$p") * 2 > col("n"), "1").otherwise("0")): _*).as("sig"))
   }
 
+  /** SimHash near-dup PAIRS — the step [[simhashed]] feeds: signatures
+    * are blocked on `chunks` equal bit-slices (pigeonhole: two sigs
+    * within hamming ≤ chunks-1 share at least one intact slice), so the
+    * self-join shuffles only (slice-idx, slice) keys; candidates are then
+    * filtered by exact hamming distance, computed as
+    * bit_count(xor) over the numeric sigs — codegen'd built-ins, no UDF.
+    * Wider sigs (32 bits → 8-bit slices) keep the slice alphabet large
+    * enough that blocking stays selective on big corpora. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 32, chunks: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(bits % chunks == 0, "bits must divide into equal chunks")
+    require(maxHamming < chunks,
+      "pigeonhole blocking is only complete for maxHamming < chunks")
+    val w = bits / chunks
+    val sigs = simhashed(docs, idCol, textCol, bits)
+      .select(col(idCol).as("id"), col("sig"),
+        conv(col("sig"), 2, 10).cast("long").as("nsig"))
+    val chunkArr = array((0 until chunks).map(b =>
+      substring(col("sig"), b * w + 1, w)): _*)
+    val chunked = sigs.select(col("id"), col("nsig"),
+      posexplode(chunkArr).as(Seq("ci", "ck")))
+    chunked.alias("a")
+      .join(chunked.alias("b"),
+        col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.nsig").bitwiseXOR(col("b.nsig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Blocked n-gram Jaccard: exact Jaccard over distinct word-shingle
     * sets, evaluated only for pairs sharing `blockKey` (e.g. language +
     * length bucket). Returns (a_id, b_id, jaccard) above `threshold`. */

@@ -311,6 +311,31 @@ object Registry3 {
       .orderBy("bin")
   }
 
+  /** SimHash near-dup pairs ([[Dedup.simhashPairs]]): 32-bit signatures,
+    * 8-bit slice blocking, exact hamming ≤ 3 filter. Completes the
+    * simhash path (dedup_simhash emits the signatures; this emits the
+    * decisions). */
+  val dedupSimhashPairs = Q("dedup_simhash_pairs",
+    """WITH sigs AS (SELECT doc_id, array_to_string(list_transform(range(1, 33),
+      |    p -> CASE WHEN 2 * len(list_filter(string_split(text, ' '),
+      |        x -> substr(md5(x), p, 1) >= '8')) > len(string_split(text, ' '))
+      |      THEN '1' ELSE '0' END), '') AS sig
+      |  FROM documents),
+      |ch AS (SELECT doc_id, sig, t.ci, substr(sig, t.ci * 8 + 1, 8) AS ck
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS ci) t),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.sig AS sa, b.sig AS sb
+      |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.ck = b.ck
+      |    AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, hamming FROM (
+      |  SELECT a_id, b_id, CAST(len(list_filter(range(1, 33),
+      |    i -> substr(sa, i, 1) != substr(sb, i, 1))) AS BIGINT) AS hamming
+      |  FROM cand)
+      |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Dedup.simhashPairs(docs(s, d), "doc_id", "text")
+      .orderBy("a_id", "b_id")
+  }
+
   /** Sketch percentiles (Greenwald-Khanna via percentile_approx) — the
     * 100 TB drop-in for q22's exact interpolation (SCALE.md). Approximate
     * by construction → rows-only driver check, same contract as
@@ -329,5 +354,5 @@ object Registry3 {
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
     sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
     textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
-    profileHistogram, q42ApproxPercentiles)
+    profileHistogram, q42ApproxPercentiles, dedupSimhashPairs)
 }

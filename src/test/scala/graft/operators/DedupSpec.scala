@@ -84,6 +84,17 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs.filter($"a_id" < 0), "a_id", "b_id").count() == 0)
   }
 
+  test("simhashPairs: exact dups at hamming 0, near-dups close, distinct docs absent") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 3L)) == 0L)            // identical texts → identical sigs
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
+    // blocking must be complete for the claimed radius
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", chunks = 4, maxHamming = 4)
+    }
+  }
+
   test("dedupIncremental: within-batch winner survives only if unseen in the ledger") {
     val batch = Seq(
       (10L, "seen before"),   // in ledger → dropped
