@@ -351,8 +351,38 @@ object Registry3 {
       .orderBy("l_returnflag")
   }
 
+  /** Multiset set ops — the ALL twins of q26/q27's distinct-set forms:
+    * multiplicities are preserved (min for intersect, difference for
+    * except), which Spark plans as a single count-compare aggregation,
+    * not a distinct + join. Output rows repeat, so the total order is on
+    * the (repeating) value columns — identical rows hash identically. */
+  val q43IntersectAll = Q("q43_intersect_all",
+    """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+      |INTERSECT ALL
+      |SELECT user_id, event_type FROM events WHERE event_id % 2 = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    e.filter(col("event_id") % 2 === 0).select("user_id", "event_type")
+      .intersectAll(
+        e.filter(col("event_id") % 2 === 1).select("user_id", "event_type"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val q44ExceptAll = Q("q44_except_all",
+    """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+      |EXCEPT ALL
+      |SELECT user_id, event_type FROM events WHERE event_id % 2 = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    e.filter(col("event_id") % 2 === 0).select("user_id", "event_type")
+      .exceptAll(
+        e.filter(col("event_id") % 2 === 1).select("user_id", "event_type"))
+      .orderBy("user_id", "event_type")
+  }
+
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
     sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
     textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
-    profileHistogram, q42ApproxPercentiles, dedupSimhashPairs)
+    profileHistogram, q42ApproxPercentiles, dedupSimhashPairs,
+    q43IntersectAll, q44ExceptAll)
 }
