@@ -311,24 +311,26 @@ object Registry3 {
       .orderBy("bin")
   }
 
-  /** SimHash near-dup pairs ([[Dedup.simhashPairs]]): 32-bit signatures,
-    * 8-bit slice blocking, exact hamming ≤ 3 filter. Completes the
-    * simhash path (dedup_simhash emits the signatures; this emits the
-    * decisions). */
+  /** SimHash near-dup pairs ([[Dedup.simhashPairs]]): 64-bit signatures
+    * (bits 33-64 from a salted second digest), 16-bit slice blocking,
+    * exact hamming ≤ 3 filter. Completes the simhash path
+    * (dedup_simhash emits the signatures; this emits the decisions). */
   val dedupSimhashPairs = Q("dedup_simhash_pairs",
-    """WITH sigs AS (SELECT doc_id, array_to_string(list_transform(range(1, 33),
+    """WITH sigs AS (SELECT doc_id, array_to_string(list_transform(range(1, 65),
       |    p -> CASE WHEN 2 * len(list_filter(string_split(text, ' '),
-      |        x -> substr(md5(x), p, 1) >= '8')) > len(string_split(text, ' '))
+      |        x -> substr(md5(CASE WHEN p <= 32 THEN x ELSE '1:' || x END),
+      |                    ((p - 1) % 32) + 1, 1) >= '8'))
+      |        > len(string_split(text, ' '))
       |      THEN '1' ELSE '0' END), '') AS sig
       |  FROM documents),
-      |ch AS (SELECT doc_id, sig, t.ci, substr(sig, t.ci * 8 + 1, 8) AS ck
+      |ch AS (SELECT doc_id, sig, t.ci, substr(sig, t.ci * 16 + 1, 16) AS ck
       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS ci) t),
       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
       |    a.sig AS sa, b.sig AS sb
       |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.ck = b.ck
       |    AND a.doc_id < b.doc_id)
       |SELECT a_id, b_id, hamming FROM (
-      |  SELECT a_id, b_id, CAST(len(list_filter(range(1, 33),
+      |  SELECT a_id, b_id, CAST(len(list_filter(range(1, 65),
       |    i -> substr(sa, i, 1) != substr(sb, i, 1))) AS BIGINT) AS hamming
       |  FROM cand)
       |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
