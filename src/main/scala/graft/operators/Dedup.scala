@@ -134,20 +134,25 @@ object Dedup {
     // one md5 digest yields 32 hex digits = 32 bits; wider sigs draw bits
     // 32d..32d+31 from a d-salted digest md5("d:" || token). Bits ≤ 32
     // keep the plain-md5(token) definition (= the lambda form / oracle).
-    val nDig = (bits + 31) / 32
+    // The per-token vote mask is one codegen'd kernel call
+    // ([[graft.expressions.SimhashMask]]) packing two positions per long
+    // as 32-bit lanes, so the majority vote needs ⌈bits/2⌉ lane sums.
+    val nSlots = (bits + 1) / 2
     val ex = docs
       .select(col(idCol), explode_outer(split(col(textCol), " ")).as("t"))
-      .select(col(idCol) +: (0 until nDig).map(d =>
-        (if (d == 0) md5(col("t"))
-         else md5(concat(lit(s"$d:"), col("t")))).as(s"dg$d")): _*)
-    val votes = (1 to bits).map(p =>
-      sum(when(substring(col(s"dg${(p - 1) / 32}"), (p - 1) % 32 + 1, 1) >= "8",
-        1L).otherwise(0L)).as(s"c$p"))
+      .select(col(idCol), org.apache.spark.sql.GraftExpr.col(
+        graft.expressions.SimhashMask(
+          org.apache.spark.sql.GraftExpr.expr(col("t")), bits)).as("m"))
+    val votes = (0 until nSlots).map(i =>
+      sum(element_at(col("m"), i + 1)).as(s"s$i"))
     val counted = ex.groupBy(idCol)
       .agg(votes.head, (votes.tail :+ count(lit(1)).as("n")): _*)
+    val lane = (p: Int) => // 1-based position p → its 32-bit lane count
+      shiftright(col(s"s${(p - 1) / 2}"), ((p - 1) % 2) * 32)
+        .bitwiseAND(lit(0xFFFFFFFFL))
     counted.select(col(idCol),
       concat((1 to bits).map(p =>
-        when(col(s"c$p") * 2 > col("n"), "1").otherwise("0")): _*).as("sig"))
+        when(lane(p) * 2 > col("n"), "1").otherwise("0")): _*).as("sig"))
   }
 
   /** SimHash near-dup PAIRS — the step [[simhashed]] feeds: signatures
