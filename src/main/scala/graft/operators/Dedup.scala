@@ -56,16 +56,20 @@ object Dedup {
   /** MinHash+LSH candidate pairs: (a_id, b_id) with a < b for documents
     * sharing at least one band. The self-join shuffles on (band index,
     * band key) — at 100 TB this is the only way the pair search scales. */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    // Explode + codegen'd projection + partial-agg min, NOT array lambdas:
-    // higher-order functions evaluate interpreted (per-element lambda
-    // dispatch), while md5/min over exploded rows stay inside
-    // WholeStageCodegen with map-side combine — ~8× faster here and the
-    // shape a 100 TB corpus needs anyway (the min() partial-aggregates
-    // before the shuffle on doc id).
-    // Docs with no shingles vanish at explode — same result as the null
-    // band keys they'd otherwise produce (null never joins).
+  /** (id, band, bk) LSH band keys per document — the probe structure
+    * behind [[minhashCandidates]] (self-join) and
+    * [[minhashCandidatesAgainst]] (batch-vs-corpus join).
+    *
+    * Explode + codegen'd projection + partial-agg min, NOT array lambdas:
+    * higher-order functions evaluate interpreted (per-element lambda
+    * dispatch), while md5/min over exploded rows stay inside
+    * WholeStageCodegen with map-side combine — ~8× faster here and the
+    * shape a 100 TB corpus needs anyway (the min() partial-aggregates
+    * before the shuffle on doc id).
+    * Docs with no shingles vanish at explode — same result as the null
+    * band keys they'd otherwise produce (null never joins). */
+  def bandedKeys(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val exploded = docs
       .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
       .select(col("id"), explode(col("sh")).as("s"))
@@ -82,9 +86,14 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as(s"bk$b")
     }
-    val banded = sig.select(col("id") +: bandCols: _*)
+    sig.select(col("id") +: bandCols: _*)
       .selectExpr("id",
         s"stack($bands, ${(0 until bands).map(b => s"$b, bk$b").mkString(", ")}) AS (band, bk)")
+  }
+
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val banded = bandedKeys(docs, idCol, textCol, numHashes, bands)
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
@@ -92,6 +101,20 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
   }
+
+  /** Incremental near-dup candidates: band keys of the arriving `batch`
+    * joined against the pre-banded `corpus` — candidates are
+    * batch × corpus only, never corpus², which is what makes nightly
+    * near-dup sweeps affordable (the corpus band index is the persisted
+    * asset; only the batch recomputes). */
+  def minhashCandidatesAgainst(batch: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               numHashes: Int = 8, bands: Int = 4): DataFrame =
+    bandedKeys(batch, idCol, textCol, numHashes, bands).alias("a")
+      .join(bandedKeys(corpus, idCol, textCol, numHashes, bands).alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .distinct()
 
   /** SimHash signature as a bit-string of length `bits` (≤32 with md5 hex
     * digits): bit p is 1 when the majority of tokens have a high p-th hex

@@ -382,9 +382,102 @@ object Registry3 {
       .orderBy("user_id", "event_type")
   }
 
+  /** Incremental MinHash+LSH ([[Dedup.minhashCandidatesAgainst]]): the
+    * arriving batch (doc_id ≥ 250) probes the corpus band index
+    * (doc_id < 250) — candidates are batch × corpus, never corpus². */
+  val dedupMinhashIncremental = Q("dedup_minhash_incremental",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, list_transform(range(0, 8),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.bnd, md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t)
+      |SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      |FROM bands a JOIN bands b ON a.bnd = b.bnd AND a.bk = b.bk
+      |WHERE a.doc_id >= 250 AND b.doc_id < 250
+      |ORDER BY batch_id, corpus_id""".stripMargin) { (s, d) =>
+    val all = docs(s, d)
+    Dedup.minhashCandidatesAgainst(
+      all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+      "doc_id", "text")
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  /** Salted skew-proof join ([[graft.operators.Skew.saltedJoin]]):
+    * lineitem ⋈ supplier with the hot-key spread over 8 salt buckets —
+    * result identical to the plain join (the oracle), aggregated per
+    * nation. */
+  val q45SaltedJoin = Q("q45_salted_join",
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    graft.operators.Skew.saltedJoin(
+      li(s, d).select("l_suppkey", "l_quantity"), sup,
+      col("l_suppkey"), col("s_suppkey"), buckets = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(30, 10))).cast("double").as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
+  /** End-to-end curation pipeline — the flagship composed training-data
+    * query: quality-score filter → exact dedup (keep-first) →
+    * deterministic 50% stratified sample per language → 20-doc quota per
+    * source. Every stage is one of the gate-checked operators; the
+    * composition itself is what a production corpus build runs. */
+  val curatePipeline = Q("curate_pipeline", {
+    val en = graft.functions.TextFns.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, lang, source,
+       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains($en, x))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+       |  FROM documents),
+       |q AS (SELECT doc_id, text, lang, source,
+       |  ((CASE WHEN length(text) >= 100 THEN 1.0
+       |      ELSE CAST(length(text) AS DOUBLE) / 100.0 END
+       |    + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+       |    + (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0
+       |        THEN 1.0 ELSE 0.5 END)
+       |    + LEAST(stopword_ratio * 4.0, 1.0)) / 4.0) AS quality
+       |  FROM t),
+       |f AS (SELECT doc_id, text, lang, source FROM q WHERE quality >= 0.7),
+       |dd AS (SELECT doc_id, lang, source FROM (
+       |  SELECT doc_id, lang, source,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM f) WHERE rn = 1),
+       |sm AS (SELECT doc_id, lang, source FROM dd
+       |  WHERE substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |        < '80000000')
+       |SELECT doc_id, lang, source FROM (
+       |  SELECT doc_id, lang, source, ROW_NUMBER() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn2
+       |  FROM sm)
+       |WHERE rn2 <= 20 ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val scored = docs(s, d)
+      .withColumn("quality", TextFns.qualityScore(col("text")))
+    val filtered = scored.filter(col("quality") >= 0.7)
+    val deduped = Dedup.dedupKeepFirst(filtered, "doc_id", "text")
+    val sampled = Sampling.stratifiedSample(deduped, col("lang"), col("doc_id"), 0.5)
+    Sampling.quotaPerGroup(sampled, col("source"), col("doc_id"), 20)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
     sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
     textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
     profileHistogram, q42ApproxPercentiles, dedupSimhashPairs,
-    q43IntersectAll, q44ExceptAll)
+    q43IntersectAll, q44ExceptAll, dedupMinhashIncremental, q45SaltedJoin,
+    curatePipeline)
 }

@@ -84,6 +84,16 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs.filter($"a_id" < 0), "a_id", "b_id").count() == 0)
   }
 
+  test("minhashCandidatesAgainst: batch probes corpus only — no batch×batch or corpus×corpus pairs") {
+    val corpus = docs.filter($"doc_id" <= 2)  // ids 1, 2 (near-dups)
+    val batch = docs.filter($"doc_id" >= 3)   // 3 = exact dup of 1; 4, 5 unrelated
+    val pairs = Dedup.minhashCandidatesAgainst(batch, corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 1L)))          // exact dup found across sets
+    assert(pairs.forall { case (b, c) => b >= 3 && c <= 2 }) // strictly cross-set
+    assert(!pairs.exists(p => p._1 == 5L))    // short doc never joins
+  }
+
   test("simhashPairs: exact dups at hamming 0, near-dups close, distinct docs absent") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
