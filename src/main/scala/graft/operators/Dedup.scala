@@ -303,7 +303,12 @@ object Dedup {
     * Each round is one shuffle-join of (edges ⋈ labels) plus a partial
     * agg — linear in edges, never materializing the transitive closure.
     * `localCheckpoint` truncates the per-round lineage so the plan stays
-    * O(1) deep (the 100 TB version checkpoints to reliable storage). */
+    * O(1) deep (the 100 TB version checkpoints to reliable storage).
+    *
+    * Contract: labels are exact when the loop reaches its fixpoint;
+    * a component with diameter > maxIter (pathological for near-dup
+    * graphs) would return non-minimal labels — raise maxIter for
+    * chain-shaped graphs. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

@@ -54,6 +54,7 @@ object Temporal {
   private def asofJoin(left: DataFrame, right: DataFrame, on: String,
                        leftTs: String, rightTs: String,
                        rightVals: Seq[String], forward: Boolean): DataFrame = {
+    require(rightVals.nonEmpty, "rightVals must name at least one column")
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"rightVals ${rightVals.intersect(leftCols).mkString(",")} collide with left columns")
