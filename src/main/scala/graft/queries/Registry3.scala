@@ -147,7 +147,8 @@ object Registry3 {
       |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
       |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin) { (s, d) =>
     emb(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .select(col("label"), col("p").cast("long").as("pos"), col("v"))
       .groupBy("label", "pos")
       .agg(
         (round(sum(col("v").cast("double").cast(DecimalType(30, 10))), 4)

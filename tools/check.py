@@ -58,6 +58,18 @@ def main():
             print(f"[FAIL] {name}: columns {gcols} != {ecols}")
             n_fail += 1
             continue
+        # dtype parity: the driver hashes typed values, so an oracle whose
+        # column TYPE diverges (e.g. DuckDB SUM(BIGINT) -> HUGEINT vs
+        # Spark's BIGINT) fails there even when the string forms match
+        # here (the round-2 q11 failure mode)
+        gtypes = dict(zip(got.columns, (str(t) for t in got.types)))
+        etypes = dict(zip(exp.columns, (str(t) for t in exp.types)))
+        tbad = {c: (gtypes[c], etypes[c]) for c in gtypes
+                if c in etypes and gtypes[c] != etypes[c]}
+        if tbad:
+            print(f"[FAIL] {name}: dtype divergence (driver hash would differ): {tbad}")
+            n_fail += 1
+            continue
         if len(grows) != len(erows):
             print(f"[FAIL] {name}: rowcount {len(grows)} != {len(erows)}")
             print("  got:", grows[:3], "\n  exp:", erows[:3])
