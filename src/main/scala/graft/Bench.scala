@@ -9,7 +9,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     // noop sink forces full materialization of every operator (a bare
     // count() lets Catalyst prune projections and under-reports work).
-    // Two passes, min per query: a 40+-query run in one JVM has multi-
+    // Three passes, min per query: a 70+-query run in one JVM has multi-
     // second GC/JIT noise on individual queries; the min is the
     // steady-state cost (pass 1 also pays plan compilation).
     def pass(): Seq[(String, Double)] =
@@ -19,7 +19,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    val results = (pass() ++ pass()).groupBy(_._1).toSeq.sortBy(_._1)
+    val results = (pass() ++ pass() ++ pass()).groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (name, runs) => name -> runs.map(_._2).min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

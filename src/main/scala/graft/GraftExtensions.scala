@@ -70,5 +70,14 @@ object GraftExtensions {
         case Seq(c, k) => WordShingles(c, litInt(k, "graft_word_shingles"))
         case _ => throw new IllegalArgumentException(
           "graft_word_shingles(text, k)")
+      }),
+    (FunctionIdentifier("graft_simhash_mask"),
+      new ExpressionInfo(classOf[graft.expressions.SimhashMask].getName,
+        "graft_simhash_mask"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, b) => graft.expressions.SimhashMask(
+          c, litInt(b, "graft_simhash_mask"))
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash_mask(text, bits)")
       }))
 }

@@ -40,6 +40,10 @@ object GraftSession {
   def create(): SparkSession = {
     val s = builder(coresFromEnv).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // graft_* SQL functions available in every engine session (the
+    // spark.sql face of the custom kernels; cluster deployments can
+    // equivalently set spark.sql.extensions=graft.GraftExtensions)
+    GraftExtensions.registerAll(s)
     s
   }
 }

@@ -13,12 +13,21 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftExtensions.registerAll(spark)
   }
 
-  test("injectFunction path registers the same three functions") {
+  test("injectFunction path registers the same four functions") {
     // apply() to a fresh SparkSessionExtensions must not throw and must
     // cover every row of the shared registry
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("graft_dot", "graft_rolling_hash", "graft_word_shingles"))
+      Seq("graft_dot", "graft_rolling_hash", "graft_simhash_mask",
+        "graft_word_shingles"))
+  }
+
+  test("graft_simhash_mask resolves in SQL and matches the kernel") {
+    val viaSql = spark.sql(
+      "SELECT graft_simhash_mask('hello', 16) AS m").head().getSeq[Long](0)
+    val direct = graft.expressions.SimhashMask.mask(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello"), 16)
+    assert(viaSql == direct.toLongArray().toSeq)
   }
 
   test("graft_dot resolves in SQL and matches the manual sum") {
