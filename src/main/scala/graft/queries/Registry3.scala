@@ -475,10 +475,27 @@ object Registry3 {
       .orderBy("doc_id")
   }
 
+  /** Distribution window functions: percent_rank and cume_dist over a
+    * total per-partition order — both are rank arithmetic (rank-1)/(n-1)
+    * and rank/n, so they bit-match across engines given the total order
+    * (single IEEE division of identical integers). */
+  val q46DistributionRanks = Q("q46_distribution_ranks",
+    """SELECT doc_id, lang,
+      |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr,
+      |  cume_dist() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS cd
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    docs(s, d).select(col("doc_id"), col("lang"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"))
+      .orderBy("doc_id")
+  }
+
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
     sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
     textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
     profileHistogram, q42ApproxPercentiles, dedupSimhashPairs,
     q43IntersectAll, q44ExceptAll, dedupMinhashIncremental, q45SaltedJoin,
-    curatePipeline)
+    curatePipeline, q46DistributionRanks)
 }
