@@ -351,6 +351,8 @@ object Dedup {
                     holdout: DataFrame, holdoutTextCol: String,
                     minShared: Int = 5, k: Int = 3): DataFrame = {
     require(minShared >= 1, "minShared must be at least 1")
+    require(!corpus.columns.contains("_graft_cid"),
+      "corpus already has a _graft_cid column (internal working column)")
     val cSh = corpus.select(col(idCol).as("_graft_cid"),
       explode(array_distinct(shingles(col(textCol), k))).as("_graft_s"))
     val hSh = holdout

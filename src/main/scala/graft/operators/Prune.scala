@@ -36,6 +36,17 @@ object Prune {
                     dim: DataFrame, dimKey: String,
                     expectedItems: Long = 1000000L,
                     fpp: Double = 0.01): DataFrame = {
+    // the probe is mightContainLong: a non-integral key would be
+    // implicitly cast to long (nulls under non-ANSI) and the prefilter
+    // would silently drop rows the semi join should keep
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(fact.schema(factKey).dataType) &&
+      integral.contains(dim.schema(dimKey).dataType),
+      s"bloomSemiJoin requires integral join keys, got " +
+        s"${fact.schema(factKey).dataType.catalogString} / " +
+        s"${dim.schema(dimKey).dataType.catalogString}")
     // Spark's stat.bloomFilter NPEs on a zero-row input (null agg buffer);
     // an empty dim needs no prefilter anyway — the semi join is empty.
     if (dim.isEmpty) {

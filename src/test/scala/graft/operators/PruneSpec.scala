@@ -18,5 +18,10 @@ class PruneSpec extends SparkSpec {
     // nothing survives an empty dim
     assert(Prune.bloomSemiJoin(fact, "k", dim.filter($"dk" < 0), "dk",
       expectedItems = 100L).count() == 0)
+    // a string key must be rejected, not silently null-cast by the probe
+    val sFact = Seq(("3", 1L)).toDF("k", "payload")
+    assertThrows[IllegalArgumentException] {
+      Prune.bloomSemiJoin(sFact, "k", dim, "dk", expectedItems = 100L)
+    }
   }
 }
