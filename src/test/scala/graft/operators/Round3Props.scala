@@ -55,6 +55,38 @@ object Round3Props extends Properties("Round3") {
       got == want
     }
 
+  // asof joins == the per-row nearest-match model, including ties and
+  // NULL value columns (the r2 ADVICE blending hazard, generalized)
+  property("asofJoinBackward/Forward == nearest-match model") =
+    forAll(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 50L))),
+      Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 50L),
+        Gen.option(Gen.choose(0L, 9L))))
+    ) { (leftRaw, rightRaw) =>
+      // dedup right per (key, ts): the documented ASOF tie contract
+      val right = rightRaw.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toList
+      val left = leftRaw.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+      val lDf = left.toDF("id", "k", "ts")
+      val rDf = right.toDF("k", "rts", "v")
+      def run(forward: Boolean) = {
+        val out =
+          if (forward) Temporal.asofJoinForward(lDf, rDf, "k", "ts", "rts", Seq("v"))
+          else Temporal.asofJoinBackward(lDf, rDf, "k", "ts", "rts", Seq("v"))
+        out.select("id", "v").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      }
+      def model(forward: Boolean) = left.map { case (id, k, ts) =>
+        val cands = right.filter(r => r._1 == k &&
+          (if (forward) r._2 >= ts else r._2 <= ts))
+        val best =
+          if (cands.isEmpty) None
+          else Some(if (forward) cands.minBy(_._2) else cands.maxBy(_._2))
+        id -> best.flatMap(_._3) // a legitimately-NULL value stays NULL
+      }.toMap
+      run(forward = false) == model(forward = false) &&
+        run(forward = true) == model(forward = true)
+    }
+
   // connectedComponents == union-find on random sparse graphs
   property("connectedComponents == union-find model") =
     forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
