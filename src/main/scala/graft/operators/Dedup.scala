@@ -93,6 +93,9 @@ object Dedup {
 
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    // the self-join's two sides share the sig-agg exchange (ReusedExchange
+    // — measured: an explicit localCheckpoint here buys nothing), so the
+    // shingle-explode + minhash agg runs once despite the two references
     val banded = bandedKeys(docs, idCol, textCol, numHashes, bands)
     banded.alias("a")
       .join(banded.alias("b"),
