@@ -275,6 +275,19 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Near-dup dedup APPLIED: one surviving document per near-dup cluster
+    * (the component's smallest id keeps itself; singletons survive
+    * trivially) — [[minhashCandidates]] → [[connectedComponents]] →
+    * filter, the full pairs→clusters→decisions pipeline in one call. */
+  def nearDedupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, numHashes, bands)
+    val cc = connectedComponents(pairs, "a_id", "b_id")
+    docs.join(cc, docs(idCol) === cc("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === docs(idCol))
+      .drop("id", "cluster")
+  }
+
   /** Incremental exact dedup — the production shape: each arriving batch
     * dedups within itself ([[dedupKeepFirst]]) and then against the
     * corpus's digest LEDGER (32-byte digests, never the stored text),

@@ -383,6 +383,37 @@ object Registry3 {
       .orderBy("user_id", "event_type")
   }
 
+  /** Near-dup survivors ([[Dedup.nearDedupSurvivors]]): pairs → clusters
+    * → keep the cluster rep — the applied form of dedup_clusters. */
+  val dedupNearSurvivors = Q("dedup_near_survivors",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, list_transform(range(0, 8),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.bnd, md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bnd = b.bnd AND a.bk = b.bk
+      |    AND a.doc_id < b.doc_id),
+      |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+      |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+      |SELECT d.doc_id, d.lang FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+      |WHERE COALESCE(l.cl, d.doc_id) = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Dedup.nearDedupSurvivors(docs(s, d), "doc_id", "text")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Incremental MinHash+LSH ([[Dedup.minhashCandidatesAgainst]]): the
     * arriving batch (doc_id ≥ 250) probes the corpus band index
     * (doc_id < 250) — candidates are batch × corpus, never corpus². */
@@ -497,5 +528,5 @@ object Registry3 {
     textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
     profileHistogram, q42ApproxPercentiles, dedupSimhashPairs,
     q43IntersectAll, q44ExceptAll, dedupMinhashIncremental, q45SaltedJoin,
-    curatePipeline, q46DistributionRanks)
+    curatePipeline, q46DistributionRanks, dedupNearSurvivors)
 }

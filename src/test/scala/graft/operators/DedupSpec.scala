@@ -105,6 +105,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDedupSurvivors: one doc per near-dup cluster, singletons pass, payload intact") {
+    val out = Dedup.nearDedupSurvivors(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // 1,2,3 collide in LSH (exact + near dups) → only 1 survives;
+    // 4 and 5 are singletons
+    assert(out == Set(1L, 4L, 5L))
+    assert(Dedup.nearDedupSurvivors(docs, "doc_id", "text").columns.toSeq ==
+      Seq("doc_id", "text"))
+  }
+
   test("dedupIncremental: within-batch winner survives only if unseen in the ledger") {
     val batch = Seq(
       (10L, "seen before"),   // in ledger → dropped
