@@ -523,10 +523,33 @@ object Registry3 {
       .orderBy("doc_id")
   }
 
+  /** MapType round-trip: per-user event-type counts built into a map
+    * (map_from_entries over a sorted entry list), probed with element_at,
+    * and exploded back to rows — exercises map construction, lookup and
+    * iteration while the exploded output keeps the oracle a plain GROUP
+    * BY (map iteration order never reaches the compare: rows re-sort). */
+  val q47MapRoundtrip = Q("q47_map_roundtrip",
+    """SELECT user_id, event_type, COUNT(*) AS cnt,
+      |  COUNT(*) FILTER (event_type = 'click')
+      |    OVER (PARTITION BY user_id) AS n_click_rows
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val grouped = ev(s, d).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val asMap = grouped.groupBy("user_id")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+    asMap.select(col("user_id"),
+        explode(col("m")).as(Seq("event_type", "cnt")),
+        when(map_contains_key(col("m"), lit("click")), lit(1L)).otherwise(lit(0L))
+          .as("n_click_rows"))
+      .orderBy("user_id", "event_type")
+  }
+
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
     sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
     textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
     profileHistogram, q42ApproxPercentiles, dedupSimhashPairs,
     q43IntersectAll, q44ExceptAll, dedupMinhashIncremental, q45SaltedJoin,
-    curatePipeline, q46DistributionRanks, dedupNearSurvivors)
+    curatePipeline, q46DistributionRanks, dedupNearSurvivors, q47MapRoundtrip)
 }
