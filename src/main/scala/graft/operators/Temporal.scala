@@ -51,6 +51,49 @@ object Temporal {
                       rightVals: Seq[String]): DataFrame =
     asofJoin(left, right, on, leftTs, rightTs, rightVals, forward = true)
 
+  /** Nearest as-of join: for each left row, the right row whose timestamp
+    * is CLOSEST (either direction, per key); ties go backward — pandas
+    * merge_asof(direction='nearest') semantics. Same contract as the
+    * directional forms. Still ONE key shuffle: both scan directions are
+    * windows over the same hash partitioning (one exchange, two sorts),
+    * never a pair join. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, on: String,
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String]): DataFrame = {
+    require(rightVals.nonEmpty, "rightVals must name at least one column")
+    val leftCols = left.columns.toSeq
+    require(rightVals.intersect(leftCols).isEmpty,
+      s"rightVals ${rightVals.intersect(leftCols).mkString(",")} collide with left columns")
+    val working = Seq("_ts", "_side", "_rv", "_rvb", "_rvf")
+    require(working.intersect(leftCols).isEmpty,
+      s"left columns ${working.intersect(leftCols).mkString(",")} collide with asof working columns")
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+    // the matched right row's own ts rides in the struct as _rts so the
+    // two candidates' gaps are comparable after the scans
+    val r = right.select(
+      col(on), col(rightTs).as("_ts"), lit(0).as("_side"),
+      struct(rightVals.map(col) :+ col(rightTs).as("_rts"): _*).as("_rv"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    def w(order: Column) = Window.partitionBy(on)
+      .orderBy(order, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("_rvb", last(col("_rv"), ignoreNulls = true).over(w(col("_ts").asc)))
+      .withColumn("_rvf", last(col("_rv"), ignoreNulls = true).over(w(col("_ts").desc)))
+      .filter(col("_side") === 1)
+    val gapB = col("_ts").cast("long") - col("_rvb")("_rts").cast("long")
+    val gapF = col("_rvf")("_rts").cast("long") - col("_ts").cast("long")
+    val chosen = when(col("_rvf").isNull, col("_rvb"))
+      .when(col("_rvb").isNull, col("_rvf"))
+      .when(gapB <= gapF, col("_rvb")) // tie → backward (pandas contract)
+      .otherwise(col("_rvf"))
+    matched
+      .withColumn("_rv", chosen)
+      .select(leftCols.map(col) ++ rightVals.map(v => col("_rv")(v).as(v)): _*)
+  }
+
   private def asofJoin(left: DataFrame, right: DataFrame, on: String,
                        leftTs: String, rightTs: String,
                        rightVals: Seq[String], forward: Boolean): DataFrame = {

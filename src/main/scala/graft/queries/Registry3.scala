@@ -546,10 +546,46 @@ object Registry3 {
       .orderBy("user_id", "event_type")
   }
 
+  /** Nearest as-of join ([[Temporal.asofJoinNearest]]): each view matched
+    * to the click CLOSEST in time either direction (ties backward —
+    * pandas merge_asof 'nearest'). Oracle composes DuckDB's two
+    * directional ASOFs with the same gap comparison; both engines
+    * truncate each timestamp to epoch seconds before differencing. */
+  val q48AsofNearest = Q("q48_asof_nearest",
+    """WITH v AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view' AND ts IS NOT NULL),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2),
+      |b AS (SELECT v.event_id, v.user_id, v.ts, c.ts AS bts, c.click_id AS bid
+      |  FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts),
+      |f AS (SELECT v.event_id, c.ts AS fts, c.click_id AS fid
+      |  FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts <= c.ts)
+      |SELECT b.event_id, b.user_id,
+      |  CASE WHEN fts IS NULL THEN bid
+      |       WHEN bts IS NULL THEN fid
+      |       WHEN date_diff('second', bts, b.ts) <= date_diff('second', b.ts, fts)
+      |         THEN bid
+      |       ELSE fid END AS click_id
+      |FROM b JOIN f ON b.event_id = f.event_id
+      |ORDER BY b.event_id""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val views = e.filter(col("event_type") === "view" && col("ts").isNotNull)
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click" && col("ts").isNotNull)
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+      .withColumnRenamed("ts", "click_ts")
+    Temporal.asofJoinNearest(views, clicks, on = "user_id",
+      leftTs = "ts", rightTs = "click_ts",
+      rightVals = Seq("click_id"))
+      .select("event_id", "user_id", "click_id")
+      .orderBy("event_id")
+  }
+
   val round3: Seq[Q] = Seq(dedupClusters, q38BloomSemiJoin, sampleStratified,
     sampleQuota, textRedact, embCentroids, q39AsofForward, decontaminateQ,
     textVocabTopk, textTfidf, q40SlidingWindow, q41Ntile, dedupIncrementalQ,
     profileHistogram, q42ApproxPercentiles, dedupSimhashPairs,
     q43IntersectAll, q44ExceptAll, dedupMinhashIncremental, q45SaltedJoin,
-    curatePipeline, q46DistributionRanks, dedupNearSurvivors, q47MapRoundtrip)
+    curatePipeline, q46DistributionRanks, dedupNearSurvivors, q47MapRoundtrip,
+    q48AsofNearest)
 }

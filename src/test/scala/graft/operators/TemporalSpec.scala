@@ -71,6 +71,25 @@ class TemporalSpec extends SparkSpec {
     assert(out(4L).contains(300L))
   }
 
+  test("asofJoinNearest: closest right row either direction, ties go backward") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 08:10:00")),  // 10 min after A, 50 before B → A
+      (2L, 10L, ts("2024-01-01 08:50:00")),  // 50 after A, 10 before B → B
+      (3L, 10L, ts("2024-01-01 08:30:00")),  // exactly between → backward (A)
+      (4L, 10L, ts("2024-01-01 06:00:00")),  // before all → forward (A)
+      (5L, 10L, ts("2024-01-01 23:00:00")),  // after all → backward (B)
+      (6L, 20L, ts("2024-01-01 12:00:00"))   // key with no right rows → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), 100L), // A
+      (10L, ts("2024-01-01 09:00:00"), 200L)  // B
+    ).toDF("k", "rt", "v")
+    val out = Temporal.asofJoinNearest(left, right, "k", "t", "rt", Seq("v"))
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(100L), 2L -> Some(200L), 3L -> Some(100L),
+      4L -> Some(100L), 5L -> Some(200L), 6L -> None))
+  }
+
   test("asofJoinBackward / rangeJoinBinned reject working-column collisions") {
     val l = Seq((1L, ts("2024-01-01 00:00:00"), 0)).toDF("k", "t", "_side")
     val r = Seq((1L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "rt", "v")
