@@ -68,13 +68,12 @@ object Round3Props extends Properties("Round3") {
       val left = leftRaw.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
       val lDf = left.toDF("id", "k", "ts")
       val rDf = right.toDF("k", "rts", "v")
-      def run(forward: Boolean) = {
-        val out =
-          if (forward) Temporal.asofJoinForward(lDf, rDf, "k", "ts", "rts", Seq("v"))
-          else Temporal.asofJoinBackward(lDf, rDf, "k", "ts", "rts", Seq("v"))
+      def collectVals(out: org.apache.spark.sql.DataFrame) =
         out.select("id", "v").collect()
           .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
-      }
+      def run(forward: Boolean) = collectVals(
+        if (forward) Temporal.asofJoinForward(lDf, rDf, "k", "ts", "rts", Seq("v"))
+        else Temporal.asofJoinBackward(lDf, rDf, "k", "ts", "rts", Seq("v")))
       def model(forward: Boolean) = left.map { case (id, k, ts) =>
         val cands = right.filter(r => r._1 == k &&
           (if (forward) r._2 >= ts else r._2 <= ts))
@@ -83,8 +82,20 @@ object Round3Props extends Properties("Round3") {
           else Some(if (forward) cands.minBy(_._2) else cands.maxBy(_._2))
         id -> best.flatMap(_._3) // a legitimately-NULL value stays NULL
       }.toMap
+      val nearestGot = collectVals(
+        Temporal.asofJoinNearest(lDf, rDf, "k", "ts", "rts", Seq("v")))
+      val nearestWant = left.map { case (id, k, ts) =>
+        val cands = right.filter(_._1 == k)
+        val best =
+          if (cands.isEmpty) None
+          // min gap; ties → backward (ts <= left sorts first via the
+          // direction flag), then the (key, ts)-deduped row is unique
+          else Some(cands.minBy(r => (math.abs(r._2 - ts), if (r._2 <= ts) 0 else 1)))
+        id -> best.flatMap(_._3)
+      }.toMap
       run(forward = false) == model(forward = false) &&
-        run(forward = true) == model(forward = true)
+        run(forward = true) == model(forward = true) &&
+        nearestGot == nearestWant
     }
 
   // connectedComponents == union-find on random sparse graphs
