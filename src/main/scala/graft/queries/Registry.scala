@@ -396,15 +396,38 @@ object Registry {
       .orderBy("event_type")
   }
 
-  /** Sketch aggregates (HyperLogLog++ distinct, KLL-style quantile):
-    * approximate by construction, so the driver records a rows-only check
-    * — the exact companions are q08 (distinct) and q22 (percentiles). At
-    * 100 TB the sketches are the only affordable forms. */
-  val q23ApproxDistinct = Q.noOracle("q23_approx_distinct") { (s, d) =>
+  /** Sketch aggregates (HyperLogLog++ distinct, KLL-style quantile) made
+    * hash-checkable: the sketch values themselves are engine-private, so
+    * the row carries the EXACT twins (countDistinct / interpolated
+    * percentile, which DuckDB reproduces bit-for-bit) plus deterministic
+    * `within_bounds` booleans asserting the sketch landed inside its
+    * published error envelope — HLL++ rsd 0.02 gets 3σ = 6% (floor of ±2
+    * for tiny groups where the sparse encoding discretizes), and the
+    * rank-error quantile sketch must land between the exact quantiles at
+    * p±0.05 (accuracy 1000 ⇒ rank error 1e-3, 50× slack). The oracle
+    * emits literal TRUE, so any sketch excursion flips the hash red. At
+    * 100 TB the sketches are the only affordable forms; the exact columns
+    * here are the test harness, not the production plan. */
+  val q23ApproxDistinct = Q("q23_approx_distinct",
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS users_within,
+      |  TRUE AS p50_within
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     ev(s, d).groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        approx_percentile(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-        count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("_au"),
+        approx_percentile(col("value"), lit(0.5), lit(1000)).as("_ap50"),
+        percentile(col("value"), lit(0.45)).as("_lo"),
+        percentile(col("value"), lit(0.55)).as("_hi"))
+      .select(col("event_type"), col("cnt"), col("exact_users"),
+        (abs(col("_au") - col("exact_users")) <=
+          greatest(col("exact_users").cast("double") * 0.06, lit(2.0)))
+          .as("users_within"),
+        (col("_ap50") >= col("_lo") && col("_ap50") <= col("_hi"))
+          .as("p50_within"))
       .orderBy("event_type")
   }
 

@@ -340,17 +340,40 @@ object Registry3 {
   }
 
   /** Sketch percentiles (Greenwald-Khanna via percentile_approx) — the
-    * 100 TB drop-in for q22's exact interpolation (SCALE.md). Approximate
-    * by construction → rows-only driver check, same contract as
-    * q23_approx_distinct; q22 is the exact-oracle twin. */
-  val q42ApproxPercentiles = Q.noOracle("q42_approx_percentiles") { (s, d) =>
+    * 100 TB drop-in for q22's exact interpolation (SCALE.md). Made
+    * hash-checkable the same way as q23_approx_distinct: the output
+    * carries the exact interpolated quantiles (DuckDB quantile_cont
+    * bit-matches them, proven by q22) plus `*_within` booleans asserting
+    * each sketch value landed between the exact quantiles at p±0.02
+    * (accuracy 10000 ⇒ rank error 1e-4, 200× slack; the 0.99 upper bound
+    * clamps to max). Oracle emits literal TRUE per bound. */
+  val q42ApproxPercentiles = Q("q42_approx_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95,
+      |  quantile_cont(l_extendedprice, 0.99) AS p99,
+      |  TRUE AS p50_within, TRUE AS p95_within, TRUE AS p99_within
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val x = col("l_extendedprice")
     li(s, d).groupBy("l_returnflag")
-      .agg(percentile_approx(col("l_extendedprice"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p"))
-      .select(col("l_returnflag"),
-        element_at(col("p"), 1).as("p50"),
-        element_at(col("p"), 2).as("p95"),
-        element_at(col("p"), 3).as("p99"))
+      .agg(percentile_approx(x,
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("_ap"),
+        percentile(x, lit(0.5)).as("p50"),
+        percentile(x, lit(0.95)).as("p95"),
+        percentile(x, lit(0.99)).as("p99"),
+        percentile(x, lit(0.48)).as("_lo50"),
+        percentile(x, lit(0.52)).as("_hi50"),
+        percentile(x, lit(0.93)).as("_lo95"),
+        percentile(x, lit(0.97)).as("_hi95"),
+        percentile(x, lit(0.97)).as("_lo99"),
+        max(x).as("_hi99"))
+      .select(col("l_returnflag"), col("p50"), col("p95"), col("p99"),
+        (element_at(col("_ap"), 1).between(col("_lo50"), col("_hi50")))
+          .as("p50_within"),
+        (element_at(col("_ap"), 2).between(col("_lo95"), col("_hi95")))
+          .as("p95_within"),
+        (element_at(col("_ap"), 3).between(col("_lo99"), col("_hi99")))
+          .as("p99_within"))
       .orderBy("l_returnflag")
   }
 
