@@ -1,7 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.GraftExpr
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Scan-side pruning for big joins. At 100 TB the dominant join cost is
   * shuffling the fact side; when the dim side is selective but too large
@@ -17,28 +21,37 @@ object Prune {
 
   /** Exact left-semi join with a Bloom prefilter on the probe side.
     *
-    * Two phases: (1) a distributed aggregation builds a Bloom filter of
-    * `dim`'s long keys (partials merged on the driver — bytes, not rows);
-    * (2) the fact scan drops rows whose key can't be in `dim` BEFORE the
-    * shuffle, then the ordinary semi join removes the false positives.
-    * The result is therefore EXACTLY the semi join — the Bloom only
-    * shrinks the exchange, it never decides membership.
+    * The same plan shape Spark's runtime row-level filtering
+    * (`InjectRuntimeFilter`) produces for eligible equi-joins, built
+    * explicitly: `BloomFilterMightContain(ScalarSubquery(Aggregate(
+    * BloomFilterAggregate(dim.key))), fact.key)`. The subquery runs
+    * once — partial filters merge as bytes through the normal
+    * partial-aggregation path — and its result feeds the codegen'd
+    * `might_contain` predicate sitting on the fact scan, so rows that
+    * can't be in `dim` are dropped BEFORE the shuffle with no per-row
+    * boxing and no eager driver action. The ordinary semi join then
+    * removes the false positives, so the result is EXACTLY the semi
+    * join — the Bloom only shrinks the exchange, it never decides
+    * membership. An empty dim yields a null filter, `might_contain`
+    * returns null, and nothing survives — still the exact semi join.
     *
     * `fpp` trades broadcast bytes vs residual shuffle rows (1% fpp ≈
     * 9.6 bits/key: 100 M dim keys ≈ 115 MB — broadcastable where the
-    * dim's hash relation is not).
+    * dim's hash relation is not). Note `BloomFilterAggregate` enforces
+    * the session caps `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * / `.maxNumBits` (defaults 4M / 67.1M) — raise them for bigger dims.
     *
-    * The membership probe is a boxed-long UDF, deliberately: it sits in
-    * the scan's filter (one virtual call per row pre-shuffle), and Spark
-    * exposes no public codegen'd might_contain. Null keys never match
-    * (semi-join semantics). */
+    * Both keys are cast to long before build/probe so differing integral
+    * widths (int fact key vs long dim key) hash identically. Null keys
+    * never pass the probe (might_contain(null) is null), matching
+    * semi-join semantics. */
   def bloomSemiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,
                     expectedItems: Long = 1000000L,
                     fpp: Double = 0.01): DataFrame = {
-    // the probe is mightContainLong: a non-integral key would be
-    // implicitly cast to long (nulls under non-ANSI) and the prefilter
-    // would silently drop rows the semi join should keep
+    // a non-integral key would be implicitly cast to long (nulls under
+    // non-ANSI) and the prefilter would silently drop rows the semi join
+    // should keep
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
@@ -47,18 +60,17 @@ object Prune {
       s"bloomSemiJoin requires integral join keys, got " +
         s"${fact.schema(factKey).dataType.catalogString} / " +
         s"${dim.schema(dimKey).dataType.catalogString}")
-    // Spark's stat.bloomFilter NPEs on a zero-row input (null agg buffer);
-    // an empty dim needs no prefilter anyway — the semi join is empty.
-    if (dim.isEmpty) {
-      fact.join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
-    } else {
-      val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-      val bc = fact.sparkSession.sparkContext.broadcast(bf)
-      val mightContain = udf((k: java.lang.Long) =>
-        k != null && bc.value.mightContainLong(k))
-      fact.filter(mightContain(col(factKey)))
-        .join(dim.select(col(dimKey)).distinct(),
-          col(factKey) === col(dimKey), "left_semi")
-    }
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      GraftExpr.expr(col(dimKey).cast("long")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bloomPlan = dim.select(GraftExpr.col(agg).as("_graft_bloom"))
+      .queryExecution.analyzed
+    val probe = GraftExpr.col(BloomFilterMightContain(
+      ScalarSubquery(bloomPlan),
+      GraftExpr.expr(col(factKey).cast("long"))))
+    fact.filter(probe)
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
   }
 }

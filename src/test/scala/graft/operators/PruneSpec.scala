@@ -23,5 +23,17 @@ class PruneSpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       Prune.bloomSemiJoin(sFact, "k", dim, "dk", expectedItems = 100L)
     }
+    // mixed integral widths (int fact key vs long dim key) must agree:
+    // both sides are cast to long before build/probe
+    val iFact = (1 to 200).map(i => (i % 97, i)).toDF("k", "payload")
+    val mixed = Prune.bloomSemiJoin(iFact, "k", dim, "dk", expectedItems = 100L)
+    val mixedExact = iFact.join(dim, $"k" === $"dk", "left_semi")
+    assert(mixed.exceptAll(mixedExact).isEmpty && mixedExact.exceptAll(mixed).isEmpty)
+    // the probe is the codegen'd built-in, not a UDF (checked on the
+    // analyzed plan: over local test relations the optimizer folds the
+    // filter into the LocalTableScan; over file scans it stays physical)
+    val plan = pruned.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), s"expected might_contain in:\n$plan")
+    assert(!plan.toLowerCase.contains("udf"), "probe must not be a UDF")
   }
 }
