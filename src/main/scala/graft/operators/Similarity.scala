@@ -79,10 +79,24 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
-              dim: Int = 64): DataFrame = {
-    val cent = corpus.filter(col(idCol) < nCells)
-      .select(col(idCol).cast("int").as("cell"), col(vecCol).as("c_vec"),
-        VectorFns.l2NormN(col(vecCol), dim).as("c_nrm"))
+              dim: Int = 64): DataFrame =
+    ivfTopKWith(queries, corpus,
+      corpus.filter(col(idCol) < nCells)
+        .select(col(idCol).cast("int").as("cell"), col(vecCol).as("c_vec")),
+      idCol, vecCol, k, nProbe, dim)
+
+  /** [[ivfTopK]] against an EXPLICIT centroid set (cell: int, c_vec) —
+    * the trained-index path: feed [[kmeansIter]] output (or any external
+    * codebook) instead of the lowest-id convention. Cells may be sparse;
+    * assignment and probing use the same argmax-cosine / higher-cell
+    * tie-break as the untrained form. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+                  centroids: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    val cent = centroids
+      .select(col("cell"), col("c_vec"),
+        VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
     val cos = (v: Column, nrm: Column) =>
       when(nrm > 0.0 && col("c_nrm") > 0.0,
         VectorFns.dotN(v, col("c_vec"), dim) / (nrm * col("c_nrm")))
@@ -144,9 +158,13 @@ object Similarity {
     asg.select(col("cell"), posexplode(col("n_vec")).as(Seq("d", "x")))
       .groupBy("cell", "d")
       // divisor counts NON-NULL elements (count(x), not count(*)): sum
-      // skips nulls, so a null element must not deflate the mean
-      .agg((sum(col("x").cast(DecimalType(30, 10))) / count(col("x")))
-        .cast("double").as("m"))
+      // skips nulls, so a null element must not deflate the mean. The
+      // exact decimal sum is cast to double BEFORE the divide (one IEEE
+      // division) — decimal-division scale rules differ per engine, a
+      // double/long divide does not, so a DuckDB oracle can replay the
+      // refine bit-for-bit.
+      .agg((sum(col("x").cast(DecimalType(30, 10))).cast("double")
+        / count(col("x"))).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
       .select(col("cell"), expr("transform(dm, p -> p.m)").as("c_vec"))

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Multimodal, Similarity}
+import graft.pipeline.Legacy
+
+/** Round-4 additions: oracle coverage for the legacy-connector surface
+  * (previously unit-test-only), the trained-index ANN path, and the
+  * multimodal resize stage. See [[Registry]] for the determinism rules.
+  *
+  * The legacy queries derive their raw inputs INLINE from the harness
+  * tables (orders/events) — both engines build the identical raw relation
+  * from the same parquet, so the hash compare exercises the legacy
+  * semantics (malformed-row drop, trim, dd/MM/yyyy→ISO, cast projection)
+  * with no external fixture file.
+  */
+object Registry4 {
+
+  private def o(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** DuckDB left-fold cosine (same shape as RegistryExt's). */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+  private def sqlCos(a: String, b: String): String =
+    s"""(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"""
+
+  /** Legacy e-SAJ row semantics ([[Legacy.parseEsajRows]]: SURVEY §2
+    * P5+W5+F8+F9, reference legacy_datajud_connector.py:53-75) under the
+    * oracle gate. The raw cell arrays are synthesized from `orders`:
+    * every 10th row is malformed (2 cells → dropped), every 7th carries
+    * an unparseable date (→ null), cells arrive untrimmed (→ trimmed),
+    * and the 6th cell exists but is ignored. The oracle builds the
+    * expected OUTPUT directly — if any legacy step (drop/trim/reformat/
+    * projection) misbehaves, the hash flips. */
+  val legacyEsajRows = Q("legacy_esaj_rows",
+    """SELECT CAST(o_orderkey AS VARCHAR) || '-89.2026.8.26.0100' AS processo,
+      |  o_orderstatus AS classe,
+      |  o_orderpriority AS assunto,
+      |  'Vara ' || CAST(o_orderkey % 5 AS VARCHAR) AS orgao,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS data
+      |FROM orders WHERE o_orderkey % 10 <> 0
+      |ORDER BY processo""".stripMargin) { (s, d) =>
+    val cells = when(col("o_orderkey") % 10 === 0,
+      array(lit(" truncated "), lit("row")))
+      .otherwise(array(
+        concat(lit("  "), col("o_orderkey").cast("string"),
+          lit("-89.2026.8.26.0100 ")),
+        concat(col("o_orderstatus"), lit(" ")),
+        concat(lit(" "), col("o_orderpriority")),
+        concat(lit(" Vara "), (col("o_orderkey") % 5).cast("string")),
+        when(col("o_orderkey") % 7 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("o_orderdate"), "dd/MM/yyyy")),
+        lit("ignored-sixth-cell")))
+    Legacy.parseEsajRows(o(s, d).select(cells.as("cells")), col("cells"))
+      .orderBy("processo")
+  }
+
+  /** Legacy DataJud stats projection ([[Legacy.statsProjection]]: SURVEY
+    * §2 S4+P4, reference legacy_datajud_connector.py:128-146) under the
+    * oracle gate: raw records derived from `events` with mixed input
+    * types (int ano → long, preserved nulls in both metric columns). */
+  val legacyStats = Q("legacy_stats",
+    """SELECT event_type || '#' || CAST(event_id AS VARCHAR) AS classe,
+      |  CAST(year(ts) AS BIGINT) AS ano,
+      |  value AS tempo_medio_dias,
+      |  CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END
+      |    AS taxa_provimento_percent
+      |FROM events ORDER BY classe""".stripMargin) { (s, d) =>
+    val raw = ev(s, d).select(
+      concat(col("event_type"), lit("#"), col("event_id")).as("classe"),
+      year(col("ts")).as("ano"), // int on purpose: the projection casts
+      col("value").as("tempo_medio_dias"),
+      when(col("event_id") % 11 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("taxa_provimento_percent"))
+    Legacy.statsProjection(raw).orderBy("classe")
+  }
+
+  /** Resize stage ([[Multimodal.resizeTo]]): fit each decoded frame into
+    * a 320×240 box preserving aspect ratio. Decode geometry is the stub's
+    * arithmetic (byte_len mod 640/480, clamped to ≥1), so the oracle
+    * replays it exactly; scale/trunc are single IEEE ops on both sides. */
+  val multimodalResize = Q("multimodal_resize",
+    """SELECT id,
+      |  CAST(GREATEST(1, trunc(w * scale)) AS BIGINT) AS width,
+      |  CAST(GREATEST(1, trunc(h * scale)) AS BIGINT) AS height,
+      |  scale, content_md5
+      |FROM (
+      |  SELECT doc_id AS id,
+      |    GREATEST(length(text) % 640, 1) AS w,
+      |    GREATEST(length(text) % 480, 1) AS h,
+      |    LEAST(CAST(1.0 AS DOUBLE),
+      |      LEAST(CAST(320 AS DOUBLE) / GREATEST(length(text) % 640, 1),
+      |            CAST(240 AS DOUBLE) / GREATEST(length(text) % 480, 1)))
+      |      AS scale,
+      |    md5(text) AS content_md5
+      |  FROM documents)
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val records = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.MediaRecord(id, "text", text.getBytes("UTF-8"))
+      }
+    Multimodal.resizeTo(records, 320, 240).toDF()
+      .select(col("id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("scale"), col("content_md5"))
+      .orderBy("id")
+  }
+
+  /** Trained-index ANN ([[Similarity.kmeansIter]] →
+    * [[Similarity.ivfTopKWith]]): one Lloyd step refines 8 seed centroids
+    * (lowest-id vectors), then IVF probes the refined codebook. The
+    * oracle replays the identical refine (argmax-cosine assignment,
+    * decimal-exact per-dim sums, one IEEE divide per mean) and the
+    * identical probe/score/rank, so both engines walk the same index. */
+  val annIvfKmeans = Q("ann_ivf_kmeans",
+    s"""WITH cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 8),
+       |asg0 AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent0 c) WHERE rn = 1),
+       |dm AS (SELECT cell, i AS d,
+       |    CAST(SUM(CAST(n_vec[i] AS DECIMAL(30,10))) AS DOUBLE)
+       |      / COUNT(n_vec[i]) AS m
+       |  FROM asg0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY cell, i),
+       |cent1 AS (SELECT cell, list(m ORDER BY d) AS c_vec FROM dm GROUP BY cell),
+       |asg AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent1 c) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell, q_vec FROM (
+       |  SELECT q.vec_id AS q_id, c.cell, q.embedding AS q_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings q CROSS JOIN cent1 c WHERE q.vec_id < 5) WHERE rn <= 3),
+       |sc AS (SELECT q_id, n_id, ${sqlCos("p.q_vec", "a.n_vec")} AS cos
+       |  FROM probes p JOIN asg a USING (cell) WHERE q_id <> n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER
+       |  (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val cent0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    val cent1 = Similarity.kmeansIter(e, cent0, "vec_id", "embedding")
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e, cent1,
+      "vec_id", "embedding", k = 3, nProbe = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
+    annIvfKmeans)
+}

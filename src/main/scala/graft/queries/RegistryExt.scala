@@ -394,5 +394,6 @@ object RegistryExt {
     multimodalFrames, sqlSubquery, pipelineHits)
 
   /** Everything the engine exposes. */
-  val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext ++ Registry3.round3
+  val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext ++
+    Registry3.round3 ++ Registry4.round4
 }

@@ -99,10 +99,13 @@ class PlanAssertionsSpec extends SparkSpec {
   test("q38: bloom prefilter sits in the fact scan stage, before the exchange") {
     val plan = planOf(q("q38_bloom_semi_join"))
     assert(plan.contains("LeftSemi"), "exactness comes from the semi join")
-    // the bloom probe is a scan-stage Filter (UDF), so pruned fact rows
-    // never reach an exchange
-    val filterLine = plan.linesIterator.find(l => l.contains("Filter") && l.contains("UDF"))
+    // the bloom probe is the codegen'd might_contain built-in in a
+    // scan-stage Filter, so pruned fact rows never reach an exchange and
+    // the probe never leaves WholeStageCodegen
+    val filterLine = plan.linesIterator.find(l =>
+      l.contains("Filter") && l.contains("might_contain"))
     assert(filterLine.nonEmpty, s"bloom probe filter missing from the plan:\n$plan")
+    assert(!plan.toLowerCase.contains("udf"), "probe must not be a UDF")
   }
 
   test("custom kernels stay inside WholeStageCodegen") {
