@@ -312,19 +312,23 @@ object Dedup {
     *
     * Algorithm: iterative min-label propagation — every node starts as its
     * own label; each round takes the min of its and its neighbors' labels;
-    * fixpoint when the label sum stops changing (labels only decrease, so
-    * the sum is a strictly decreasing convergence witness — no extra
-    * diff-join). Rounds = component diameter; near-dup clusters are
-    * near-cliques (diameter ≤ ~3), so this runs 2–4 rounds in practice.
-    * Each round is one shuffle-join of (edges ⋈ labels) plus a partial
-    * agg — linear in edges, never materializing the transitive closure.
-    * `localCheckpoint` truncates the per-round lineage so the plan stays
-    * O(1) deep (the 100 TB version checkpoints to reliable storage).
+    * fixpoint when no label changed this round (the changed flag is
+    * computed in the round's own projection, so the witness is one
+    * overflow-proof COUNT per round — no extra diff-join, and unlike a
+    * label-sum witness it cannot alias at extreme id ranges). Rounds =
+    * component diameter; near-dup clusters are near-cliques (diameter ≤
+    * ~3), so this runs 2–4 rounds in practice. Each round is one
+    * shuffle-join of (edges ⋈ labels) plus a partial agg — linear in
+    * edges, never materializing the transitive closure. `localCheckpoint`
+    * truncates the per-round lineage so the plan stays O(1) deep (the
+    * 100 TB version checkpoints to reliable storage).
     *
-    * Contract: labels are exact when the loop reaches its fixpoint;
-    * a component with diameter > maxIter (pathological for near-dup
-    * graphs) would return non-minimal labels — raise maxIter for
-    * chain-shaped graphs. */
+    * Contract: labels are exact when the loop reaches its fixpoint; if a
+    * component's diameter exceeds `maxIter` (pathological for near-dup
+    * graphs, normal for chain-shaped ones) the labels would be
+    * non-minimal, so the operator THROWS IllegalStateException instead
+    * of silently returning them — raise maxIter for chain-shaped
+    * graphs. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -338,21 +342,24 @@ object Dedup {
       .agg(min(col("dst")).as("_nbr"))
       .select(col("id"), least(col("id"), col("_nbr")).as("cluster"))
       .localCheckpoint()
-    var prevSum = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      labels = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("_changed"))
         .localCheckpoint()
-      val s = labels.agg(coalesce(sum(col("cluster")), lit(0L))).head().getLong(0)
-      converged = s == prevSum
-      prevSum = s
+      converged = next.filter(col("_changed")).count() == 0L
+      labels = next.drop("_changed")
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not reach a fixpoint in $maxIter rounds: " +
+        "a component's diameter exceeds maxIter, so labels would be " +
+        "non-minimal. Raise maxIter (rounds needed = max component diameter).")
     labels
   }
 

@@ -172,13 +172,33 @@ object Similarity {
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked on
     * `blockCol` (cluster/label/LSH bucket) so the pair join never goes
-    * quadratic in the corpus. */
+    * quadratic in the corpus.
+    *
+    * Contract: WITHIN one block the join IS quadratic — block balance is
+    * the caller's scale knob, exactly as slice width is for
+    * [[graft.operators.Dedup.simhashPairs]]. Because a single hot block
+    * (one 10 M-row cluster) would silently cost 10¹⁴ pairs, the operator
+    * pre-checks block cardinality with one column-pruned aggregation and
+    * REFUSES to run when the largest block exceeds `maxBlockRows`
+    * (default 2²⁰ ≈ 10⁶ rows ⇒ ≤ ~5·10¹¹ candidate pairs per block) —
+    * choose a finer `blockCol` or raise the cap deliberately. The guard
+    * is one eager scan of the block column; the quadratic join it
+    * prevents is unboundedly larger. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                    blockCol: Column, threshold: Double,
-                   dim: Int = 64): DataFrame = {
+                   dim: Int = 64, maxBlockRows: Long = 1L << 20): DataFrame = {
+    require(maxBlockRows > 0, "maxBlockRows must be positive")
     // per-row norms + aliased self-join (one exchange, reused by AQE)
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
       blockCol.as("blk"), VectorFns.l2NormN(col(vecCol), dim).as("nrm"))
+    val top = embeddings.select(blockCol.as("blk"))
+      .groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).head()
+    val maxBlk = if (top.isNullAt(0)) 0L else top.getLong(0)
+    require(maxBlk <= maxBlockRows,
+      s"nearDupPairs: largest block holds $maxBlk rows > maxBlockRows=" +
+        s"$maxBlockRows; the within-block join is quadratic (~${maxBlk}² " +
+        "pairs) — use a finer blockCol or raise maxBlockRows deliberately")
     base.alias("a").join(base.alias("b"),
       col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),

@@ -90,4 +90,18 @@ class VectorFnsSpec extends SparkSpec {
     // cell of centroid 1 holds vecs {1, 3}; vec 2's cell is unprobed
     assert(ids.contains(1L) && !ids.contains(2L))
   }
+
+  test("nearDupPairs: oversized block is refused, balanced blocks run") {
+    // all four vectors share one block → block of 4 > cap of 3 → refuse
+    assertThrows[IllegalArgumentException] {
+      Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+        lit(0), threshold = 0.9, dim = 3, maxBlockRows = 3)
+    }
+    // under the cap the quadratic-within-block join runs and finds the
+    // parallel pair (1, 3)
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      lit(0), threshold = 0.999, dim = 3, maxBlockRows = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)))
+  }
 }

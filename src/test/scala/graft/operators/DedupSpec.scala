@@ -84,6 +84,19 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs.filter($"a_id" < 0), "a_id", "b_id").count() == 0)
   }
 
+  test("connectedComponents: diameter > maxIter fails loudly, never returns non-minimal labels") {
+    // a 12-node chain has diameter 11: 2 rounds (1 seeded + 1) cannot
+    // close it — the operator must throw, not silently mislabel
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a_id", "b_id", maxIter = 2)
+    }
+    // with enough rounds the same chain converges to the min label
+    val ok = Dedup.connectedComponents(chain, "a_id", "b_id", maxIter = 15)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok == Set(0L))
+  }
+
   test("minhashCandidatesAgainst: batch probes corpus only — no batch×batch or corpus×corpus pairs") {
     val corpus = docs.filter($"doc_id" <= 2)  // ids 1, 2 (near-dups)
     val batch = docs.filter($"doc_id" >= 3)   // 3 = exact dup of 1; 4, 5 unrelated
