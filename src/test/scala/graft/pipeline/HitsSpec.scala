@@ -72,6 +72,33 @@ class HitsSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$sink/processos.csv").count() == 2)
   }
 
+  test("K2 golden: CSV byte rendering of arrays/timestamps is pinned") {
+    // The reference's pandas to_csv renders list cells as Python repr
+    // (['Assunto A', '']) and quotes per RFC4180 (doubled quotes). Our
+    // declared deviation (SURVEY.md §7.4.3): arrays render as JSON and
+    // Spark's CSV writer escapes embedded quotes with backslash. This
+    // golden file pins that rendering byte-for-byte — timestamps as
+    // 'yyyy-MM-dd HH:mm:ss', nulls as empty fields, JSON-in-CSV with
+    // backslash-escaped quotes — so any drift in the sink contract fails
+    // here, not in a downstream consumer.
+    val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
+      PipelineConfig())
+    val sink = Files.createTempDirectory("sink-golden").toString
+    assert(JurimetriaPipeline.persist(out, sink))
+    val parts = new java.io.File(s"$sink/processos.csv").listFiles
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val lines = parts.flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    val (hdr, data) = lines.partition(_.startsWith("tribunal,"))
+    val actual = (hdr.distinct.toList ++ data.sorted).mkString("\n") + "\n"
+    val goldenStream = getClass.getResourceAsStream("/golden/processos_csv.golden")
+    val golden = scala.io.Source.fromInputStream(goldenStream, "UTF-8").mkString
+    assert(actual == golden,
+      s"CSV rendering drifted from the pinned golden:\n--- actual ---\n$actual")
+  }
+
   test("CSV roundtrip (S2 source semantics): typed read-back preserves values") {
     val out = JurimetriaPipeline.run(spark, Map("TJSP" -> dir), municipios,
       PipelineConfig())
