@@ -420,13 +420,13 @@ object Registry {
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("_au"),
         approx_percentile(col("value"), lit(0.5), lit(1000)).as("_ap50"),
-        percentile(col("value"), lit(0.45)).as("_lo"),
-        percentile(col("value"), lit(0.55)).as("_hi"))
+        // one fused exact-percentile buffer for both bound cut points
+        percentile(col("value"), array(lit(0.45), lit(0.55))).as("_b"))
       .select(col("event_type"), col("cnt"), col("exact_users"),
         (abs(col("_au") - col("exact_users")) <=
           greatest(col("exact_users").cast("double") * 0.06, lit(2.0)))
           .as("users_within"),
-        (col("_ap50") >= col("_lo") && col("_ap50") <= col("_hi"))
+        (col("_ap50").between(element_at(col("_b"), 1), element_at(col("_b"), 2)))
           .as("p50_within"))
       .orderBy("event_type")
   }
