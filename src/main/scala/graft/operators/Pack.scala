@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-construction stages of a training-data pipeline: fixed-window
+  * document chunking (embedding/indexing prep) and token-budget sequence
+  * packing (pretraining batch prep). Both are pure narrow algebra over
+  * the corpus — chunking is shuffle-free, packing shuffles once on the
+  * pack-group key — so they scale linearly with corpus bytes.
+  */
+object Pack {
+
+  /** Split each document into fixed-size character windows with
+    * `overlap` characters of context carried between consecutive chunks
+    * (the standard RAG/embedding-index prep). Token-based chunking swaps
+    * the length/substr pair for token equivalents; the dataflow is
+    * identical.
+    *
+    * Chunk starts are 0, size-overlap, 2(size-overlap), … while < length
+    * (so every chunk is non-empty and the last may be short); null text
+    * yields no rows. One explode, no shuffle, stays in whole-stage
+    * codegen. */
+  def chunkFixed(docs: DataFrame, idCol: String, textCol: String,
+                 size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    docs
+      // explicit: null text chunks to nothing (greatest() would otherwise
+      // skip the null length and emit one null chunk at offset 0)
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("_text"),
+        explode(sequence(lit(0),
+          greatest(length(col(textCol)) - 1, lit(0)), lit(step))).as("_off"))
+      .select(col(idCol),
+        expr(s"_off div $step").cast("long").as("chunk_id"),
+        expr(s"substring(_text, _off + 1, $size)").as("chunk"))
+  }
+
+  /** Pack documents into fixed `budget`-token training sequences, GPT
+    * pretraining style: documents are laid end-to-end in a deterministic
+    * order (by `idCol` within each `partCol` group) and cut every
+    * `budget` tokens, so a document can straddle two (or more)
+    * sequences. Emits one row per (document, sequence) with the token
+    * count that lands in that sequence — the exact manifest a sequence
+    * builder consumes.
+    *
+    * Scale shape: ONE shuffle (the window partition on `partCol`);
+    * packing is embarrassingly parallel across groups (source shards in
+    * production — a global pack order would serialize the corpus through
+    * one partition). All arithmetic is integer (no float division), so
+    * the layout is reproducible on any engine/partitioning. Zero-token
+    * documents are dropped (they occupy no sequence space). */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: Column,
+                    budget: Long, partCol: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col("_src")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(partCol.as("_src"), col(idCol).as("_id"),
+        tokenCol.cast("long").as("_tk"))
+      .filter(col("_tk") > 0)
+      .withColumn("_cum", sum(col("_tk")).over(w))
+      .withColumn("_start", col("_cum") - col("_tk"))
+      .select(col("_src"), col("_id"), col("_tk"), col("_cum"), col("_start"),
+        explode(sequence(
+          expr(s"_start div $budget"),
+          expr(s"(_cum - 1) div $budget"))).as("seq_id"))
+      .select(col("_src").as("source"), col("_id").as("doc_id"),
+        col("seq_id").cast("long").as("seq_id"),
+        (least(col("_cum"), (col("seq_id") + 1) * budget) -
+          greatest(col("_start"), col("seq_id") * budget)).as("tok_in_seq"))
+  }
+}

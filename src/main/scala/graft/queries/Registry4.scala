@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Multimodal, Similarity}
+import graft.functions.TextFns
+import graft.operators.{Multimodal, Pack, Similarity}
 import graft.pipeline.Legacy
 
 /** Round-4 additions: oracle coverage for the legacy-connector surface
@@ -161,6 +162,47 @@ object Registry4 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Fixed-window chunking ([[Pack.chunkFixed]]): 200-char windows, 50
+    * overlap — the embedding-index prep stage. Shuffle-free narrow
+    * explode; the ORDER BY is the oracle's, not the operator's. */
+  val packChunk = Q("pack_chunk_documents",
+    """SELECT doc_id, CAST(off // 150 AS BIGINT) AS chunk_id,
+      |  substr(text, CAST(off + 1 AS INT), 200) AS chunk
+      |FROM (SELECT doc_id, text,
+      |  unnest(range(0, GREATEST(length(text) - 1, 0) + 1, 150)) AS off
+      |  FROM documents)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    Pack.chunkFixed(Tables.documents(s, d), "doc_id", "text",
+      size = 200, overlap = 50)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Token-budget sequence packing ([[Pack.packSequences]]): documents
+    * laid end-to-end per source, cut every 256 whitespace tokens,
+    * straddling docs split across sequences. The oracle replays the
+    * same integer layout arithmetic over the same window cumsum. */
+  val packSequences = Q("pack_sequences",
+    """SELECT source, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+      |  CAST(LEAST(cum, (seq_id + 1) * 256)
+      |    - GREATEST(strt, seq_id * 256) AS BIGINT) AS tok_in_seq
+      |FROM (
+      |  SELECT source, doc_id, cum, cum - tk AS strt,
+      |    unnest(range((cum - tk) // 256, (cum - 1) // 256 + 1)) AS seq_id
+      |  FROM (
+      |    SELECT source, doc_id, tk,
+      |      CAST(SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |    FROM (SELECT source, doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+      |      FROM documents)
+      |    WHERE tk > 0))
+      |ORDER BY doc_id, seq_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Pack.packSequences(docs, "doc_id", TextFns.wsTokenCount(col("text")),
+      budget = 256L, partCol = col("source"))
+      .orderBy("doc_id", "seq_id")
+  }
+
   val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
-    annIvfKmeans)
+    annIvfKmeans, packChunk, packSequences)
 }
