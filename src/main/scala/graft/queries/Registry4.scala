@@ -203,6 +203,64 @@ object Registry4 {
       .orderBy("doc_id", "seq_id")
   }
 
+  /** Gopher-style repetition quality signals, per document: distinct-token
+    * ratio, most-frequent-token fraction (tie → lexicographically largest,
+    * deterministic on both engines), and most-frequent-bigram fraction —
+    * the repetition gates a pretraining curation pass runs next to
+    * text_quality's length/punct signals. Shape: explode → two-level
+    * hash agg, shuffling (doc_id, token) pairs — the codegen'd
+    * distributed form (per-row array lambdas would run interpreted and
+    * quadratic per doc). Ratios are single IEEE divides of exact longs. */
+  val textRepetition = Q("text_repetition",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |uni AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+      |  FROM uni GROUP BY doc_id),
+      |top AS (SELECT doc_id, tok AS top_tok, c AS top_c FROM (
+      |  SELECT doc_id, tok, c, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY c DESC, tok DESC) AS rn FROM uni) WHERE rn = 1),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' ||
+      |           string_split(text, ' ')[i + 1])) AS b
+      |  FROM documents),
+      |tb AS (SELECT doc_id, MAX(c) AS top2_c FROM (
+      |  SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1)
+      |SELECT agg.doc_id, n_tok, n_distinct,
+      |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_ratio,
+      |  top_tok,
+      |  CAST(top_c AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_frac,
+      |  CAST(top2_c AS DOUBLE) / CAST(n_tok - 1 AS DOUBLE) AS top2_frac
+      |FROM agg LEFT JOIN top ON agg.doc_id = top.doc_id
+      |  LEFT JOIN tb ON agg.doc_id = tb.doc_id
+      |ORDER BY agg.doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    val d0 = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    val t = d0.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val uni = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val agg = uni.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
+      max(struct(col("c"), col("tok"))).as("_top"))
+    val tb = d0
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("_top2_c"))
+    agg.join(tb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tok").cast("double"))
+          .as("distinct_ratio"),
+        col("_top.tok").as("top_tok"),
+        (col("_top.c").cast("double") / col("n_tok").cast("double"))
+          .as("top_frac"),
+        (col("_top2_c").cast("double") / (col("n_tok") - 1).cast("double"))
+          .as("top2_frac"))
+      .orderBy("doc_id")
+  }
+
   val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
-    annIvfKmeans, packChunk, packSequences)
+    annIvfKmeans, packChunk, packSequences, textRepetition)
 }
