@@ -155,7 +155,12 @@ object Registry4 {
     val e = emb(s, d)
     val cent0 = e.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    // the refined codebook feeds BOTH the assignment and the probe joins;
+    // without a checkpoint Spark plans the 2-shuffle refine once per
+    // consumer (no exchange reuse across broadcasts) — 8 rows, so
+    // materializing it is free
     val cent1 = Similarity.kmeansIter(e, cent0, "vec_id", "embedding")
+      .localCheckpoint()
     Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e, cent1,
       "vec_id", "embedding", k = 3, nProbe = 3)
       .withColumn("rnk", col("rnk").cast("long"))
