@@ -129,6 +129,29 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** IVF index maintenance: assign a NEW batch of vectors to an existing
+    * codebook (cell, c_vec) without touching the indexed corpus — the
+    * incremental ingest path next to [[ivfTopKWith]]'s query path. One
+    * broadcast join + argmax partial aggregation (same cosine/tie rule
+    * as assignment inside ivfTopKWith: ties toward the higher cell);
+    * returns (vec_id, cell, score). Zero-norm vectors score null and
+    * lose every comparison, landing in their lowest-competing cell. */
+  def ivfAssign(batch: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
+    val cent = centroids.select(col("cell"), col("c_vec"),
+      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
+    val cos = when(col("_nrm") > 0.0 && col("c_nrm") > 0.0,
+      VectorFns.dotN(col("_v"), col("c_vec"), dim) / (col("_nrm") * col("c_nrm")))
+    batch
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
+        VectorFns.l2NormN(col(vecCol), dim).as("_nrm"))
+      .join(broadcast(cent))
+      .groupBy("vec_id")
+      .agg(max(struct(cos.as("s"), col("cell").as("cell"))).as("_best"))
+      .select(col("vec_id"), col("_best.cell").as("cell"),
+        col("_best.s").as("score"))
+  }
+
   /** One Lloyd (k-means) refinement step for IVF centroids: assign each
     * corpus vector to its nearest centroid (same argmax-cosine rule as
     * [[ivfTopK]]), then average each cell's members per dimension.

@@ -266,6 +266,73 @@ object Registry4 {
       .orderBy("doc_id")
   }
 
+  /** Incremental IVF ingest ([[Similarity.ivfAssign]]): a new batch
+    * (every vec_id ≡ 7 mod 10) lands in the existing 16-cell seed
+    * codebook — broadcast join + argmax, the corpus itself untouched.
+    * The oracle replays the same cosine argmax with the same tie rule. */
+  val annIvfAssign = Q("ann_ivf_assign",
+    s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16)
+       |SELECT vec_id, cell, score FROM (
+       |  SELECT q.vec_id, c.cell, ${sqlCos("q.embedding", "c.c_vec")} AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlCos("q.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 10 = 7)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val seed = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    Similarity.ivfAssign(e.filter(col("vec_id") % 10 === 7), seed,
+      "vec_id", "embedding")
+      .orderBy("vec_id")
+  }
+
+  /** Dup-cluster size audit: the histogram a curation run reads to judge
+    * dedup aggressiveness (how many pairs/triples/blobs). Same pairs +
+    * connected components as dedup_clusters, then two cheap aggs; the
+    * oracle extends the recursive-CTE closure with the same histogram. */
+  val dedupClusterSizes = Q("dedup_cluster_sizes",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, list_transform(range(0, 8),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.bnd, md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bnd = b.bnd AND a.bk = b.bk
+      |    AND a.doc_id < b.doc_id),
+      |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+      |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id),
+      |lab AS (SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cl
+      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+      |cs AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS sz FROM lab GROUP BY cl)
+      |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+      |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    val corpus = Tables.documents(s, d)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id")
+    corpus.select("doc_id")
+      .join(cc, corpus("doc_id") === cc("id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id")).as("cl"))
+      .groupBy("cl").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
-    annIvfKmeans, packChunk, packSequences, textRepetition)
+    annIvfKmeans, packChunk, packSequences, textRepetition, annIvfAssign,
+    dedupClusterSizes)
 }
