@@ -332,7 +332,30 @@ object Registry4 {
       .orderBy("cluster_size")
   }
 
+  /** Corpus-level audit rollup, per (source, lang): the headline numbers
+    * a dataset card reports. Pure partial-agg shapes (sums/counts of
+    * exact longs — no order-dependent doubles), one shuffle on the tiny
+    * group key. */
+  val corpusStats = Q("corpus_stats",
+    """SELECT source, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextFns.wsTokenCount(col("text"))).as("total_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source", "lang")
+  }
+
   val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
     annIvfKmeans, packChunk, packSequences, textRepetition, annIvfAssign,
-    dedupClusterSizes)
+    dedupClusterSizes, corpusStats)
 }

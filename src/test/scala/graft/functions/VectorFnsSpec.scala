@@ -91,6 +91,18 @@ class VectorFnsSpec extends SparkSpec {
     assert(ids.contains(1L) && !ids.contains(2L))
   }
 
+  test("ivfAssign: argmax cell with higher-cell ties, corpus untouched") {
+    val cent = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)),
+      (2, Array(1.0f, 0.0f, 0.0f))) // cell 2 duplicates cell 0 → tie
+      .toDF("cell", "c_vec")
+    val batch = Seq((10L, Array(0.9f, 0.1f, 0.0f)), (11L, Array(0.0f, 2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfAssign(batch, cent, "vec_id", "embedding", dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // vec 10 is nearest the duplicated axis → tie breaks to the HIGHER cell
+    assert(got == Map(10L -> 2, 11L -> 1))
+  }
+
   test("nearDupPairs: oversized block is refused, balanced blocks run") {
     // all four vectors share one block → block of 4 > cap of 3 → refuse
     assertThrows[IllegalArgumentException] {
