@@ -355,7 +355,38 @@ object Registry4 {
       .orderBy("source", "lang")
   }
 
+  /** The pure-SQL face of the custom kernels: the whole query is a
+    * `spark.sql(...)` string using the `graft_*` functions registered by
+    * [[graft.GraftExtensions]] (rolling hash, word shingles, fused dot) —
+    * proof a SQL-only user gets the same codegen'd kernels and the same
+    * oracle-exact results as the Column API. */
+  val sqlGraftFns = Q("sql_graft_functions",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(text[i]) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS rh,
+      |  CAST(len(list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |         || ' ' || string_split(text,' ')[i+2]))) AS BIGINT) AS n_shingles,
+      |  list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+      |    (x, y) -> x + y) AS sq_norm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).createOrReplaceTempView("docs_g4")
+    Tables.embeddings(s, d).createOrReplaceTempView("emb_g4")
+    s.sql(
+      """SELECT doc_id,
+        |  graft_rolling_hash(text) AS rh,
+        |  CAST(size(array_distinct(graft_word_shingles(text, 3))) AS BIGINT)
+        |    AS n_shingles,
+        |  graft_dot(embedding, embedding) AS sq_norm
+        |FROM docs_g4 d JOIN emb_g4 e ON d.doc_id = e.vec_id
+        |ORDER BY doc_id""".stripMargin)
+  }
+
   val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
     annIvfKmeans, packChunk, packSequences, textRepetition, annIvfAssign,
-    dedupClusterSizes, corpusStats)
+    dedupClusterSizes, corpusStats, sqlGraftFns)
 }
