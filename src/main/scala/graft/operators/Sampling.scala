@@ -40,6 +40,28 @@ object Sampling {
       substring(md5(concat_ws(":", lit(salt), strata, key)), 1, 8)
         < lit(hexThreshold(fraction)))
 
+  /** Deterministic WEIGHTED Bernoulli sample: each row is kept with its
+    * OWN probability `weightCol` (clamped to [0,1]) — the upsample/
+    * downsample-by-quality curation primitive (e.g. weight = a quality
+    * score, so better documents survive more often), with the same
+    * reproducibility contract as [[stratifiedSample]]: a pure per-row
+    * hash predicate, zero shuffles, any-partitioning-stable.
+    *
+    * The per-row threshold is the weight rendered as the same 8-hex-char
+    * string [[hexThreshold]] produces (floor(w·2³²), lowercase, left-
+    * padded), compared against the md5 draw; weight ≥ 1 keeps the row
+    * unconditionally. DuckDB oracle mirror:
+    * `CASE WHEN w >= 1.0 THEN TRUE ELSE substr(md5(salt || ':' || key), 1, 8)
+    *  < lpad(lower(hex(CAST(floor(w * 4294967296.0) AS BIGINT))), 8, '0') END`.
+    */
+  def weightedSample(df: DataFrame, weightCol: Column, key: Column,
+                     salt: String = "graft"): DataFrame = {
+    val w = greatest(lit(0.0), weightCol.cast("double"))
+    val draw = substring(md5(concat_ws(":", lit(salt), key)), 1, 8)
+    val thr = lpad(lower(hex(floor(w * 4294967296.0).cast("long"))), 8, "0")
+    df.filter(w >= 1.0 || draw < thr)
+  }
+
   /** Per-group quota: at most `n` rows per group, chosen by a
     * deterministic salted-hash order (a fixed "random" draw) with the key
     * itself as the tiebreak. The standard cap-per-domain /

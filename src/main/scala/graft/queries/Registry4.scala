@@ -386,7 +386,27 @@ object Registry4 {
         |ORDER BY doc_id""".stripMargin)
   }
 
+  /** Weighted Bernoulli sample ([[graft.operators.Sampling.weightedSample]]):
+    * keep probability grows with document length (weight = n_chars/300,
+    * clamped) — the upsample-by-quality curation primitive, reproducible
+    * under any partitioning. Zero shuffles bar the oracle's ORDER BY. */
+  val sampleWeighted = Q("sample_weighted",
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(n_chars AS DOUBLE) / 300.0 AS w,
+      |    substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) AS draw
+      |  FROM documents)
+      |WHERE w >= 1.0 OR draw <
+      |  lpad(lower(hex(CAST(floor(GREATEST(0.0, w) * 4294967296.0) AS BIGINT))), 8, '0')
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Sampling
+    Sampling.weightedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      col("n_chars").cast("double") / 300.0, col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
     annIvfKmeans, packChunk, packSequences, textRepetition, annIvfAssign,
-    dedupClusterSizes, corpusStats, sqlGraftFns)
+    dedupClusterSizes, corpusStats, sqlGraftFns, sampleWeighted)
 }

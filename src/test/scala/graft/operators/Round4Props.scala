@@ -66,6 +66,28 @@ object Round4Props extends Properties("Round4") {
       got == want
     }
 
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  // weightedSample == the per-row draw < floor(w·2^32) model; w ≥ 1
+  // always kept, w ≤ 0 never
+  property("weightedSample == per-row hash-threshold model") =
+    forAll(Gen.listOfN(150, Gen.zip(Gen.choose(0L, 100000L),
+      Gen.choose(-0.2, 1.3)))) { raw =>
+      val rows = raw.distinctBy(_._1)
+      val df = rows.toDF("id", "w")
+      val got = Sampling.weightedSample(df, $"w", $"id")
+        .collect().map(_.getLong(0)).toSet
+      val want = rows.filter { case (id, w) =>
+        w >= 1.0 || (w > 0.0 &&
+          md5Hex(s"graft:$id").substring(0, 8) <
+            f"${math.floor(w * 4294967296.0).toLong}%08x")
+      }.map(_._1).toSet
+      got == want
+    }
+
   // ivfTopKWith on the lowest-id seed codebook IS ivfTopK (the refactor
   // changed the plumbing, not the semantics)
   property("ivfTopKWith(seed codebook) == ivfTopK") =
