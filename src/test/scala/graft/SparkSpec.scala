@@ -24,6 +24,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // same graft_* SQL function surface as GraftSession.create() — the
+    // engine sessions register them, so the test session must too
+    GraftExtensions.registerAll(s)
     s
   }
 }
