@@ -42,6 +42,30 @@ object Temporal {
                        rightVals: Seq[String]): DataFrame =
     asofJoin(left, right, on, leftTs, rightTs, rightVals, forward = false)
 
+  /** Backward as-of join with a staleness bound: matches older than
+    * `toleranceSec` seconds are nulled out (pandas
+    * merge_asof(tolerance=...) semantics — a quote/sensor reading past
+    * its freshness window must not be carried forward). Pure composition
+    * over [[asofJoinBackward]]: the matched right timestamp rides along
+    * as an extra value, then a row-local predicate nulls stale values —
+    * still one key shuffle, no second pass. */
+  def asofJoinBackwardWithin(left: DataFrame, right: DataFrame, on: String,
+                             leftTs: String, rightTs: String,
+                             rightVals: Seq[String],
+                             toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0, "toleranceSec must be non-negative")
+    val rts = "_graft_asof_rts"
+    require(!left.columns.contains(rts) && !right.columns.contains(rts),
+      s"inputs must not contain a $rts column (internal working column)")
+    val joined = asofJoinBackward(left,
+      right.withColumn(rts, col(rightTs)), on, leftTs, rightTs,
+      rightVals :+ rts)
+    val fresh = col(rts).isNotNull &&
+      (col(leftTs).cast("long") - col(rts).cast("long")) <= toleranceSec
+    joined.select(left.columns.map(col).toSeq ++
+      rightVals.map(v => when(fresh, col(v)).as(v)): _*)
+  }
+
   /** Forward as-of join: for each left row, the EARLIEST right row at or
     * after its timestamp (per key) — the mirror of [[asofJoinBackward]]
     * (e.g. "next click after each view"). Same contract, same single-

@@ -406,7 +406,41 @@ object Registry4 {
       .orderBy("doc_id")
   }
 
+  /** Tolerance-bounded as-of join
+    * ([[graft.operators.Temporal.asofJoinBackwardWithin]]): q24's
+    * view←click match, but clicks staler than 10 minutes are nulled —
+    * pandas merge_asof(tolerance) semantics. The oracle replays the
+    * plain ASOF join and applies the same staleness CASE. */
+  val q49AsofTolerance = Q("q49_asof_tolerance",
+    """WITH v AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view' AND ts IS NOT NULL),
+      |c AS (SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1, 2),
+      |j AS (SELECT v.event_id, v.user_id, c.click_id, c.ts AS cts, v.ts AS vts
+      |  FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts)
+      |SELECT event_id, user_id,
+      |  CASE WHEN cts IS NOT NULL AND date_diff('second', cts, vts) <= 600
+      |    THEN click_id END AS click_id,
+      |  CASE WHEN cts IS NOT NULL AND date_diff('second', cts, vts) <= 600
+      |    THEN CAST(date_diff('second', cts, vts) AS BIGINT) END AS gap_s
+      |FROM j ORDER BY event_id""".stripMargin) { (s, d) =>
+    import graft.operators.Temporal
+    val e = ev(s, d)
+    val views = e.filter(col("event_type") === "view" && col("ts").isNotNull)
+      .select("event_id", "user_id", "ts")
+    val clicks = e.filter(col("event_type") === "click" && col("ts").isNotNull)
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+      .withColumnRenamed("ts", "click_ts")
+    Temporal.asofJoinBackwardWithin(views, clicks, on = "user_id",
+      leftTs = "ts", rightTs = "click_ts",
+      rightVals = Seq("click_id", "click_ts"), toleranceSec = 600L)
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (col("ts").cast("long") - col("click_ts").cast("long")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
   val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
     annIvfKmeans, packChunk, packSequences, textRepetition, annIvfAssign,
-    dedupClusterSizes, corpusStats, sqlGraftFns, sampleWeighted)
+    dedupClusterSizes, corpusStats, sqlGraftFns, sampleWeighted,
+    q49AsofTolerance)
 }

@@ -29,6 +29,22 @@ class TemporalSpec extends SparkSpec {
     assert(out(4L).contains(300L))
   }
 
+  test("asofJoinBackwardWithin: stale matches null out, fresh ones survive, rows preserved") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // 1h after the 09:00 quote → stale
+      (2L, 10L, ts("2024-01-01 09:10:00")),  // 10 min after → fresh
+      (3L, 10L, ts("2024-01-01 07:00:00"))   // no match at all → null
+    ).toDF("id", "k", "t")
+    val right = Seq((10L, ts("2024-01-01 09:00:00"), 200L)).toDF("k", "rt", "v")
+    val out = Temporal.asofJoinBackwardWithin(left, right, "k", "t", "rt",
+      Seq("v"), toleranceSec = 1800L)
+      .select("id", "v").as[(Long, Option[Long])].collect().toMap
+    assert(out.size == 3)                  // every left row preserved
+    assert(out(1L).isEmpty)                // matched but stale → nulled
+    assert(out(2L).contains(200L))         // inside the tolerance
+    assert(out(3L).isEmpty)                // never matched
+  }
+
   test("asofJoinBackward preserves every left row and all left columns") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:00:00"), "x")).toDF("id", "k", "t", "tag")
     val right = Seq((99L, ts("2024-01-01 00:00:00"), 1L)).toDF("k", "rt", "v")
