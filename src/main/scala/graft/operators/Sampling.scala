@@ -62,6 +62,38 @@ object Sampling {
     df.filter(w >= 1.0 || draw < thr)
   }
 
+  /** Deterministic train/validation/test split: every row gets exactly
+    * one split label from the cumulative-fraction ladder over the same
+    * salted-md5 draw the samplers use — reproducible on any cluster, and
+    * re-running with a GROWN corpus never moves an existing row between
+    * splits (the draw depends only on the key). Fractions must sum to 1
+    * (±1e-9); the last split absorbs the hash-ceiling remainder.
+    *
+    * DuckDB oracle mirror: `CASE WHEN substr(md5(salt || ':' || key), 1, 8)
+    * < '<hex(f1)>' THEN 'a' WHEN ... ELSE '<last>' END`. */
+  def assignSplit(df: DataFrame, key: Column,
+                  splits: Seq[(String, Double)],
+                  salt: String = "graft",
+                  outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0.0), "every split fraction must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(!df.columns.contains(outCol), s"input already has a $outCol column")
+    val draw = substring(md5(concat_ws(":", lit(salt), key)), 1, 8)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    // ladder of upper bounds; the final split is the otherwise-arm so
+    // fraction rounding in the hex ceiling can never drop a row
+    val arms = splits.init.zip(cum.init)
+      .map { case ((name, _), upper) => (draw < lit(hexThreshold(upper)), name) }
+    val ladder = arms.tail
+      .foldLeft(when(arms.head._1, arms.head._2)) {
+        case (acc, (cond, name)) => acc.when(cond, name)
+      }
+      .otherwise(splits.last._1)
+    df.withColumn(outCol, ladder)
+  }
+
   /** Per-group quota: at most `n` rows per group, chosen by a
     * deterministic salted-hash order (a fixed "random" draw) with the key
     * itself as the tiebreak. The standard cap-per-domain /

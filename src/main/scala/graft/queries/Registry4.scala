@@ -439,8 +439,29 @@ object Registry4 {
       .orderBy("event_id")
   }
 
+  /** Deterministic 80/10/10 train/val/test split
+    * ([[graft.operators.Sampling.assignSplit]]), reported as per-(lang,
+    * split) counts — the canonical ML dataset partitioning, reproducible
+    * and stable under corpus growth. The oracle replays the cumulative
+    * hex-threshold ladder over the same salted draw. */
+  val sampleSplit = Q("sample_split",
+    s"""SELECT lang, CASE
+       |    WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |      < '${graft.operators.Sampling.hexThreshold(0.8)}' THEN 'train'
+       |    WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |      < '${graft.operators.Sampling.hexThreshold(0.9)}' THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin) { (s, d) =>
+    import graft.operators.Sampling
+    Sampling.assignSplit(Tables.documents(s, d), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
   val round4: Seq[Q] = Seq(legacyEsajRows, legacyStats, multimodalResize,
     annIvfKmeans, packChunk, packSequences, textRepetition, annIvfAssign,
     dedupClusterSizes, corpusStats, sqlGraftFns, sampleWeighted,
-    q49AsofTolerance)
+    q49AsofTolerance, sampleSplit)
 }

@@ -25,6 +25,24 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(corpus, $"lang", $"id", 1.0).count() == 2000)
   }
 
+  test("assignSplit: exactly one label per row, stable under corpus growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplit(corpus, $"id", splits)
+    assert(out.count() == 2000) // every row labeled, none duplicated
+    val byLabel = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // growth stability: labeling a SUBSET gives each row the same split
+    val subset = Sampling.assignSplit(corpus.filter($"id" < 500), $"id", splits)
+    val full = out.filter($"id" < 500)
+    assert(subset.exceptAll(full).isEmpty && full.exceptAll(subset).isEmpty)
+    // fractions must sum to 1
+    assertThrows[IllegalArgumentException] {
+      Sampling.assignSplit(corpus, $"id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("quotaPerGroup: caps each group at n, deterministic winners, payload intact") {
     val out = Sampling.quotaPerGroup(corpus, $"lang", $"id", 7)
     val counts = out.groupBy("lang").count()
