@@ -125,6 +125,16 @@ object TextFns {
       digits, "<NUM>")
   }
 
+  /** Fused single-pass repetition stats struct
+    * ([[graft.expressions.RepetitionStats]]): n_tok, n_distinct, top
+    * token (+count), top bigram count — built row-locally so Gopher-style
+    * repetition signals are a zero-shuffle projection, not an
+    * explode/groupBy over the tokenized corpus. */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.RepetitionStats(
+        org.apache.spark.sql.GraftExpr.expr(text)))
+
   /** Rolling (polynomial) hash over characters, mod 1e9+7 — the classic
     * Rabin-Karp document fingerprint, order-sensitive unlike md5-of-whole.
     * Custom codegen'd expression ([[graft.expressions.RollingHash]]):

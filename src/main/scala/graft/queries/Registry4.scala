@@ -212,10 +212,13 @@ object Registry4 {
     * ratio, most-frequent-token fraction (tie → lexicographically largest,
     * deterministic on both engines), and most-frequent-bigram fraction —
     * the repetition gates a pretraining curation pass runs next to
-    * text_quality's length/punct signals. Shape: explode → two-level
-    * hash agg, shuffling (doc_id, token) pairs — the codegen'd
-    * distributed form (per-row array lambdas would run interpreted and
-    * quadratic per doc). Ratios are single IEEE divides of exact longs. */
+    * text_quality's length/punct signals. Shape: ZERO-SHUFFLE projection
+    * over the fused [[graft.expressions.RepetitionStats]] codegen kernel
+    * (one pass per row builds the token/bigram frequency maps row-locally);
+    * the earlier explode → two-level groupBy form exchanged the whole
+    * tokenized corpus to answer a row-local question. The oracle keeps the
+    * relational formulation — two engines, two shapes, one hash. Ratios
+    * are single IEEE divides of exact longs. */
   val textRepetition = Q("text_repetition",
     """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |  FROM documents),
@@ -241,28 +244,19 @@ object Registry4 {
       |FROM agg LEFT JOIN top ON agg.doc_id = top.doc_id
       |  LEFT JOIN tb ON agg.doc_id = tb.doc_id
       |ORDER BY agg.doc_id""".stripMargin) { (s, d) =>
-    import graft.operators.Dedup
-    val d0 = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
-    val t = d0.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    val uni = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-    val agg = uni.groupBy("doc_id").agg(
-      sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
-      max(struct(col("c"), col("tok"))).as("_top"))
-    val tb = d0
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("_top2_c"))
-    agg.join(tb, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
-        (col("n_distinct").cast("double") / col("n_tok").cast("double"))
+    val st = TextFns.repetitionStats(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), st.as("_r"))
+      .select(col("doc_id"),
+        col("_r.n_tok").as("n_tok"),
+        col("_r.n_distinct").as("n_distinct"),
+        (col("_r.n_distinct").cast("double") / col("_r.n_tok").cast("double"))
           .as("distinct_ratio"),
-        col("_top.tok").as("top_tok"),
-        (col("_top.c").cast("double") / col("n_tok").cast("double"))
+        col("_r.top_tok").as("top_tok"),
+        (col("_r.top_c").cast("double") / col("_r.n_tok").cast("double"))
           .as("top_frac"),
-        (col("_top2_c").cast("double") / (col("n_tok") - 1).cast("double"))
-          .as("top2_frac"))
+        (col("_r.top2_c").cast("double")
+          / (col("_r.n_tok") - 1).cast("double")).as("top2_frac"))
       .orderBy("doc_id")
   }
 

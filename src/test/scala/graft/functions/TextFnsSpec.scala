@@ -53,6 +53,33 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("repetitionStats fused pass matches the relational formulation") {
+    val inputs = Seq("", " ", "a a b b", "a b a b a", "one",
+      "x y x y", "tie tie zzz zzz", "trailing space ")
+    val docs = inputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fused = docs.select($"doc_id", TextFns.repetitionStats($"text").as("r"))
+      .select($"doc_id", $"r.n_tok", $"r.n_distinct", $"r.top_tok",
+        $"r.top_c", $"r.top2_c")
+      .orderBy("doc_id").collect()
+    // relational model: explode → two-level groupBy (the pre-fusion shape)
+    val t = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val uni = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val agg = uni.groupBy("doc_id").agg(
+      sum($"c").as("n_tok"), count(lit(1)).as("n_distinct"),
+      max(struct($"c", $"tok")).as("top"))
+    val tb = docs.select($"doc_id",
+        explode(graft.operators.Dedup.shingles($"text", 2)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max($"c").as("top2_c"))
+    val model = agg.join(tb, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tok", $"n_distinct", $"top.tok", $"top.c", $"top2_c")
+      .orderBy("doc_id").collect()
+    fused.zip(model).foreach { case (f, m) =>
+      assert(f == m, s"doc '${inputs(f.getLong(0).toInt)}'")
+    }
+  }
+
   test("redactPii: emails, URLs, long digit runs; short numbers and nulls untouched") {
     val rows = Seq(
       "mail a.user+x@sub.example.org now",
