@@ -19,9 +19,9 @@ object Pack {
     * identical.
     *
     * Chunk starts are 0, size-overlap, 2(size-overlap), … while < length
-    * (so every chunk is non-empty and the last may be short); null text
-    * yields no rows. One explode, no shuffle, stays in whole-stage
-    * codegen. */
+    * (the last chunk may be short; an empty — but non-null — text emits
+    * exactly one empty chunk at offset 0); null text yields no rows. One
+    * explode, no shuffle, stays in whole-stage codegen. */
   def chunkFixed(docs: DataFrame, idCol: String, textCol: String,
                  size: Int, overlap: Int): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,

@@ -63,13 +63,21 @@ object Sampling {
   }
 
   /** Deterministic train/validation/test split: every row gets exactly
-    * one split label from the cumulative-fraction ladder over the same
-    * salted-md5 draw the samplers use — reproducible on any cluster, and
-    * re-running with a GROWN corpus never moves an existing row between
-    * splits (the draw depends only on the key). Fractions must sum to 1
-    * (±1e-9); the last split absorbs the hash-ceiling remainder.
+    * one split label from a cumulative-fraction ladder over a salted-md5
+    * draw — reproducible on any cluster, and re-running with a GROWN
+    * corpus never moves an existing row between splits (the draw depends
+    * only on the key). Fractions must sum to 1 (±1e-9); the last split
+    * absorbs the hash-ceiling remainder.
     *
-    * DuckDB oracle mirror: `CASE WHEN substr(md5(salt || ':' || key), 1, 8)
+    * The draw mixes an operator-distinct `"split"` tag into the hash
+    * input, so composing the curation primitives — weighted-sample a
+    * corpus, then split the survivors — stays independent: with the
+    * shared draw of the samplers, every weightedSample survivor has
+    * draw < floor(w·2³²) and a sum-to-1 ladder over the SAME draw would
+    * label (nearly) all of them with the first split.
+    *
+    * DuckDB oracle mirror:
+    * `CASE WHEN substr(md5(salt || ':split:' || key), 1, 8)
     * < '<hex(f1)>' THEN 'a' WHEN ... ELSE '<last>' END`. */
   def assignSplit(df: DataFrame, key: Column,
                   splits: Seq[(String, Double)],
@@ -80,7 +88,7 @@ object Sampling {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     require(!df.columns.contains(outCol), s"input already has a $outCol column")
-    val draw = substring(md5(concat_ws(":", lit(salt), key)), 1, 8)
+    val draw = substring(md5(concat_ws(":", lit(salt), lit("split"), key)), 1, 8)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
     // ladder of upper bounds; the final split is the otherwise-arm so
     // fraction rounding in the hex ceiling can never drop a row

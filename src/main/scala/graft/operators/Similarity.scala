@@ -134,8 +134,10 @@ object Similarity {
     * incremental ingest path next to [[ivfTopKWith]]'s query path. One
     * broadcast join + argmax partial aggregation (same cosine/tie rule
     * as assignment inside ivfTopKWith: ties toward the higher cell);
-    * returns (vec_id, cell, score). Zero-norm vectors score null and
-    * lose every comparison, landing in their lowest-competing cell. */
+    * returns (vec_id, cell, score). Zero-norm vectors score null on
+    * every cell, so `max(struct(score, cell))` ties field-by-field down
+    * to the cell — they land in the HIGHEST cell (the same rule the
+    * DuckDB oracle's `ORDER BY cos DESC, cell DESC` replays). */
   def ivfAssign(batch: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
     val cent = centroids.select(col("cell"), col("c_vec"),
@@ -211,10 +213,16 @@ object Similarity {
                    blockCol: Column, threshold: Double,
                    dim: Int = 64, maxBlockRows: Long = 1L << 20): DataFrame = {
     require(maxBlockRows > 0, "maxBlockRows must be positive")
-    // per-row norms + aliased self-join (one exchange, reused by AQE)
+    // per-row norms + aliased self-join (one exchange, reused by AQE).
+    // Null block keys can never satisfy a.blk === b.blk, so they are
+    // pruned up front — and excluded from the guard below, which must
+    // cap only blocks that can actually produce pairs (a corpus with one
+    // huge null-block group contributes zero candidates).
     val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
       blockCol.as("blk"), VectorFns.l2NormN(col(vecCol), dim).as("nrm"))
+      .filter(col("blk").isNotNull)
     val top = embeddings.select(blockCol.as("blk"))
+      .filter(col("blk").isNotNull)
       .groupBy("blk").agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("m")).head()
     val maxBlk = if (top.isNullAt(0)) 0L else top.getLong(0)

@@ -85,7 +85,10 @@ object Registry4 {
   /** Resize stage ([[Multimodal.resizeTo]]): fit each decoded frame into
     * a 320×240 box preserving aspect ratio. Decode geometry is the stub's
     * arithmetic (byte_len mod 640/480, clamped to ≥1), so the oracle
-    * replays it exactly; scale/trunc are single IEEE ops on both sides. */
+    * replays it exactly; scale/trunc are single IEEE ops on both sides.
+    * The Spark side feeds `text.getBytes("UTF-8")` into the stub, so the
+    * oracle measures UTF-8 BYTES too — DuckDB `strlen`, not `length`
+    * (characters); they differ the moment a document is non-ASCII. */
   val multimodalResize = Q("multimodal_resize",
     """SELECT id,
       |  CAST(GREATEST(1, trunc(w * scale)) AS BIGINT) AS width,
@@ -93,11 +96,11 @@ object Registry4 {
       |  scale, content_md5
       |FROM (
       |  SELECT doc_id AS id,
-      |    GREATEST(length(text) % 640, 1) AS w,
-      |    GREATEST(length(text) % 480, 1) AS h,
+      |    GREATEST(strlen(text) % 640, 1) AS w,
+      |    GREATEST(strlen(text) % 480, 1) AS h,
       |    LEAST(CAST(1.0 AS DOUBLE),
-      |      LEAST(CAST(320 AS DOUBLE) / GREATEST(length(text) % 640, 1),
-      |            CAST(240 AS DOUBLE) / GREATEST(length(text) % 480, 1)))
+      |      LEAST(CAST(320 AS DOUBLE) / GREATEST(strlen(text) % 640, 1),
+      |            CAST(240 AS DOUBLE) / GREATEST(strlen(text) % 480, 1)))
       |      AS scale,
       |    md5(text) AS content_md5
       |  FROM documents)
@@ -440,9 +443,9 @@ object Registry4 {
     * hex-threshold ladder over the same salted draw. */
   val sampleSplit = Q("sample_split",
     s"""SELECT lang, CASE
-       |    WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    WHEN substr(md5('graft:split:' || CAST(doc_id AS VARCHAR)), 1, 8)
        |      < '${graft.operators.Sampling.hexThreshold(0.8)}' THEN 'train'
-       |    WHEN substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |    WHEN substr(md5('graft:split:' || CAST(doc_id AS VARCHAR)), 1, 8)
        |      < '${graft.operators.Sampling.hexThreshold(0.9)}' THEN 'val'
        |    ELSE 'test' END AS split,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs

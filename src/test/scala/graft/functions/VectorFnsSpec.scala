@@ -116,4 +116,14 @@ class VectorFnsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 3L)))
   }
+
+  test("nearDupPairs: null blocks produce no pairs and don't trip the guard") {
+    // null block keys never satisfy a.blk === b.blk — a corpus whose
+    // largest "block" is the null group must run, not be refused
+    val blk = when(col("vec_id") < 4, lit(null).cast("int")).otherwise(lit(1))
+    val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      blk, threshold = -1.0, dim = 3, maxBlockRows = 2)
+    // only vec 4 lands in a real block → zero pairs, no exception
+    assert(out.count() == 0)
+  }
 }

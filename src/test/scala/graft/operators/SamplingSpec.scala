@@ -43,6 +43,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("assignSplit composes with weightedSample: survivors still split ~80/10/10") {
+    // weightedSample keeps rows with draw < floor(w*2^32); if assignSplit
+    // reused the SAME draw, every survivor of w=0.5 would land in 'train'.
+    // The operator-distinct "split" tag keeps the two draws independent.
+    val sampled = Sampling.weightedSample(corpus, lit(0.5), $"id")
+    val out = Sampling.assignSplit(sampled, $"id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byLabel = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byLabel.values.sum.toDouble
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // binomial ±5σ bands around 10% of ~1000 survivors
+    assert(byLabel("val") / n > 0.05 && byLabel("val") / n < 0.16)
+    assert(byLabel("test") / n > 0.05 && byLabel("test") / n < 0.16)
+  }
+
   test("quotaPerGroup: caps each group at n, deterministic winners, payload intact") {
     val out = Sampling.quotaPerGroup(corpus, $"lang", $"id", 7)
     val counts = out.groupBy("lang").count()
