@@ -22,9 +22,11 @@ object StreamingOps {
     * (/root/reference/src/jurimetria_pipeline.py:114-158), and the whole
     * flatten tail runs unchanged on the streaming frame. */
   def streamHits(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 tribunal: String): DataFrame =
+                 tribunal: String,
+                 options: Map[String, String] = Map.empty): DataFrame =
     graft.pipeline.Hits.parseHits(
-      spark.readStream.schema(graft.pipeline.Hits.hitSchema).json(dir),
+      spark.readStream.options(options)
+        .schema(graft.pipeline.Hits.hitSchema).json(dir),
       lit(tribunal))
 
   /** Tumbling-window event counts with late-data tolerance. Works on both
