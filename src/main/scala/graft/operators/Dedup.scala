@@ -330,7 +330,16 @@ object Dedup {
     * of silently returning them — raise maxIter for chain-shaped
     * graphs. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds
+    * it ran (including the fused seeding round). Rounds ≈ max component
+    * diameter — the scaling probe reports it because the CC cost model at
+    * 100 TB is rounds × (edges-sized join): near-dup graphs stay shallow
+    * (dense clusters, small diameter), chain graphs do not. */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
+                                    maxIter: Int = 25): (DataFrame, Int) = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -360,7 +369,7 @@ object Dedup {
       s"connectedComponents did not reach a fixpoint in $maxIter rounds: " +
         "a component's diameter exceeds maxIter, so labels would be " +
         "non-minimal. Raise maxIter (rounds needed = max component diameter).")
-    labels
+    (labels, i + 1) // +1 for the seeding round fused into initialization
   }
 
   /** Benchmark decontamination: drop corpus documents sharing at least

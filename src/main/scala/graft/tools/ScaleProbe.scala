@@ -1,0 +1,144 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the NON-relational operator families (dedup pair
+  * generation, connected components, ANN probe fan-out, tf-idf):
+  * `runMain graft.tools.ScaleProbe <sfDir> <scratchDir> [factor]`.
+  *
+  * The relational probe (SCALE.md round 4) replicated tables verbatim —
+  * fine for joins/aggs, WRONG for pair operators: verbatim copies make
+  * every row an exact dup of factor-1 others and the candidate set
+  * explodes as a data artifact. Here each document copy c ≥ 1 gets
+  * (a) its word order deterministically PERMUTED (sort by
+  * md5(pos:word:copy) — k-shingles are adjacency-local, so a permuted
+  * copy shares almost no shingles with its original), and (b) ~38% of
+  * its tokens suffixed with the copy id (simhash votes over the token
+  * MULTISET and ignores order entirely — only changing the multiset
+  * decorrelates it; rotation or pure permutation leaves the signature
+  * bit-identical). Per-row length/vocabulary/work stay comparable, and
+  * because the transform is content-deterministic, two ORGANICALLY
+  * near-identical documents in the same copy transform identically and
+  * remain near-dups: true-duplicate density grows linearly with the
+  * corpus, never quadratically. Embedding copies get their components
+  * cyclically shifted by c mod dim (norm-preserving, decorrelates
+  * cosine).
+  *
+  * For each family the probe reports steady-state (pass-2) time at 1×
+  * and `factor`×, PLUS the quantity that actually governs 100 TB cost:
+  * candidate-pair counts for the three blocked pair generators
+  * (Σ n·(n-1)/2 over join-key groups — the join fan-in, measured BEFORE
+  * any similarity filter), label-propagation rounds for CC, and IVF cell
+  * occupancy for ANN. */
+object ScaleProbe {
+
+  private def choose2(grouped: DataFrame): Long =
+    grouped.agg(sum(expr("n * (n - 1) div 2")).as("c")).head().getLong(0)
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.create()
+    val sfDir = args(0)
+    val scratch = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+
+    // ---- build the perturbed replica corpus
+    val docs0 = graft.Tables.documents(spark, sfDir)
+    val emb0 = graft.Tables.embeddings(spark, sfDir)
+    val docOff = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    val embOff = emb0.agg(max("vec_id")).head().getLong(0) + 1
+    val docCopies = (0 until factor).map { c =>
+      if (c == 0) docs0.select("doc_id", "text", "lang", "source", "n_chars")
+      else {
+        val w = split(col("text"), " ")
+        val tag = lit(c.toString)
+        val tagged = transform(w, (t, i) => struct(
+          md5(concat_ws(":", i.cast("string"), t, tag)).as("k"),
+          when(substring(md5(concat_ws(";", t, i.cast("string"), tag)), 1, 1) < "6",
+            concat(t, lit("_c"), tag)).otherwise(t).as("t")))
+        docs0.select(
+          (col("doc_id") + lit(c * docOff)).as("doc_id"),
+          concat_ws(" ",
+            transform(array_sort(tagged), s => s("t"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+    }
+    docCopies.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val embCopies = (0 until factor).map { c =>
+      if (c == 0) emb0.select("vec_id", "embedding", "label")
+      else {
+        val k = c % 64
+        val e = col("embedding")
+        emb0.select(
+          (col("vec_id") + lit(c * embOff)).as("vec_id"),
+          concat(slice(e, k + 1, 64 - k), slice(e, 1, k)).as("embedding"),
+          col("label"))
+      }
+    }
+    embCopies.reduce(_.unionByName(_))
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    println(s"PROBE built ${factor}x corpus at $scratch")
+
+    // ---- steady-state times per family, 1x then Nx
+    val queries = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
+      "dedup_ngram_jaccard", "dedup_clusters", "ann_ivf_topk", "text_tfidf")
+    for (dir <- Seq(sfDir, scratch); q <- queries; pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val scale = if (dir == sfDir) "1x" else s"${factor}x"
+      println(s"PROBE time $scale pass$pass $q ${(System.nanoTime() - t0) / 1e9}")
+    }
+
+    // ---- candidate-pair counts (join fan-in before similarity filters)
+    for (dir <- Seq(sfDir, scratch)) {
+      val scale = if (dir == sfDir) "1x" else s"${factor}x"
+      val d = graft.Tables.documents(spark, dir)
+      val nDocs = d.count()
+
+      val mh = choose2(graft.operators.Dedup.bandedKeys(d, "doc_id", "text")
+        .groupBy("band", "bk").agg(count(lit(1)).as("n")))
+      println(s"PROBE candidates $scale minhash_lsh docs=$nDocs pairs=$mh")
+
+      val sigs = graft.operators.Dedup.simhashed(d, "doc_id", "text", 64)
+      val chunkArr = array((0 until 4).map(b =>
+        substring(col("sig"), b * 16 + 1, 16)): _*)
+      val sh = choose2(sigs
+        .select(posexplode(chunkArr).as(Seq("ci", "ck")))
+        .groupBy("ci", "ck").agg(count(lit(1)).as("n")))
+      println(s"PROBE candidates $scale simhash docs=$nDocs pairs=$sh")
+
+      // jaccard join fan-in: shared (block, gram-hash) incidences
+      val gramHash = (s: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.GraftExpr.col(graft.expressions.RollingHash(
+          org.apache.spark.sql.GraftExpr.expr(s)))
+      val jac = choose2(d
+        .select(col("doc_id"),
+          concat(col("lang"), lit("|"),
+            floor(col("n_chars") / 100).cast("long").cast("string")).as("blk"),
+          array_distinct(transform(
+            array_distinct(graft.operators.Dedup.shingles(col("text"))),
+            gramHash)).as("hs"))
+        .select(col("blk"), explode(col("hs")).as("h"))
+        .groupBy("blk", "h").agg(count(lit(1)).as("n")))
+      println(s"PROBE candidates $scale ngram_jaccard docs=$nDocs sharedgram_incidences=$jac")
+
+      val pairs = graft.operators.Dedup.minhashCandidates(d, "doc_id", "text")
+      val (labels, rounds) =
+        graft.operators.Dedup.connectedComponentsWithRounds(pairs, "a_id", "b_id")
+      val nEdges = pairs.count()
+      val nLabeled = labels.count()
+      println(s"PROBE cc $scale edges=$nEdges labeled=$nLabeled rounds=$rounds")
+
+      val e = graft.Tables.embeddings(spark, dir)
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+      val cells = graft.operators.Similarity.ivfAssign(e, cent, "vec_id", "embedding")
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("mx"), avg("n").as("mean")).head()
+      println(s"PROBE ivf $scale max_cell=${cells.getLong(0)} mean_cell=${cells.getDouble(1)}")
+    }
+    spark.stop()
+  }
+}
