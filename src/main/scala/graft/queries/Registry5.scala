@@ -118,5 +118,107 @@ object Registry5 {
     out
   }
 
-  val round6: Seq[Q] = Seq(streamingHitsWindow, q50BucketedJoin)
+  /** Hive-partitioned layout under the gate: the flattened processos
+    * frame is persisted through [[graft.pipeline.JurimetriaPipeline
+    * .persistPartitioned]] (K1 at scale — partition dir per court), read
+    * back, and filtered to ONE court. The witness: the scan must carry
+    * the court predicate as a PartitionFilter (directory-level pruning —
+    * at 100 TB the per-court reader lists one directory instead of
+    * scanning the corpus) or the query throws. Court is derived from
+    * `o_custkey % 5`, so all five partition directories exist and the
+    * pruned read is 1-of-5.
+    *
+    * Oracle: partition layout must be semantically invisible — the same
+    * counts computed straight from `orders`. */
+  val q51PartitionedPrune = Q("q51_partitioned_prune",
+    """SELECT o_orderpriority AS classe, COUNT(*) AS cnt
+      |FROM orders WHERE o_custkey % 5 = 2
+      |GROUP BY 1 ORDER BY classe""".stripMargin) { (s, d) =>
+    val iso = (c: Column) => date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    val raw = Tables.orders(s, d).select(
+      struct(
+        col("o_orderkey").cast("string").as("numeroProcesso"),
+        struct(lit(1L).as("codigo"), col("o_orderpriority").as("nome")).as("classe"),
+        iso(col("o_orderdate")).as("dataAjuizamento"),
+        lit(null).cast("string").as("dataHoraUltimaAtualizacao"),
+        lit(null).cast("struct<nome:string>").as("formato"),
+        lit(null).cast("struct<codigo:string,nome:string,codigoMunicipioIBGE:string>")
+          .as("orgaoJulgador"),
+        lit("1").as("grau"),
+        lit(null).cast("array<struct<codigo:bigint,nome:string>>").as("assuntos"),
+        lit(null).cast("array<struct<codigo:bigint,nome:string,dataHora:string>>")
+          .as("movimentos")
+      ).as("_source"),
+      array(unix_millis(col("o_orderdate"))).as("sort"),
+      concat(lit("TJ"), pmod(col("o_custkey"), lit(5)).cast("string")).as("trib"))
+    val flat = graft.pipeline.Hits.parseHits(raw, col("trib"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.pipeline.JurimetriaPipeline.persistPartitioned(flat, outDir)
+    val out = s.read.parquet(s"$outDir/processos_part.parquet")
+      .filter(col("tribunal") === "TJ2")
+      .groupBy(col("classe"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("classe")
+    val plan = out.queryExecution.executedPlan.toString
+    if (!plan.contains("PartitionFilters: [") ||
+        !"PartitionFilters: \\[[^\\]]*tribunal".r.findFirstIn(plan).isDefined)
+      throw new IllegalStateException(
+        s"court predicate did not reach the scan as a PartitionFilter:\n$plan")
+    out
+  }
+
+  /** Stateful streaming dedup under the gate: every order row is
+    * re-delivered 1–3 times (identical copies — the cursor-retry
+    * re-delivery the reference's pagination loop can produce), scattered
+    * across four JSON page files consumed one per micro-batch; the
+    * [[StreamingOps.dedupWithinWatermark]] state store must collapse
+    * them back to exactly one row per key.
+    *
+    * The watermark delay is set to the whole corpus time-span (10 years):
+    * a drain-run assertion needs NO late-drop and NO state eviction —
+    * with a short delay, a batch that happens to carry the newest
+    * timestamp would advance the watermark past every other key's FIRST
+    * delivery and the output would depend on which rows landed in which
+    * file. The production setting is the opposite trade: delay = max
+    * re-delivery lag, so state stays bounded and genuinely-late
+    * re-deliveries are dropped as late data. Same operator, one knob.
+    *
+    * Oracle: re-delivery must be invisible — SELECT DISTINCT over the
+    * same synthesized relation, which is one row per order. */
+  val streamingDedup = Q("streaming_dedup",
+    """SELECT CAST(o_orderkey AS VARCHAR) AS numero, o_orderpriority AS classe,
+      |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts
+      |FROM orders WHERE o_orderdate IS NOT NULL
+      |ORDER BY numero""".stripMargin) { (s, d) =>
+    val base = Tables.orders(s, d)
+      .filter(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey").cast("string").as("numero"),
+        col("o_orderpriority").as("classe"),
+        col("o_orderdate").as("ts"),
+        (pmod(col("o_orderkey"), lit(3)) + 1).cast("int").as("_copies"))
+    val redelivered = base
+      .select(col("numero"), col("classe"), col("ts"),
+        explode(sequence(lit(1), col("_copies"))).as("_i"))
+      .drop("_i") // copies are byte-identical: survivor choice is moot
+    val stage = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val pages = stage.resolve("pages").toString
+    redelivered.repartition(4).write.mode("overwrite").json(pages)
+    val stream = s.readStream
+      .schema("numero STRING, classe STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1").json(pages)
+    val deduped = StreamingOps.dedupWithinWatermark(
+      stream, "ts", Seq("numero"), watermark = "87600 hours")
+    val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    val run = deduped.writeStream.format("memory").queryName(mem)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    run.awaitTermination()
+    s.table(mem)
+      .select(col("numero"), col("classe"), TimeFns.tsString(col("ts")).as("ts"))
+      .orderBy("numero")
+  }
+
+  val round6: Seq[Q] = Seq(streamingHitsWindow, q50BucketedJoin,
+    q51PartitionedPrune, streamingDedup)
 }

@@ -36,4 +36,25 @@ class Registry5Spec extends SparkSpec {
     assert(bucketed.length == plain.length && bucketed.length > 0)
     assert(bucketed.toSeq == plain.toSeq)
   }
+
+  test("q51_partitioned_prune matches the direct aggregate (witness inside the query)") {
+    // .run throws IllegalStateException if the court predicate is not a PartitionFilter
+    val pruned = Registry5.q51PartitionedPrune.run(spark, sf).collect()
+    val direct = graft.Tables.orders(spark, sf)
+      .filter(pmod(col("o_custkey"), lit(5)) === 2)
+      .groupBy(col("o_orderpriority").as("classe"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("classe")
+      .collect()
+    assert(pruned.length == direct.length && pruned.length > 0)
+    assert(pruned.toSeq == direct.toSeq)
+  }
+
+  test("streaming_dedup collapses every re-delivery to one row per key") {
+    val out = Registry5.streamingDedup.run(spark, sf).collect()
+    val keys = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderdate").isNotNull).count()
+    assert(out.length == keys)
+    assert(out.map(_.getString(0)).distinct.length == out.length)
+  }
 }
