@@ -33,10 +33,10 @@ case class SimhashMask(child: Expression, bits: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && bits >= 1 && bits <= 64)
+    if (child.dataType == StringType && bits >= 1 && bits <= 256)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string input and 1 <= bits <= 64")
+      s"$prettyName requires a string input and 1 <= bits <= 256")
 
   override def nullSafeEval(input: Any): Any =
     SimhashMask.mask(input.asInstanceOf[UTF8String], bits)

@@ -190,7 +190,12 @@ object Dedup {
     * Wider sigs mean wider slices and a bigger slice alphabet (64 bits →
     * 16-bit slices → 65 536 values): on a vocabulary-dense corpus this is
     * the difference between 7.5 M and 0.6 M candidates per 5 k docs —
-    * slice width is THE selectivity knob at corpus scale. */
+    * slice width is THE selectivity knob at corpus scale. 64-bit sigs
+    * with 16-bit slices are sized for ~10⁵–10⁶ docs per shuffle
+    * partition; for 10⁸+ use `bits = 128, chunks = 4` (32-bit slices,
+    * alphabet 2³² — the `dedup_simhash_wide` configuration, whose
+    * candidate growth the scale probe measures as linear where the
+    * 64-bit path saturates super-linearly). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 64, chunks: Int = 4,
                    maxHamming: Int = 3): DataFrame = {

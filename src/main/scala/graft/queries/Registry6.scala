@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.Tables
+import graft.functions.TimeFns
+import graft.operators.Dedup
+import graft.streaming.StreamingOps
+
+/** Round-7 additions: the wide (128-bit) SimHash signature path the
+  * scale analysis prescribes (SCALE.md — 64-bit slice alphabets saturate
+  * at ~10⁵–10⁶ docs/partition; 32-bit slices keep candidate growth
+  * linear at 10⁸+), and the last three streaming execution paths brought
+  * under the driver's oracle gate.
+  */
+object Registry6 {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Wide SimHash near-dup pairs — [[Dedup.simhashPairs]] at 128 bits /
+    * 4×32-bit slices, the configuration SCALE.md prescribes for 10⁸+
+    * document corpora (the 64-bit path's 16-bit slice alphabet saturates
+    * on homogeneous corpora: measured 12.2× candidate growth at 10×
+    * docs). Bits 32d..32d+31 come from the d-salted digest
+    * md5("d:" || token), exactly as the ≤64-bit path defines them, so
+    * the oracle replays the same nibble definitions with range(1, 129).
+    *
+    * Same pigeonhole guarantee (hamming ≤ chunks-1 ⇒ one intact slice),
+    * same exact-hamming filter; only the slice alphabet widens — 2¹⁶ →
+    * 2³², which is THE selectivity knob for the candidate join at
+    * corpus scale. */
+  val dedupSimhashWide = Q("dedup_simhash_wide",
+    """WITH sigs AS (SELECT doc_id, array_to_string(list_transform(range(1, 129),
+      |    p -> CASE WHEN 2 * len(list_filter(string_split(text, ' '),
+      |        x -> substr(md5(CASE WHEN p <= 32 THEN x
+      |                         ELSE CAST((p - 1) // 32 AS VARCHAR) || ':' || x END),
+      |                    ((p - 1) % 32) + 1, 1) >= '8'))
+      |        > len(string_split(text, ' '))
+      |      THEN '1' ELSE '0' END), '') AS sig
+      |  FROM documents),
+      |ch AS (SELECT doc_id, sig, t.ci, substr(sig, t.ci * 32 + 1, 32) AS ck
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS ci) t),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.sig AS sa, b.sig AS sb
+      |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.ck = b.ck
+      |    AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, hamming FROM (
+      |  SELECT a_id, b_id, CAST(len(list_filter(range(1, 129),
+      |    i -> substr(sa, i, 1) != substr(sb, i, 1))) AS BIGINT) AS hamming
+      |  FROM cand)
+      |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Dedup.simhashPairs(docs(s, d), "doc_id", "text",
+      bits = 128, chunks = 4, maxHamming = 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Stage `df` as JSON page files the file stream source will consume in
+    * `pageCol` order: each page is written separately and its files get
+    * strictly ascending modification times (the file source orders new
+    * files oldest-mtime-first), so with `maxFilesPerTrigger=1` micro-batch
+    * b sees exactly page b — the determinism an ORDER-SENSITIVE stateful
+    * operator (sessionize, quota) needs from a drain-run fixture. The
+    * order-insensitive streaming queries (window counts, dedup, inner
+    * join) keep Registry5's cheaper unordered `repartition(4)` staging. */
+  private def stageOrderedPages(df: DataFrame, pageCol: String, nPages: Int,
+                                stage: java.nio.file.Path): String = {
+    val pages = stage.resolve("pages")
+    java.nio.file.Files.createDirectories(pages)
+    val base = System.currentTimeMillis() - 3600L * 1000
+    for (q <- 0 until nPages) {
+      val tmp = stage.resolve(s"tmp$q")
+      df.filter(col(pageCol) === q).drop(pageCol)
+        .repartition(1).write.mode("overwrite").json(tmp.toString)
+      val parts = tmp.toFile.listFiles().toSeq
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dest = pages.resolve(s"page$q-$i.json")
+        java.nio.file.Files.move(p.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(base + q * 60000L))
+      }
+    }
+    pages.toString
+  }
+
+  /** Drain a streaming frame to completion into a memory sink and return
+    * the sink table (Registry5's pattern, factored): AvailableNow +
+    * per-file triggers, unique sink name derived from the stage dir. */
+  private def drain(df: DataFrame, stage: java.nio.file.Path,
+                    mode: OutputMode): DataFrame = {
+    val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    val run = df.writeStream.format("memory").queryName(mem)
+      .outputMode(mode)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    run.awaitTermination()
+    df.sparkSession.table(mem)
+  }
+
+  /** Stream-stream join under the gate ([[StreamingOps.joinWithinWindow]]):
+    * click→view attribution within 900 s, both sides real file streams
+    * consumed one page per micro-batch, so most matches pair rows that
+    * arrived in DIFFERENT micro-batches — the cross-batch join state is
+    * what this query exercises (the easiest place for a correctness bug
+    * to hide, per the round-6 verdict).
+    *
+    * Watermark = the whole corpus span (drain-run discipline, exactly as
+    * `streaming_dedup` documents): a bounded audit needs NO state
+    * eviction — an inner time-bound join emits each match eagerly, the
+    * watermark only governs when UNMATCHED state may be dropped, so the
+    * full-span setting makes the drain order-insensitive. Production
+    * uses watermark = max expected skew between the streams; same
+    * operator, one knob.
+    *
+    * Oracle: the join must equal the batch time-bound join over the same
+    * two event partitions — streaming adds delivery, not semantics. */
+  val streamingJoinWindow = Q("streaming_join_window",
+    """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+      |    FROM events WHERE event_id % 2 = 1),
+      |  v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+      |    FROM events WHERE event_id % 2 = 0)
+      |SELECT c.user_id AS c_user, click_id, view_id,
+      |  strftime(c_ts, '%Y-%m-%d %H:%M:%S') AS c_time,
+      |  strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS v_time
+      |FROM c JOIN v ON c.user_id = v.user_id
+      |  AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL 900 SECONDS
+      |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d)
+    val stage = java.nio.file.Files.createTempDirectory("graft_sjoin")
+    // timestamps ride the JSON fixture as epoch-MICROS longs: the JSON
+    // writer's default timestamp format is millisecond-precision, and a
+    // truncated boundary would flip pair membership vs the micros-exact
+    // oracle — integer epochs round-trip bit-exactly
+    val clicks = e.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val views = e.filter(col("event_id") % 2 === 0)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("v_us"))
+    clicks.repartition(4).write.mode("overwrite")
+      .json(stage.resolve("clicks").toString)
+    views.repartition(4).write.mode("overwrite")
+      .json(stage.resolve("views").toString)
+    val cStream = s.readStream.schema("c_user LONG, click_id LONG, c_us LONG")
+      .option("maxFilesPerTrigger", "1").json(stage.resolve("clicks").toString)
+      .select(col("c_user"), col("click_id"), timestamp_micros(col("c_us")).as("c_ts"))
+    val vStream = s.readStream.schema("v_user LONG, view_id LONG, v_us LONG")
+      .option("maxFilesPerTrigger", "1").json(stage.resolve("views").toString)
+      .select(col("v_user"), col("view_id"), timestamp_micros(col("v_us")).as("v_ts"))
+    val joined = StreamingOps.joinWithinWindow(cStream, vStream,
+      "c_user", "v_user", "c_ts", "v_ts",
+      windowSec = 900, watermark = "87600 hours")
+    drain(joined, stage, OutputMode.Append)
+      .select(col("c_user"), col("click_id"), col("view_id"),
+        TimeFns.tsString(col("c_ts")).as("c_time"),
+        TimeFns.tsString(col("v_ts")).as("v_time"))
+      .orderBy("click_id", "view_id")
+  }
+
+  /** Custom-state sessionization under the gate
+    * ([[StreamingOps.sessionize]], flatMapGroupsWithState): 12-hour-gap
+    * sessions accumulated in the state store across four time-ordered
+    * micro-batches — sessions that STRADDLE a batch boundary are the
+    * point (state carries the open session; ~2/3 of events extend a
+    * session opened in an earlier batch at this gap).
+    *
+    * Drain-run determinism: pages are time-quartiles consumed in order
+    * ([[stageOrderedPages]]) — sessionization is order-sensitive, so the
+    * fixture must deliver per-user events in time order across batches
+    * (within a batch the operator sorts). `NoTimeout` + one SENTINEL
+    * event per user at corpus-max + 10 gaps closes every real session by
+    * gap-exceedance (the production path: processing-time timeout closes
+    * idle sessions; a bounded drain has no later processing time, so the
+    * sentinel replaces the timer). Sentinel sessions themselves stay
+    * open in state and are never emitted.
+    *
+    * Oracle: classic gaps-and-islands over the same events — per user,
+    * a new island when the gap to the previous event exceeds 12 h. */
+  val streamingSessionize = Q("streaming_sessionize",
+    """WITH e AS (SELECT user_id AS uid, epoch_ms(ts) AS tm FROM events),
+      |x AS (SELECT uid, tm, CASE WHEN LAG(tm) OVER w IS NULL
+      |    OR tm - LAG(tm) OVER w > 43200000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY uid ORDER BY tm)),
+      |y AS (SELECT uid, tm, SUM(brk) OVER (PARTITION BY uid ORDER BY tm
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      |SELECT uid, MIN(tm) AS ts_start, MAX(tm) AS ts_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM y GROUP BY uid, sid ORDER BY uid, ts_start""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val gapMs = 43200000L // 12 hours
+    val e = Tables.events(s, d)
+      .select(col("user_id").as("user"), unix_millis(col("ts")).as("tsMillis"))
+    val maxTs = e.agg(max("tsMillis")).head().getLong(0)
+    val real = e.withColumn("page",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy("tsMillis", "user")) - 1)
+    val sentinels = e.select(col("user")).distinct()
+      .select(col("user"), lit(maxTs + 10 * gapMs).as("tsMillis"),
+        lit(3).as("page"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_ssess")
+    val pages = stageOrderedPages(real.unionByName(sentinels), "page", 4, stage)
+    val stream = s.readStream.schema("user LONG, tsMillis LONG")
+      .option("maxFilesPerTrigger", "1").json(pages)
+      .as[StreamingOps.UserEvent]
+    val sessions = StreamingOps.sessionize(stream, gapMs,
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    drain(sessions.toDF(), stage, OutputMode.Append)
+      .select(col("user").as("uid"), col("start").as("ts_start"),
+        col("end").as("ts_end"), col("n"))
+      .orderBy("uid", "ts_start")
+  }
+
+  /** Streaming per-key admission quota under the gate
+    * ([[StreamingOps.quotaPerKey]], flatMapGroupsWithState counter
+    * state): quota 4 per user over four arrival-ordered micro-batches of
+    * exactly 2 events per user each — admission must stop MID-STREAM
+    * (after batch 2 of 4), which only works if the per-key counter
+    * genuinely persists across micro-batches.
+    *
+    * Drain-run determinism: "first n arrivals" is only well-defined
+    * under a defined arrival order, so the fixture pins it — each user's
+    * first 8 events (by ts, event_id) are dealt 2 per page in rank
+    * order ([[stageOrderedPages]]), and the cumulative count hits the
+    * quota exactly at a batch boundary, so the admitted SET is
+    * independent of within-batch iterator order (which Spark does not
+    * define after a shuffle).
+    *
+    * Oracle: the first 4 events per qualifying user — arrival order
+    * equals rank order by construction, so the streaming quota must
+    * equal the batch rank filter. */
+  val streamingQuota = Q("streaming_quota",
+    """WITH ranked AS (SELECT user_id, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS c
+      |  FROM events)
+      |SELECT user_id AS uid, epoch_ms(ts) AS tm FROM ranked
+      |WHERE c >= 8 AND rn <= 4 ORDER BY uid, tm""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val first8 = Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("c") >= 8 && col("rn") <= 8)
+      .select(col("user_id").as("user"), unix_millis(col("ts")).as("tsMillis"),
+        ((col("rn") - 1) / 2).cast("int").as("page"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_squota")
+    val pages = stageOrderedPages(first8, "page", 4, stage)
+    val stream = s.readStream.schema("user LONG, tsMillis LONG")
+      .option("maxFilesPerTrigger", "1").json(pages)
+      .as[StreamingOps.UserEvent]
+    val admitted = StreamingOps.quotaPerKey(stream, 4)
+    drain(admitted.toDF(), stage, OutputMode.Append)
+      .select(col("user").as("uid"), col("tsMillis").as("tm"))
+      .orderBy("uid", "tm")
+  }
+
+  val round7: Seq[Q] = Seq(dedupSimhashWide, streamingJoinWindow,
+    streamingSessionize, streamingQuota)
+}

@@ -82,7 +82,8 @@ object ScaleProbe {
 
     // ---- steady-state times per family, 1x then Nx
     val queries = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
-      "dedup_ngram_jaccard", "dedup_clusters", "ann_ivf_topk", "text_tfidf")
+      "dedup_simhash_wide", "dedup_ngram_jaccard", "dedup_clusters",
+      "ann_ivf_topk", "text_tfidf")
     for (dir <- Seq(sfDir, scratch); q <- queries; pass <- 1 to 2) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir)
@@ -108,6 +109,17 @@ object ScaleProbe {
         .select(posexplode(chunkArr).as(Seq("ci", "ck")))
         .groupBy("ci", "ck").agg(count(lit(1)).as("n")))
       println(s"PROBE candidates $scale simhash docs=$nDocs pairs=$sh")
+
+      // wide (128-bit / 32-bit slice) variant: the slice alphabet grows
+      // 2^16 → 2^32, which is the prescribed fix for the 64-bit path's
+      // super-linear candidate growth on homogeneous corpora
+      val sigsW = graft.operators.Dedup.simhashed(d, "doc_id", "text", 128)
+      val chunkArrW = array((0 until 4).map(b =>
+        substring(col("sig"), b * 32 + 1, 32)): _*)
+      val shW = choose2(sigsW
+        .select(posexplode(chunkArrW).as(Seq("ci", "ck")))
+        .groupBy("ci", "ck").agg(count(lit(1)).as("n")))
+      println(s"PROBE candidates $scale simhash_wide docs=$nDocs pairs=$shW")
 
       // jaccard join fan-in: shared (block, gram-hash) incidences
       val gramHash = (s: org.apache.spark.sql.Column) =>

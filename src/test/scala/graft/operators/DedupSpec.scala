@@ -118,6 +118,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs wide (128-bit/32-bit slices): exact dups at hamming 0; sig prefix agrees with 64-bit path") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      bits = 128, chunks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 3L)) == 0L) // identical texts → identical 128-bit sigs
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+    // signature definition is position-stable: the first 64 bits of a
+    // 128-bit signature ARE the 64-bit signature (bits 32d..32d+31 from
+    // the d-salted digest, independent of the requested width)
+    val s64 = Dedup.simhashed(docs, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s128 = Dedup.simhashed(docs, "doc_id", "text", 128)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s128.values.forall(s => s.length == 128 && s.forall("01".contains(_))))
+    assert(s64.keySet.forall(id => s128(id).take(64) == s64(id)))
+  }
+
   test("nearDedupSurvivors: one doc per near-dup cluster, singletons pass, payload intact") {
     val out = Dedup.nearDedupSurvivors(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
