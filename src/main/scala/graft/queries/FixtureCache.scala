@@ -1,0 +1,67 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+/** Content-keyed, cross-JVM cache for harness fixture staging.
+  *
+  * Several oracle-gated queries exercise PHYSICAL layouts (bucketed fact
+  * tables, streaming page files). The layout write is part of the
+  * operator's 100 TB story — paid once, amortized over every read — but
+  * re-paying it on every bench pass mis-attributes write cost to the
+  * read-side query (the round-6 q50 number was ~90% table-write). The
+  * cache keys the staged directory on the SOURCE table files
+  * (name + size + mtime), so a testdata regeneration invalidates it
+  * automatically; builds race safely across processes (build into a
+  * temp sibling, atomic rename, losers discard).
+  *
+  * Only the deterministic page/table FILES are cached. Run-scoped state
+  * (stream checkpoints, memory-sink names) stays in fresh temp dirs —
+  * a reused checkpoint would make the second drain a no-op.
+  */
+object FixtureCache {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Signature of one source table path (file or directory of files). */
+  private def sig(p: Path): String =
+    if (!Files.exists(p)) s"${p.getFileName}:absent"
+    else if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.sorted().toArray.map { f =>
+        val fp = f.asInstanceOf[Path]
+        s"${fp.getFileName}:${Files.size(fp)}:${Files.getLastModifiedTime(fp).toMillis}"
+      }.mkString(",")
+      finally st.close()
+    } else s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.forEach(c => deleteRecursively(c))
+      finally st.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** Directory containing fixture `tag` staged from `tables` under sf
+    * dir `d`; `build` runs at most once per (tag, source content). */
+  def cached(d: String, tag: String, tables: Seq[String])(build: Path => Unit): Path = {
+    val content = tables.map(t => sig(Paths.get(d, s"$t.parquet"))).mkString("|")
+    val key = md5hex(s"$tag|$d|$content").take(16)
+    val root = Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_fx_${tag}_$key")
+    if (!Files.exists(root.resolve("_GRAFT_READY"))) {
+      val tmp = Files.createTempDirectory(root.getParent, s".graft_fx_$tag")
+      build(tmp)
+      Files.createFile(tmp.resolve("_GRAFT_READY"))
+      try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp) // lost the build race; the winner's dir is ready
+      }
+    }
+    root
+  }
+}

@@ -54,23 +54,50 @@ object Registry5 {
         lit("1").as("grau")
       ).as("_source"),
       array(unix_millis(col("o_orderdate"))).as("sort"))
+    // page files are content-keyed-cached per sf (the fixture is a pure
+    // function of `orders`); checkpoint + sink name stay run-scoped
+    val pages = FixtureCache.cached(d, "shits", Seq("orders")) { tmp =>
+      raw.repartition(4).write.mode("overwrite").json(tmp.resolve("pages").toString)
+    }.resolve("pages").toString
     val stage = java.nio.file.Files.createTempDirectory("graft_stream")
-    val pages = stage.resolve("pages").toString
-    raw.repartition(4).write.mode("overwrite").json(pages)
     val parsed = StreamingOps.streamHits(s, pages, "TJX",
       Map("maxFilesPerTrigger" -> "1"))
     val counts = StreamingOps.tumblingCounts(
       parsed.filter(col("data_ajuizamento").isNotNull),
       "data_ajuizamento", "classe")
-    val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    val stream = counts.writeStream.format("memory").queryName(mem)
-      .outputMode(OutputMode.Complete)
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow()).start()
-    stream.awaitTermination()
-    s.table(mem)
+    StreamHarness.drain(counts, stage, OutputMode.Complete)
       .select(TimeFns.tsString(col("ws")).as("ws"), col("classe"), col("cnt"))
       .orderBy("ws", "classe")
+  }
+
+  /** Write the two bucketed fact tables once per (sf, source content)
+    * and register them as external bucketed tables in the current
+    * session's catalog. The write is the amortized-once shuffle of the
+    * bucketed-layout story; re-registration (DROP + CREATE over the
+    * cached files) is metadata-only, so every invocation after the first
+    * measures the read-side join, not the layout build. Spark recovers
+    * each file's bucket id from the writer's file-name convention, so an
+    * external `CLUSTERED BY` table over the cached files plans
+    * identically to the freshly-written one. */
+  private def bucketedFactTables(s: SparkSession, d: String): Unit = {
+    val specs = Seq(
+      ("orders_bkt", "o_orderkey", () => Tables.orders(s, d)),
+      ("lineitem_bkt", "l_orderkey", () => Tables.lineitem(s, d)))
+    val root = FixtureCache.cached(d, "bkt", Seq("orders", "lineitem")) { tmp =>
+      specs.foreach { case (name, key, df) =>
+        df().write.mode("overwrite").option("path", tmp.resolve(name).toString)
+          .bucketBy(8, key).sortBy(key).saveAsTable(s"graft_${name}_build")
+        s.sql(s"DROP TABLE graft_${name}_build") // external: files stay
+      }
+    }
+    specs.foreach { case (name, key, df) =>
+      s.sql(s"DROP TABLE IF EXISTS graft_$name")
+      s.sql(
+        s"""CREATE TABLE graft_$name (${df().schema.toDDL})
+           |USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+           |LOCATION '${root.resolve(name)}'""".stripMargin)
+    }
   }
 
   /** Bucketed physical layout under the gate: both fact sides are written
@@ -79,6 +106,8 @@ object Registry5 {
     * subsequent join on that key (the SCALE.md answer for repeated
     * fact-fact joins at 100 TB; pair with the `merge` hint so neither
     * planner nor AQE swaps in a broadcast and hides the layout proof).
+    * The layout is staged once per sf via [[bucketedFactTables]]; the
+    * query itself is the read-side join plus the witness.
     *
     * The Exchange-free claim is a hard witness, not a comment: the query
     * inspects its own physical plan and THROWS if any Exchange appears
@@ -93,15 +122,7 @@ object Registry5 {
       |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_qty
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
-    val wh = java.nio.file.Files.createTempDirectory("graft_bucketed")
-    Tables.orders(s, d).write.mode("overwrite")
-      .option("path", s"$wh/orders_bkt")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_orders_bkt")
-    Tables.lineitem(s, d).write.mode("overwrite")
-      .option("path", s"$wh/lineitem_bkt")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_lineitem_bkt")
+    bucketedFactTables(s, d)
     val out = s.table("graft_orders_bkt")
       .join(s.table("graft_lineitem_bkt").hint("merge"),
         col("o_orderkey") === col("l_orderkey"))
@@ -200,21 +221,17 @@ object Registry5 {
       .select(col("numero"), col("classe"), col("ts"),
         explode(sequence(lit(1), col("_copies"))).as("_i"))
       .drop("_i") // copies are byte-identical: survivor choice is moot
+    val pages = FixtureCache.cached(d, "sdedup", Seq("orders")) { tmp =>
+      redelivered.repartition(4).write.mode("overwrite")
+        .json(tmp.resolve("pages").toString)
+    }.resolve("pages").toString
     val stage = java.nio.file.Files.createTempDirectory("graft_sdedup")
-    val pages = stage.resolve("pages").toString
-    redelivered.repartition(4).write.mode("overwrite").json(pages)
     val stream = s.readStream
       .schema("numero STRING, classe STRING, ts TIMESTAMP")
       .option("maxFilesPerTrigger", "1").json(pages)
     val deduped = StreamingOps.dedupWithinWatermark(
       stream, "ts", Seq("numero"), watermark = "87600 hours")
-    val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    val run = deduped.writeStream.format("memory").queryName(mem)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow()).start()
-    run.awaitTermination()
-    s.table(mem)
+    StreamHarness.drain(deduped, stage, OutputMode.Append)
       .select(col("numero"), col("classe"), TimeFns.tsString(col("ts")).as("ts"))
       .orderBy("numero")
   }

@@ -64,12 +64,12 @@ object Registry6 {
     * order-insensitive streaming queries (window counts, dedup, inner
     * join) keep Registry5's cheaper unordered `repartition(4)` staging. */
   private def stageOrderedPages(df: DataFrame, pageCol: String, nPages: Int,
-                                stage: java.nio.file.Path): String = {
-    val pages = stage.resolve("pages")
+                                buildDir: java.nio.file.Path): Unit = {
+    val pages = buildDir.resolve("pages")
     java.nio.file.Files.createDirectories(pages)
     val base = System.currentTimeMillis() - 3600L * 1000
     for (q <- 0 until nPages) {
-      val tmp = stage.resolve(s"tmp$q")
+      val tmp = buildDir.resolve(s"tmp$q")
       df.filter(col(pageCol) === q).drop(pageCol)
         .repartition(1).write.mode("overwrite").json(tmp.toString)
       val parts = tmp.toFile.listFiles().toSeq
@@ -80,23 +80,16 @@ object Registry6 {
         java.nio.file.Files.setLastModifiedTime(dest,
           java.nio.file.attribute.FileTime.fromMillis(base + q * 60000L))
       }
+      FixtureCache.deleteRecursively(tmp)
     }
-    pages.toString
   }
 
   /** Drain a streaming frame to completion into a memory sink and return
-    * the sink table (Registry5's pattern, factored): AvailableNow +
-    * per-file triggers, unique sink name derived from the stage dir. */
+    * the sink table — see [[StreamHarness.drain]] for the state-partition
+    * sizing rationale. */
   private def drain(df: DataFrame, stage: java.nio.file.Path,
-                    mode: OutputMode): DataFrame = {
-    val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    val run = df.writeStream.format("memory").queryName(mem)
-      .outputMode(mode)
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(Trigger.AvailableNow()).start()
-    run.awaitTermination()
-    df.sparkSession.table(mem)
-  }
+                    mode: OutputMode): DataFrame =
+    StreamHarness.drain(df, stage, mode)
 
   /** Stream-stream join under the gate ([[StreamingOps.joinWithinWindow]]):
     * click→view attribution within 900 s, both sides real file streams
@@ -127,7 +120,6 @@ object Registry6 {
       |  AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL 900 SECONDS
       |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
     val e = Tables.events(s, d)
-    val stage = java.nio.file.Files.createTempDirectory("graft_sjoin")
     // timestamps ride the JSON fixture as epoch-MICROS longs: the JSON
     // writer's default timestamp format is millisecond-precision, and a
     // truncated boundary would flip pair membership vs the micros-exact
@@ -138,15 +130,18 @@ object Registry6 {
     val views = e.filter(col("event_id") % 2 === 0)
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         unix_micros(col("ts")).as("v_us"))
-    clicks.repartition(4).write.mode("overwrite")
-      .json(stage.resolve("clicks").toString)
-    views.repartition(4).write.mode("overwrite")
-      .json(stage.resolve("views").toString)
+    val fx = FixtureCache.cached(d, "sjoin", Seq("events")) { tmp =>
+      clicks.repartition(4).write.mode("overwrite")
+        .json(tmp.resolve("clicks").toString)
+      views.repartition(4).write.mode("overwrite")
+        .json(tmp.resolve("views").toString)
+    }
+    val stage = java.nio.file.Files.createTempDirectory("graft_sjoin")
     val cStream = s.readStream.schema("c_user LONG, click_id LONG, c_us LONG")
-      .option("maxFilesPerTrigger", "1").json(stage.resolve("clicks").toString)
+      .option("maxFilesPerTrigger", "1").json(fx.resolve("clicks").toString)
       .select(col("c_user"), col("click_id"), timestamp_micros(col("c_us")).as("c_ts"))
     val vStream = s.readStream.schema("v_user LONG, view_id LONG, v_us LONG")
-      .option("maxFilesPerTrigger", "1").json(stage.resolve("views").toString)
+      .option("maxFilesPerTrigger", "1").json(fx.resolve("views").toString)
       .select(col("v_user"), col("view_id"), timestamp_micros(col("v_us")).as("v_ts"))
     val joined = StreamingOps.joinWithinWindow(cStream, vStream,
       "c_user", "v_user", "c_ts", "v_ts",
@@ -191,17 +186,19 @@ object Registry6 {
     val gapMs = 43200000L // 12 hours
     val e = Tables.events(s, d)
       .select(col("user_id").as("user"), unix_millis(col("ts")).as("tsMillis"))
-    val maxTs = e.agg(max("tsMillis")).head().getLong(0)
-    val real = e.withColumn("page",
-      ntile(4).over(org.apache.spark.sql.expressions.Window
-        .orderBy("tsMillis", "user")) - 1)
-    val sentinels = e.select(col("user")).distinct()
-      .select(col("user"), lit(maxTs + 10 * gapMs).as("tsMillis"),
-        lit(3).as("page"))
+    val fx = FixtureCache.cached(d, "ssess", Seq("events")) { tmp =>
+      val maxTs = e.agg(max("tsMillis")).head().getLong(0)
+      val real = e.withColumn("page",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy("tsMillis", "user")) - 1)
+      val sentinels = e.select(col("user")).distinct()
+        .select(col("user"), lit(maxTs + 10 * gapMs).as("tsMillis"),
+          lit(3).as("page"))
+      stageOrderedPages(real.unionByName(sentinels), "page", 4, tmp)
+    }
     val stage = java.nio.file.Files.createTempDirectory("graft_ssess")
-    val pages = stageOrderedPages(real.unionByName(sentinels), "page", 4, stage)
     val stream = s.readStream.schema("user LONG, tsMillis LONG")
-      .option("maxFilesPerTrigger", "1").json(pages)
+      .option("maxFilesPerTrigger", "1").json(fx.resolve("pages").toString)
       .as[StreamingOps.UserEvent]
     val sessions = StreamingOps.sessionize(stream, gapMs,
       org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
@@ -246,10 +243,12 @@ object Registry6 {
       .filter(col("c") >= 8 && col("rn") <= 8)
       .select(col("user_id").as("user"), unix_millis(col("ts")).as("tsMillis"),
         ((col("rn") - 1) / 2).cast("int").as("page"))
+    val fx = FixtureCache.cached(d, "squota", Seq("events")) { tmp =>
+      stageOrderedPages(first8, "page", 4, tmp)
+    }
     val stage = java.nio.file.Files.createTempDirectory("graft_squota")
-    val pages = stageOrderedPages(first8, "page", 4, stage)
     val stream = s.readStream.schema("user LONG, tsMillis LONG")
-      .option("maxFilesPerTrigger", "1").json(pages)
+      .option("maxFilesPerTrigger", "1").json(fx.resolve("pages").toString)
       .as[StreamingOps.UserEvent]
     val admitted = StreamingOps.quotaPerKey(stream, 4)
     drain(admitted.toDF(), stage, OutputMode.Append)

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Shared drain-run harness for the oracle-gated streaming queries:
+  * run a streaming frame to completion (AvailableNow, per-file triggers
+  * configured by the caller's source) into a memory sink and return the
+  * sink table.
+  *
+  * State-partition sizing: the number of state-store instances per
+  * stateful operator is `spark.sql.shuffle.partitions` captured at first
+  * query start. A bounded audit fixture is ~10⁵ rows across 4
+  * micro-batches — at the session's 32, each store is near-empty yet
+  * still writes its delta file every trigger, so the fixed per-trigger
+  * cost dominates the bench number. The drain runs at 8 (full stores,
+  * same results — hash partitioning by key is semantically invisible);
+  * production streams with real key cardinality keep the session's
+  * higher setting, and the knob scales exactly like batch shuffle
+  * partitions. */
+object StreamHarness {
+  val drainStatePartitions = "8"
+
+  def drain(df: DataFrame, stage: java.nio.file.Path,
+            mode: OutputMode): DataFrame = {
+    val s = df.sparkSession
+    val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, drainStatePartitions)
+    try {
+      val run = df.writeStream.format("memory").queryName(mem)
+        .outputMode(mode)
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      run.awaitTermination()
+    } finally s.conf.set(key, prev)
+    s.table(mem)
+  }
+}
