@@ -40,13 +40,16 @@ object Registry5 {
     *
     * Reference: the `search_after` pagination loop IS this stream —
     * /root/reference/src/jurimetria_pipeline.py:114-158. */
-  val streamingHitsWindow = Q("streaming_hits_window",
-    """SELECT strftime(date_trunc('hour', o_orderdate), '%Y-%m-%d %H:%M:%S') AS ws,
-      |  o_orderpriority AS classe, COUNT(*) AS cnt
-      |FROM orders WHERE o_orderdate IS NOT NULL
-      |GROUP BY 1, 2 ORDER BY ws, classe""".stripMargin) { (s, d) =>
+  /** The raw DataJud hit pages synthesized from `orders`, staged once
+    * per sf under the content-keyed cache (the fixture is a pure
+    * function of `orders`); shared by every streaming query that
+    * consumes the hit stream. Checkpoints and sink names stay
+    * run-scoped — only the deterministic page files are cached. */
+  /** The hit-shaped record stream synthesized from `orders` — the
+    * common raw frame behind the streaming fixtures. */
+  private[queries] def rawHits(s: SparkSession, d: String): DataFrame = {
     val iso = (c: Column) => date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    val raw = Tables.orders(s, d).select(
+    Tables.orders(s, d).select(
       struct(
         col("o_orderkey").cast("string").as("numeroProcesso"),
         struct(lit(1L).as("codigo"), col("o_orderpriority").as("nome")).as("classe"),
@@ -54,11 +57,20 @@ object Registry5 {
         lit("1").as("grau")
       ).as("_source"),
       array(unix_millis(col("o_orderdate"))).as("sort"))
-    // page files are content-keyed-cached per sf (the fixture is a pure
-    // function of `orders`); checkpoint + sink name stay run-scoped
-    val pages = FixtureCache.cached(d, "shits", Seq("orders")) { tmp =>
-      raw.repartition(4).write.mode("overwrite").json(tmp.resolve("pages").toString)
+  }
+
+  private[queries] def hitPagesFixture(s: SparkSession, d: String): String =
+    FixtureCache.cached(d, "shits", Seq("orders")) { tmp =>
+      rawHits(s, d).repartition(4).write.mode("overwrite")
+        .json(tmp.resolve("pages").toString)
     }.resolve("pages").toString
+
+  val streamingHitsWindow = Q("streaming_hits_window",
+    """SELECT strftime(date_trunc('hour', o_orderdate), '%Y-%m-%d %H:%M:%S') AS ws,
+      |  o_orderpriority AS classe, COUNT(*) AS cnt
+      |FROM orders WHERE o_orderdate IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY ws, classe""".stripMargin) { (s, d) =>
+    val pages = hitPagesFixture(s, d)
     val stage = java.nio.file.Files.createTempDirectory("graft_stream")
     val parsed = StreamingOps.streamHits(s, pages, "TJX",
       Map("maxFilesPerTrigger" -> "1"))

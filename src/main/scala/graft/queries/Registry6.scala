@@ -256,6 +256,96 @@ object Registry6 {
       .orderBy("uid", "tm")
   }
 
+  /** Wide MinHash+LSH candidate pairs — [[Dedup.minhashCandidates]] at
+    * 16 hashes / 4 bands × 4 rows, the selectivity step up from the
+    * default 8/4×2 exactly as `dedup_simhash_wide` is for simhash. A
+    * band collides with probability ≈ J^rows, so doubling rows-per-band
+    * squares the chance-collision rate: the round-7 100× probe measured
+    * the default config's candidates growing 233× for 100× docs on the
+    * homogeneous corpus (the n²·J^2 chance term surfacing at 5·10⁵
+    * docs), while this config stays linear at the same scale (SCALE.md).
+    * Recall trades down only for pairs with J < ~0.7 — the near-dup
+    * band, not the exact-dup band; size rows to corpus, as with slice
+    * width. Oracle replays the identical salted-digest slice minhashes
+    * with range(0, 16). */
+  val dedupMinhashWide = Q("dedup_minhash_wide",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, list_transform(range(0, 16),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.bnd,
+      |    md5(mh[4*t.bnd+1] || mh[4*t.bnd+2] || mh[4*t.bnd+3] || mh[4*t.bnd+4]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t)
+      |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM bands a JOIN bands b ON a.bnd = b.bnd AND a.bk = b.bk
+      |  AND a.doc_id < b.doc_id
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Dedup.minhashCandidates(docs(s, d), "doc_id", "text",
+      numHashes = 16, bands = 4)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** The production streaming sink under the gate: the same watermarked
+    * tumbling-window count `streaming_hits_window` drains to a memory
+    * sink in complete mode, drained APPEND-mode into a transactional
+    * PARQUET sink and read back ([[StreamHarness.drainToParquet]]).
+    * This is the semantic the memory-sink audits could not reach:
+    * append mode emits a window only once its end passes the final
+    * watermark (global max event time − 2 h delay), so the sink holds
+    * the finalized prefix and the trailing horizon stays in state when
+    * the bounded input ends — the exactly-once file-sink shape a 100 TB
+    * ingest actually runs. The drain is run TWICE against the same
+    * checkpoint: the second run sees no new files and must write
+    * nothing (the sink's commit log is the witness — a double-write
+    * would duplicate rows and fail the count oracle).
+    *
+    * Delivery must be time-ordered across micro-batches
+    * ([[stageOrderedPages]] time-quartiles, as sessionize/quota): the
+    * watermark is monotonic, so an unordered drain would leap to
+    * (global max − delay) after the first batch and append mode would
+    * then drop most later deliveries as late data — the complete-mode
+    * drains are immune (watermarking doesn't drop there), which is why
+    * they can reuse the cheaper unordered fixture and this query
+    * cannot. In production the same constraint is the watermark-delay
+    * sizing rule: delay ≥ max cross-partition arrival skew.
+    *
+    * Oracle: the batch windowed count restricted to finalized windows —
+    * window end ≤ max(o_orderdate) − 2 h. */
+  val streamingParquetSink = Q("streaming_parquet_sink",
+    """WITH w AS (SELECT date_trunc('hour', o_orderdate) AS wstart,
+      |    o_orderpriority AS classe, COUNT(*) AS cnt
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT max(o_orderdate) AS mx FROM orders)
+      |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS ws, classe, cnt
+      |FROM w, m
+      |WHERE wstart + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
+      |ORDER BY ws, classe""".stripMargin) { (s, d) =>
+    val pages = FixtureCache.cached(d, "shitsord", Seq("orders")) { tmp =>
+      val paged = Registry5.rawHits(s, d).withColumn("page",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sort").getItem(0).asc_nulls_first)) - 1)
+      stageOrderedPages(paged, "page", 4, tmp)
+    }.resolve("pages").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_psink")
+    val out = stage.resolve("out").toString
+    def counts = {
+      val parsed = StreamingOps.streamHits(s, pages, "TJX",
+        Map("maxFilesPerTrigger" -> "1"))
+      StreamingOps.tumblingCounts(
+        parsed.filter(col("data_ajuizamento").isNotNull),
+        "data_ajuizamento", "classe")
+    }
+    StreamHarness.drainToParquet(counts, stage, out)
+    StreamHarness.drainToParquet(counts, stage, out) // exactly-once: no-op
+      .select(TimeFns.tsString(col("ws")).as("ws"), col("classe"), col("cnt"))
+      .orderBy("ws", "classe")
+  }
+
   val round7: Seq[Q] = Seq(dedupSimhashWide, streamingJoinWindow,
-    streamingSessionize, streamingQuota)
+    streamingSessionize, streamingQuota, dedupMinhashWide,
+    streamingParquetSink)
 }

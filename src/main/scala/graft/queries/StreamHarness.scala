@@ -21,20 +21,43 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 object StreamHarness {
   val drainStatePartitions = "8"
 
+  private def withDrainConf[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, drainStatePartitions)
+    try body finally s.conf.set(key, prev)
+  }
+
   def drain(df: DataFrame, stage: java.nio.file.Path,
             mode: OutputMode): DataFrame = {
     val s = df.sparkSession
     val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, drainStatePartitions)
-    try {
+    withDrainConf(s) {
       val run = df.writeStream.format("memory").queryName(mem)
         .outputMode(mode)
         .option("checkpointLocation", stage.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
       run.awaitTermination()
-    } finally s.conf.set(key, prev)
+    }
     s.table(mem)
+  }
+
+  /** Drain into a transactional FILE sink (the production shape the
+    * memory-sink audits stand in for): append-mode only, exactly-once
+    * via the sink's commit log — a re-run against the same checkpoint
+    * writes nothing new, and readers ignore uncommitted files. Returns
+    * the files read back. */
+  def drainToParquet(df: DataFrame, stage: java.nio.file.Path,
+                     outDir: String): DataFrame = {
+    val s = df.sparkSession
+    withDrainConf(s) {
+      val run = df.writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", stage.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      run.awaitTermination()
+    }
+    s.read.parquet(outDir)
   }
 }

@@ -36,11 +36,26 @@ object ScaleProbe {
   private def choose2(grouped: DataFrame): Long =
     grouped.agg(sum(expr("n * (n - 1) div 2")).as("c")).head().getLong(0)
 
+  /** Query → family, for the optional 4th-arg family filter (csv of
+    * {minhash,simhash,jaccard,cc,ann,tfidf} — e.g. the 100× point runs
+    * `minhash` alone; default runs everything). */
+  private val family = Map(
+    "dedup_minhash_lsh" -> "minhash", "dedup_minhash_wide" -> "minhash",
+    "dedup_simhash_pairs" -> "simhash",
+    "dedup_simhash_wide" -> "simhash", "dedup_ngram_jaccard" -> "jaccard",
+    "dedup_clusters" -> "cc", "ann_ivf_topk" -> "ann", "text_tfidf" -> "tfidf")
+
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.create()
     val sfDir = args(0)
     val scratch = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val families: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else Set("all")
+    def want(f: String) = families.contains("all") || families.contains(f)
+    // "nobuild": reuse an already-built replica at <scratchDir> (the
+    // 100× corpus takes minutes to build; counts re-runs shouldn't re-pay)
+    val rebuild = args.length <= 4 || args(4) != "nobuild"
 
     // ---- build the perturbed replica corpus
     val docs0 = graft.Tables.documents(spark, sfDir)
@@ -63,27 +78,30 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
       }
     }
-    docCopies.reduce(_.unionByName(_))
+    if (rebuild) docCopies.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
-    val embCopies = (0 until factor).map { c =>
-      if (c == 0) emb0.select("vec_id", "embedding", "label")
-      else {
-        val k = c % 64
-        val e = col("embedding")
-        emb0.select(
-          (col("vec_id") + lit(c * embOff)).as("vec_id"),
-          concat(slice(e, k + 1, 64 - k), slice(e, 1, k)).as("embedding"),
-          col("label"))
+    if (rebuild && want("ann")) {
+      val embCopies = (0 until factor).map { c =>
+        if (c == 0) emb0.select("vec_id", "embedding", "label")
+        else {
+          val k = c % 64
+          val e = col("embedding")
+          emb0.select(
+            (col("vec_id") + lit(c * embOff)).as("vec_id"),
+            concat(slice(e, k + 1, 64 - k), slice(e, 1, k)).as("embedding"),
+            col("label"))
+        }
       }
+      embCopies.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
     }
-    embCopies.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
     println(s"PROBE built ${factor}x corpus at $scratch")
 
     // ---- steady-state times per family, 1x then Nx
-    val queries = Seq("dedup_minhash_lsh", "dedup_simhash_pairs",
+    val queries = Seq("dedup_minhash_lsh", "dedup_minhash_wide",
+      "dedup_simhash_pairs",
       "dedup_simhash_wide", "dedup_ngram_jaccard", "dedup_clusters",
-      "ann_ivf_topk", "text_tfidf")
+      "ann_ivf_topk", "text_tfidf").filter(q => want(family(q)))
     for (dir <- Seq(sfDir, scratch); q <- queries; pass <- 1 to 2) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir)
@@ -98,58 +116,76 @@ object ScaleProbe {
       val d = graft.Tables.documents(spark, dir)
       val nDocs = d.count()
 
-      val mh = choose2(graft.operators.Dedup.bandedKeys(d, "doc_id", "text")
-        .groupBy("band", "bk").agg(count(lit(1)).as("n")))
-      println(s"PROBE candidates $scale minhash_lsh docs=$nDocs pairs=$mh")
+      if (want("minhash")) {
+        val mh = choose2(graft.operators.Dedup.bandedKeys(d, "doc_id", "text")
+          .groupBy("band", "bk").agg(count(lit(1)).as("n")))
+        println(s"PROBE candidates $scale minhash_lsh docs=$nDocs pairs=$mh")
+        // wide (16-hash / 4×4-row) variant: rows-per-band is the
+        // chance-collision knob (p ≈ J^rows per band) — the prescribed
+        // config once the n²·J² term surfaces (measured at 5·10⁵
+        // homogeneous docs with the default 8/4×2)
+        val mhW = choose2(
+          graft.operators.Dedup.bandedKeys(d, "doc_id", "text", 16, 4)
+            .groupBy("band", "bk").agg(count(lit(1)).as("n")))
+        println(s"PROBE candidates $scale minhash_wide docs=$nDocs pairs=$mhW")
+      }
 
-      val sigs = graft.operators.Dedup.simhashed(d, "doc_id", "text", 64)
-      val chunkArr = array((0 until 4).map(b =>
-        substring(col("sig"), b * 16 + 1, 16)): _*)
-      val sh = choose2(sigs
-        .select(posexplode(chunkArr).as(Seq("ci", "ck")))
-        .groupBy("ci", "ck").agg(count(lit(1)).as("n")))
-      println(s"PROBE candidates $scale simhash docs=$nDocs pairs=$sh")
+      if (want("simhash")) {
+        val sigs = graft.operators.Dedup.simhashed(d, "doc_id", "text", 64)
+        val chunkArr = array((0 until 4).map(b =>
+          substring(col("sig"), b * 16 + 1, 16)): _*)
+        val sh = choose2(sigs
+          .select(posexplode(chunkArr).as(Seq("ci", "ck")))
+          .groupBy("ci", "ck").agg(count(lit(1)).as("n")))
+        println(s"PROBE candidates $scale simhash docs=$nDocs pairs=$sh")
 
-      // wide (128-bit / 32-bit slice) variant: the slice alphabet grows
-      // 2^16 → 2^32, which is the prescribed fix for the 64-bit path's
-      // super-linear candidate growth on homogeneous corpora
-      val sigsW = graft.operators.Dedup.simhashed(d, "doc_id", "text", 128)
-      val chunkArrW = array((0 until 4).map(b =>
-        substring(col("sig"), b * 32 + 1, 32)): _*)
-      val shW = choose2(sigsW
-        .select(posexplode(chunkArrW).as(Seq("ci", "ck")))
-        .groupBy("ci", "ck").agg(count(lit(1)).as("n")))
-      println(s"PROBE candidates $scale simhash_wide docs=$nDocs pairs=$shW")
+        // wide (128-bit / 32-bit slice) variant: the slice alphabet grows
+        // 2^16 → 2^32, which is the prescribed fix for the 64-bit path's
+        // super-linear candidate growth on homogeneous corpora
+        val sigsW = graft.operators.Dedup.simhashed(d, "doc_id", "text", 128)
+        val chunkArrW = array((0 until 4).map(b =>
+          substring(col("sig"), b * 32 + 1, 32)): _*)
+        val shW = choose2(sigsW
+          .select(posexplode(chunkArrW).as(Seq("ci", "ck")))
+          .groupBy("ci", "ck").agg(count(lit(1)).as("n")))
+        println(s"PROBE candidates $scale simhash_wide docs=$nDocs pairs=$shW")
+      }
 
-      // jaccard join fan-in: shared (block, gram-hash) incidences
-      val gramHash = (s: org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.GraftExpr.col(graft.expressions.RollingHash(
-          org.apache.spark.sql.GraftExpr.expr(s)))
-      val jac = choose2(d
-        .select(col("doc_id"),
-          concat(col("lang"), lit("|"),
-            floor(col("n_chars") / 100).cast("long").cast("string")).as("blk"),
-          array_distinct(transform(
-            array_distinct(graft.operators.Dedup.shingles(col("text"))),
-            gramHash)).as("hs"))
-        .select(col("blk"), explode(col("hs")).as("h"))
-        .groupBy("blk", "h").agg(count(lit(1)).as("n")))
-      println(s"PROBE candidates $scale ngram_jaccard docs=$nDocs sharedgram_incidences=$jac")
+      if (want("jaccard")) {
+        // jaccard join fan-in: shared (block, gram-hash) incidences
+        val gramHash = (s: org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.GraftExpr.col(graft.expressions.RollingHash(
+            org.apache.spark.sql.GraftExpr.expr(s)))
+        val jac = choose2(d
+          .select(col("doc_id"),
+            concat(col("lang"), lit("|"),
+              floor(col("n_chars") / 100).cast("long").cast("string")).as("blk"),
+            array_distinct(transform(
+              array_distinct(graft.operators.Dedup.shingles(col("text"))),
+              gramHash)).as("hs"))
+          .select(col("blk"), explode(col("hs")).as("h"))
+          .groupBy("blk", "h").agg(count(lit(1)).as("n")))
+        println(s"PROBE candidates $scale ngram_jaccard docs=$nDocs sharedgram_incidences=$jac")
+      }
 
-      val pairs = graft.operators.Dedup.minhashCandidates(d, "doc_id", "text")
-      val (labels, rounds) =
-        graft.operators.Dedup.connectedComponentsWithRounds(pairs, "a_id", "b_id")
-      val nEdges = pairs.count()
-      val nLabeled = labels.count()
-      println(s"PROBE cc $scale edges=$nEdges labeled=$nLabeled rounds=$rounds")
+      if (want("cc")) {
+        val pairs = graft.operators.Dedup.minhashCandidates(d, "doc_id", "text")
+        val (labels, rounds) =
+          graft.operators.Dedup.connectedComponentsWithRounds(pairs, "a_id", "b_id")
+        val nEdges = pairs.count()
+        val nLabeled = labels.count()
+        println(s"PROBE cc $scale edges=$nEdges labeled=$nLabeled rounds=$rounds")
+      }
 
-      val e = graft.Tables.embeddings(spark, dir)
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
-      val cells = graft.operators.Similarity.ivfAssign(e, cent, "vec_id", "embedding")
-        .groupBy("cell").agg(count(lit(1)).as("n"))
-        .agg(max("n").as("mx"), avg("n").as("mean")).head()
-      println(s"PROBE ivf $scale max_cell=${cells.getLong(0)} mean_cell=${cells.getDouble(1)}")
+      if (want("ann")) {
+        val e = graft.Tables.embeddings(spark, dir)
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+        val cells = graft.operators.Similarity.ivfAssign(e, cent, "vec_id", "embedding")
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+          .agg(max("n").as("mx"), avg("n").as("mean")).head()
+        println(s"PROBE ivf $scale max_cell=${cells.getLong(0)} mean_cell=${cells.getDouble(1)}")
+      }
     }
     spark.stop()
   }

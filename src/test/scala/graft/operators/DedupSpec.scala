@@ -50,6 +50,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // null bands never join
   }
 
+  test("minhashCandidates wide (16 hashes, 4x4 rows): exact dups still collide, selectivity only tightens") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      numHashes = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // identical text agrees on every minhash
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // distinct stays apart
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("simhash: identical texts share signatures; signature is 16 bits") {
     val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
