@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.Tables
 import graft.functions.TimeFns
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.streaming.StreamingOps
 
 /** Round-7 additions: the wide (128-bit) SimHash signature path the
@@ -345,7 +345,135 @@ object Registry6 {
       .orderBy("ws", "classe")
   }
 
+  /** Stream-static enrichment under the gate
+    * ([[StreamingOps.enrichStreamingHits]] — the reference's municipio
+    * lookup on a live stream): the static dim broadcasts to every
+    * micro-batch, no state, no watermark — the one streaming join shape
+    * with zero eviction concerns, so append mode is exact regardless of
+    * delivery order and the fixture can stay unordered. Customer plays
+    * the municipio dim filtered to even keys, so both the matched and
+    * fallback paths are live across batch boundaries.
+    *
+    * Oracle: the identical batch left-join + coalesce fallback. */
+  val streamingEnrich = Q("streaming_enrich",
+    """SELECT CAST(o_orderkey AS VARCHAR) AS numero,
+      |  COALESCE(c.c_name, CAST(o_custkey AS VARCHAR)) AS municipio
+      |FROM orders o LEFT JOIN (SELECT c_custkey, c_name FROM customer
+      |  WHERE c_custkey % 2 = 0) c ON o.o_custkey = c.c_custkey
+      |ORDER BY numero""".stripMargin) { (s, d) =>
+    val pages = FixtureCache.cached(d, "senrich", Seq("orders")) { tmp =>
+      Tables.orders(s, d).select(
+        struct(
+          col("o_orderkey").cast("string").as("numeroProcesso"),
+          struct(col("o_custkey").cast("string").as("codigo"),
+            lit(null).cast("string").as("nome"),
+            col("o_custkey").cast("string").as("codigoMunicipioIBGE"))
+            .as("orgaoJulgador")
+        ).as("_source"),
+        array(unix_millis(col("o_orderdate"))).as("sort"))
+        .repartition(4).write.mode("overwrite")
+        .json(tmp.resolve("pages").toString)
+    }.resolve("pages").toString
+    val dim = Tables.customer(s, d)
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("CD_MUN"), col("c_name").as("NM_MUN"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_senrich")
+    val parsed = StreamingOps.streamHits(s, pages, "TJX",
+      Map("maxFilesPerTrigger" -> "1"))
+    val enriched = StreamingOps.enrichStreamingHits(parsed, dim)
+      .select(col("numero_processo").as("numero"), col("municipio"))
+    drain(enriched, stage, OutputMode.Append).orderBy("numero")
+  }
+
+  /** The sliding-window count's ACTUAL streaming run (q40 is its batch
+    * face): overlapping 1 h windows sliding by 15 min over a real
+    * 4-micro-batch event stream, complete-mode drain (order-insensitive
+    * — watermarking neither drops nor evicts in complete mode, so the
+    * cheap unordered fixture is sound, exactly as
+    * `streaming_hits_window`). Every event lands in 4 windows; the
+    * windowLen/slide ratio is the state-size knob SCALE.md documents.
+    *
+    * Oracle: q40's arithmetic window replay (epoch-aligned starts). */
+  val streamingSlidingWindow = Q("streaming_sliding_window",
+    """SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - 900 * t.k AS ws,
+      |  event_type, COUNT(*) AS cnt
+      |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t
+      |WHERE ts IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    val pages = FixtureCache.cached(d, "sslide", Seq("events")) { tmp =>
+      Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .repartition(4).write.mode("overwrite")
+        .json(tmp.resolve("pages").toString)
+    }.resolve("pages").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_sslide")
+    val stream = s.readStream.schema("ts_us LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1").json(pages)
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+    val counts = StreamingOps.slidingCounts(stream, "ts", "event_type")
+    drain(counts, stage, OutputMode.Complete)
+      .select(col("ws").cast("long").as("ws"), col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** Semantic dedup (SemDeDup-shaped): cluster the embedding space with
+    * a trained codebook (one Lloyd step over lowest-id seeds — the
+    * `ann_ivf_kmeans` index), then drop within-cluster cosine near-dups,
+    * keeping the smallest id of each pair. Differs from
+    * `dedup_embedding` exactly where it matters at 100 TB: blocks are
+    * LEARNED cells, not ground-truth labels — the shape that works when
+    * no label column exists. Cost: centroid train/assign is
+    * broadcast + partial-agg (corpus never shuffles whole), the pair
+    * join is within-cell quadratic bounded by [[Similarity.nearDupPairs]]'s
+    * block-size guard, and the id⋈cell re-join rides compact ids.
+    *
+    * Oracle: replays the identical Lloyd step, argmax assignment (ties
+    * toward the higher cell), within-cell pair threshold, and keep-min
+    * survivorship. */
+  val dedupSemantic = Q("dedup_semantic",
+    s"""WITH cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 8),
+       |asg0 AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent0 c) WHERE rn = 1),
+       |dm AS (SELECT cell, i AS d,
+       |    CAST(SUM(CAST(n_vec[i] AS DECIMAL(30,10))) AS DOUBLE)
+       |      / COUNT(n_vec[i]) AS m
+       |  FROM asg0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY cell, i),
+       |cent1 AS (SELECT cell, list(m ORDER BY d) AS c_vec FROM dm GROUP BY cell),
+       |asg AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent1 c) WHERE rn = 1),
+       |pairs AS (SELECT a.n_id AS a_id, b.n_id AS b_id
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id < b.n_id
+       |  WHERE ${RegistryExt.sqlCos("a.n_vec", "b.n_vec")} >= 0.3)
+       |SELECT n_id AS vec_id, cell FROM asg
+       |WHERE n_id NOT IN (SELECT b_id FROM pairs)
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cent0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    val cent1 = Similarity.kmeansIter(e, cent0, "vec_id", "embedding")
+      .localCheckpoint() // 8 rows; feeds two broadcast consumers
+    val withCell = e.join(
+      Similarity.ivfAssign(e, cent1, "vec_id", "embedding")
+        .select("vec_id", "cell"),
+      "vec_id")
+    val pairs = Similarity.nearDupPairs(withCell, "vec_id", "embedding",
+      col("cell"), threshold = 0.3)
+    withCell.join(pairs.select(col("b_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   val round7: Seq[Q] = Seq(dedupSimhashWide, streamingJoinWindow,
     streamingSessionize, streamingQuota, dedupMinhashWide,
-    streamingParquetSink)
+    streamingParquetSink, streamingEnrich, streamingSlidingWindow,
+    dedupSemantic)
 }

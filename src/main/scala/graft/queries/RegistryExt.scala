@@ -19,11 +19,11 @@ object RegistryExt {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   /** DuckDB left-fold dot product of two FLOAT[64] list columns. */
-  private def sqlDot(a: String, b: String): String =
+  private[queries] def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
 
-  private def sqlCos(a: String, b: String): String =
+  private[queries] def sqlCos(a: String, b: String): String =
     s"""(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"""
 
   // --------------------------------------------------------------- dedup
