@@ -139,19 +139,26 @@ object Similarity {
     * to the cell — they land in the HIGHEST cell (the same rule the
     * DuckDB oracle's `ORDER BY cos DESC, cell DESC` replays). */
   def ivfAssign(batch: DataFrame, centroids: DataFrame,
-                idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
+                idCol: String, vecCol: String, dim: Int = 64,
+                keepVec: Boolean = false): DataFrame = {
     val cent = centroids.select(col("cell"), col("c_vec"),
       VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
     val cos = when(col("_nrm") > 0.0 && col("c_nrm") > 0.0,
       VectorFns.dotN(col("_v"), col("c_vec"), dim) / (col("_nrm") * col("c_nrm")))
-    batch
+    val assigned = batch
       .select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
         VectorFns.l2NormN(col(vecCol), dim).as("_nrm"))
       .join(broadcast(cent))
       .groupBy("vec_id")
-      .agg(max(struct(cos.as("s"), col("cell").as("cell"))).as("_best"))
-      .select(col("vec_id"), col("_best.cell").as("cell"),
-        col("_best.s").as("score"))
+      .agg(max(struct(cos.as("s"), col("cell").as("cell"))).as("_best"),
+        first(col("_v")).as("_vec")) // constant per group
+    // keepVec carries the vector through the argmax agg so a consumer
+    // that needs (id, cell, vec) — e.g. semantic dedup's within-cell
+    // pair join — avoids re-joining the corpus to recover it (two
+    // corpus-sized exchanges at scale)
+    val base = assigned.select(col("vec_id"), col("_best.cell").as("cell"),
+      col("_best.s").as("score"), col("_vec"))
+    if (keepVec) base.withColumnRenamed("_vec", vecCol) else base.drop("_vec")
   }
 
   /** One Lloyd (k-means) refinement step for IVF centroids: assign each

@@ -460,10 +460,8 @@ object Registry6 {
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
     val cent1 = Similarity.kmeansIter(e, cent0, "vec_id", "embedding")
       .localCheckpoint() // 8 rows; feeds two broadcast consumers
-    val withCell = e.join(
-      Similarity.ivfAssign(e, cent1, "vec_id", "embedding")
-        .select("vec_id", "cell"),
-      "vec_id")
+    val withCell = Similarity.ivfAssign(e, cent1, "vec_id", "embedding",
+      keepVec = true) // (id, cell, vec) in one pass — no corpus re-join
     val pairs = Similarity.nearDupPairs(withCell, "vec_id", "embedding",
       col("cell"), threshold = 0.3)
     withCell.join(pairs.select(col("b_id").as("vec_id")).distinct(),
