@@ -470,8 +470,70 @@ object Registry6 {
       .orderBy("vec_id")
   }
 
+  /** Corpus-trained fluency score (the KenLM-shaped quality signal,
+    * model-free): a char-bigram model is TRAINED on the corpus itself —
+    * add-one-smoothed conditional counts p(c₂|c₁) = (n(c₁c₂)+1) /
+    * (n(c₁·)+V) — and each document is scored by its mean conditional
+    * bigram probability. Gibberish scores low against any natural
+    * corpus; it is the train-apply loop of a perplexity filter in one
+    * dataflow.
+    *
+    * Scale shape: the model is the bigram/context count dims — alphabet²
+    * rows, broadcast — so scoring is a map-side join over the bigram
+    * explode; only (doc, pos, p) partial-aggs shuffle on doc_id.
+    *
+    * Determinism: probabilities use only +, /, and integer counts (IEEE
+    * exact-rounded — ln() is NOT correctly rounded across engines, so
+    * the score is mean probability, not log-prob), and the per-doc sum
+    * is a position-ordered left fold replayed identically by the
+    * oracle's `list_reduce(list(p ORDER BY pos))`. */
+  val textFluency = Q("text_fluency",
+    """WITH bg AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT), 2) AS b
+      |  FROM (SELECT doc_id, text,
+      |    unnest(range(1, length(text))) AS pos FROM documents)),
+      |cb AS (SELECT b, COUNT(*) AS nb FROM bg GROUP BY b),
+      |cc AS (SELECT substr(b, 1, 1) AS c, COUNT(*) AS nc FROM bg GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT substr(text, CAST(i AS INT), 1)) AS nv
+      |  FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i
+      |        FROM documents)),
+      |p AS (SELECT doc_id, pos,
+      |    CAST(nb + 1 AS DOUBLE) / CAST(nc + nv AS DOUBLE) AS p
+      |  FROM bg JOIN cb USING (b)
+      |    JOIN cc ON substr(bg.b, 1, 1) = cc.c CROSS JOIN v)
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
+      |    (a, x) -> a + x) / COUNT(*) AS fluency
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val bg = docs(s, d)
+      .select(col("doc_id"),
+        when(char_length(col("text")) >= 2,
+          expr("transform(sequence(1, char_length(text) - 1)," +
+            " i -> struct(i AS pos, substring(text, i, 2) AS b))"))
+          .otherwise(array().cast("array<struct<pos:int,b:string>>")).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.b").as("b"))
+    val cb = bg.groupBy("b").agg(count(lit(1)).as("nb"))
+    val cc = bg.groupBy(substring(col("b"), 1, 1).as("c"))
+      .agg(count(lit(1)).as("nc"))
+    val v = docs(s, d)
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(char_length(col("ch")) > 0) // split("") emits a trailing ""
+      .agg(count_distinct(col("ch")).as("nv"))
+    bg.join(broadcast(cb), "b")
+      .join(broadcast(cc), substring(col("b"), 1, 1) === col("c"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("pos"),
+        ((col("nb") + 1).cast("double") / (col("nc") + col("nv")).cast("double"))
+          .as("p"))
+      .groupBy("doc_id")
+      .agg((expr("aggregate(array_sort(collect_list(struct(pos, p)))," +
+        " cast(0.0 as double), (a, x) -> a + x.p)") / count(lit(1)))
+        .as("fluency"))
+      .orderBy("doc_id")
+  }
+
   val round7: Seq[Q] = Seq(dedupSimhashWide, streamingJoinWindow,
     streamingSessionize, streamingQuota, dedupMinhashWide,
     streamingParquetSink, streamingEnrich, streamingSlidingWindow,
-    dedupSemantic)
+    dedupSemantic, textFluency)
 }
