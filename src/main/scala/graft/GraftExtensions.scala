@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.expressions.{DotProduct, RollingHash, WordShingles}
+import graft.expressions.{CharNgrams, DotProduct, RollingHash, WordShingles}
 
 /** SparkSessionExtensions hook registering graft's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -79,5 +79,12 @@ object GraftExtensions {
           c, litInt(b, "graft_simhash_mask"))
         case _ => throw new IllegalArgumentException(
           "graft_simhash_mask(text, bits)")
+      }),
+    (FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "graft_char_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, n) => CharNgrams(c, litInt(n, "graft_char_ngrams"))
+        case _ => throw new IllegalArgumentException(
+          "graft_char_ngrams(text, n)")
       }))
 }

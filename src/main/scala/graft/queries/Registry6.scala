@@ -478,43 +478,59 @@ object Registry6 {
     * corpus; it is the train-apply loop of a perplexity filter in one
     * dataflow.
     *
-    * Scale shape: the model is the bigram/context count dims — alphabet²
-    * rows, broadcast — so scoring is a map-side join over the bigram
-    * explode; only (doc, pos, p) partial-aggs shuffle on doc_id.
+    * Scale shape: the trained model is alphabet² count rows — it
+    * BROADCASTS, so scoring is two map-side hash joins over the bigram
+    * explode feeding a PLAIN hash aggregate on doc_id with map-side
+    * combine: per-bigram probabilities are quantized to fixed-point
+    * longs, so the per-doc sum is order-independent and needs no
+    * sequential fold at all; bigram extraction is the linear-pass
+    * [[graft.expressions.CharNgrams]] kernel. Rejected shapes, measured
+    * at sf0.1 (final form 1.4 s): collect_list + array_sort +
+    * interpreted per-doc fold (12 s); a broadcast MAP literal probed by
+    * an in-array fold (16 s — `element_at` on a map column is a LINEAR
+    * scan per lookup); a running-sum window over (doc_id, pos) (7 s —
+    * one corpus sort whose only job was float determinism); per-position
+    * `substring` extraction (5 s of O(len²) UTF-8 offset re-scans).
     *
-    * Determinism: probabilities use only +, /, and integer counts (IEEE
-    * exact-rounded — ln() is NOT correctly rounded across engines, so
-    * the score is mean probability, not log-prob), and the per-doc sum
-    * is a position-ordered left fold replayed identically by the
-    * oracle's `list_reduce(list(p ORDER BY pos))`. */
+    * Determinism without order: ln() is not correctly rounded across
+    * engines (hence no log-prob), and float sums are order-dependent —
+    * so each p(c₂|c₁) is the exact integer
+    * (n(c₁c₂)+1) · (10¹² div (n(c₁·)+V)): the per-context scale factor
+    * makes every term ≤ 10¹², a 10⁶-char document sums below 2⁶³ with
+    * 9× headroom, and the quantization error is ≤ (n(c₁·)+V)/10¹² ≤
+    * 10⁻⁵ relative on a [0,1] quality score. The final
+    * sum/n/10¹² runs the two IEEE divisions in the same order in both
+    * engines. */
   val textFluency = Q("text_fluency",
-    """WITH bg AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT), 2) AS b
-      |  FROM (SELECT doc_id, text,
+    """WITH bg AS (SELECT doc_id, n, substr(text, CAST(pos AS INT), 2) AS b
+      |  FROM (SELECT doc_id, text, length(text) - 1 AS n,
       |    unnest(range(1, length(text))) AS pos FROM documents)),
       |cb AS (SELECT b, COUNT(*) AS nb FROM bg GROUP BY b),
       |cc AS (SELECT substr(b, 1, 1) AS c, COUNT(*) AS nc FROM bg GROUP BY 1),
       |v AS (SELECT COUNT(DISTINCT substr(text, CAST(i AS INT), 1)) AS nv
       |  FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i
       |        FROM documents)),
-      |p AS (SELECT doc_id, pos,
-      |    CAST(nb + 1 AS DOUBLE) / CAST(nc + nv AS DOUBLE) AS p
+      |p AS (SELECT doc_id, n,
+      |    (nb + 1) * (1000000000000 // (nc + nv)) AS ps
       |  FROM bg JOIN cb USING (b)
       |    JOIN cc ON substr(bg.b, 1, 1) = cc.c CROSS JOIN v)
-      |SELECT doc_id,
-      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p ORDER BY pos)),
-      |    (a, x) -> a + x) / COUNT(*) AS fluency
-      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |SELECT doc_id, CAST(SUM(ps) AS DOUBLE) / n / 1e12 AS fluency
+      |FROM p GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // CharNgrams: ONE linear code-point pass per document — per-position
+    // substring() re-scans the UTF-8 bytes to the code-point offset on
+    // every call (O(len²)/doc), and a transform() lambda is interpreted;
+    // both measured ~3× slower over the two corpus passes
+    val bigrams = (t: Column) => org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.CharNgrams(org.apache.spark.sql.GraftExpr.expr(t), 2))
     val bg = docs(s, d)
-      .select(col("doc_id"),
-        when(char_length(col("text")) >= 2,
-          expr("transform(sequence(1, char_length(text) - 1)," +
-            " i -> struct(i AS pos, substring(text, i, 2) AS b))"))
-          .otherwise(array().cast("array<struct<pos:int,b:string>>")).as("bs"))
-      .select(col("doc_id"), explode(col("bs")).as("e"))
-      .select(col("doc_id"), col("e.pos").as("pos"), col("e.b").as("b"))
+      .filter(char_length(col("text")) >= 2) // no bigrams → no score row
+      .select(col("doc_id"), (char_length(col("text")) - 1).as("n"),
+        explode(bigrams(col("text"))).as("b"))
     val cb = bg.groupBy("b").agg(count(lit(1)).as("nb"))
-    val cc = bg.groupBy(substring(col("b"), 1, 1).as("c"))
-      .agg(count(lit(1)).as("nc"))
+    // context counts roll up from the bigram counts (Σ over the second
+    // char) — an alphabet²-row input, not another corpus explode
+    val cc = cb.groupBy(substring(col("b"), 1, 1).as("c"))
+      .agg(sum("nb").as("nc"))
     val v = docs(s, d)
       .select(explode(split(col("text"), "")).as("ch"))
       .filter(char_length(col("ch")) > 0) // split("") emits a trailing ""
@@ -522,13 +538,13 @@ object Registry6 {
     bg.join(broadcast(cb), "b")
       .join(broadcast(cc), substring(col("b"), 1, 1) === col("c"))
       .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("pos"),
-        ((col("nb") + 1).cast("double") / (col("nc") + col("nv")).cast("double"))
-          .as("p"))
-      .groupBy("doc_id")
-      .agg((expr("aggregate(array_sort(collect_list(struct(pos, p)))," +
-        " cast(0.0 as double), (a, x) -> a + x.p)") / count(lit(1)))
-        .as("fluency"))
+      .select(col("doc_id"), col("n"),
+        ((col("nb") + 1) * expr("CAST(1000000000000 AS BIGINT) div (nc + nv)"))
+          .as("ps"))
+      .groupBy("doc_id", "n")
+      .agg(sum("ps").as("sp"))
+      .select(col("doc_id"),
+        (col("sp").cast("double") / col("n") / lit(1e12)).as("fluency"))
       .orderBy("doc_id")
   }
 

@@ -13,13 +13,13 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftExtensions.registerAll(spark)
   }
 
-  test("injectFunction path registers the same four functions") {
+  test("injectFunction path registers the same five functions") {
     // apply() to a fresh SparkSessionExtensions must not throw and must
     // cover every row of the shared registry
     new GraftExtensions().apply(new SparkSessionExtensions)
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("graft_dot", "graft_rolling_hash", "graft_simhash_mask",
-        "graft_word_shingles"))
+      Seq("graft_char_ngrams", "graft_dot", "graft_rolling_hash",
+        "graft_simhash_mask", "graft_word_shingles"))
   }
 
   test("graft_simhash_mask resolves in SQL and matches the kernel") {

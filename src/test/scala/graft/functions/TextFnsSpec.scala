@@ -104,4 +104,24 @@ class TextFnsSpec extends SparkSpec {
     assert(rows(0).getString(0) == rows(1).getString(0))   // same normalized md5
     assert(rows(1).getLong(1) != rows(2).getLong(1))       // rolling hash differs
   }
+
+  test("charNgrams kernel: code-point grams, surrogate-safe, short-input empty, SQL face") {
+    val smiley = "😀" // one code point, two UTF-16 units
+    val rows = Seq("abcd", "ab", "a", "", s"ab${smiley}cd")
+      .toDF("text")
+      .select(expr("graft_char_ngrams(text, 2)").as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("ab", "bc", "cd"))
+    assert(rows(1) == Seq("ab"))
+    assert(rows(2).isEmpty && rows(3).isEmpty)
+    assert(rows(4) == Seq("ab", s"b$smiley", s"${smiley}c", "cd"))
+    // parity with the per-position substring definition the oracle uses
+    val t = Seq("the quick brown fox").toDF("text")
+    val fast = t.select(expr("graft_char_ngrams(text, 3)"))
+      .head().getSeq[String](0)
+    val slow = t.select(expr(
+      "transform(sequence(1, char_length(text) - 2), i -> substring(text, i, 3))"))
+      .head().getSeq[String](0)
+    assert(fast == slow)
+  }
 }
