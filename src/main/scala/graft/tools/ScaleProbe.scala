@@ -53,9 +53,16 @@ object ScaleProbe {
     val families: Set[String] =
       if (args.length > 3) args(3).split(",").toSet else Set("all")
     def want(f: String) = families.contains("all") || families.contains(f)
-    // "nobuild": reuse an already-built replica at <scratchDir> (the
-    // 100× corpus takes minutes to build; counts re-runs shouldn't re-pay)
-    val rebuild = args.length <= 4 || args(4) != "nobuild"
+    // flags (comma-separated, arg 5):
+    //   nobuild — reuse an already-built replica at <scratchDir> (the
+    //     100× corpus takes minutes to build; re-runs shouldn't re-pay)
+    //   notime — skip the timed query runs, report governing counts only
+    //     (the saturating config's QUERY at 100× is exactly the blow-up
+    //     the counts predict; counting its candidates is one cheap agg)
+    val flags: Set[String] =
+      if (args.length > 4) args(4).split(",").toSet else Set.empty
+    val rebuild = !flags.contains("nobuild")
+    val timed = !flags.contains("notime")
 
     // ---- build the perturbed replica corpus
     val docs0 = graft.Tables.documents(spark, sfDir)
@@ -101,7 +108,7 @@ object ScaleProbe {
     val queries = Seq("dedup_minhash_lsh", "dedup_minhash_wide",
       "dedup_simhash_pairs",
       "dedup_simhash_wide", "dedup_ngram_jaccard", "dedup_clusters",
-      "ann_ivf_topk", "text_tfidf").filter(q => want(family(q)))
+      "ann_ivf_topk", "text_tfidf").filter(q => timed && want(family(q)))
     for (dir <- Seq(sfDir, scratch); q <- queries; pass <- 1 to 2) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir)
