@@ -246,4 +246,42 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
+
+  /** Approximate kNN GRAPH over the whole corpus: every vector's top-k
+    * cosine neighbors WITHIN its IVF cell — the graph-construction step
+    * behind graph-based curation (duplicate clusters over it, diversity
+    * walks, label propagation). Differs from [[ivfTopKWith]] exactly in
+    * the query side: there a small query set probes nProbe cells; here
+    * the corpus IS the query set, so the join must stay cell-diagonal —
+    * n_cell² per cell, never corpus² — and the same block-size guard as
+    * [[nearDupPairs]] refuses a saturated cell rather than letting one
+    * hot cell cost 10¹⁴ pairs. Returns (src_id, nbr_id, rnk, cos); the
+    * rank filter plants Spark's partial+final WindowGroupLimit below
+    * the exchange (the q09 plan shape), so per-cell candidate lists
+    * shrink to k before they ride the shuffle. */
+  def knnGraph(embeddings: DataFrame, centroids: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               dim: Int = 64, maxCellRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, dim,
+      keepVec = true)
+    val base = assigned.select(col("vec_id").as("id"), col("cell"),
+      col(vecCol).as("vec"), VectorFns.l2NormN(col(vecCol), dim).as("nrm"))
+    val top = base.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).head()
+    val maxCell = if (top.isNullAt(0)) 0L else top.getLong(0)
+    require(maxCell <= maxCellRows,
+      s"knnGraph: largest cell holds $maxCell rows > maxCellRows=" +
+        s"$maxCellRows; the within-cell join is quadratic — train more " +
+        "centroids or raise maxCellRows deliberately")
+    val scored = base.alias("a").join(base.alias("b"),
+      col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src_id"), col("b.id").as("nbr_id"),
+        when(col("a.nrm") > 0.0 && col("b.nrm") > 0.0,
+          VectorFns.dotN(col("a.vec"), col("b.vec"), dim) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
+    val w = Window.partitionBy("src_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -548,8 +548,72 @@ object Registry6 {
       .orderBy("doc_id")
   }
 
+  /** Corpus kNN graph ([[Similarity.knnGraph]]): every vector's top-3
+    * cosine neighbors within its IVF cell — the graph that duplicate
+    * clustering, diversity walks, and label propagation consume. The
+    * join is cell-diagonal (n_cell², never corpus²) behind the same
+    * hot-cell guard as `dedup_embedding`; the rank filter plants
+    * partial+final WindowGroupLimit below the exchange (q09's shape).
+    *
+    * Oracle: the identical seed assignment (argmax cosine, ties to the
+    * higher cell), directed within-cell scoring, and (cos, id)-ranked
+    * top-3. */
+  val annKnnGraph = Q("ann_knn_graph",
+    s"""WITH cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 8),
+       |asg AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent0 c) WHERE rn = 1),
+       |sc AS (SELECT a.n_id AS src_id, b.n_id AS nbr_id,
+       |    ${RegistryExt.sqlCos("a.n_vec", "b.n_vec")} AS cos
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id <> b.n_id),
+       |r AS (SELECT src_id, nbr_id, cos, CAST(ROW_NUMBER() OVER
+       |  (PARTITION BY src_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM sc)
+       |SELECT src_id, nbr_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY src_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cent0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    Similarity.knnGraph(e, cent0, "vec_id", "embedding", k = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("src_id", "rnk")
+  }
+
+  /** Cluster-balanced subsampling: at most 20 vectors per LEARNED cell,
+    * drawn by the deterministic salted-hash order of
+    * [[graft.operators.Sampling.quotaPerGroup]] — `sample_quota` with
+    * the ground-truth `source` column replaced by IVF cells, i.e. the
+    * diversity-preserving downsample that works on unlabeled corpora
+    * (over-represented modes are capped, sparse modes survive whole).
+    *
+    * Oracle: the identical assignment + the identical md5 draw. */
+  val samplePerCell = Q("sample_percell",
+    s"""WITH cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 8),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent0 c) WHERE rn = 1)
+       |SELECT n_id AS vec_id, cell FROM (
+       |  SELECT n_id, cell, ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY md5('graft:' || CAST(n_id AS VARCHAR)), n_id) AS qrn
+       |  FROM asg)
+       |WHERE qrn <= 20 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val cent0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    val assigned = Similarity.ivfAssign(e, cent0, "vec_id", "embedding")
+      .select("vec_id", "cell")
+    graft.operators.Sampling.quotaPerGroup(assigned,
+        col("cell"), col("vec_id"), n = 20)
+      .orderBy("vec_id")
+  }
+
   val round7: Seq[Q] = Seq(dedupSimhashWide, streamingJoinWindow,
     streamingSessionize, streamingQuota, dedupMinhashWide,
     streamingParquetSink, streamingEnrich, streamingSlidingWindow,
-    dedupSemantic, textFluency)
+    dedupSemantic, textFluency, annKnnGraph, samplePerCell)
 }

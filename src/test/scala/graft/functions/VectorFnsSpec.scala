@@ -126,4 +126,23 @@ class VectorFnsSpec extends SparkSpec {
     // only vec 4 lands in a real block → zero pairs, no exception
     assert(out.count() == 0)
   }
+
+  test("knnGraph: neighbors stay within the cell, ranked by cosine; hot cell refused") {
+    // cells: x-axis family {1, 3} vs y-axis {2}; centroids = unit axes
+    val cent = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cell", "c_vec")
+    val g = Similarity.knnGraph(vecs, cent, "vec_id", "embedding",
+      k = 1, dim = 3)
+      .select("src_id", "nbr_id", "rnk")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // 1 and 3 are parallel -> mutual top-1; 4 (diagonal, ties to cell 1... )
+    assert(g(1L) == ((3L, 1)) && g(3L) == ((1L, 1)))
+    // 2's only options are its cellmates -- never the x-axis family
+    assert(g.get(2L).forall { case (n, _) => n != 1L && n != 3L })
+    // the guard refuses a saturated cell rather than going quadratic
+    assertThrows[IllegalArgumentException] {
+      Similarity.knnGraph(vecs, cent.filter(col("cell") === 0),
+        "vec_id", "embedding", k = 1, dim = 3, maxCellRows = 2)
+    }
+  }
 }
