@@ -612,8 +612,52 @@ object Registry6 {
       .orderBy("vec_id")
   }
 
+  /** df-capped n-gram Jaccard ([[Dedup.ngramJaccardPairs]] with
+    * `maxGramDf = 4`): grams shared by more than 4 documents are dropped
+    * before the join and Jaccard is measured over the surviving gram
+    * space — the third saturation fix of the round-7 100× probes
+    * (uncapped shared-gram incidences grew 625× for 100× docs; a fixed
+    * cap C bounds fan-in at (C−1)/2 per surviving gram occurrence,
+    * linear by construction). The oracle replays the same df filter,
+    * per-doc recount, and capped join. */
+  val dedupJaccardCapped = Q("dedup_ngram_jaccard_capped",
+    """WITH base AS (SELECT doc_id AS id,
+      |    lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk,
+      |    list_distinct(list_transform(
+      |      list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+      |             || ' ' || string_split(text,' ')[i+2])),
+      |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, length(s) + 1),
+      |               ci -> CAST(ascii(s[ci]) AS BIGINT))),
+      |             (x, y) -> (x * 31 + y) % 1000000007))) AS hs
+      |  FROM documents),
+      |ex0 AS (SELECT id, blk, unnest(hs) AS h FROM base),
+      |keep AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM ex0 GROUP BY h)
+      |  WHERE df <= 4),
+      |exn AS (SELECT id, blk, h, CAST(COUNT(*) OVER (PARTITION BY id) AS INT) AS n
+      |  FROM ex0 JOIN keep USING (h))
+      |SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a.id AS a_id, b.id AS b_id,
+      |    CAST(a.n AS INT) AS na, CAST(b.n AS INT) AS nb,
+      |    CAST(COUNT(*) AS DOUBLE) AS inter,
+      |    CASE WHEN CAST(a.n + b.n AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) > 0.0
+      |      THEN CAST(COUNT(*) AS DOUBLE)
+      |           / (CAST(a.n + b.n AS DOUBLE) - CAST(COUNT(*) AS DOUBLE))
+      |      ELSE 0.0 END AS jaccard
+      |  FROM exn a JOIN exn b ON a.blk = b.blk AND a.h = b.h AND a.id < b.id
+      |  GROUP BY a.id, b.id, a.n, b.n)
+      |WHERE jaccard >= 0.02 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+      concat(col("lang"), lit("|"),
+        floor(col("n_chars") / 100).cast("long").cast("string")),
+      threshold = 0.02, maxGramDf = Some(4))
+      .orderBy("a_id", "b_id")
+  }
+
   val round7: Seq[Q] = Seq(dedupSimhashWide, streamingJoinWindow,
     streamingSessionize, streamingQuota, dedupMinhashWide,
     streamingParquetSink, streamingEnrich, streamingSlidingWindow,
-    dedupSemantic, textFluency, annKnnGraph, samplePerCell)
+    dedupSemantic, textFluency, annKnnGraph, samplePerCell,
+    dedupJaccardCapped)
 }

@@ -163,7 +163,7 @@ object ScaleProbe {
         val gramHash = (s: org.apache.spark.sql.Column) =>
           org.apache.spark.sql.GraftExpr.col(graft.expressions.RollingHash(
             org.apache.spark.sql.GraftExpr.expr(s)))
-        val jac = choose2(d
+        val ex0 = d
           .select(col("doc_id"),
             concat(col("lang"), lit("|"),
               floor(col("n_chars") / 100).cast("long").cast("string")).as("blk"),
@@ -171,8 +171,17 @@ object ScaleProbe {
               array_distinct(graft.operators.Dedup.shingles(col("text"))),
               gramHash)).as("hs"))
           .select(col("blk"), explode(col("hs")).as("h"))
-          .groupBy("blk", "h").agg(count(lit(1)).as("n")))
+        val jac = choose2(ex0.groupBy("blk", "h").agg(count(lit(1)).as("n")))
         println(s"PROBE candidates $scale ngram_jaccard docs=$nDocs sharedgram_incidences=$jac")
+        // df-capped variant (maxGramDf = 4, the dedup_ngram_jaccard_capped
+        // gate value): fan-in per surviving gram is bounded by the cap,
+        // so growth is linear in the corpus by construction — measured
+        // here to confirm
+        val keep = ex0.groupBy("h").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= 4).select("h")
+        val jacC = choose2(ex0.join(keep, "h")
+          .groupBy("blk", "h").agg(count(lit(1)).as("n")))
+        println(s"PROBE candidates $scale ngram_jaccard_capped docs=$nDocs sharedgram_incidences=$jacC")
       }
 
       if (want("cc")) {

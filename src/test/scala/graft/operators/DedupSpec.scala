@@ -50,6 +50,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // null bands never join
   }
 
+  test("ngramJaccardPairs df cap: ubiquitous grams stop generating pairs; survivors rescore over the filtered space") {
+    import spark.implicits._
+    // docs 1-3 share the same 3-shingle ("common common common ...");
+    // 1 and 2 additionally share a rare tail
+    val d = Seq(
+      (1L, "common common common rare tail one"),
+      (2L, "common common common rare tail two"),
+      (3L, "common common common other words here")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      lit("b"), threshold = 0.01)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 3L))) // via the shared common shingle
+    // cap 2 drops every gram present in all three docs; only the
+    // rare-tail evidence survives, so (1,3)/(2,3) disappear
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      lit("b"), threshold = 0.01, maxGramDf = Some(2))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.contains((1L, 3L)) && !capped.contains((2L, 3L)))
+  }
+
   test("minhashCandidates wide (16 hashes, 4x4 rows): exact dups still collide, selectivity only tightens") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
       numHashes = 16, bands = 4)
