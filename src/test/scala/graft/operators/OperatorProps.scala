@@ -135,4 +135,21 @@ object OperatorProps extends Properties("Operators") {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
       got == want
     }
+
+  // CharNgrams kernel == the code-point sliding-window model on arbitrary
+  // text, including multi-byte and supplementary (surrogate-pair) chars
+  property("CharNgrams.compute == code-point sliding window") = {
+    val genText = Gen.listOf(
+      Gen.oneOf("a", "b", "z", " ", "é", "ç", "中", "😀"))
+      .map(_.mkString)
+    forAll(Gen.choose(1, 4), genText) { (n, s) =>
+      val got = graft.expressions.CharNgrams.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), n)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.map(_.toString).toSeq
+      val cp = s.codePoints().toArray
+      val want = (0 to cp.length - n).map(i => new String(cp, i, n))
+      got == want
+    }
+  }
 }
