@@ -43,7 +43,8 @@ object ScaleProbe {
     "dedup_minhash_lsh" -> "minhash", "dedup_minhash_wide" -> "minhash",
     "dedup_simhash_pairs" -> "simhash",
     "dedup_simhash_wide" -> "simhash", "dedup_ngram_jaccard" -> "jaccard",
-    "dedup_clusters" -> "cc", "ann_ivf_topk" -> "ann", "text_tfidf" -> "tfidf")
+    "dedup_clusters" -> "cc", "ann_ivf_topk" -> "ann", "text_tfidf" -> "tfidf",
+    "text_fluency" -> "fluency")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.create()
@@ -108,7 +109,8 @@ object ScaleProbe {
     val queries = Seq("dedup_minhash_lsh", "dedup_minhash_wide",
       "dedup_simhash_pairs",
       "dedup_simhash_wide", "dedup_ngram_jaccard", "dedup_clusters",
-      "ann_ivf_topk", "text_tfidf").filter(q => timed && want(family(q)))
+      "ann_ivf_topk", "text_tfidf", "text_fluency")
+      .filter(q => timed && want(family(q)))
     for (dir <- Seq(sfDir, scratch); q <- queries; pass <- 1 to 2) {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(q)(spark, dir)
