@@ -145,20 +145,25 @@ object Similarity {
       VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
     val cos = when(col("_nrm") > 0.0 && col("c_nrm") > 0.0,
       VectorFns.dotN(col("_v"), col("c_vec"), dim) / (col("_nrm") * col("c_nrm")))
+    // keepVec carries the vector through the argmax agg so a consumer
+    // that needs (id, cell, vec) — e.g. semantic dedup's within-cell
+    // pair join — avoids re-joining the corpus to recover it (two
+    // corpus-sized exchanges at scale). Callers that only need the cell
+    // must not pay for it: the agg list is built conditionally so the
+    // 64-float vector stays out of the argmax exchange when unwanted.
+    val aggs = max(struct(cos.as("s"), col("cell").as("cell"))).as("_best") +:
+      (if (keepVec) Seq(first(col("_v")).as(vecCol)) // constant per group
+       else Nil)
     val assigned = batch
       .select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
         VectorFns.l2NormN(col(vecCol), dim).as("_nrm"))
       .join(broadcast(cent))
       .groupBy("vec_id")
-      .agg(max(struct(cos.as("s"), col("cell").as("cell"))).as("_best"),
-        first(col("_v")).as("_vec")) // constant per group
-    // keepVec carries the vector through the argmax agg so a consumer
-    // that needs (id, cell, vec) — e.g. semantic dedup's within-cell
-    // pair join — avoids re-joining the corpus to recover it (two
-    // corpus-sized exchanges at scale)
-    val base = assigned.select(col("vec_id"), col("_best.cell").as("cell"),
-      col("_best.s").as("score"), col("_vec"))
-    if (keepVec) base.withColumnRenamed("_vec", vecCol) else base.drop("_vec")
+      .agg(aggs.head, aggs.tail: _*)
+    assigned.select(
+      col("vec_id") +: col("_best.cell").as("cell") +:
+        col("_best.s").as("score") +:
+        (if (keepVec) Seq(col(vecCol)) else Nil): _*)
   }
 
   /** One Lloyd (k-means) refinement step for IVF centroids: assign each
@@ -265,8 +270,15 @@ object Similarity {
     require(k > 0, "k must be positive")
     val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, dim,
       keepVec = true)
+    // materialize the assignment once: it feeds THREE consumers — the
+    // hot-cell guard action and both self-join sides — and Spark plans
+    // them as separate subtrees (same rationale as simhashPairs'
+    // checkpoint), so without this the corpus-wide broadcast-argmax
+    // pass runs up to 3×. ~(id, cell, vec, nrm) per row — the asset a
+    // graph build persists anyway (reliable checkpoint on a cluster).
     val base = assigned.select(col("vec_id").as("id"), col("cell"),
       col(vecCol).as("vec"), VectorFns.l2NormN(col(vecCol), dim).as("nrm"))
+      .localCheckpoint()
     val top = base.groupBy("cell").agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("m")).head()
     val maxCell = if (top.isNullAt(0)) 0L else top.getLong(0)

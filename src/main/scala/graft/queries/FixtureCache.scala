@@ -47,16 +47,35 @@ object FixtureCache {
   }
 
   /** Directory containing fixture `tag` staged from `tables` under sf
-    * dir `d`; `build` runs at most once per (tag, source content). */
-  def cached(d: String, tag: String, tables: Seq[String])(build: Path => Unit): Path = {
+    * dir `d`; `build` runs at most once per (tag, version, source
+    * content).
+    *
+    * `version` is the call site's BUILDER version and is part of the
+    * cache key: the key cannot see the build lambda's logic, so an
+    * edited builder would otherwise silently serve the previous run's
+    * stale fixture from the same machine — an oracle-gate evasion
+    * hazard. Bump the version whenever the staged bytes the builder
+    * produces change (schema, paging, format); leave it when only the
+    * source tables change (the content signature already covers that).
+    *
+    * A failed build deletes its partial temp directory before
+    * rethrowing — correctness never depended on it (no READY marker),
+    * but repeated failures must not accumulate orphaned output dirs. */
+  def cached(d: String, tag: String, version: Int, tables: Seq[String])
+            (build: Path => Unit): Path = {
     val content = tables.map(t => sig(Paths.get(d, s"$t.parquet"))).mkString("|")
-    val key = md5hex(s"$tag|$d|$content").take(16)
+    val key = md5hex(s"$tag|v$version|$d|$content").take(16)
     val root = Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_fx_${tag}_$key")
     if (!Files.exists(root.resolve("_GRAFT_READY"))) {
       val tmp = Files.createTempDirectory(root.getParent, s".graft_fx_$tag")
-      build(tmp)
-      Files.createFile(tmp.resolve("_GRAFT_READY"))
+      try {
+        build(tmp)
+        Files.createFile(tmp.resolve("_GRAFT_READY"))
+      } catch { case e: Throwable =>
+        deleteRecursively(tmp)
+        throw e
+      }
       try Files.move(tmp, root, StandardCopyOption.ATOMIC_MOVE)
       catch { case _: java.nio.file.FileSystemException =>
         deleteRecursively(tmp) // lost the build race; the winner's dir is ready

@@ -40,11 +40,6 @@ object Registry5 {
     *
     * Reference: the `search_after` pagination loop IS this stream —
     * /root/reference/src/jurimetria_pipeline.py:114-158. */
-  /** The raw DataJud hit pages synthesized from `orders`, staged once
-    * per sf under the content-keyed cache (the fixture is a pure
-    * function of `orders`); shared by every streaming query that
-    * consumes the hit stream. Checkpoints and sink names stay
-    * run-scoped — only the deterministic page files are cached. */
   /** The hit-shaped record stream synthesized from `orders` — the
     * common raw frame behind the streaming fixtures. */
   private[queries] def rawHits(s: SparkSession, d: String): DataFrame = {
@@ -59,8 +54,13 @@ object Registry5 {
       array(unix_millis(col("o_orderdate"))).as("sort"))
   }
 
+  /** The raw DataJud hit pages, staged once per sf under the
+    * content-keyed cache (the fixture is a pure function of `orders`);
+    * shared by every streaming query that consumes the hit stream.
+    * Checkpoints and sink names stay run-scoped — only the
+    * deterministic page files are cached. */
   private[queries] def hitPagesFixture(s: SparkSession, d: String): String =
-    FixtureCache.cached(d, "shits", Seq("orders")) { tmp =>
+    FixtureCache.cached(d, "shits", 1, Seq("orders")) { tmp =>
       rawHits(s, d).repartition(4).write.mode("overwrite")
         .json(tmp.resolve("pages").toString)
     }.resolve("pages").toString
@@ -95,7 +95,7 @@ object Registry5 {
     val specs = Seq(
       ("orders_bkt", "o_orderkey", () => Tables.orders(s, d)),
       ("lineitem_bkt", "l_orderkey", () => Tables.lineitem(s, d)))
-    val root = FixtureCache.cached(d, "bkt", Seq("orders", "lineitem")) { tmp =>
+    val root = FixtureCache.cached(d, "bkt", 1, Seq("orders", "lineitem")) { tmp =>
       specs.foreach { case (name, key, df) =>
         df().write.mode("overwrite").option("path", tmp.resolve(name).toString)
           .bucketBy(8, key).sortBy(key).saveAsTable(s"graft_${name}_build")
@@ -233,7 +233,7 @@ object Registry5 {
       .select(col("numero"), col("classe"), col("ts"),
         explode(sequence(lit(1), col("_copies"))).as("_i"))
       .drop("_i") // copies are byte-identical: survivor choice is moot
-    val pages = FixtureCache.cached(d, "sdedup", Seq("orders")) { tmp =>
+    val pages = FixtureCache.cached(d, "sdedup", 1, Seq("orders")) { tmp =>
       redelivered.repartition(4).write.mode("overwrite")
         .json(tmp.resolve("pages").toString)
     }.resolve("pages").toString

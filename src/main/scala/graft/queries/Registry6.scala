@@ -63,8 +63,8 @@ object Registry6 {
     * operator (sessionize, quota) needs from a drain-run fixture. The
     * order-insensitive streaming queries (window counts, dedup, inner
     * join) keep Registry5's cheaper unordered `repartition(4)` staging. */
-  private def stageOrderedPages(df: DataFrame, pageCol: String, nPages: Int,
-                                buildDir: java.nio.file.Path): Unit = {
+  private[queries] def stageOrderedPages(df: DataFrame, pageCol: String, nPages: Int,
+                                         buildDir: java.nio.file.Path): Unit = {
     val pages = buildDir.resolve("pages")
     java.nio.file.Files.createDirectories(pages)
     val base = System.currentTimeMillis() - 3600L * 1000
@@ -130,7 +130,7 @@ object Registry6 {
     val views = e.filter(col("event_id") % 2 === 0)
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         unix_micros(col("ts")).as("v_us"))
-    val fx = FixtureCache.cached(d, "sjoin", Seq("events")) { tmp =>
+    val fx = FixtureCache.cached(d, "sjoin", 1, Seq("events")) { tmp =>
       clicks.repartition(4).write.mode("overwrite")
         .json(tmp.resolve("clicks").toString)
       views.repartition(4).write.mode("overwrite")
@@ -186,7 +186,7 @@ object Registry6 {
     val gapMs = 43200000L // 12 hours
     val e = Tables.events(s, d)
       .select(col("user_id").as("user"), unix_millis(col("ts")).as("tsMillis"))
-    val fx = FixtureCache.cached(d, "ssess", Seq("events")) { tmp =>
+    val fx = FixtureCache.cached(d, "ssess", 1, Seq("events")) { tmp =>
       val maxTs = e.agg(max("tsMillis")).head().getLong(0)
       val real = e.withColumn("page",
         ntile(4).over(org.apache.spark.sql.expressions.Window
@@ -243,7 +243,7 @@ object Registry6 {
       .filter(col("c") >= 8 && col("rn") <= 8)
       .select(col("user_id").as("user"), unix_millis(col("ts")).as("tsMillis"),
         ((col("rn") - 1) / 2).cast("int").as("page"))
-    val fx = FixtureCache.cached(d, "squota", Seq("events")) { tmp =>
+    val fx = FixtureCache.cached(d, "squota", 1, Seq("events")) { tmp =>
       stageOrderedPages(first8, "page", 4, tmp)
     }
     val stage = java.nio.file.Files.createTempDirectory("graft_squota")
@@ -324,7 +324,7 @@ object Registry6 {
       |FROM w, m
       |WHERE wstart + INTERVAL 1 HOUR <= mx - INTERVAL 2 HOUR
       |ORDER BY ws, classe""".stripMargin) { (s, d) =>
-    val pages = FixtureCache.cached(d, "shitsord", Seq("orders")) { tmp =>
+    val pages = FixtureCache.cached(d, "shitsord", 1, Seq("orders")) { tmp =>
       val paged = Registry5.rawHits(s, d).withColumn("page",
         ntile(4).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("sort").getItem(0).asc_nulls_first)) - 1)
@@ -361,7 +361,7 @@ object Registry6 {
       |FROM orders o LEFT JOIN (SELECT c_custkey, c_name FROM customer
       |  WHERE c_custkey % 2 = 0) c ON o.o_custkey = c.c_custkey
       |ORDER BY numero""".stripMargin) { (s, d) =>
-    val pages = FixtureCache.cached(d, "senrich", Seq("orders")) { tmp =>
+    val pages = FixtureCache.cached(d, "senrich", 1, Seq("orders")) { tmp =>
       Tables.orders(s, d).select(
         struct(
           col("o_orderkey").cast("string").as("numeroProcesso"),
@@ -400,7 +400,7 @@ object Registry6 {
       |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) t
       |WHERE ts IS NOT NULL
       |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
-    val pages = FixtureCache.cached(d, "sslide", Seq("events")) { tmp =>
+    val pages = FixtureCache.cached(d, "sslide", 1, Seq("events")) { tmp =>
       Tables.events(s, d).filter(col("ts").isNotNull)
         .select(unix_micros(col("ts")).as("ts_us"), col("event_type"))
         .repartition(4).write.mode("overwrite")
@@ -460,8 +460,13 @@ object Registry6 {
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
     val cent1 = Similarity.kmeansIter(e, cent0, "vec_id", "embedding")
       .localCheckpoint() // 8 rows; feeds two broadcast consumers
+    // (id, cell, vec) in one pass — no corpus re-join; checkpointed
+    // because it feeds THREE subtrees (both nearDupPairs join sides via
+    // its guard action + the outer survivor join) that Spark plans
+    // independently — without it the broadcast-argmax assignment pass
+    // runs over the corpus up to 3× (simhashPairs' rationale)
     val withCell = Similarity.ivfAssign(e, cent1, "vec_id", "embedding",
-      keepVec = true) // (id, cell, vec) in one pass — no corpus re-join
+      keepVec = true).localCheckpoint()
     val pairs = Similarity.nearDupPairs(withCell, "vec_id", "embedding",
       col("cell"), threshold = 0.3)
     withCell.join(pairs.select(col("b_id").as("vec_id")).distinct(),

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import graft.Tables
+import graft.functions.TimeFns
+import graft.operators.Dedup
+import graft.streaming.StreamingOps
+
+/** Round-8 additions, closing the round-7 verdict's composition gaps:
+  * the clustering chain (pairs → components → survivors) wired to the
+  * scale-safe WIDE MinHash candidate config end-to-end, sessionize's
+  * state-EVICTION path under the gate (event-time timeout — the branch
+  * the sentinel drain deliberately bypasses), and the RocksDB state
+  * store exercised by the oracle.
+  */
+object Registry7 {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Shared oracle CTE chain: WIDE (16-hash / 4×4-row-band) MinHash
+    * candidate pairs closed under transitivity — the pair SQL of
+    * `dedup_minhash_wide` + the recursive closure of `dedup_clusters`.
+    * `lbl` is (id, cl): each paired doc's component minimum. */
+  private val wideCcCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, list_transform(range(0, 16),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.bnd,
+      |    md5(mh[4*t.bnd+1] || mh[4*t.bnd+2] || mh[4*t.bnd+3] || mh[4*t.bnd+4]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bnd = b.bnd AND a.bk = b.bk
+      |    AND a.doc_id < b.doc_id),
+      |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+      |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)""".stripMargin
+
+  /** Near-dup clusters over the WIDE LSH candidate config — the
+    * round-7 verdict's #1: `dedup_clusters` consumes the DEFAULT 8-hash
+    * / 4×2-row pairs, whose chance-collision term the 100× probe
+    * measured going 233× super-linear on the homogeneous corpus, and
+    * connected components inherits exactly that edge growth (406×).
+    * This is the same pairs → min-label-propagation chain fed by
+    * [[Dedup.minhashCandidates]] at 16 hashes / 4×4-row bands (band
+    * collision ≈ J^rows — squaring the rows-per-band collapses the
+    * chance term), so the composed product a curation run actually
+    * executes is gated in its scale-safe wiring, not just the pair
+    * stage. Trade, as documented on `dedup_minhash_wide`: recall below
+    * J ≈ 0.7 — the near-dup band, not the exact-dup band. */
+  val dedupClustersWide = Q("dedup_clusters_wide",
+    s"""WITH RECURSIVE $wideCcCte
+       |SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val corpus = docs(s, d)
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      numHashes = 16, bands = 4)
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    corpus.select("doc_id")
+      .join(cc, corpus("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The APPLIED end of the wide chain: one surviving document per
+    * wide-config near-dup cluster ([[Dedup.nearDedupSurvivors]] at
+    * 16/4×4) — with [[dedupClustersWide]] this gates the full
+    * pairs → clusters → keep/drop decision in the configuration that
+    * stays sub-linear at 100×. */
+  val dedupNearSurvivorsWide = Q("dedup_near_survivors_wide",
+    s"""WITH RECURSIVE $wideCcCte
+       |SELECT d.doc_id, d.lang FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+       |WHERE COALESCE(l.cl, d.doc_id) = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Dedup.nearDedupSurvivors(docs(s, d), "doc_id", "text",
+      numHashes = 16, bands = 4)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** Sessionize's state-EVICTION path under the gate: the same 12-hour
+    * gaps-and-islands semantics as `streaming_sessionize`, but every
+    * session closes through the `hasTimedOut` branch of
+    * [[StreamingOps.sessionize]] under `EventTimeTimeout` — the arm the
+    * sentinel design deliberately bypasses, and the place streaming
+    * correctness bugs live (round-7 verdict missing #2).
+    *
+    * Determinism: pages are time-quartiles consumed in order
+    * ([[Registry6.stageOrderedPages]]), so the watermark (delay 1 s)
+    * after batch b is max(ts of batches ≤ b) − 1 s — never ahead of any
+    * undelivered event (quartile staging orders deliveries), so no real
+    * event is late and no session evicts while a future event could
+    * still extend it (its successor t₂ ≤ last + gap bounds every
+    * earlier-batch timestamp, hence the watermark, below the timeout).
+    * Two trailing pages carry one WATERMARK-DRIVER row each (user −1,
+    * at corpus-max + 10 and + 20 gaps): the first advances the final
+    * watermark past every real session's last + gap + 1 so every real
+    * session times out DURING the drain; the second makes that advance
+    * visible as a data batch (no reliance on no-data-batch scheduling).
+    * The driver rows are fixture plumbing, filtered out of the result;
+    * the oracle sees only real events.
+    *
+    * Oracle: identical to `streaming_sessionize` — eviction must change
+    * WHEN a session is emitted, never WHAT. */
+  val streamingSessionizeEvict = Q("streaming_sessionize_evict",
+    """WITH e AS (SELECT user_id AS uid, epoch_ms(ts) AS tm FROM events),
+      |x AS (SELECT uid, tm, CASE WHEN LAG(tm) OVER w IS NULL
+      |    OR tm - LAG(tm) OVER w > 43200000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY uid ORDER BY tm)),
+      |y AS (SELECT uid, tm, SUM(brk) OVER (PARTITION BY uid ORDER BY tm
+      |    ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      |SELECT uid, MIN(tm) AS ts_start, MAX(tm) AS ts_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM y GROUP BY uid, sid ORDER BY uid, ts_start""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val gapMs = 43200000L // 12 hours
+    val e = Tables.events(s, d)
+      .select(col("user_id").as("user"), unix_millis(col("ts")).as("tsMillis"))
+    val fx = FixtureCache.cached(d, "ssevict", 1, Seq("events")) { tmp =>
+      val maxTs = e.agg(max("tsMillis")).head().getLong(0)
+      val real = e.withColumn("page",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy("tsMillis", "user")) - 1)
+      val drivers = s.range(2).select(
+        lit(-1L).as("user"),
+        (lit(maxTs) + (col("id") + 1) * lit(10 * gapMs)).as("tsMillis"),
+        (col("id") + 4).cast("int").as("page"))
+      Registry6.stageOrderedPages(real.unionByName(drivers), "page", 6, tmp)
+    }
+    val stage = java.nio.file.Files.createTempDirectory("graft_ssevict")
+    val stream = s.readStream.schema("user LONG, tsMillis LONG")
+      .option("maxFilesPerTrigger", "1").json(fx.resolve("pages").toString)
+      .withColumn("ts", timestamp_millis(col("tsMillis")))
+      .withWatermark("ts", "1 second")
+      .as[StreamingOps.UserEvent]
+    val sessions = StreamingOps.sessionize(stream, gapMs,
+      GroupStateTimeout.EventTimeTimeout())
+    StreamHarness.drain(sessions.toDF(), stage, OutputMode.Append)
+      .filter(col("user") >= 0) // drop the watermark-driver plumbing
+      .select(col("user").as("uid"), col("start").as("ts_start"),
+        col("end").as("ts_end"), col("n"))
+      .orderBy("uid", "ts_start")
+  }
+
+  /** The watermarked tumbling-window drain on the ROCKSDB state store
+    * ([[StreamHarness.rocksDbProvider]] pinned via per-query conf) —
+    * same operator, fixture, and oracle as `streaming_hits_window`, so
+    * the green row isolates exactly one claim: swapping the state-store
+    * provider changes WHERE state lives (off-heap/on-disk, incremental
+    * checkpoints — the bounded-heap posture a 100 TB ingest needs),
+    * never what the query computes. The whole gated streaming set runs
+    * green under `-Dgraft.stateStore=rocksdb` (SCALE.md); this row
+    * keeps one RocksDB execution inside the driver's own gate. */
+  val streamingWindowRocksdb = Q("streaming_window_rocksdb",
+    """SELECT strftime(date_trunc('hour', o_orderdate), '%Y-%m-%d %H:%M:%S') AS ws,
+      |  o_orderpriority AS classe, COUNT(*) AS cnt
+      |FROM orders WHERE o_orderdate IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY ws, classe""".stripMargin) { (s, d) =>
+    val pages = Registry5.hitPagesFixture(s, d)
+    val stage = java.nio.file.Files.createTempDirectory("graft_rocks")
+    val parsed = StreamingOps.streamHits(s, pages, "TJX",
+      Map("maxFilesPerTrigger" -> "1"))
+    val counts = StreamingOps.tumblingCounts(
+      parsed.filter(col("data_ajuizamento").isNotNull),
+      "data_ajuizamento", "classe")
+    StreamHarness.drain(counts, stage, OutputMode.Complete,
+      Map("spark.sql.streaming.stateStore.providerClass" ->
+        StreamHarness.rocksDbProvider))
+      .select(TimeFns.tsString(col("ws")).as("ws"), col("classe"), col("cnt"))
+      .orderBy("ws", "classe")
+  }
+
+  val round8: Seq[Q] = Seq(dedupClustersWide, dedupNearSurvivorsWide,
+    streamingSessionizeEvict, streamingWindowRocksdb)
+}

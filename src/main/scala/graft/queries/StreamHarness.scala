@@ -17,22 +17,49 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * same results — hash partitioning by key is semantically invisible);
   * production streams with real key cardinality keep the session's
   * higher setting, and the knob scales exactly like batch shuffle
-  * partitions. */
+  * partitions.
+  *
+  * State-store provider: per-query `extraConf` can pin one (the
+  * `streaming_window_rocksdb` gate runs [[rocksDbProvider]]); setting
+  * the system property `graft.stateStore=rocksdb` flips EVERY drain to
+  * RocksDB in one move — the full-surface re-verify documented in
+  * SCALE.md runs under it. RocksDB is the 100 TB-ingest posture: state
+  * lives off-heap/on-disk with incremental checkpoints, so store size
+  * is bounded by disk, not executor heap — the default HDFS-backed
+  * provider keeps every key in JVM heap, which a corpus-scale key
+  * cardinality overruns. */
 object StreamHarness {
   val drainStatePartitions = "8"
 
-  private def withDrainConf[A](s: org.apache.spark.sql.SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, drainStatePartitions)
-    try body finally s.conf.set(key, prev)
+  /** Spark's bundled RocksDB state-store provider (rocksdbjni ships in
+    * spark/jars — no extra dependency). */
+  val rocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val providerKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withDrainConf[A](s: org.apache.spark.sql.SparkSession,
+                               extraConf: Map[String, String])(body: => A): A = {
+    val wanted =
+      Map("spark.sql.shuffle.partitions" -> drainStatePartitions) ++
+        (if (sys.props.get("graft.stateStore").contains("rocksdb"))
+           Map(providerKey -> rocksDbProvider)
+         else Map.empty[String, String]) ++
+        extraConf
+    val prev = wanted.keys.map(k => k -> s.conf.getOption(k)).toMap
+    wanted.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
   }
 
   def drain(df: DataFrame, stage: java.nio.file.Path,
-            mode: OutputMode): DataFrame = {
+            mode: OutputMode,
+            extraConf: Map[String, String] = Map.empty): DataFrame = {
     val s = df.sparkSession
     val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    withDrainConf(s) {
+    withDrainConf(s, extraConf) {
       val run = df.writeStream.format("memory").queryName(mem)
         .outputMode(mode)
         .option("checkpointLocation", stage.resolve("ckpt").toString)
@@ -48,9 +75,10 @@ object StreamHarness {
     * writes nothing new, and readers ignore uncommitted files. Returns
     * the files read back. */
   def drainToParquet(df: DataFrame, stage: java.nio.file.Path,
-                     outDir: String): DataFrame = {
+                     outDir: String,
+                     extraConf: Map[String, String] = Map.empty): DataFrame = {
     val s = df.sparkSession
-    withDrainConf(s) {
+    withDrainConf(s, extraConf) {
       val run = df.writeStream.format("parquet")
         .option("path", outDir)
         .outputMode(OutputMode.Append)

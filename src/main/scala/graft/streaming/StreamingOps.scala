@@ -134,8 +134,24 @@ object StreamingOps {
   /** Custom-state sessionization: the streaming analog of
     * [[graft.operators.Sessions]] — gap-bounded sessions maintained in the
     * state store via flatMapGroupsWithState, emitting sessions as they
-    * close. State is per-user and O(1); eviction via processing-time
-    * timeout keeps the store bounded on 100 TB-scale key cardinality. */
+    * close. State is per-user and O(1); eviction via timeout keeps the
+    * store bounded on 100 TB-scale key cardinality.
+    *
+    * Timeout modes (the eviction arm is the `hasTimedOut` branch):
+    *  - `ProcessingTimeTimeout` — idle keys close after `gapMillis` of
+    *    WALL-CLOCK silence; production default, but untestable in a
+    *    bounded drain (micro-batches run back-to-back, so no idle gap
+    *    ever elapses).
+    *  - `EventTimeTimeout` — a session times out once the WATERMARK
+    *    strictly exceeds last + gapMillis; deterministic under a
+    *    time-ordered drain, so this is the arm the oracle gate exercises
+    *    (`streaming_sessionize_evict`). Requires `withWatermark` on an
+    *    event-time column upstream; the +1 below keeps an event landing
+    *    at exactly last + gap an EXTENSION (gap ≤ gapMillis admits it),
+    *    never a race with its own eviction.
+    *  - `NoTimeout` — no eviction; sessions close only by gap-exceedance
+    *    of a later event (the sentinel-drain design of
+    *    `streaming_sessionize`). */
   def sessionize(events: Dataset[UserEvent], gapMillis: Long,
                  timeout: GroupStateTimeout =
                    GroupStateTimeout.ProcessingTimeTimeout()): Dataset[ClosedSession] = {
@@ -164,9 +180,13 @@ object StreamingOps {
                   cur = Some(SessionState(e.tsMillis, e.tsMillis, 1))
               }
             }
-            cur.foreach(state.update)
-            if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
-              state.setTimeoutDuration(gapMillis)
+            cur.foreach { open =>
+              state.update(open)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+                state.setTimeoutDuration(gapMillis)
+              else if (timeout == GroupStateTimeout.EventTimeTimeout())
+                state.setTimeoutTimestamp(open.last + gapMillis + 1)
+            }
             closed.reverseIterator
           }
       }
