@@ -70,37 +70,44 @@ object ScaleProbe {
     val emb0 = graft.Tables.embeddings(spark, sfDir)
     val docOff = docs0.agg(max("doc_id")).head().getLong(0) + 1
     val embOff = emb0.agg(max("vec_id")).head().getLong(0) + 1
-    val docCopies = (0 until factor).map { c =>
-      if (c == 0) docs0.select("doc_id", "text", "lang", "source", "n_chars")
-      else {
-        val w = split(col("text"), " ")
-        val tag = lit(c.toString)
-        val tagged = transform(w, (t, i) => struct(
-          md5(concat_ws(":", i.cast("string"), t, tag)).as("k"),
-          when(substring(md5(concat_ws(";", t, i.cast("string"), tag)), 1, 1) < "6",
-            concat(t, lit("_c"), tag)).otherwise(t).as("t")))
-        docs0.select(
-          (col("doc_id") + lit(c * docOff)).as("doc_id"),
-          concat_ws(" ",
-            transform(array_sort(tagged), s => s("t"))).as("text"),
+    // One explode over copy ids instead of a factor-way union: the
+    // transforms below are byte-identical to the per-copy-literal form
+    // (the copy tag rides a column through the same md5 salts), but the
+    // plan stays O(1) in `factor` — a 1000-way union's analysis alone
+    // dominated the build, and the single-projection shape is also how a
+    // real replica fan-out would run on a cluster.
+    if (rebuild) {
+      val c = col("_c")
+      val tag = c.cast("string")
+      val w = split(col("text"), " ")
+      val tagged = transform(w, (t, i) => struct(
+        md5(concat_ws(":", i.cast("string"), t, tag)).as("k"),
+        when(substring(md5(concat_ws(";", t, i.cast("string"), tag)), 1, 1) < "6",
+          concat(t, lit("_c"), tag)).otherwise(t).as("t")))
+      // repartition BEFORE the fan-out: the sf parquet is one file → one
+      // input split, and the explode multiplies rows without adding
+      // parallelism, so the whole perturbation would run on one core
+      docs0.repartition(32)
+        .select(col("*"), explode(sequence(lit(0L), lit(factor - 1L))).as("_c"))
+        .select(
+          (col("doc_id") + c * lit(docOff)).as("doc_id"),
+          when(c === 0, col("text")).otherwise(concat_ws(" ",
+            transform(array_sort(tagged), s => s("t")))).as("text"),
           col("lang"), col("source"), col("n_chars"))
-      }
+        .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
     }
-    if (rebuild) docCopies.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
     if (rebuild && want("ann")) {
-      val embCopies = (0 until factor).map { c =>
-        if (c == 0) emb0.select("vec_id", "embedding", "label")
-        else {
-          val k = c % 64
-          val e = col("embedding")
-          emb0.select(
-            (col("vec_id") + lit(c * embOff)).as("vec_id"),
-            concat(slice(e, k + 1, 64 - k), slice(e, 1, k)).as("embedding"),
-            col("label"))
-        }
-      }
-      embCopies.reduce(_.unionByName(_))
+      val c = col("_c")
+      val k = (c % 64).cast("int")
+      val e = col("embedding")
+      emb0.repartition(32)
+        .select(col("*"), explode(sequence(lit(0L), lit(factor - 1L))).as("_c"))
+        .select(
+          (col("vec_id") + c * lit(embOff)).as("vec_id"),
+          when(c === 0, e).otherwise(
+            concat(slice(e, k + lit(1), lit(64) - k), slice(e, lit(1), k)))
+            .as("embedding"),
+          col("label"))
         .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
     }
     println(s"PROBE built ${factor}x corpus at $scratch")
@@ -193,6 +200,16 @@ object ScaleProbe {
         val nEdges = pairs.count()
         val nLabeled = labels.count()
         println(s"PROBE cc $scale edges=$nEdges labeled=$nLabeled rounds=$rounds")
+        // the wide-config chain (dedup_clusters_wide): CC fed by the
+        // 16-hash/4×4-row candidate set — the probe that shows edge
+        // growth returning to ~linear where the default config's
+        // chance-collision term saturates (round-7: 406× at 100×)
+        val pairsW = graft.operators.Dedup.minhashCandidates(
+          d, "doc_id", "text", numHashes = 16, bands = 4)
+        val (labelsW, roundsW) =
+          graft.operators.Dedup.connectedComponentsWithRounds(pairsW, "a_id", "b_id")
+        println(s"PROBE cc_wide $scale edges=${pairsW.count()} " +
+          s"labeled=${labelsW.count()} rounds=$roundsW")
       }
 
       if (want("ann")) {

@@ -94,6 +94,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.head == StreamingOps.ClosedSession(1L, 1000L, 2000L, 2L))
   }
 
+  test("sessionize eviction: event-time timeout closes idle sessions via hasTimedOut") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.UserEvent]
+    // EventTimeTimeout requires a watermarked event-time column upstream;
+    // extra columns survive .as[] (encoder binds by name)
+    val events = mem.toDS()
+      .withColumn("ts", timestamp_millis(col("tsMillis")))
+      .withWatermark("ts", "0 seconds")
+      .as[StreamingOps.UserEvent]
+    val q = StreamingOps.sessionize(events, gapMillis = 60000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+      .writeStream.format("memory").queryName("evict")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      StreamingOps.UserEvent(1L, 1000L),
+      StreamingOps.UserEvent(1L, 2000L))
+    q.processAllAvailable()
+    // user 1 goes idle; ANOTHER user's later events advance the watermark
+    // past 2000 + gap + 1, so user 1's session must close through the
+    // hasTimedOut branch — no user-1 event ever exceeds the gap inline.
+    // User 2's own events stay within the gap (one open session, never
+    // emitted), so eviction is the only close path exercised.
+    mem.addData(StreamingOps.UserEvent(2L, 500000L))
+    q.processAllAvailable()
+    // one more batch: timeouts fire against the watermark committed at
+    // the END of the previous batch
+    mem.addData(StreamingOps.UserEvent(2L, 520000L))
+    q.processAllAvailable()
+    val rows = spark.table("evict").as[StreamingOps.ClosedSession].collect()
+    q.stop()
+    assert(rows.toSeq == Seq(StreamingOps.ClosedSession(1L, 1000L, 2000L, 2L)))
+  }
+
   test("streamHits: arriving hit files flow through the flatten tail incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("stream-hits").toFile
     def writeHits(name: String, nums: Seq[Int]): Unit = {
