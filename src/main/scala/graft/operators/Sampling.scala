@@ -117,4 +117,68 @@ object Sampling {
       .filter(col(rn) <= n)
       .drop(rn)
   }
+
+  /** TOKEN-budget corpus mixing: keep each source's documents, in the
+    * deterministic salted-hash order of [[quotaPerGroup]], until the
+    * source's token budget fills — [[quotaPerGroup]] counts documents,
+    * this counts what a pretraining mixture actually buys (a source of
+    * long documents exhausts the same budget in fewer rows). A document
+    * is admitted iff the tokens BEFORE it in draw order are under the
+    * budget, so the boundary document is included (monotone in the
+    * budget, never empty for a positive budget) and the admitted set is
+    * independent of partitioning. `budgets` is (source, token_budget)
+    * rows; sources without a budget row are dropped (inner join), null
+    * budgets admit nothing.
+    *
+    * Scale shape — the naive form is ONE WINDOW PER SOURCE, and mixing
+    * keys are few (tens of sources over 100 TB), so a per-source running
+    * sum would serialize the corpus onto a handful of partitions. The
+    * budget is therefore resolved in two phases: (1) per-(source,
+    * hash-prefix-bucket) token sums — a tiny partial-agg frame (sources
+    * × 16 rows) whose prefix-sum gives each bucket's PRIOR token count;
+    * (2) the running sum runs per (source, bucket) — 16× the
+    * parallelism, and buckets wholly past the budget are pruned BEFORE
+    * the window shuffle, so at a 1% mixing rate ~15/16 of the corpus
+    * never rides the exchange. Bucket = first hex digit of the same md5
+    * the ordering uses, so bucket order IS draw order and
+    * prior + within-bucket prefix = the global prefix sum exactly;
+    * production widens the prefix (2 hex digits → 256 buckets) as
+    * sources grow. */
+  def tokenBudgetPerSource(df: DataFrame, sourceCol: Column, keyCol: Column,
+                           tokensCol: Column, budgets: DataFrame,
+                           salt: String = "graft"): DataFrame = {
+    val cols = Seq("_graft_mix_h", "_graft_mix_b", "_graft_mix_t",
+      "_graft_mix_src", "_graft_mix_prior", "_graft_mix_run",
+      "_graft_mix_budget")
+    cols.foreach(c => require(!df.columns.contains(c),
+      s"input already has a $c column"))
+    val draw = md5(concat_ws(":", lit(salt), keyCol))
+    val base = df
+      .withColumn("_graft_mix_src", sourceCol)
+      .withColumn("_graft_mix_h", draw)
+      .withColumn("_graft_mix_b", substring(col("_graft_mix_h"), 1, 1))
+      .withColumn("_graft_mix_t", tokensCol.cast("long"))
+    val perBucket = base
+      .groupBy(col("_graft_mix_src"), col("_graft_mix_b"))
+      .agg(sum(col("_graft_mix_t")).as("_bt"))
+    // prior tokens of every earlier bucket: a sources×16-row window
+    val wb = Window.partitionBy("_graft_mix_src").orderBy("_graft_mix_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priors = perBucket
+      .withColumn("_graft_mix_prior", coalesce(sum(col("_bt")).over(wb), lit(0L)))
+      .drop("_bt")
+    val budget = budgets.select(col("source").as("_graft_mix_src"),
+      col("token_budget").cast("long").as("_graft_mix_budget"))
+    val gate = priors.join(budget, "_graft_mix_src")
+      // prune buckets already past the budget BEFORE the window shuffle
+      .filter(col("_graft_mix_prior") < col("_graft_mix_budget"))
+    val wd = Window.partitionBy(col("_graft_mix_src"), col("_graft_mix_b"))
+      .orderBy(col("_graft_mix_h"), keyCol) // same (draw, key) total order as quotaPerGroup
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(gate), Seq("_graft_mix_src", "_graft_mix_b"))
+      .withColumn("_graft_mix_run",
+        col("_graft_mix_prior") + coalesce(sum(col("_graft_mix_t")).over(wd), lit(0L)))
+      .filter(col("_graft_mix_run") < col("_graft_mix_budget"))
+      .drop(cols: _*)
+  }
 }

@@ -90,6 +90,33 @@ object Registry7 {
       .orderBy("doc_id")
   }
 
+  /** The wide chain's audit face: cluster-size histogram over the wide
+    * candidate components (`dedup_cluster_sizes` on the 16/4×4 config) —
+    * with [[dedupClustersWide]] and [[dedupNearSurvivorsWide]] this
+    * gates all three consumers of the pair stage in the configuration
+    * that stays sub-linear at scale. */
+  val dedupClusterSizesWide = Q("dedup_cluster_sizes_wide",
+    s"""WITH RECURSIVE $wideCcCte,
+       |lab AS (SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cl
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+       |cs AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS sz FROM lab GROUP BY cl)
+       |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin) { (s, d) =>
+    val corpus = docs(s, d)
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashCandidates(corpus, "doc_id", "text",
+        numHashes = 16, bands = 4), "a_id", "b_id")
+    corpus.select("doc_id")
+      .join(cc, corpus("doc_id") === cc("id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id")).as("cl"))
+      .groupBy("cl").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   /** Sessionize's state-EVICTION path under the gate: the same 12-hour
     * gaps-and-islands semantics as `streaming_sessionize`, but every
     * session closes through the `hasTimedOut` branch of
@@ -182,6 +209,38 @@ object Registry7 {
       .orderBy("ws", "classe")
   }
 
+  /** Token-budget corpus mixing ([[graft.operators.Sampling.tokenBudgetPerSource]]):
+    * every source equalized to a 400-token budget, documents admitted in
+    * the deterministic salted-hash draw order until the tokens BEFORE a
+    * document reach the budget — `sample_quota` counts documents; a
+    * pretraining mixture buys TOKENS, and a long-document source must
+    * exhaust the same budget in fewer rows. The oracle replays the
+    * global per-source exclusive running sum; the operator computes the
+    * same prefix in the bucketed two-phase shape (per-(source, hash
+    * prefix) sums + within-bucket window) that keeps a tens-of-sources
+    * mixing key from serializing a 100 TB corpus onto tens of
+    * partitions. */
+  val sampleTokenBudget = Q("sample_token_budget",
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens FROM c WHERE prior < 400
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"), col("source"),
+      graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    val budgets = t.select(col("source")).distinct()
+      .withColumn("token_budget", lit(400L))
+    graft.operators.Sampling.tokenBudgetPerSource(t,
+      col("source"), col("doc_id"), col("n_tokens"), budgets)
+      .orderBy("doc_id")
+  }
+
   val round8: Seq[Q] = Seq(dedupClustersWide, dedupNearSurvivorsWide,
-    streamingSessionizeEvict, streamingWindowRocksdb)
+    dedupClusterSizesWide, streamingSessionizeEvict, streamingWindowRocksdb,
+    sampleTokenBudget)
 }

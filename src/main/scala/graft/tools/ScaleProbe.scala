@@ -200,10 +200,16 @@ object ScaleProbe {
         val nEdges = pairs.count()
         val nLabeled = labels.count()
         println(s"PROBE cc $scale edges=$nEdges labeled=$nLabeled rounds=$rounds")
-        // the wide-config chain (dedup_clusters_wide): CC fed by the
-        // 16-hash/4×4-row candidate set — the probe that shows edge
-        // growth returning to ~linear where the default config's
-        // chance-collision term saturates (round-7: 406× at 100×)
+      }
+      // the wide-config chain (dedup_clusters_wide): CC fed by the
+      // 16-hash/4×4-row candidate set — the probe that shows edge
+      // growth returning to ~linear where the default config's
+      // chance-collision term saturates (round-7: 406× at 100×).
+      // `ccwide` alone skips the default chain: at 1000× the default's
+      // saturated candidate set is exactly the blow-up the counts
+      // already predict, and running CC over it would measure the
+      // saturation, not the chain
+      if (want("cc") || want("ccwide")) {
         val pairsW = graft.operators.Dedup.minhashCandidates(
           d, "doc_id", "text", numHashes = 16, bands = 4)
         val (labelsW, roundsW) =

@@ -59,6 +59,51 @@ class SamplingSpec extends SparkSpec {
     assert(byLabel("test") / n > 0.05 && byLabel("test") / n < 0.16)
   }
 
+
+  test("tokenBudgetPerSource: bucketed prefix equals the naive per-source running sum") {
+    val docs = (1 to 600).map { i =>
+      (i.toLong, s"src${i % 5}", (i % 37 + 3).toLong)
+    }.toDF("id", "src", "toks")
+    val budgets = docs.select($"src".as("source")).distinct()
+      .withColumn("token_budget", lit(150L))
+    val got = Sampling.tokenBudgetPerSource(
+      docs, $"src", $"id", $"toks", budgets)
+    // naive reference: one global window per source
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      .orderBy(md5(concat_ws(":", lit("graft"), $"id")), $"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = docs
+      .withColumn("prior", coalesce(sum($"toks").over(w), lit(0L)))
+      .filter($"prior" < 150L).drop("prior")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // schema untouched: exactly the input columns survive
+    assert(got.columns.toSeq == Seq("id", "src", "toks"))
+    // partition-invariance of the admitted set
+    val again = Sampling.tokenBudgetPerSource(
+      docs.repartition(13), $"src", $"id", $"toks", budgets)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("tokenBudgetPerSource: boundary doc admitted, budgetless sources dropped, budget monotone") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L),
+      (4L, "b", 100L)).toDF("id", "src", "toks")
+    val budgets = Seq(("a", 150L)).toDF("source", "token_budget")
+    val got = Sampling.tokenBudgetPerSource(
+      docs, $"src", $"id", $"toks", budgets).select("id")
+      .as[Long].collect().sorted.toSeq
+    // source a: first doc (prior 0 < 150) and the boundary doc
+    // (prior 100 < 150) pass, third (prior 200) does not; source b has
+    // no budget row and vanishes
+    assert(got.size == 2 && !got.contains(4L))
+    // growing the budget only ADDS documents
+    val more = Sampling.tokenBudgetPerSource(
+      docs, $"src", $"id", $"toks",
+      Seq(("a", 250L)).toDF("source", "token_budget")).select("id")
+      .as[Long].collect().toSet
+    assert(got.toSet.subsetOf(more) && more.size == 3)
+  }
+
   test("quotaPerGroup: caps each group at n, deterministic winners, payload intact") {
     val out = Sampling.quotaPerGroup(corpus, $"lang", $"id", 7)
     val counts = out.groupBy("lang").count()
