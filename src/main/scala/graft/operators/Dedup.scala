@@ -156,29 +156,37 @@ object Dedup {
     * form produces — the two paths stay row-for-row equivalent on
     * nullable corpora. */
   def simhashed(docs: DataFrame, idCol: String, textCol: String,
-                bits: Int = 16): DataFrame = {
+                bits: Int = 16,
+                carry: Seq[(String, Column)] = Nil): DataFrame = {
     // one md5 digest yields 32 hex digits = 32 bits; wider sigs draw bits
     // 32d..32d+31 from a d-salted digest md5("d:" || token). Bits ≤ 32
     // keep the plain-md5(token) definition (= the lambda form / oracle).
     // The per-token vote mask is one codegen'd kernel call
     // ([[graft.expressions.SimhashMask]]) packing two positions per long
     // as 32-bit lanes, so the majority vote needs ⌈bits/2⌉ lane sums.
+    // `carry`: per-document expressions (e.g. a blocking key) carried
+    // through the explode into the vote groupBy — they must be
+    // functionally dependent on the document, so adding them to the
+    // grouping changes no group boundaries, only the output schema.
     val nSlots = (bits + 1) / 2
+    val carried = carry.map { case (n, c) => c.as(n) }
     val ex = docs
-      .select(col(idCol), explode_outer(split(col(textCol), " ")).as("t"))
-      .select(col(idCol), org.apache.spark.sql.GraftExpr.col(
-        graft.expressions.SimhashMask(
-          org.apache.spark.sql.GraftExpr.expr(col("t")), bits)).as("m"))
+      .select(col(idCol) +: carried :+
+        explode_outer(split(col(textCol), " ")).as("t"): _*)
+      .select(col(idCol) +: carry.map(c => col(c._1)) :+
+        org.apache.spark.sql.GraftExpr.col(
+          graft.expressions.SimhashMask(
+            org.apache.spark.sql.GraftExpr.expr(col("t")), bits)).as("m"): _*)
     val votes = (0 until nSlots).map(i =>
       sum(element_at(col("m"), i + 1)).as(s"s$i"))
-    val counted = ex.groupBy(idCol)
+    val counted = ex.groupBy(col(idCol) +: carry.map(c => col(c._1)): _*)
       .agg(votes.head, (votes.tail :+ count(lit(1)).as("n")): _*)
     val lane = (p: Int) => // 1-based position p → its 32-bit lane count
       shiftright(col(s"s${(p - 1) / 2}"), ((p - 1) % 2) * 32)
         .bitwiseAND(lit(0xFFFFFFFFL))
-    counted.select(col(idCol),
+    counted.select(col(idCol) +: carry.map(c => col(c._1)) :+
       concat((1 to bits).map(p =>
-        when(lane(p) * 2 > col("n"), "1").otherwise("0")): _*).as("sig"))
+        when(lane(p) * 2 > col("n"), "1").otherwise("0")): _*).as("sig"): _*)
   }
 
   /** SimHash near-dup PAIRS — the step [[simhashed]] feeds: signatures
@@ -196,9 +204,22 @@ object Dedup {
     * alphabet 2³² — the `dedup_simhash_wide` configuration, whose
     * candidate growth the scale probe measures as linear where the
     * 64-bit path saturates super-linearly). */
+  /** `blockCol`: optional compound blocking — candidates must share the
+    * block key (e.g. language + length bucket) IN ADDITION to an intact
+    * slice. The round-8 1000× probe measured why this knob exists:
+    * simhash bits are majority votes, so on a homogeneous corpus the
+    * slice-value distribution CONCENTRATES and Σp² (collision entropy)
+    * caps what any slice alphabet can spread — the 128-bit config's
+    * candidate growth turned super-linear again at 5·10⁶ docs. A block
+    * key multiplies the effective key space by the block count without
+    * widening signatures; the explicit trade is recall only WITHIN a
+    * block (pigeonhole completeness holds per block; cross-block
+    * near-dups are excluded by design, the same contract as
+    * [[ngramJaccardPairs]]' blockKey). Null block keys never join. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 64, chunks: Int = 4,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   blockCol: Option[Column] = None): DataFrame = {
     require(bits % chunks == 0, "bits must divide into equal chunks")
     require(maxHamming < chunks,
       "pigeonhole blocking is only complete for maxHamming < chunks")
@@ -209,26 +230,31 @@ object Dedup {
     val halfCols = (0 until nHalf).map(h =>
       conv(substring(col("sig"), h * 32 + 1, math.min(32, bits - h * 32)), 2, 10)
         .cast("long").as(s"n$h"))
+    val carry = blockCol.map(b => "_graft_blk" -> b).toSeq
+    val blkCols = carry.map(c => col(c._1))
     // materialize the signatures before the self-join: Spark plans the
     // two join sides as separate subtrees (no exchange reuse across a
     // broadcast), which would run the token-explode + vote aggregation
     // twice. Signatures are ~9 bytes/doc — the asset a corpus-scale
     // pipeline persists anyway.
-    val sigs = simhashed(docs, idCol, textCol, bits)
-      .select(col(idCol).as("id") +: col("sig") +: halfCols: _*)
+    val sigs = simhashed(docs, idCol, textCol, bits, carry)
+      .select(col(idCol).as("id") +: (col("sig") +: blkCols) ++: halfCols: _*)
       .localCheckpoint()
     val chunkArr = array((0 until chunks).map(b =>
       substring(col("sig"), b * w + 1, w)): _*)
     val chunked = sigs.select(
-      col("id") +: (0 until nHalf).map(h => col(s"n$h")) :+
+      (col("id") +: blkCols) ++: (0 until nHalf).map(h => col(s"n$h")) :+
         posexplode(chunkArr).as(Seq("ci", "ck")): _*)
     val hamming = (0 until nHalf).map(h =>
       bit_count(col(s"a.n$h").bitwiseXOR(col(s"b.n$h"))))
       .reduce(_ + _).cast("long")
+    val joinCond = carry.foldLeft(
+      col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
+        col("a.id") < col("b.id")) { case (cond, (n, _)) =>
+      cond && col(s"a.$n") === col(s"b.$n")
+    }
     chunked.alias("a")
-      .join(chunked.alias("b"),
-        col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
-          col("a.id") < col("b.id"))
+      .join(chunked.alias("b"), joinCond)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         hamming.as("hamming"))
       // filter BEFORE distinct: only close pairs ride the dedup exchange

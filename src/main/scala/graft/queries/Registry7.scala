@@ -8,12 +8,16 @@ import graft.functions.TimeFns
 import graft.operators.Dedup
 import graft.streaming.StreamingOps
 
-/** Round-8 additions, closing the round-7 verdict's composition gaps:
-  * the clustering chain (pairs → components → survivors) wired to the
+/** Round-8 additions, closing the round-7 verdict's composition gaps
+  * and the gaps round 8's own probes surfaced: the clustering chain
+  * (pairs → components → survivors → size audit) wired to the
   * scale-safe WIDE MinHash candidate config end-to-end, sessionize's
   * state-EVICTION path under the gate (event-time timeout — the branch
-  * the sentinel drain deliberately bypasses), and the RocksDB state
-  * store exercised by the oracle.
+  * the sentinel drain deliberately bypasses), the RocksDB state store
+  * exercised by the oracle, token-budget corpus mixing (the mixture
+  * builder quota capping approximates), and compound-key SimHash
+  * blocking (the knob for the vote-concentration saturation the 1000×
+  * probe measured).
   */
 object Registry7 {
 
@@ -209,6 +213,50 @@ object Registry7 {
       .orderBy("ws", "classe")
   }
 
+  /** Compound-key SimHash blocking ([[Dedup.simhashPairs]] with
+    * `blockCol`): the wide 128-bit config ADDITIONALLY blocked on
+    * language + length bucket (the same key `dedup_ngram_jaccard`
+    * blocks on), so candidates must share block AND an intact slice.
+    * This is the knob the round-8 1000× probe motivates: simhash bits
+    * are majority votes and concentrate on homogeneous corpora, so at
+    * 5·10⁶ docs even the 2³² slice alphabet's collision entropy
+    * saturates — a block key multiplies the effective key space without
+    * widening signatures (measured: 13.8× fewer candidate incidences at
+    * 5 M docs — 0.61/doc — though the growth EXPONENT stays
+    * concentration-bound within blocks; SCALE.md). Recall trade is
+    * explicit and standard:
+    * pigeonhole completeness holds WITHIN a block; cross-block pairs
+    * (different language or far-apart lengths) are excluded by design.
+    * Oracle: the wide-simhash SQL with the block equality added. */
+  val dedupSimhashBlocked = Q("dedup_simhash_blocked",
+    """WITH sigs AS (SELECT doc_id,
+      |    lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk,
+      |    array_to_string(list_transform(range(1, 129),
+      |    p -> CASE WHEN 2 * len(list_filter(string_split(text, ' '),
+      |        x -> substr(md5(CASE WHEN p <= 32 THEN x
+      |                         ELSE CAST((p - 1) // 32 AS VARCHAR) || ':' || x END),
+      |                    ((p - 1) % 32) + 1, 1) >= '8'))
+      |        > len(string_split(text, ' '))
+      |      THEN '1' ELSE '0' END), '') AS sig
+      |  FROM documents),
+      |ch AS (SELECT doc_id, blk, sig, t.ci, substr(sig, t.ci * 32 + 1, 32) AS ck
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS ci) t),
+      |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.sig AS sa, b.sig AS sb
+      |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.ck = b.ck
+      |    AND a.blk = b.blk AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, hamming FROM (
+      |  SELECT a_id, b_id, CAST(len(list_filter(range(1, 129),
+      |    i -> substr(sa, i, 1) != substr(sb, i, 1))) AS BIGINT) AS hamming
+      |  FROM cand)
+      |WHERE hamming <= 3 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Dedup.simhashPairs(docs(s, d), "doc_id", "text",
+      bits = 128, chunks = 4, maxHamming = 3,
+      blockCol = Some(concat(col("lang"), lit("|"),
+        floor(col("n_chars") / 100).cast("long").cast("string"))))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Token-budget corpus mixing ([[graft.operators.Sampling.tokenBudgetPerSource]]):
     * every source equalized to a 400-token budget, documents admitted in
     * the deterministic salted-hash draw order until the tokens BEFORE a
@@ -242,5 +290,5 @@ object Registry7 {
 
   val round8: Seq[Q] = Seq(dedupClustersWide, dedupNearSurvivorsWide,
     dedupClusterSizesWide, streamingSessionizeEvict, streamingWindowRocksdb,
-    sampleTokenBudget)
+    sampleTokenBudget, dedupSimhashBlocked)
 }

@@ -158,13 +158,23 @@ object ScaleProbe {
         // wide (128-bit / 32-bit slice) variant: the slice alphabet grows
         // 2^16 → 2^32, which is the prescribed fix for the 64-bit path's
         // super-linear candidate growth on homogeneous corpora
-        val sigsW = graft.operators.Dedup.simhashed(d, "doc_id", "text", 128)
+        val blk = concat(col("lang"), lit("|"),
+          floor(col("n_chars") / 100).cast("long").cast("string"))
+        val sigsW = graft.operators.Dedup.simhashed(d, "doc_id", "text", 128,
+          carry = Seq("blk" -> blk))
         val chunkArrW = array((0 until 4).map(b =>
           substring(col("sig"), b * 32 + 1, 32)): _*)
-        val shW = choose2(sigsW
-          .select(posexplode(chunkArrW).as(Seq("ci", "ck")))
-          .groupBy("ci", "ck").agg(count(lit(1)).as("n")))
+        val chW = sigsW.select(col("blk"),
+          posexplode(chunkArrW).as(Seq("ci", "ck")))
+        val shW = choose2(chW.groupBy("ci", "ck").agg(count(lit(1)).as("n")))
         println(s"PROBE candidates $scale simhash_wide docs=$nDocs pairs=$shW")
+        // compound-key variant (dedup_simhash_blocked): slice AND
+        // lang|length-bucket must match — the knob for vote-concentration
+        // saturation the 1000× probe surfaced (alphabet growth can't
+        // outrun Σp² on a homogeneous corpus; a block key multiplies the
+        // effective key space without widening signatures)
+        val shB = choose2(chW.groupBy("ci", "ck", "blk").agg(count(lit(1)).as("n")))
+        println(s"PROBE candidates $scale simhash_blocked docs=$nDocs pairs=$shB")
       }
 
       if (want("jaccard")) {
