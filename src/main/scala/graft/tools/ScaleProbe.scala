@@ -237,6 +237,39 @@ object ScaleProbe {
           .agg(max("n").as("mx"), avg("n").as("mean")).head()
         println(s"PROBE ivf $scale max_cell=${cells.getLong(0)} mean_cell=${cells.getDouble(1)}")
       }
+
+      if (want("mix")) {
+        // token-budget mixing: the bucketed two-phase prefix sum vs the
+        // naive per-source window, timed at a 1% mixing rate (budget =
+        // 1% of each source's tokens). The mixing key is the scale
+        // hazard — tens of sources ⇒ a per-source window serializes the
+        // corpus onto tens of partitions; the bucketed form multiplies
+        // parallelism by 16 AND prunes budget-exceeded buckets before
+        // the window shuffle. n_chars stands in for the token count so
+        // the timing isolates the prefix-sum shape, not tokenization.
+        val t = d.select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("toks"))
+        val budgets = t.groupBy(col("source"))
+          .agg((sum("toks") / 100).cast("long").as("token_budget"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(md5(concat_ws(":", lit("graft"), col("doc_id"))), col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val naive = t
+          .join(broadcast(budgets), "source")
+          .withColumn("prior", coalesce(sum(col("toks")).over(w), lit(0L)))
+          .filter(col("prior") < col("token_budget"))
+          .select("doc_id", "source", "toks")
+        val bucketed = graft.operators.Sampling.tokenBudgetPerSource(
+          t, col("source"), col("doc_id"), col("toks"), budgets)
+        for ((name, df) <- Seq("naive" -> naive, "bucketed" -> bucketed);
+             pass <- 1 to 2) {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(s"PROBE mix $scale $name pass$pass ${(System.nanoTime() - t0) / 1e9}")
+        }
+        val (na, bu) = (naive.count(), bucketed.count())
+        println(s"PROBE mix $scale admitted naive=$na bucketed=$bu agree=${na == bu}")
+      }
     }
     spark.stop()
   }
