@@ -288,7 +288,57 @@ object Registry7 {
       .orderBy("doc_id")
   }
 
+  /** Streaming token-budget admission under the gate
+    * ([[StreamingOps.tokenBudgetPerKey]]): per-user budget of 100
+    * tokens (cost = event_id % 7 + 1, riding the fixture) over four
+    * time-ordered micro-batches — `streaming_quota` admits the first n
+    * EVENTS; this admits until the TOKEN budget fills, and the budget
+    * crosses mid-batch for most users, which only works if the
+    * accumulated-cost counter genuinely persists across batches.
+    *
+    * Determinism: pages are global (ts, event_id) quartiles
+    * ([[Registry6.stageOrderedPages]]), so each user's events arrive in
+    * rank order across batches and the operator's within-batch
+    * (tsMillis, eventId) sort pins the order inside them — admission
+    * order equals rank order by construction, exactly the guarantee the
+    * batch oracle's running sum replays.
+    *
+    * Oracle: the per-user exclusive running token sum in (ts, event_id)
+    * order, admitted while under 100. */
+  val streamingTokenBudget = Q("streaming_token_budget",
+    """WITH e AS (SELECT user_id AS uid, epoch_ms(ts) AS tm, event_id AS eid,
+      |    event_id % 7 + 1 AS toks
+      |  FROM events WHERE ts IS NOT NULL),
+      |c AS (SELECT uid, tm, eid, toks,
+      |    COALESCE(SUM(toks) OVER (PARTITION BY uid ORDER BY tm, eid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM e)
+      |SELECT uid, tm, eid, toks FROM c WHERE prior < 100
+      |ORDER BY uid, tm, eid""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val e = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("user_id").as("user"), unix_millis(col("ts")).as("tsMillis"),
+        col("event_id").as("eventId"),
+        (col("event_id") % 7 + 1).cast("long").as("toks"))
+    val fx = FixtureCache.cached(d, "stokbud", 1, Seq("events")) { tmp =>
+      val paged = e.withColumn("page",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy("tsMillis", "eventId")) - 1)
+      Registry6.stageOrderedPages(paged, "page", 4, tmp)
+    }
+    val stage = java.nio.file.Files.createTempDirectory("graft_stokbud")
+    val stream = s.readStream
+      .schema("user LONG, tsMillis LONG, eventId LONG, toks LONG")
+      .option("maxFilesPerTrigger", "1").json(fx.resolve("pages").toString)
+      .as[StreamingOps.TokenEvent]
+    val admitted = StreamingOps.tokenBudgetPerKey(stream, budget = 100L)
+    StreamHarness.drain(admitted.toDF(), stage, OutputMode.Append)
+      .select(col("user").as("uid"), col("tsMillis").as("tm"),
+        col("eventId").as("eid"), col("toks"))
+      .orderBy("uid", "tm", "eid")
+  }
+
   val round8: Seq[Q] = Seq(dedupClustersWide, dedupNearSurvivorsWide,
     dedupClusterSizesWide, streamingSessionizeEvict, streamingWindowRocksdb,
-    sampleTokenBudget, dedupSimhashBlocked)
+    sampleTokenBudget, dedupSimhashBlocked, streamingTokenBudget)
 }

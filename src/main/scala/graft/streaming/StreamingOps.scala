@@ -131,6 +131,40 @@ object StreamingOps {
       }
   }
 
+  /** Minimal event for token-budget admission: `toks` is the event's
+    * token cost, `eventId` the within-timestamp tiebreak. */
+  case class TokenEvent(user: Long, tsMillis: Long, eventId: Long, toks: Long)
+
+  /** Streaming per-key TOKEN-budget admission: the streaming face of
+    * [[graft.operators.Sampling.tokenBudgetPerSource]], as
+    * [[quotaPerKey]] is of `quotaPerGroup` — admission counts the
+    * tokens a mixture actually buys, not document/event counts, so a
+    * key emitting long documents exhausts its budget in fewer events.
+    * An event is admitted iff the tokens admitted BEFORE it are under
+    * the budget (boundary event included — the same contract as the
+    * batch op), so the budget can be crossed MID-batch; within a batch
+    * events are processed in (tsMillis, eventId) order, making the
+    * admitted set deterministic under a time-ordered drain regardless
+    * of iterator order. State is one Long per key — O(1), bounded by
+    * key cardinality alone. */
+  def tokenBudgetPerKey(events: Dataset[TokenEvent], budget: Long): Dataset[TokenEvent] = {
+    import events.sparkSession.implicits._
+    require(budget > 0, "budget must be positive")
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[Long, TokenEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state: GroupState[Long]) =>
+          var acc = state.getOption.getOrElse(0L)
+          val admitted = Seq.newBuilder[TokenEvent]
+          it.toSeq.sortBy(e => (e.tsMillis, e.eventId)).foreach { e =>
+            if (acc < budget) { admitted += e; acc += e.toks }
+          }
+          state.update(acc)
+          admitted.result().iterator
+      }
+  }
+
   /** Custom-state sessionization: the streaming analog of
     * [[graft.operators.Sessions]] — gap-bounded sessions maintained in the
     * state store via flatMapGroupsWithState, emitting sessions as they

@@ -94,6 +94,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.head == StreamingOps.ClosedSession(1L, 1000L, 2000L, 2L))
   }
 
+  test("tokenBudgetPerKey: admits by token cost, boundary included, state persists across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.TokenEvent]
+    val q = StreamingOps.tokenBudgetPerKey(mem.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("tokbud")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: user 1 spends 4 + 5 = 9 (< 10 → both admitted)
+    mem.addData(
+      StreamingOps.TokenEvent(1L, 1000L, 1L, 4L),
+      StreamingOps.TokenEvent(1L, 2000L, 2L, 5L))
+    q.processAllAvailable()
+    // batch 2: prior is 9 < 10 → event 3 admitted (boundary crosses the
+    // budget); prior is then 15 → event 4 rejected. Only works if the
+    // accumulated cost persisted across the batch boundary.
+    mem.addData(
+      StreamingOps.TokenEvent(1L, 3000L, 3L, 6L),
+      StreamingOps.TokenEvent(1L, 4000L, 4L, 1L),
+      StreamingOps.TokenEvent(2L, 1000L, 5L, 3L))
+    q.processAllAvailable()
+    val rows = spark.table("tokbud").as[StreamingOps.TokenEvent].collect()
+    q.stop()
+    assert(rows.filter(_.user == 1L).map(_.eventId).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(rows.filter(_.user == 2L).map(_.eventId).toSeq == Seq(5L))
+  }
+
   test("sessionize eviction: event-time timeout closes idle sessions via hasTimedOut") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.UserEvent]
