@@ -108,6 +108,42 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("udf"), "probe must not be a UDF")
   }
 
+  test("sample_token_budget: one corpus-sized exchange; gate frame broadcasts") {
+    val plan = planOf(q("sample_token_budget"))
+    // the corpus meets the (prior, budget) gate as a BROADCAST join —
+    // the sources×16-row frame must never force a corpus shuffle
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket gate must broadcast to the corpus:\n$plan")
+    // the only window over corpus rows partitions by (source, bucket) —
+    // the naive per-source window (tens of partitions for a 100 TB
+    // corpus) must not appear
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("_graft_mix_b")),
+      s"running sum must partition by (source, bucket):\n$plan")
+  }
+
+  test("dedup_simhash_blocked: block key rides the slice-join shuffle key") {
+    val plan = planOf(q("dedup_simhash_blocked"))
+    // the compound key must be part of the join's equi-key set (hash
+    // partitioning on block + slice), not a post-join filter — the
+    // whole point is a smaller exchange, not a bigger one filtered late
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("_graft_blk"))
+    assert(joinLine.nonEmpty,
+      s"block equality missing from the join keys:\n$plan")
+  }
+
+  test("wide clustering chain: candidate join shuffles band keys, never text") {
+    val plan = planOf(q("dedup_clusters_wide"))
+    // every hashpartitioning exchange carries derived keys (band/bk/id),
+    // none carries the document text column
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text must never ride an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     val df = Tables.documents(spark, sf).select(
       graft.functions.TextFns.rollingHash(col("text")).as("rh"),
