@@ -14,10 +14,10 @@ import graft.streaming.StreamingOps
   * scale-safe WIDE MinHash candidate config end-to-end, sessionize's
   * state-EVICTION path under the gate (event-time timeout — the branch
   * the sentinel drain deliberately bypasses), the RocksDB state store
-  * exercised by the oracle, token-budget corpus mixing (the mixture
-  * builder quota capping approximates), and compound-key SimHash
-  * blocking (the knob for the vote-concentration saturation the 1000×
-  * probe measured).
+  * exercised by the oracle, token-budget corpus mixing (batch AND
+  * streaming faces — the mixture builder quota capping approximates),
+  * and compound-key SimHash blocking (the knob for the
+  * vote-concentration saturation the 1000× probe measured).
   */
 object Registry7 {
 
