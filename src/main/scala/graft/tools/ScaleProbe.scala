@@ -42,8 +42,10 @@ object ScaleProbe {
   private val family = Map(
     "dedup_minhash_lsh" -> "minhash", "dedup_minhash_wide" -> "minhash",
     "dedup_simhash_pairs" -> "simhash",
-    "dedup_simhash_wide" -> "simhash", "dedup_ngram_jaccard" -> "jaccard",
-    "dedup_clusters" -> "cc", "ann_ivf_topk" -> "ann", "text_tfidf" -> "tfidf",
+    "dedup_simhash_wide" -> "simhash", "dedup_simhash_blocked" -> "simhash",
+    "dedup_ngram_jaccard" -> "jaccard",
+    "dedup_clusters" -> "cc", "dedup_clusters_wide" -> "ccwide",
+    "ann_ivf_topk" -> "ann", "text_tfidf" -> "tfidf",
     "text_fluency" -> "fluency")
 
   def main(args: Array[String]): Unit = {
@@ -115,7 +117,8 @@ object ScaleProbe {
     // ---- steady-state times per family, 1x then Nx
     val queries = Seq("dedup_minhash_lsh", "dedup_minhash_wide",
       "dedup_simhash_pairs",
-      "dedup_simhash_wide", "dedup_ngram_jaccard", "dedup_clusters",
+      "dedup_simhash_wide", "dedup_simhash_blocked", "dedup_ngram_jaccard",
+      "dedup_clusters", "dedup_clusters_wide",
       "ann_ivf_topk", "text_tfidf", "text_fluency")
       .filter(q => timed && want(family(q)))
     for (dir <- Seq(sfDir, scratch); q <- queries; pass <- 1 to 2) {
