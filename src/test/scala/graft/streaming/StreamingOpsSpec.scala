@@ -119,6 +119,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.filter(_.user == 2L).map(_.eventId).toSeq == Seq(5L))
   }
 
+  test("tokenBudgetPerKey: checkpoint restart resumes the accumulated cost, not zero") {
+    // two drains over the SAME checkpoint, new files between them: run 2
+    // must see run 1's accumulated spend from the state store. A state
+    // loss would re-open the budget and admit both page-2 events.
+    val dir = java.nio.file.Files.createTempDirectory("tokbud-resume")
+    def writePage(name: String, rows: Seq[(Long, Long, Long, Long)]): Unit = {
+      val w = new java.io.PrintWriter(dir.resolve(name).toFile, "UTF-8")
+      rows.foreach { case (u, ts, id, tk) =>
+        w.println(s"""{"user":$u,"tsMillis":$ts,"eventId":$id,"toks":$tk}""")
+      }
+      w.close()
+    }
+    // the memory sink refuses checkpoint recovery; the parquet sink is
+    // the restart-capable one (same reason streaming_parquet_sink uses it)
+    val pages = dir.resolve("pages"); java.nio.file.Files.createDirectories(pages)
+    val out = dir.resolve("out").toString
+    def drainOnce(): Seq[Long] = {
+      val stream = spark.readStream
+        .schema("user LONG, tsMillis LONG, eventId LONG, toks LONG")
+        .json(pages.toString).as[StreamingOps.TokenEvent]
+      graft.queries.StreamHarness
+        .drainToParquet(StreamingOps.tokenBudgetPerKey(stream, budget = 10L).toDF(),
+          dir, out)
+        .as[StreamingOps.TokenEvent].collect().map(_.eventId).sorted.toSeq
+    }
+    writePage("pages/page0.json", Seq((1L, 1000L, 1L, 4L), (1L, 2000L, 2L, 5L)))
+    assert(drainOnce() == Seq(1L, 2L)) // spend 9 of 10
+    // restart: prior spend 9 < 10 admits the boundary event 3; event 4
+    // must be rejected — it only is if the 9 survived the restart (a
+    // reset counter would admit 3 AND 4: 0+6 < 10, 6+1 < 10)
+    writePage("pages/page1.json", Seq((1L, 3000L, 3L, 6L), (1L, 4000L, 4L, 1L)))
+    assert(drainOnce() == Seq(1L, 2L, 3L))
+  }
+
   test("sessionize eviction: event-time timeout closes idle sessions via hasTimedOut") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingOps.UserEvent]
