@@ -338,7 +338,73 @@ object Registry7 {
       .orderBy("uid", "tm", "eid")
   }
 
+  /** INCREMENTAL curation end-to-end — the nightly-append composition
+    * next to `curate_pipeline`'s full-corpus build: the arriving batch
+    * (doc_id ≥ 250) is quality-filtered, deduped within itself AND
+    * against the stored corpus's digest LEDGER
+    * ([[Dedup.dedupIncremental]] — 32-byte digests, the corpus text
+    * never moves), then admitted source-by-source until a 300-token
+    * budget fills ([[graft.operators.Sampling.tokenBudgetPerSource]]).
+    * Every stage is an oracle-gated operator; the composition is what a
+    * production corpus APPEND actually runs — and at 100 TB the batch
+    * is the only side that shuffles (quality/tokens are per-row, the
+    * ledger ships digests, the budget gate broadcasts). */
+  val curateIncremental = Q("curate_incremental", {
+    val en = graft.functions.TextFns.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, lang, source,
+       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains($en, x))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+       |  FROM documents WHERE doc_id >= 250),
+       |q AS (SELECT doc_id, text, lang, source,
+       |  ((CASE WHEN length(text) >= 100 THEN 1.0
+       |      ELSE CAST(length(text) AS DOUBLE) / 100.0 END
+       |    + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+       |    + (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0
+       |        THEN 1.0 ELSE 0.5 END)
+       |    + LEAST(stopword_ratio * 4.0, 1.0)) / 4.0) AS quality
+       |  FROM t),
+       |f AS (SELECT doc_id, text, source FROM q WHERE quality >= 0.7),
+       |dd AS (SELECT doc_id, text, source FROM (
+       |  SELECT doc_id, text, source,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM f) WHERE rn = 1),
+       |fresh AS (SELECT doc_id, text, source FROM dd
+       |  WHERE md5(text) NOT IN
+       |    (SELECT DISTINCT md5(text) FROM documents WHERE doc_id < 250)),
+       |tok AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM fresh),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM tok)
+       |SELECT doc_id, source, n_tokens FROM c WHERE prior < 300
+       |ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val all = docs(s, d)
+    val batch = all.filter(col("doc_id") >= 250)
+      .withColumn("quality", graft.functions.TextFns.qualityScore(col("text")))
+      .filter(col("quality") >= 0.7)
+      .drop("quality")
+    val ledger = all.filter(col("doc_id") < 250)
+      .select(md5(col("text")).as("digest"))
+    val fresh = Dedup.dedupIncremental(batch, "doc_id", "text", ledger, "digest")
+    val t = fresh.select(col("doc_id"), col("source"),
+      graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    val budgets = t.select(col("source")).distinct()
+      .withColumn("token_budget", lit(300L))
+    graft.operators.Sampling.tokenBudgetPerSource(t,
+      col("source"), col("doc_id"), col("n_tokens"), budgets)
+      .orderBy("doc_id")
+  }
+
   val round8: Seq[Q] = Seq(dedupClustersWide, dedupNearSurvivorsWide,
     dedupClusterSizesWide, streamingSessionizeEvict, streamingWindowRocksdb,
-    sampleTokenBudget, dedupSimhashBlocked, streamingTokenBudget)
+    sampleTokenBudget, dedupSimhashBlocked, streamingTokenBudget,
+    curateIncremental)
 }
