@@ -403,8 +403,89 @@ object Registry7 {
       .orderBy("doc_id")
   }
 
+  /** Frozen-model fluency scoring — `text_fluency`'s train/apply loop
+    * SPLIT at the production boundary: the char-bigram model is trained
+    * on the STORED corpus (doc_id < 250) and applied unchanged to the
+    * arriving batch (doc_id ≥ 250) — a nightly append scores new data
+    * against a frozen filter, it does not retrain per batch. The split
+    * makes the add-one smoothing path REAL: batch bigrams unseen in
+    * training get (0+1)·scale(c₁) and unseen contexts (1)·(10¹² div
+    * (0+V)) via LEFT joins + coalesce — the single-dataflow form's
+    * inner joins never exercise unseen events because the model was
+    * trained on the very documents being scored. Same fixed-point
+    * order-free arithmetic, same broadcast-model scale shape (the
+    * model is alphabet² rows regardless of corpus size).
+    *
+    * The harness corpus shares one alphabet across the split (0 unseen
+    * bigrams at sf0.01), so the smoothing branch is proven by
+    * [[FluencySpec]] on synthetic data where unseen events exist; the
+    * oracle row proves the frozen-model join itself. */
+  private[queries] def fluencyModel(train: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bigrams = (t: Column) => org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.CharNgrams(org.apache.spark.sql.GraftExpr.expr(t), 2))
+    val tb = train.filter(char_length(col("text")) >= 2)
+      .select(explode(bigrams(col("text"))).as("b"))
+    val cb = tb.groupBy("b").agg(count(lit(1)).as("nb"))
+    val cc = cb.groupBy(substring(col("b"), 1, 1).as("c")).agg(sum("nb").as("nc"))
+    val v = train
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(char_length(col("ch")) > 0)
+      .agg(count_distinct(col("ch")).as("nv"))
+    (cb, cc, v)
+  }
+
+  /** Score `batch` against a frozen model — LEFT joins + coalesce give
+    * unseen bigrams (0+1)·scale(c₁) and unseen contexts the
+    * (1)·(10¹² div (0+V)) floor (add-one smoothing over the TRAINED
+    * alphabet). */
+  private[queries] def fluencyScore(batch: DataFrame,
+                                    model: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (cb, cc, v) = model
+    val bigrams = (t: Column) => org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.CharNgrams(org.apache.spark.sql.GraftExpr.expr(t), 2))
+    batch.filter(char_length(col("text")) >= 2)
+      .select(col("doc_id"), (char_length(col("text")) - 1).as("n"),
+        explode(bigrams(col("text"))).as("b"))
+      .join(broadcast(cb), Seq("b"), "left")
+      .join(broadcast(cc), substring(col("b"), 1, 1) === col("c"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("n"),
+        ((coalesce(col("nb"), lit(0L)) + 1) *
+          expr("CAST(1000000000000 AS BIGINT) div (coalesce(nc, CAST(0 AS BIGINT)) + nv)"))
+          .as("ps"))
+      .groupBy("doc_id", "n")
+      .agg(sum("ps").as("sp"))
+      .select(col("doc_id"),
+        (col("sp").cast("double") / col("n") / lit(1e12)).as("fluency"))
+  }
+
+  val textFluencyApply = Q("text_fluency_apply",
+    """WITH bg AS (SELECT substr(text, CAST(pos AS INT), 2) AS b
+      |  FROM (SELECT text, unnest(range(1, length(text))) AS pos
+      |        FROM documents WHERE doc_id < 250)),
+      |cb AS (SELECT b, COUNT(*) AS nb FROM bg GROUP BY b),
+      |cc AS (SELECT substr(b, 1, 1) AS c, COUNT(*) AS nc FROM bg GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT substr(text, CAST(i AS INT), 1)) AS nv
+      |  FROM (SELECT text, unnest(range(1, length(text) + 1)) AS i
+      |        FROM documents WHERE doc_id < 250)),
+      |sb AS (SELECT doc_id, n, substr(text, CAST(pos AS INT), 2) AS b
+      |  FROM (SELECT doc_id, text, length(text) - 1 AS n,
+      |    unnest(range(1, length(text))) AS pos
+      |    FROM documents WHERE doc_id >= 250)),
+      |p AS (SELECT doc_id, n,
+      |    (COALESCE(nb, 0) + 1)
+      |      * (1000000000000 // (COALESCE(nc, 0) + nv)) AS ps
+      |  FROM sb LEFT JOIN cb USING (b)
+      |    LEFT JOIN cc ON substr(sb.b, 1, 1) = cc.c CROSS JOIN v)
+      |SELECT doc_id, CAST(SUM(ps) AS DOUBLE) / n / 1e12 AS fluency
+      |FROM p GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val model = fluencyModel(docs(s, d).filter(col("doc_id") < 250))
+    fluencyScore(docs(s, d).filter(col("doc_id") >= 250), model)
+      .orderBy("doc_id")
+  }
+
   val round8: Seq[Q] = Seq(dedupClustersWide, dedupNearSurvivorsWide,
     dedupClusterSizesWide, streamingSessionizeEvict, streamingWindowRocksdb,
     sampleTokenBudget, dedupSimhashBlocked, streamingTokenBudget,
-    curateIncremental)
+    curateIncremental, textFluencyApply)
 }
