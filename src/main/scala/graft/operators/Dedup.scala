@@ -237,9 +237,8 @@ object Dedup {
     // broadcast), which would run the token-explode + vote aggregation
     // twice. Signatures are ~9 bytes/doc — the asset a corpus-scale
     // pipeline persists anyway.
-    val sigs = simhashed(docs, idCol, textCol, bits, carry)
-      .select(col(idCol).as("id") +: (col("sig") +: blkCols) ++: halfCols: _*)
-      .localCheckpoint()
+    val sigs = Lineage.truncate(simhashed(docs, idCol, textCol, bits, carry)
+      .select(col(idCol).as("id") +: (col("sig") +: blkCols) ++: halfCols: _*))
     val chunkArr = array((0 until chunks).map(b =>
       substring(col("sig"), b * w + 1, w)): _*)
     val chunked = sigs.select(
@@ -379,9 +378,11 @@ object Dedup {
     * component diameter; near-dup clusters are near-cliques (diameter ≤
     * ~3), so this runs 2–4 rounds in practice. Each round is one
     * shuffle-join of (edges ⋈ labels) plus a partial agg — linear in
-    * edges, never materializing the transitive closure. `localCheckpoint`
-    * truncates the per-round lineage so the plan stays O(1) deep (the
-    * 100 TB version checkpoints to reliable storage).
+    * edges, never materializing the transitive closure.
+    * [[Lineage.truncate]] cuts the per-round lineage so the plan stays
+    * O(1) deep — localCheckpoint locally, upgraded to a RELIABLE
+    * checkpoint automatically when the session has a checkpoint dir
+    * (the 100 TB posture, executable not advisory).
     *
     * Contract: labels are exact when the loop reaches its fixpoint; if a
     * component's diameter exceeds `maxIter` (pathological for near-dup
@@ -401,26 +402,25 @@ object Dedup {
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
                                     maxIter: Int = 25): (DataFrame, Int) = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd
+    val edges = Lineage.truncate(fwd
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct())
     // seed with round 1 fused into initialization: label(id) = min(id,
     // direct neighbors) in the same shuffle that enumerates the nodes
     // (edges are symmetric, so every node appears as src)
-    var labels = edges.groupBy(col("src").as("id"))
+    var labels = Lineage.truncate(edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_nbr"))
-      .select(col("id"), least(col("id"), col("_nbr")).as("cluster"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("_nbr")).as("cluster")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("_changed"))
-        .localCheckpoint()
+      val next = Lineage.truncate(
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+            (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("_changed")))
       converged = next.filter(col("_changed")).count() == 0L
       labels = next.drop("_changed")
       i += 1

@@ -275,10 +275,11 @@ object Similarity {
     // them as separate subtrees (same rationale as simhashPairs'
     // checkpoint), so without this the corpus-wide broadcast-argmax
     // pass runs up to 3×. ~(id, cell, vec, nrm) per row — the asset a
-    // graph build persists anyway (reliable checkpoint on a cluster).
-    val base = assigned.select(col("vec_id").as("id"), col("cell"),
-      col(vecCol).as("vec"), VectorFns.l2NormN(col(vecCol), dim).as("nrm"))
-      .localCheckpoint()
+    // graph build persists anyway (Lineage.truncate upgrades to a
+    // reliable checkpoint when the session has a checkpoint dir).
+    val base = Lineage.truncate(
+      assigned.select(col("vec_id").as("id"), col("cell"),
+        col(vecCol).as("vec"), VectorFns.l2NormN(col(vecCol), dim).as("nrm")))
     val top = base.groupBy("cell").agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("m")).head()
     val maxCell = if (top.isNullAt(0)) 0L else top.getLong(0)
