@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   *    dynamic broadcast decisions replace hand-tuned partition counts.
   *  - `shuffle.partitions` sized to cores locally; on a 1000-executor
   *    cluster raise it (or let AQE coalesce from a high initial value).
+  *    The override is `-Dgraft.shuffle.partitions=N` (same pattern as
+  *    `graft.stateStore`): raising partition COUNT, not heap, is how
+  *    shuffle working sets stay bounded as data grows. Scan-side the
+  *    analogous knob is WRITER layout — row-group size sets a per-task
+  *    memory floor no partition setting can split below (measured at
+  *    the 1000× relational probe, SCALE.md round 8).
   *  - All operators in this library shuffle on compact derived keys
   *    (digests, hashes, ids) — never on document bodies or vectors —
   *    so partition sizing is governed by row counts, not payload width.
@@ -26,7 +32,8 @@ object GraftSession {
   def builder(cores: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions",
+        sys.props.getOrElse("graft.shuffle.partitions", cores))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

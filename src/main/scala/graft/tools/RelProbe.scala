@@ -17,7 +17,13 @@ object RelProbe {
     val sfDir = args(0)
     val scratch = args(1)
     val factor = if (args.length > 2) args(2).toInt else 100
-    val queries = if (args.length > 3) args.drop(3).toSeq
+    // optional arg 4: "nobuild" reuses the replica already at <scratch>
+    // (a 1000× build writes ~15 GB — retries and query-only runs must
+    // not re-pay it); "buildonly" writes the replica and exits
+    val flags = args.drop(3).takeWhile(a => a == "nobuild" || a == "buildonly").toSet
+    val rebuild = !flags.contains("nobuild")
+    val queriesArgs = args.drop(3 + flags.size).toSeq
+    val queries = if (queriesArgs.nonEmpty) queriesArgs
       else Seq("q01_pricing_agg", "q03_join_agg", "q19_rollup")
 
     val li = graft.Tables.lineitem(spark, sfDir)
@@ -27,20 +33,47 @@ object RelProbe {
     val custOff = cust.agg(max("c_custkey")).head().getLong(0) + 1
     val copies = spark.range(factor).select(col("id").as("_c"))
 
+    // Writer-side layout is a SCALE decision, not a cosmetic one: the
+    // crossJoin inherits the small source's single input partition, so
+    // an unrepartitioned write emits ONE multi-GB file whose default
+    // ~128 MB-compressed row groups then set the SCAN's per-task memory
+    // floor (a split can never be smaller than a row group, and
+    // vectored IO buffers a whole row group per task). At 32 concurrent
+    // scan threads in one heap that floor × 32 OOM'd an 8 GiB JVM at
+    // factor=1000 — and the single writer task serialized the build.
+    // RANGE-repartitioning by the offset key parallelizes the write,
+    // keeps files (hence row groups) bounded regardless of factor, and
+    // makes the per-file min/max key stats disjoint (usable for
+    // pruning). Measured on-disk trade at factor=1000 (lineitem): the
+    // original single-task write was 3.5 GB only because each source
+    // row's 1000 copies sat ADJACENT (non-key columns compressed as
+    // ~1000-long runs — a duplication artifact, not real locality);
+    // hash repartition broke the runs (6.5 GB) and range+local-sort
+    // scatters copies across the keyspace by construction (8.3 GB, the
+    // replica's true entropy). The scan-memory and stats wins are what
+    // matter; the artifact compression was never going to exist at
+    // 100 TB on organic data.
+    val outParts = math.max(32, factor / 8)
+    if (rebuild) {
     li.crossJoin(copies)
       .withColumn("l_orderkey", col("l_orderkey") + col("_c") * ordOff)
-      .drop("_c")
+      .drop("_c").repartitionByRange(outParts, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
       .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
     ord.crossJoin(copies)
       .withColumn("o_orderkey", col("o_orderkey") + col("_c") * ordOff)
       .withColumn("o_custkey", col("o_custkey") + col("_c") * custOff)
-      .drop("_c")
+      .drop("_c").repartitionByRange(outParts, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
       .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
     cust.crossJoin(copies)
       .withColumn("c_custkey", col("c_custkey") + col("_c") * custOff)
-      .drop("_c")
+      .drop("_c").repartitionByRange(outParts, col("c_custkey"))
+      .sortWithinPartitions("c_custkey")
       .write.mode("overwrite").parquet(s"$scratch/customer.parquet")
     println(s"PROBE rel built ${factor}x at $scratch")
+    }
+    if (flags.contains("buildonly")) { spark.stop(); return }
 
     for (dir <- Seq(sfDir, scratch); q <- queries; pass <- 1 to 2) {
       val t0 = System.nanoTime()
