@@ -14,6 +14,31 @@ import graft.streaming.StreamingOps
   */
 object Registry5 {
 
+  /** The hit-shaped record stream synthesized from `orders` — the
+    * common raw frame behind the streaming fixtures. */
+  private[queries] def rawHits(s: SparkSession, d: String): DataFrame = {
+    val iso = (c: Column) => date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    Tables.orders(s, d).select(
+      struct(
+        col("o_orderkey").cast("string").as("numeroProcesso"),
+        struct(lit(1L).as("codigo"), col("o_orderpriority").as("nome")).as("classe"),
+        iso(col("o_orderdate")).as("dataAjuizamento"),
+        lit("1").as("grau")
+      ).as("_source"),
+      array(unix_millis(col("o_orderdate"))).as("sort"))
+  }
+
+  /** The raw DataJud hit pages, staged once per sf under the
+    * content-keyed cache (the fixture is a pure function of `orders`);
+    * shared by every streaming query that consumes the hit stream.
+    * Checkpoints and sink names stay run-scoped — only the
+    * deterministic page files are cached. */
+  private[queries] def hitPagesFixture(s: SparkSession, d: String): String =
+    FixtureCache.cached(d, "shits", 1, Seq("orders")) { tmp =>
+      rawHits(s, d).repartition(4).write.mode("overwrite")
+        .json(tmp.resolve("pages").toString)
+    }.resolve("pages").toString
+
   /** The streaming execution path itself under the hash gate. The raw
     * DataJud hit pages are synthesized from `orders` (same inline-fixture
     * discipline as `pipeline_hits`) and written as four JSON page files;
@@ -40,31 +65,6 @@ object Registry5 {
     *
     * Reference: the `search_after` pagination loop IS this stream —
     * /root/reference/src/jurimetria_pipeline.py:114-158. */
-  /** The hit-shaped record stream synthesized from `orders` — the
-    * common raw frame behind the streaming fixtures. */
-  private[queries] def rawHits(s: SparkSession, d: String): DataFrame = {
-    val iso = (c: Column) => date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    Tables.orders(s, d).select(
-      struct(
-        col("o_orderkey").cast("string").as("numeroProcesso"),
-        struct(lit(1L).as("codigo"), col("o_orderpriority").as("nome")).as("classe"),
-        iso(col("o_orderdate")).as("dataAjuizamento"),
-        lit("1").as("grau")
-      ).as("_source"),
-      array(unix_millis(col("o_orderdate"))).as("sort"))
-  }
-
-  /** The raw DataJud hit pages, staged once per sf under the
-    * content-keyed cache (the fixture is a pure function of `orders`);
-    * shared by every streaming query that consumes the hit stream.
-    * Checkpoints and sink names stay run-scoped — only the
-    * deterministic page files are cached. */
-  private[queries] def hitPagesFixture(s: SparkSession, d: String): String =
-    FixtureCache.cached(d, "shits", 1, Seq("orders")) { tmp =>
-      rawHits(s, d).repartition(4).write.mode("overwrite")
-        .json(tmp.resolve("pages").toString)
-    }.resolve("pages").toString
-
   val streamingHitsWindow = Q("streaming_hits_window",
     """SELECT strftime(date_trunc('hour', o_orderdate), '%Y-%m-%d %H:%M:%S') AS ws,
       |  o_orderpriority AS classe, COUNT(*) AS cnt
