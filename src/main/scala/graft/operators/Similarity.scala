@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftExpr}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFns
@@ -100,19 +100,14 @@ object Similarity {
     val cos = (v: Column, nrm: Column) =>
       when(nrm > 0.0 && col("c_nrm") > 0.0,
         VectorFns.dotN(v, col("c_vec"), dim) / (nrm * col("c_nrm")))
-    // corpus → cell: argmax cosine over centroids (tie → higher cell)
-    val asg = corpus
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+    // corpus → cell: one scalar-projection argmax ([[ivfAssign]]) —
+    // zero corpus shuffle; the old join+max(struct) agg planned as a
+    // SortAggregate over the n×C fan-out (see ivfAssign's scaladoc)
+    val asg = ivfAssign(corpus, centroids, idCol, vecCol, dim,
+        keepVec = true)
+      .select(col("vec_id").as("n_id"), col("cell"),
+        col(vecCol).as("n_vec"),
         VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
-      .join(broadcast(cent))
-      .groupBy("n_id")
-      .agg(
-        max(struct(cos(col("n_vec"), col("n_nrm")).as("s"), col("cell").as("cell")))
-          .as("best"),
-        // first() here is deterministic IN VALUE: every row of the group
-        // carries the same n_vec/n_nrm (functionally dependent on n_id)
-        first(col("n_vec")).as("n_vec"), first(col("n_nrm")).as("n_nrm"))
-      .select(col("n_id"), col("best.cell").as("cell"), col("n_vec"), col("n_nrm"))
     // query → its nProbe best cells
     val probes = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
@@ -129,41 +124,127 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Collect a (cellCol, vecCol) codebook to the driver for expression
+    * compilation. Codebooks are broadcast-sized by contract, so this is
+    * the data movement a broadcast would have paid, once, at plan-build
+    * time. Float codebooks widen to double exactly; trained codebooks
+    * ([[kmeansIter]]'s array<double>) keep full precision. */
+  private def collectCodebook(centroids: DataFrame, cellCol: String,
+      vecCol: String): (Array[Int], Array[Array[Double]], Array[Double]) = {
+    val rows = centroids.select(col(cellCol).cast("int"), col(vecCol)).collect()
+    val cells = rows.map(_.getInt(0))
+    val vecs = rows.map { r =>
+      if (r.isNullAt(1)) Array.empty[Double]
+      else r.getSeq[Number](1).map(_.doubleValue()).toArray
+    }
+    (cells, vecs, vecs.map(graft.expressions.CodebookArgmax.l2))
+  }
+
   /** IVF index maintenance: assign a NEW batch of vectors to an existing
     * codebook (cell, c_vec) without touching the indexed corpus — the
-    * incremental ingest path next to [[ivfTopKWith]]'s query path. One
-    * broadcast join + argmax partial aggregation (same cosine/tie rule
-    * as assignment inside ivfTopKWith: ties toward the higher cell);
-    * returns (vec_id, cell, score). Zero-norm vectors score null on
-    * every cell, so `max(struct(score, cell))` ties field-by-field down
-    * to the cell — they land in the HIGHEST cell (the same rule the
-    * DuckDB oracle's `ORDER BY cos DESC, cell DESC` replays). */
+    * incremental ingest path next to [[ivfTopKWith]]'s query path.
+    * Returns (vec_id, cell, score); `keepVec` appends the input vector
+    * (now a free projection — no agg to carry it through).
+    *
+    * Assignment is ONE scalar projection through
+    * [[graft.expressions.CodebookArgmax]]: the codebook is collected
+    * once and compiled into the expression, so there is no join, no
+    * aggregation, and no shuffle. The declarative form this replaces
+    * (broadcast join with no condition + `groupBy(id).agg(max(struct(
+    * score, cell)))`) planned the aggregate as SortAggregate — struct
+    * MAX has no mutable hash buffer — and SORTED the n × C fan-out:
+    * measured at 2 M vectors × 1024 centroids it spilled 65 GB and
+    * died, and even where it fit it paid a corpus-wide exchange this
+    * shape never pays (SCALE.md round 8).
+    *
+    * Same cosine/tie rule as always (the one the DuckDB oracle's
+    * `ORDER BY cos DESC, cell DESC` replays): ties toward the higher
+    * cell; zero-norm (or null) vectors score null everywhere and land
+    * in the HIGHEST cell. Ids are unique non-null keys by contract
+    * (the old agg collapsed duplicate ids; this emits one row per
+    * input row). */
   def ivfAssign(batch: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String, dim: Int = 64,
                 keepVec: Boolean = false): DataFrame = {
-    val cent = centroids.select(col("cell"), col("c_vec"),
-      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
-    val cos = when(col("_nrm") > 0.0 && col("c_nrm") > 0.0,
-      VectorFns.dotN(col("_v"), col("c_vec"), dim) / (col("_nrm") * col("c_nrm")))
-    // keepVec carries the vector through the argmax agg so a consumer
-    // that needs (id, cell, vec) — e.g. semantic dedup's within-cell
-    // pair join — avoids re-joining the corpus to recover it (two
-    // corpus-sized exchanges at scale). Callers that only need the cell
-    // must not pay for it: the agg list is built conditionally so the
-    // 64-float vector stays out of the argmax exchange when unwanted.
-    val aggs = max(struct(cos.as("s"), col("cell").as("cell"))).as("_best") +:
-      (if (keepVec) Seq(first(col("_v")).as(vecCol)) // constant per group
-       else Nil)
-    val assigned = batch
-      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
-        VectorFns.l2NormN(col(vecCol), dim).as("_nrm"))
-      .join(broadcast(cent))
-      .groupBy("vec_id")
-      .agg(aggs.head, aggs.tail: _*)
-    assigned.select(
-      col("vec_id") +: col("_best.cell").as("cell") +:
-        col("_best.s").as("score") +:
-        (if (keepVec) Seq(col(vecCol)) else Nil): _*)
+    val (cells, vecs, nrms) = collectCodebook(centroids, "cell", "c_vec")
+    // empty codebook → empty assignment (the old join produced no rows)
+    if (cells.isEmpty)
+      return batch
+        .select(col(idCol).as("vec_id") +: lit(null).cast("int").as("cell") +:
+          lit(null).cast("double").as("score") +:
+          (if (keepVec) Seq(col(vecCol)) else Nil): _*)
+        .filter(lit(false))
+    val best = GraftExpr.col(graft.expressions.CodebookArgmax(
+      GraftExpr.expr(col("_v")), cells, vecs, nrms))
+    batch
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .withColumn("_best", best)
+      .select(col("vec_id") +: col("_best.cell").as("cell") +:
+        col("_best.score").as("score") +:
+        (if (keepVec) Seq(col("_v").as(vecCol)) else Nil): _*)
+  }
+
+  /** Two-level (coarse → fine) IVF assignment: route each vector to its
+    * best coarse cell, then argmax only over that route's fine
+    * centroids. The flat [[ivfAssign]] under the sizing rule SCALE.md
+    * prescribes (centroids ∝ corpus, constant target cell size) costs
+    * n × C dot products — quadratic in the corpus, since C = n/cellSize
+    * grows with it. Splitting the codebook into √C coarse routes with
+    * ~√C fine centroids each makes assignment n × 2√C while the cell
+    * geometry (count and occupancy) stays the same — the standard
+    * coarse-quantization move (IVF with a routing level; cf. the
+    * two-level layout in FAISS-style indexes).
+    *
+    * Approximation contract: a vector's fine cell is the best WITHIN
+    * its coarse route — fine centroids under other routes never
+    * compete (the recall trade every coarse quantizer makes; the query
+    * side compensates with nProbe, not the assignment side). A coarse
+    * route with NO fine centroid would silently drop every corpus
+    * vector it wins (the route join is inner), so the operator throws
+    * on one instead — same refuse-don't-corrupt posture as
+    * [[knnGraph]]'s hot-cell guard; the check costs one codebook-sized
+    * (not corpus-sized) action. Ties and zero-norm vectors follow
+    * [[ivfAssign]]'s rule at BOTH levels (null score → field-by-field
+    * struct max → highest cell).
+    *
+    * `coarse` = (ccell, c_vec); `fine` = (cell, f_vec). Both codebooks
+    * compile into the two expressions (collected once, driver-side —
+    * a codebook that wouldn't broadcast is mis-sized anyway), so the
+    * whole two-level assignment is ONE scalar projection over the
+    * corpus: no join, no aggregation, no shuffle, and per-vector work
+    * is √C coarse dots + its route's fine dots, not C. Fine-centroid
+    * routing runs driver-side through the SAME argmax core the
+    * expressions use. Returns (vec_id, ccell, cell, score). */
+  def ivfAssignTwoLevel(batch: DataFrame, coarse: DataFrame,
+                        fine: DataFrame, idCol: String, vecCol: String,
+                        dim: Int = 64): DataFrame = {
+    import graft.expressions.{CodebookArgmax, RoutedCodebookArgmax}
+    val (cCells, cVecs, cNrms) = collectCodebook(coarse, "ccell", "c_vec")
+    val (fCells, fVecs, fNrms) = collectCodebook(fine, "cell", "f_vec")
+    require(cCells.nonEmpty && fCells.nonEmpty,
+      "ivfAssignTwoLevel: both codebooks must be non-empty")
+    val routeOf = fVecs.map(CodebookArgmax.coreCell(_, cCells, cVecs, cNrms))
+    val byRoute = cCells.map(cc =>
+      cc -> fCells.indices.filter(i => routeOf(i) == cc))
+    val empty = byRoute.collect { case (cc, idxs) if idxs.isEmpty => cc }
+    require(empty.isEmpty,
+      s"ivfAssignTwoLevel: coarse route(s) ${empty.mkString(",")} attracted " +
+        "no fine centroid — corpus vectors routed there would be dropped; " +
+        "re-balance the codebooks (fewer coarse cells or finer training)")
+    val coarseBest = GraftExpr.col(CodebookArgmax(
+      GraftExpr.expr(col("_v")), cCells, cVecs, cNrms))
+    val fineBest = GraftExpr.col(RoutedCodebookArgmax(
+      GraftExpr.expr(col("_v")), GraftExpr.expr(col("ccell")),
+      byRoute.map(_._1),
+      byRoute.map { case (_, idxs) => idxs.map(fCells).toArray },
+      byRoute.map { case (_, idxs) => idxs.map(fVecs).toArray },
+      byRoute.map { case (_, idxs) => idxs.map(fNrms).toArray }))
+    batch
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .withColumn("ccell", coarseBest.getField("cell"))
+      .withColumn("_best", fineBest)
+      .select(col("vec_id"), col("ccell"), col("_best.cell").as("cell"),
+        col("_best.score").as("score"))
   }
 
   /** One Lloyd (k-means) refinement step for IVF centroids: assign each
@@ -180,18 +261,11 @@ object Similarity {
                  idCol: String, vecCol: String,
                  dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cent = centroids.select(col("cell"), col("c_vec"),
-      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
-    val cos = when(col("n_nrm") > 0.0 && col("c_nrm") > 0.0,
-      VectorFns.dotN(col("n_vec"), col("c_vec"), dim) / (col("n_nrm") * col("c_nrm")))
-    val asg = corpus
-      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-        VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
-      .join(broadcast(cent))
-      .groupBy("n_id")
-      .agg(max(struct(cos.as("s"), col("cell").as("cell"))).as("best"),
-        first(col("n_vec")).as("n_vec")) // constant per group
-      .select(col("best.cell").as("cell"), col("n_vec"))
+    // assignment is the scalar-projection argmax (see [[ivfAssign]]) —
+    // per Lloyd iteration this drops a corpus-wide groupBy exchange
+    val asg = ivfAssign(corpus, centroids, idCol, vecCol, dim,
+        keepVec = true)
+      .select(col("cell"), col(vecCol).as("n_vec"))
     asg.select(col("cell"), posexplode(col("n_vec")).as(Seq("d", "x")))
       .groupBy("cell", "d")
       // divisor counts NON-NULL elements (count(x), not count(*)): sum

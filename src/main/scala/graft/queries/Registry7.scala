@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import graft.Tables
 import graft.functions.TimeFns
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import graft.streaming.StreamingOps
 
 /** Round-8 additions, closing the round-7 verdict's composition gaps
@@ -484,8 +484,51 @@ object Registry7 {
       .orderBy("doc_id")
   }
 
+  /** Two-level IVF assignment ([[Similarity.ivfAssignTwoLevel]]): the
+    * fix for the assignment cost hidden inside SCALE.md's own sizing
+    * rule — "centroids ∝ corpus" keeps cells flat but makes FLAT
+    * assignment n × C dot products, quadratic in the corpus; routing
+    * through √C coarse cells makes it n × 2√C with identical cell
+    * geometry. Codebooks here: 4 coarse seeds routing 16 fine seeds
+    * (the same seed rule every ann_* row uses). The oracle replays
+    * both argmax levels with the same cosine fold and the same
+    * score-then-higher-cell tie rule. */
+  val annIvfTwoLevel = Q("ann_ivf_two_level",
+    s"""WITH coarse AS (SELECT CAST(vec_id AS INT) AS ccell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 4),
+       |fine AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS f_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |routed AS (SELECT cell, ccell, f_vec FROM (
+       |  SELECT f.cell, c.ccell, f.f_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY f.cell
+       |      ORDER BY ${RegistryExt.sqlCos("f.f_vec", "c.c_vec")} DESC,
+       |        c.ccell DESC) AS rn
+       |  FROM fine f CROSS JOIN coarse c) WHERE rn = 1),
+       |c1 AS (SELECT vec_id, ccell, embedding FROM (
+       |  SELECT q.vec_id, c.ccell, q.embedding,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("q.embedding", "c.c_vec")} DESC,
+       |        c.ccell DESC) AS rn
+       |  FROM embeddings q CROSS JOIN coarse c) WHERE rn = 1)
+       |SELECT vec_id, ccell, cell, score FROM (
+       |  SELECT a.vec_id, a.ccell, f.cell,
+       |    ${RegistryExt.sqlCos("a.embedding", "f.f_vec")} AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("a.embedding", "f.f_vec")} DESC,
+       |        f.cell DESC) AS rn
+       |  FROM c1 a JOIN routed f ON a.ccell = f.ccell) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val coarse = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("ccell"), col("embedding").as("c_vec"))
+    val fine = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("f_vec"))
+    Similarity.ivfAssignTwoLevel(e, coarse, fine, "vec_id", "embedding")
+      .orderBy("vec_id")
+  }
+
   val round8: Seq[Q] = Seq(dedupClustersWide, dedupNearSurvivorsWide,
     dedupClusterSizesWide, streamingSessionizeEvict, streamingWindowRocksdb,
     sampleTokenBudget, dedupSimhashBlocked, streamingTokenBudget,
-    curateIncremental, textFluencyApply)
+    curateIncremental, textFluencyApply, annIvfTwoLevel)
 }

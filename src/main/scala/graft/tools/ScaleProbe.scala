@@ -239,6 +239,28 @@ object ScaleProbe {
           .groupBy("cell").agg(count(lit(1)).as("n"))
           .agg(max("n").as("mx"), avg("n").as("mean")).head()
         println(s"PROBE ivf $scale max_cell=${cells.getLong(0)} mean_cell=${cells.getDouble(1)}")
+        // assignment cost at the "centroids ∝ corpus" sizing rule:
+        // flat n×C vs two-level n×2√C at C=1024 (32 coarse routes) —
+        // the seed ids exist at every scale, so the codebooks (hence
+        // routing) are identical across dirs and only n varies
+        val fine = e.filter(col("vec_id") < 1024)
+          .select(col("vec_id").cast("int").as("cell"), col("embedding").as("f_vec"))
+        val coarse = e.filter(col("vec_id") < 32)
+          .select(col("vec_id").cast("int").as("ccell"), col("embedding").as("c_vec"))
+        for (pass <- 1 to 2) {
+          var t0 = System.nanoTime()
+          graft.operators.Similarity.ivfAssign(e,
+            fine.select(col("cell"), col("f_vec").as("c_vec")),
+            "vec_id", "embedding")
+            .write.format("noop").mode("overwrite").save()
+          val tf = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          graft.operators.Similarity.ivfAssignTwoLevel(
+            e, coarse, fine, "vec_id", "embedding")
+            .write.format("noop").mode("overwrite").save()
+          val t2 = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE ivf_assign $scale pass$pass flat_c1024=$tf%.2f two_level_32x1024=$t2%.2f")
+        }
       }
 
       if (want("mix")) {

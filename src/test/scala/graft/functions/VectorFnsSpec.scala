@@ -103,6 +103,40 @@ class VectorFnsSpec extends SparkSpec {
     assert(got == Map(10L -> 2, 11L -> 1))
   }
 
+  test("ivfAssignTwoLevel: fine argmax stays inside the coarse route") {
+    val coarse = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("ccell", "c_vec")
+    val fine = Seq(
+      (0, Array(1.0f, 0.0f, 0.0f)),    // routes to ccell 0
+      (1, Array(0.9f, 0.45f, 0.0f)),   // routes to ccell 0
+      (2, Array(0.0f, 1.0f, 0.0f)))    // routes to ccell 1
+      .toDF("cell", "f_vec")
+    val batch = Seq(
+      (10L, Array(0.6f, 0.8f, 0.0f)),  // route 1; GLOBAL best fine is 1
+      (11L, Array(1.0f, 0.0f, 0.0f)))  // route 0 → fine 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfAssignTwoLevel(
+      batch, coarse, fine, "vec_id", "embedding", dim = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // vec 10's globally-best fine centroid (1, cos ≈ 0.894) lives under
+    // route 0, but its coarse route is 1 — the contract confines the
+    // fine competition to the route, so it lands in cell 2 (cos 0.8)
+    assert(got == Map(10L -> ((1, 2)), 11L -> ((0, 0))))
+  }
+
+  test("ivfAssignTwoLevel: a fine-centroid-less coarse route is refused") {
+    val coarse = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)),
+      (2, Array(0.0f, 0.0f, 1.0f))) // no fine centroid will route here
+      .toDF("ccell", "c_vec")
+    val fine = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("cell", "f_vec")
+    val batch = Seq((10L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    assertThrows[IllegalArgumentException] {
+      Similarity.ivfAssignTwoLevel(batch, coarse, fine, "vec_id", "embedding",
+        dim = 3)
+    }
+  }
+
   test("nearDupPairs: oversized block is refused, balanced blocks run") {
     // all four vectors share one block → block of 4 > cap of 3 → refuse
     assertThrows[IllegalArgumentException] {
