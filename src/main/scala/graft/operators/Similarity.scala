@@ -89,22 +89,36 @@ object Similarity {
     * the trained-index path: feed [[kmeansIter]] output (or any external
     * codebook) instead of the lowest-id convention. Cells may be sparse;
     * assignment and probing use the same argmax-cosine / higher-cell
-    * tie-break as the untrained form. */
+    * tie-break as the untrained form.
+    *
+    * With `coarse` (ccell, c_vec) supplied, CORPUS assignment routes
+    * through [[ivfAssignTwoLevel]] — n × 2√C instead of n × C dots, the
+    * scale path once centroids grow ∝ corpus. The QUERY side stays a
+    * flat rank over all fine centroids: queries are small by contract
+    * (the broadcast side), so their C-wide rank is cheap, and flat
+    * probing preserves recall exactly where it is free — only the
+    * corpus-sized argmax needs the routed approximation. */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
                   centroids: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  nProbe: Int = 4, dim: Int = 64): DataFrame = {
+                  nProbe: Int = 4, dim: Int = 64,
+                  coarse: Option[DataFrame] = None): DataFrame = {
     val cent = centroids
       .select(col("cell"), col("c_vec"),
         VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
     val cos = (v: Column, nrm: Column) =>
       when(nrm > 0.0 && col("c_nrm") > 0.0,
         VectorFns.dotN(v, col("c_vec"), dim) / (nrm * col("c_nrm")))
-    // corpus → cell: one scalar-projection argmax ([[ivfAssign]]) —
+    // corpus → cell: one scalar-projection argmax ([[ivfAssign]], or the
+    // routed [[ivfAssignTwoLevel]] when a coarse codebook is supplied) —
     // zero corpus shuffle; the old join+max(struct) agg planned as a
     // SortAggregate over the n×C fan-out (see ivfAssign's scaladoc)
-    val asg = ivfAssign(corpus, centroids, idCol, vecCol, dim,
-        keepVec = true)
+    val asg = coarse.fold(
+        ivfAssign(corpus, centroids, idCol, vecCol, dim, keepVec = true)) {
+        cc => ivfAssignTwoLevel(corpus, cc,
+          centroids.select(col("cell"), col("c_vec").as("f_vec")),
+          idCol, vecCol, dim, keepVec = true)
+      }
       .select(col("vec_id").as("n_id"), col("cell"),
         col(vecCol).as("n_vec"),
         VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
@@ -214,10 +228,11 @@ object Similarity {
     * corpus: no join, no aggregation, no shuffle, and per-vector work
     * is √C coarse dots + its route's fine dots, not C. Fine-centroid
     * routing runs driver-side through the SAME argmax core the
-    * expressions use. Returns (vec_id, ccell, cell, score). */
+    * expressions use. Returns (vec_id, ccell, cell, score); `keepVec`
+    * appends the input vector (a free projection, as in [[ivfAssign]]). */
   def ivfAssignTwoLevel(batch: DataFrame, coarse: DataFrame,
                         fine: DataFrame, idCol: String, vecCol: String,
-                        dim: Int = 64): DataFrame = {
+                        dim: Int = 64, keepVec: Boolean = false): DataFrame = {
     import graft.expressions.{CodebookArgmax, RoutedCodebookArgmax}
     val (cCells, cVecs, cNrms) = collectCodebook(coarse, "ccell", "c_vec")
     val (fCells, fVecs, fNrms) = collectCodebook(fine, "cell", "f_vec")
@@ -243,8 +258,9 @@ object Similarity {
       .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
       .withColumn("ccell", coarseBest.getField("cell"))
       .withColumn("_best", fineBest)
-      .select(col("vec_id"), col("ccell"), col("_best.cell").as("cell"),
-        col("_best.score").as("score"))
+      .select(col("vec_id") +: col("ccell") +: col("_best.cell").as("cell") +:
+        col("_best.score").as("score") +:
+        (if (keepVec) Seq(col("_v").as(vecCol)) else Nil): _*)
   }
 
   /** One Lloyd (k-means) refinement step for IVF centroids: assign each
@@ -253,32 +269,79 @@ object Similarity {
     *
     * Returns (cell, c_vec: array<double>) for NON-EMPTY cells. One
     * broadcast join + one shuffle on the cell key; the per-dimension
-    * means go through posexplode + decimal-exact sums, so the refined
+    * means go through posexplode + fixed-point-exact sums, so the refined
     * centroids are bit-deterministic under any partitioning — re-runs
     * and cluster-size changes can't drift the index. Iterate as needed;
     * the dataflow per step is identical. */
   def kmeansIter(corpus: DataFrame, centroids: DataFrame,
                  idCol: String, vecCol: String,
                  dim: Int = 64): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     // assignment is the scalar-projection argmax (see [[ivfAssign]]) —
     // per Lloyd iteration this drops a corpus-wide groupBy exchange
     val asg = ivfAssign(corpus, centroids, idCol, vecCol, dim,
         keepVec = true)
       .select(col("cell"), col(vecCol).as("n_vec"))
+    cellMeans(asg, "c_vec")
+  }
+
+  /** Per-cell, per-dimension fixed-point-exact means of (cell, n_vec)
+    * rows → (cell, `vecOut`: array<double>) for NON-EMPTY cells — the
+    * refine half of a Lloyd step, shared by [[kmeansIter]] and
+    * [[kmeansIterRouted]]. One shuffle on (cell, d).
+    *
+    * Each element is quantized to a scale-10 fixed-point long
+    * (round(x·10¹⁰) — x·10¹⁰ is EXACT in a double for float-origin
+    * elements: ≤24-bit mantissa × 5¹⁰ stays under 48 bits), summed as
+    * integers (order-free, map-side-combinable), and divided back out
+    * in two IEEE steps. A DECIMAL(30,10) cast computes the same
+    * quantization EXCEPT at exact .5 ties (dyadic floats like
+    * −0.27392578125 hit them): Spark's decimal cast rounds ties
+    * HALF_UP, DuckDB's HALF_EVEN — measured one flipped 10⁻¹⁰ unit per
+    * ~10⁴ elements, enough to hash-fail any query that OUTPUTS a
+    * trained-centroid score. round() rounds ties away-from-zero in
+    * BOTH engines, so the mean is bit-replayable. Magnitude contract:
+    * |x| ≲ 3 and ≤ ~10⁶ members/cell keep the sum under 2⁶³ with 10²
+    * headroom.
+    *
+    * Divisor counts NON-NULL elements (count(x), not count(*)): the sum
+    * skips nulls, so a null element must not deflate the mean. */
+  private def cellMeans(asg: DataFrame, vecOut: String): DataFrame = {
     asg.select(col("cell"), posexplode(col("n_vec")).as(Seq("d", "x")))
       .groupBy("cell", "d")
-      // divisor counts NON-NULL elements (count(x), not count(*)): sum
-      // skips nulls, so a null element must not deflate the mean. The
-      // exact decimal sum is cast to double BEFORE the divide (one IEEE
-      // division) — decimal-division scale rules differ per engine, a
-      // double/long divide does not, so a DuckDB oracle can replay the
-      // refine bit-for-bit.
-      .agg((sum(col("x").cast(DecimalType(30, 10))).cast("double")
-        / count(col("x"))).as("m"))
+      .agg((sum(round(col("x").cast("double") * lit(1e10)).cast("long"))
+        .cast("double") / lit(1e10) / count(col("x"))).as("m"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-      .select(col("cell"), expr("transform(dm, p -> p.m)").as("c_vec"))
+      .select(col("cell"), expr("transform(dm, p -> p.m)").as(vecOut))
+  }
+
+  /** One ROUTED Lloyd refinement step for the FINE codebook of a
+    * two-level index: assign each corpus vector through
+    * [[ivfAssignTwoLevel]] (coarse route, then within-route fine argmax)
+    * and average each fine cell's members per dimension — the training
+    * loop that makes the two-level path usable with LEARNED (not
+    * seed-rule) fine centroids. The flat alternative — refine the fine
+    * codebook with [[kmeansIter]] — pays the n × C flat argmax this
+    * index exists to kill, and trains against assignments the two-level
+    * QUERY path will never reproduce (fine centroids in other routes
+    * compete at flat training time but not at routed query time);
+    * training through the routed assignment keeps train and serve
+    * consistent, the standard residual/coarse-quantizer discipline.
+    *
+    * Cost per step: one scalar-projection assignment (n × (√C + C/√C)
+    * dots, zero corpus shuffle) + [[cellMeans]]'s one (cell, d) shuffle.
+    * Returns (cell, f_vec: array<double>) for non-empty fine cells;
+    * cells whose route wins no corpus vectors drop out (as in
+    * [[kmeansIter]]), and a refined centroid MAY migrate routes on the
+    * next step — routes re-derive from vectors each call, so the
+    * codebooks stay consistent by construction. */
+  def kmeansIterRouted(corpus: DataFrame, coarse: DataFrame,
+                       fine: DataFrame, idCol: String, vecCol: String,
+                       dim: Int = 64): DataFrame = {
+    val asg = ivfAssignTwoLevel(corpus, coarse, fine, idCol, vecCol, dim,
+        keepVec = true)
+      .select(col("cell"), col(vecCol).as("n_vec"))
+    cellMeans(asg, "f_vec")
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked on
@@ -337,13 +400,25 @@ object Similarity {
     * hot cell cost 10¹⁴ pairs. Returns (src_id, nbr_id, rnk, cos); the
     * rank filter plants Spark's partial+final WindowGroupLimit below
     * the exchange (the q09 plan shape), so per-cell candidate lists
-    * shrink to k before they ride the shuffle. */
+    * shrink to k before they ride the shuffle.
+    *
+    * With `coarse` (ccell, c_vec) supplied the corpus-wide assignment
+    * routes through [[ivfAssignTwoLevel]] (n × 2√C, the sizing-rule
+    * scale path); neighbor scoring is unchanged — still within the FINE
+    * cell. Here BOTH sides of the pair join are corpus-sized, so unlike
+    * [[ivfTopKWith]] there is no cheap flat side: the routed argmax is
+    * the only sub-quadratic assignment once C grows ∝ corpus. */
   def knnGraph(embeddings: DataFrame, centroids: DataFrame,
                idCol: String, vecCol: String, k: Int,
-               dim: Int = 64, maxCellRows: Long = 1L << 20): DataFrame = {
+               dim: Int = 64, maxCellRows: Long = 1L << 20,
+               coarse: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "k must be positive")
-    val assigned = ivfAssign(embeddings, centroids, idCol, vecCol, dim,
-      keepVec = true)
+    val assigned = coarse.fold(
+        ivfAssign(embeddings, centroids, idCol, vecCol, dim, keepVec = true)) {
+        cc => ivfAssignTwoLevel(embeddings, cc,
+          centroids.select(col("cell"), col("c_vec").as("f_vec")),
+          idCol, vecCol, dim, keepVec = true)
+      }
     // materialize the assignment once: it feeds THREE consumers — the
     // hot-cell guard action and both self-join sides — and Spark plans
     // them as separate subtrees (same rationale as simhashPairs'

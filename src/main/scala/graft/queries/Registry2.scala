@@ -177,21 +177,40 @@ object Registry2 {
   private def sqlCos(a: String, b: String): String =
     s"""(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"""
 
-  /** IVF ANN ([[Similarity.ivfTopK]]): 16 cells, 4 probes, top-3. The
-    * oracle rebuilds the identical index (same centroids, same argmax
-    * tie-breaks), so both engines score the same candidate sets. */
+  /** IVF ANN ([[Similarity.ivfTopKWith]]): 16 cells, 4 probes, top-3 —
+    * since round 9 the CORPUS assignment rides the two-level routed
+    * argmax (4 coarse routes over the 16 fine cells,
+    * [[Similarity.ivfAssignTwoLevel]]): the production path once
+    * centroids grow ∝ corpus, n × 2√C instead of n × C dots. Query
+    * probing stays flat over all fine cells (queries are the small
+    * broadcast side — flat recall is free there). The oracle rebuilds
+    * the identical two-level index: fine→coarse routing, corpus→coarse,
+    * within-route fine argmax, each with the same cosine fold and
+    * score-then-higher-cell tie-break. */
   val annIvf = Q("ann_ivf_topk",
-    s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+    s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS f_vec
        |  FROM embeddings WHERE vec_id < 16),
-       |asg AS (SELECT n_id, cell, n_vec FROM (
-       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |coarse AS (SELECT CAST(vec_id AS INT) AS ccell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 4),
+       |routed AS (SELECT cell, ccell, f_vec FROM (
+       |  SELECT f.cell, c.ccell, f.f_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY f.cell
+       |      ORDER BY ${sqlCos("f.f_vec", "c.c_vec")} DESC, c.ccell DESC) AS rn
+       |  FROM cent f CROSS JOIN coarse c) WHERE rn = 1),
+       |c1 AS (SELECT vec_id, ccell, embedding FROM (
+       |  SELECT b.vec_id, c.ccell, b.embedding,
        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-       |      ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
-       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1),
+       |      ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.ccell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN coarse c) WHERE rn = 1),
+       |asg AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT a.vec_id AS n_id, f.cell, a.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${sqlCos("a.embedding", "f.f_vec")} DESC, f.cell DESC) AS rn
+       |  FROM c1 a JOIN routed f ON a.ccell = f.ccell) WHERE rn = 1),
        |probes AS (SELECT q_id, cell, q_vec FROM (
        |  SELECT q.vec_id AS q_id, c.cell, q.embedding AS q_vec,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |      ORDER BY ${sqlCos("q.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |      ORDER BY ${sqlCos("q.embedding", "c.f_vec")} DESC, c.cell DESC) AS rn
        |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 4),
        |sc AS (SELECT q_id, n_id, ${sqlCos("p.q_vec", "a.n_vec")} AS cos
        |  FROM probes p JOIN asg a USING (cell) WHERE q_id <> n_id),
@@ -200,8 +219,12 @@ object Registry2 {
        |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val e = emb(s, d)
-    Similarity.ivfTopK(e.filter(col("vec_id") < 5), e,
-      "vec_id", "embedding", k = 3, nCells = 16, nProbe = 4)
+    val fine = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    val coarse = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("ccell"), col("embedding").as("c_vec"))
+    Similarity.ivfTopKWith(e.filter(col("vec_id") < 5), e, fine,
+      "vec_id", "embedding", k = 3, nProbe = 4, coarse = Some(coarse))
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("q_id", "rnk")
   }

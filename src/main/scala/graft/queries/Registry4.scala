@@ -123,7 +123,7 @@ object Registry4 {
     * [[Similarity.ivfTopKWith]]): one Lloyd step refines 8 seed centroids
     * (lowest-id vectors), then IVF probes the refined codebook. The
     * oracle replays the identical refine (argmax-cosine assignment,
-    * decimal-exact per-dim sums, one IEEE divide per mean) and the
+    * fixed-point-exact per-dim sums, two IEEE divides per mean) and the
     * identical probe/score/rank, so both engines walk the same index. */
   val annIvfKmeans = Q("ann_ivf_kmeans",
     s"""WITH cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
@@ -134,8 +134,8 @@ object Registry4 {
        |      ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
        |  FROM embeddings b CROSS JOIN cent0 c) WHERE rn = 1),
        |dm AS (SELECT cell, i AS d,
-       |    CAST(SUM(CAST(n_vec[i] AS DECIMAL(30,10))) AS DOUBLE)
-       |      / COUNT(n_vec[i]) AS m
+       |    CAST(SUM(CAST(round(CAST(n_vec[i] AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
+       |      / 1e10 / COUNT(n_vec[i]) AS m
        |  FROM asg0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
        |  GROUP BY cell, i),
        |cent1 AS (SELECT cell, list(m ORDER BY d) AS c_vec FROM dm GROUP BY cell),

@@ -417,38 +417,58 @@ object Registry6 {
   }
 
   /** Semantic dedup (SemDeDup-shaped): cluster the embedding space with
-    * a trained codebook (one Lloyd step over lowest-id seeds — the
-    * `ann_ivf_kmeans` index), then drop within-cluster cosine near-dups,
-    * keeping the smallest id of each pair. Differs from
+    * a trained codebook (one ROUTED Lloyd step over lowest-id seeds,
+    * [[Similarity.kmeansIterRouted]]), then drop within-cluster cosine
+    * near-dups, keeping the smallest id of each pair. Differs from
     * `dedup_embedding` exactly where it matters at 100 TB: blocks are
     * LEARNED cells, not ground-truth labels — the shape that works when
-    * no label column exists. Cost: centroid train/assign is
-    * broadcast + partial-agg (corpus never shuffles whole), the pair
-    * join is within-cell quadratic bounded by [[Similarity.nearDupPairs]]'s
-    * block-size guard, and the id⋈cell re-join rides compact ids.
+    * no label column exists. Cost: both the train and the serve
+    * assignment are two-level scalar projections (n × 2√C dots, corpus
+    * never shuffles whole), the pair join is within-cell quadratic
+    * bounded by [[Similarity.nearDupPairs]]'s block-size guard, and the
+    * id⋈cell re-join rides compact ids.
     *
-    * Oracle: replays the identical Lloyd step, argmax assignment (ties
-    * toward the higher cell), within-cell pair threshold, and keep-min
+    * Oracle: replays the identical routed Lloyd step (fine→coarse
+    * routing, corpus→coarse, within-route argmax, fixed-point means),
+    * the identical routed final assignment (ties toward the higher cell
+    * at both levels), within-cell pair threshold, and keep-min
     * survivorship. */
   val dedupSemantic = Q("dedup_semantic",
-    s"""WITH cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+    s"""WITH coarsec AS (SELECT CAST(vec_id AS INT) AS ccell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 3),
+       |cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS f_vec
        |  FROM embeddings WHERE vec_id < 8),
-       |asg0 AS (SELECT n_id, cell, n_vec FROM (
-       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |routed0 AS (SELECT cell, ccell, f_vec FROM (
+       |  SELECT f.cell, c.ccell, f.f_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY f.cell
+       |      ORDER BY ${RegistryExt.sqlCos("f.f_vec", "c.c_vec")} DESC, c.ccell DESC) AS rn
+       |  FROM cent0 f CROSS JOIN coarsec c) WHERE rn = 1),
+       |cg AS (SELECT vec_id, ccell, embedding FROM (
+       |  SELECT b.vec_id, c.ccell, b.embedding,
        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
-       |  FROM embeddings b CROSS JOIN cent0 c) WHERE rn = 1),
+       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.ccell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN coarsec c) WHERE rn = 1),
+       |asg0 AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT a.vec_id AS n_id, f.cell, a.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("a.embedding", "f.f_vec")} DESC, f.cell DESC) AS rn
+       |  FROM cg a JOIN routed0 f ON a.ccell = f.ccell) WHERE rn = 1),
        |dm AS (SELECT cell, i AS d,
-       |    CAST(SUM(CAST(n_vec[i] AS DECIMAL(30,10))) AS DOUBLE)
-       |      / COUNT(n_vec[i]) AS m
+       |    CAST(SUM(CAST(round(CAST(n_vec[i] AS DOUBLE) * 1e10) AS BIGINT)) AS DOUBLE)
+       |      / 1e10 / COUNT(n_vec[i]) AS m
        |  FROM asg0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
        |  GROUP BY cell, i),
-       |cent1 AS (SELECT cell, list(m ORDER BY d) AS c_vec FROM dm GROUP BY cell),
+       |cent1 AS (SELECT cell, list(m ORDER BY d) AS f_vec FROM dm GROUP BY cell),
+       |routed1 AS (SELECT cell, ccell, f_vec FROM (
+       |  SELECT f.cell, c.ccell, f.f_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY f.cell
+       |      ORDER BY ${RegistryExt.sqlCos("f.f_vec", "c.c_vec")} DESC, c.ccell DESC) AS rn
+       |  FROM cent1 f CROSS JOIN coarsec c) WHERE rn = 1),
        |asg AS (SELECT n_id, cell, n_vec FROM (
-       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
-       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
-       |  FROM embeddings b CROSS JOIN cent1 c) WHERE rn = 1),
+       |  SELECT a.vec_id AS n_id, f.cell, a.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("a.embedding", "f.f_vec")} DESC, f.cell DESC) AS rn
+       |  FROM cg a JOIN routed1 f ON a.ccell = f.ccell) WHERE rn = 1),
        |pairs AS (SELECT a.n_id AS a_id, b.n_id AS b_id
        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id < b.n_id
        |  WHERE ${RegistryExt.sqlCos("a.n_vec", "b.n_vec")} >= 0.3)
@@ -456,17 +476,26 @@ object Registry6 {
        |WHERE n_id NOT IN (SELECT b_id FROM pairs)
        |ORDER BY vec_id""".stripMargin) { (s, d) =>
     val e = Tables.embeddings(s, d)
+    // Since round 9 the WHOLE loop is two-level and train/serve
+    // consistent: the Lloyd refinement assigns through the same
+    // (coarse → within-route fine) argmax the final assignment uses —
+    // [[Similarity.kmeansIterRouted]]'s rationale — so no path here
+    // pays the flat n × C argmax once centroids grow ∝ corpus.
+    val coarse = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").cast("int").as("ccell"), col("embedding").as("c_vec"))
     val cent0 = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
-    val cent1 = Similarity.kmeansIter(e, cent0, "vec_id", "embedding")
-      .localCheckpoint() // 8 rows; feeds two broadcast consumers
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("f_vec"))
+    val cent1 = Similarity.kmeansIterRouted(e, coarse, cent0,
+        "vec_id", "embedding")
+      .localCheckpoint() // ≤8 rows; feeds routing + two broadcast consumers
     // (id, cell, vec) in one pass — no corpus re-join; checkpointed
     // because it feeds THREE subtrees (both nearDupPairs join sides via
     // its guard action + the outer survivor join) that Spark plans
-    // independently — without it the broadcast-argmax assignment pass
+    // independently — without it the routed-argmax assignment pass
     // runs over the corpus up to 3× (simhashPairs' rationale)
-    val withCell = Similarity.ivfAssign(e, cent1, "vec_id", "embedding",
-      keepVec = true).localCheckpoint()
+    val withCell = Similarity.ivfAssignTwoLevel(e, coarse, cent1,
+        "vec_id", "embedding", keepVec = true)
+      .select("vec_id", "cell", "embedding").localCheckpoint()
     val pairs = Similarity.nearDupPairs(withCell, "vec_id", "embedding",
       col("cell"), threshold = 0.3)
     withCell.join(pairs.select(col("b_id").as("vec_id")).distinct(),
@@ -559,18 +588,35 @@ object Registry6 {
     * join is cell-diagonal (n_cell², never corpus²) behind the same
     * hot-cell guard as `dedup_embedding`; the rank filter plants
     * partial+final WindowGroupLimit below the exchange (q09's shape).
+    * Since round 9 the corpus-wide assignment rides the two-level
+    * routed argmax (3 coarse routes over the 8 fine cells) — here BOTH
+    * pair-join sides are corpus-sized, so the routed path is the only
+    * sub-quadratic assignment once cells grow ∝ corpus.
     *
-    * Oracle: the identical seed assignment (argmax cosine, ties to the
-    * higher cell), directed within-cell scoring, and (cos, id)-ranked
-    * top-3. */
+    * Oracle: the identical two-level assignment (fine→coarse routing,
+    * corpus→coarse, within-route argmax — cosine folds and
+    * score-then-higher-cell ties throughout), directed within-cell
+    * scoring, and (cos, id)-ranked top-3. */
   val annKnnGraph = Q("ann_knn_graph",
-    s"""WITH cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+    s"""WITH cent0 AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS f_vec
        |  FROM embeddings WHERE vec_id < 8),
-       |asg AS (SELECT n_id, cell, n_vec FROM (
-       |  SELECT b.vec_id AS n_id, c.cell, b.embedding AS n_vec,
+       |coarse AS (SELECT CAST(vec_id AS INT) AS ccell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 3),
+       |routed AS (SELECT cell, ccell, f_vec FROM (
+       |  SELECT f.cell, c.ccell, f.f_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY f.cell
+       |      ORDER BY ${RegistryExt.sqlCos("f.f_vec", "c.c_vec")} DESC, c.ccell DESC) AS rn
+       |  FROM cent0 f CROSS JOIN coarse c) WHERE rn = 1),
+       |c1 AS (SELECT vec_id, ccell, embedding FROM (
+       |  SELECT b.vec_id, c.ccell, b.embedding,
        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
-       |  FROM embeddings b CROSS JOIN cent0 c) WHERE rn = 1),
+       |      ORDER BY ${RegistryExt.sqlCos("b.embedding", "c.c_vec")} DESC, c.ccell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN coarse c) WHERE rn = 1),
+       |asg AS (SELECT n_id, cell, n_vec FROM (
+       |  SELECT a.vec_id AS n_id, f.cell, a.embedding AS n_vec,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${RegistryExt.sqlCos("a.embedding", "f.f_vec")} DESC, f.cell DESC) AS rn
+       |  FROM c1 a JOIN routed f ON a.ccell = f.ccell) WHERE rn = 1),
        |sc AS (SELECT a.n_id AS src_id, b.n_id AS nbr_id,
        |    ${RegistryExt.sqlCos("a.n_vec", "b.n_vec")} AS cos
        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.n_id <> b.n_id),
@@ -581,7 +627,10 @@ object Registry6 {
     val e = Tables.embeddings(s, d)
     val cent0 = e.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
-    Similarity.knnGraph(e, cent0, "vec_id", "embedding", k = 3)
+    val coarse = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").cast("int").as("ccell"), col("embedding").as("c_vec"))
+    Similarity.knnGraph(e, cent0, "vec_id", "embedding", k = 3,
+        coarse = Some(coarse))
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("src_id", "rnk")
   }

@@ -124,6 +124,54 @@ class VectorFnsSpec extends SparkSpec {
     assert(got == Map(10L -> ((1, 2)), 11L -> ((0, 0))))
   }
 
+  test("kmeansIterRouted: means follow the ROUTED membership, not the flat one") {
+    val coarse = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("ccell", "c_vec")
+    val fine = Seq(
+      (0, Array(1.0f, 0.0f, 0.0f)),   // route 0
+      (1, Array(0.6f, 0.8f, 0.0f)),   // route 1 (closer to y than x axis)
+      (2, Array(0.0f, 1.0f, 0.0f)))   // route 1
+      .toDF("cell", "f_vec")
+    // vec 10: coarse route 0 (x-ish), but its GLOBALLY best fine centroid
+    // is 1 (route 1) — flat refinement would put it in cell 1's mean;
+    // routed refinement confines it to route 0's only fine cell, 0
+    val corpus = Seq(
+      (10L, Array(0.8f, 0.6f, 0.0f)),
+      (11L, Array(1.0f, 0.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansIterRouted(corpus, coarse, fine,
+      "vec_id", "embedding", dim = 3)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(close(got(0), Seq(0.9, 0.3, 0.0)))  // mean of vecs 10, 11
+    assert(close(got(2), Seq(0.0, 1.0, 0.0)))  // vec 12 alone
+    assert(!got.contains(1))                   // fine cell 1 won nothing
+  }
+
+  test("cellMeans: dyadic .5-tie quantizes away from zero (oracle parity)") {
+    // −0.27392578125 is exactly representable in float32 and sits exactly
+    // on a scale-10 decimal tie; both engines' round() go away from zero
+    val corpus = Seq((1L, Array(-0.27392578125f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq((0, Array(-1.0, 0.0, 0.0))).toDF("cell", "c_vec")
+    val m = Similarity.kmeansIter(corpus, cent, "vec_id", "embedding", dim = 3)
+      .head().getSeq[Double](1)
+    assert(m.head == -2739257813L.toDouble / 1e10 / 1L)
+  }
+
+  test("ivfAssignTwoLevel: keepVec appends the input vector unchanged") {
+    val coarse = Seq((0, Array(1.0f, 0.0f, 0.0f))).toDF("ccell", "c_vec")
+    val fine = Seq((0, Array(1.0f, 0.0f, 0.0f))).toDF("cell", "f_vec")
+    val batch = Seq((10L, Array(0.5f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.ivfAssignTwoLevel(batch, coarse, fine,
+      "vec_id", "embedding", dim = 3, keepVec = true).head()
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("vec_id", "ccell", "cell", "score", "embedding"))
+    assert(r.getSeq[Float](4) == Seq(0.5f, 0.25f, 0.0f))
+  }
+
   test("ivfAssignTwoLevel: a fine-centroid-less coarse route is refused") {
     val coarse = Seq((0, Array(1.0f, 0.0f, 0.0f)), (1, Array(0.0f, 1.0f, 0.0f)),
       (2, Array(0.0f, 0.0f, 1.0f))) // no fine centroid will route here
