@@ -432,6 +432,72 @@ object Dedup {
     (labels, i + 1) // +1 for the seeding round fused into initialization
   }
 
+  /** Incremental connected-components MAINTENANCE: merge a new batch's
+    * candidate edges into an existing label LEDGER without corpus-wide
+    * re-propagation — the missing piece that makes a nightly near-dup
+    * append cost O(batch + frontier) instead of O(corpus). Re-deriving
+    * all labels each night ([[connectedComponents]] is batch-global)
+    * re-pays rounds × corpus-edges per append; here the corpus-sized
+    * work is two MAP-SIDE passes over the ledger (no exchange — both
+    * joins broadcast batch-sized sides), and the propagation itself runs
+    * on a SUPER-NODE graph with one node per touched label.
+    *
+    * Inputs: `ledger` = (id, cluster) for every previously-seen id
+    * (cluster = its component's smallest id — [[connectedComponents]]'
+    * labeling, coalesced to own id for singletons); `newIds` = the
+    * batch's ids, DISJOINT from the ledger's by contract (the append
+    * discipline [[dedupIncremental]] enforces upstream); `newEdges` =
+    * candidate pairs incident to the batch ([[minhashCandidates]] within
+    * it ∪ [[minhashCandidatesAgainst]] vs the corpus).
+    *
+    * Algorithm: translate each new edge to CURRENT label space (ledger
+    * label for known endpoints, own id for batch ones — labels are
+    * component representatives, so connecting labels connects exactly
+    * the underlying components), run min-label propagation over that
+    * label graph (edges = new candidate pairs, nodes = touched labels —
+    * batch-frontier-sized, not corpus-sized), and broadcast the
+    * resulting old→new relabeling back over the ledger. Minimality is
+    * preserved: every old label is its component's min and every batch
+    * label is its own id, so the min over merged labels IS the merged
+    * component's min. Returns the updated full ledger (id, cluster);
+    * rows of untouched components pass through the broadcast join
+    * unchanged, so a caller maintaining a stored ledger can equally
+    * apply the relabeling as an in-place UPDATE of touched rows only. */
+  def connectedComponentsIncremental(ledger: DataFrame,
+                                     newIds: DataFrame, idCol: String,
+                                     newEdges: DataFrame, aCol: String, bCol: String,
+                                     maxIter: Int = 25): DataFrame = {
+    val ends = newEdges.select(col(aCol).as("id"))
+      .union(newEdges.select(col(bCol).as("id"))).distinct()
+    // labels of the edge endpoints: ONE map-side ledger pass (endpoint
+    // set broadcasts; a bucketed/sorted ledger layout would prune it).
+    // Materialized — it feeds both per-side joins below, and without the
+    // cut Spark would plan the ledger scan once per consumer.
+    val endLabels = Lineage.truncate(ledger.join(broadcast(ends), Seq("id")))
+    val labelEdges = newEdges
+      .select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .join(broadcast(endLabels.select(col("id").as("_a"), col("cluster").as("_la"))),
+        Seq("_a"), "left")
+      .join(broadcast(endLabels.select(col("id").as("_b"), col("cluster").as("_lb"))),
+        Seq("_b"), "left")
+      .select(coalesce(col("_la"), col("_a")).as("la"),
+        coalesce(col("_lb"), col("_b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+    // min-label propagation over TOUCHED LABELS only; rounds follow the
+    // label-graph diameter, edges are the new candidates — both
+    // batch-sized, so the fixpoint loop never sees the corpus
+    val mapping = connectedComponents(labelEdges, "la", "lb", maxIter)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("_old"), col("cluster").as("_new"))
+    val updated = ledger
+      .join(broadcast(mapping), ledger("cluster") === col("_old"), "left")
+      .select(ledger("id"), coalesce(col("_new"), ledger("cluster")).as("cluster"))
+    val fresh = newIds.select(col(idCol).as("id"))
+      .join(broadcast(mapping), col("id") === col("_old"), "left")
+      .select(col("id"), coalesce(col("_new"), col("id")).as("cluster"))
+    updated.union(fresh)
+  }
+
   /** Benchmark decontamination: drop corpus documents sharing at least
     * `minShared` distinct k-shingles with ANY holdout document (the
     * eval-set leak check every training pipeline must run). Holdout

@@ -343,15 +343,22 @@ object Registry7 {
     * (doc_id ≥ 250) is quality-filtered, deduped within itself AND
     * against the stored corpus's digest LEDGER
     * ([[Dedup.dedupIncremental]] — 32-byte digests, the corpus text
-    * never moves), then admitted source-by-source until a 300-token
-    * budget fills ([[graft.operators.Sampling.tokenBudgetPerSource]]).
-    * Every stage is an oracle-gated operator; the composition is what a
-    * production corpus APPEND actually runs — and at 100 TB the batch
-    * is the only side that shuffles (quality/tokens are per-row, the
-    * ledger ships digests, the budget gate broadcasts). */
+    * never moves), NEAR-dup'd against the corpus's cluster ledger
+    * ([[Dedup.connectedComponentsIncremental]] over batch-incident
+    * MinHash candidates — a batch doc survives iff it is its merged
+    * component's representative, i.e. no corpus member and no smaller
+    * surviving batch member; round 9, closing the gap where the append
+    * silently lacked the near-dup stage its full-corpus sibling has),
+    * then admitted source-by-source until a 300-token budget fills
+    * ([[graft.operators.Sampling.tokenBudgetPerSource]]). Every stage
+    * is an oracle-gated operator; the composition is what a production
+    * corpus APPEND actually runs — and at 100 TB the batch is the only
+    * side that shuffles (quality/tokens are per-row, the exact ledger
+    * ships digests, the cluster ledger is scanned map-side with
+    * batch-sized broadcasts, the budget gate broadcasts). */
   val curateIncremental = Q("curate_incremental", {
     val en = graft.functions.TextFns.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id, text, lang, source,
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, lang, source,
        |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
@@ -375,9 +382,34 @@ object Registry7 {
        |fresh AS (SELECT doc_id, text, source FROM dd
        |  WHERE md5(text) NOT IN
        |    (SELECT DISTINCT md5(text) FROM documents WHERE doc_id < 250)),
+       |nd AS (SELECT doc_id, text FROM documents WHERE doc_id < 250
+       |  UNION ALL SELECT doc_id, text FROM fresh),
+       |ndw AS (SELECT doc_id, string_split(text, ' ') AS wl FROM nd),
+       |ndsh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+       |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM ndw),
+       |ndsig AS (SELECT doc_id, list_transform(range(0, 8),
+       |  j -> list_min(list_transform(shl,
+       |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+       |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+       |  FROM ndsh),
+       |ndb AS (SELECT doc_id, u.bnd, md5(mh[2*u.bnd+1] || mh[2*u.bnd+2]) AS bk
+       |  FROM ndsig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) u),
+       |ndp AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ndb a JOIN ndb b ON a.bnd = b.bnd AND a.bk = b.bk
+       |    AND a.doc_id < b.doc_id),
+       |nde AS (SELECT a_id AS s, b_id AS t FROM ndp
+       |  UNION SELECT b_id, a_id FROM ndp),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM nde
+       |  UNION
+       |  SELECT e.s, reach.r FROM nde e JOIN reach ON reach.id = e.t),
+       |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id),
+       |surv AS (SELECT f.doc_id, f.text, f.source FROM fresh f
+       |  LEFT JOIN lbl l ON f.doc_id = l.id
+       |  WHERE COALESCE(l.cl, f.doc_id) = f.doc_id),
        |tok AS (SELECT doc_id, source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM fresh),
+       |  FROM surv),
        |c AS (SELECT doc_id, source, n_tokens,
        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source
        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id
@@ -391,10 +423,34 @@ object Registry7 {
       .withColumn("quality", graft.functions.TextFns.qualityScore(col("text")))
       .filter(col("quality") >= 0.7)
       .drop("quality")
-    val ledger = all.filter(col("doc_id") < 250)
-      .select(md5(col("text")).as("digest"))
-    val fresh = Dedup.dedupIncremental(batch, "doc_id", "text", ledger, "digest")
-    val t = fresh.select(col("doc_id"), col("source"),
+    val corpus = all.filter(col("doc_id") < 250)
+    val ledger = corpus.select(md5(col("text")).as("digest"))
+    // materialized: the exact-dedup survivors feed the near-dup stage's
+    // three consumers (within-batch pairs, cross pairs, survivor join)
+    val fresh = graft.operators.Lineage.truncate(
+      Dedup.dedupIncremental(batch, "doc_id", "text", ledger, "digest"))
+    // NEAR-dup stage (round 9): merge the batch's candidate edges into
+    // the corpus's cluster ledger; a batch doc survives iff it is its
+    // merged component's representative (cluster == own id ⇒ no corpus
+    // member and no smaller surviving batch member). The cluster ledger
+    // is the production append's stored asset — rebuilt here only
+    // because the gate runs from raw tables.
+    val clusterLedger = graft.operators.Lineage.truncate(
+      corpus.select(col("doc_id").as("id"))
+        .join(Dedup.connectedComponents(
+            Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
+    val newEdges = Dedup.minhashCandidates(fresh, "doc_id", "text")
+      .union(Dedup.minhashCandidatesAgainst(fresh, corpus, "doc_id", "text")
+        .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id")))
+    val updated = Dedup.connectedComponentsIncremental(clusterLedger,
+      fresh.select(col("doc_id")), "doc_id", newEdges, "a_id", "b_id")
+    val surv = fresh.join(
+      updated.filter(col("id") === col("cluster"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val t = surv.select(col("doc_id"), col("source"),
       graft.functions.TextFns.wsTokenCount(col("text")).cast("long").as("n_tokens"))
     val budgets = t.select(col("source")).distinct()
       .withColumn("token_budget", lit(300L))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Lineage, Similarity}
 
 /** Round-9 additions: the trained two-level IVF loop, incremental
   * cluster maintenance, the writer-layout operator, and the late-data
@@ -97,5 +97,73 @@ object Registry8 {
       .orderBy("vec_id")
   }
 
-  val round9: Seq[Q] = Seq(annIvfTwoLevelTrained)
+  /** Incremental near-dup CLUSTER maintenance
+    * ([[Dedup.connectedComponentsIncremental]]): the arriving batch's
+    * candidate edges (within-batch [[Dedup.minhashCandidates]] ∪
+    * batch-vs-corpus [[Dedup.minhashCandidatesAgainst]]) merge into the
+    * corpus's existing label ledger WITHOUT corpus-wide re-propagation —
+    * propagation runs on a super-node graph of touched labels, and the
+    * ledger is only ever scanned map-side. This is the append-cost
+    * O(batch + frontier) answer to `dedup_clusters`' O(corpus) nightly
+    * re-run.
+    *
+    * Output: the updated labeling restricted to TOUCHED components
+    * (those holding ≥1 batch doc — exactly the rows an incremental
+    * maintainer would UPDATE or INSERT; untouched components pass
+    * through by construction, so gating the touched set is gating the
+    * whole merge). Oracle: the full-corpus recursive-CTE closure —
+    * batch-incident pairs are pair-local, so full-corpus labels and
+    * incrementally-merged labels must agree exactly — restricted the
+    * same way. */
+  val dedupClustersIncremental = Q("dedup_clusters_incremental",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, list_transform(range(0, 8),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.bnd, md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bnd = b.bnd AND a.bk = b.bk
+      |    AND a.doc_id < b.doc_id),
+      |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+      |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id),
+      |alldocs AS (SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id)
+      |SELECT doc_id, cluster_id FROM alldocs
+      |WHERE cluster_id IN (SELECT cluster_id FROM alldocs WHERE doc_id >= 250)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val all = Tables.documents(s, d)
+    val corpus = all.filter(col("doc_id") < 250)
+    val batch = all.filter(col("doc_id") >= 250)
+    // the ledger is the asset a production append reads from storage;
+    // materialized here because it feeds both of the operator's ledger
+    // passes (endpoint labels + relabeling) — without the cut the
+    // corpus-wide CC build would run once per pass
+    val ledger = Lineage.truncate(corpus.select(col("doc_id").as("id"))
+      .join(Dedup.connectedComponents(
+          Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id"),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
+    val newEdges = Dedup.minhashCandidates(batch, "doc_id", "text")
+      .union(Dedup.minhashCandidatesAgainst(batch, corpus, "doc_id", "text")
+        .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id")))
+    val updated = Dedup.connectedComponentsIncremental(ledger,
+      batch.select(col("doc_id")), "doc_id", newEdges, "a_id", "b_id")
+    val touched = updated.filter(col("id") >= 250)
+      .select(col("cluster")).distinct()
+    updated.join(broadcast(touched), Seq("cluster"))
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val round9: Seq[Q] = Seq(annIvfTwoLevelTrained, dedupClustersIncremental)
 }

@@ -37,8 +37,9 @@ object ScaleProbe {
     grouped.agg(sum(expr("n * (n - 1) div 2")).as("c")).head().getLong(0)
 
   /** Query → family, for the optional 4th-arg family filter (csv of
-    * {minhash,simhash,jaccard,cc,ann,tfidf} — e.g. the 100× point runs
-    * `minhash` alone; default runs everything). */
+    * {minhash,simhash,jaccard,cc,ccwide,ccinc,ann,tfidf,fluency,mix} —
+    * e.g. the 100× point runs `minhash` alone; default runs
+    * everything). */
   private val family = Map(
     "dedup_minhash_lsh" -> "minhash", "dedup_minhash_wide" -> "minhash",
     "dedup_simhash_pairs" -> "simhash",
@@ -229,6 +230,49 @@ object ScaleProbe {
           graft.operators.Dedup.connectedComponentsWithRounds(pairsW, "a_id", "b_id")
         println(s"PROBE cc_wide $scale edges=${pairsW.count()} " +
           s"labeled=${labelsW.count()} rounds=$roundsW")
+      }
+
+      // incremental cluster maintenance (connectedComponentsIncremental):
+      // a FIXED batch (the 1× corpus, ids offset past the replica's)
+      // appends against corpora a decade apart. Stored nightly assets —
+      // the corpus band index and the label ledger — are built UNTIMED
+      // (they are what a production append reads from disk; the ledger
+      // is all-singleton, since ledger SIZE, not label structure, is
+      // what the corpus-side passes scale with). Timed: the candidate
+      // probe (batch bands ⋈ stored index) and the merge + full-ledger
+      // relabel. The claim under test: every EXCHANGE is batch-sized —
+      // the only corpus-sized terms are shuffle-free columnar scans
+      // (the stored-index probe and the relabel pass), which layout
+      // (bucketing/sorting, cf. layoutOptimize) prunes further.
+      if (want("ccinc")) {
+        val bandDir = s"$scratch/_ccinc_bands_$scale"
+        graft.operators.Dedup.bandedKeys(d, "doc_id", "text")
+          .write.mode("overwrite").parquet(bandDir)
+        val storedBands = spark.read.parquet(bandDir)
+        val ledger = d.select(col("doc_id").as("id"), col("doc_id").as("cluster"))
+        val maxId = d.agg(max("doc_id")).head().getLong(0)
+        val batch = graft.Tables.documents(spark, sfDir)
+          .select((col("doc_id") + maxId + 1).as("doc_id"), col("text"))
+        for (pass <- 1 to 2) {
+          var t0 = System.nanoTime()
+          val newEdges = graft.operators.Lineage.truncate(
+            graft.operators.Dedup.minhashCandidates(batch, "doc_id", "text")
+              .union(
+                graft.operators.Dedup.bandedKeys(batch, "doc_id", "text").alias("a")
+                  .join(storedBands.alias("b"),
+                    col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+                  .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+                  .distinct()))
+          val ne = newEdges.count()
+          val tProbe = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          graft.operators.Dedup.connectedComponentsIncremental(
+              ledger, batch.select("doc_id"), "doc_id", newEdges, "a_id", "b_id")
+            .write.format("noop").mode("overwrite").save()
+          val tMerge = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE ccinc $scale pass$pass new_edges=$ne " +
+            f"probe_s=$tProbe%.2f merge_relabel_s=$tMerge%.2f")
+        }
       }
 
       if (want("ann")) {
