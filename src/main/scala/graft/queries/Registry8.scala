@@ -165,5 +165,48 @@ object Registry8 {
       .orderBy("doc_id")
   }
 
-  val round9: Seq[Q] = Seq(annIvfTwoLevelTrained, dedupClustersIncremental)
+  /** Range layout under the gate ([[graft.operators.Layout
+    * .layoutOptimize]]): lineitem is rewritten range-partitioned +
+    * sorted on `l_orderkey` (staged once per (sf, content) — the write
+    * is the paid-once half, exactly q50/q51's treatment), then a
+    * key-range query runs against the optimized copy with TWO hard
+    * witnesses: per-file min/max ranges must be pairwise disjoint
+    * ([[graft.operators.Layout.requireDisjointRanges]] — the property
+    * file skipping needs), and the range predicate must reach the scan
+    * as PushedFilters (the row-group-skipping hook; same
+    * throw-don't-trust discipline as q51's PartitionFilters witness).
+    * This is the third layout axis next to q50's bucketing (equi-join
+    * keys) and q51's hive partitioning (low-cardinality columns): range
+    * predicates over a high-cardinality numeric key — and the gated
+    * form of the round-8 scan-memory-floor fix (SCALE.md: row-group
+    * bytes × scan threads ≤ heap; fix layout at the WRITER).
+    *
+    * Oracle: the layout must be semantically invisible — the same
+    * filter + aggregate over the raw table. */
+  val q52LayoutOptimize = Q("q52_layout_optimize",
+    """SELECT l_returnflag, COUNT(*) AS cnt,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val outDir = FixtureCache.cached(d, "layout", 1, Seq("lineitem")) { tmp =>
+      graft.operators.Layout.layoutOptimize(
+        Tables.lineitem(s, d), col("l_orderkey"),
+        tmp.resolve("lineitem_opt.parquet").toString, numFiles = 8)
+    }.resolve("lineitem_opt.parquet").toString
+    graft.operators.Layout.requireDisjointRanges(s, outDir, "l_orderkey")
+    val out = s.read.parquet(outDir)
+      .filter(col("l_orderkey").between(1000, 2000))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.AggFns.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+    val plan = out.queryExecution.executedPlan.toString
+    if (!"PushedFilters: \\[[^\\]]*l_orderkey".r.findFirstIn(plan).isDefined)
+      throw new IllegalStateException(
+        s"range predicate did not reach the scan as a PushedFilter:\n$plan")
+    out
+  }
+
+  val round9: Seq[Q] = Seq(annIvfTwoLevelTrained, dedupClustersIncremental,
+    q52LayoutOptimize)
 }

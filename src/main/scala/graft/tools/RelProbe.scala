@@ -37,40 +37,33 @@ object RelProbe {
     // crossJoin inherits the small source's single input partition, so
     // an unrepartitioned write emits ONE multi-GB file whose default
     // ~128 MB-compressed row groups then set the SCAN's per-task memory
-    // floor (a split can never be smaller than a row group, and
-    // vectored IO buffers a whole row group per task). At 32 concurrent
-    // scan threads in one heap that floor × 32 OOM'd an 8 GiB JVM at
-    // factor=1000 — and the single writer task serialized the build.
-    // RANGE-repartitioning by the offset key parallelizes the write,
-    // keeps files (hence row groups) bounded regardless of factor, and
-    // makes the per-file min/max key stats disjoint (usable for
-    // pruning). Measured on-disk trade at factor=1000 (lineitem): the
-    // original single-task write was 3.5 GB only because each source
-    // row's 1000 copies sat ADJACENT (non-key columns compressed as
-    // ~1000-long runs — a duplication artifact, not real locality);
-    // hash repartition broke the runs (6.5 GB) and range+local-sort
-    // scatters copies across the keyspace by construction (8.3 GB, the
-    // replica's true entropy). The scan-memory and stats wins are what
-    // matter; the artifact compression was never going to exist at
-    // 100 TB on organic data.
+    // floor — the round-8 measurement that became the
+    // [[graft.operators.Layout.layoutOptimize]] operator (full history
+    // in its scaladoc + SCALE.md); the replica build now just calls it.
+    // Measured on-disk trade at factor=1000 (lineitem): the original
+    // single-task write was 3.5 GB only because each source row's 1000
+    // copies sat ADJACENT (non-key columns compressed as ~1000-long
+    // runs — a duplication artifact, not real locality); range +
+    // local-sort scatters copies across the keyspace by construction
+    // (8.3 GB, the replica's true entropy).
     val outParts = math.max(32, factor / 8)
     if (rebuild) {
-    li.crossJoin(copies)
-      .withColumn("l_orderkey", col("l_orderkey") + col("_c") * ordOff)
-      .drop("_c").repartitionByRange(outParts, col("l_orderkey"))
-      .sortWithinPartitions("l_orderkey")
-      .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
-    ord.crossJoin(copies)
-      .withColumn("o_orderkey", col("o_orderkey") + col("_c") * ordOff)
-      .withColumn("o_custkey", col("o_custkey") + col("_c") * custOff)
-      .drop("_c").repartitionByRange(outParts, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
-    cust.crossJoin(copies)
-      .withColumn("c_custkey", col("c_custkey") + col("_c") * custOff)
-      .drop("_c").repartitionByRange(outParts, col("c_custkey"))
-      .sortWithinPartitions("c_custkey")
-      .write.mode("overwrite").parquet(s"$scratch/customer.parquet")
+    graft.operators.Layout.layoutOptimize(
+      li.crossJoin(copies)
+        .withColumn("l_orderkey", col("l_orderkey") + col("_c") * ordOff)
+        .drop("_c"),
+      col("l_orderkey"), s"$scratch/lineitem.parquet", outParts)
+    graft.operators.Layout.layoutOptimize(
+      ord.crossJoin(copies)
+        .withColumn("o_orderkey", col("o_orderkey") + col("_c") * ordOff)
+        .withColumn("o_custkey", col("o_custkey") + col("_c") * custOff)
+        .drop("_c"),
+      col("o_orderkey"), s"$scratch/orders.parquet", outParts)
+    graft.operators.Layout.layoutOptimize(
+      cust.crossJoin(copies)
+        .withColumn("c_custkey", col("c_custkey") + col("_c") * custOff)
+        .drop("_c"),
+      col("c_custkey"), s"$scratch/customer.parquet", outParts)
     println(s"PROBE rel built ${factor}x at $scratch")
     }
     if (flags.contains("buildonly")) { spark.stop(); return }
