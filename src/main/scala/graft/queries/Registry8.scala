@@ -207,6 +207,96 @@ object Registry8 {
     out
   }
 
+  /** Late data under the gate — the one streaming branch every prior
+    * drain deliberately avoided (time-ordered pages ⇒ nothing ever
+    * late): pages arrive Q1, Q2, Q4, spacer, **Q3** — the third
+    * time-quartile STRAGGLES two batches behind the fourth — under a
+    * 1-second watermark delay, so when Q3's rows arrive the late-event
+    * watermark already sits at max(ts) − 1 s and every Q3 row whose
+    * hour window has been finalized is genuinely DROPPED (append-mode
+    * aggregation). The spacer batch matters: Spark filters late events
+    * against the watermark as of the PREVIOUS batch (one-batch lag, so
+    * rows arriving in the same batch that advances the watermark are
+    * never dropped — measured on 4.1.2: a straggler immediately after
+    * the advancing batch passes through and its finalized windows
+    * re-emit); a max-ts spacer row ages the advance by one batch
+    * without moving it. The drop is witnessed, not assumed: the drain
+    * reads `numRowsDroppedByWatermark` from StreamingQueryProgress and
+    * the query THROWS if it is zero ([[StreamHarness.drainWithDrops]]);
+    * StreamingOpsSpec asserts the exact count. A far-future `fence`
+    * page closes every real window (fence/spacer rows group under the
+    * 'fence' key and are filtered — the evict gate's driver-row
+    * pattern).
+    *
+    * Determinism: quartiles come from ntile(4) over the unique
+    * (ts, event_id) order; the late-filter watermark when the straggler
+    * arrives is exactly trunc_ms(max ts) − 1 s (watermarks are
+    * millisecond floors); hour-window ends are whole hours. The late
+    * set is therefore a CLOSED-FORM predicate both engines can
+    * evaluate: q = 3 AND window_end ≤ trunc_ms(max ts) − 1 s — and
+    * every ACCEPTED Q3 row's window is provably still live (its end
+    * exceeds the same watermark eviction uses), so nothing double-
+    * emits. Oracle: the batch windowed count over exactly the
+    * surviving rows. Production keeps the same operator and knob; this
+    * gate witnesses the drop accounting a 100 TB ingest must monitor
+    * (late rows at scale are data loss you have to SEE, not a branch
+    * you hope never runs). */
+  val streamingLateDrop = Q("streaming_late_drop",
+    """WITH e AS (SELECT event_id, event_type, ts,
+      |    ntile(4) OVER (ORDER BY ts, event_id) AS q
+      |  FROM events WHERE ts IS NOT NULL),
+      |mx AS (SELECT max(ts) AS mt FROM e),
+      |keep AS (SELECT e.* FROM e CROSS JOIN mx
+      |  WHERE NOT (q = 3 AND date_trunc('hour', ts) + INTERVAL 1 HOUR
+      |             <= date_trunc('millisecond', mt) - INTERVAL 1 SECOND))
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+      |  event_type, COUNT(*) AS cnt
+      |FROM keep GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    val (table, dropped) = lateDropRun(s, d)
+    if (dropped == 0L) throw new IllegalStateException(
+      "late-drop gate is vacuous: the watermark dropped nothing — " +
+        "straggler staging or delay regressed")
+    table
+  }
+
+  /** The late-drop drain itself: (surviving windowed counts, rows the
+    * watermark dropped). Split from the Q so StreamingOpsSpec can
+    * assert the EXACT drop count against the closed-form late set. */
+  private[graft] def lateDropRun(s: SparkSession, d: String): (DataFrame, Long) = {
+    import s.implicits._
+    val pages = FixtureCache.cached(d, "slate", 2, Seq("events")) { tmp =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy("ts_us", "event_id")
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("q", ntile(4).over(w))
+      // runs once at fixture-build time, not per query (the evict gate's
+      // accepted pattern); the fence must outrun every window + delay
+      val maxUs = e.agg(max("ts_us")).head().getLong(0)
+      val staged = e.select(col("event_id"), col("event_type"), col("ts_us"),
+          when(col("q") === 1, 0).when(col("q") === 2, 1)
+            .when(col("q") === 4, 2).otherwise(4).as("page"))
+        .unionByName(Seq(
+          (-2L, "fence", maxUs, 3), // spacer: ages the watermark advance
+          (-1L, "fence", maxUs + 4L * 3600 * 1000000, 5))
+          .toDF("event_id", "event_type", "ts_us", "page"))
+      Registry6.stageOrderedPages(staged, "page", 6, tmp)
+    }.resolve("pages").toString
+    val stage = java.nio.file.Files.createTempDirectory("graft_slate")
+    val stream = s.readStream
+      .schema("event_id LONG, event_type STRING, ts_us LONG")
+      .option("maxFilesPerTrigger", "1").json(pages)
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+    val counts = graft.streaming.StreamingOps.tumblingCounts(
+      stream, "ts", "event_type", watermark = "1 second")
+    val (table, dropped) = StreamHarness.drainWithDrops(
+      counts, stage, org.apache.spark.sql.streaming.OutputMode.Append)
+    (table.filter(col("event_type") =!= "fence")
+      .select(graft.functions.TimeFns.tsString(col("ws")).as("ws"),
+        col("event_type"), col("cnt"))
+      .orderBy("ws", "event_type"), dropped)
+  }
+
   val round9: Seq[Q] = Seq(annIvfTwoLevelTrained, dedupClustersIncremental,
-    q52LayoutOptimize)
+    q52LayoutOptimize, streamingLateDrop)
 }

@@ -394,7 +394,10 @@ object RegistryExt {
     multimodalFrames, sqlSubquery, pipelineHits)
 
   /** Everything the engine exposes. */
-  val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext ++
+  // lazy breaks the clinit cycle: a RegistryN object initializing FIRST
+  // (e.g. from a spec) calls back into this object's sqlCos, and an
+  // eager `all` would then read that RegistryN's still-null round list
+  lazy val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext ++
     Registry3.round3 ++ Registry4.round4 ++ Registry5.round6 ++
     Registry6.round7 ++ Registry7.round8 ++ Registry8.round9
 }

@@ -56,17 +56,30 @@ object StreamHarness {
 
   def drain(df: DataFrame, stage: java.nio.file.Path,
             mode: OutputMode,
-            extraConf: Map[String, String] = Map.empty): DataFrame = {
+            extraConf: Map[String, String] = Map.empty): DataFrame =
+    drainWithDrops(df, stage, mode, extraConf)._1
+
+  /** [[drain]] plus the run's total `numRowsDroppedByWatermark` summed
+    * over every stateful operator's StreamingQueryProgress — the hard
+    * witness a late-data gate asserts on (a late-drop query that
+    * dropped nothing is vacuous, so the gate THROWS when the count it
+    * expected to be positive is zero). */
+  def drainWithDrops(df: DataFrame, stage: java.nio.file.Path,
+                     mode: OutputMode,
+                     extraConf: Map[String, String] = Map.empty): (DataFrame, Long) = {
     val s = df.sparkSession
     val mem = stage.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    var dropped = 0L
     withDrainConf(s, extraConf) {
       val run = df.writeStream.format("memory").queryName(mem)
         .outputMode(mode)
         .option("checkpointLocation", stage.resolve("ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
       run.awaitTermination()
+      dropped = run.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
     }
-    s.table(mem)
+    (s.table(mem), dropped)
   }
 
   /** Drain into a transactional FILE sink (the production shape the

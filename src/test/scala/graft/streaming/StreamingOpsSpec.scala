@@ -315,4 +315,26 @@ class StreamingOpsSpec extends SparkSpec {
       .agg(count(lit(1)).as("cnt")).orderBy("ws", "event_type").collect()
     assert(streamed.sameElements(direct))
   }
+
+  test("streaming_late_drop: the watermark drops EXACTLY the closed-form late set") {
+    val (out, dropped) = graft.queries.Registry8.lateDropRun(spark, sf)
+    val e = graft.Tables.events(spark, sf).filter($"ts".isNotNull)
+      .withColumn("q", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    val maxUs = e.agg(max(unix_micros($"ts"))).head().getLong(0)
+    // the fixture's late set: Q3 rows whose hour window was finalized
+    // when the straggler arrived — window end ≤ trunc_ms(max ts) − 1 s
+    val wmUs = (maxUs / 1000L) * 1000L - 1000000L
+    val lateRows = e.filter($"q" === 3 &&
+      (unix_micros(date_trunc("hour", $"ts")) + 3600L * 1000000L) <= wmUs)
+    val late = lateRows.count()
+    assert(late > 0, "fixture produced no late rows — the gate would be vacuous")
+    // the state operator sees PARTIAL-AGGREGATED rows, so its drop
+    // counter counts late (window, key) GROUPS, not raw inputs
+    val lateGroups = lateRows
+      .select(date_trunc("hour", $"ts"), $"event_type").distinct().count()
+    assert(dropped == lateGroups)
+    // every late INPUT row is gone from the surviving counts
+    assert(out.agg(sum("cnt")).head().getLong(0) == e.count() - late)
+  }
 }
