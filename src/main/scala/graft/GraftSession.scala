@@ -39,6 +39,11 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // reclaim RELIABLE checkpoints once their frames are GC'd:
+      // Lineage.truncate checkpoints one labels frame per CC round when
+      // a checkpoint dir is set, and the default (false) leaks every one
+      // of them for the life of a long-running session
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
 
   /** Cores from the driver contract env (default 32 = harness shape). */

@@ -216,13 +216,41 @@ object Dedup {
     * block (pigeonhole completeness holds per block; cross-block
     * near-dups are excluded by design, the same contract as
     * [[ngramJaccardPairs]]' blockKey). Null block keys never join. */
+  /** `maxDocs`: refuse-don't-corrupt guard for the UNBLOCKED configs.
+    * The repo's own 1000× probe (SCALE.md round 8) measured the simhash
+    * family's candidate growth turning super-linear past ~5·10⁶
+    * homogeneous documents — simhash bits are majority votes, so the
+    * slice-value distribution concentrates and collision entropy (Σp²)
+    * caps what ANY slice alphabet can spread; widening signatures moves
+    * the level, not the exponent. Above the cap an unblocked run is a
+    * quadratic-bound candidate join waiting to happen, so the operator
+    * THROWS (the hot-cell-guard posture) with the measured
+    * prescription: wide MinHash+LSH (linear through the same probe) or
+    * a compound `blockCol` (which also disables this guard — the block
+    * key multiplies the effective key space, and per-block sizing
+    * becomes the caller's knob). Raise deliberately for heterogeneous
+    * corpora, where vote concentration is weaker. The check is one
+    * count over the input — the join it prevents is unboundedly
+    * larger. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 64, chunks: Int = 4,
                    maxHamming: Int = 3,
-                   blockCol: Option[Column] = None): DataFrame = {
+                   blockCol: Option[Column] = None,
+                   maxDocs: Long = 5L * 1000 * 1000): DataFrame = {
     require(bits % chunks == 0, "bits must divide into equal chunks")
     require(maxHamming < chunks,
       "pigeonhole blocking is only complete for maxHamming < chunks")
+    if (blockCol.isEmpty) {
+      val n = docs.count()
+      require(n <= maxDocs,
+        s"simhashPairs: $n docs exceeds maxDocs=$maxDocs for an UNBLOCKED " +
+          "simhash config — the 1000x probe measured candidate growth " +
+          "turning super-linear past ~5e6 homogeneous docs (vote " +
+          "concentration caps any slice alphabet; SCALE.md round 8). Use " +
+          "wide MinHash+LSH (minhashCandidates, measured linear), supply a " +
+          "compound blockCol, or raise maxDocs deliberately for a " +
+          "heterogeneous corpus")
+    }
     val w = bits / chunks
     // numeric sig in 32-bit halves: conv of a full 64-bit binary string
     // would overflow the signed-long cast for sigs with the top bit set

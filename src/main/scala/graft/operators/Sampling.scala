@@ -139,14 +139,18 @@ object Sampling {
     * (2) the running sum runs per (source, bucket) — 16× the
     * parallelism, and buckets wholly past the budget are pruned BEFORE
     * the window shuffle, so at a 1% mixing rate ~15/16 of the corpus
-    * never rides the exchange. Bucket = first hex digit of the same md5
-    * the ordering uses, so bucket order IS draw order and
+    * never rides the exchange. Bucket = first `prefixLen` hex digits of
+    * the same md5 the ordering uses, so bucket order IS draw order and
     * prior + within-bucket prefix = the global prefix sum exactly;
-    * production widens the prefix (2 hex digits → 256 buckets) as
-    * sources grow. */
+    * widen the prefix (prefixLen = 2 → 256 buckets) as sources grow —
+    * the admitted set is prefix-invariant (same global order), only the
+    * parallelism changes. */
   def tokenBudgetPerSource(df: DataFrame, sourceCol: Column, keyCol: Column,
                            tokensCol: Column, budgets: DataFrame,
-                           salt: String = "graft"): DataFrame = {
+                           salt: String = "graft",
+                           prefixLen: Int = 1): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      "prefixLen must be 1..8 hex digits (16 to ~4e9 buckets)")
     val cols = Seq("_graft_mix_h", "_graft_mix_b", "_graft_mix_t",
       "_graft_mix_src", "_graft_mix_prior", "_graft_mix_run",
       "_graft_mix_budget")
@@ -156,7 +160,7 @@ object Sampling {
     val base = df
       .withColumn("_graft_mix_src", sourceCol)
       .withColumn("_graft_mix_h", draw)
-      .withColumn("_graft_mix_b", substring(col("_graft_mix_h"), 1, 1))
+      .withColumn("_graft_mix_b", substring(col("_graft_mix_h"), 1, prefixLen))
       .withColumn("_graft_mix_t", tokensCol.cast("long"))
     val perBucket = base
       .groupBy(col("_graft_mix_src"), col("_graft_mix_b"))

@@ -97,7 +97,12 @@ object Similarity {
     * flat rank over all fine centroids: queries are small by contract
     * (the broadcast side), so their C-wide rank is cheap, and flat
     * probing preserves recall exactly where it is free — only the
-    * corpus-sized argmax needs the routed approximation. */
+    * corpus-sized argmax needs the routed approximation.
+    *
+    * Corpus ids must be unique non-null keys ([[ivfAssign]]'s
+    * contract: a duplicated id yields one assignment row per input
+    * row, not the single collapsed row the pre-round-8 agg form
+    * produced). */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
                   centroids: DataFrame,
                   idCol: String, vecCol: String, k: Int,
@@ -272,7 +277,9 @@ object Similarity {
     * means go through posexplode + fixed-point-exact sums, so the refined
     * centroids are bit-deterministic under any partitioning — re-runs
     * and cluster-size changes can't drift the index. Iterate as needed;
-    * the dataflow per step is identical. */
+    * the dataflow per step is identical. Ids follow [[ivfAssign]]'s
+    * unique-id contract — a duplicated id would double-weight its
+    * vector in the cell mean. */
   def kmeansIter(corpus: DataFrame, centroids: DataFrame,
                  idCol: String, vecCol: String,
                  dim: Int = 64): DataFrame = {

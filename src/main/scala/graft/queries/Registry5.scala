@@ -71,7 +71,7 @@ object Registry5 {
       |FROM orders WHERE o_orderdate IS NOT NULL
       |GROUP BY 1, 2 ORDER BY ws, classe""".stripMargin) { (s, d) =>
     val pages = hitPagesFixture(s, d)
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    val stage = StreamHarness.runDir("graft_stream")
     val parsed = StreamingOps.streamHits(s, pages, "TJX",
       Map("maxFilesPerTrigger" -> "1"))
     val counts = StreamingOps.tumblingCounts(
@@ -241,7 +241,7 @@ object Registry5 {
       redelivered.repartition(4).write.mode("overwrite")
         .json(tmp.resolve("pages").toString)
     }.resolve("pages").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val stage = StreamHarness.runDir("graft_sdedup")
     val stream = s.readStream
       .schema("numero STRING, classe STRING, ts TIMESTAMP")
       .option("maxFilesPerTrigger", "1").json(pages)

@@ -136,7 +136,7 @@ object Registry6 {
       views.repartition(4).write.mode("overwrite")
         .json(tmp.resolve("views").toString)
     }
-    val stage = java.nio.file.Files.createTempDirectory("graft_sjoin")
+    val stage = StreamHarness.runDir("graft_sjoin")
     val cStream = s.readStream.schema("c_user LONG, click_id LONG, c_us LONG")
       .option("maxFilesPerTrigger", "1").json(fx.resolve("clicks").toString)
       .select(col("c_user"), col("click_id"), timestamp_micros(col("c_us")).as("c_ts"))
@@ -196,7 +196,7 @@ object Registry6 {
           lit(3).as("page"))
       stageOrderedPages(real.unionByName(sentinels), "page", 4, tmp)
     }
-    val stage = java.nio.file.Files.createTempDirectory("graft_ssess")
+    val stage = StreamHarness.runDir("graft_ssess")
     val stream = s.readStream.schema("user LONG, tsMillis LONG")
       .option("maxFilesPerTrigger", "1").json(fx.resolve("pages").toString)
       .as[StreamingOps.UserEvent]
@@ -246,7 +246,7 @@ object Registry6 {
     val fx = FixtureCache.cached(d, "squota", 1, Seq("events")) { tmp =>
       stageOrderedPages(first8, "page", 4, tmp)
     }
-    val stage = java.nio.file.Files.createTempDirectory("graft_squota")
+    val stage = StreamHarness.runDir("graft_squota")
     val stream = s.readStream.schema("user LONG, tsMillis LONG")
       .option("maxFilesPerTrigger", "1").json(fx.resolve("pages").toString)
       .as[StreamingOps.UserEvent]
@@ -330,7 +330,7 @@ object Registry6 {
           .orderBy(col("sort").getItem(0).asc_nulls_first)) - 1)
       stageOrderedPages(paged, "page", 4, tmp)
     }.resolve("pages").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_psink")
+    val stage = StreamHarness.runDir("graft_psink")
     val out = stage.resolve("out").toString
     def counts = {
       val parsed = StreamingOps.streamHits(s, pages, "TJX",
@@ -377,7 +377,7 @@ object Registry6 {
     val dim = Tables.customer(s, d)
       .filter(col("c_custkey") % 2 === 0)
       .select(col("c_custkey").as("CD_MUN"), col("c_name").as("NM_MUN"))
-    val stage = java.nio.file.Files.createTempDirectory("graft_senrich")
+    val stage = StreamHarness.runDir("graft_senrich")
     val parsed = StreamingOps.streamHits(s, pages, "TJX",
       Map("maxFilesPerTrigger" -> "1"))
     val enriched = StreamingOps.enrichStreamingHits(parsed, dim)
@@ -406,7 +406,7 @@ object Registry6 {
         .repartition(4).write.mode("overwrite")
         .json(tmp.resolve("pages").toString)
     }.resolve("pages").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_sslide")
+    val stage = StreamHarness.runDir("graft_sslide")
     val stream = s.readStream.schema("ts_us LONG, event_type STRING")
       .option("maxFilesPerTrigger", "1").json(pages)
       .select(timestamp_micros(col("ts_us")).as("ts"), col("event_type"))

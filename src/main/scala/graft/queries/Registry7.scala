@@ -170,7 +170,7 @@ object Registry7 {
         (col("id") + 4).cast("int").as("page"))
       Registry6.stageOrderedPages(real.unionByName(drivers), "page", 6, tmp)
     }
-    val stage = java.nio.file.Files.createTempDirectory("graft_ssevict")
+    val stage = StreamHarness.runDir("graft_ssevict")
     val stream = s.readStream.schema("user LONG, tsMillis LONG")
       .option("maxFilesPerTrigger", "1").json(fx.resolve("pages").toString)
       .withColumn("ts", timestamp_millis(col("tsMillis")))
@@ -200,7 +200,7 @@ object Registry7 {
       |FROM orders WHERE o_orderdate IS NOT NULL
       |GROUP BY 1, 2 ORDER BY ws, classe""".stripMargin) { (s, d) =>
     val pages = Registry5.hitPagesFixture(s, d)
-    val stage = java.nio.file.Files.createTempDirectory("graft_rocks")
+    val stage = StreamHarness.runDir("graft_rocks")
     val parsed = StreamingOps.streamHits(s, pages, "TJX",
       Map("maxFilesPerTrigger" -> "1"))
     val counts = StreamingOps.tumblingCounts(
@@ -326,7 +326,7 @@ object Registry7 {
           .orderBy("tsMillis", "eventId")) - 1)
       Registry6.stageOrderedPages(paged, "page", 4, tmp)
     }
-    val stage = java.nio.file.Files.createTempDirectory("graft_stokbud")
+    val stage = StreamHarness.runDir("graft_stokbud")
     val stream = s.readStream
       .schema("user LONG, tsMillis LONG, eventId LONG, toks LONG")
       .option("maxFilesPerTrigger", "1").json(fx.resolve("pages").toString)

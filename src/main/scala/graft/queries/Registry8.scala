@@ -282,7 +282,7 @@ object Registry8 {
           .toDF("event_id", "event_type", "ts_us", "page"))
       Registry6.stageOrderedPages(staged, "page", 6, tmp)
     }.resolve("pages").toString
-    val stage = java.nio.file.Files.createTempDirectory("graft_slate")
+    val stage = StreamHarness.runDir("graft_slate")
     val stream = s.readStream
       .schema("event_id LONG, event_type STRING, ts_us LONG")
       .option("maxFilesPerTrigger", "1").json(pages)

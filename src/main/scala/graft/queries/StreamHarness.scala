@@ -31,6 +31,24 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 object StreamHarness {
   val drainStatePartitions = "8"
 
+  private val runDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      runDirs.forEach(p => FixtureCache.deleteRecursively(p))))
+
+  /** Run-scoped scratch dir (checkpoints, sinks): unlike the
+    * content-keyed [[FixtureCache]] fixtures, these are per-INVOCATION
+    * by design (a checkpoint encodes one run's offsets), so they are
+    * registered for recursive deletion at JVM exit — bench/verify
+    * sweeps run hundreds of drains per JVM and must not accumulate
+    * orphaned state dirs. One hook for all dirs, registered lazily. */
+  def runDir(prefix: String): java.nio.file.Path = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    runDirs.add(p)
+    p
+  }
+
   /** Spark's bundled RocksDB state-store provider (rocksdbjni ships in
     * spark/jars — no extra dependency). */
   val rocksDbProvider =

@@ -219,7 +219,16 @@ object StreamingOps {
               if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
                 state.setTimeoutDuration(gapMillis)
               else if (timeout == GroupStateTimeout.EventTimeTimeout())
-                state.setTimeoutTimestamp(open.last + gapMillis + 1)
+                // clamp to watermark + 1: flatMapGroupsWithState does NOT
+                // drop late rows, so a very late event can make
+                // last + gap + 1 fall at or below the current watermark —
+                // an un-clamped setTimeoutTimestamp THROWS there, killing
+                // the query on out-of-order production streams. The
+                // clamped session times out on the next watermark
+                // advance, which is exactly the eviction it was due.
+                state.setTimeoutTimestamp(
+                  math.max(open.last + gapMillis + 1,
+                    state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

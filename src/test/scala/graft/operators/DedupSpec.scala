@@ -14,6 +14,20 @@ class DedupSpec extends SparkSpec {
     (5L, "ab")                                            // < 3 words
   ).toDF("doc_id", "text")
 
+  test("simhashPairs: unblocked corpora past maxDocs are refused; blocking waives the guard") {
+    // the guard is the 1000x probe's prescription made executable:
+    // vote concentration turns unblocked candidate growth super-linear
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxDocs = 3)
+    }
+    assert(ex.getMessage.contains("MinHash"))
+    // a compound block key is the in-family fix, so it waives the guard
+    Dedup.simhashPairs(docs, "doc_id", "text",
+      blockCol = Some(lit("blk")), maxDocs = 3).count()
+    // under the cap the unblocked form still runs
+    Dedup.simhashPairs(docs, "doc_id", "text", maxDocs = 100).count()
+  }
+
   test("dedupKeepFirst: only the smallest-id row of each text survives, payload intact") {
     import spark.implicits._
     val docs = Seq((3L, "same text", "a"), (1L, "same text", "b"),

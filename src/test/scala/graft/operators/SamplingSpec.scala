@@ -84,6 +84,20 @@ class SamplingSpec extends SparkSpec {
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
 
+  test("tokenBudgetPerSource: the admitted set is prefixLen-invariant") {
+    val docs = (1 to 400).map { i =>
+      (i.toLong, s"src${i % 3}", (i % 23 + 2).toLong)
+    }.toDF("id", "src", "toks")
+    val budgets = docs.select($"src".as("source")).distinct()
+      .withColumn("token_budget", lit(120L))
+    val p1 = Sampling.tokenBudgetPerSource(docs, $"src", $"id", $"toks", budgets)
+    // widening the prefix multiplies buckets (the scale knob) but the
+    // global draw order — hence the admitted set — is unchanged
+    val p2 = Sampling.tokenBudgetPerSource(docs, $"src", $"id", $"toks",
+      budgets, prefixLen = 2)
+    assert(p1.exceptAll(p2).isEmpty && p2.exceptAll(p1).isEmpty)
+  }
+
   test("tokenBudgetPerSource: boundary doc admitted, budgetless sources dropped, budget monotone") {
     val docs = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L),
