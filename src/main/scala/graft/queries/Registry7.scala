@@ -432,18 +432,17 @@ object Registry7 {
     // NEAR-dup stage (round 9): merge the batch's candidate edges into
     // the corpus's cluster ledger; a batch doc survives iff it is its
     // merged component's representative (cluster == own id ⇒ no corpus
-    // member and no smaller surviving batch member). The cluster ledger
-    // is the production append's stored asset — rebuilt here only
-    // because the gate runs from raw tables.
-    val clusterLedger = graft.operators.Lineage.truncate(
-      corpus.select(col("doc_id").as("id"))
-        .join(Dedup.connectedComponents(
-            Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id"),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
+    // member and no smaller surviving batch member). Ledger + band
+    // index are the production append's STORED assets — read from the
+    // staged fixture (Registry8.corpusNearDupAssets), so this row
+    // measures the append, not a per-run corpus re-derivation.
+    val (clusterLedger, storedBands) = Registry8.corpusNearDupAssets(s, d)
     val newEdges = Dedup.minhashCandidates(fresh, "doc_id", "text")
-      .union(Dedup.minhashCandidatesAgainst(fresh, corpus, "doc_id", "text")
-        .select(col("batch_id").as("a_id"), col("corpus_id").as("b_id")))
+      .union(Dedup.bandedKeys(fresh, "doc_id", "text").alias("a")
+        .join(storedBands.alias("b"),
+          col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct())
     val updated = Dedup.connectedComponentsIncremental(clusterLedger,
       fresh.select(col("doc_id")), "doc_id", newEdges, "a_id", "b_id")
     val surv = fresh.join(
