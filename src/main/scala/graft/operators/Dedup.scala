@@ -573,4 +573,83 @@ object Dedup {
       .filter(col(rn) === 1)
       .drop(rn)
   }
+
+  /** Sub-document EXACT span dedup — the practical, alignment-fixed form
+    * of suffix-array substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better": repeated long substrings are removed from
+    * every occurrence but the first; boilerplate headers, license
+    * blocks, and templated passages recur across documents that are NOT
+    * whole-document duplicates, so document-level dedup never sees
+    * them). Each document is cut into consecutive `spanWords`-word
+    * aligned windows; a span survives iff it is the FIRST occurrence of
+    * its text corpus-wide (global (id, span_idx) order — deterministic,
+    * partition-independent); each document is re-emitted with only its
+    * surviving spans, in order.
+    *
+    * Scale shape — the text crosses the wire ONCE: winner election runs
+    * on (digest, id, idx) rows only (~48 bytes/span, and it is a
+    * partial-aggregatable min-of-struct, NOT a window, so a boilerplate
+    * span duplicated a billion times combines map-side instead of
+    * hot-keying one reducer); the surviving-index sets aggregate to one
+    * small array row per document; only the final doc-level join ships
+    * the corpus text, and reassembly (slice words by surviving index) is
+    * a map-side higher-order-function projection. Alignment means a
+    * one-word prefix shift defeats a match — the standard trade
+    * (suffix-array sensitivity at shuffle-join cost would need the
+    * distributed SA-IS construction); overlapping windows or a rolling
+    * fingerprint pre-filter tighten recall at `1/step`× more span rows.
+    *
+    * Output: the input columns plus `text_dedup` (surviving spans joined
+    * by a single space; empty string when nothing survives),
+    * `spans_total`, `spans_kept`. Rows with null text pass through with
+    * null text_dedup and zero counts. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 spanWords: Int = 50): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    val k = spanWords
+    Seq("_graft_sp_id", "_graft_sp_idx", "_graft_sp_h", "_graft_sp_kept")
+      .foreach(c => require(!docs.columns.contains(c),
+        s"input already has a $c column"))
+    val words = split(col(textCol), " ")
+    // (id, idx, digest) only — the span text is hashed map-side and dropped
+    val spanHashes = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_graft_sp_id"), words.as("_w"),
+        explode(sequence(lit(0),
+          ((size(words) - 1) / k).cast("int"))).as("_graft_sp_idx"))
+      .select(col("_graft_sp_id"), col("_graft_sp_idx"),
+        md5(array_join(
+          slice(col("_w"), col("_graft_sp_idx") * k + 1, lit(k)), " "))
+          .as("_graft_sp_h"))
+    // first occurrence per digest: min(struct) partial-aggregates — no
+    // window, so a billion-fold duplicated span combines map-side
+    val winners = spanHashes
+      .groupBy("_graft_sp_h")
+      .agg(min(struct(col("_graft_sp_id"), col("_graft_sp_idx"))).as("_win"))
+      .select(col("_win._graft_sp_id").as("_graft_sp_id"),
+        col("_win._graft_sp_idx").as("_graft_sp_idx"))
+    val keptPerDoc = winners
+      .groupBy("_graft_sp_id")
+      .agg(sort_array(collect_list(col("_graft_sp_idx"))).as("_graft_sp_kept"))
+    docs
+      .join(keptPerDoc, docs(idCol) === keptPerDoc("_graft_sp_id"), "left")
+      .withColumn("_graft_sp_kept",
+        when(col(textCol).isNull, lit(null))
+          .otherwise(coalesce(col("_graft_sp_kept"),
+            array().cast("array<int>"))))
+      .withColumn("text_dedup",
+        array_join(
+          transform(col("_graft_sp_kept"),
+            i => array_join(
+              slice(split(col(textCol), " "), i * k + 1, lit(k)), " ")),
+          " "))
+      .withColumn("spans_total",
+        when(col(textCol).isNull, lit(0))
+          .otherwise(((size(split(col(textCol), " ")) - 1) / k).cast("int") + 1))
+      // size(NULL) is -1 under non-ANSI defaults, so gate on the text
+      .withColumn("spans_kept",
+        when(col(textCol).isNull, lit(0))
+          .otherwise(size(col("_graft_sp_kept"))))
+      .drop("_graft_sp_id", "_graft_sp_kept")
+  }
 }

@@ -73,4 +73,68 @@ object Pack {
         (least(col("_cum"), (col("seq_id") + 1) * budget) -
           greatest(col("_start"), col("seq_id") * budget)).as("tok_in_seq"))
   }
+
+  /** Assign every document to a fixed-token-budget training SHARD — the
+    * output-manifest stage of a curation run: training jobs consume the
+    * corpus as ~equal-token shards, and the assignment must be
+    * deterministic (re-runnable, resumable) and shuffled (a shard must
+    * not be one domain's contiguous slice). Documents are laid out per
+    * source in the salted-hash draw order of
+    * [[Sampling.quotaPerGroup]]/[[Sampling.tokenBudgetPerSource]] (the
+    * hash IS the shuffle), and a document lands in the shard where its
+    * token offset starts: `shard_id = prior_tokens div shardTokens` —
+    * whole documents never split (a shard overshoots by at most one
+    * document; [[packSequences]] is the stage that splits into exact
+    * sequences downstream).
+    *
+    * Scale shape: the same bucketed two-phase prefix sum as
+    * [[Sampling.tokenBudgetPerSource]] — per-(source, hash-prefix)
+    * token sums give each bucket's prior, the running sum windows per
+    * (source, bucket) at `16^prefixLen`× the parallelism of a
+    * per-source window — minus that operator's budget prune (every
+    * document receives a shard, so every bucket rides). One window
+    * shuffle over (source, bucket); the bucket-prior frame is
+    * sources × buckets rows and broadcasts.
+    *
+    * Output: the input columns plus `shard_id` (per-source, 0-based)
+    * and `shard_tok0` (the document's starting token offset within its
+    * source — the audit column a resume/verify pass checks). Null/zero
+    * token counts occupy no space but still land in the shard at their
+    * draw position. */
+  def shardManifest(docs: DataFrame, sourceCol: Column, keyCol: Column,
+                    tokensCol: Column, shardTokens: Long,
+                    salt: String = "graft", prefixLen: Int = 1): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    require(prefixLen >= 1 && prefixLen <= 8,
+      "prefixLen must be 1..8 hex digits (16 to ~4e9 buckets)")
+    val cols = Seq("_graft_shard_h", "_graft_shard_b", "_graft_shard_t",
+      "_graft_shard_src", "_graft_shard_prior")
+    cols.foreach(c => require(!docs.columns.contains(c),
+      s"input already has a $c column"))
+    val base = docs
+      .withColumn("_graft_shard_src", sourceCol)
+      .withColumn("_graft_shard_h", md5(concat_ws(":", lit(salt), keyCol)))
+      .withColumn("_graft_shard_b",
+        substring(col("_graft_shard_h"), 1, prefixLen))
+      .withColumn("_graft_shard_t", coalesce(tokensCol.cast("long"), lit(0L)))
+    val perBucket = base
+      .groupBy(col("_graft_shard_src"), col("_graft_shard_b"))
+      .agg(sum(col("_graft_shard_t")).as("_bt"))
+    val wb = Window.partitionBy("_graft_shard_src").orderBy("_graft_shard_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priors = perBucket
+      .withColumn("_graft_shard_prior",
+        coalesce(sum(col("_bt")).over(wb), lit(0L)))
+      .drop("_bt")
+    val wd = Window
+      .partitionBy(col("_graft_shard_src"), col("_graft_shard_b"))
+      .orderBy(col("_graft_shard_h"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(priors), Seq("_graft_shard_src", "_graft_shard_b"))
+      .withColumn("shard_tok0",
+        col("_graft_shard_prior") +
+          coalesce(sum(col("_graft_shard_t")).over(wd), lit(0L)))
+      .withColumn("shard_id", expr(s"shard_tok0 div ${shardTokens}L"))
+      .drop(cols: _*)
+  }
 }

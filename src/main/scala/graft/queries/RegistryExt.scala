@@ -399,5 +399,6 @@ object RegistryExt {
   // eager `all` would then read that RegistryN's still-null round list
   lazy val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext ++
     Registry3.round3 ++ Registry4.round4 ++ Registry5.round6 ++
-    Registry6.round7 ++ Registry7.round8 ++ Registry8.round9
+    Registry6.round7 ++ Registry7.round8 ++ Registry8.round9 ++
+    Registry9.round9b
 }

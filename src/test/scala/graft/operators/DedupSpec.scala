@@ -41,6 +41,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupKeepFirst(dupIds, "doc_id", "text").count() == 1)
   }
 
+  test("dedupSpans: repeated spans keep only their first (doc, idx) occurrence") {
+    // k=2 spans of doc 1: "a b", "c d", "a b" — the second "a b" is an
+    // INTRA-document repeat; doc 2 repeats "a b" and "c d" across docs
+    val in = Seq((1L, "a b c d a b"), (2L, "a b c d x"), (3L, "y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(in, "doc_id", "text", spanWords = 2)
+      .select("doc_id", "text_dedup", "spans_total", "spans_kept")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out(0) == ((1L, "a b c d", 3, 2)))
+    assert(out(1) == ((2L, "x", 3, 1)))     // both full spans already seen
+    assert(out(2) == ((3L, "y", 1, 1)))
+  }
+
+  test("dedupSpans: null text passes through; fully-duplicated doc empties") {
+    val in = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(in, "doc_id", "text", spanWords = 2)
+      .select("doc_id", "text_dedup", "spans_total", "spans_kept")
+      .orderBy("doc_id").collect()
+    assert(out(1).getString(1) == "" && out(1).getInt(3) == 0)
+    assert(out(2).isNullAt(1) && out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
+  }
+
   test("exactGroups: dup texts collapse, smallest id kept") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() == 4)

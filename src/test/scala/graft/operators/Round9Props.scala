@@ -57,4 +57,64 @@ object Round9Props extends Properties("Round9") {
       val want = ccMap(oldEdges ++ newEdges, oldIds ++ newIds)
       got == want
     }
+
+  /** dedupSpans against a sequential first-occurrence model: tiny
+    * vocabulary + small span widths force heavy intra- and
+    * cross-document span collisions. */
+  property("dedupSpans == first-occurrence span model") =
+    forAll(
+      Gen.choose(1, 4),
+      Gen.listOfN(8, Gen.choose(1, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" "))))
+    ) { (k, texts) =>
+      val docsL = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docsL.toDF("id", "text")
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docsL.map { case (id, t) =>
+        val spans = t.split(" ", -1).toList.grouped(k).map(_.mkString(" ")).toList
+        val kept = spans.filter(seen.add)
+        id -> ((kept.mkString(" "), spans.length, kept.length))
+      }.toMap
+      val got = Dedup.dedupSpans(df, "id", "text", k)
+        .select("id", "text_dedup", "spans_total", "spans_kept")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+        .toMap
+      got == want
+    }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** shardManifest against the serial per-source prefix-sum model, and
+    * prefix-invariance: the bucketed two-phase prefix must equal the
+    * global draw-order cumsum for ANY bucket width. */
+  property("shardManifest == serial prefix model, prefix-invariant") =
+    forAll(
+      Gen.choose(1L, 20L),
+      Gen.listOfN(12, Gen.zip(Gen.oneOf("s0", "s1"), Gen.choose(0L, 9L)))
+    ) { (shardTok, rows) =>
+      val docsL = rows.zipWithIndex.map { case ((src, tk), i) =>
+        (i.toLong, src, tk)
+      }
+      val df = docsL.toDF("id", "src", "tk")
+      val want = docsL.groupBy(_._2).flatMap { case (_, g) =>
+        val ordered = g.sortBy { case (id, _, _) => (md5Hex(s"graft:$id"), id) }
+        ordered.scanLeft((-1L, 0L)) { case ((_, cum), (id, _, tk)) =>
+          (id, cum + tk)
+        }.sliding(2).collect { case Seq((_, prior), (id, _)) =>
+          id -> ((prior, prior / shardTok))
+        }
+      }.toMap
+      Seq(1, 2).forall { pl =>
+        val got = graft.operators.Pack.shardManifest(
+            df, col("src"), col("id"), col("tk"), shardTok, prefixLen = pl)
+          .select("id", "shard_tok0", "shard_id")
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          .toMap
+        got == want
+      }
+    }
 }
