@@ -535,7 +535,14 @@ object Dedup {
     * density) feeds the final anti join. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
                     holdout: DataFrame, holdoutTextCol: String,
-                    minShared: Int = 5, k: Int = 3): DataFrame = {
+                    minShared: Int = 5, k: Int = 3): DataFrame =
+    decontaminateImpl(corpus, idCol, textCol, holdout, holdoutTextCol,
+      minShared, k, broadcastHoldout = true)
+
+  private def decontaminateImpl(corpus: DataFrame, idCol: String,
+                                textCol: String, holdout: DataFrame,
+                                holdoutTextCol: String, minShared: Int,
+                                k: Int, broadcastHoldout: Boolean): DataFrame = {
     require(minShared >= 1, "minShared must be at least 1")
     require(!corpus.columns.contains("_graft_cid"),
       "corpus already has a _graft_cid column (internal working column)")
@@ -545,12 +552,100 @@ object Dedup {
       .select(explode(array_distinct(shingles(col(holdoutTextCol), k))).as("_graft_s"))
       .distinct()
     val contaminated = cSh
-      .join(broadcast(hSh), "_graft_s")
+      .join(if (broadcastHoldout) broadcast(hSh) else hSh, "_graft_s")
       .groupBy("_graft_cid").agg(count(lit(1)).as("_graft_shared"))
       .filter(col("_graft_shared") >= minShared)
       .select("_graft_cid")
     corpus.join(contaminated, corpus(idCol) === contaminated("_graft_cid"), "left_anti")
   }
+
+  /** Large-holdout decontamination — [[decontaminate]]'s broadcast
+    * premise inverted: when the holdout is itself corpus-sized (another
+    * training corpus to exclude, a year of eval suites, a customer
+    * opt-out set), its shingle set cannot broadcast, so the probe
+    * becomes a corpus-vs-holdout MinHash band join
+    * ([[minhashCandidatesAgainst]] — candidates are corpus × holdout
+    * collisions, never a cross product) followed by an EXACT
+    * shared-shingle confirm evaluated only on candidate pairs. Corpus
+    * documents are dropped when any candidate pair confirms at
+    * `minShared` distinct shared 3-shingles (the band index is built on
+    * the corpus-standard 3-shingles; the confirm counts the same).
+    *
+    * Contract vs [[decontaminate]]: recall is the LSH family's — this
+    * finds VERBATIM / near-dup leakage (an eval document pasted into a
+    * training page, the dominant real-world contamination mode), NOT
+    * overlap scattered thinly across many holdout documents: a corpus
+    * doc accumulating `minShared` shingles from holdout docs it never
+    * band-collides with is invisible here (measured on the synthetic
+    * corpus, whose overlap is exactly that scattered kind: 2 of the 91
+    * exhaustive drops — SCALE.md round-9). [[decontaminateJoin]] is the
+    * exact-semantics answer at any holdout size; this operator is the
+    * cheaper probe when near-dup-level leakage is the threat model,
+    * because the corpus SHINGLES never ride an exchange — only band
+    * keys do, and the confirm touches candidate documents alone. */
+  def decontaminateBanded(corpus: DataFrame, idCol: String, textCol: String,
+                          holdout: DataFrame, holdoutIdCol: String,
+                          holdoutTextCol: String,
+                          minShared: Int = 5,
+                          numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    Seq("_graft_dc_cid", "_graft_dc_hid", "_graft_dc_s", "_graft_dc_n")
+      .foreach(c => require(!corpus.columns.contains(c),
+        s"corpus already has a $c column"))
+    val h = holdout.select(col(holdoutIdCol).as(idCol),
+      col(holdoutTextCol).as(textCol))
+    val candPairs = minhashCandidatesAgainst(
+        corpus.select(col(idCol), col(textCol)), h,
+        idCol, textCol, numHashes, bands)
+      .select(col("batch_id").as("_graft_dc_cid"),
+        col("corpus_id").as("_graft_dc_hid"))
+    // shingle the corpus side only for documents with a live candidate
+    // (doc-level semi join BEFORE the explode: the pruned frame is leak-
+    // density-sized, so the confirm never shingles the whole corpus)
+    val corpusCand = corpus
+      .join(candPairs.select(col("_graft_dc_cid")).distinct(),
+        corpus(idCol) === col("_graft_dc_cid"), "left_semi")
+    val cSh = corpusCand.select(col(idCol).as("_graft_dc_cid"),
+      explode(array_distinct(shingles(col(textCol)))).as("_graft_dc_s"))
+    val hSh = h.select(col(idCol).as("_graft_dc_hid"),
+      explode(array_distinct(shingles(col(textCol)))).as("_graft_dc_s"))
+    // pooled confirm — the same "distinct shingles shared with the
+    // holdout" count [[decontaminate]] uses, restricted to the union of
+    // a document's CANDIDATE holdout docs (not per-pair, so two
+    // colliding holdout docs contributing 3 shingles each still confirm
+    // at minShared = 5)
+    val contaminated = candPairs
+      .join(hSh, "_graft_dc_hid")
+      .select(col("_graft_dc_cid"), col("_graft_dc_s")).distinct()
+      .join(cSh, Seq("_graft_dc_cid", "_graft_dc_s"))
+      .groupBy(col("_graft_dc_cid"))
+      .agg(count(lit(1)).as("_graft_dc_n"))
+      .filter(col("_graft_dc_n") >= minShared)
+      .select(col("_graft_dc_cid"))
+    corpus.join(contaminated,
+      corpus(idCol) === contaminated("_graft_dc_cid"), "left_anti")
+  }
+
+  /** Exact decontamination for holdouts too large to broadcast —
+    * IDENTICAL semantics to [[decontaminate]] (drop every corpus
+    * document sharing ≥ `minShared` distinct k-shingles with the
+    * holdout, pooled across the whole holdout) with the broadcast
+    * replaced by a plain shuffle equi-join on the shingle: the
+    * exhaustive answer at ANY holdout size, where [[decontaminateBanded]]
+    * trades recall for never shuffling corpus shingles at all.
+    *
+    * Scale shape: holdout shingles dedup to one row per distinct
+    * shingle, so the join fans out nothing (each corpus shingle row
+    * matches at most once); both sides exchange once on the shingle.
+    * A stop-phrase-hot shingle skews its join partition — AQE's skew
+    * split handles it (the probe side is one row per key, so salting
+    * buys nothing). The contaminated-id set is leak-density-bounded and
+    * drives the same anti join as the broadcast form. */
+  def decontaminateJoin(corpus: DataFrame, idCol: String, textCol: String,
+                        holdout: DataFrame, holdoutTextCol: String,
+                        minShared: Int = 5, k: Int = 3): DataFrame =
+    decontaminateImpl(corpus, idCol, textCol, holdout, holdoutTextCol,
+      minShared, k, broadcastHoldout = false)
 
   /** Exact-dedup group view: one row per distinct md5(text), keeping
     * the smallest id (deterministic winner, standard keep-first policy). */

@@ -81,5 +81,74 @@ object Registry9 {
       .orderBy("doc_id")
   }
 
-  val round9b: Seq[Q] = Seq(dedupSpans, shardManifest)
+  /** Exact decontamination at any holdout size
+    * ([[Dedup.decontaminateJoin]]): same pooled ≥5-distinct-shared-
+    * 3-shingles semantics as `decontaminate` — and the same oracle —
+    * with the holdout side SHUFFLE-joined instead of broadcast, the
+    * shape for a holdout that is itself corpus-sized (another training
+    * corpus, a year of eval suites). The two gates proving identical
+    * output IS the point: the scale path must be semantically free. */
+  val decontaminateJoinQ = Q("decontaminate_join",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS shl FROM w),
+      |c AS (SELECT doc_id, unnest(shl) AS s FROM sh WHERE source <> 'src0'),
+      |h AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE source = 'src0'),
+      |bad AS (SELECT c.doc_id FROM c JOIN h USING (s)
+      |  GROUP BY c.doc_id HAVING COUNT(*) >= 5)
+      |SELECT doc_id, source FROM documents
+      |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val all = docs(s, d)
+    Dedup.decontaminateJoin(
+      all.filter(col("source") =!= "src0"), "doc_id", "text",
+      all.filter(col("source") === "src0"), "text", minShared = 5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup-level decontamination ([[Dedup.decontaminateBanded]]):
+    * corpus-vs-holdout MinHash band join for candidates, pooled exact
+    * shingle confirm on candidate documents only — corpus shingles
+    * never ride an exchange, so this is the cheapest probe when the
+    * threat model is verbatim/near-dup leakage. Recall is the LSH
+    * family's: on this synthetic corpus (overlap scattered thinly
+    * across many holdout docs — the adversarial case) it confirms 2 of
+    * the 91 exhaustive drops, which is exactly why `decontaminate_join`
+    * exists; both contracts are gated. */
+  val decontaminateBandedQ = Q("decontaminate_banded",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS wl FROM documents),
+      |sh AS (SELECT doc_id, source, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, source, list_transform(range(0, 8),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, source, t.bnd, md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t),
+      |cand AS (SELECT DISTINCT c.doc_id AS cid, h.doc_id AS hid
+      |  FROM bands c JOIN bands h ON c.bnd = h.bnd AND c.bk = h.bk
+      |  WHERE c.source <> 'src0' AND h.source = 'src0'),
+      |dsh AS (SELECT doc_id, source, list_distinct(shl) AS dshl FROM sh),
+      |csh AS (SELECT doc_id, unnest(dshl) AS s FROM dsh WHERE source <> 'src0'),
+      |hsh AS (SELECT doc_id, unnest(dshl) AS s FROM dsh WHERE source = 'src0'),
+      |pooled AS (SELECT DISTINCT cand.cid, hsh.s
+      |  FROM cand JOIN hsh ON hsh.doc_id = cand.hid),
+      |conf AS (SELECT p.cid FROM pooled p
+      |  JOIN csh ON csh.doc_id = p.cid AND csh.s = p.s
+      |  GROUP BY p.cid HAVING COUNT(*) >= 5)
+      |SELECT doc_id, source FROM documents
+      |WHERE source <> 'src0' AND doc_id NOT IN (SELECT cid FROM conf)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val all = docs(s, d)
+    Dedup.decontaminateBanded(
+      all.filter(col("source") =!= "src0"), "doc_id", "text",
+      all.filter(col("source") === "src0"), "doc_id", "text", minShared = 5)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  val round9b: Seq[Q] = Seq(dedupSpans, shardManifest,
+    decontaminateJoinQ, decontaminateBandedQ)
 }

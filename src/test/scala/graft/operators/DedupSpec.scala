@@ -65,6 +65,48 @@ class DedupSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
   }
 
+  test("decontaminateJoin == decontaminate (exact parity), minus the broadcast hint") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated words appear in this training row"),
+      (3L, "the quick brown fox jumps over the lazy dog again")
+    ).toDF("doc_id", "text")
+    val holdout = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val viaJoin = Dedup.decontaminateJoin(corpus, "doc_id", "text",
+      holdout, "text", minShared = 5).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaBcast = Dedup.decontaminate(corpus, "doc_id", "text",
+      holdout, "text", minShared = 5).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaJoin == Seq(2L) && viaBcast == Seq(2L))
+    // the scale path differs only by the hint: broadcast form carries
+    // one on the holdout side, the join form none
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    assert(hints(Dedup.decontaminate(corpus, "doc_id", "text",
+      holdout, "text", 5)) == 1)
+    assert(hints(Dedup.decontaminateJoin(corpus, "doc_id", "text",
+      holdout, "text", 5)) == 0)
+  }
+
+  test("decontaminateBanded: verbatim leak dropped, clean doc kept") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = holdout doc
+      (2L, "completely unrelated words appear in this training row")
+    ).toDF("doc_id", "text")
+    val holdout = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateBanded(corpus, "doc_id", "text",
+      holdout, "doc_id", "text", minShared = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L))
+  }
+
   test("exactGroups: dup texts collapse, smallest id kept") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.count() == 4)
