@@ -526,6 +526,63 @@ object Dedup {
     updated.union(fresh)
   }
 
+  /** Incremental cluster maintenance, DELETION face — the takedown /
+    * right-to-be-forgotten path [[connectedComponentsIncremental]]
+    * cannot serve: removing a document can SPLIT its component (the
+    * removed doc may be the only bridge between two near-dup groups),
+    * and a split is not expressible as a label mapping — the touched
+    * subgraph must genuinely re-propagate. Appending only ever MERGES;
+    * deletion is the asymmetric half, and at 100 TB re-running corpus
+    * CC per takedown batch is the O(corpus)-vs-O(touched) difference
+    * that decides whether deletions can run nightly.
+    *
+    * Inputs are the two stored assets a production maintainer already
+    * holds: the label ledger (id, cluster) and the LSH band index
+    * (id, band, bk) — [[bandedKeys]] output, the same asset the append
+    * face probes. The subgraph's edges are re-derived by the SAME band
+    * self-join that built the ledger's edges, restricted to surviving
+    * members of touched components, so rebuilt labels agree exactly
+    * with a from-scratch CC over the remaining corpus (the oracle
+    * property).
+    *
+    * Scale shape: the removal set broadcasts (takedown batches are
+    * small); touched cluster ids broadcast (bounded by removal ×
+    * cluster count); the ledger is scanned map-side twice (touched
+    * membership + untouched pass-through); the band index is pruned to
+    * touched members BEFORE its self-join, so re-propagation costs
+    * rounds × touched-component edges, never corpus edges. Returns the
+    * updated full ledger — removed ids gone, untouched rows unchanged
+    * (a ledger maintainer can equally apply only the touched rows as
+    * UPDATEs plus the removals as DELETEs). */
+  def connectedComponentsRemove(ledger: DataFrame,
+                                removeIds: DataFrame, idCol: String,
+                                bandIndex: DataFrame,
+                                maxIter: Int = 25): DataFrame = {
+    val rm = broadcast(removeIds.select(col(idCol).as("id")).distinct())
+    val touched = broadcast(
+      ledger.join(rm, Seq("id")).select("cluster").distinct())
+    // surviving members of touched components — takedown-frontier-sized
+    val members = Lineage.truncate(
+      ledger.join(touched, Seq("cluster"))
+        .join(rm, Seq("id"), "left_anti")
+        .select("id"))
+    val mBands = bandIndex.join(members, Seq("id"))
+    val subEdges = mBands.alias("a")
+      .join(mBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val rebuilt = connectedComponents(subEdges, "a_id", "b_id", maxIter)
+      .select(col("id"), col("cluster").as("_nc"))
+    val relabeled = members
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_nc"), col("id")).as("cluster"))
+    ledger.join(touched, Seq("cluster"), "left_anti")
+      .select("id", "cluster")
+      .union(relabeled)
+  }
+
   /** Benchmark decontamination: drop corpus documents sharing at least
     * `minShared` distinct k-shingles with ANY holdout document (the
     * eval-set leak check every training pipeline must run). Holdout

@@ -149,6 +149,57 @@ object Registry9 {
       .orderBy("doc_id")
   }
 
+  /** Cluster-ledger DELETION maintenance
+    * ([[Dedup.connectedComponentsRemove]]): the takedown path — remove
+    * a batch of documents (doc_id ≡ 0 mod 7) from the stored corpus
+    * (doc_id < 250) and repair near-dup cluster labels by
+    * re-propagating only within TOUCHED components, whose edges are
+    * re-derived from the stored LSH band index
+    * ([[Registry8.corpusNearDupAssets]] — the same staged ledger +
+    * band index the append face reads). Removal can SPLIT a component
+    * (the removed doc may be its only bridge), which no label mapping
+    * expresses — hence the subgraph rebuild, still
+    * O(touched), never O(corpus). At this sf the removal dissolves the
+    * {8, 245} near-dup pair: 245 leaves, 8 relabels to a singleton.
+    *
+    * Oracle: from-scratch recursive-CTE closure over the REMAINING
+    * documents — deletion maintenance must be indistinguishable from
+    * never having ingested the removed docs (the full output ledger is
+    * gated, so untouched-row pass-through is proven too). */
+  val dedupClustersRemove = Q("dedup_clusters_remove",
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS wl
+      |  FROM documents WHERE doc_id < 250 AND doc_id % 7 <> 0),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+      |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
+      |sig AS (SELECT doc_id, list_transform(range(0, 8),
+      |  j -> list_min(list_transform(shl,
+      |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+      |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.bnd, md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.bnd = b.bnd AND a.bk = b.bk
+      |    AND a.doc_id < b.doc_id),
+      |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT s, s FROM edges
+      |  UNION
+      |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+      |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+      |SELECT w.doc_id, COALESCE(l.cl, w.doc_id) AS cluster_id
+      |FROM w LEFT JOIN lbl l ON w.doc_id = l.id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (ledger, storedBands) = Registry8.corpusNearDupAssets(s, d)
+    val rm = Tables.documents(s, d)
+      .filter(col("doc_id") < 250 && col("doc_id") % 7 === 0)
+      .select(col("doc_id"))
+    Dedup.connectedComponentsRemove(ledger, rm, "doc_id", storedBands)
+      .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   val round9b: Seq[Q] = Seq(dedupSpans, shardManifest,
-    decontaminateJoinQ, decontaminateBandedQ)
+    decontaminateJoinQ, decontaminateBandedQ, dedupClustersRemove)
 }

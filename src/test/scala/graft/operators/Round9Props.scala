@@ -83,6 +83,35 @@ object Round9Props extends Properties("Round9") {
       got == want
     }
 
+  /** Deletion maintenance ≡ CC over the remaining graph — including
+    * SPLITS (removed bridge nodes), the case no label mapping covers.
+    * The band index is synthesized one unique band key per edge, so
+    * the operator's band self-join reproduces exactly the survivor-
+    * restricted edge set. */
+  property("connectedComponentsRemove == CC over the remaining graph") =
+    forAll(
+      Gen.listOfN(18, Gen.zip(Gen.oneOf(oldIds), Gen.oneOf(oldIds))),
+      Gen.someOf(oldIds)
+    ) { (raw, rmRaw) =>
+      val edges = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val rm = rmRaw.toList
+      val ledger = ccMap(edges, oldIds).toList.toDF("id", "cluster")
+      val bandIndex = edges.zipWithIndex.flatMap { case ((a, b), j) =>
+        Seq((a, j, s"k$j"), (b, j, s"k$j"))
+      }.toDF("id", "band", "bk")
+      val rmDf =
+        if (rm.isEmpty) Seq.empty[Long].toDF("doc_id")
+        else rm.toDF("doc_id")
+      val got = Dedup.connectedComponentsRemove(ledger, rmDf, "doc_id", bandIndex)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val keep = oldIds.filterNot(rm.contains)
+      val want = ccMap(
+        edges.filter { case (a, b) => !rm.contains(a) && !rm.contains(b) },
+        keep)
+      got == want
+    }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
