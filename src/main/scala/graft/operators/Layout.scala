@@ -48,6 +48,86 @@ object Layout {
       .parquet(path)
   }
 
+  /** Rewrite `df` under `path` laid out for MULTI-column range reading —
+    * Z-ORDER: each key is min-max-scaled to a `bits`-wide integer, the
+    * scaled keys' bits are interleaved into one space-filling-curve
+    * value, and the table is range-partitioned + sorted on that value.
+    * A single-key range layout ([[layoutOptimize]]) leaves every OTHER
+    * column's per-file span at the full domain (zero skipping for its
+    * predicates); the Z-curve bounds every dimension's span per file at
+    * roughly domain / numFiles^(1/D), so range predicates on ANY of the
+    * keys skip most files — the standard multi-dimensional clustering
+    * trade: no dimension is perfectly sorted, every dimension is
+    * usefully bounded.
+    *
+    * Cost identical to [[layoutOptimize]]: one range exchange at write
+    * time, plus one min/max reduce over the keys (the scaling frame —
+    * same pass class as the range partitioner's sampling). Min-max
+    * scaling keeps correctness under skew but degrades cell balance on
+    * heavily skewed keys (quantile scaling via a sampled CDF is the
+    * refinement; the file ranges the audit face checks stay sound
+    * either way). Keys must be non-null numerics; `D * bits` must fit
+    * in 63 bits. */
+  def layoutOptimizeZ(df: DataFrame, keys: Seq[Column], path: String,
+                      numFiles: Int, bits: Int = 16,
+                      targetRowGroupBytes: Long = 128L << 20): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    require(keys.size >= 2, "Z-order needs at least two keys")
+    require(keys.size * bits <= 63,
+      s"${keys.size} keys x $bits bits overflow a long")
+    require(targetRowGroupBytes >= (1L << 20),
+      "targetRowGroupBytes below 1 MiB would fragment the scan")
+    val d = keys.size
+    val raw = keys.zipWithIndex.foldLeft(df) { case (acc, (k, i)) =>
+      acc.withColumn(s"_graft_zr$i", k.cast("long"))
+    }
+    val mmAggs = (0 until d).flatMap(i => Seq(
+      min(col(s"_graft_zr$i")).as(s"mn$i"), max(col(s"_graft_zr$i")).as(s"mx$i")))
+    val mm = raw.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val scaled = (0 until d).foldLeft(raw) { case (acc, i) =>
+      val mn = mm.getLong(2 * i); val mx = mm.getLong(2 * i + 1)
+      val span = math.max(1L, mx - mn + 1)
+      // exact integer scaling into [0, 2^bits): shift then integer div
+      acc.withColumn(s"_graft_zs$i",
+        expr(s"shiftleft(_graft_zr$i - ${mn}L, $bits) div ${span}L"))
+    }
+    val zExpr = (0 until bits).flatMap { b =>
+      (0 until d).map(i =>
+        s"shiftleft(shiftright(_graft_zs$i, $b) & 1, ${b * d + i})")
+    }.mkString(" | ")
+    scaled.withColumn("_graft_zv", expr(zExpr))
+      .repartitionByRange(numFiles, col("_graft_zv"))
+      .sortWithinPartitions("_graft_zv")
+      .drop((0 until d).flatMap(i => Seq(s"_graft_zr$i", s"_graft_zs$i")) :+ "_graft_zv": _*)
+      .write.mode("overwrite")
+      .option("parquet.block.size", targetRowGroupBytes.toString)
+      .parquet(path)
+  }
+
+  /** How many files at `path` a range predicate `keyName ∈ [lo, hi]`
+    * must read, by per-file min/max stats: (intersecting, total). The
+    * pruning-value audit for [[layoutOptimizeZ]], where per-file ranges
+    * on each dimension are bounded but deliberately NOT disjoint. */
+  def filesIntersecting(spark: SparkSession, path: String, keyName: String,
+                        lo: Long, hi: Long): (Int, Int) = {
+    val ranges = fileKeyRanges(spark, path, keyName)
+    (ranges.count { case (_, mn, mx) => mx >= lo && mn <= hi }, ranges.length)
+  }
+
+  /** Throw unless the per-file stats at `path` let the predicate
+    * `keyName ∈ [lo, hi]` skip at least half the files — the
+    * refuse-don't-trust witness the Z-order gate runs per dimension
+    * (a mis-built layout silently reads everything; this makes it
+    * loud). */
+  def requirePrunable(spark: SparkSession, path: String, keyName: String,
+                      lo: Long, hi: Long): Unit = {
+    val (hit, total) = filesIntersecting(spark, path, keyName, lo, hi)
+    if (hit * 2 > total)
+      throw new IllegalStateException(
+        s"layout at $path is not pruning-usable for $keyName in [$lo, $hi]: " +
+          s"$hit of $total files intersect (need <= half)")
+  }
+
   /** Audit face: per-file (min, max) of `keyName` over the table at
     * `path`, sorted by min — the witness that [[layoutOptimize]]'s
     * ranges landed disjoint (file skipping is only sound/useful when

@@ -200,6 +200,51 @@ object Registry9 {
       .orderBy("doc_id")
   }
 
+  /** Z-ORDER layout under the gate ([[graft.operators.Layout
+    * .layoutOptimizeZ]]): lineitem rewritten clustered on
+    * (l_orderkey, l_partkey) via bit-interleaved scaled keys — the
+    * fourth layout axis after bucketing (q50), hive partitioning
+    * (q51), and single-key ranges (q52): range predicates over
+    * SEVERAL high-cardinality columns, where a single-key range
+    * layout leaves every other column's per-file span at the full
+    * domain. Three hard witnesses before the result is trusted: the
+    * per-file stats must let a strip predicate on EACH dimension skip
+    * at least half the files ([[graft.operators.Layout
+    * .requirePrunable]] × 2 — the single-key layout fails this on the
+    * second key by construction, spec'd in LayoutSpec), and the
+    * l_partkey predicate must reach the scan as a PushedFilter
+    * (row-group skipping hook, q52's pattern). The query itself
+    * filters on l_partkey — the dimension q52's layout cannot serve.
+    *
+    * Oracle: layout must be semantically invisible — same filter +
+    * aggregate over the raw table. */
+  val q53ZorderLayout = Q("q53_zorder_layout",
+    """SELECT l_returnflag, COUNT(*) AS cnt,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_partkey BETWEEN 100 AND 150
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val outDir = FixtureCache.cached(d, "zorder", 1, Seq("lineitem")) { tmp =>
+      graft.operators.Layout.layoutOptimizeZ(
+        Tables.lineitem(s, d),
+        Seq(col("l_orderkey"), col("l_partkey")),
+        tmp.resolve("lineitem_z.parquet").toString, numFiles = 16)
+    }.resolve("lineitem_z.parquet").toString
+    graft.operators.Layout.requirePrunable(s, outDir, "l_orderkey", 1000, 1200)
+    graft.operators.Layout.requirePrunable(s, outDir, "l_partkey", 100, 130)
+    val out = s.read.parquet(outDir)
+      .filter(col("l_partkey").between(100, 150))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        graft.functions.AggFns.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+    val plan = out.queryExecution.executedPlan.toString
+    if (!"PushedFilters: \\[[^\\]]*l_partkey".r.findFirstIn(plan).isDefined)
+      throw new IllegalStateException(
+        s"range predicate did not reach the scan as a PushedFilter:\n$plan")
+    out
+  }
+
   val round9b: Seq[Q] = Seq(dedupSpans, shardManifest,
-    decontaminateJoinQ, decontaminateBandedQ, dedupClustersRemove)
+    decontaminateJoinQ, decontaminateBandedQ, dedupClustersRemove,
+    q53ZorderLayout)
 }
