@@ -756,15 +756,43 @@ object Dedup {
     * `spans_total`, `spans_kept`. Rows with null text pass through with
     * null text_dedup and zero counts. */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
-                 spanWords: Int = 50): DataFrame = {
+                 spanWords: Int = 50): DataFrame =
+    reassembleSpans(docs, idCol, textCol, spanWords,
+      electFirstSpans(spanHashFrame(docs, idCol, textCol, spanWords))
+        .drop("_graft_sp_h"))
+
+  /** Incremental face of [[dedupSpans]] — the nightly-append shape: the
+    * arriving batch elects first occurrences WITHIN itself, then drops
+    * every span whose digest is already in the corpus span LEDGER (the
+    * stored asset a production append reads; 16-byte digests, never
+    * stored text — [[dedupIncremental]]'s posture at span granularity).
+    * The anti join ships batch winner digests against the ledger; the
+    * batch text still crosses the wire exactly once, in the final
+    * doc-level join. Survivor spans' digests are what the maintainer
+    * appends back to the ledger. */
+  def dedupSpansIncremental(batch: DataFrame, idCol: String, textCol: String,
+                            spanLedger: DataFrame, digestCol: String,
+                            spanWords: Int = 50): DataFrame = {
+    val winners = electFirstSpans(
+        spanHashFrame(batch, idCol, textCol, spanWords))
+      .join(spanLedger.select(col(digestCol).as("_graft_sp_h")).distinct(),
+        Seq("_graft_sp_h"), "left_anti")
+      .drop("_graft_sp_h")
+    reassembleSpans(batch, idCol, textCol, spanWords, winners)
+  }
+
+  /** (id, idx, digest) rows of [[dedupSpans]]' aligned windows — the
+    * span text is hashed map-side and dropped, so downstream exchanges
+    * carry ~48 bytes/span. */
+  private def spanHashFrame(docs: DataFrame, idCol: String, textCol: String,
+                            spanWords: Int): DataFrame = {
     require(spanWords > 0, "spanWords must be positive")
     val k = spanWords
     Seq("_graft_sp_id", "_graft_sp_idx", "_graft_sp_h", "_graft_sp_kept")
       .foreach(c => require(!docs.columns.contains(c),
         s"input already has a $c column"))
     val words = split(col(textCol), " ")
-    // (id, idx, digest) only — the span text is hashed map-side and dropped
-    val spanHashes = docs
+    docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("_graft_sp_id"), words.as("_w"),
         explode(sequence(lit(0),
@@ -773,13 +801,28 @@ object Dedup {
         md5(array_join(
           slice(col("_w"), col("_graft_sp_idx") * k + 1, lit(k)), " "))
           .as("_graft_sp_h"))
-    // first occurrence per digest: min(struct) partial-aggregates — no
-    // window, so a billion-fold duplicated span combines map-side
-    val winners = spanHashes
+  }
+
+  /** First occurrence per digest, global (id, idx) order: min(struct)
+    * partial-aggregates — no window, so a billion-fold duplicated span
+    * combines map-side. Keeps the digest column (the incremental face
+    * anti-joins it against the ledger). */
+  private def electFirstSpans(spanHashes: DataFrame): DataFrame =
+    spanHashes
       .groupBy("_graft_sp_h")
       .agg(min(struct(col("_graft_sp_id"), col("_graft_sp_idx"))).as("_win"))
-      .select(col("_win._graft_sp_id").as("_graft_sp_id"),
+      .select(col("_graft_sp_h"),
+        col("_win._graft_sp_id").as("_graft_sp_id"),
         col("_win._graft_sp_idx").as("_graft_sp_idx"))
+
+  /** Rebuild each document from its surviving span indices: the winner
+    * set aggregates to one small array row per doc, the corpus text
+    * rides only the doc-level join, and the slice-and-rejoin is a
+    * map-side higher-order-function projection. */
+  private def reassembleSpans(docs: DataFrame, idCol: String,
+                              textCol: String, spanWords: Int,
+                              winners: DataFrame): DataFrame = {
+    val k = spanWords
     val keptPerDoc = winners
       .groupBy("_graft_sp_id")
       .agg(sort_array(collect_list(col("_graft_sp_idx"))).as("_graft_sp_kept"))

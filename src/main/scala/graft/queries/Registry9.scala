@@ -244,7 +244,134 @@ object Registry9 {
     out
   }
 
+  /** The corpus (doc_id < 250) span-digest LEDGER — the stored asset a
+    * production append's span dedup reads (distinct 16-byte digests,
+    * never text), staged once per (sf, content) like
+    * [[Registry8.corpusNearDupAssets]]. */
+  private def corpusSpanLedger(s: SparkSession, d: String): DataFrame = {
+    val dir = FixtureCache.cached(d, "spledger", 1, Seq("documents")) { tmp =>
+      // the ledger is every distinct span digest of the stored corpus
+      // (a maintainer appends survivor digests, which IS the distinct
+      // span set)
+      val k = 3
+      val words = split(col("text"), " ")
+      Tables.documents(s, d).filter(col("doc_id") < 250)
+        .select(words.as("_w"),
+          explode(sequence(lit(0),
+            ((size(words) - 1) / k).cast("int"))).as("_i"))
+        .select(md5(array_join(
+          slice(col("_w"), col("_i") * k + 1, lit(k)), " ")).as("h"))
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.resolve("spans.parquet").toString)
+    }
+    s.read.parquet(dir.resolve("spans.parquet").toString)
+  }
+
+  /** Incremental span dedup ([[Dedup.dedupSpansIncremental]]): the
+    * arriving batch (doc_id ≥ 250) elects first occurrences within
+    * itself and drops every span already in the stored corpus span
+    * ledger — [[Registry3]]'s `dedup_incremental` posture at
+    * sub-document granularity, completing the span-dedup maintenance
+    * story (full-corpus `dedup_spans` is the nightly rebuild this
+    * replaces). The ledger ships 16-byte digests; batch text crosses
+    * one exchange. */
+  val dedupSpansIncrementalQ = Q("dedup_spans_incremental",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+      |sp AS (SELECT doc_id, t.i AS idx,
+      |    array_to_string(list_slice(wl, t.i*3+1, t.i*3+3), ' ') AS span
+      |  FROM w, unnest(range(0, (len(wl)+2)//3)) AS t(i)),
+      |led AS (SELECT DISTINCT md5(span) AS h FROM sp WHERE doc_id < 250),
+      |bsp AS (SELECT doc_id, idx, span FROM sp WHERE doc_id >= 250),
+      |win AS (SELECT doc_id, idx FROM (
+      |  SELECT doc_id, idx, md5(span) AS h,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(span) ORDER BY doc_id, idx) AS rn
+      |  FROM bsp) WHERE rn = 1 AND h NOT IN (SELECT h FROM led)),
+      |re AS (SELECT b.doc_id,
+      |    array_to_string(list(b.span ORDER BY b.idx), ' ') AS text_dedup,
+      |    COUNT(*) AS spans_kept
+      |  FROM bsp b JOIN win USING (doc_id, idx) GROUP BY b.doc_id),
+      |tot AS (SELECT doc_id, (len(wl)+2)//3 AS spans_total FROM w
+      |  WHERE doc_id >= 250)
+      |SELECT t.doc_id AS doc_id, COALESCE(r.text_dedup, '') AS text_dedup,
+      |  t.spans_total, COALESCE(r.spans_kept, 0) AS spans_kept
+      |FROM tot t LEFT JOIN re r ON t.doc_id = r.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val batch = docs(s, d).filter(col("doc_id") >= 250)
+    Dedup.dedupSpansIncremental(batch, "doc_id", "text",
+      corpusSpanLedger(s, d), "h", spanWords = 3)
+      .select(col("doc_id"), col("text_dedup"),
+        col("spans_total").cast("long").as("spans_total"),
+        col("spans_kept").cast("long").as("spans_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end curation WITH the output stage: `curate_pipeline`'s
+    * stages (quality filter → exact dedup → stratified sample → source
+    * quota) feeding [[graft.operators.Pack.shardManifest]] — the
+    * manifest a training job actually consumes, so the composed product
+    * runs curation and shard assignment in ONE plan. Shard budget 200
+    * tokens per source (~3 shards per source after the 20-doc quota). */
+  val curateShards = Q("curate_shards", {
+    val en = graft.functions.TextFns.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, lang, source,
+       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains($en, x))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+       |  FROM documents),
+       |q AS (SELECT doc_id, text, lang, source,
+       |  ((CASE WHEN length(text) >= 100 THEN 1.0
+       |      ELSE CAST(length(text) AS DOUBLE) / 100.0 END
+       |    + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+       |    + (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0
+       |        THEN 1.0 ELSE 0.5 END)
+       |    + LEAST(stopword_ratio * 4.0, 1.0)) / 4.0) AS quality
+       |  FROM t),
+       |f AS (SELECT doc_id, text, lang, source,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM q
+       |  WHERE quality >= 0.7),
+       |dd AS (SELECT doc_id, lang, source, n_tokens FROM (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM f) WHERE rn = 1),
+       |sm AS (SELECT doc_id, lang, source, n_tokens FROM dd
+       |  WHERE substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |        < '80000000'),
+       |cur AS (SELECT doc_id, source, n_tokens FROM (
+       |  SELECT doc_id, source, n_tokens, ROW_NUMBER() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn2
+       |  FROM sm) WHERE rn2 <= 20),
+       |pr AS (SELECT doc_id, source,
+       |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM cur)
+       |SELECT doc_id, source, CAST(prior AS BIGINT) AS shard_tok0,
+       |  CAST(prior // 200 AS BIGINT) AS shard_id
+       |FROM pr ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    val scored = docs(s, d)
+      .withColumn("quality", graft.functions.TextFns.qualityScore(col("text")))
+    val filtered = scored.filter(col("quality") >= 0.7)
+      .withColumn("n_tokens",
+        graft.functions.TextFns.wsTokenCount(col("text")).cast("long"))
+    val deduped = Dedup.dedupKeepFirst(filtered, "doc_id", "text")
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      deduped, col("lang"), col("doc_id"), 0.5)
+    val curated = graft.operators.Sampling.quotaPerGroup(
+      sampled, col("source"), col("doc_id"), 20)
+    graft.operators.Pack.shardManifest(
+      curated.select(col("doc_id"), col("source"), col("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"), shardTokens = 200L)
+      .select(col("doc_id"), col("source"), col("shard_tok0"), col("shard_id"))
+      .orderBy("doc_id")
+  }
+
   val round9b: Seq[Q] = Seq(dedupSpans, shardManifest,
     decontaminateJoinQ, decontaminateBandedQ, dedupClustersRemove,
-    q53ZorderLayout)
+    q53ZorderLayout, dedupSpansIncrementalQ, curateShards)
 }

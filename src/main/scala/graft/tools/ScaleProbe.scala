@@ -37,7 +37,8 @@ object ScaleProbe {
     grouped.agg(sum(expr("n * (n - 1) div 2")).as("c")).head().getLong(0)
 
   /** Query → family, for the optional 4th-arg family filter (csv of
-    * {minhash,simhash,jaccard,cc,ccwide,ccinc,ann,tfidf,fluency,mix} —
+    * {minhash,simhash,jaccard,cc,ccwide,ccinc,ann,tfidf,fluency,mix,
+    * spans,decon} —
     * e.g. the 100× point runs `minhash` alone; default runs
     * everything). */
   private val family = Map(
@@ -47,7 +48,9 @@ object ScaleProbe {
     "dedup_ngram_jaccard" -> "jaccard",
     "dedup_clusters" -> "cc", "dedup_clusters_wide" -> "ccwide",
     "ann_ivf_topk" -> "ann", "text_tfidf" -> "tfidf",
-    "text_fluency" -> "fluency")
+    "text_fluency" -> "fluency",
+    "dedup_spans" -> "spans",
+    "decontaminate" -> "decon", "decontaminate_join" -> "decon")
 
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.create()
@@ -120,7 +123,8 @@ object ScaleProbe {
       "dedup_simhash_pairs",
       "dedup_simhash_wide", "dedup_simhash_blocked", "dedup_ngram_jaccard",
       "dedup_clusters", "dedup_clusters_wide",
-      "ann_ivf_topk", "text_tfidf", "text_fluency")
+      "ann_ivf_topk", "text_tfidf", "text_fluency",
+      "dedup_spans", "decontaminate", "decontaminate_join")
       .filter(q => timed && want(family(q)))
     for (dir <- Seq(sfDir, scratch); q <- queries; pass <- 1 to 2) {
       val t0 = System.nanoTime()
@@ -205,6 +209,48 @@ object ScaleProbe {
         val jacC = choose2(ex0.join(keep, "h")
           .groupBy("blk", "h").agg(count(lit(1)).as("n")))
         println(s"PROBE candidates $scale ngram_jaccard_capped docs=$nDocs sharedgram_incidences=$jacC")
+      }
+
+      // sub-document span dedup (dedup_spans): winner election is a
+      // partial-aggregatable min-of-struct over (digest, id, idx) rows —
+      // the governing quantities are the span-row count (the 48-byte
+      // exchange) and the duplicate fraction (rows − distinct digests =
+      // exactly the rows the reassembly join drops). Both must stay
+      // linear: spans/doc is fixed by span width, and the perturbed
+      // replica decorrelates word order, so duplicate density tracks
+      // true-duplicate density, never factor².
+      if (want("spans")) {
+        val spanRows = d.filter(col("text").isNotNull)
+          .select(explode(sequence(lit(0),
+            ((size(split(col("text"), " ")) - 1) / 3).cast("int"))).as("i"),
+            col("text"))
+          .select(md5(array_join(
+            slice(split(col("text"), " "), col("i") * 3 + 1, lit(3)), " ")).as("h"))
+        val n = spanRows.count()
+        val distinctH = spanRows.select("h").distinct().count()
+        println(s"PROBE spans $scale docs=$nDocs span_rows=$n " +
+          s"distinct=$distinctH dup_rows=${n - distinctH}")
+      }
+
+      // decontamination at scale (decontaminate_join vs the broadcast
+      // form): the governing quantities are the holdout's distinct-
+      // shingle count (the broadcast payload — multiply by ~60 B/row
+      // hashed-relation overhead against the 8 GiB broadcast ceiling)
+      // and the corpus∩holdout matched incidences (the shuffle-join
+      // fan-in and the partial-agg input; ≤ corpus shingle rows by
+      // construction since the holdout side is distinct).
+      if (want("decon")) {
+        val hold = d.filter(col("source") === "src0")
+          .select(explode(array_distinct(
+            graft.operators.Dedup.shingles(col("text")))).as("s"))
+          .distinct()
+        val nh = hold.count()
+        val matched = d.filter(col("source") =!= "src0")
+          .select(col("doc_id"), explode(array_distinct(
+            graft.operators.Dedup.shingles(col("text")))).as("s"))
+          .join(hold, "s").count()
+        println(s"PROBE decon $scale docs=$nDocs holdout_shingles=$nh " +
+          s"matched_incidences=$matched")
       }
 
       if (want("cc")) {

@@ -65,6 +65,23 @@ class DedupSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).getInt(2) == 0 && out(2).getInt(3) == 0)
   }
 
+  test("dedupSpansIncremental: ledger spans drop, batch-internal firsts keep") {
+    val batch = Seq((10L, "a b c d e f"), (11L, "c d x y"))
+      .toDF("doc_id", "text")
+    // ledger holds the digest of span "a b" (and an unrelated digest)
+    val ledger = Seq("a b", "zz zz").toDF("t")
+      .select(md5(col("t")).as("h"))
+    val out = Dedup.dedupSpansIncremental(batch, "doc_id", "text",
+      ledger, "h", spanWords = 2)
+      .select("doc_id", "text_dedup", "spans_kept")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // doc 10: "a b" in ledger (dropped), "c d" + "e f" fresh (kept)
+    assert(out(0) == ((10L, "c d e f", 2)))
+    // doc 11: "c d" already claimed by doc 10 within the batch; "x y" kept
+    assert(out(1) == ((11L, "x y", 1)))
+  }
+
   test("decontaminateJoin == decontaminate (exact parity), minus the broadcast hint") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

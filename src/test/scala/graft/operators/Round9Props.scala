@@ -83,6 +83,36 @@ object Round9Props extends Properties("Round9") {
       got == want
     }
 
+  /** The incremental face: ≡ the full-corpus model with the ledger's
+    * spans pre-claimed (a ledger span can never survive; batch-internal
+    * first occurrences behave exactly as in dedupSpans). */
+  property("dedupSpansIncremental == model with pre-claimed ledger") =
+    forAll(
+      Gen.choose(1, 3),
+      Gen.listOfN(6, Gen.choose(1, 7).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")))),
+      Gen.listOfN(3, Gen.choose(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" "))))
+    ) { (k, batchTexts, ledgerTexts) =>
+      val docsL = batchTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val ledgerSpans = ledgerTexts.flatMap(
+        _.split(" ", -1).toList.grouped(k).map(_.mkString(" "))).toSet
+      val seen = scala.collection.mutable.Set.empty[String] ++= ledgerSpans
+      val want = docsL.map { case (id, t) =>
+        val spans = t.split(" ", -1).toList.grouped(k).map(_.mkString(" ")).toList
+        val kept = spans.filter(seen.add)
+        id -> ((kept.mkString(" "), kept.length))
+      }.toMap
+      val ledger = ledgerSpans.toList.toDF("t").select(md5(col("t")).as("h"))
+      val got = Dedup.dedupSpansIncremental(
+          docsL.toDF("id", "text"), "id", "text", ledger, "h", k)
+        .select("id", "text_dedup", "spans_kept")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+        .toMap
+      got == want
+    }
+
   /** Deletion maintenance ≡ CC over the remaining graph — including
     * SPLITS (removed bridge nodes), the case no label mapping covers.
     * The band index is synthesized one unique band key per edge, so
