@@ -371,7 +371,75 @@ object Registry9 {
       .orderBy("doc_id")
   }
 
+  /** Per-stage drop accounting for the curation pipeline — the batch
+    * analog of `streaming_late_drop`'s discipline: rows a pipeline
+    * silently discards are data loss you have to SEE, so the audit
+    * face emits (stage, rows_out) for every stage of
+    * `curate_pipeline`'s composition. Each row is one partial-agg
+    * count over that stage's subtree (an audit pass, priced
+    * accordingly; a production run computes the same numbers free via
+    * `observe()` on the single curation plan — this face gates the
+    * NUMBERS, which observe() metrics are not hash-checkable for). */
+  val curateAudit = Q("curate_audit", {
+    val en = graft.functions.TextFns.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, text, lang, source,
+       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains($en, x))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+       |  FROM documents),
+       |q AS (SELECT doc_id, text, lang, source,
+       |  ((CASE WHEN length(text) >= 100 THEN 1.0
+       |      ELSE CAST(length(text) AS DOUBLE) / 100.0 END
+       |    + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+       |    + (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0
+       |        THEN 1.0 ELSE 0.5 END)
+       |    + LEAST(stopword_ratio * 4.0, 1.0)) / 4.0) AS quality
+       |  FROM t),
+       |f AS (SELECT doc_id, text, lang, source FROM q WHERE quality >= 0.7),
+       |dd AS (SELECT doc_id, lang, source FROM (
+       |  SELECT doc_id, lang, source,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM f) WHERE rn = 1),
+       |sm AS (SELECT doc_id, lang, source FROM dd
+       |  WHERE substr(md5('graft:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |        < '80000000'),
+       |qt AS (SELECT doc_id FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn2
+       |  FROM sm) WHERE rn2 <= 20)
+       |SELECT * FROM (
+       |  SELECT 0 AS stage_no, 'input' AS stage, COUNT(*) AS rows_out FROM documents
+       |  UNION ALL SELECT 1, 'quality', COUNT(*) FROM f
+       |  UNION ALL SELECT 2, 'dedup', COUNT(*) FROM dd
+       |  UNION ALL SELECT 3, 'sample', COUNT(*) FROM sm
+       |  UNION ALL SELECT 4, 'quota', COUNT(*) FROM qt)
+       |ORDER BY stage_no""".stripMargin
+  }) { (s, d) =>
+    val input = docs(s, d)
+    val filtered = input
+      .withColumn("quality", graft.functions.TextFns.qualityScore(col("text")))
+      .filter(col("quality") >= 0.7)
+    val deduped = Dedup.dedupKeepFirst(filtered, "doc_id", "text")
+    val sampled = graft.operators.Sampling.stratifiedSample(
+      deduped, col("lang"), col("doc_id"), 0.5)
+    val quota = graft.operators.Sampling.quotaPerGroup(
+      sampled, col("source"), col("doc_id"), 20)
+    Seq(("input", input), ("quality", filtered), ("dedup", deduped),
+      ("sample", sampled), ("quota", quota)).zipWithIndex
+      .map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("rows_out"))
+          .select(lit(i).cast("int").as("stage_no"),
+            lit(name).as("stage"), col("rows_out"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("stage_no")
+  }
+
   val round9b: Seq[Q] = Seq(dedupSpans, shardManifest,
     decontaminateJoinQ, decontaminateBandedQ, dedupClustersRemove,
-    q53ZorderLayout, dedupSpansIncrementalQ, curateShards)
+    q53ZorderLayout, dedupSpansIncrementalQ, curateShards, curateAudit)
 }
