@@ -67,11 +67,14 @@ object Dedup {
     * shape a 100 TB corpus needs anyway (the min() partial-aggregates
     * before the shuffle on doc id).
     * Docs with no shingles vanish at explode — same result as the null
-    * band keys they'd otherwise produce (null never joins). */
+    * band keys they'd otherwise produce (null never joins).
+    * `k` is the shingle width; both sides of any band join must be
+    * built at the SAME k (a k-mismatch never collides — silence, not
+    * an error — which is why every composite operator threads one k). */
   def bandedKeys(docs: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 8, bands: Int = 4): DataFrame = {
+                 numHashes: Int = 8, bands: Int = 4, k: Int = 3): DataFrame = {
     val exploded = docs
-      .select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .select(col("id"), explode(col("sh")).as("s"))
     // materialize the salted digests once; each feeds 4 slice-minhashes
     val nDigests = (numHashes + 3) / 4
@@ -112,9 +115,10 @@ object Dedup {
     * asset; only the batch recomputes). */
   def minhashCandidatesAgainst(batch: DataFrame, corpus: DataFrame,
                                idCol: String, textCol: String,
-                               numHashes: Int = 8, bands: Int = 4): DataFrame =
-    bandedKeys(batch, idCol, textCol, numHashes, bands).alias("a")
-      .join(bandedKeys(corpus, idCol, textCol, numHashes, bands).alias("b"),
+                               numHashes: Int = 8, bands: Int = 4,
+                               k: Int = 3): DataFrame =
+    bandedKeys(batch, idCol, textCol, numHashes, bands, k).alias("a")
+      .join(bandedKeys(corpus, idCol, textCol, numHashes, bands, k).alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk"))
       .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
       .distinct()
@@ -639,12 +643,19 @@ object Dedup {
     * exact-semantics answer at any holdout size; this operator is the
     * cheaper probe when near-dup-level leakage is the threat model,
     * because the corpus SHINGLES never ride an exchange — only band
-    * keys do, and the confirm touches candidate documents alone. */
+    * keys do, and the confirm touches candidate documents alone, on
+    * BOTH sides: corpus and holdout are each doc-level semi-join-pruned
+    * to their candidate ids before anything explodes, so a corpus-sized
+    * holdout ships leak-density-sized shingles, not its whole text.
+    * `k` is the shingle width used by the band index AND the exact
+    * confirm (one k end-to-end — a probe standardized on k≠3 stays
+    * consistent). */
   def decontaminateBanded(corpus: DataFrame, idCol: String, textCol: String,
                           holdout: DataFrame, holdoutIdCol: String,
                           holdoutTextCol: String,
                           minShared: Int = 5,
-                          numHashes: Int = 8, bands: Int = 4): DataFrame = {
+                          numHashes: Int = 8, bands: Int = 4,
+                          k: Int = 3): DataFrame = {
     require(minShared >= 1, "minShared must be at least 1")
     Seq("_graft_dc_cid", "_graft_dc_hid", "_graft_dc_s", "_graft_dc_n")
       .foreach(c => require(!corpus.columns.contains(c),
@@ -653,19 +664,24 @@ object Dedup {
       col(holdoutTextCol).as(textCol))
     val candPairs = minhashCandidatesAgainst(
         corpus.select(col(idCol), col(textCol)), h,
-        idCol, textCol, numHashes, bands)
+        idCol, textCol, numHashes, bands, k)
       .select(col("batch_id").as("_graft_dc_cid"),
         col("corpus_id").as("_graft_dc_hid"))
-    // shingle the corpus side only for documents with a live candidate
-    // (doc-level semi join BEFORE the explode: the pruned frame is leak-
-    // density-sized, so the confirm never shingles the whole corpus)
+    // shingle EACH side only for documents with a live candidate
+    // (doc-level semi join BEFORE the explode: the pruned frames are
+    // leak-density-sized, so the confirm never shingles the whole
+    // corpus — nor the whole holdout, which for the corpus-sized-
+    // holdout use case is just as large)
     val corpusCand = corpus
       .join(candPairs.select(col("_graft_dc_cid")).distinct(),
         corpus(idCol) === col("_graft_dc_cid"), "left_semi")
+    val holdoutCand = h
+      .join(candPairs.select(col("_graft_dc_hid")).distinct(),
+        h(idCol) === col("_graft_dc_hid"), "left_semi")
     val cSh = corpusCand.select(col(idCol).as("_graft_dc_cid"),
-      explode(array_distinct(shingles(col(textCol)))).as("_graft_dc_s"))
-    val hSh = h.select(col(idCol).as("_graft_dc_hid"),
-      explode(array_distinct(shingles(col(textCol)))).as("_graft_dc_s"))
+      explode(array_distinct(shingles(col(textCol), k))).as("_graft_dc_s"))
+    val hSh = holdoutCand.select(col(idCol).as("_graft_dc_hid"),
+      explode(array_distinct(shingles(col(textCol), k))).as("_graft_dc_s"))
     // pooled confirm — the same "distinct shingles shared with the
     // holdout" count [[decontaminate]] uses, restricted to the union of
     // a document's CANDIDATE holdout docs (not per-pair, so two

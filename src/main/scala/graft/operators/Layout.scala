@@ -67,7 +67,12 @@ object Layout {
     * heavily skewed keys (quantile scaling via a sampled CDF is the
     * refinement; the file ranges the audit face checks stay sound
     * either way). Keys must be non-null numerics; `D * bits` must fit
-    * in 63 bits. */
+    * in 63 bits. Empty input (or an all-null key) fails loudly rather
+    * than NPEing at the scaling frame; key domains of ANY width are
+    * scaled exactly — narrow domains shift-then-divide, wide domains
+    * divide first, full-range (> 2^63 span) domains take the unsigned
+    * shift path — so hash-valued or nanosecond-timestamp keys cannot
+    * silently wrap negative and void the clustering. */
   def layoutOptimizeZ(df: DataFrame, keys: Seq[Column], path: String,
                       numFiles: Int, bits: Int = 16,
                       targetRowGroupBytes: Long = 128L << 20): Unit = {
@@ -84,12 +89,40 @@ object Layout {
     val mmAggs = (0 until d).flatMap(i => Seq(
       min(col(s"_graft_zr$i")).as(s"mn$i"), max(col(s"_graft_zr$i")).as(s"mx$i")))
     val mm = raw.agg(mmAggs.head, mmAggs.tail: _*).head()
+    (0 until d).foreach { i =>
+      require(!mm.isNullAt(2 * i) && !mm.isNullAt(2 * i + 1),
+        s"layoutOptimizeZ: key ${keys(i)} has no non-null values " +
+          "(empty input or all-null key) — nothing to scale")
+    }
     val scaled = (0 until d).foldLeft(raw) { case (acc, i) =>
       val mn = mm.getLong(2 * i); val mx = mm.getLong(2 * i + 1)
-      val span = math.max(1L, mx - mn + 1)
-      // exact integer scaling into [0, 2^bits): shift then integer div
-      acc.withColumn(s"_graft_zs$i",
-        expr(s"shiftleft(_graft_zr$i - ${mn}L, $bits) div ${span}L"))
+      // span via BigInt: mx - mn + 1 itself overflows Long on full-range
+      // domains (e.g. hash-valued keys spanning ±2^63)
+      val span = (BigInt(mx) - BigInt(mn)) + 1
+      // Exact integer scaling into [0, 2^bits). Three regimes, widest
+      // domain last — shift-then-div silently wraps negative once
+      // (key - mn) << bits exceeds 2^63 (a span of ~1.4e14 at the
+      // default bits=16: nanosecond timestamps qualify), so the shift
+      // form is only used where it provably cannot overflow.
+      val scaleExpr =
+        if (span <= BigInt(1L << (63 - bits)))
+          // narrow domain: shift then div — floor((k-mn) * 2^bits / span)
+          s"shiftleft(_graft_zr$i - ${mn}L, $bits) div ${span.toLong}L"
+        else if (span <= (BigInt(1) << 63)) {
+          // wide domain: divide FIRST by step = ceil(span / 2^bits) —
+          // same monotone bucketization into [0, 2^bits), no shift to
+          // overflow ((k - mn) <= span - 1 < 2^63 stays a valid Long)
+          val step = ((span + (BigInt(1) << bits) - 1) >> bits).toLong
+          s"(_graft_zr$i - ${mn}L) div ${step}L"
+        } else {
+          // full-range domain (span > 2^63, e.g. xxhash64 keys): the
+          // wrapped difference k - mn is exactly the unsigned offset in
+          // [0, 2^64), so an UNSIGNED shift right by (64 - bits) buckets
+          // it into [0, 2^bits) with step 2^(64-bits) — no signed div
+          // ever sees the wrapped value
+          s"shiftrightunsigned(_graft_zr$i - ${mn}L, ${64 - bits})"
+        }
+      acc.withColumn(s"_graft_zs$i", expr(scaleExpr))
     }
     val zExpr = (0 until bits).flatMap { b =>
       (0 until d).map(i =>
