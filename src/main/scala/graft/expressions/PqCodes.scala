@@ -1,0 +1,250 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd product-quantization ENCODE over a plan-constant codebook:
+  * for one input vector, the m sub-codes (per-subspace argmin squared-L2
+  * codeword) plus the total squared reconstruction error, in ONE fused
+  * loop — the memory face of ANN at 10⁹ vectors (a 64-dim float vector is
+  * 256 B; its m=8 one-byte codes are 8 B, 32×, and ADC search reads ONLY
+  * codes).
+  *
+  * Same plan-shape argument as [[CodebookArgmax]]: the declarative form
+  * (explode m subspaces × join ksub codewords × min-struct agg) fans each
+  * vector out m × ksub rows and plans a SortAggregate; this expression is
+  * a scalar projection — no fan-out, no aggregation, no shuffle, cost
+  * exactly m × ksub × subDim fused multiply-adds per vector inside
+  * WholeStageCodegen.
+  *
+  * Bit-parity contract (what the DuckDB oracle replays):
+  *  - squared distance per codeword = left fold from 0.0 of
+  *    (v[off+t] − w[t])² in subspace order, elements widened
+  *    float→double BEFORE the subtract; the difference is squared by
+  *    self-multiplication (never pow(), whose libm rounding differs
+  *    across engines);
+  *  - ties break to the LOWER code (strict `<` improvement on a left
+  *    scan), the oracle's `ORDER BY dist ASC, code ASC`;
+  *  - `err` accumulates the m winning distances in subspace order, left
+  *    fold from 0.0;
+  *  - a null input vector, or one shorter than m × subDim, yields a NULL
+  *    result row (refuse, don't zero-pad: a truncated embedding encoding
+  *    silently would corrupt the index).
+  *
+  * `codewords(j)(c)` is codeword c of subspace j; subspaces may have
+  * different widths (offsets accumulate), codes within a subspace are
+  * dense 0..k_j−1 by construction (the operator validates).
+  */
+case class PqCodes(child: Expression, codewords: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_pq_codes"
+  override def nullable: Boolean = true
+  override def dataType: DataType = PqCodes.outType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+        if codewords.nonEmpty && codewords.forall(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input and non-empty per-subspace codebooks")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    PqCodes.encode(v.asInstanceOf[ArrayData], codewords)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cwRef = ctx.addReferenceObj("pqCw", codewords, "double[][][]")
+    ev.copy(code = c.code +
+      code"""
+        |org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+        |  graft.expressions.PqCodes.encode(
+        |    ${c.isNull} ? null : ${c.value}, $cwRef);
+        |boolean ${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqCodes {
+  val outType: StructType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("err", DoubleType, nullable = false)))
+
+  /** Shared by interpreted and generated paths. Null or short input →
+    * null (see class doc). */
+  def encode(v: ArrayData, cw: Array[Array[Array[Double]]]): InternalRow = {
+    if (v == null) return null
+    val m = cw.length
+    var total = 0
+    var j = 0
+    while (j < m) { total += cw(j)(0).length; j += 1 }
+    if (v.numElements() < total) return null
+    val codes = new Array[Int](m)
+    var err = 0.0
+    var off = 0
+    j = 0
+    while (j < m) {
+      val sub = cw(j)
+      val subDim = sub(0).length
+      var bestC = 0
+      var bestD = Double.MaxValue
+      var first = true
+      var c = 0
+      while (c < sub.length) {
+        val w = sub(c)
+        var s = 0.0
+        var t = 0
+        while (t < subDim) {
+          val d = v.getFloat(off + t).toDouble - w(t)
+          s += d * d
+          t += 1
+        }
+        if (first || s < bestD) { bestD = s; bestC = c; first = false }
+        c += 1
+      }
+      codes(j) = bestC
+      err += bestD
+      off += subDim
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](ArrayData.toArrayData(codes), err))
+  }
+}
+
+/** Codegen'd asymmetric-distance TABLE for one QUERY vector: entry
+  * `offs(j) + c` is the squared L2 distance between the query's j-th
+  * sub-vector and codeword c of subspace j — computed once per QUERY,
+  * so scoring a corpus row ([[PqAdcLookup]]) is m array reads instead of
+  * m × subDim multiplies. Same fold/widening/null contract as
+  * [[PqCodes]]. */
+case class PqDistTable(child: Expression, codewords: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_pq_dist_table"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _)
+        if codewords.nonEmpty && codewords.forall(_.nonEmpty) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input and non-empty per-subspace codebooks")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    PqDistTable.table(v.asInstanceOf[ArrayData], codewords)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cwRef = ctx.addReferenceObj("pqCw", codewords, "double[][][]")
+    ev.copy(code = c.code +
+      code"""
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  graft.expressions.PqDistTable.table(
+        |    ${c.isNull} ? null : ${c.value}, $cwRef);
+        |boolean ${ev.isNull} = ${ev.value} == null;
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqDistTable {
+  def table(v: ArrayData, cw: Array[Array[Array[Double]]]): ArrayData = {
+    if (v == null) return null
+    val m = cw.length
+    var total = 0
+    var size = 0
+    var j = 0
+    while (j < m) { total += cw(j)(0).length; size += cw(j).length; j += 1 }
+    if (v.numElements() < total) return null
+    val out = new Array[Double](size)
+    var off = 0
+    var pos = 0
+    j = 0
+    while (j < m) {
+      val sub = cw(j)
+      val subDim = sub(0).length
+      var c = 0
+      while (c < sub.length) {
+        val w = sub(c)
+        var s = 0.0
+        var t = 0
+        while (t < subDim) {
+          val d = v.getFloat(off + t).toDouble - w(t)
+          s += d * d
+          t += 1
+        }
+        out(pos) = s
+        pos += 1
+        c += 1
+      }
+      off += subDim
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Codegen'd ADC score: left-fold from 0.0 of `qtab(offs(j) + codes(j))`
+  * in subspace order — the per-candidate cost of PQ search, m array
+  * reads and adds. `offs` are the per-subspace starts into the flattened
+  * query table ([[PqDistTable]]'s layout). Null on either side → null. */
+case class PqAdcLookup(left: Expression, right: Expression, offs: Array[Int])
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_pq_adc"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(IntegerType, _))
+          if offs.nonEmpty =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<int>) inputs")
+    }
+
+  override def nullSafeEval(qtab: Any, codes: Any): Any =
+    PqAdcLookup.score(qtab.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], offs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val offsRef = ctx.addReferenceObj("pqOffs", offs, "int[]")
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.expressions.PqAdcLookup.score($q, $c, $offsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcLookup {
+  def score(qtab: ArrayData, codes: ArrayData, offs: Array[Int]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < offs.length) {
+      s += qtab.getDouble(offs(j) + codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+}

@@ -351,6 +351,122 @@ object Similarity {
     cellMeans(asg, "f_vec")
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Seed-rule product-quantization codebook: codeword c of subspace j is
+    * the j-th sub-vector of the corpus vector with id c (the `ksub`
+    * lowest-id vectors) — the same deterministic, engine-portable
+    * "training" convention as [[ivfTopK]]'s seed centroids; swap in a
+    * trained codebook (same (sub, code, w_vec) shape) without touching
+    * the encode/search dataflow. */
+  def pqCodebookSeed(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, ksub: Int, subDim: Int): DataFrame = {
+    require(m > 0 && ksub > 0 && subDim > 0, "m, ksub, subDim must be positive")
+    corpus.filter(col(idCol) < ksub)
+      .select(col(idCol).cast("int").as("code"), col(vecCol).as("_v"))
+      .select(col("code"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("sub"),
+          slice(col("_v"), j * subDim + 1, subDim).as("w_vec"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("code"), col("e.w_vec").as("w_vec"))
+  }
+
+  /** Collect a (sub, code, w_vec) PQ codebook for expression compilation
+    * (same broadcast-sized-by-contract argument as [[collectCodebook]]).
+    * Validates: subspaces dense 0..m−1, codes dense 0..k_j−1 within each
+    * subspace (ADC tables index by code, so a gap would silently score
+    * the wrong codeword), uniform width within a subspace. */
+  private def collectPqCodebook(codebooks: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = codebooks
+      .select(col("sub").cast("int"), col("code").cast("int"), col("w_vec"))
+      .collect()
+    require(rows.nonEmpty, "PQ codebook is empty")
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val bySub = Array.fill(m)(scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Array[Double])])
+    rows.foreach { r =>
+      val s = r.getInt(0)
+      require(s >= 0, s"negative subspace id $s")
+      bySub(s) += (r.getInt(1) ->
+        r.getSeq[Number](2).map(_.doubleValue()).toArray)
+    }
+    bySub.zipWithIndex.map { case (buf, j) =>
+      require(buf.nonEmpty, s"PQ codebook: subspace $j has no codewords")
+      val sorted = buf.sortBy(_._1).toArray
+      require(sorted.map(_._1).sameElements(sorted.indices),
+        s"PQ codebook: subspace $j codes must be dense 0..k-1, got " +
+          sorted.map(_._1).mkString(","))
+      val w = sorted.map(_._2)
+      require(w.forall(_.length == w(0).length),
+        s"PQ codebook: subspace $j codewords differ in width")
+      w
+    }
+  }
+
+  /** Product-quantization ENCODE: compress each vector to its m
+    * per-subspace codes (plus total squared reconstruction error) in one
+    * scalar projection — [[graft.expressions.PqCodes]], the
+    * [[ivfAssign]] plan shape (no join, no aggregation, no shuffle). The
+    * codes column is what a 10⁹-vector index STORES (m bytes/vector vs
+    * 4·dim — 32× at m=8, dim=64 float) and what [[pqTopK]] scans;
+    * `keepVec` appends the input vector for compose-stage use. Null or
+    * truncated vectors refuse to encode (null row out). */
+  def pqEncode(batch: DataFrame, codebooks: DataFrame,
+               idCol: String, vecCol: String,
+               keepVec: Boolean = false): DataFrame = {
+    val cw = collectPqCodebook(codebooks)
+    val enc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqCodes(
+      org.apache.spark.sql.GraftExpr.expr(col("_v")), cw))
+    batch
+      .select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .withColumn("_e", enc)
+      .select(col("vec_id") +: col("_e.codes").as("codes") +:
+        col("_e.err").as("err") +:
+        (if (keepVec) Seq(col("_v").as(vecCol)) else Nil): _*)
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): corpus rows are
+    * scored from their CODES alone — each query precomputes its
+    * (Σ_j k_j)-entry distance table once ([[graft.expressions
+    * .PqDistTable]]), and a candidate costs m table reads
+    * ([[graft.expressions.PqAdcLookup]]), not a dim-wide dot product.
+    * Scale shape: queries (broadcast-sized by contract) ship tables, the
+    * corpus ships m-byte codes, nothing else moves — at 10⁹ vectors the
+    * scan side is 8 B/row instead of 256 B, and the arithmetic per
+    * candidate drops dim/m ×. Approximation contract: distances are to
+    * the RECONSTRUCTED corpus vectors (squared L2), so ranks drift from
+    * exact brute force as reconstruction error grows — the compression/
+    * recall trade every PQ index makes; re-rank survivors against raw
+    * vectors when exactness matters. Ties break to the lower neighbor
+    * id. Returns (q_id, n_id, rnk, adc). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cw = collectPqCodebook(codebooks)
+    val offs = cw.scanLeft(0)(_ + _.length).init
+    val enc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqCodes(
+      org.apache.spark.sql.GraftExpr.expr(col("_v")), cw))
+    val c = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("_v"))
+      .withColumn("_e", enc)
+      .select(col("n_id"), col("_e.codes").as("_codes"))
+    val qtab = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqDistTable(
+      org.apache.spark.sql.GraftExpr.expr(col("_qv")), cw))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
+      .withColumn("_qtab", qtab)
+      .drop("_qv")
+    val adc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqAdcLookup(
+      org.apache.spark.sql.GraftExpr.expr(col("_qtab")),
+      org.apache.spark.sql.GraftExpr.expr(col("_codes")), offs))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc").asc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked on
     * `blockCol` (cluster/label/LSH bucket) so the pair join never goes
     * quadratic in the corpus.
