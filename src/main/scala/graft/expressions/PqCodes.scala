@@ -33,9 +33,11 @@ import org.apache.spark.sql.types._
   *    scan), the oracle's `ORDER BY dist ASC, code ASC`;
   *  - `err` accumulates the m winning distances in subspace order, left
   *    fold from 0.0;
-  *  - a null input vector, or one shorter than m × subDim, yields a NULL
-  *    result row (refuse, don't zero-pad: a truncated embedding encoding
-  *    silently would corrupt the index).
+  *  - a null input vector, one shorter than m × subDim, or one with a
+  *    NULL ELEMENT anywhere in the encoded prefix yields a NULL result
+  *    row (refuse, don't zero-pad: a truncated or hole-y embedding
+  *    encoding silently would corrupt the index — `ArrayData.getFloat`
+  *    on a null slot reads 0.0, so the null scan must run first).
   *
   * `codewords(j)(c)` is codeword c of subspace j; subspaces may have
   * different widths (offsets accumulate), codes within a subspace are
@@ -92,6 +94,8 @@ object PqCodes {
     var j = 0
     while (j < m) { total += cw(j)(0).length; j += 1 }
     if (v.numElements() < total) return null
+    var i = 0
+    while (i < total) { if (v.isNullAt(i)) return null; i += 1 }
     val codes = new Array[Int](m)
     var err = 0.0
     var off = 0
@@ -175,6 +179,8 @@ object PqDistTable {
     var j = 0
     while (j < m) { total += cw(j)(0).length; size += cw(j).length; j += 1 }
     if (v.numElements() < total) return null
+    var i = 0
+    while (i < total) { if (v.isNullAt(i)) return null; i += 1 }
     val out = new Array[Double](size)
     var off = 0
     var pos = 0
@@ -206,8 +212,18 @@ object PqDistTable {
 /** Codegen'd ADC score: left-fold from 0.0 of `qtab(offs(j) + codes(j))`
   * in subspace order — the per-candidate cost of PQ search, m array
   * reads and adds. `offs` are the per-subspace starts into the flattened
-  * query table ([[PqDistTable]]'s layout). Null on either side → null. */
-case class PqAdcLookup(left: Expression, right: Expression, offs: Array[Int])
+  * query table ([[PqDistTable]]'s layout); `widths` are the per-subspace
+  * codeword counts k_j. Null on either side → null.
+  *
+  * Mismatch contract: a codes column encoded against a DIFFERENT
+  * codebook than the query table (wrong m, or code ≥ k_j) would
+  * otherwise silently read a neighboring subspace's table entry — a
+  * wrong distance with no error. The score therefore VALIDATES both the
+  * code count (must equal m) and each code against its subspace width,
+  * and throws a descriptive error on violation: fail loudly, never
+  * mis-rank (the refuse-don't-corrupt posture of [[PqCodes]]). */
+case class PqAdcLookup(left: Expression, right: Expression, offs: Array[Int],
+                       widths: Array[Int])
     extends BinaryExpression {
 
   override def prettyName: String = "graft_pq_adc"
@@ -224,12 +240,13 @@ case class PqAdcLookup(left: Expression, right: Expression, offs: Array[Int])
 
   override def nullSafeEval(qtab: Any, codes: Any): Any =
     PqAdcLookup.score(qtab.asInstanceOf[ArrayData],
-      codes.asInstanceOf[ArrayData], offs)
+      codes.asInstanceOf[ArrayData], offs, widths)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val offsRef = ctx.addReferenceObj("pqOffs", offs, "int[]")
+    val widthsRef = ctx.addReferenceObj("pqWidths", widths, "int[]")
     nullSafeCodeGen(ctx, ev, (q, c) =>
-      s"${ev.value} = graft.expressions.PqAdcLookup.score($q, $c, $offsRef);")
+      s"${ev.value} = graft.expressions.PqAdcLookup.score($q, $c, $offsRef, $widthsRef);")
   }
 
   override protected def withNewChildrenInternal(
@@ -238,11 +255,24 @@ case class PqAdcLookup(left: Expression, right: Expression, offs: Array[Int])
 }
 
 object PqAdcLookup {
-  def score(qtab: ArrayData, codes: ArrayData, offs: Array[Int]): Double = {
+  def score(qtab: ArrayData, codes: ArrayData, offs: Array[Int],
+            widths: Array[Int]): Double = {
+    val m = offs.length
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: codes column has ${codes.numElements()} sub-codes " +
+          s"but the query table was built for m=$m subspaces — the codes " +
+          "were encoded against a different codebook")
     var s = 0.0
     var j = 0
-    while (j < offs.length) {
-      s += qtab.getDouble(offs(j) + codes.getInt(j))
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= widths(j))
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $c out of range for subspace $j " +
+            s"(k_$j=${widths(j)}) — the codes were encoded against a " +
+            "different codebook than the query distance table")
+      s += qtab.getDouble(offs(j) + c)
       j += 1
     }
     s

@@ -436,28 +436,55 @@ object Similarity {
     * the RECONSTRUCTED corpus vectors (squared L2), so ranks drift from
     * exact brute force as reconstruction error grows — the compression/
     * recall trade every PQ index makes; re-rank survivors against raw
-    * vectors when exactness matters. Ties break to the lower neighbor
-    * id. Returns (q_id, n_id, rnk, adc). */
+    * vectors when exactness matters ([[ivfPqTopK]]'s `rerank` face
+    * implements exactly that). Ties break to the lower neighbor id.
+    * Returns (q_id, n_id, rnk, adc).
+    *
+    * Refusal semantics: a corpus vector that REFUSES to encode (null /
+    * truncated / null-element → [[graft.expressions.PqCodes]] yields
+    * null codes) is DROPPED from the candidate set, and a query vector
+    * that refuses its distance table is dropped from the query set —
+    * without the filters, Spark's default NULLS FIRST ascending sort
+    * would rank every refused row FIRST for every query, silently
+    * inverting "refuse, don't zero-pad" into "rank above every real
+    * neighbor".
+    *
+    * Guard: the query side broadcasts one (Σ_j k_j)-entry double table
+    * per row, so a corpus-sized query frame would broadcast GBs; like
+    * [[nearDupPairs]]'s block guard, the operator pre-counts the query
+    * side (one column-pruned action, queries are small by contract) and
+    * REFUSES above `maxQueryRows` — swap sides or batch the queries. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
-             idCol: String, vecCol: String, k: Int): DataFrame = {
+             idCol: String, vecCol: String, k: Int,
+             maxQueryRows: Long = 1L << 20): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxQueryRows > 0, "maxQueryRows must be positive")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"pqTopK: query side holds $nq rows > maxQueryRows=$maxQueryRows; " +
+        "each query row broadcasts a distance table, so a corpus-sized " +
+        "query frame is a mis-use — batch the queries or raise the cap " +
+        "deliberately")
     val cw = collectPqCodebook(codebooks)
     val offs = cw.scanLeft(0)(_ + _.length).init
+    val widths = cw.map(_.length)
     val enc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqCodes(
       org.apache.spark.sql.GraftExpr.expr(col("_v")), cw))
     val c = corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("_v"))
       .withColumn("_e", enc)
       .select(col("n_id"), col("_e.codes").as("_codes"))
+      .filter(col("_codes").isNotNull)
     val qtab = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqDistTable(
       org.apache.spark.sql.GraftExpr.expr(col("_qv")), cw))
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
       .withColumn("_qtab", qtab)
       .drop("_qv")
+      .filter(col("_qtab").isNotNull)
     val adc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqAdcLookup(
       org.apache.spark.sql.GraftExpr.expr(col("_qtab")),
-      org.apache.spark.sql.GraftExpr.expr(col("_codes")), offs))
+      org.apache.spark.sql.GraftExpr.expr(col("_codes")), offs, widths))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("adc", adc)
       .withColumn("rnk", row_number().over(
@@ -465,6 +492,182 @@ object Similarity {
           .orderBy(col("adc").asc, col("n_id").asc)))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
+
+  /** Train the PQ codebook: `steps` per-subspace Lloyd refinements
+    * seeded from any (sub, code, w_vec) codebook (e.g.
+    * [[pqCodebookSeed]]) — the same seed → [[kmeansIter]] journey the
+    * IVF family made, restricted to each subspace slice. PQ recall is
+    * codebook-bound: the seed rule quantizes against arbitrary corpus
+    * sub-vectors, training moves each codeword to the MEAN of the
+    * sub-vectors it actually wins, monotonically shrinking
+    * reconstruction error (standard Lloyd guarantee, per subspace
+    * independently).
+    *
+    * One step = one corpus ENCODE (a scalar projection,
+    * [[graft.expressions.PqCodes]] — no join, no corpus shuffle) + one
+    * mean-shuffle keyed (sub, code, d): at most m × k_j × subDim ≤ a few
+    * thousand groups, partial-aggregated map-side, so the exchange
+    * carries group sums, never corpus rows. The corpus itself NEVER
+    * shuffles — at 100 TB each step is one pass of fused multiply-adds
+    * plus a KB-scale aggregate.
+    *
+    * Determinism contract (what the DuckDB oracle replays bit-for-bit):
+    * means use [[cellMeans]]'s scale-10¹⁰ fixed-point sums (order-free
+    * integer adds, two IEEE divides — see that scaladoc for the
+    * round()-not-DECIMAL tie argument); a codeword that wins NO vectors
+    * keeps its previous weights (codes stay dense 0..k_j−1, the
+    * [[collectPqCodebook]] invariant ADC indexing depends on — dropping
+    * it would shift every later codeword's table slot); refused
+    * encodings (null/truncated/null-element vectors) train nothing.
+    * Float seed weights widen to double exactly on the kept path.
+    * Returns (sub, code, w_vec: array<double>), materialized per step
+    * (codebooks are KB-scale by contract) so iteration cost is flat. */
+  def pqCodebookTrain(corpus: DataFrame, codebooks: DataFrame,
+                      idCol: String, vecCol: String,
+                      steps: Int = 1): DataFrame = {
+    require(steps > 0, "steps must be positive")
+    var current = codebooks
+    var step = 0
+    while (step < steps) {
+      val cw = collectPqCodebook(current)
+      val m = cw.length
+      val voffs = cw.map(_(0).length).scanLeft(0)(_ + _).init
+      val asg = pqEncode(corpus, current, idCol, vecCol, keepVec = true)
+        .filter(col("codes").isNotNull)
+        .select(explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            element_at(col("codes"), j + 1).as("code"),
+            slice(col(vecCol), voffs(j) + 1, cw(j)(0).length).as("sv"))): _*))
+          .as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          col("e.sv").as("sv"))
+      // per-(sub, code, d) fixed-point-exact means — cellMeans' exact
+      // discipline on the compound codeword key
+      val trained = asg
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("sub", "code", "d")
+        .agg((sum(round(col("x").cast("double") * lit(1e10)).cast("long"))
+          .cast("double") / lit(1e10) / count(col("x"))).as("mn"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("d"), col("mn")))).as("dm"))
+        .select(col("sub"), col("code"),
+          expr("transform(dm, p -> p.mn)").as("_w_new"))
+      current = current
+        .select(col("sub"), col("code"),
+          col("w_vec").cast("array<double>").as("_w_old"))
+        .join(trained, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("_w_new"), col("_w_old")).as("w_vec"))
+        .localCheckpoint()
+      step += 1
+    }
+    current
+  }
+
+  /** IVF-PQ: the composed production index at 10⁹ vectors — route each
+    * query to its `nProbe` best cells ([[ivfTopKWith]]'s probe side),
+    * then ADC-score ONLY cell-resident CODES ([[pqTopK]]'s scoring
+    * side). [[pqTopK]] alone scans the whole corpus per query batch
+    * (linear, honest, but unrouted); [[ivfTopKWith]] alone routes but
+    * scores raw floats (dim-wide dots over 4·dim-byte rows). Composed,
+    * the scan touches ~nProbe/C of the corpus AND each touched row costs
+    * m table reads over m bytes — both the work and the bytes drop
+    * multiplicatively.
+    *
+    * Scale shape: the corpus is assigned once by scalar projection
+    * ([[ivfAssign]], or the routed [[ivfAssignTwoLevel]] via `coarse`)
+    * and ships (cell, n_id, m codes) — NEVER raw vectors — into the
+    * probe join; queries broadcast (cell, distance-table) rows. With
+    * `rerank` = r > 0, the top-r ADC survivors (nq × r rows, tiny by
+    * construction) broadcast back against the raw corpus keyed on id for
+    * EXACT cosine re-ranking to top-k — the standard two-stage
+    * retrieve: raw floats are touched for survivors only, so the scan
+    * stays codes-only. Output: (q_id, n_id, rnk, adc) unranked face, or
+    * (q_id, n_id, rnk, cos) with re-rank.
+    *
+    * Same refusal semantics and query-side count guard as [[pqTopK]];
+    * same argmax/tie rules as [[ivfTopKWith]] (assignment ties to the
+    * higher cell, ADC ties to the lower neighbor id, re-rank cosine ties
+    * to the lower neighbor id). `rerank` must be ≥ k when on — a re-rank
+    * pool smaller than k would silently return fewer than k rows. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                codebooks: DataFrame, idCol: String, vecCol: String,
+                k: Int, nProbe: Int = 4, rerank: Int = 0, dim: Int = 64,
+                coarse: Option[DataFrame] = None,
+                maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nProbe > 0, "nProbe must be positive")
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (off) or >= k, got rerank=$rerank k=$k")
+    require(maxQueryRows > 0, "maxQueryRows must be positive")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"ivfPqTopK: query side holds $nq rows > maxQueryRows=$maxQueryRows; " +
+        "each query row broadcasts nProbe distance-table rows — batch the " +
+        "queries or raise the cap deliberately")
+    val cw = collectPqCodebook(codebooks)
+    val offs = cw.scanLeft(0)(_ + _.length).init
+    val widths = cw.map(_.length)
+    val enc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqCodes(
+      org.apache.spark.sql.GraftExpr.expr(col("_v")), cw))
+    // corpus → cell + codes: two scalar projections, zero corpus shuffle
+    val c = coarse.fold(
+        ivfAssign(corpus, centroids, idCol, vecCol, dim, keepVec = true)) {
+        cc => ivfAssignTwoLevel(corpus, cc,
+          centroids.select(col("cell"), col("c_vec").as("f_vec")),
+          idCol, vecCol, dim, keepVec = true)
+      }
+      .select(col("vec_id").as("n_id"), col("cell"), col(vecCol).as("_v"))
+      .withColumn("_e", enc)
+      .select(col("n_id"), col("cell"), col("_e.codes").as("_codes"))
+      .filter(col("_codes").isNotNull)
+    // queries → nProbe cells (flat rank — queries are the small side) +
+    // one distance table per query, computed BEFORE the probe fan-out
+    val cent = centroids.select(col("cell"), col("c_vec"),
+      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
+    val qtab = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqDistTable(
+      org.apache.spark.sql.GraftExpr.expr(col("_qv")), cw))
+    val q0 = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
+        VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+      .withColumn("_qtab", qtab)
+      .filter(col("_qtab").isNotNull)
+    val qcos = when(col("q_nrm") > 0.0 && col("c_nrm") > 0.0,
+      VectorFns.dotN(col("_qv"), col("c_vec"), dim) / (col("q_nrm") * col("c_nrm")))
+    val probes = q0.join(broadcast(cent))
+      .withColumn("prb", row_number().over(
+        Window.partitionBy("q_id").orderBy(qcos.desc, col("cell").desc)))
+      .filter(col("prb") <= nProbe)
+      .select(col("q_id"), col("cell"), col("_qtab"),
+        col("_qv").as("q_vec"), col("q_nrm"))
+    val adc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqAdcLookup(
+      org.apache.spark.sql.GraftExpr.expr(col("_qtab")),
+      org.apache.spark.sql.GraftExpr.expr(col("_codes")), offs, widths))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc").asc, col("n_id").asc)))
+    if (rerank == 0)
+      scored.filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+    else {
+      // exact re-rank: survivors (nq × rerank rows) broadcast against
+      // the raw corpus — floats are read for survivors only
+      val surv = scored.filter(col("rnk") <= rerank)
+        .select(col("q_id"), col("n_id"), col("q_vec"), col("q_nrm"))
+      val raw = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+      raw.join(broadcast(surv), Seq("n_id"))
+        .withColumn("cos", cosFromNorms(dim))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("n_id").asc)))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos"))
+    }
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked on

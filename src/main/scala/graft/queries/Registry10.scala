@@ -12,6 +12,14 @@ object Registry10 {
 
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** DuckDB left-fold cosine (Registry2's shape — same fold order as
+    * [[graft.functions.VectorFns.dotN]]/l2NormN). */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+  private def sqlCos(a: String, b: String): String =
+    s"""(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"""
+
   /** DuckDB squared-L2 between subspace j (0-based, width 8) of two
     * FLOAT[64] lists: left fold from 0.0, difference squared by
     * self-multiplication (pow()'s libm rounding is not cross-engine
@@ -45,11 +53,14 @@ object Registry10 {
     * no join, no shuffle; at 10⁹ vectors the stored index is 8 B/vector
     * against 256 B of raw floats. The oracle replays the argmin
     * (dist ASC, code ASC ≡ the expression's strict-< left scan) and the
-    * subspace-order error fold, bit-for-bit. */
+    * subspace-order error fold, bit-for-bit. The codes array leaves the
+    * engine as a comma-joined STRING on both sides — the gate's
+    * canonicalizer sorts rows on every column, and raw array cells are
+    * unsortable there (the q14/q36 convention, Registry.scala). */
   val annPqEncode = Q("ann_pq_encode",
     s"""WITH $sqlPqCodes
        |SELECT n_id AS vec_id,
-       |  list(CAST(code AS INT) ORDER BY sub) AS codes,
+       |  array_to_string(list(CAST(code AS INT) ORDER BY sub), ',') AS codes,
        |  list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
        |    (x, y) -> x + y) AS err
        |FROM codes GROUP BY n_id ORDER BY vec_id""".stripMargin) { (s, d) =>
@@ -57,6 +68,7 @@ object Registry10 {
     Similarity.pqEncode(e,
       Similarity.pqCodebookSeed(e, "vec_id", "embedding", m = 8, ksub = 16, subDim = 8),
       "vec_id", "embedding")
+      .withColumn("codes", array_join(col("codes"), ","))
       .orderBy("vec_id")
   }
 
@@ -94,5 +106,155 @@ object Registry10 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Squared L2 between subspace `j` of full vector `a` and an 8-wide
+    * DOUBLE codeword list `w8` — [[sqlSubDist]] with a pre-sliced right
+    * side (trained codewords are stored per-subspace). */
+  private def sqlSubDist8(a: String, j: String, w8: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |  t -> (CAST($a[$j*8 + t] AS DOUBLE) - $w8[t])
+       |     * (CAST($a[$j*8 + t] AS DOUBLE) - $w8[t]))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** TRAINED product quantization ([[Similarity.pqCodebookTrain]] →
+    * [[Similarity.pqEncode]]): one per-subspace Lloyd step moves each
+    * codeword to the fixed-point-exact mean of the sub-vectors it wins
+    * under the seed codebook (codewords winning nothing keep their seed
+    * weights — codes stay dense), then the corpus re-encodes against the
+    * refined codebook. The oracle replays the identical journey: seed
+    * argmin assignment, scale-10¹⁰ integer-sum means per (sub, code,
+    * dim), COALESCE to the float→double seed weight for unwon codes,
+    * re-encode with the same strict-< argmin and subspace-order error
+    * fold — the `ann_ivf_kmeans` pattern, restricted to each subspace
+    * slice. A spec ([[graft.operators.PqSpec]]) asserts total
+    * reconstruction error strictly shrinks vs the seed codebook. */
+  val annPqTrained = Q("ann_pq_trained",
+    s"""WITH $sqlPqCodes,
+       |ts AS (SELECT unnest(range(1, 9)) AS t),
+       |tm AS (SELECT n.sub, n.code, s.t,
+       |    CAST(SUM(CAST(round(CAST(b.embedding[n.sub*8 + s.t] AS DOUBLE) * 1e10)
+       |      AS BIGINT)) AS DOUBLE)
+       |      / 1e10 / COUNT(b.embedding[n.sub*8 + s.t]) AS mn
+       |  FROM codes n JOIN embeddings b ON b.vec_id = n.n_id CROSS JOIN ts s
+       |  GROUP BY n.sub, n.code, s.t),
+       |tw AS (SELECT sub, code, list(mn ORDER BY t) AS w FROM tm
+       |  GROUP BY sub, code),
+       |cw1 AS (SELECT s.j AS sub, c.code,
+       |    COALESCE(t.w, list_transform(range(1, 9),
+       |      u -> CAST(c.w[s.j*8 + u] AS DOUBLE))) AS w8
+       |  FROM cw c CROSS JOIN js s
+       |  LEFT JOIN tw t ON t.sub = s.j AND t.code = c.code),
+       |cd1 AS (SELECT b.vec_id AS n_id, c.sub, c.code,
+       |    ${sqlSubDist8("b.embedding", "c.sub", "c.w8")} AS dist
+       |  FROM embeddings b CROSS JOIN cw1 c),
+       |codes1 AS (SELECT n_id, sub, code, dist FROM (
+       |  SELECT n_id, sub, code, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cd1) WHERE rn = 1)
+       |SELECT n_id AS vec_id,
+       |  array_to_string(list(CAST(code AS INT) ORDER BY sub), ',') AS codes,
+       |  list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+       |    (x, y) -> x + y) AS err
+       |FROM codes1 GROUP BY n_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val trained = Similarity.pqCodebookTrain(e,
+      Similarity.pqCodebookSeed(e, "vec_id", "embedding", m = 8, ksub = 16, subDim = 8),
+      "vec_id", "embedding", steps = 1)
+    Similarity.pqEncode(e, trained, "vec_id", "embedding")
+      .withColumn("codes", array_join(col("codes"), ","))
+      .orderBy("vec_id")
+  }
+
+  /** Shared oracle CTEs for the IVF-PQ composition: flat 16-cell
+    * centroid set (the seed vectors double as centroids and codewords),
+    * corpus cell assignment (argmax cosine, ties to the higher cell —
+    * [[Similarity.ivfAssign]]'s rule), query probes (nProbe=4), each
+    * query's per-(sub, code) distance table, and the ADC ranking
+    * restricted to probed cells — the `ann_ivf_topk` restriction pattern
+    * over `ann_pq_topk`'s scoring algebra. */
+  private def sqlIvfPqRanked: String =
+    s"""$sqlPqCodes,
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.vec_id AS q_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY q.vec_id
+       |    ORDER BY ${sqlCos("q.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 4),
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |cand AS (SELECT p.q_id, a.n_id FROM probes p JOIN asg a USING (cell)
+       |  WHERE p.q_id <> a.n_id),
+       |adc AS (SELECT x.q_id, x.n_id,
+       |    list_reduce(list_prepend(0.0, list(x.dist ORDER BY x.sub)),
+       |      (u, y) -> u + y) AS adc
+       |  FROM (SELECT c2.q_id, c2.n_id, q.sub, q.dist
+       |    FROM cand c2 JOIN codes n ON n.n_id = c2.n_id
+       |    JOIN qd q ON q.q_id = c2.q_id AND q.sub = n.sub AND q.code = n.code) x
+       |  GROUP BY x.q_id, x.n_id),
+       |r AS (SELECT q_id, n_id, adc, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM adc)""".stripMargin
+
+  private def ivfPqSparkInputs(s: SparkSession, d: String) = {
+    val e = emb(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    (e, cent, cb)
+  }
+
+  /** IVF-PQ composed top-k ([[Similarity.ivfPqTopK]], no re-rank): route
+    * each query to its 4 best cells, ADC-score only cell-resident CODES
+    * — the 10⁹-vector production shape where both the touched fraction
+    * (nProbe/C) and the bytes per touched row (m codes, not 4·dim
+    * floats) drop multiplicatively. Approximate on BOTH axes by
+    * construction: routing recall (unprobed cells never score, as
+    * `ann_ivf_topk`) and PQ reconstruction error (as `ann_pq_topk`). */
+  val annIvfPqTopK = Q("ann_ivf_pq_topk",
+    s"""WITH $sqlIvfPqRanked
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = ivfPqSparkInputs(s, d)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** IVF-PQ with EXACT re-rank ([[Similarity.ivfPqTopK]] rerank=10):
+    * the top-10 ADC survivors per query re-score against RAW vectors
+    * (exact cosine) and the final top-5 rank by cosine — the standard
+    * two-stage retrieve that buys back PQ reconstruction error where
+    * exactness matters, touching floats for survivors only. The oracle
+    * extends the shared ADC ranking with the survivor re-join and
+    * cosine re-rank (ties to the lower neighbor id). */
+  val annIvfPqRerank = Q("ann_ivf_pq_rerank",
+    s"""WITH $sqlIvfPqRanked,
+       |surv AS (SELECT q_id, n_id FROM r WHERE rnk <= 10),
+       |rr AS (SELECT s.q_id, s.n_id,
+       |    ${sqlCos("q.embedding", "b.embedding")} AS cos
+       |  FROM surv s JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings b ON b.vec_id = s.n_id),
+       |r2 AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM rr)
+       |SELECT q_id, n_id, rnk, cos FROM r2 WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = ivfPqSparkInputs(s, d)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4, rerank = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round11: Seq[Q] = Seq(annPqEncode, annPqTopK)
+  val round12: Seq[Q] = Seq(annPqTrained, annIvfPqTopK, annIvfPqRerank)
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Round-12 PQ family: training, IVF-PQ composition, and the
+  * refuse-don't-corrupt contracts (null-element refusal, codebook
+  * mismatch detection, refused-row dropping, query-side size guard). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private def seedCb = Similarity.pqCodebookSeed(
+    emb, "vec_id", "embedding", m = 8, ksub = 16, subDim = 8)
+
+  private def totalErr(cb: org.apache.spark.sql.DataFrame): Double =
+    Similarity.pqEncode(emb, cb, "vec_id", "embedding")
+      .agg(sum("err")).head().getDouble(0)
+
+  test("pqCodebookTrain: one Lloyd step strictly shrinks reconstruction error") {
+    val seedErr = totalErr(seedCb)
+    val trained = Similarity.pqCodebookTrain(emb, seedCb, "vec_id", "embedding")
+    val trainedErr = totalErr(trained)
+    assert(trainedErr < seedErr,
+      s"trained err $trainedErr !< seed err $seedErr")
+    // two steps never worse than one (Lloyd monotonicity, up to the
+    // 1e-10 fixed-point mean quantization)
+    val twoErr = totalErr(
+      Similarity.pqCodebookTrain(emb, seedCb, "vec_id", "embedding", steps = 2))
+    assert(twoErr <= trainedErr + 1e-6)
+  }
+
+  test("pqCodebookTrain: unwon codewords keep their weights; codes stay dense") {
+    // corpus clusters at (1,1) and (9,9) per subspace; codeword 2 sits
+    // far away at (100, -100) and wins nothing
+    val corpus = Seq(
+      (0L, Array(1.0f, 1.0f, 9.0f, 9.0f)),
+      (1L, Array(1.2f, 0.8f, 8.8f, 9.2f)),
+      (2L, Array(9.0f, 9.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Seq(
+      (0, 0, Array(1.0, 1.0)), (0, 1, Array(9.0, 9.0)), (0, 2, Array(100.0, -100.0)),
+      (1, 0, Array(1.0, 1.0)), (1, 1, Array(9.0, 9.0)), (1, 2, Array(100.0, -100.0))
+    ).toDF("sub", "code", "w_vec")
+    val t = Similarity.pqCodebookTrain(corpus, cb, "vec_id", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getSeq[Double](2).toArray).toMap
+    assert(t.keySet.size == 6, "codes must stay dense — no codeword dropped")
+    // unwon codeword 2 retains its weights in both subspaces
+    assert(t((0, 2)).toSeq == Seq(100.0, -100.0))
+    assert(t((1, 2)).toSeq == Seq(100.0, -100.0))
+    // codeword 0 of subspace 0 moves to the mean of its two winners
+    // (float literals aren't exact decimals — compare to 1e-7)
+    assert(t((0, 0)).zip(Seq(1.1, 0.9)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-7 })
+    // codeword 1 of subspace 0 keeps its single winner's sub-vector
+    assert(t((0, 1)).toSeq == Seq(9.0, 9.0))
+  }
+
+  test("pqEncode: null-element vectors refuse (null codes, never zero-padded)") {
+    val corpus = Seq(
+      (0L, Array[java.lang.Float](1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Seq((0, 0, Array(0.0, 0.0)), (1, 0, Array(0.0, 0.0)))
+      .toDF("sub", "code", "w_vec")
+    val out = Similarity.pqEncode(corpus, cb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!out(0L) && out(1L),
+      "vector with a null element must refuse to encode")
+  }
+
+  test("pqTopK: refused corpus/query rows are dropped, not ranked first") {
+    val corpus = Seq(
+      (0L, Array[java.lang.Float](1.0f, 0.0f)),
+      (1L, Array[java.lang.Float](0.9f, 0.1f)),
+      (2L, Array[java.lang.Float](null, 0.0f)),   // refuses: must NOT outrank 1
+      (3L, Array[java.lang.Float](0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Seq((0, 0, Array(1.0, 0.0)), (0, 1, Array(0.0, 1.0)))
+      .toDF("sub", "code", "w_vec")
+    val got = Similarity.pqTopK(corpus.filter($"vec_id" === 0), corpus, cb,
+      "vec_id", "embedding", k = 2)
+      .select("n_id", "rnk").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(!got.map(_._1).contains(2L), "refused corpus row leaked into top-k")
+    assert(got.toSet == Set((1L, 1), (3L, 2)))
+    // a refused QUERY emits no rows at all (not k null-scored rows)
+    val qNull = Similarity.pqTopK(corpus.filter($"vec_id" === 2), corpus, cb,
+      "vec_id", "embedding", k = 2)
+    assert(qNull.count() == 0)
+  }
+
+  test("pqTopK / ivfPqTopK: query-side count guard refuses a corpus-sized query frame") {
+    val cb = seedCb
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, emb, cb, "vec_id", "embedding", k = 3,
+        maxQueryRows = 100)
+    }
+    assert(e1.getMessage.contains("maxQueryRows"))
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb, emb, cent, cb, "vec_id", "embedding",
+        k = 3, maxQueryRows = 100)
+    }
+    assert(e2.getMessage.contains("maxQueryRows"))
+  }
+
+  test("ivfPqTopK: rerank pool smaller than k refuses") {
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopK(emb.filter($"vec_id" < 2), emb, cent, seedCb,
+        "vec_id", "embedding", k = 5, rerank = 3)
+    }
+    assert(e.getMessage.contains("rerank"))
+  }
+
+  test("ivfPqTopK: all cells probed + full re-rank pool == exact brute force") {
+    // 4 cells, nProbe=4 probes everything; rerank=500 re-ranks every
+    // candidate by exact cosine — the composition must collapse to
+    // bruteForceTopK exactly (recall loss comes ONLY from routing and
+    // PQ approximation, both disabled here)
+    val q = emb.filter($"vec_id" < 3)
+    val cent = emb.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val got = Similarity.ivfPqTopK(q, emb, cent, seedCb,
+      "vec_id", "embedding", k = 5, nProbe = 4, rerank = 500)
+      .select("q_id", "n_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("PqAdcLookup.score: codebook/codes mismatch fails loudly") {
+    val qtab = ArrayData.toArrayData(Array(0.5, 1.5, 2.5, 3.5))
+    // m mismatch: table built for 2 subspaces, codes carry 1
+    val eM = intercept[IllegalArgumentException] {
+      graft.expressions.PqAdcLookup.score(qtab,
+        ArrayData.toArrayData(Array(0)), Array(0, 2), Array(2, 2))
+    }
+    assert(eM.getMessage.contains("different codebook"))
+    // width overflow: code 3 in a k_j=2 subspace
+    val eW = intercept[IllegalArgumentException] {
+      graft.expressions.PqAdcLookup.score(qtab,
+        ArrayData.toArrayData(Array(0, 3)), Array(0, 2), Array(2, 2))
+    }
+    assert(eW.getMessage.contains("out of range"))
+    // valid codes read the right slots
+    val s = graft.expressions.PqAdcLookup.score(qtab,
+      ArrayData.toArrayData(Array(1, 0)), Array(0, 2), Array(2, 2))
+    assert(s == 1.5 + 2.5)
+  }
+}
