@@ -37,7 +37,7 @@ object ScaleProbe {
     grouped.agg(sum(expr("n * (n - 1) div 2")).as("c")).head().getLong(0)
 
   /** Query → family, for the optional 4th-arg family filter (csv of
-    * {minhash,simhash,jaccard,cc,ccwide,ccinc,ann,tfidf,fluency,mix,
+    * {minhash,simhash,jaccard,cc,ccwide,ccinc,ann,pq,tfidf,fluency,mix,
     * spans,decon} —
     * e.g. the 100× point runs `minhash` alone; default runs
     * everything). */
@@ -102,7 +102,7 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
     }
-    if (rebuild && want("ann")) {
+    if (rebuild && (want("ann") || want("pq"))) {
       val c = col("_c")
       val k = (c % 64).cast("int")
       val e = col("embedding")
@@ -351,6 +351,61 @@ object ScaleProbe {
           val t2 = (System.nanoTime() - t0) / 1e9
           println(f"PROBE ivf_assign $scale pass$pass flat_c1024=$tf%.2f two_level_32x1024=$t2%.2f")
         }
+      }
+
+      if (want("pq")) {
+        // PQ family: encode throughput (scalar projection — must scale
+        // linearly with zero shuffle), the EXHAUSTIVE ADC scan (pqTopK —
+        // linear and honest, the pre-routing baseline), and the composed
+        // IVF-PQ (4 of 16 cells probed — cost ∝ probed fraction). The
+        // governing count is Σ probed-cell occupancy vs corpus size:
+        // that ratio, not wall time, is what survives a 1000× scale-up.
+        import graft.operators.Similarity
+        val e = graft.Tables.embeddings(spark, dir)
+        val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+          m = 8, ksub = 16, subDim = 8)
+        val q = e.filter(col("vec_id") < 5)
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+        for (pass <- 1 to 2) {
+          var t0 = System.nanoTime()
+          Similarity.pqEncode(e, cb, "vec_id", "embedding")
+            .write.format("noop").mode("overwrite").save()
+          val tEnc = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          Similarity.pqTopK(q, e, cb, "vec_id", "embedding", k = 5)
+            .write.format("noop").mode("overwrite").save()
+          val tAdc = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          Similarity.ivfPqTopK(q, e, cent, cb, "vec_id", "embedding",
+            k = 5, nProbe = 4)
+            .write.format("noop").mode("overwrite").save()
+          val tIvf = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE pq $scale pass$pass encode_s=$tEnc%.2f " +
+            f"adc_exhaustive_s=$tAdc%.2f ivfpq_4of16_s=$tIvf%.2f")
+        }
+        val n = e.count()
+        val occ = Similarity.ivfAssign(e, cent, "vec_id", "embedding")
+          .groupBy("cell").agg(count(lit(1)).as("n"))
+        val cent2 = cent.withColumn("c_nrm",
+          graft.functions.VectorFns.l2NormN(col("c_vec"), 64))
+        val probes = q.select(col("vec_id").as("q_id"),
+            col("embedding").as("q_vec"),
+            graft.functions.VectorFns.l2NormN(col("embedding"), 64).as("q_nrm"))
+          .join(broadcast(cent2))
+          .withColumn("cos", when(col("q_nrm") > 0.0 && col("c_nrm") > 0.0,
+            graft.functions.VectorFns.dotN(col("q_vec"), col("c_vec"), 64)
+              / (col("q_nrm") * col("c_nrm"))))
+          .withColumn("prb", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+              .orderBy(col("cos").desc, col("cell").desc)))
+          .filter(col("prb") <= 4).select("q_id", "cell")
+        val probed = probes.join(occ, "cell")
+          .agg(sum("n")).head().getLong(0)
+        val exhaustive = n * q.count()
+        println(f"PROBE pq $scale corpus=$n probed_candidates=$probed " +
+          f"exhaustive_candidates=$exhaustive " +
+          f"scan_fraction=${probed.toDouble / exhaustive}%.4f")
       }
 
       if (want("mix")) {
