@@ -127,9 +127,13 @@ object Registry10 {
     * fold — the `ann_ivf_kmeans` pattern, restricted to each subspace
     * slice. A spec ([[graft.operators.PqSpec]]) asserts total
     * reconstruction error strictly shrinks vs the seed codebook. */
-  val annPqTrained = Q("ann_pq_trained",
-    s"""WITH $sqlPqCodes,
-       |ts AS (SELECT unnest(range(1, 9)) AS t),
+  /** One-step trained codebook + corpus re-encode, shared by the two
+    * trained-PQ oracles: `cw1` = (sub, code, w8) after one Lloyd step
+    * (unwon codewords COALESCE to the float→double seed weight),
+    * `codes1` = every corpus vector's argmin codes + distances against
+    * cw1. Extends [[sqlPqCodes]]'s CTE chain. */
+  private def sqlPqTrainedCodes: String =
+    s"""ts AS (SELECT unnest(range(1, 9)) AS t),
        |tm AS (SELECT n.sub, n.code, s.t,
        |    CAST(SUM(CAST(round(CAST(b.embedding[n.sub*8 + s.t] AS DOUBLE) * 1e10)
        |      AS BIGINT)) AS DOUBLE)
@@ -149,7 +153,11 @@ object Registry10 {
        |codes1 AS (SELECT n_id, sub, code, dist FROM (
        |  SELECT n_id, sub, code, dist, ROW_NUMBER() OVER (
        |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
-       |  FROM cd1) WHERE rn = 1)
+       |  FROM cd1) WHERE rn = 1)""".stripMargin
+
+  val annPqTrained = Q("ann_pq_trained",
+    s"""WITH $sqlPqCodes,
+       |$sqlPqTrainedCodes
        |SELECT n_id AS vec_id,
        |  array_to_string(list(CAST(code AS INT) ORDER BY sub), ',') AS codes,
        |  list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
@@ -173,7 +181,17 @@ object Registry10 {
     * over `ann_pq_topk`'s scoring algebra. */
   private def sqlIvfPqRanked: String =
     s"""$sqlPqCodes,
-       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${sqlIvfAdcRank("codes", "qd")}""".stripMargin
+
+  /** The routing + restricted-ADC half, parametrized over the corpus
+    * CODES CTE and per-query distance-table CTE (seed vs trained
+    * codebooks differ only in those two inputs). */
+  private def sqlIvfAdcRank(codesCte: String, qdCte: String): String =
+    s"""cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
        |  FROM embeddings WHERE vec_id < 16),
        |asg AS (SELECT n_id, cell FROM (
        |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
@@ -185,18 +203,14 @@ object Registry10 {
        |    PARTITION BY q.vec_id
        |    ORDER BY ${sqlCos("q.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
        |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 4),
-       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
-       |    ${sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
-       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
-       |  WHERE q.vec_id < 5),
        |cand AS (SELECT p.q_id, a.n_id FROM probes p JOIN asg a USING (cell)
        |  WHERE p.q_id <> a.n_id),
        |adc AS (SELECT x.q_id, x.n_id,
        |    list_reduce(list_prepend(0.0, list(x.dist ORDER BY x.sub)),
        |      (u, y) -> u + y) AS adc
        |  FROM (SELECT c2.q_id, c2.n_id, q.sub, q.dist
-       |    FROM cand c2 JOIN codes n ON n.n_id = c2.n_id
-       |    JOIN qd q ON q.q_id = c2.q_id AND q.sub = n.sub AND q.code = n.code) x
+       |    FROM cand c2 JOIN $codesCte n ON n.n_id = c2.n_id
+       |    JOIN $qdCte q ON q.q_id = c2.q_id AND q.sub = n.sub AND q.code = n.code) x
        |  GROUP BY x.q_id, x.n_id),
        |r AS (SELECT q_id, n_id, adc, CAST(ROW_NUMBER() OVER (
        |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
@@ -255,6 +269,31 @@ object Registry10 {
       .orderBy("q_id", "rnk")
   }
 
+  /** The full production configuration in one gate: TRAINED PQ codebook
+    * (one Lloyd step) feeding the routed IVF-PQ scan — corpus codes and
+    * query distance tables both against the refined codewords, ADC
+    * restricted to the 4 probed cells of 16. The oracle swaps the seed
+    * codes/tables for the trained ones (`codes1`, `qd1` over cw1) inside
+    * the SAME routing + rank algebra ([[sqlIvfAdcRank]]) — training
+    * changes the quantizer, never the dataflow. */
+  val annIvfPqTrained = Q("ann_ivf_pq_trained",
+    s"""WITH $sqlPqCodes,
+       |$sqlPqTrainedCodes,
+       |qd1 AS (SELECT q.vec_id AS q_id, c.sub, c.code,
+       |    ${sqlSubDist8("q.embedding", "c.sub", "c.w8")} AS dist
+       |  FROM embeddings q CROSS JOIN cw1 c WHERE q.vec_id < 5),
+       |${sqlIvfAdcRank("codes1", "qd1")}
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = ivfPqSparkInputs(s, d)
+    val trained = Similarity.pqCodebookTrain(e, cb, "vec_id", "embedding")
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, cent, trained,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round11: Seq[Q] = Seq(annPqEncode, annPqTopK)
-  val round12: Seq[Q] = Seq(annPqTrained, annIvfPqTopK, annIvfPqRerank)
+  val round12: Seq[Q] =
+    Seq(annPqTrained, annIvfPqTopK, annIvfPqRerank, annIvfPqTrained)
 }

@@ -136,6 +136,29 @@ class PqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ivfPqTopK: two-level coarse routing composes (k rows/query, adc parity on probed set)") {
+    // coarse routes over the same fine cells: assignments may differ
+    // from the flat argmax (the routed approximation), but the ADC
+    // algebra must be identical — for each query, every (q_id, n_id)
+    // BOTH configurations retain must carry the same adc score
+    val q = emb.filter($"vec_id" < 3)
+    val fine = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val coarse = emb.filter($"vec_id" < 4)
+      .select($"vec_id".cast("int").as("ccell"), $"embedding".as("c_vec"))
+    val flat = Similarity.ivfPqTopK(q, emb, fine, seedCb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val routed = Similarity.ivfPqTopK(q, emb, fine, seedCb,
+      "vec_id", "embedding", k = 5, nProbe = 4, coarse = Some(coarse))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(routed.size == 15, s"expected 3 queries x k=5, got ${routed.size}")
+    val common = flat.keySet intersect routed.keySet
+    assert(common.nonEmpty)
+    assert(common.forall(p => flat(p) == routed(p)),
+      "ADC scores must be identical for pairs both configurations retain")
+  }
+
   test("PqAdcLookup.score: codebook/codes mismatch fails loudly") {
     val qtab = ArrayData.toArrayData(Array(0.5, 1.5, 2.5, 3.5))
     // m mismatch: table built for 2 subspaces, codes carry 1
