@@ -144,6 +144,57 @@ class PlanAssertionsSpec extends SparkSpec {
       s"document text must never ride an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("ann_pq_encode: one codegen'd scalar projection — no join, no data shuffle") {
+    val plan = planOf(q("ann_pq_encode"))
+    assert(!plan.contains("Join"), s"encode must not join:\n$plan")
+    // the only exchange is the oracle's ORDER BY (range partitioning);
+    // no hash exchange ever touches the corpus
+    assert(!plan.contains("hashpartitioning"),
+      s"encode must not hash-shuffle the corpus:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("graft_pq_codes")),
+      s"PqCodes projection fell out of codegen:\n$plan")
+  }
+
+  test("ann_pq_topk: corpus ships codes into the join; partial top-k below the exchange") {
+    val plan = planOf(q("ann_pq_topk"))
+    // the broadcast side is the query (tables); the corpus side streams
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    // rank ≤ k plants partial+final WindowGroupLimit (the q09 shape):
+    // per-partition candidate lists shrink to k before the exchange
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-k:\n$plan")
+    assert(plan.contains("_codes"), s"codes column missing from plan:\n$plan")
+  }
+
+  test("ann_ivf_pq_topk: probe join keys on cell; raw embeddings stop at the encode projection") {
+    val df = q("ann_ivf_pq_topk")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("cell"),
+      s"probe join must broadcast-hash on the cell key:\n$plan")
+    // the corpus (streamed) side of the probe join must OUTPUT only
+    // (n_id, cell, _codes) — the raw embedding column is consumed by
+    // the fused assign+encode projection and never crosses the join
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case s: QueryStageExec => s +: allNodes(s.plan)
+        case n => Seq(n)
+      }
+    val joins = allNodes(df.queryExecution.executedPlan)
+      .collect { case j: BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, s"no BroadcastHashJoinExec found:\n$plan")
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val streamedOut = joins.map(j =>
+      (if (j.buildSide == BuildRight) j.left else j.right).output.map(_.name))
+    assert(streamedOut.exists(_.contains("_codes")),
+      s"probe join's streamed side does not carry codes: $streamedOut")
+    assert(streamedOut.forall(!_.contains("embedding")),
+      s"raw embeddings leaked into a join's streamed side: $streamedOut")
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     val df = Tables.documents(spark, sf).select(
       graft.functions.TextFns.rollingHash(col("text")).as("rh"),
