@@ -50,17 +50,25 @@ case class PqCodes(child: Expression, codewords: Array[Array[Array[Double]]])
   override def nullable: Boolean = true
   override def dataType: DataType = PqCodes.outType
 
+  // residual vectors (v − centroid) arrive as array<double>; raw
+  // embeddings as array<float> — both encode through the same loop,
+  // element reads dispatched on a plan-constant flag
+  private lazy val isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _)
+    case ArrayType(FloatType | DoubleType, _)
         if codewords.nonEmpty && codewords.forall(_.nonEmpty) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<float> input and non-empty per-subspace codebooks")
+      s"$prettyName requires an array<float|double> input and non-empty per-subspace codebooks")
   }
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    PqCodes.encode(v.asInstanceOf[ArrayData], codewords)
+    PqCodes.encode(v.asInstanceOf[ArrayData], codewords, isDouble)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -70,7 +78,7 @@ case class PqCodes(child: Expression, codewords: Array[Array[Array[Double]]])
       code"""
         |org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
         |  graft.expressions.PqCodes.encode(
-        |    ${c.isNull} ? null : ${c.value}, $cwRef);
+        |    ${c.isNull} ? null : ${c.value}, $cwRef, $isDouble);
         |boolean ${ev.isNull} = ${ev.value} == null;
         |""".stripMargin)
   }
@@ -86,8 +94,10 @@ object PqCodes {
     StructField("err", DoubleType, nullable = false)))
 
   /** Shared by interpreted and generated paths. Null or short input →
-    * null (see class doc). */
-  def encode(v: ArrayData, cw: Array[Array[Array[Double]]]): InternalRow = {
+    * null (see class doc). `dbl` selects double vs float element reads
+    * (a plan-time constant, so the branch predicts perfectly). */
+  def encode(v: ArrayData, cw: Array[Array[Array[Double]]],
+             dbl: Boolean): InternalRow = {
     if (v == null) return null
     val m = cw.length
     var total = 0
@@ -112,7 +122,8 @@ object PqCodes {
         var s = 0.0
         var t = 0
         while (t < subDim) {
-          val d = v.getFloat(off + t).toDouble - w(t)
+          val x = if (dbl) v.getDouble(off + t) else v.getFloat(off + t).toDouble
+          val d = x - w(t)
           s += d * d
           t += 1
         }
@@ -141,17 +152,22 @@ case class PqDistTable(child: Expression, codewords: Array[Array[Array[Double]]]
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  private lazy val isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _)
+    case ArrayType(FloatType | DoubleType, _)
         if codewords.nonEmpty && codewords.forall(_.nonEmpty) =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires an array<float> input and non-empty per-subspace codebooks")
+      s"$prettyName requires an array<float|double> input and non-empty per-subspace codebooks")
   }
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    PqDistTable.table(v.asInstanceOf[ArrayData], codewords)
+    PqDistTable.table(v.asInstanceOf[ArrayData], codewords, isDouble)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -161,7 +177,7 @@ case class PqDistTable(child: Expression, codewords: Array[Array[Array[Double]]]
       code"""
         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
         |  graft.expressions.PqDistTable.table(
-        |    ${c.isNull} ? null : ${c.value}, $cwRef);
+        |    ${c.isNull} ? null : ${c.value}, $cwRef, $isDouble);
         |boolean ${ev.isNull} = ${ev.value} == null;
         |""".stripMargin)
   }
@@ -171,7 +187,8 @@ case class PqDistTable(child: Expression, codewords: Array[Array[Array[Double]]]
 }
 
 object PqDistTable {
-  def table(v: ArrayData, cw: Array[Array[Array[Double]]]): ArrayData = {
+  def table(v: ArrayData, cw: Array[Array[Array[Double]]],
+            dbl: Boolean): ArrayData = {
     if (v == null) return null
     val m = cw.length
     var total = 0
@@ -194,7 +211,8 @@ object PqDistTable {
         var s = 0.0
         var t = 0
         while (t < subDim) {
-          val d = v.getFloat(off + t).toDouble - w(t)
+          val x = if (dbl) v.getDouble(off + t) else v.getFloat(off + t).toDouble
+          val d = x - w(t)
           s += d * d
           t += 1
         }

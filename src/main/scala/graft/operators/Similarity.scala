@@ -565,6 +565,27 @@ object Similarity {
     current
   }
 
+  /** Per-vector IVF residuals: assign each vector to its cell
+    * ([[ivfAssign]]'s argmax-cosine rule) and subtract the cell's
+    * centroid — the input to RESIDUAL product quantization, which
+    * quantizes r = v − c instead of v. Residuals concentrate near the
+    * origin (the centroid explains the coarse position), so the same
+    * codebook budget spends its codewords on a much smaller ball —
+    * the standard IVF-PQ refinement (FAISS encodes residuals by
+    * default). One scalar-projection assignment + one broadcast join
+    * against the KB-scale centroid frame: the corpus never shuffles.
+    * Returns (vec_id, cell, rvec: array<double>); null vectors yield
+    * null rvec (downstream encodes refuse them). */
+  def residuals(batch: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
+    ivfAssign(batch, centroids, idCol, vecCol, dim, keepVec = true)
+      .select(col("vec_id"), col("cell"), col(vecCol).as("_v"))
+      .join(broadcast(centroids.select(col("cell"), col("c_vec"))), Seq("cell"))
+      .withColumn("rvec", expr(
+        "zip_with(_v, c_vec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"))
+      .select(col("vec_id"), col("cell"), col("rvec"))
+  }
+
   /** IVF-PQ: the composed production index at 10⁹ vectors — route each
     * query to its `nProbe` best cells ([[ivfTopKWith]]'s probe side),
     * then ADC-score ONLY cell-resident CODES ([[pqTopK]]'s scoring
@@ -590,11 +611,23 @@ object Similarity {
     * same argmax/tie rules as [[ivfTopKWith]] (assignment ties to the
     * higher cell, ADC ties to the lower neighbor id, re-rank cosine ties
     * to the lower neighbor id). `rerank` must be ≥ k when on — a re-rank
-    * pool smaller than k would silently return fewer than k rows. */
+    * pool smaller than k would silently return fewer than k rows.
+    *
+    * With `residual = true` the index quantizes RESIDUALS r = v −
+    * centroid(cell) instead of raw vectors ([[residuals]]; the FAISS
+    * IVF-PQ default — residuals concentrate near the origin, so the
+    * codebook's codewords cover a much smaller ball and reconstruction
+    * error drops at the same bit budget). `codebooks` must then be
+    * seeded/trained on residuals. Dataflow deltas: the corpus side adds
+    * one broadcast join against the KB-scale centroid frame (still zero
+    * corpus shuffle), and each query computes nProbe distance tables —
+    * one per probed cell, against its residual r_q = q − c_cell —
+    * instead of one (the table must live in the same residual frame as
+    * the candidate codes; FAISS pays the same per-probe table cost). */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                 codebooks: DataFrame, idCol: String, vecCol: String,
                 k: Int, nProbe: Int = 4, rerank: Int = 0, dim: Int = 64,
-                coarse: Option[DataFrame] = None,
+                coarse: Option[DataFrame] = None, residual: Boolean = false,
                 maxQueryRows: Long = 1L << 20): DataFrame = {
     require(k > 0, "k must be positive")
     require(nProbe > 0, "nProbe must be positive")
@@ -609,36 +642,50 @@ object Similarity {
     val cw = collectPqCodebook(codebooks)
     val offs = cw.scanLeft(0)(_ + _.length).init
     val widths = cw.map(_.length)
-    val enc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqCodes(
-      org.apache.spark.sql.GraftExpr.expr(col("_v")), cw))
+    val resDiff =
+      "zip_with(%s, c_vec, (a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+    def enc(in: String) = org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.PqCodes(org.apache.spark.sql.GraftExpr.expr(col(in)), cw))
     // corpus → cell + codes: two scalar projections, zero corpus shuffle
-    val c = coarse.fold(
+    // (residual mode adds the KB-scale centroid broadcast join)
+    val asgv = coarse.fold(
         ivfAssign(corpus, centroids, idCol, vecCol, dim, keepVec = true)) {
         cc => ivfAssignTwoLevel(corpus, cc,
           centroids.select(col("cell"), col("c_vec").as("f_vec")),
           idCol, vecCol, dim, keepVec = true)
       }
       .select(col("vec_id").as("n_id"), col("cell"), col(vecCol).as("_v"))
-      .withColumn("_e", enc)
+    val c = (if (!residual) asgv.withColumn("_e", enc("_v"))
+      else asgv
+        .join(broadcast(centroids.select(col("cell"), col("c_vec"))), Seq("cell"))
+        .withColumn("_rv", expr(resDiff.format("_v")))
+        .withColumn("_e", enc("_rv")))
       .select(col("n_id"), col("cell"), col("_e.codes").as("_codes"))
       .filter(col("_codes").isNotNull)
-    // queries → nProbe cells (flat rank — queries are the small side) +
-    // one distance table per query, computed BEFORE the probe fan-out
+    // queries → nProbe cells (flat rank — queries are the small side).
+    // Raw mode: ONE distance table per query, computed BEFORE the probe
+    // fan-out; residual mode: one per (query, probed cell), against the
+    // query's residual in that cell's frame — computed AFTER.
     val cent = centroids.select(col("cell"), col("c_vec"),
       VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
-    val qtab = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqDistTable(
-      org.apache.spark.sql.GraftExpr.expr(col("_qv")), cw))
+    def qtab(in: String) = org.apache.spark.sql.GraftExpr.col(
+      graft.expressions.PqDistTable(org.apache.spark.sql.GraftExpr.expr(col(in)), cw))
     val q0 = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
         VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
-      .withColumn("_qtab", qtab)
-      .filter(col("_qtab").isNotNull)
+    val q1 = if (residual) q0
+      else q0.withColumn("_qtab", qtab("_qv")).filter(col("_qtab").isNotNull)
     val qcos = when(col("q_nrm") > 0.0 && col("c_nrm") > 0.0,
       VectorFns.dotN(col("_qv"), col("c_vec"), dim) / (col("q_nrm") * col("c_nrm")))
-    val probes = q0.join(broadcast(cent))
+    val probes0 = q1.join(broadcast(cent))
       .withColumn("prb", row_number().over(
         Window.partitionBy("q_id").orderBy(qcos.desc, col("cell").desc)))
       .filter(col("prb") <= nProbe)
+    val probes = (if (!residual) probes0
+      else probes0
+        .withColumn("_qrv", expr(resDiff.format("_qv")))
+        .withColumn("_qtab", qtab("_qrv"))
+        .filter(col("_qtab").isNotNull))
       .select(col("q_id"), col("cell"), col("_qtab"),
         col("_qv").as("q_vec"), col("q_nrm"))
     val adc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqAdcLookup(

@@ -293,7 +293,86 @@ object Registry10 {
       .orderBy("q_id", "rnk")
   }
 
+  /** RESIDUAL IVF-PQ ([[Similarity.residuals]] →
+    * [[Similarity.ivfPqTopK]] residual=true): the index quantizes
+    * r = v − centroid(cell) instead of raw vectors — the FAISS IVF-PQ
+    * default, because residuals concentrate near the origin and the
+    * same codebook budget covers a much smaller ball. The codebook is
+    * the seed rule over the residuals of vectors 16–31 — NOT 0–15:
+    * those ARE the centroids, each assigns to itself at cosine 1, so
+    * their residuals are all-zero (a degenerate codebook that scores
+    * every candidate identically). Each query computes one distance
+    * table PER PROBED CELL (its residual lives in that cell's frame).
+    * The oracle replays the whole residual frame: assignment, residual
+    * subtraction (floats widened before the subtract — IEEE-identical
+    * to zip_with), residual-seed codebook, per-cell query tables, and
+    * the cell-matched ADC join (q's table for cell X scores only
+    * candidates IN cell X). */
+  val annIvfPqResidual = Q("ann_ivf_pq_residual",
+    s"""WITH cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1),
+       |rv AS (SELECT a.n_id, a.cell,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(b.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS v
+       |  FROM asg a JOIN embeddings b ON b.vec_id = a.n_id
+       |  JOIN cent c ON c.cell = a.cell),
+       |rcw AS (SELECT CAST(n_id - 16 AS INT) AS code, v AS w FROM rv
+       |  WHERE n_id >= 16 AND n_id < 32),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |cdr AS (SELECT r.n_id, js.j AS sub, c.code,
+       |    ${sqlSubDist("r.v", "c.w", "js.j")} AS dist
+       |  FROM rv r CROSS JOIN js CROSS JOIN rcw c),
+       |codesr AS (SELECT n_id, sub, code FROM (
+       |  SELECT n_id, sub, code, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cdr) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.vec_id AS q_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY q.vec_id
+       |    ORDER BY ${sqlCos("q.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 4),
+       |qrv AS (SELECT p.q_id, p.cell,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(q.embedding[i] AS DOUBLE) - CAST(c.c_vec[i] AS DOUBLE)) AS v
+       |  FROM probes p JOIN embeddings q ON q.vec_id = p.q_id
+       |  JOIN cent c ON c.cell = p.cell),
+       |qdr AS (SELECT r.q_id, r.cell, js.j AS sub, c.code,
+       |    ${sqlSubDist("r.v", "c.w", "js.j")} AS dist
+       |  FROM qrv r CROSS JOIN js CROSS JOIN rcw c),
+       |cand AS (SELECT p.q_id, a.n_id, a.cell FROM probes p
+       |  JOIN asg a USING (cell) WHERE p.q_id <> a.n_id),
+       |adc AS (SELECT x.q_id, x.n_id,
+       |    list_reduce(list_prepend(0.0, list(x.dist ORDER BY x.sub)),
+       |      (u, y) -> u + y) AS adc
+       |  FROM (SELECT c2.q_id, c2.n_id, q.sub, q.dist
+       |    FROM cand c2 JOIN codesr n ON n.n_id = c2.n_id
+       |    JOIN qdr q ON q.q_id = c2.q_id AND q.cell = c2.cell
+       |      AND q.sub = n.sub AND q.code = n.code) x
+       |  GROUP BY x.q_id, x.n_id),
+       |r AS (SELECT q_id, n_id, adc, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, _) = ivfPqSparkInputs(s, d)
+    val res = Similarity.residuals(e, cent, "vec_id", "embedding")
+    val rcb = Similarity.pqCodebookSeed(
+      res.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+        .withColumn("vec_id", col("vec_id") - 16),
+      "vec_id", "rvec", m = 8, ksub = 16, subDim = 8)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5), e, cent, rcb,
+      "vec_id", "embedding", k = 5, nProbe = 4, residual = true)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round11: Seq[Q] = Seq(annPqEncode, annPqTopK)
   val round12: Seq[Q] =
-    Seq(annPqTrained, annIvfPqTopK, annIvfPqRerank, annIvfPqTrained)
+    Seq(annPqTrained, annIvfPqTopK, annIvfPqRerank, annIvfPqTrained,
+      annIvfPqResidual)
 }

@@ -159,6 +159,63 @@ class PqSpec extends SparkSpec {
       "ADC scores must be identical for pairs both configurations retain")
   }
 
+  test("residuals: rvec + centroid reconstructs the vector; residual PQ beats raw at the same budget") {
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val res = Similarity.residuals(emb, cent, "vec_id", "embedding")
+    // r = v − c must reconstruct v (float-origin doubles — subtraction
+    // error is far below 1e-10)
+    val maxRe = res.join(cent, "cell")
+      .join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .select(expr("""aggregate(zip_with(zip_with(rvec, c_vec,
+          (r, c) -> r + CAST(c AS DOUBLE)), embedding,
+          (s, v) -> abs(s - CAST(v AS DOUBLE))), 0.0D, (a, x) -> greatest(a, x))""")
+        .as("re"))
+      .agg(max("re")).head().getDouble(0)
+    assert(maxRe < 1e-10, s"residual + centroid drifted from v by $maxRe")
+    // NOTE deliberately NOT asserted here: "residual err < raw err on
+    // the fixture". The fixture embeddings are unclustered, so 16
+    // cosine cells don't explain much position and residual balls can
+    // exceed raw ones — the residual win is a property of CLUSTERED
+    // data, proven exactly below.
+  }
+
+  test("residual PQ: on clustered data the residual codebook is exact where raw cannot be") {
+    // two clusters c0, c1; every member is center + one of two SHARED
+    // offsets r0/r1. A residual codebook {r0, r1} per subspace encodes
+    // the corpus with ZERO error; a raw codebook with the same budget
+    // (2 codewords/subspace, seeded from corpus vectors) cannot
+    // represent all center×offset combinations and must err.
+    val c0 = Array(8.0f, 0.0f, 8.0f, 0.0f)
+    val c1 = Array(0.0f, 8.0f, 0.0f, 8.0f)
+    val r0 = Array(1.0f, 0.0f, 1.0f, 0.0f)
+    val r1 = Array(0.0f, 1.0f, 0.0f, 1.0f)
+    def plus(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x + y }
+    val corpus = Seq(
+      (0L, plus(c0, r0)), (1L, plus(c0, r1)),
+      (2L, plus(c1, r0)), (3L, plus(c1, r1))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0, c0), (1, c1)).toDF("cell", "c_vec")
+    val res = Similarity.residuals(corpus, cent, "vec_id", "embedding", dim = 4)
+    // members assign to their own cluster (cosine ~1 vs ~0.12)
+    assert(res.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+    val rcb = Seq(
+      (0, 0, Array(1.0, 0.0)), (0, 1, Array(0.0, 1.0)),
+      (1, 0, Array(1.0, 0.0)), (1, 1, Array(0.0, 1.0))
+    ).toDF("sub", "code", "w_vec")
+    val resErr = Similarity.pqEncode(res, rcb, "vec_id", "rvec")
+      .agg(sum("err")).head().getDouble(0)
+    val rawCb = Similarity.pqCodebookSeed(corpus, "vec_id", "embedding",
+      m = 2, ksub = 2, subDim = 2)
+    val rawErr = Similarity.pqEncode(corpus, rawCb, "vec_id", "embedding")
+      .agg(sum("err")).head().getDouble(0)
+    assert(resErr == 0.0, s"residual codebook must be exact, err=$resErr")
+    assert(rawErr > 0.0,
+      "raw codebook cannot represent all center x offset combinations")
+  }
+
   test("PqAdcLookup.score: codebook/codes mismatch fails loudly") {
     val qtab = ArrayData.toArrayData(Array(0.5, 1.5, 2.5, 3.5))
     // m mismatch: table built for 2 subspaces, codes carry 1
