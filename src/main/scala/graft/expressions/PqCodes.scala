@@ -272,6 +272,80 @@ case class PqAdcLookup(left: Expression, right: Expression, offs: Array[Int],
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd SYMMETRIC-distance (SDC) score between two CODE rows:
+  * left-fold from 0.0 of `table(offs(j) + a_j·k_j + b_j)` in subspace
+  * order, where `table` holds the plan-constant k_j × k_j squared-L2
+  * distances BETWEEN CODEWORDS of each subspace (built once,
+  * driver-side, from the codebook). This is the PQ paper's other
+  * distance mode: where ADC ([[PqAdcLookup]]) needs one table per
+  * QUERY, SDC needs one table per CODEBOOK — so it is the mode for
+  * code-vs-code workloads (kNN-graph construction, code-space
+  * clustering) where both sides of a corpus-sized join would otherwise
+  * each need a per-row table. The trade: distances are between two
+  * RECONSTRUCTIONS (both sides quantized), so SDC error is ADC error
+  * plus the left side's reconstruction error.
+  *
+  * Same validate-loudly mismatch contract as [[PqAdcLookup]]: wrong
+  * code count or out-of-range codes throw, never mis-score. */
+case class PqSdcLookup(left: Expression, right: Expression,
+                       table: Array[Double], offs: Array[Int],
+                       widths: Array[Int])
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_pq_sdc"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _))
+          if offs.nonEmpty && offs.length == widths.length =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, array<int>) inputs")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqSdcLookup.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      table, offs, widths)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tabRef = ctx.addReferenceObj("pqSdcTab", table, "double[]")
+    val offsRef = ctx.addReferenceObj("pqSdcOffs", offs, "int[]")
+    val widthsRef = ctx.addReferenceObj("pqSdcWidths", widths, "int[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.PqSdcLookup.score($a, $b, $tabRef, $offsRef, $widthsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqSdcLookup {
+  def score(a: ArrayData, b: ArrayData, table: Array[Double],
+            offs: Array[Int], widths: Array[Int]): Double = {
+    val m = offs.length
+    if (a.numElements() != m || b.numElements() != m)
+      throw new IllegalArgumentException(
+        s"graft_pq_sdc: code rows carry ${a.numElements()}/${b.numElements()} " +
+          s"sub-codes but the table was built for m=$m subspaces — codes " +
+          "from a different codebook")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val ca = a.getInt(j)
+      val cb = b.getInt(j)
+      if (ca < 0 || ca >= widths(j) || cb < 0 || cb >= widths(j))
+        throw new IllegalArgumentException(
+          s"graft_pq_sdc: code pair ($ca, $cb) out of range for subspace " +
+            s"$j (k_$j=${widths(j)}) — codes from a different codebook")
+      s += table(offs(j) + ca * widths(j) + cb)
+      j += 1
+    }
+    s
+  }
+}
+
 object PqAdcLookup {
   def score(qtab: ArrayData, codes: ArrayData, offs: Array[Int],
             widths: Array[Int]): Double = {

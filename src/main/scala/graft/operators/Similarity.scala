@@ -819,4 +819,99 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** The per-subspace k_j × k_j codeword-to-codeword squared-L2 table
+    * for SYMMETRIC distance computation, flattened with per-subspace
+    * offsets — built once, driver-side (≤ m·k² ≈ KBs), compiled into
+    * [[graft.expressions.PqSdcLookup]]. */
+  private def sdcTable(cw: Array[Array[Array[Double]]]): (Array[Double], Array[Int]) = {
+    val offs = cw.scanLeft(0)((acc, sub) => acc + sub.length * sub.length).init
+    val tab = new Array[Double](cw.map(s => s.length * s.length).sum)
+    var j = 0
+    while (j < cw.length) {
+      val sub = cw(j)
+      var a = 0
+      while (a < sub.length) {
+        var b = 0
+        while (b < sub.length) {
+          val wa = sub(a); val wb = sub(b)
+          var s = 0.0
+          var t = 0
+          while (t < wa.length) { val d = wa(t) - wb(t); s += d * d; t += 1 }
+          tab(offs(j) + a * sub.length + b) = s
+          b += 1
+        }
+        a += 1
+      }
+      j += 1
+    }
+    (tab, offs)
+  }
+
+  /** [[knnGraph]] over PQ CODES — symmetric distance computation (SDC):
+    * both sides of the within-cell pair join ship (id, cell, m codes)
+    * instead of (id, cell, dim floats + norm), and each pair costs m
+    * table reads instead of a dim-wide dot product. The graph build is
+    * the workload SDC exists for: the corpus is BOTH query and
+    * candidate set, so ADC's one-table-per-query would mean one table
+    * per corpus row — SDC needs one k_j × k_j table per codebook,
+    * built once driver-side and compiled into the expression.
+    *
+    * Scale shape vs [[knnGraph]]: the pair join's exchange carries
+    * ~m B/row instead of ~4·dim B/row (32× at m=8, dim=64 float) and
+    * the per-pair arithmetic drops dim/m ×; the quadratic-within-cell
+    * candidate COUNT is unchanged, so the same hot-cell guard refuses a
+    * saturated cell. Approximation: distances are between two
+    * reconstructions (both sides quantized) — coarser than
+    * [[knnGraph]]'s exact cosine and ADC's one-side-exact; re-rank
+    * graph edges against raw vectors where exactness matters. Rank
+    * orders by SDC squared-L2 ASCENDING (nearest first), ties to the
+    * lower neighbor id; refused encodings drop out of the graph.
+    * Returns (src_id, nbr_id, rnk, sdc). */
+  def knnGraphPq(embeddings: DataFrame, centroids: DataFrame,
+                 codebooks: DataFrame, idCol: String, vecCol: String,
+                 k: Int, dim: Int = 64, maxCellRows: Long = 1L << 20,
+                 coarse: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cw = collectPqCodebook(codebooks)
+    val widths = cw.map(_.length)
+    val (tab, offs) = sdcTable(cw)
+    val enc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqCodes(
+      org.apache.spark.sql.GraftExpr.expr(col("_v")), cw))
+    val assigned = coarse.fold(
+        ivfAssign(embeddings, centroids, idCol, vecCol, dim, keepVec = true)) {
+        cc => ivfAssignTwoLevel(embeddings, cc,
+          centroids.select(col("cell"), col("c_vec").as("f_vec")),
+          idCol, vecCol, dim, keepVec = true)
+      }
+    // materialized once for the guard + both join sides (knnGraph's
+    // rationale) — and the persisted asset is (id, cell, codes): the
+    // 8 B/row PQ index itself, not the raw vectors
+    val base = Lineage.truncate(
+      assigned.select(col("vec_id").as("id"), col("cell"),
+          col(vecCol).as("_v"))
+        .withColumn("_e", enc)
+        .select(col("id"), col("cell"), col("_e.codes").as("codes"))
+        .filter(col("codes").isNotNull))
+    val top = base.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).head()
+    val maxCell = if (top.isNullAt(0)) 0L else top.getLong(0)
+    require(maxCell <= maxCellRows,
+      s"knnGraphPq: largest cell holds $maxCell rows > maxCellRows=" +
+        s"$maxCellRows; the within-cell join is quadratic — train more " +
+        "centroids or raise maxCellRows deliberately")
+    val sdc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqSdcLookup(
+      org.apache.spark.sql.GraftExpr.expr(col("a_codes")),
+      org.apache.spark.sql.GraftExpr.expr(col("b_codes")), tab, offs, widths))
+    base.alias("a").join(base.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src_id"), col("b.id").as("nbr_id"),
+        col("a.codes").as("a_codes"), col("b.codes").as("b_codes"))
+      .withColumn("sdc", sdc)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("src_id")
+          .orderBy(col("sdc").asc, col("nbr_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("nbr_id"), col("rnk"), col("sdc"))
+  }
 }

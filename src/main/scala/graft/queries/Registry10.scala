@@ -371,8 +371,50 @@ object Registry10 {
       .orderBy("q_id", "rnk")
   }
 
+  /** kNN graph over PQ CODES via SYMMETRIC distance computation
+    * ([[Similarity.knnGraphPq]]): within each IVF cell, every pair is
+    * scored from the two rows' CODES alone — one k×k codeword-distance
+    * table per subspace, built once from the codebook, m reads per
+    * pair. The graph build is SDC's home workload (the corpus is both
+    * query and candidate set, so ADC's per-query tables would mean one
+    * per corpus row). The oracle replays the same quantity the table
+    * lookup reads: Σ_j l2²(codeword(j, a_j), codeword(j, b_j)), folded
+    * in subspace order, over cell-diagonal pairs, ranked ascending with
+    * ties to the lower neighbor. */
+  val annKnnGraphPq = Q("ann_knn_graph_pq",
+    s"""WITH $sqlPqCodes,
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1),
+       |sd AS (SELECT pa.n_id AS src_id, pb.n_id AS nbr_id, pa.sub,
+       |    ${sqlSubDist("ca.w", "cb.w", "pa.sub")} AS dist
+       |  FROM codes pa JOIN codes pb ON pb.sub = pa.sub
+       |  JOIN asg aa ON aa.n_id = pa.n_id
+       |  JOIN asg ab ON ab.n_id = pb.n_id AND ab.cell = aa.cell
+       |  JOIN cw ca ON ca.code = pa.code
+       |  JOIN cw cb ON cb.code = pb.code
+       |  WHERE pa.n_id <> pb.n_id),
+       |g AS (SELECT src_id, nbr_id,
+       |    list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+       |      (x, y) -> x + y) AS sdc
+       |  FROM sd GROUP BY src_id, nbr_id),
+       |r AS (SELECT src_id, nbr_id, sdc, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY src_id ORDER BY sdc ASC, nbr_id ASC) AS BIGINT) AS rnk
+       |  FROM g)
+       |SELECT src_id, nbr_id, rnk, sdc FROM r WHERE rnk <= 3
+       |ORDER BY src_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = ivfPqSparkInputs(s, d)
+    Similarity.knnGraphPq(e, cent, cb, "vec_id", "embedding", k = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("src_id", "rnk")
+  }
+
   val round11: Seq[Q] = Seq(annPqEncode, annPqTopK)
   val round12: Seq[Q] =
     Seq(annPqTrained, annIvfPqTopK, annIvfPqRerank, annIvfPqTrained,
-      annIvfPqResidual)
+      annIvfPqResidual, annKnnGraphPq)
 }

@@ -216,6 +216,59 @@ class PqSpec extends SparkSpec {
       "raw codebook cannot represent all center x offset combinations")
   }
 
+  test("knnGraphPq: cell-diagonal SDC graph — same-cluster neighbors, zero distance for shared codes") {
+    // clusters from the residual test: members of a cluster share the
+    // cell; within a cell, rows quantizing to the SAME codes are at
+    // SDC 0 and rank first (ties to lower id)
+    val c0 = Array(8.0f, 0.0f, 8.0f, 0.0f)
+    val c1 = Array(0.0f, 8.0f, 0.0f, 8.0f)
+    val corpus = Seq(
+      (0L, c0), (1L, c0),                                  // identical codes
+      (2L, Array(9.0f, 1.0f, 9.0f, 1.0f)),                 // same cell as 0/1
+      (3L, c1), (4L, Array(1.0f, 9.0f, 1.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0, c0), (1, c1)).toDF("cell", "c_vec")
+    val cb = Seq(
+      (0, 0, Array(8.0, 0.0)), (0, 1, Array(0.0, 8.0)),
+      (1, 0, Array(8.0, 0.0)), (1, 1, Array(0.0, 8.0))
+    ).toDF("sub", "code", "w_vec")
+    val g = Similarity.knnGraphPq(corpus, cent, cb, "vec_id", "embedding",
+      k = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    // 0 and 1 share codes: SDC 0, mutual rank-1
+    assert(g((0L, 1)) == (1L, 0.0) && g((1L, 1)) == (0L, 0.0))
+    // the graph is cell-diagonal: cluster-1 members never neighbor cell 0
+    assert(!g.values.map(_._1).toSet.contains(3L) ||
+      g.keys.filter(k => g(k)._1 == 3L).forall { case (s, _) => s == 4L })
+    // vector 2 quantizes to the same codes as 0/1 (argmin over the two
+    // codewords) — its SDC to both is 0, ranked by lower id
+    assert(g((2L, 1)) == (0L, 0.0) && g((2L, 2)) == (1L, 0.0))
+  }
+
+  test("PqSdcLookup.score: mismatch fails loudly; valid codes read the right slots") {
+    // table for m=2 subspaces, k_0=k_1=2: entries [j][a][b]
+    val tab = Array(0.0, 5.0, 5.0, 0.0, /* sub1 */ 0.0, 7.0, 7.0, 0.0)
+    val offs = Array(0, 4)
+    val widths = Array(2, 2)
+    val s = graft.expressions.PqSdcLookup.score(
+      ArrayData.toArrayData(Array(0, 1)), ArrayData.toArrayData(Array(1, 1)),
+      tab, offs, widths)
+    assert(s == 5.0 + 0.0)
+    val eM = intercept[IllegalArgumentException] {
+      graft.expressions.PqSdcLookup.score(
+        ArrayData.toArrayData(Array(0)), ArrayData.toArrayData(Array(0, 1)),
+        tab, offs, widths)
+    }
+    assert(eM.getMessage.contains("different codebook"))
+    val eW = intercept[IllegalArgumentException] {
+      graft.expressions.PqSdcLookup.score(
+        ArrayData.toArrayData(Array(0, 2)), ArrayData.toArrayData(Array(0, 1)),
+        tab, offs, widths)
+    }
+    assert(eW.getMessage.contains("out of range"))
+  }
+
   test("PqAdcLookup.score: codebook/codes mismatch fails loudly") {
     val qtab = ArrayData.toArrayData(Array(0.5, 1.5, 2.5, 3.5))
     // m mismatch: table built for 2 subspaces, codes carry 1
