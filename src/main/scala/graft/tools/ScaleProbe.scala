@@ -384,6 +384,30 @@ object ScaleProbe {
           println(f"PROBE pq $scale pass$pass encode_s=$tEnc%.2f " +
             f"adc_exhaustive_s=$tAdc%.2f ivfpq_4of16_s=$tIvf%.2f")
         }
+        // SDC vs float graph: same cell-diagonal pair set, the PQ form
+        // ships m-byte codes where the float form ships 4·dim-byte
+        // vectors — the exchange-byte cut is the measured quantity.
+        // Centroids scale ∝ corpus (SCALE.md's sizing rule: constant
+        // occupancy) — with the 1× cell count the within-cell pair set
+        // grows QUADRATICALLY with the replica (at 100× that is ~2.5e9
+        // pairs, a mis-sized index, and exactly what the operators'
+        // hot-cell guard exists to refuse at a tighter cap)
+        val nCellsKnn = if (dir == sfDir) 16 else 16 * factor
+        val centKnn = e.filter(col("vec_id") < nCellsKnn)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").as("c_vec"))
+        for (pass <- 1 to 2) {
+          var t0 = System.nanoTime()
+          Similarity.knnGraph(e, centKnn, "vec_id", "embedding", k = 3)
+            .write.format("noop").mode("overwrite").save()
+          val tF = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          Similarity.knnGraphPq(e, centKnn, cb, "vec_id", "embedding", k = 3)
+            .write.format("noop").mode("overwrite").save()
+          val tS = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE pq $scale pass$pass cells=$nCellsKnn " +
+            f"knn_float_s=$tF%.2f knn_sdc_s=$tS%.2f")
+        }
         val n = e.count()
         val occ = Similarity.ivfAssign(e, cent, "vec_id", "embedding")
           .groupBy("cell").agg(count(lit(1)).as("n"))
