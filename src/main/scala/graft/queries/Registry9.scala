@@ -223,7 +223,7 @@ object Registry9 {
       |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_qty
       |FROM lineitem WHERE l_partkey BETWEEN 100 AND 150
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-    val outDir = FixtureCache.cached(d, "zorder", 1, Seq("lineitem")) { tmp =>
+    val outDir = FixtureCache.cached(d, "zorder", 2, Seq("lineitem")) { tmp =>
       graft.operators.Layout.layoutOptimizeZ(
         Tables.lineitem(s, d),
         Seq(col("l_orderkey"), col("l_partkey")),
