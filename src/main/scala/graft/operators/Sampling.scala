@@ -145,6 +145,108 @@ object Sampling {
     * widen the prefix (prefixLen = 2 → 256 buckets) as sources grow —
     * the admitted set is prefix-invariant (same global order), only the
     * parallelism changes. */
+  /** TEMPERATURE-scaled per-source token budgets — the standard
+    * multi-source pretraining mix (sample source i ∝ T_i^α for α < 1,
+    * flattening the natural distribution so low-resource sources are
+    * not drowned; α = 0.5 is the common default): returns the
+    * (source, token_budget) frame [[tokenBudgetPerSource]] admits
+    * against, with budget_i = ⌊totalBudget · T_i^α / Σ_j T_j^α⌋.
+    *
+    * Cross-engine exactness: the shares are computed in INTEGER
+    * arithmetic — T_i^α is scaled to ⌊T_i^α · 2²⁰⌉ (a BIGINT; exact in
+    * a double up to 2^53, i.e. corpora to ~10¹⁹ tokens), the
+    * denominator is an integer SUM (fold-order-free, unlike a double
+    * sum), and the budget is an integral `div` of DECIMAL(38,0)
+    * products — so a DuckDB oracle replays it bit-for-bit (HUGEINT `//`
+    * mirror). α = 0.5 rides `sqrt`, which IEEE-754 requires correctly
+    * rounded in every engine; other α ride `pow`, deterministic within
+    * Spark but libm-dependent across engines — gate only sqrt-exact
+    * α values (the [[graft.queries]] q42 / PQ-oracle precedent for
+    * refusing libm-unstable functions at the gate boundary).
+    *
+    * Scale shape: one partial-agg `groupBy(source)` over the corpus
+    * (map-side combine; tens of sources → a tiny frame), then
+    * driver-free integer arithmetic on that frame; floor rounding means
+    * Σ budget_i ≤ totalBudget (never over-admits). Sources with zero
+    * tokens get budget 0. */
+  def temperatureBudgets(df: DataFrame, sourceCol: Column, tokensCol: Column,
+                         totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget > 0, "totalBudget must be positive")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val tot = df.groupBy(sourceCol.as("source"))
+      .agg(sum(tokensCol.cast("long")).as("_tt"))
+    val p =
+      if (alpha == 1.0) col("_tt").cast("double")
+      else if (alpha == 0.5) sqrt(col("_tt").cast("double"))
+      else pow(col("_tt").cast("double"), lit(alpha))
+    val scored = tot
+      .withColumn("_s", round(p * (1L << 20)).cast("decimal(38,0)"))
+      .drop("_tt")
+    val denom = scored.agg(sum(col("_s")).as("_denom"))
+    scored.crossJoin(broadcast(denom))
+      .withColumn("token_budget",
+        expr(s"CAST((CAST($totalBudget AS DECIMAL(38,0)) * _s) div _denom AS BIGINT)"))
+      .select(col("source"), col("token_budget"))
+  }
+
+  /** EPOCH upsampling: repeat each source's documents whole-corpus
+    * epochs until its token target fills — the low-resource-language /
+    * high-quality-source move (a source whose total tokens T_i fall
+    * short of its target is seen ⌊target_i/T_i⌋ full epochs, capped at
+    * `maxEpochs` against memorization), with the REMAINDER of the
+    * target filled by a partial epoch admitted in the deterministic
+    * draw order of [[tokenBudgetPerSource]]. Emits one row per
+    * (document, epoch), `epochCol` ∈ [0, full] — epoch indices below
+    * `full` are complete copies; epoch `full` is the partial prefix.
+    * Degenerate cases compose cleanly: target < T_i → zero full epochs,
+    * the whole plan is one partial epoch (ordinary token-budget
+    * mixing); cap reached → remainder forced 0 (never more than
+    * `maxEpochs` epochs); a source with no target row, or zero tokens,
+    * is dropped.
+    *
+    * Scale shape: the epoch fan-out is a generator (`explode` of a
+    * per-row `sequence`) — no join, no shuffle, output ∝ admitted
+    * tokens; the plan frame (per-source totals vs targets) is a tiny
+    * broadcast; the partial epoch pays [[tokenBudgetPerSource]]'s
+    * bucketed-window shape. `targets` is (source, target_tokens)
+    * rows. */
+  def epochUpsample(df: DataFrame, sourceCol: Column, keyCol: Column,
+                    tokensCol: Column, targets: DataFrame, maxEpochs: Int,
+                    salt: String = "graft",
+                    epochCol: String = "epoch"): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    val helpers = Seq("_graft_ep_src", "_graft_ep_tt", "_graft_ep_tgt",
+      "_graft_ep_full", "_graft_ep_rem")
+    (helpers :+ epochCol).foreach(c =>
+      require(!df.columns.contains(c), s"input already has a $c column"))
+    val tot = df.groupBy(sourceCol.as("_graft_ep_src"))
+      .agg(sum(tokensCol.cast("long")).as("_graft_ep_tt"))
+      .filter(col("_graft_ep_tt") > 0)
+    val tgt = targets.select(col("source").as("_graft_ep_src"),
+      col("target_tokens").cast("long").as("_graft_ep_tgt"))
+    val plan = tot.join(tgt, "_graft_ep_src")
+      .withColumn("_graft_ep_full",
+        least(expr("_graft_ep_tgt div _graft_ep_tt"), lit(maxEpochs.toLong)))
+      .withColumn("_graft_ep_rem",
+        when(col("_graft_ep_full") < maxEpochs,
+          col("_graft_ep_tgt") - col("_graft_ep_full") * col("_graft_ep_tt"))
+          .otherwise(lit(0L)))
+    val planned = df.withColumn("_graft_ep_src", sourceCol)
+      .join(broadcast(plan), "_graft_ep_src")
+    val full = planned
+      .filter(col("_graft_ep_full") > 0)
+      .withColumn(epochCol,
+        explode(sequence(lit(0L), col("_graft_ep_full") - 1)))
+    val partial = tokenBudgetPerSource(df, sourceCol, keyCol, tokensCol,
+        plan.select(col("_graft_ep_src").as("source"),
+          col("_graft_ep_rem").as("token_budget")),
+        salt)
+      .withColumn("_graft_ep_src", sourceCol)
+      .join(broadcast(plan), "_graft_ep_src")
+      .withColumn(epochCol, col("_graft_ep_full"))
+    full.unionByName(partial).drop(helpers: _*)
+  }
+
   def tokenBudgetPerSource(df: DataFrame, sourceCol: Column, keyCol: Column,
                            tokensCol: Column, budgets: DataFrame,
                            salt: String = "graft",

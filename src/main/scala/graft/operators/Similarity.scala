@@ -717,6 +717,55 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ index LEDGER build — the STORED face of the composed index:
+    * one (vec_id, cell, codes) row per corpus vector, i.e. exactly what
+    * [[ivfPqTopK]]'s corpus side computes before the probe join,
+    * materialized so a production deployment pays assignment + encoding
+    * ONCE at ingest instead of per query batch. Two scalar projections
+    * ([[ivfAssign]] + [[graft.expressions.PqCodes]]), zero joins, zero
+    * shuffles; at 10⁹ vectors the ledger is ~(8 + m) B/row against
+    * 4·dim B of raw floats. Refusal semantics: vectors whose encode
+    * refuses (null/truncated/null-element) are EXCLUDED from the ledger
+    * — an unencodable vector must be absent, not zero-padded
+    * ([[pqTopK]]'s contract). */
+  def pqIndexBuild(corpus: DataFrame, centroids: DataFrame,
+                   codebooks: DataFrame, idCol: String, vecCol: String,
+                   dim: Int = 64): DataFrame = {
+    val cw = collectPqCodebook(codebooks)
+    val enc = org.apache.spark.sql.GraftExpr.col(graft.expressions.PqCodes(
+      org.apache.spark.sql.GraftExpr.expr(col("_v")), cw))
+    ivfAssign(corpus, centroids, idCol, vecCol, dim, keepVec = true)
+      .select(col("vec_id"), col("cell"), col(vecCol).as("_v"))
+      .withColumn("_e", enc)
+      .select(col("vec_id"), col("cell"), col("_e.codes").as("codes"))
+      .filter(col("codes").isNotNull)
+  }
+
+  /** Incremental IVF-PQ index maintenance: extend a stored
+    * [[pqIndexBuild]] ledger with an arriving batch — encode and assign
+    * ONLY the batch (the centroids and codebook are FROZEN: an index's
+    * quantizer never moves between rebuilds, or stored codes would
+    * silently mean different codewords), then union with the stored
+    * rows, which pass through untouched. The
+    * [[graft.operators.Dedup]] incremental posture
+    * (`dedup_clusters_incremental`) applied to the vector index: append
+    * cost ∝ batch, never corpus.
+    *
+    * Idempotent by anti-join: batch vectors whose ids are already in
+    * the ledger are dropped, so replaying an at-least-once ingest batch
+    * cannot duplicate index rows; the ledger ships ONLY its id column
+    * into the anti-join (column-pruned — codes never ride the
+    * exchange). Stored rows are never re-encoded (spec'd by mutation
+    * witness in SimilaritySpec's index suite). */
+  def pqIndexAppend(ledger: DataFrame, batch: DataFrame,
+                    centroids: DataFrame, codebooks: DataFrame,
+                    idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
+    val fresh = batch.join(
+      ledger.select(col("vec_id").as(idCol)), Seq(idCol), "left_anti")
+    ledger.select(col("vec_id"), col("cell"), col("codes"))
+      .unionByName(pqIndexBuild(fresh, centroids, codebooks, idCol, vecCol, dim))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, blocked on
     * `blockCol` (cluster/label/LSH bucket) so the pair join never goes
     * quadratic in the corpus.

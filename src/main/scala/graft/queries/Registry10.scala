@@ -17,14 +17,14 @@ object Registry10 {
   private def sqlDot(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
-  private def sqlCos(a: String, b: String): String =
+  private[queries] def sqlCos(a: String, b: String): String =
     s"""(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"""
 
   /** DuckDB squared-L2 between subspace j (0-based, width 8) of two
     * FLOAT[64] lists: left fold from 0.0, difference squared by
     * self-multiplication (pow()'s libm rounding is not cross-engine
     * stable; x*x is IEEE-exact). Mirrors [[graft.expressions.PqCodes]]. */
-  private def sqlSubDist(a: String, b: String, j: String): String =
+  private[queries] def sqlSubDist(a: String, b: String, j: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, 9),
        |  t -> (CAST($a[$j*8 + t] AS DOUBLE) - CAST($b[$j*8 + t] AS DOUBLE))
        |     * (CAST($a[$j*8 + t] AS DOUBLE) - CAST($b[$j*8 + t] AS DOUBLE)))),
@@ -33,7 +33,7 @@ object Registry10 {
   /** Shared oracle CTEs: the seed-rule PQ codebook (codeword c of
     * subspace j = sub-vector j of the vector with vec_id c, c < 16) and
     * every corpus vector's per-subspace argmin codes. */
-  private def sqlPqCodes: String =
+  private[queries] def sqlPqCodes: String =
     s"""cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
        |  FROM embeddings WHERE vec_id < 16),
        |js AS (SELECT unnest(range(0, 8)) AS j),
@@ -190,7 +190,8 @@ object Registry10 {
   /** The routing + restricted-ADC half, parametrized over the corpus
     * CODES CTE and per-query distance-table CTE (seed vs trained
     * codebooks differ only in those two inputs). */
-  private def sqlIvfAdcRank(codesCte: String, qdCte: String): String =
+  private[queries] def sqlIvfAdcRank(codesCte: String, qdCte: String,
+                                     candJoin: String = ""): String =
     s"""cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
        |  FROM embeddings WHERE vec_id < 16),
        |asg AS (SELECT n_id, cell FROM (
@@ -204,6 +205,7 @@ object Registry10 {
        |    ORDER BY ${sqlCos("q.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
        |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 4),
        |cand AS (SELECT p.q_id, a.n_id FROM probes p JOIN asg a USING (cell)
+       |  $candJoin
        |  WHERE p.q_id <> a.n_id),
        |adc AS (SELECT x.q_id, x.n_id,
        |    list_reduce(list_prepend(0.0, list(x.dist ORDER BY x.sub)),
@@ -216,7 +218,7 @@ object Registry10 {
        |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
        |  FROM adc)""".stripMargin
 
-  private def ivfPqSparkInputs(s: SparkSession, d: String) = {
+  private[queries] def ivfPqSparkInputs(s: SparkSession, d: String) = {
     val e = emb(s, d)
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Sampling, Similarity}
+
+/** Round-12 additions: the mixing faces a pretraining corpus plan needs
+  * on top of raw token budgets — temperature-scaled source shares and
+  * epoch upsampling — plus the two production faces the composed IVF-PQ
+  * index was still missing: metadata-filtered search and incremental
+  * ledger maintenance. */
+object Registry11 {
+
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"),
+      graft.functions.TextFns.wsTokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+
+  /** Shared oracle CTE: (doc_id, source, n_tokens) over documents. */
+  private val sqlT =
+    """t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)""".stripMargin
+
+  /** Temperature-scaled source mixing
+    * ([[Sampling.temperatureBudgets]] → [[Sampling.tokenBudgetPerSource]]):
+    * a 5000-token corpus budget split across sources ∝ √T_i (α = 0.5,
+    * the standard flattening exponent), then each source admitted in
+    * the deterministic draw order until ITS budget fills. The oracle
+    * replays the integer share arithmetic exactly — ⌊√T_i · 2²⁰⌉ as
+    * HUGEINT, integer-sum denominator, `//` floor division (sqrt is
+    * IEEE-correctly-rounded in both engines; ×2²⁰ is a power-of-two
+    * scale, exact) — then the same exclusive running sum as
+    * `sample_token_budget`. */
+  val mixTemperature = Q("mix_temperature",
+    s"""WITH $sqlT,
+       |tot AS (SELECT source, SUM(n_tokens) AS tt FROM t GROUP BY source),
+       |sc AS (SELECT source, CAST(CAST(round(sqrt(CAST(tt AS DOUBLE)) * 1048576)
+       |    AS BIGINT) AS HUGEINT) AS s FROM tot),
+       |b AS (SELECT source, CAST((CAST(5000 AS HUGEINT) * s)
+       |    // (SELECT SUM(s) FROM sc) AS BIGINT) AS budget FROM sc),
+       |c AS (SELECT t.doc_id, t.source, t.n_tokens, b.budget,
+       |    COALESCE(SUM(t.n_tokens) OVER (PARTITION BY t.source
+       |      ORDER BY md5('graft:' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM t JOIN b USING (source))
+       |SELECT doc_id, source, n_tokens FROM c WHERE prior < budget
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = docTokens(s, d)
+    val budgets = Sampling.temperatureBudgets(
+      t, col("source"), col("n_tokens"), totalBudget = 5000L)
+    Sampling.tokenBudgetPerSource(
+      t, col("source"), col("doc_id"), col("n_tokens"), budgets)
+      .orderBy("doc_id")
+  }
+
+  /** Epoch upsampling ([[Sampling.epochUpsample]]): per-source token
+    * targets 800 + 500·(src# mod 7) against a maxEpochs = 2 cap — at
+    * sf0.01 the targets land all three regimes (cap-bound full epochs
+    * with remainder forced 0, one full epoch + partial, partial-only),
+    * and one (doc, epoch) row rides out per admitted copy. The oracle
+    * replays the integer epoch plan (`//` ≡ `div`, LEAST ≡ least), the
+    * per-row `range` fan-out, and the partial epoch's exclusive running
+    * sum. */
+  val mixEpochs = Q("mix_epochs",
+    s"""WITH $sqlT,
+       |tot AS (SELECT source, SUM(n_tokens) AS tt FROM t GROUP BY source),
+       |tg AS (SELECT source,
+       |    800 + 500 * (CAST(substr(source, 4) AS BIGINT) % 7) AS tgt
+       |  FROM tot),
+       |pl AS (SELECT o.source, o.tt, g.tgt,
+       |    LEAST(g.tgt // o.tt, 2) AS efull,
+       |    CASE WHEN LEAST(g.tgt // o.tt, 2) < 2
+       |         THEN g.tgt - LEAST(g.tgt // o.tt, 2) * o.tt
+       |         ELSE 0 END AS rem
+       |  FROM tot o JOIN tg g USING (source) WHERE o.tt > 0),
+       |f AS (SELECT t.doc_id, t.source, t.n_tokens,
+       |    unnest(range(0, CAST(p.efull AS BIGINT))) AS epoch
+       |  FROM t JOIN pl p USING (source)),
+       |c AS (SELECT t.doc_id, t.source, t.n_tokens, p.efull, p.rem,
+       |    COALESCE(SUM(t.n_tokens) OVER (PARTITION BY t.source
+       |      ORDER BY md5('graft:' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM t JOIN pl p USING (source)),
+       |pt AS (SELECT doc_id, source, n_tokens,
+       |    CAST(efull AS BIGINT) AS epoch FROM c
+       |  WHERE prior < rem)
+       |SELECT doc_id, source, n_tokens, epoch FROM
+       |  (SELECT * FROM f UNION ALL SELECT * FROM pt)
+       |ORDER BY doc_id, epoch""".stripMargin) { (s, d) =>
+    val t = docTokens(s, d)
+    val targets = t.select(col("source")).distinct()
+      .withColumn("target_tokens",
+        lit(800L) + lit(500L) * (substring(col("source"), 4, 10).cast("long") % 7))
+    Sampling.epochUpsample(t, col("source"), col("doc_id"), col("n_tokens"),
+      targets, maxEpochs = 2)
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Metadata-FILTERED IVF-PQ search: the corpus is pre-filtered on a
+    * metadata predicate (label < 5 — a tenant / category / language
+    * restriction) and the routed ADC scan runs over the surviving
+    * partition only — the standard filtered-ANN production shape, where
+    * the predicate composes BELOW the index scan (per-row cell
+    * assignment is independent of the filter, so pre-filtering the
+    * corpus frame ≡ post-filtering candidates, with the filter pushed
+    * to the parquet scan under the encode projection). The oracle keeps
+    * the full assignment CTE and restricts candidates by the same
+    * predicate. */
+  val annFilteredTopK = Q("ann_filtered_topk",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${Registry10.sqlIvfAdcRank("codes", "qd",
+            "JOIN embeddings m ON m.vec_id = a.n_id AND m.label < 5")}
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 5),
+      e.filter(col("label") < 5), cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Incremental IVF-PQ index maintenance ([[Similarity.pqIndexBuild]]
+    * → [[Similarity.pqIndexAppend]]): a stored ledger over vec_id < 30
+    * extended with an at-least-once batch (vec_id ≥ 20 — the 20..29
+    * overlap replays already-indexed vectors, which the anti-join must
+    * drop) against the FROZEN centroids + codebook; the appended index
+    * must be indistinguishable from a from-scratch rebuild of the whole
+    * corpus, which is exactly what the oracle computes (full assignment
+    * + codes). Codes leave the engine comma-joined (the q14/q36 array
+    * convention). */
+  val annIndexAppend = Q("ann_index_append",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1)
+       |SELECT a.n_id AS vec_id, a.cell,
+       |  array_to_string(list(CAST(n.code AS INT) ORDER BY n.sub), ',') AS codes
+       |FROM asg a JOIN codes n ON n.n_id = a.n_id
+       |GROUP BY a.n_id, a.cell ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val ledger = Similarity.pqIndexBuild(
+      e.filter(col("vec_id") < 30), cent, cb, "vec_id", "embedding")
+    Similarity.pqIndexAppend(ledger, e.filter(col("vec_id") >= 20),
+      cent, cb, "vec_id", "embedding")
+      .withColumn("codes", array_join(col("codes"), ","))
+      .orderBy("vec_id")
+  }
+
+  val round12b: Seq[Q] =
+    Seq(mixTemperature, mixEpochs, annFilteredTopK, annIndexAppend)
+}

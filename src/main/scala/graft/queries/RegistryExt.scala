@@ -400,5 +400,6 @@ object RegistryExt {
   lazy val all: Seq[Q] = Registry.core ++ Registry2.more ++ ext ++
     Registry3.round3 ++ Registry4.round4 ++ Registry5.round6 ++
     Registry6.round7 ++ Registry7.round8 ++ Registry8.round9 ++
-    Registry9.round9b ++ Registry10.round11 ++ Registry10.round12
+    Registry9.round9b ++ Registry10.round11 ++ Registry10.round12 ++
+    Registry11.round12b
 }

@@ -288,4 +288,30 @@ class PqSpec extends SparkSpec {
       ArrayData.toArrayData(Array(1, 0)), Array(0, 2), Array(2, 2))
     assert(s == 1.5 + 2.5)
   }
+
+  test("pqIndexBuild/pqIndexAppend: append == rebuild, ledger untouched, idempotent") {
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val cb = seedCb
+    // appending a batch (with an already-indexed overlap) to a partial
+    // ledger must be indistinguishable from a from-scratch rebuild
+    val fullIdx = Similarity.pqIndexBuild(emb, cent, cb, "vec_id", "embedding")
+    val ledger = Similarity.pqIndexBuild(
+      emb.filter($"vec_id" < 30), cent, cb, "vec_id", "embedding")
+    val appended = Similarity.pqIndexAppend(ledger,
+      emb.filter($"vec_id" >= 20), cent, cb, "vec_id", "embedding")
+    assert(appended.exceptAll(fullIdx).isEmpty &&
+      fullIdx.exceptAll(appended).isEmpty)
+    // idempotence: replaying the same batch adds nothing
+    val again = Similarity.pqIndexAppend(appended,
+      emb.filter($"vec_id" >= 20), cent, cb, "vec_id", "embedding")
+    assert(again.count() == appended.count())
+    // stored rows pass through, never re-encoded: a sentinel mutation
+    // planted in the ledger survives the append verbatim
+    val mutated = ledger.withColumn("cell",
+      when($"vec_id" === 0, lit(-99)).otherwise($"cell"))
+    val out = Similarity.pqIndexAppend(mutated,
+      emb.filter($"vec_id" >= 20), cent, cb, "vec_id", "embedding")
+    assert(out.filter($"vec_id" === 0).head().getInt(1) == -99)
+  }
 }

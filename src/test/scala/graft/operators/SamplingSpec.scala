@@ -118,6 +118,60 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSet.subsetOf(more) && more.size == 3)
   }
 
+  test("temperatureBudgets: integer-exact sqrt-shares, floor sum <= total, flattening order") {
+    val docs = (1 to 900).map { i =>
+      val s = if (i <= 600) "src0" else if (i <= 800) "src1" else "src2"
+      (i.toLong, s, 10L)
+    }.toDF("id", "src", "toks")
+    val b = Sampling.temperatureBudgets(docs, $"src", $"toks", totalBudget = 3000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // floor rounding never over-allocates
+    assert(b.values.sum <= 3000L)
+    // alpha=0.5 flattens: src0 has 6x src2's tokens but only ~sqrt(6) = 2.45x
+    // its budget
+    assert(b("src0") > b("src1") && b("src1") > b("src2"))
+    assert(b("src0").toDouble / b("src2") < 3.0)
+    // the shares are integer-exact: replay them driver-side
+    val t = Map("src0" -> 6000L, "src1" -> 2000L, "src2" -> 1000L)
+    val sc = t.map { case (k, v) =>
+      k -> BigInt(math.round(math.sqrt(v.toDouble) * (1L << 20))) }
+    val denom = sc.values.sum
+    t.keys.foreach { k =>
+      assert(BigInt(b(k)) == (BigInt(3000) * sc(k)) / denom) }
+    // alpha=1 keeps the natural (unflattened) proportions
+    val prop = Sampling.temperatureBudgets(docs, $"src", $"toks", 3000L,
+      alpha = 1.0).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop("src0").toDouble / prop("src2") > 5.0)
+  }
+
+  test("epochUpsample: cap / full+partial / partial-only regimes, deterministic") {
+    // src0: tt=100, target 450 -> full = min(4, 2) = 2 (cap) -> rem 0
+    // src1: tt=300, target 450 -> full = 1, rem = 150 -> full + partial
+    // src2: tt=600, target 450 -> full = 0 -> partial-only at epoch 0
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "src0", 10L)) ++
+        (11 to 40).map(i => (i.toLong, "src1", 10L)) ++
+        (41 to 100).map(i => (i.toLong, "src2", 10L))).toDF("id", "src", "toks")
+    val targets = Seq(("src0", 450L), ("src1", 450L), ("src2", 450L))
+      .toDF("source", "target_tokens")
+    val out = Sampling.epochUpsample(docs, $"src", $"id", $"toks", targets,
+      maxEpochs = 2)
+    assert(out.columns.toSeq == Seq("id", "src", "toks", "epoch"))
+    val by = out.groupBy("src", "epoch").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cap regime: two complete epochs, remainder forced 0
+    assert(by(("src0", 0L)) == 10 && by(("src0", 1L)) == 10 &&
+      !by.contains(("src0", 2L)))
+    // full + partial: one complete epoch, then prior < 150 admits 15 docs
+    assert(by(("src1", 0L)) == 30 && by(("src1", 1L)) == 15)
+    // partial-only: prior < 450 admits 45 docs, all at epoch 0
+    assert(by(("src2", 0L)) == 45 && !by.contains(("src2", 1L)))
+    // the admitted multiset is partitioning-invariant
+    val again = Sampling.epochUpsample(docs.repartition(7), $"src", $"id",
+      $"toks", targets, maxEpochs = 2)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("quotaPerGroup: caps each group at n, deterministic winners, payload intact") {
     val out = Sampling.quotaPerGroup(corpus, $"lang", $"id", 7)
     val counts = out.groupBy("lang").count()
