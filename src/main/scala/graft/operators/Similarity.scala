@@ -756,14 +756,124 @@ object Similarity {
     * cannot duplicate index rows; the ledger ships ONLY its id column
     * into the anti-join (column-pruned — codes never ride the
     * exchange). Stored rows are never re-encoded (spec'd by mutation
-    * witness in SimilaritySpec's index suite). */
+    * witness in PqSpec's index suite).
+    *
+    * `deltaOnly = true` returns ONLY the newly encoded rows — the
+    * storage face: a parquet-backed ledger appends the delta
+    * (`write.mode("append")`) instead of rewriting the corpus, so the
+    * write cost is ∝ batch too; the default union face is for in-flow
+    * consumption (search over the extended index in the same job). */
   def pqIndexAppend(ledger: DataFrame, batch: DataFrame,
                     centroids: DataFrame, codebooks: DataFrame,
-                    idCol: String, vecCol: String, dim: Int = 64): DataFrame = {
+                    idCol: String, vecCol: String, dim: Int = 64,
+                    deltaOnly: Boolean = false): DataFrame = {
     val fresh = batch.join(
       ledger.select(col("vec_id").as(idCol)), Seq(idCol), "left_anti")
-    ledger.select(col("vec_id"), col("cell"), col("codes"))
-      .unionByName(pqIndexBuild(fresh, centroids, codebooks, idCol, vecCol, dim))
+    val built = pqIndexBuild(fresh, centroids, codebooks, idCol, vecCol, dim)
+    if (deltaOnly) built
+    else ledger.select(col("vec_id"), col("cell"), col("codes"))
+      .unionByName(built)
+  }
+
+  /** Sign-bit BINARY quantization: dim bits per vector (bit i = 1 iff
+    * component i ≥ 0) packed into ⌈dim/32⌉ longs of 32 bits each — the
+    * cheapest ANN memory face (64-dim float = 256 B → 8 B, 32×… and
+    * unlike PQ it needs NO codebook: the quantizer is the sign
+    * function, so there is nothing to train, ship, or version). 32-bit
+    * halves rather than one 64-bit word because the packing fold
+    * (acc·2 + bit) would wrap a 64th bit past Long.MaxValue — Spark's
+    * non-ANSI arithmetic wraps silently where a strict engine errors,
+    * so the gate-stable form keeps every intermediate in range.
+    *
+    * One codegen'd scalar projection (`aggregate` over `sequence` —
+    * fused, no UDF), zero shuffle. Refusal semantics: a null vector or
+    * null ELEMENT nulls the whole signature via the fold, and
+    * [[hammingTopK]] drops null-signature rows — refuse, don't
+    * zero-pad ([[pqTopK]]'s contract). Returns (vec_id, b0 … b⌈d/32⌉). */
+  def binarySign(df: DataFrame, idCol: String, vecCol: String,
+                 dim: Int = 64): DataFrame = {
+    require(dim > 0 && dim % 32 == 0, "dim must be a positive multiple of 32")
+    val words = dim / 32
+    // CASE with no ELSE arm: a null element satisfies neither branch,
+    // so the bit — hence the fold, hence the signature — goes null
+    // (IF(cond, 1, 0) would silently route a null comparison to the
+    // else arm and zero-pad the refusing element)
+    val packs = (0 until words).map { w =>
+      expr(s"aggregate(sequence(${w * 32 + 1}, ${w * 32 + 32}), 0L, " +
+        s"(acc, i) -> acc * 2L + (CASE " +
+        s"WHEN element_at(_v, i) >= CAST(0 AS FLOAT) THEN 1L " +
+        s"WHEN element_at(_v, i) < CAST(0 AS FLOAT) THEN 0L END))")
+        .as(s"b$w")
+    }
+    df.select(col(idCol).as("vec_id") +: col(vecCol).as("_v") +: Nil: _*)
+      .select(col("vec_id") +: packs: _*)
+  }
+
+  /** Binary top-k via HAMMING distance over sign signatures
+    * ([[binarySign]]): each candidate costs ⌈dim/32⌉ XOR+popcount word
+    * ops — the cheapest full-scan ANN there is, and the standard
+    * first stage of a binary-quantized retrieve (sign bits preserve
+    * the cosine's angular ordering in expectation; Charikar's SRP-LSH
+    * bound, the same family as [[lshTopK]]'s hyperplane draws).
+    * Approximation contract: Hamming rank drifts from exact cosine as
+    * angular resolution exceeds dim bits — `rerank` = r > 0 re-scores
+    * the top-r Hamming survivors against RAW vectors by exact cosine
+    * (floats touched for survivors only, [[ivfPqTopK]]'s two-stage
+    * shape). Ties break to the lower neighbor id at both stages.
+    *
+    * Scale shape: the corpus ships (n_id, ⌈dim/32⌉ longs) — 8 B of
+    * signature per 64-dim row; queries are broadcast-sized by contract
+    * with the same pre-count guard as [[pqTopK]]. Returns
+    * (q_id, n_id, rnk, hamming), or (q_id, n_id, rnk, cos) with
+    * re-rank. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  rerank: Int = 0, dim: Int = 64,
+                  maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (off) or >= k, got rerank=$rerank k=$k")
+    require(maxQueryRows > 0, "maxQueryRows must be positive")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"hammingTopK: query side holds $nq rows > maxQueryRows=$maxQueryRows; " +
+        "queries broadcast — batch them or raise the cap deliberately")
+    val words = dim / 32
+    val bCols = (0 until words).map(w => s"b$w")
+    val qs = binarySign(queries, idCol, vecCol, dim)
+      .na.drop(bCols)
+      .select(col("vec_id").as("q_id") +:
+        bCols.map(b => col(b).as(s"q_$b")): _*)
+    val cs = binarySign(corpus, idCol, vecCol, dim)
+      .na.drop(bCols)
+      .select(col("vec_id").as("n_id") +: bCols.map(col): _*)
+    val ham = bCols.map(b =>
+      bit_count(col(s"q_$b").bitwiseXOR(col(b)))).reduce(_ + _)
+    val scored = cs.join(broadcast(qs))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("hamming", ham.cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("hamming").asc, col("n_id").asc)))
+    if (rerank == 0)
+      scored.filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("hamming"))
+    else {
+      val surv = scored.filter(col("rnk") <= rerank)
+        .select(col("q_id"), col("n_id"))
+      val qraw = queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("q_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+      val raw = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+      raw.join(broadcast(surv.join(qraw, "q_id")), Seq("n_id"))
+        .withColumn("cos", cosFromNorms(dim))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("n_id").asc)))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos"))
+    }
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, blocked on

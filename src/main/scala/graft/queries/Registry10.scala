@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.Similarity
 
-/** Round-11 additions: the product-quantization ANN family (the memory
-  * face of vector search at 10⁹ vectors — codes, not floats, ride the
-  * scan), temperature-based source mixing, and epoch upsampling. */
+/** Rounds 11–12: the product-quantization ANN family — the memory face
+  * of vector search at 10⁹ vectors (codes, not floats, ride the scan),
+  * from raw encode through trained, routed, residual, re-ranked, and
+  * graph forms. The mixing faces live in [[Registry11]]. */
 object Registry10 {
 
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)

@@ -158,6 +158,73 @@ object Registry11 {
       .orderBy("vec_id")
   }
 
+  /** Shared oracle CTE: 32-bit sign-pack halves per embedding — the
+    * fold replays [[Similarity.binarySign]]'s acc·2 + bit exactly (32
+    * bits per word keeps every intermediate < 2⁶³ in BOTH engines;
+    * Spark's non-ANSI 64-bit fold would wrap silently where DuckDB
+    * errors). */
+  private val sqlSig =
+    """sig AS (SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      range(1, 33), i -> CAST(CASE WHEN embedding[i] >= 0 THEN 1
+      |        ELSE 0 END AS BIGINT))), (a, b) -> a * 2 + b) AS b0,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+      |      range(33, 65), i -> CAST(CASE WHEN embedding[i] >= 0 THEN 1
+      |        ELSE 0 END AS BIGINT))), (a, b) -> a * 2 + b) AS b1
+      |  FROM embeddings),
+      |h AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    CAST(bit_count(xor(q.b0, n.b0))
+      |       + bit_count(xor(q.b1, n.b1)) AS BIGINT) AS hamming
+      |  FROM sig q JOIN sig n ON q.vec_id < 5 AND q.vec_id <> n.vec_id),
+      |r AS (SELECT q_id, n_id, hamming, CAST(ROW_NUMBER() OVER (
+      |  PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS BIGINT) AS rnk
+      |  FROM h)""".stripMargin
+
+  /** Sign-bit binary quantization + Hamming top-k
+    * ([[Similarity.binarySign]] → [[Similarity.hammingTopK]]): the
+    * codebook-FREE memory face — 64 sign bits per vector (32× smaller
+    * than raw floats, like PQ, but with nothing to train, ship, or
+    * version), each candidate scored by two XOR+popcount word ops. The
+    * oracle replays the 32-bit packing fold and the two-word popcount
+    * sum; ties break to the lower neighbor id. Approximate by
+    * construction (sign bits preserve angular order in expectation —
+    * the SRP-LSH family). */
+  val annBinaryTopK = Q("ann_binary_topk",
+    s"""WITH $sqlSig
+       |SELECT q_id, n_id, rnk, hamming FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.hammingTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Binary retrieve with EXACT re-rank ([[Similarity.hammingTopK]]
+    * rerank = 20): the top-20 Hamming survivors per query re-score
+    * against RAW vectors by exact cosine and the final top-5 rank by
+    * cosine — the standard two-stage shape ([[Registry10]]'s
+    * `ann_ivf_pq_rerank`) on the cheapest first stage there is. */
+  val annBinaryRerank = Q("ann_binary_rerank",
+    s"""WITH $sqlSig,
+       |surv AS (SELECT q_id, n_id FROM r WHERE rnk <= 20),
+       |rr AS (SELECT s.q_id, s.n_id,
+       |    ${Registry10.sqlCos("q.embedding", "b.embedding")} AS cos
+       |  FROM surv s JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings b ON b.vec_id = s.n_id),
+       |r2 AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM rr)
+       |SELECT q_id, n_id, rnk, cos FROM r2 WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    Similarity.hammingTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 5, rerank = 20)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round12b: Seq[Q] =
-    Seq(mixTemperature, mixEpochs, annFilteredTopK, annIndexAppend)
+    Seq(mixTemperature, mixEpochs, annFilteredTopK, annIndexAppend,
+      annBinaryTopK, annBinaryRerank)
 }

@@ -408,6 +408,27 @@ object ScaleProbe {
           println(f"PROBE pq $scale pass$pass cells=$nCellsKnn " +
             f"knn_float_s=$tF%.2f knn_sdc_s=$tS%.2f")
         }
+        // incremental index maintenance: append a FIXED 1000-vector
+        // batch to a STORED corpus-sized ledger, delta face (what a
+        // parquet-backed ledger writes). Encode/assign cost is ∝ batch;
+        // the only corpus-∝ term is the anti-join's column-pruned
+        // 8-byte-id ledger scan — wall should stay near-flat while the
+        // ledger grows 100×.
+        val ledgerPath = s"$scratch/pq_ledger_$scale.parquet"
+        Similarity.pqIndexBuild(e, cent, cb, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(ledgerPath)
+        val stored = spark.read.parquet(ledgerPath)
+        val mxId = e.agg(max("vec_id")).head().getLong(0)
+        val batch = e.filter(col("vec_id") < 1000)
+          .withColumn("vec_id", col("vec_id") + lit(mxId + 1))
+        for (pass <- 1 to 2) {
+          val t0 = System.nanoTime()
+          Similarity.pqIndexAppend(stored, batch, cent, cb,
+            "vec_id", "embedding", deltaOnly = true)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROBE pq $scale pass$pass " +
+            f"index_append_batch1000_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
         val n = e.count()
         val occ = Similarity.ivfAssign(e, cent, "vec_id", "embedding")
           .groupBy("cell").agg(count(lit(1)).as("n"))

@@ -289,6 +289,47 @@ class PqSpec extends SparkSpec {
     assert(s == 1.5 + 2.5)
   }
 
+  test("binarySign: bit packing exact on a constructed vector; 0.0 signs positive") {
+    // alternating +/− with a 0.0 at position 1: bits 10101…, so each
+    // 32-bit half is 0b1010…10 = 0xAAAAAAAA
+    val v = (0 until 64).map(i => if (i % 2 == 0) 0.0f else -1.0f).toArray
+    val df = Seq((1L, v)).toDF("id", "vec")
+    val row = Similarity.binarySign(df, "id", "vec").head()
+    assert(row.getLong(1) == 0xAAAAAAAAL && row.getLong(2) == 0xAAAAAAAAL)
+    // a null ELEMENT nulls the signature (refuse, don't zero-pad)
+    val bad = Seq((2L, (0 until 64).map(i =>
+      if (i == 7) null else java.lang.Float.valueOf(1.0f)).toArray))
+      .toDF("id", "vec")
+    assert(Similarity.binarySign(bad, "id", "vec").head().isNullAt(1))
+    // dim not a multiple of 32 is refused
+    assertThrows[IllegalArgumentException] {
+      Similarity.binarySign(df, "id", "vec", dim = 48)
+    }
+  }
+
+  test("hammingTopK: full re-rank pool == exact brute force; refused rows dropped") {
+    val q = emb.filter($"vec_id" < 3)
+    val got = Similarity.hammingTopK(q, emb, "vec_id", "embedding",
+      k = 5, rerank = 500)
+      .select("q_id", "n_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // a null-signature corpus row never outranks real neighbors
+    val poisoned = emb.select($"vec_id", $"embedding")
+      .unionByName(Seq((9999L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val top = Similarity.hammingTopK(q, poisoned, "vec_id", "embedding", k = 5)
+    assert(top.filter($"n_id" === 9999L).isEmpty)
+    // query-side guard refuses a corpus-sized query frame
+    assertThrows[IllegalArgumentException] {
+      Similarity.hammingTopK(emb, emb, "vec_id", "embedding", k = 5,
+        maxQueryRows = 10)
+    }
+  }
+
   test("pqIndexBuild/pqIndexAppend: append == rebuild, ledger untouched, idempotent") {
     val cent = emb.filter($"vec_id" < 16)
       .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
