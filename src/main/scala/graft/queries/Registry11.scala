@@ -224,7 +224,92 @@ object Registry11 {
       .orderBy("q_id", "rnk")
   }
 
+  /** STREAMING index ingest: the production arrival path of
+    * [[Similarity.pqIndexAppend]] — embedding pages arrive as file-source
+    * micro-batches (one page per trigger), and each batch appends its
+    * DELTA (the `deltaOnly` storage face) to a parquet-backed ledger
+    * after anti-joining the ledger's ids. Pages OVERLAP by 10 ids (an
+    * at-least-once source replaying tail rows), which the anti-join must
+    * absorb — and because the quantizer is frozen, the final ledger is
+    * ARRIVAL-ORDER-INDEPENDENT: whichever replica of an overlapped row
+    * arrives first encodes to the same (cell, codes), so ingest order
+    * cannot change the stored index. The gate asserts the strongest
+    * form: after draining all pages, the ledger equals the from-scratch
+    * rebuild of the whole corpus (the `ann_index_append` oracle).
+    *
+    * Stateless streaming (no watermark, no state store): the ledger IS
+    * the state, exactly as a production vector-index ingest holds its
+    * state in storage, not in the stream engine. */
+  val streamingIndexIngest = Q("streaming_index_ingest",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1)
+       |SELECT a.n_id AS vec_id, a.cell,
+       |  array_to_string(list(CAST(n.code AS INT) ORDER BY n.sub), ',') AS codes
+       |FROM asg a JOIN codes n ON n.n_id = a.n_id
+       |GROUP BY a.n_id, a.cell ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+    val n = e.count()
+    val fx = FixtureCache.cached(d, "sidx", 1, Seq("embeddings")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val q = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * q - 10)
+        val hi = if (p == 3) n else (p + 1) * q
+        val tmpd = tmp.resolve(s"tmp$p")
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_sidx")
+    val ledgerDir = stage.resolve("ledger").toString
+    val (_, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    // seed an empty ledger so the first batch's stored-side read plans
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("cell", IntegerType),
+        StructField("codes", ArrayType(IntegerType, containsNull = false)))))
+      .write.mode("overwrite").parquet(ledgerDir)
+    val stream = s.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
+      val stored = s.read.parquet(ledgerDir)
+      Similarity.pqIndexAppend(stored, b, cent, cb,
+        "vec_id", "embedding", deltaOnly = true)
+        .write.mode("append").parquet(ledgerDir)
+    }
+    val run = stream.writeStream
+      .foreachBatch(appendBatch)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    s.read.parquet(ledgerDir)
+      .withColumn("codes", array_join(col("codes"), ","))
+      .orderBy("vec_id")
+  }
+
   val round12b: Seq[Q] =
     Seq(mixTemperature, mixEpochs, annFilteredTopK, annIndexAppend,
-      annBinaryTopK, annBinaryRerank)
+      annBinaryTopK, annBinaryRerank, streamingIndexIngest)
 }

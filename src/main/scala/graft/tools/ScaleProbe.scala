@@ -408,6 +408,15 @@ object ScaleProbe {
           println(f"PROBE pq $scale pass$pass cells=$nCellsKnn " +
             f"knn_float_s=$tF%.2f knn_sdc_s=$tS%.2f")
         }
+        // binary face: sign + Hamming scan — the exhaustive baseline at
+        // 8 B/row signatures and 2 word ops/candidate; must stay linear
+        for (pass <- 1 to 2) {
+          val t0 = System.nanoTime()
+          Similarity.hammingTopK(q, e, "vec_id", "embedding", k = 5)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROBE pq $scale pass$pass " +
+            f"hamming_exhaustive_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
         // incremental index maintenance: append a FIXED 1000-vector
         // batch to a STORED corpus-sized ledger, delta face (what a
         // parquet-backed ledger writes). Encode/assign cost is ∝ batch;
