@@ -775,6 +775,22 @@ object Similarity {
       .unionByName(built)
   }
 
+  /** IVF-PQ index TAKEDOWN: drop `removals` (an id frame) from a stored
+    * [[pqIndexBuild]] ledger — the GDPR-deletion / retraction path,
+    * completing the maintenance triple (build / append / remove) the
+    * dedup cluster ledger already has
+    * ([[Dedup.connectedComponentsRemove]]). Unlike cluster removal,
+    * index removal cannot split anything — rows are independent under a
+    * frozen quantizer — so the whole operation is ONE anti-join keyed on
+    * the id (removals ship ids only), and the result must equal a
+    * from-scratch rebuild of the surviving corpus, which is exactly what
+    * the gate asserts. Ids absent from the ledger are a no-op (idempotent
+    * takedown replay, like [[pqIndexAppend]]'s overlap). */
+  def pqIndexRemove(ledger: DataFrame, removals: DataFrame,
+                    idCol: String): DataFrame =
+    ledger.join(removals.select(col(idCol).as("vec_id")),
+      Seq("vec_id"), "left_anti")
+
   /** Sign-bit BINARY quantization: dim bits per vector (bit i = 1 iff
     * component i ≥ 0) packed into ⌈dim/32⌉ longs of 32 bits each — the
     * cheapest ANN memory face (64-dim float = 256 B → 8 B, 32×… and

@@ -309,7 +309,39 @@ object Registry11 {
       .orderBy("vec_id")
   }
 
+  /** Index TAKEDOWN under the gate ([[Similarity.pqIndexRemove]]): the
+    * corpus ledger minus a removal batch (vec_id ≡ 0 mod 7, plus the
+    * never-indexed id 9999 — takedown replay of an absent id must be a
+    * no-op) equals the from-scratch rebuild of the surviving corpus —
+    * deletion must be indistinguishable from never having ingested the
+    * removed vectors (`dedup_clusters_remove`'s posture; here rows are
+    * independent under the frozen quantizer, so one id-keyed anti-join
+    * IS the whole repair). */
+  val annIndexRemove = Q("ann_index_remove",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1)
+       |SELECT a.n_id AS vec_id, a.cell,
+       |  array_to_string(list(CAST(n.code AS INT) ORDER BY n.sub), ',') AS codes
+       |FROM asg a JOIN codes n ON n.n_id = a.n_id
+       |WHERE a.n_id % 7 <> 0
+       |GROUP BY a.n_id, a.cell ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val ledger = Similarity.pqIndexBuild(e, cent, cb, "vec_id", "embedding")
+    val removals = e.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      .unionByName(s.range(9999, 10000).select(col("id").as("vec_id")))
+    Similarity.pqIndexRemove(ledger, removals, "vec_id")
+      .withColumn("codes", array_join(col("codes"), ","))
+      .orderBy("vec_id")
+  }
+
   val round12b: Seq[Q] =
     Seq(mixTemperature, mixEpochs, annFilteredTopK, annIndexAppend,
-      annBinaryTopK, annBinaryRerank, streamingIndexIngest)
+      annBinaryTopK, annBinaryRerank, streamingIndexIngest, annIndexRemove)
 }

@@ -330,6 +330,21 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("pqIndexRemove: takedown == rebuild of survivors; absent ids are a no-op") {
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val ledger = Similarity.pqIndexBuild(emb, cent, seedCb, "vec_id", "embedding")
+    val rm = emb.filter($"vec_id" % 5 === 0).select($"vec_id")
+    val got = Similarity.pqIndexRemove(ledger, rm, "vec_id")
+    val want = Similarity.pqIndexBuild(emb.filter($"vec_id" % 5 =!= 0),
+      cent, seedCb, "vec_id", "embedding")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // removing ids that were never indexed changes nothing
+    val noop = Similarity.pqIndexRemove(got,
+      spark.range(100000, 100010).select($"id".as("vec_id")), "vec_id")
+    assert(noop.exceptAll(got).isEmpty && got.exceptAll(noop).isEmpty)
+  }
+
   test("pqIndexBuild/pqIndexAppend: append == rebuild, ledger untouched, idempotent") {
     val cent = emb.filter($"vec_id" < 16)
       .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
