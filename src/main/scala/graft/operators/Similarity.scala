@@ -1089,4 +1089,173 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("src_id"), col("nbr_id"), col("rnk"), col("sdc"))
   }
+
+  /** Per-dimension min/max training scan for scalar quantization
+    * ([[sqEncode]]/[[sqTopK]]): one posexplode + partial-aggregated
+    * min/max keyed on the dimension index — the exchange carries ≤ dim
+    * rows per partition (map-side combine collapses the corpus), so the
+    * "training" cost of SQ8 is a single column-pruned pass at any corpus
+    * size. Null elements are skipped by min/max (a hole-y vector must
+    * not shrink the span — encoding refuses hole-y vectors anyway).
+    * Returns (d, mn, mx), one row per dimension. */
+  def sqStats(corpus: DataFrame, vecCol: String, dim: Int = 64): DataFrame =
+    corpus
+      .select(posexplode(slice(col(vecCol), 1, dim)).as(Seq("d", "_x")))
+      .groupBy("d")
+      .agg(min(col("_x").cast("double")).as("mn"),
+        max(col("_x").cast("double")).as("mx"))
+
+  /** Collect the ≤ dim stats rows ([[sqStats]] shape) into the
+    * plan-constant (mins, steps) pair the SQ expressions compile in —
+    * bounded by contract exactly like [[collectPqCodebook]] (64 rows for
+    * a 64-dim corpus). step = (mx − mn) / 255, ONE driver-side IEEE
+    * divide the oracle replays verbatim; a degenerate dimension
+    * (mn = mx) gets step 0 and always encodes/dequantizes to mn. */
+  private def collectSqStats(stats: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = stats.select(col("d").cast("int"), col("mn"), col("mx"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "sq stats frame is empty")
+    require(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq,
+      "sq stats dimensions must be dense 0..dim-1")
+    val mins = rows.map(_.getDouble(1))
+    val steps = rows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
+    (mins, steps)
+  }
+
+  /** SQ8 encode: each vector compressed to dim one-byte level indices
+    * against the per-dimension [min, max] span — 4× smaller than raw
+    * floats with no codebook to train, ship, or version (the stats frame
+    * IS the quantizer: 2 doubles per dimension). One scalar projection
+    * ([[graft.expressions.SqCodes]]), no join, no shuffle. Returns
+    * (vec_id, codes); refused vectors (null / truncated / null-element)
+    * carry null codes — filter or let downstream drop them. */
+  def sqEncode(batch: DataFrame, stats: DataFrame,
+               idCol: String, vecCol: String): DataFrame = {
+    val (mins, steps) = collectSqStats(stats)
+    val enc = GraftExpr.col(graft.expressions.SqCodes(
+      GraftExpr.expr(col("_v")), mins, steps))
+    batch.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .withColumn("codes", enc)
+      .select("vec_id", "codes")
+  }
+
+  /** SQ8 top-k: asymmetric squared-L2 between RAW query vectors and the
+    * DEQUANTIZED corpus codes ([[graft.expressions.SqAdcDist]]) — the
+    * cheap-index face between [[hammingTopK]] (64×, coarsest) and
+    * [[pqTopK]] (32×, trained): 4× compression, 256 levels/dimension, no
+    * training beyond the [[sqStats]] min/max scan. Scale shape: the
+    * corpus ships (n_id, dim bytes) — the scan operand is the compressed
+    * index; queries broadcast raw (small by contract, same
+    * `maxQueryRows` refuse-guard as [[pqTopK]]). Approximate only by
+    * quantization resolution (≤ step/2 per dimension); ties break to the
+    * lower neighbor id. Refused corpus rows are dropped, never ranked
+    * ([[pqTopK]]'s NULLS-FIRST-inversion lesson). Returns
+    * (q_id, n_id, rnk, adc). */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, stats: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"sqTopK: query side holds $nq rows > maxQueryRows=$maxQueryRows; " +
+        "queries broadcast raw vectors — batch the queries or raise the " +
+        "cap deliberately")
+    val (mins, steps) = collectSqStats(stats)
+    val enc = GraftExpr.col(graft.expressions.SqCodes(
+      GraftExpr.expr(col("_v")), mins, steps))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("_v"))
+      .withColumn("_codes", enc)
+      .select(col("n_id"), col("_codes"))
+      .filter(col("_codes").isNotNull)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
+    val adc = GraftExpr.col(graft.expressions.SqAdcDist(
+      GraftExpr.expr(col("_qv")), GraftExpr.expr(col("_codes")), mins, steps))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+      .filter(col("adc").isNotNull)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc").asc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
+
+  /** Graph-based ANN search: bounded-hop BEAM SEARCH over a prebuilt
+    * kNN graph ([[knnGraph]]/[[knnGraphPq]] output) — the fourth classic
+    * index family next to LSH, IVF, and quantization, and the shape
+    * HNSW/NSG run at layer 0. Every query starts a frontier at the
+    * GLOBAL ENTRY node (the minimum corpus id — deterministic; a
+    * production build would use the medoid, same dataflow), and each hop
+    * expands frontier ∪ out-neighbors(frontier), scores candidates by
+    * exact cosine, and keeps the top `beam` (ties to the lower id). The
+    * frontier is always retained in its own expansion, so the best
+    * candidate found never regresses — after `hops` rounds the final
+    * frontier ranks to top-k (the query's own node, if reached, is
+    * excluded from results but DOES expand: its out-edges are the
+    * natural path to its true neighbors).
+    *
+    * Scale shape: per hop, the frontier (≤ queries × beam rows) shuffles
+    * against the edge list on src_id — the EDGES never move more than
+    * once ([[Lineage.truncate]] pins the projected edge frame, and a
+    * production deployment would bucket the edge table by src_id at
+    * write, [[Layout.writeBucketed]], making every hop's join
+    * shuffle-free on the graph side); scoring re-joins the corpus on
+    * n_id for ≤ queries × beam × (k+1) candidate rows. Total touched
+    * work is hops × beam × fan-out per query — INDEPENDENT of corpus
+    * size, the property that makes graph ANN the lowest-latency family
+    * at 10⁹ vectors. Recall is bounded by graph connectivity: a
+    * disconnected component unreachable from the entry node is invisible
+    * (the standard graph-ANN caveat — production graphs add long-range
+    * edges for exactly this reason).
+    *
+    * Queries broadcast per hop (small by contract, same `maxQueryRows`
+    * refuse-guard as [[pqTopK]]). Returns (q_id, n_id, rnk, cos). */
+  def graphSearchTopK(queries: DataFrame, corpus: DataFrame,
+                      graph: DataFrame, idCol: String, vecCol: String,
+                      k: Int, beam: Int = 8, hops: Int = 3, dim: Int = 64,
+                      maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(beam >= k, "beam must be >= k (the final frontier is the candidate pool)")
+    require(hops > 0, "hops must be positive")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"graphSearchTopK: query side holds $nq rows > maxQueryRows=" +
+        s"$maxQueryRows; queries broadcast per hop — batch the queries " +
+        "or raise the cap deliberately")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+    // edge frame pinned once: every hop joins it on src_id
+    val edges = Lineage.truncate(
+      graph.select(col("src_id"), col("nbr_id")))
+    // entry as a 1-row FRAME (not a collected literal): keeps the id's
+    // exact type in-plan, and an empty corpus degrades to an empty
+    // result instead of a driver crash
+    val entry = corpus.agg(min(col(idCol)).as("n_id"))
+      .filter(col("n_id").isNotNull)
+    def score(cand: DataFrame): DataFrame =
+      cand.join(c, "n_id")
+        .join(broadcast(q), "q_id")
+        .withColumn("cos", cosFromNorms(dim))
+        .select(col("q_id"), col("n_id"), col("cos"))
+    var frontier = score(
+      q.select(col("q_id")).crossJoin(broadcast(entry)))
+    var h = 0
+    while (h < hops) {
+      val expanded = frontier.select(col("q_id"), col("n_id"))
+        .join(edges, col("n_id") === col("src_id"))
+        .select(col("q_id"), col("nbr_id").as("n_id"))
+        .union(frontier.select(col("q_id"), col("n_id")))
+        .distinct()
+      frontier = score(expanded)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("n_id").asc)))
+        .filter(col("rnk") <= beam)
+        .select(col("q_id"), col("n_id"), col("cos"))
+      h += 1
+    }
+    ranked(frontier.filter(col("q_id") =!= col("n_id")), k)
+  }
 }

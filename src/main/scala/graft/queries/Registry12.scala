@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Retrieval, Similarity}
+
+/** Round-12 third wave: the remaining production index families —
+  * scalar quantization (SQ8) and graph-based beam search — plus the
+  * retrieval stack a training pipeline queries with: BM25 posting-list
+  * scoring, hybrid reciprocal-rank fusion, and multi-vector MaxSim late
+  * interaction. Ref: the reference has no retrieval layer (its queries
+  * are aggregate charts, src/jurimetria_pipeline.py:44-296); this is
+  * the LLM-data-pipeline extension surface the builder prompt names. */
+object Registry12 {
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** SQ8 top-k ([[Similarity.sqStats]] → [[Similarity.sqTopK]]): the
+    * third memory face of the index family — 4× compression against
+    * raw floats, 256 levels per dimension from a min/max training
+    * scan, NO codebook (the quantizer is 2 doubles/dimension). Each
+    * corpus vector encodes to 64 one-byte level indices; candidates
+    * score as squared L2 between the raw query and the DEQUANTIZED
+    * reconstruction. The oracle replays the whole journey in the
+    * operator's exact IEEE order: per-dimension min/max, step =
+    * (mx − mn)/255, code = clamp(⌊(x − mn)/step + 0.5⌋, 0, 255)
+    * (floor-plus-half, never round() — HALF_UP vs libm tie behavior
+    * differs across engines), dequant = mn + code·step, and the
+    * dimension-order distance fold. Ties to the lower neighbor id. */
+  val annSq8TopK = Q("ann_sq8_topk",
+    s"""WITH ds AS (SELECT unnest(range(1, 65)) AS t),
+       |st AS (SELECT s.t, MIN(CAST(b.embedding[s.t] AS DOUBLE)) AS mn,
+       |    MAX(CAST(b.embedding[s.t] AS DOUBLE)) AS mx
+       |  FROM embeddings b CROSS JOIN ds s GROUP BY s.t),
+       |sp AS (SELECT t, mn, (mx - mn) / 255.0 AS stp FROM st),
+       |cd AS (SELECT b.vec_id AS n_id, s.t,
+       |    CASE WHEN s.stp = 0 THEN 0 ELSE
+       |      LEAST(255, GREATEST(0, CAST(floor(
+       |        (CAST(b.embedding[s.t] AS DOUBLE) - s.mn) / s.stp + 0.5)
+       |        AS BIGINT))) END AS code
+       |  FROM embeddings b CROSS JOIN sp s),
+       |dd AS (SELECT q.vec_id AS q_id, c.n_id, c.t,
+       |    (CAST(q.embedding[c.t] AS DOUBLE) - (s.mn + c.code * s.stp))
+       |  * (CAST(q.embedding[c.t] AS DOUBLE) - (s.mn + c.code * s.stp)) AS dsq
+       |  FROM embeddings q JOIN cd c ON q.vec_id <> c.n_id
+       |  JOIN sp s ON s.t = c.t
+       |  WHERE q.vec_id < 5),
+       |adc AS (SELECT q_id, n_id,
+       |    list_reduce(list_prepend(0.0, list(dsq ORDER BY t)),
+       |      (x, y) -> x + y) AS adc
+       |  FROM dd GROUP BY q_id, n_id),
+       |r AS (SELECT q_id, n_id, adc, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val stats = Similarity.sqStats(e, "embedding", dim = 64)
+    Similarity.sqTopK(e.filter(col("vec_id") < 5), e, stats,
+      "vec_id", "embedding", k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Graph-based ANN ([[Similarity.knnGraph]] →
+    * [[Similarity.graphSearchTopK]]): bounded-hop beam search over a
+    * prebuilt kNN graph — the fourth index family (HNSW/NSG's layer-0
+    * shape), where touched work per query is hops × beam × fan-out,
+    * INDEPENDENT of corpus size. The gate pins a fixed 200-node
+    * single-cell graph (k = 3 out-edges) so the oracle's graph-build
+    * cost is sf-invariant; every query starts at the minimum corpus id
+    * and runs 3 hops of beam 4. The oracle UNROLLS the hops as CTE
+    * stages (frontier ∪ out-neighbors, exact-cosine score, top-beam
+    * with ties to the lower id — the frontier is retained in its own
+    * expansion, so the best candidate never regresses), then ranks the
+    * final frontier minus the query's own node. Approximate by graph
+    * connectivity, bit-exact in scoring. */
+  val annGraphSearch = Q("ann_graph_search",
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+       |g AS (SELECT src_id, nbr_id FROM (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, ROW_NUMBER() OVER (
+       |    PARTITION BY a.vec_id
+       |    ORDER BY ${Registry10.sqlCos("a.embedding", "b.embedding")} DESC,
+       |      b.vec_id ASC) AS rn
+       |  FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= 3),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM base
+       |  WHERE vec_id < 5),
+       |f0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM base) AS n_id FROM q),
+       |c1 AS (SELECT DISTINCT q_id, n_id FROM (
+       |  SELECT f.q_id, g.nbr_id AS n_id FROM f0 f JOIN g ON g.src_id = f.n_id
+       |  UNION ALL SELECT q_id, n_id FROM f0)),
+       |s1 AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |  FROM (SELECT c.q_id, c.n_id,
+       |      ${Registry10.sqlCos("q.q_vec", "b.embedding")} AS cs
+       |    FROM c1 c JOIN q ON q.q_id = c.q_id
+       |    JOIN base b ON b.vec_id = c.n_id)),
+       |f1 AS (SELECT q_id, n_id FROM s1 WHERE rn <= 4),
+       |c2 AS (SELECT DISTINCT q_id, n_id FROM (
+       |  SELECT f.q_id, g.nbr_id AS n_id FROM f1 f JOIN g ON g.src_id = f.n_id
+       |  UNION ALL SELECT q_id, n_id FROM f1)),
+       |s2 AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |  FROM (SELECT c.q_id, c.n_id,
+       |      ${Registry10.sqlCos("q.q_vec", "b.embedding")} AS cs
+       |    FROM c2 c JOIN q ON q.q_id = c.q_id
+       |    JOIN base b ON b.vec_id = c.n_id)),
+       |f2 AS (SELECT q_id, n_id FROM s2 WHERE rn <= 4),
+       |c3 AS (SELECT DISTINCT q_id, n_id FROM (
+       |  SELECT f.q_id, g.nbr_id AS n_id FROM f2 f JOIN g ON g.src_id = f.n_id
+       |  UNION ALL SELECT q_id, n_id FROM f2)),
+       |s3 AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |  FROM (SELECT c.q_id, c.n_id,
+       |      ${Registry10.sqlCos("q.q_vec", "b.embedding")} AS cs
+       |    FROM c3 c JOIN q ON q.q_id = c.q_id
+       |    JOIN base b ON b.vec_id = c.n_id)),
+       |r AS (SELECT q_id, n_id, cs AS cos, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM s3 WHERE rn <= 4 AND q_id <> n_id)
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+    Similarity.graphSearchTopK(e.filter(col("vec_id") < 5), e, g,
+      "vec_id", "embedding", k = 3, beam = 4, hops = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Shared BM25 oracle CTE chain, top-`k` per query with queries =
+    * the distinct token sets of docs 0..2. Every arithmetic step is
+    * written in [[Retrieval.bm25Scores]]'s exact IEEE order: rational
+    * idf ((N − df) + 0.5)/(df + 0.5) — the argument of the
+    * Robertson–Sparck Jones log, kept rational per the text_tfidf
+    * precedent (a transcendental log is not bit-stable cross-engine);
+    * k1 + 1 spelled `(1.2 + 1.0)` so both engines run the same IEEE
+    * add; per-(query, doc) term scores fold in term order. */
+  private def sqlBm25(k: Int): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |stt AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id < 3),
+       |tsc AS (SELECT q.q_id, tf.doc_id, tf.term,
+       |    (((CAST(stt.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5)
+       |       / (CAST(f.df AS DOUBLE) + 0.5))
+       |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+       |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+       |        + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |          / (CAST(stt.sum_dl AS DOUBLE) / CAST(stt.n_docs AS DOUBLE)))))
+       |      AS v
+       |  FROM tf JOIN qt q USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stt JOIN dfreq f USING (term)),
+       |sc AS (SELECT q_id, doc_id,
+       |    list_reduce(list_prepend(0.0, list(v ORDER BY term)),
+       |      (x, y) -> x + y) AS score
+       |  FROM tsc WHERE q_id <> doc_id GROUP BY 1, 2),
+       |rb AS (SELECT q_id, doc_id, score, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM sc WHERE TRUE),
+       |lex AS (SELECT q_id, doc_id, rnk, score FROM rb WHERE rnk <= $k)""".stripMargin
+
+  /** BM25 lexical retrieval under the gate ([[Retrieval.bm25TopK]]):
+    * the inverted-index dataflow — tokenize once, partial-agg tf/dl/df,
+    * broadcast-join the query terms against the posting list — ranking
+    * every corpus document against the token sets of docs 0..2. Only
+    * the tokenize exchange is corpus-sized; at 100 TB this IS how a
+    * lexical index build + query runs. */
+  val textBm25TopK = Q("text_bm25_topk",
+    s"""WITH ${sqlBm25(10)}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    Retrieval.bm25TopK(qt, dcs, "doc_id", "text", k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[Retrieval.rrfFuse]]): BM25 top-20 over documents ⊕ exact-cosine
+    * top-20 over embeddings (the testdata id spaces align: doc_id n ↔
+    * vec_id n, the standard doc-and-its-embedding pairing), fused as
+    * Σ 1/(60 + rank) — rank arithmetic only, no score calibration,
+    * which is why RRF is THE production hybrid combiner. A candidate
+    * missing from one list contributes 0 from it. The fuse joins two
+    * already-top-k'd frames — the corpus never participates. Ties to
+    * the lower candidate id. */
+  val hybridRrfTopK = Q("hybrid_rrf_topk",
+    s"""WITH ${sqlBm25(20)},
+       |dcs AS (SELECT c.vec_id AS n_id, q.vec_id AS q_id,
+       |    ${Registry10.sqlCos("q.embedding", "c.embedding")} AS cs
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 3),
+       |den AS (SELECT q_id, n_id, rnk FROM (
+       |  SELECT q_id, n_id, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM dcs) WHERE rnk <= 20),
+       |lc AS (SELECT q_id, doc_id AS n_id,
+       |    1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS c0 FROM lex),
+       |dc AS (SELECT q_id, n_id,
+       |    1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS c1 FROM den),
+       |fz AS (SELECT COALESCE(l.q_id, r2.q_id) AS q_id,
+       |    COALESCE(l.n_id, r2.n_id) AS n_id,
+       |    COALESCE(l.c0, 0.0) + COALESCE(r2.c1, 0.0) AS rrf
+       |  FROM lc l FULL OUTER JOIN dc r2
+       |    ON l.q_id = r2.q_id AND l.n_id = r2.n_id),
+       |r AS (SELECT q_id, n_id, rrf, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM fz)
+       |SELECT q_id, n_id, rnk, rrf FROM r WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val e = emb(s, d)
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val lex = Retrieval.bm25TopK(qt, dcs, "doc_id", "text", k = 20)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("rnk"))
+    val dense = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e,
+      "vec_id", "embedding", k = 20)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Multi-vector MaxSim late interaction ([[Retrieval.maxSimTopK]],
+    * the ColBERT scoring rule): documents are bags of vectors and
+    * score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d). The gate derives a
+    * fixed multi-vector corpus from the embeddings table (15 docs of
+    * 16 vectors each — vec_id DIV 16, sf-invariant oracle cost; the
+    * SEMANTICS gated is the scoring rule, not the grouping); query
+    * docs 0..2 rank the other 12. max is an order-free exact
+    * aggregate; the sum folds in query-vector order (the collected-
+    * struct idiom — bare double sum() has no defined order). */
+  val annMaxSimTopK = Q("ann_maxsim_topk",
+    s"""WITH mv AS (SELECT vec_id, CAST(vec_id // 16 AS INT) AS doc,
+       |    embedding FROM embeddings WHERE vec_id < 240),
+       |p AS (SELECT q.doc AS q_doc, q.vec_id AS q_vid, c.doc AS n_doc,
+       |    ${Registry10.sqlCos("q.embedding", "c.embedding")} AS cs
+       |  FROM mv q JOIN mv c ON q.doc <> c.doc WHERE q.doc < 3),
+       |mx AS (SELECT q_doc, q_vid, n_doc, MAX(cs) AS mx
+       |  FROM p GROUP BY 1, 2, 3),
+       |sm AS (SELECT q_doc, n_doc,
+       |    list_reduce(list_prepend(0.0, list(mx ORDER BY q_vid)),
+       |      (x, y) -> x + y) AS maxsim
+       |  FROM mx GROUP BY 1, 2),
+       |r AS (SELECT q_doc, n_doc, maxsim, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_doc ORDER BY maxsim DESC, n_doc ASC) AS BIGINT) AS rnk
+       |  FROM sm)
+       |SELECT q_doc, n_doc, rnk, maxsim FROM r WHERE rnk <= 5
+       |ORDER BY q_doc, rnk""".stripMargin) { (s, d) =>
+    val mv = emb(s, d).filter(col("vec_id") < 240)
+      .withColumn("doc", expr("CAST(vec_id DIV 16 AS INT)"))
+    Retrieval.maxSimTopK(mv.filter(col("doc") < 3), mv,
+      "doc", "vec_id", "embedding", k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_doc", "rnk")
+  }
+
+  val round12c: Seq[Q] =
+    Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
+      annMaxSimTopK)
+}

@@ -37,8 +37,8 @@ object ScaleProbe {
     grouped.agg(sum(expr("n * (n - 1) div 2")).as("c")).head().getLong(0)
 
   /** Query → family, for the optional 4th-arg family filter (csv of
-    * {minhash,simhash,jaccard,cc,ccwide,ccinc,ann,pq,tfidf,fluency,mix,
-    * spans,decon} —
+    * {minhash,simhash,jaccard,cc,ccwide,ccinc,ann,pq,retr,tfidf,fluency,
+    * mix,spans,decon} —
     * e.g. the 100× point runs `minhash` alone; default runs
     * everything). */
   private val family = Map(
@@ -460,6 +460,74 @@ object ScaleProbe {
         println(f"PROBE pq $scale corpus=$n probed_candidates=$probed " +
           f"exhaustive_candidates=$exhaustive " +
           f"scan_fraction=${probed.toDouble / exhaustive}%.4f")
+      }
+
+      // round-12 third wave: SQ8 encode/scan, frozen-graph beam search,
+      // BM25 posting fan-in. The claims under test: SQ8 is linear with a
+      // zero-shuffle encode (like pqEncode, at 4× not 32× compression);
+      // graph-search WALL TIME is flat across corpus decades once the
+      // graph is a stored asset (touched work = hops × beam × fan-out
+      // per query, corpus-independent — the defining property of the
+      // family); BM25's only corpus-∝ exchange is the tokenize that
+      // builds the tf table, while the QUERY-side join fan-in is
+      // Σ df(t) over query terms (the posting-list read a real inverted
+      // index would do), measured here as the governing count.
+      if (want("retr")) {
+        import graft.operators.{Retrieval, Similarity}
+        val e = graft.Tables.embeddings(spark, dir)
+        val q5 = e.filter(col("vec_id") < 5)
+        val stats = Similarity.sqStats(e, "embedding", dim = 64)
+        for (pass <- 1 to 2) {
+          var t0 = System.nanoTime()
+          Similarity.sqEncode(e, stats, "vec_id", "embedding")
+            .write.format("noop").mode("overwrite").save()
+          val tEnc = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          Similarity.sqTopK(q5, e, stats, "vec_id", "embedding", k = 5)
+            .write.format("noop").mode("overwrite").save()
+          val tScan = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE retr $scale pass$pass sq8_encode_s=$tEnc%.2f " +
+            f"sq8_exhaustive_s=$tScan%.2f")
+        }
+        // frozen-graph search: build the kNN graph ONCE per corpus
+        // (cells ∝ corpus — the knnGraph sizing rule), store it, then
+        // time the 3-hop beam search alone against the stored edges
+        val nCellsG = if (dir == sfDir) 16 else 16 * factor
+        val centG = e.filter(col("vec_id") < nCellsG)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").as("c_vec"))
+        val graphPath = s"$scratch/_graph_$scale.parquet"
+        var t0 = System.nanoTime()
+        Similarity.knnGraph(e, centG, "vec_id", "embedding", k = 3)
+          .select("src_id", "nbr_id")
+          .write.mode("overwrite").parquet(graphPath)
+        println(f"PROBE retr $scale graph_build_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+        val storedGraph = spark.read.parquet(graphPath)
+        for (pass <- 1 to 2) {
+          t0 = System.nanoTime()
+          Similarity.graphSearchTopK(q5, e, storedGraph,
+            "vec_id", "embedding", k = 3, beam = 4, hops = 3)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROBE retr $scale pass$pass " +
+            f"graph_search_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        // BM25 governing counts + timed end-to-end ranking
+        val toks = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val qterms = toks.filter(col("doc_id") < 3).select("term").distinct()
+        val nq = qterms.count()
+        val fanin = toks.distinct().join(qterms, "term").count()
+        println(s"PROBE retr $scale docs=$nDocs query_terms=$nq " +
+          s"posting_fanin=$fanin")
+        val qt = toks.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"), col("term"))
+        for (pass <- 1 to 2) {
+          t0 = System.nanoTime()
+          Retrieval.bm25TopK(qt, d, "doc_id", "text", k = 10)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROBE retr $scale pass$pass " +
+            f"bm25_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
       }
 
       if (want("mix")) {

@@ -1,0 +1,242 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-12 third wave: SQ8 scalar quantization, graph beam search,
+  * BM25 posting-list scoring, RRF fusion, MaxSim late interaction —
+  * each family's defining property plus the refuse/guard contracts. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val docs = Tables.documents(spark, sf)
+
+  // ---- SQ8 -------------------------------------------------------------
+
+  test("sqEncode: codes bounded 0..255; per-element error <= step/2") {
+    val stats = Similarity.sqStats(emb, "embedding", dim = 64)
+    val st = stats.collect().map(r =>
+      r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val enc = Similarity.sqEncode(emb, stats, "vec_id", "embedding")
+      .join(emb, "vec_id").select("vec_id", "codes", "embedding")
+      .collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val v = r.getSeq[Float](2)
+      assert(codes.length == 64)
+      codes.zipWithIndex.foreach { case (c, i) =>
+        assert(c >= 0 && c <= 255, s"code $c out of byte range")
+        val (mn, mx) = st(i)
+        val step = (mx - mn) / 255.0
+        val deq = mn + c * step
+        // nearest-level guarantee: half a step, plus float-widening slack
+        assert(math.abs(v(i).toDouble - deq) <= step / 2.0 + 1e-9,
+          s"dim $i: ${v(i)} dequantized to $deq with step $step")
+      }
+    }
+  }
+
+  test("sqTopK: matches exact squared-L2 ranking on a well-separated corpus") {
+    // cluster gaps >> quantization resolution, so SQ8 order == exact order
+    val corpus = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(20.0f, 0.0f)), (3L, Array(30.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val stats = Similarity.sqStats(corpus, "embedding", dim = 2)
+    val got = Similarity.sqTopK(corpus.filter($"vec_id" === 0L), corpus,
+      stats, "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 2L, 3L), s"SQ8 ranking drifted: $got")
+  }
+
+  test("sqTopK: refused corpus rows are dropped, never ranked") {
+    val corpus = Seq(
+      (0L, Array[java.lang.Float](0.0f, 0.0f)),
+      (1L, Array[java.lang.Float](1.0f, 0.0f)),
+      (2L, Array[java.lang.Float](null, 0.0f)),
+      (3L, Array[java.lang.Float](2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val valid = corpus.filter($"vec_id" =!= 2L)
+    val stats = Similarity.sqStats(valid, "embedding", dim = 2)
+    val got = Similarity.sqTopK(corpus.filter($"vec_id" === 0L), corpus,
+      stats, "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L), s"refused row must vanish, got $got")
+  }
+
+  test("SqAdcDist: codes from a different quantizer throw, never mis-score") {
+    import org.apache.spark.sql.GraftExpr
+    def score(codes: Array[Int]) = {
+      val df = Seq((Array(0.1f, 0.2f, 0.3f), codes)).toDF("q", "codes")
+      df.select(GraftExpr.col(graft.expressions.SqAdcDist(
+        GraftExpr.expr(col("q")), GraftExpr.expr(col("codes")),
+        Array(0.0, 0.0, 0.0), Array(0.1, 0.1, 0.1))).as("s")).collect()
+    }
+    // wrong code count (2 codes vs 3-dim quantizer)
+    val e1 = intercept[Exception] { score(Array(1, 2)) }
+    assert(e1.getMessage.contains("different quantizer") ||
+      (e1.getCause != null && e1.getCause.getMessage.contains("different quantizer")))
+    // out-of-range code
+    val e2 = intercept[Exception] { score(Array(1, 300, 2)) }
+    assert(e2.getMessage.contains("different quantizer") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("different quantizer")))
+  }
+
+  // ---- graph beam search ----------------------------------------------
+
+  test("graphSearchTopK: complete graph + wide beam collapses to brute force") {
+    val e = emb.filter($"vec_id" < 30)
+    val ids = e.select($"vec_id").as[Long].collect()
+    val complete = ids.flatMap(a => ids.filter(_ != a).map(b => (a, b)))
+      .toSeq.toDF("src_id", "nbr_id")
+    val got = Similarity.graphSearchTopK(e.filter($"vec_id" < 3), e,
+      complete, "vec_id", "embedding", k = 5, beam = 30, hops = 1)
+      .select("q_id", "n_id", "rnk").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e,
+      "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+
+  test("graphSearchTopK: more hops never regress the best candidate") {
+    val e = emb.filter($"vec_id" < 100)
+    val cent = e.filter($"vec_id" === 0)
+      .select(lit(0).cast("int").as("cell"), $"embedding".as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+    def best(hops: Int): Map[Long, Double] =
+      Similarity.graphSearchTopK(e.filter($"vec_id" < 3), e, g,
+        "vec_id", "embedding", k = 1, beam = 4, hops = hops)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val one = best(1); val three = best(3)
+    one.keySet.foreach { q =>
+      assert(three(q) >= one(q) - 1e-12,
+        s"query $q: best cos regressed ${one(q)} -> ${three(q)}")
+    }
+  }
+
+  test("graphSearchTopK: disconnected components are unreachable (the graph-ANN caveat)") {
+    // two islands; entry node (min id) is on island A — island B never appears
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val g = Seq((0L, 1L), (1L, 0L), (10L, 11L), (11L, 10L))
+      .toDF("src_id", "nbr_id")
+    // query 10 points at island B, but search starts on island A
+    val got = Similarity.graphSearchTopK(corpus.filter($"vec_id" === 10L),
+      corpus, g, "vec_id", "embedding", k = 2, beam = 4, hops = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(0L, 1L), s"unreachable island leaked into $got")
+  }
+
+  test("graphSearchTopK: beam < k refuses") {
+    val e = emb.filter($"vec_id" < 10)
+    val g = Seq((0L, 1L)).toDF("src_id", "nbr_id")
+    intercept[IllegalArgumentException] {
+      Similarity.graphSearchTopK(e, e, g, "vec_id", "embedding",
+        k = 5, beam = 3, hops = 1)
+    }
+  }
+
+  // ---- BM25 ------------------------------------------------------------
+
+  test("bm25: rarer terms score higher; self is excluded; rational idf stays positive") {
+    val corpus = Seq(
+      (0L, "rare common"),            // the query doc
+      (1L, "rare filler filler"),     // matches the rare term
+      (2L, "common filler filler"),   // matches the common term, same tf/dl
+      (3L, "common filler filler"),
+      (4L, "common filler filler")
+    ).toDF("doc_id", "text")
+    val qt = Seq((0L, "rare"), (0L, "common")).toDF("q_id", "term")
+    val got = Retrieval.bm25TopK(qt, corpus, "doc_id", "text", k = 4)
+      .orderBy("rnk").collect()
+    assert(!got.map(_.getLong(1)).contains(0L), "self must be excluded")
+    assert(got.head.getLong(1) == 1L,
+      "the rare-term match must outrank the common-term matches")
+    got.foreach(r => assert(r.getDouble(3) > 0.0,
+      "rational idf is always positive (unlike the log form past df > N/2)"))
+  }
+
+  test("bm25: logIdf mode preserves the rare-over-common ordering") {
+    val corpus = Seq(
+      (0L, "rare common"), (1L, "rare filler filler"),
+      (2L, "common filler filler"), (3L, "common filler filler"),
+      (4L, "common filler filler"), (5L, "common filler filler"),
+      (6L, "other words here"), (7L, "other words here"),
+      (8L, "other words here"), (9L, "other words here")
+    ).toDF("doc_id", "text")
+    val qt = Seq((0L, "rare"), (0L, "common")).toDF("q_id", "term")
+    val got = Retrieval.bm25TopK(qt, corpus, "doc_id", "text", k = 5,
+      logIdf = true).orderBy("rnk").collect()
+    assert(got.head.getLong(1) == 1L)
+  }
+
+  test("bm25: length normalization — same tf, shorter doc scores higher") {
+    val corpus = Seq(
+      (0L, "term"),
+      (1L, "term pad"),
+      (2L, "term pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val qt = Seq((99L, "term")).toDF("q_id", "term")
+    val got = Retrieval.bm25TopK(qt, corpus, "doc_id", "text", k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(0L, 1L, 2L), s"dl normalization inverted: $got")
+  }
+
+  // ---- RRF -------------------------------------------------------------
+
+  test("rrfFuse: agreement wins — a candidate in both lists beats single-list peers") {
+    val a = Seq((1L, 10L, 2), (1L, 11L, 1)).toDF("q_id", "n_id", "rnk")
+    val b = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("q_id", "n_id", "rnk")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rnk").collect()
+    assert(got.head.getLong(1) == 10L,
+      "rank-2-in-both (2/62) must beat rank-1-in-one (1/61)")
+    val rrf10 = got.head.getDouble(3)
+    assert(math.abs(rrf10 - 2.0 / 62.0) < 1e-15)
+  }
+
+  test("rrfFuse: three-way fusion and absent-list zeros") {
+    val a = Seq((1L, 10L, 1)).toDF("q_id", "n_id", "rnk")
+    val b = Seq((1L, 10L, 1)).toDF("q_id", "n_id", "rnk")
+    val c = Seq((1L, 11L, 1)).toDF("q_id", "n_id", "rnk")
+    val got = Retrieval.rrfFuse(Seq(a, b, c), k = 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(math.abs(got(10L) - 2.0 / 61.0) < 1e-15)
+    assert(math.abs(got(11L) - 1.0 / 61.0) < 1e-15)
+  }
+
+  // ---- MaxSim ----------------------------------------------------------
+
+  test("maxSimTopK: an identical bag under another doc id scores |Q| (cos 1 per query vector)") {
+    val q = Seq(
+      (0, 0L, Array(1.0f, 0.0f)), (0, 1L, Array(0.0f, 1.0f))
+    ).toDF("doc", "vec_id", "embedding")
+    val clone = Seq(
+      (7, 10L, Array(1.0f, 0.0f)), (7, 11L, Array(0.0f, 1.0f)),
+      (8, 20L, Array(1.0f, 0.0f)), (8, 21L, Array(-1.0f, 0.0f))
+    ).toDF("doc", "vec_id", "embedding")
+    val got = Retrieval.maxSimTopK(q, q.union(clone),
+      "doc", "vec_id", "embedding", k = 2, dim = 2)
+      .orderBy("rnk").collect()
+    assert(got.head.getInt(1) == 7, "the cloned bag must rank first")
+    assert(math.abs(got.head.getDouble(3) - 2.0) < 1e-12,
+      "identical bag scores exactly |Q|")
+    // doc 8 covers only the first query vector (max cos 1 + 0) = 1
+    assert(math.abs(got(1).getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("maxSimTopK: query-side size guard refuses") {
+    val mv = emb.withColumn("doc", expr("CAST(vec_id DIV 16 AS INT)"))
+    intercept[IllegalArgumentException] {
+      Retrieval.maxSimTopK(mv, mv, "doc", "vec_id", "embedding",
+        k = 2, maxQueryVecs = 3)
+    }
+  }
+}
