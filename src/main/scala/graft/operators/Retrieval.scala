@@ -54,11 +54,67 @@ object Retrieval {
   def bm25Scores(queryTerms: DataFrame, docs: DataFrame,
                  idCol: String, textCol: String,
                  k1: Double = 1.2, b: Double = 0.75,
-                 logIdf: Boolean = false): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+                 logIdf: Boolean = false): DataFrame =
+    bm25ScoresFromIndex(queryTerms,
+      bm25IndexBuild(docs, idCol, textCol), k1, b, logIdf)
+
+  /** Build the BM25 inverted index as a STORED asset: the
+    * (doc_id, term, tf) term-frequency ledger — every other statistic
+    * the scorer needs derives from it exactly (dl = Σ tf per doc,
+    * df = row count per term, N and Σdl = two global aggregates), so
+    * this ONE frame is the whole index, and maintaining it is row
+    * arithmetic. One tokenize exchange, paid at build (and per
+    * APPENDED BATCH thereafter — [[bm25IndexAppend]]), never at query
+    * time when the ledger is persisted. */
+  def bm25IndexBuild(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Append a document batch to a stored BM25 ledger: tokenize ONLY
+    * the arriving batch, anti-join already-indexed ids (idempotent
+    * under at-least-once replay — the [[Similarity.pqIndexAppend]]
+    * posture; the ledger side ships only its distinct doc ids, never
+    * tf rows). Unlike the PQ index there is NO frozen-quantizer
+    * subtlety: tf rows are per-document facts independent of the rest
+    * of the corpus, so append ≡ from-scratch rebuild unconditionally —
+    * the CORPUS-level statistics (df, N, avgdl) are derived at query
+    * time from the current ledger and legitimately drift as it grows
+    * (a lexical index's scores are defined against the index NOW).
+    * `deltaOnly` returns only the new rows (the parquet
+    * `mode("append")` storage face). */
+  def bm25IndexAppend(ledger: DataFrame, batch: DataFrame,
+                      idCol: String, textCol: String,
+                      deltaOnly: Boolean = false): DataFrame = {
+    val seen = ledger.select(col("doc_id")).distinct()
+    val delta = bm25IndexBuild(batch, idCol, textCol)
+      .join(seen, Seq("doc_id"), "left_anti")
+    if (deltaOnly) delta else ledger.unionByName(delta)
+  }
+
+  /** Index takedown: remove documents from a stored BM25 ledger — one
+    * id-keyed anti-join IS the whole repair (tf rows are independent
+    * per document; df/N/avgdl re-derive at query time), so
+    * remove ≡ from-scratch rebuild of the surviving corpus, and
+    * removing never-indexed ids is a no-op. Completes the
+    * build / append / remove maintenance triple the PQ and cluster
+    * ledgers already have. `removals`: one `doc_id` column. */
+  def bm25IndexRemove(ledger: DataFrame, removals: DataFrame): DataFrame =
+    ledger.join(removals.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
+  /** Score queries against a stored tf ledger ([[bm25IndexBuild]]
+    * shape) — the query-time path when the index is a persisted asset:
+    * no tokenize, the corpus-sized text never loads; dl/df/N/Σdl
+    * derive from the ledger with partial aggregation (integer-exact,
+    * identical to tokenize-time derivation, so scores are bit-equal to
+    * [[bm25Scores]] over the same corpus). */
+  def bm25ScoresFromIndex(queryTerms: DataFrame, ledger: DataFrame,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          logIdf: Boolean = false): DataFrame = {
+    val tf = ledger.select(col("doc_id"), col("term"), col("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N and Σdl are exact integer aggregates; avgdl = one IEEE divide
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
@@ -79,6 +135,21 @@ object Retrieval {
         struct(col("term"), termScore.as("v")).as("ts"))
       .groupBy("q_id", "doc_id")
       .agg(foldSum(collect_list(col("ts"))).as("score"))
+  }
+
+  /** [[bm25TopK]] against a stored ledger — rank + self-exclusion over
+    * [[bm25ScoresFromIndex]]. */
+  def bm25TopKFromIndex(queryTerms: DataFrame, ledger: DataFrame, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        logIdf: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    bm25ScoresFromIndex(queryTerms, ledger, k1, b, logIdf)
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("score"))
   }
 
   /** BM25 top-k: [[bm25Scores]] ranked per query — score descending,
@@ -136,6 +207,32 @@ object Retrieval {
           .orderBy(col("rrf").desc, col("n_id").asc)))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"), col("rrf"))
+  }
+
+  /** Hard-negative mining for contrastive training — the standard
+    * recipe: candidates that a LEXICAL ranker (BM25) scores high but
+    * the DENSE ranker's top-k does NOT contain. Lexically-close-but-
+    * semantically-absent documents are exactly the negatives that teach
+    * an embedding model the distinctions BM25 can see and it cannot;
+    * mining them is a training-data-pipeline job over the whole corpus
+    * (one mined set per training query).
+    *
+    * Dataflow: both inputs are already top-k'd per query
+    * (≤ queries × k rows), so the mine is an anti-join of SMALL frames
+    * — the corpus never participates; at 10⁹ queries both sides shuffle
+    * once on q_id. Candidates keep their lexical rank order
+    * (re-numbered dense 1..k after the removal — rank is the mining
+    * priority signal). Inputs: (q_id, n_id, rnk) each.
+    * Returns (q_id, n_id, rnk, lex_rnk). */
+  def hardNegatives(lexical: DataFrame, dense: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    lexical.select(col("q_id"), col("n_id"), col("rnk").as("lex_rnk"))
+      .join(dense.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+        "left_anti")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("lex_rnk").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("lex_rnk"))
   }
 
   /** Multi-vector MaxSim late interaction (the ColBERT scoring rule):

@@ -1258,4 +1258,107 @@ object Similarity {
     }
     ranked(frontier.filter(col("q_id") =!= col("n_id")), k)
   }
+
+  /** PQ-guided graph search with exact re-rank — the DiskANN shape:
+    * beam traversal distances come from the m-byte PQ CODES (one
+    * [[graft.expressions.PqAdcLookup]] table read per candidate per
+    * subspace), and only the final survivors touch raw floats. This is
+    * how a 10⁹-vector graph index actually serves: the graph and codes
+    * fit the fast tier (8 B/vector + k edge ids), the raw vectors stay
+    * on the slow tier and are read `rerank` rows per query at the end.
+    * Same frontier discipline as [[graphSearchTopK]] (entry at the
+    * minimum corpus id, frontier retained in its own expansion, beam by
+    * ADC ASCENDING with ties to the lower id); a corpus row that
+    * refuses to encode never enters the candidate set, a query that
+    * refuses its distance table returns no rows ([[pqTopK]]'s refusal
+    * semantics).
+    *
+    * `rerank` = 0 returns (q_id, n_id, rnk, adc) ranked by approximate
+    * ADC; `rerank` = r > 0 re-scores the top-r final-frontier survivors
+    * by exact cosine against raw vectors and returns
+    * (q_id, n_id, rnk, cos) — r ≥ k required. */
+  def graphSearchPqTopK(queries: DataFrame, corpus: DataFrame,
+                        graph: DataFrame, codebooks: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        beam: Int = 8, hops: Int = 3, rerank: Int = 0,
+                        dim: Int = 64,
+                        maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(beam >= k, "beam must be >= k (the final frontier is the candidate pool)")
+    require(hops > 0, "hops must be positive")
+    require(rerank == 0 || rerank >= k,
+      "rerank must be 0 (off) or >= k (the survivor pool feeds the final top-k)")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"graphSearchPqTopK: query side holds $nq rows > maxQueryRows=" +
+        s"$maxQueryRows; queries broadcast per hop — batch the queries " +
+        "or raise the cap deliberately")
+    val cw = collectPqCodebook(codebooks)
+    val offs = cw.scanLeft(0)(_ + _.length).init
+    val widths = cw.map(_.length)
+    val enc = GraftExpr.col(graft.expressions.PqCodes(
+      GraftExpr.expr(col("_v")), cw))
+    // the stored fast-tier index: (n_id, m codes); refused rows drop
+    val codes = Lineage.truncate(
+      corpus.select(col(idCol).as("n_id"), col(vecCol).as("_v"))
+        .withColumn("_e", enc)
+        .select(col("n_id"), col("_e.codes").as("_codes"))
+        .filter(col("_codes").isNotNull))
+    val qtab = GraftExpr.col(graft.expressions.PqDistTable(
+      GraftExpr.expr(col("_qv")), cw))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
+      .withColumn("_qtab", qtab)
+      .filter(col("_qtab").isNotNull)
+    val qTabs = q.select(col("q_id"), col("_qtab"))
+    val edges = Lineage.truncate(graph.select(col("src_id"), col("nbr_id")))
+    val entry = corpus.agg(min(col(idCol)).as("n_id"))
+      .filter(col("n_id").isNotNull)
+    val adc = GraftExpr.col(graft.expressions.PqAdcLookup(
+      GraftExpr.expr(col("_qtab")), GraftExpr.expr(col("_codes")),
+      offs, widths))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(codes, "n_id")
+        .join(broadcast(qTabs), "q_id")
+        .withColumn("adc", adc)
+        .select(col("q_id"), col("n_id"), col("adc"))
+    var frontier = score(
+      q.select(col("q_id")).crossJoin(broadcast(entry)))
+    var h = 0
+    while (h < hops) {
+      val expanded = frontier.select(col("q_id"), col("n_id"))
+        .join(edges, col("n_id") === col("src_id"))
+        .select(col("q_id"), col("nbr_id").as("n_id"))
+        .union(frontier.select(col("q_id"), col("n_id")))
+        .distinct()
+      frontier = score(expanded)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("adc").asc, col("n_id").asc)))
+        .filter(col("rnk") <= beam)
+        .select(col("q_id"), col("n_id"), col("adc"))
+      h += 1
+    }
+    val fin = frontier.filter(col("q_id") =!= col("n_id"))
+    if (rerank <= 0) {
+      fin.withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("adc").asc, col("n_id").asc)))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+    } else {
+      val surv = fin.withColumn("_r", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("adc").asc, col("n_id").asc)))
+        .filter(col("_r") <= rerank)
+        .select(col("q_id"), col("n_id"))
+      // slow-tier read: raw floats for survivors only
+      val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+      val qRaw = q.select(col("q_id"), col("_qv").as("q_vec"),
+        VectorFns.l2NormN(col("_qv"), dim).as("q_nrm"))
+      ranked(surv.join(c, "n_id").join(broadcast(qRaw), "q_id")
+        .withColumn("cos", cosFromNorms(dim)), k)
+    }
+  }
 }

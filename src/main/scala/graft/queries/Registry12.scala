@@ -140,9 +140,9 @@ object Registry12 {
     * precedent (a transcendental log is not bit-stable cross-engine);
     * k1 + 1 spelled `(1.2 + 1.0)` so both engines run the same IEEE
     * add; per-(query, doc) term scores fold in term order. */
-  private def sqlBm25(k: Int): String =
+  private def sqlBm25(k: Int, where: String = "TRUE"): String =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |  FROM documents),
+       |  FROM documents WHERE $where),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -268,7 +268,184 @@ object Registry12 {
       .orderBy("q_doc", "rnk")
   }
 
+  /** The ADC-scored hop template for [[annGraphSearchPq]]'s oracle:
+    * candidates = frontier ∪ out-neighbors (distinct), each scored by
+    * the subspace-order ADC fold against the query's distance table,
+    * top-`beam` by (adc ASC, id ASC). */
+  private def sqlAdcHop(prev: String, cand: String, scored: String,
+                        next: String, beam: Int): String =
+    s"""$cand AS (SELECT DISTINCT q_id, n_id FROM (
+       |  SELECT f.q_id, g.nbr_id AS n_id FROM $prev f JOIN g ON g.src_id = f.n_id
+       |  UNION ALL SELECT q_id, n_id FROM $prev)),
+       |$scored AS (SELECT q_id, n_id, adc, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rn
+       |  FROM (SELECT x.q_id, x.n_id,
+       |      list_reduce(list_prepend(0.0, list(x.dist ORDER BY x.sub)),
+       |        (u, y) -> u + y) AS adc
+       |    FROM (SELECT c2.q_id, c2.n_id, qd.sub, qd.dist FROM $cand c2
+       |      JOIN codes n ON n.n_id = c2.n_id
+       |      JOIN qd ON qd.q_id = c2.q_id AND qd.sub = n.sub
+       |        AND qd.code = n.code) x
+       |    GROUP BY x.q_id, x.n_id)),
+       |$next AS (SELECT q_id, n_id FROM $scored WHERE rn <= $beam)""".stripMargin
+
+  /** PQ-guided graph search with exact re-rank
+    * ([[Similarity.graphSearchPqTopK]]) — the DiskANN shape: beam
+    * traversal reads only the fast tier (kNN graph edges + 8-byte PQ
+    * codes, ADC-scored), raw floats are touched for the final
+    * survivors alone (exact cosine re-rank). The gate pins the same
+    * fixed 200-node graph as `ann_graph_search` plus the 16-entry seed
+    * codebook; 3 hops of beam 6, all 6 final-frontier survivors
+    * re-rank to top-3. Approximate on THREE axes by construction —
+    * graph connectivity, beam width, PQ reconstruction — and bit-exact
+    * in every score. */
+  val annGraphSearchPq = Q("ann_graph_search_pq",
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+       |g AS (SELECT src_id, nbr_id FROM (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, ROW_NUMBER() OVER (
+       |    PARTITION BY a.vec_id
+       |    ORDER BY ${Registry10.sqlCos("a.embedding", "b.embedding")} DESC,
+       |      b.vec_id ASC) AS rn
+       |  FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= 3),
+       |cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
+       |  FROM embeddings WHERE vec_id < 16),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
+       |  FROM base b CROSS JOIN js CROSS JOIN cw c),
+       |codes AS (SELECT n_id, sub, code FROM (
+       |  SELECT n_id, sub, code, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM base
+       |  WHERE vec_id < 5),
+       |qd AS (SELECT q.q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.q_vec", "c.w", "js.j")} AS dist
+       |  FROM q CROSS JOIN js CROSS JOIN cw c),
+       |f0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM base) AS n_id FROM q),
+       |${sqlAdcHop("f0", "c1", "s1", "f1", 6)},
+       |${sqlAdcHop("f1", "c2", "s2", "f2", 6)},
+       |${sqlAdcHop("f2", "c3", "s3", "f3", 6)},
+       |rr AS (SELECT f.q_id, f.n_id,
+       |    ${Registry10.sqlCos("q.q_vec", "b.embedding")} AS cos
+       |  FROM f3 f JOIN q ON q.q_id = f.q_id
+       |  JOIN base b ON b.vec_id = f.n_id
+       |  WHERE f.q_id <> f.n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM rr)
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+    val cb = Similarity.pqCodebookSeed(emb(s, d), "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    Similarity.graphSearchPqTopK(e.filter(col("vec_id") < 5), e, g, cb,
+      "vec_id", "embedding", k = 3, beam = 6, hops = 3, rerank = 6)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Hard-negative mining ([[Retrieval.hardNegatives]]): BM25 top-20
+    * candidates NOT present in the dense-cosine top-10 — lexically
+    * close but semantically absent, the negatives contrastive training
+    * wants. Both rankers are the already-gated ones (`text_bm25_topk`
+    * shape at k = 20, `ann_brute_topk` shape at k = 10, doc_id n ↔
+    * vec_id n); the mine itself is an anti-join of two small top-k
+    * frames re-numbered in lexical-rank order. */
+  val mineHardNegatives = Q("mine_hard_negatives",
+    s"""WITH ${sqlBm25(20)},
+       |dcs AS (SELECT c.vec_id AS n_id, q.vec_id AS q_id,
+       |    ${Registry10.sqlCos("q.embedding", "c.embedding")} AS cs
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 3),
+       |den AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+       |  FROM dcs) WHERE rnk <= 10),
+       |mined AS (SELECT l.q_id, l.doc_id AS n_id, l.rnk AS lex_rnk
+       |  FROM lex l WHERE NOT EXISTS (SELECT 1 FROM den d
+       |    WHERE d.q_id = l.q_id AND d.n_id = l.doc_id)),
+       |r AS (SELECT q_id, n_id, lex_rnk, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY lex_rnk ASC) AS BIGINT) AS rnk
+       |  FROM mined)
+       |SELECT q_id, n_id, rnk, lex_rnk FROM r WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val e = emb(s, d)
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val lex = Retrieval.bm25TopK(qt, dcs, "doc_id", "text", k = 20)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("rnk"))
+    val dense = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e,
+      "vec_id", "embedding", k = 10)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    Retrieval.hardNegatives(lex, dense, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .withColumn("lex_rnk", col("lex_rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** BM25 index APPEND under the gate ([[Retrieval.bm25IndexBuild]] →
+    * [[Retrieval.bm25IndexAppend]] → [[Retrieval.bm25TopKFromIndex]]):
+    * the lexical index as a stored asset — a (doc_id, term, tf) ledger
+    * of docs < 250 extended by a batch of docs ≥ 240 (ten-doc overlap:
+    * at-least-once replay, absorbed by the id anti-join). Only the
+    * BATCH tokenizes; the ledger ships distinct ids into the
+    * anti-join, never tf rows. tf rows are per-document facts, so
+    * append ≡ from-scratch rebuild UNCONDITIONALLY (no frozen-
+    * quantizer caveat — corpus stats df/N/avgdl re-derive from the
+    * current ledger at query time), and the oracle asserts exactly
+    * that: it scores from scratch over the whole corpus. A broken
+    * anti-join would double-count the overlap docs' tf and shift
+    * every score — the gate would hash-mismatch. */
+  val textBm25IndexAppend = Q("text_bm25_index_append",
+    s"""WITH ${sqlBm25(10)}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val ledger = Retrieval.bm25IndexBuild(
+      dcs.filter(col("doc_id") < 250), "doc_id", "text")
+    val appended = Retrieval.bm25IndexAppend(ledger,
+      dcs.filter(col("doc_id") >= 240), "doc_id", "text")
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    Retrieval.bm25TopKFromIndex(qt, appended, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** BM25 index TAKEDOWN ([[Retrieval.bm25IndexRemove]]): the
+    * GDPR-deletion path of the lexical index — one id-keyed anti-join
+    * IS the whole repair (tf rows are independent per document;
+    * df/N/avgdl legitimately shift when documents leave, and the
+    * scorer re-derives them from the surviving ledger). The oracle
+    * scores from scratch over the corpus MINUS the removed docs
+    * (50..99) — remove ≡ rebuild of the survivors, the same identity
+    * `ann_index_remove` gates for the PQ ledger. */
+  val textBm25IndexRemove = Q("text_bm25_index_remove",
+    s"""WITH ${sqlBm25(10, "doc_id < 50 OR doc_id >= 100")}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val ledger = Retrieval.bm25IndexBuild(dcs, "doc_id", "text")
+    val survived = Retrieval.bm25IndexRemove(ledger,
+      dcs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select("doc_id"))
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    Retrieval.bm25TopKFromIndex(qt, survived, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round12c: Seq[Q] =
     Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
-      annMaxSimTopK)
+      annMaxSimTopK, annGraphSearchPq, mineHardNegatives,
+      textBm25IndexAppend, textBm25IndexRemove)
 }

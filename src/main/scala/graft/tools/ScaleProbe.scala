@@ -102,7 +102,7 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
     }
-    if (rebuild && (want("ann") || want("pq"))) {
+    if (rebuild && (want("ann") || want("pq") || want("retr"))) {
       val c = col("_c")
       val k = (c % 64).cast("int")
       val e = col("embedding")

@@ -143,6 +143,69 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  // ---- PQ-guided graph search (DiskANN shape) --------------------------
+
+  test("graphSearchPqTopK: complete graph + full re-rank collapses to brute force") {
+    val e = emb.filter($"vec_id" < 30)
+    val ids = e.select($"vec_id").as[Long].collect()
+    val complete = ids.flatMap(a => ids.filter(_ != a).map(b => (a, b)))
+      .toSeq.toDF("src_id", "nbr_id")
+    val cb = Similarity.pqCodebookSeed(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val got = Similarity.graphSearchPqTopK(e.filter($"vec_id" < 3), e,
+      complete, cb, "vec_id", "embedding", k = 5, beam = 30, hops = 1,
+      rerank = 30)
+      .select("q_id", "n_id", "rnk").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e,
+      "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+
+  test("graphSearchPqTopK: rerank=0 over the complete graph equals exhaustive ADC (pqTopK)") {
+    val e = emb.filter($"vec_id" < 30)
+    val ids = e.select($"vec_id").as[Long].collect()
+    val complete = ids.flatMap(a => ids.filter(_ != a).map(b => (a, b)))
+      .toSeq.toDF("src_id", "nbr_id")
+    val cb = Similarity.pqCodebookSeed(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val got = Similarity.graphSearchPqTopK(e.filter($"vec_id" < 3), e,
+      complete, cb, "vec_id", "embedding", k = 5, beam = 30, hops = 1)
+      .select("q_id", "n_id", "rnk", "adc").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val want = Similarity.pqTopK(e.filter($"vec_id" < 3), e, cb,
+      "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk", "adc").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("graphSearchPqTopK: rerank below k refuses") {
+    val e = emb.filter($"vec_id" < 20)
+    val g = Seq((0L, 1L)).toDF("src_id", "nbr_id")
+    val cb = Similarity.pqCodebookSeed(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    intercept[IllegalArgumentException] {
+      Similarity.graphSearchPqTopK(e, e, g, cb, "vec_id", "embedding",
+        k = 5, beam = 8, hops = 1, rerank = 3)
+    }
+  }
+
+  // ---- hard-negative mining --------------------------------------------
+
+  test("hardNegatives: dense hits are removed, lexical rank order is preserved and re-numbered") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4))
+      .toDF("q_id", "n_id", "rnk")
+    val dense = Seq((1L, 11L, 1), (1L, 99L, 2)).toDF("q_id", "n_id", "rnk")
+    val got = Retrieval.hardNegatives(lex, dense, k = 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3))).toSeq
+    // 11 mined out; 10, 12 survive with lex_rnk 1, 3 re-numbered 1, 2
+    assert(got == Seq((10L, 1, 1), (12L, 2, 3)), s"got $got")
+  }
+
   // ---- BM25 ------------------------------------------------------------
 
   test("bm25: rarer terms score higher; self is excluded; rational idf stays positive") {
@@ -187,6 +250,51 @@ class RetrievalSpec extends SparkSpec {
     val got = Retrieval.bm25TopK(qt, corpus, "doc_id", "text", k = 3)
       .orderBy("rnk").collect().map(_.getLong(1)).toSeq
     assert(got == Seq(0L, 1L, 2L), s"dl normalization inverted: $got")
+  }
+
+  // ---- BM25 ledger maintenance -----------------------------------------
+
+  test("bm25IndexAppend: replayed batches are absorbed; append == from-scratch rebuild") {
+    val ledger = Retrieval.bm25IndexBuild(
+      docs.filter($"doc_id" < 250), "doc_id", "text")
+    val batch = docs.filter($"doc_id" >= 240)
+    val once = Retrieval.bm25IndexAppend(ledger, batch, "doc_id", "text")
+    // at-least-once replay: appending the same batch again adds nothing
+    val twice = Retrieval.bm25IndexAppend(once, batch, "doc_id", "text")
+    assert(once.count() == twice.count(), "replayed append must be a no-op")
+    // append == rebuild, row for row
+    val rebuild = Retrieval.bm25IndexBuild(docs, "doc_id", "text")
+    assert(once.exceptAll(rebuild).isEmpty && rebuild.exceptAll(once).isEmpty)
+    // delta face carries ONLY the genuinely new docs (overlap excluded)
+    val delta = Retrieval.bm25IndexAppend(ledger, batch, "doc_id", "text",
+      deltaOnly = true)
+    assert(delta.select("doc_id").distinct().agg(min("doc_id"))
+      .head().getLong(0) >= 250)
+  }
+
+  test("bm25IndexRemove: takedown == rebuild of survivors; unknown ids are a no-op") {
+    val ledger = Retrieval.bm25IndexBuild(docs, "doc_id", "text")
+    val removed = Retrieval.bm25IndexRemove(ledger,
+      docs.filter($"doc_id" >= 50 && $"doc_id" < 100).select("doc_id"))
+    val rebuild = Retrieval.bm25IndexBuild(
+      docs.filter($"doc_id" < 50 || $"doc_id" >= 100), "doc_id", "text")
+    assert(removed.exceptAll(rebuild).isEmpty && rebuild.exceptAll(removed).isEmpty)
+    val noop = Retrieval.bm25IndexRemove(ledger,
+      Seq(999999L).toDF("doc_id"))
+    assert(noop.count() == ledger.count(),
+      "removing never-indexed ids must change nothing")
+  }
+
+  test("bm25TopKFromIndex: stored-ledger scores are bit-equal to the tokenize path") {
+    val qt = docs.filter($"doc_id" < 3)
+      .select($"doc_id".as("q_id"), explode(split($"text", " ")).as("term"))
+    val direct = Retrieval.bm25TopK(qt, docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val ledger = Retrieval.bm25IndexBuild(docs, "doc_id", "text")
+    val stored = Retrieval.bm25TopKFromIndex(qt, ledger, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(direct.sortBy(t => (t._1, t._3)).toSeq ==
+      stored.sortBy(t => (t._1, t._3)).toSeq)
   }
 
   // ---- RRF -------------------------------------------------------------
