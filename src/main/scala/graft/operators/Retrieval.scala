@@ -209,6 +209,43 @@ object Retrieval {
       .select(col("q_id"), col("n_id"), col("rnk"), col("rrf"))
   }
 
+  /** Rank-quality evaluation of a candidate ranking against a truth
+    * ranking — the measurement face every index family here needs: an
+    * approximate index (IVF, PQ, binary, graph) is only as good as its
+    * measured recall, and at training-pipeline scale the evaluation is
+    * itself a distributed job (millions of held-out queries). Per
+    * query:
+    *  - `hits`    = |got@k ∩ truth@k| (integer);
+    *  - `recall`  = hits / k — recall@k with truth@k as the relevant
+    *    set (one integer-to-double divide, no cross-row float sums);
+    *  - `rr`      = 1 / (the candidate rank of the FIRST truth@k item
+    *    found in got@k), 0 when none — the reciprocal-rank term of
+    *    MRR (min over integer ranks, one divide).
+    * Means/aggregates are left to the caller over the integer columns
+    * (exact partial-agg sums) — never summed here in floating point.
+    *
+    * Both inputs: (q_id, n_id, rnk), already top-k'd per query (small
+    * frames — the corpus never participates; at 10⁶ held-out queries
+    * both sides shuffle once on q_id). The query universe is
+    * `truth`'s: a query the candidate index returned nothing for
+    * scores 0, not absent. */
+  def evalRanking(got: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = truth.filter(col("rnk") <= k).select(col("q_id"), col("n_id"))
+    val g = got.filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    val per = g.join(t, Seq("q_id", "n_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("hits"), min(col("rnk")).as("_minr"))
+    t.select("q_id").distinct()
+      .join(per, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") /
+          lit(k).cast("double")).as("recall"),
+        coalesce(lit(1.0) / col("_minr").cast("double"), lit(0.0)).as("rr"))
+  }
+
   /** Hard-negative mining for contrastive training — the standard
     * recipe: candidates that a LEXICAL ranker (BM25) scores high but
     * the DENSE ranker's top-k does NOT contain. Lexically-close-but-

@@ -444,8 +444,121 @@ object Registry12 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Index-quality evaluation under the gate
+    * ([[Retrieval.evalRanking]]): recall@5 and reciprocal rank of the
+    * routed IVF-PQ index against the exact brute-force truth — the
+    * measurement face of the whole approximate family (an index
+    * without a measured recall is an unverified index; at pipeline
+    * scale the evaluation is itself a distributed job over millions of
+    * held-out queries). Integer hit counts and single divides only —
+    * means over queries are left to exact integer partial-agg sums.
+    * The oracle replays BOTH rankers (the `ann_ivf_pq_topk` and
+    * `ann_brute_topk` algebras) and the hit/rank arithmetic. */
+  val evalRetrievalQuality = Q("eval_retrieval_quality",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${Registry10.sqlIvfAdcRank("codes", "qd")},
+       |gt AS (SELECT q_id, n_id, rnk FROM r WHERE rnk <= 5),
+       |tcs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${Registry10.sqlCos("q.embedding", "c.embedding")} AS cs
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5),
+       |tr AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+       |  FROM tcs) WHERE rnk <= 5),
+       |h AS (SELECT g.q_id, COUNT(*) AS hits, MIN(g.rnk) AS minr
+       |  FROM gt g JOIN tr t ON t.q_id = g.q_id AND t.n_id = g.n_id
+       |  GROUP BY g.q_id)
+       |SELECT u.q_id, COALESCE(h.hits, 0) AS hits,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall,
+       |  COALESCE(1.0 / CAST(h.minr AS DOUBLE), 0.0) AS rr
+       |FROM (SELECT DISTINCT q_id FROM tr) u LEFT JOIN h USING (q_id)
+       |ORDER BY q_id""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val q = e.filter(col("vec_id") < 5)
+    val got = Similarity.ivfPqTopK(q, e, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+    Retrieval.evalRanking(got, truth, k = 5)
+      .orderBy("q_id")
+  }
+
+  /** STREAMING lexical-index ingest: the arrival path of
+    * [[Retrieval.bm25IndexAppend]] — document pages as file-source
+    * micro-batches (one page per trigger), each batch appending its
+    * `deltaOnly` tf delta to a parquet-backed ledger after the id
+    * anti-join. Pages overlap by 10 docs (at-least-once replay),
+    * absorbed by the anti-join; tf rows are per-document facts, so the
+    * drained ledger is arrival-order-independent and the gate asserts
+    * the strongest form: it equals the from-scratch tf build of the
+    * whole corpus. Stateless streaming — the ledger IS the state, held
+    * in storage as a production search-index ingest holds its
+    * segments (`streaming_index_ingest`'s posture, third ledger
+    * family). */
+  val streamingBm25Ingest = Q("streaming_bm25_ingest",
+    """SELECT doc_id, term, COUNT(*) AS tf
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents)
+      |GROUP BY doc_id, term
+      |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val n = dcs.count()
+    val fx = FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val qn = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * qn - 10)
+        val hi = if (p == 3) n else (p + 1) * qn
+        val tmpd = tmp.resolve(s"tmp$p")
+        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_bmidx")
+    val ledgerDir = stage.resolve("ledger").toString
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("term", StringType),
+        StructField("tf", LongType))))
+      .write.mode("overwrite").parquet(ledgerDir)
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
+      val stored = s.read.parquet(ledgerDir)
+      Retrieval.bm25IndexAppend(stored, b, "doc_id", "text",
+        deltaOnly = true)
+        .write.mode("append").parquet(ledgerDir)
+    }
+    val run = stream.writeStream
+      .foreachBatch(appendBatch)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    s.read.parquet(ledgerDir).orderBy("doc_id", "term")
+  }
+
   val round12c: Seq[Q] =
     Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
       annMaxSimTopK, annGraphSearchPq, mineHardNegatives,
-      textBm25IndexAppend, textBm25IndexRemove)
+      textBm25IndexAppend, textBm25IndexRemove, evalRetrievalQuality,
+      streamingBm25Ingest)
 }

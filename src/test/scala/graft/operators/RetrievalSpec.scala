@@ -320,6 +320,36 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(got(11L) - 1.0 / 61.0) < 1e-15)
   }
 
+  // ---- ranking evaluation ----------------------------------------------
+
+  test("evalRanking: perfect, partial, and zero-hit queries score exactly") {
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2),     // q1: both found
+      (2L, 20L, 1), (2L, 21L, 2),     // q2: one found at got-rank 2
+      (3L, 30L, 1), (3L, 31L, 2)      // q3: nothing found
+    ).toDF("q_id", "n_id", "rnk")
+    val got = Seq(
+      (1L, 11L, 1), (1L, 10L, 2),
+      (2L, 99L, 1), (2L, 20L, 2),
+      (3L, 98L, 1), (3L, 97L, 2)
+    ).toDF("q_id", "n_id", "rnk")
+    val r = Retrieval.evalRanking(got, truth, k = 2)
+      .orderBy("q_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 2L, 1.0, 1.0)), s"q1: ${r(0)}")
+    assert(r(1) == ((2L, 1L, 0.5, 0.5)), s"q2: ${r(1)}")
+    assert(r(2) == ((3L, 0L, 0.0, 0.0)), s"q3: ${r(2)}")
+  }
+
+  test("evalRanking: an exact index evaluates to recall 1 and rr 1 on every query") {
+    val e = emb.filter($"vec_id" < 50)
+    val truth = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e,
+      "vec_id", "embedding", k = 5)
+    val r = Retrieval.evalRanking(truth, truth, k = 5).collect()
+    assert(r.length == 3)
+    r.foreach(x => assert(x.getDouble(2) == 1.0 && x.getDouble(3) == 1.0))
+  }
+
   // ---- MaxSim ----------------------------------------------------------
 
   test("maxSimTopK: an identical bag under another doc id scores |Q| (cos 1 per query vector)") {
