@@ -1180,6 +1180,80 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
   }
 
+  /** Routed SQ8 search — IVF cells over scalar-quantized codes (the
+    * FAISS IVFScalarQuantizer index), completing the quantizer ×
+    * routing matrix next to [[ivfTopK]] (routed raw floats) and
+    * [[ivfPqTopK]] (routed PQ codes): the touched fraction drops to
+    * nProbe/C AND the bytes per touched row drop 4× (dim one-byte
+    * levels vs 4·dim float bytes), with no codebook to train — the
+    * quantizer is [[sqStats]]'s 2 doubles/dimension. Corpus side: two
+    * scalar projections (cell assignment + SQ encode), zero corpus
+    * shuffle; queries broadcast raw behind the [[pqTopK]] refuse-guard
+    * and probe their nProbe best cells by centroid cosine (ties to the
+    * higher cell, [[ivfAssign]]'s rule). Approximate on both axes —
+    * routing recall and quantization resolution; `rerank` = r re-scores
+    * the top-r ADC survivors by exact cosine (floats for survivors
+    * only). Refused corpus rows are dropped, never ranked. */
+  def ivfSqTopK(queries: DataFrame, corpus: DataFrame,
+                centroids: DataFrame, stats: DataFrame,
+                idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+                rerank: Int = 0, dim: Int = 64,
+                maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nProbe > 0, "nProbe must be positive")
+    require(rerank == 0 || rerank >= k,
+      s"rerank must be 0 (off) or >= k, got rerank=$rerank k=$k")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"ivfSqTopK: query side holds $nq rows > maxQueryRows=$maxQueryRows; " +
+        "queries broadcast raw vectors — batch the queries or raise the " +
+        "cap deliberately")
+    val (mins, steps) = collectSqStats(stats)
+    val enc = GraftExpr.col(graft.expressions.SqCodes(
+      GraftExpr.expr(col("_v")), mins, steps))
+    val c = ivfAssign(corpus, centroids, idCol, vecCol, dim, keepVec = true)
+      .select(col("vec_id").as("n_id"), col("cell"), col(vecCol).as("_v"))
+      .withColumn("_codes", enc)
+      .select(col("n_id"), col("cell"), col("_codes"))
+      .filter(col("_codes").isNotNull)
+    val cent = centroids.select(col("cell"), col("c_vec"),
+      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
+      VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+    val qcos = when(col("q_nrm") > 0.0 && col("c_nrm") > 0.0,
+      VectorFns.dotN(col("_qv"), col("c_vec"), dim) / (col("q_nrm") * col("c_nrm")))
+    val probes = q0.join(broadcast(cent))
+      .withColumn("prb", row_number().over(
+        Window.partitionBy("q_id").orderBy(qcos.desc, col("cell").desc)))
+      .filter(col("prb") <= nProbe)
+      .select(col("q_id"), col("cell"), col("_qv"), col("q_nrm"))
+    val adc = GraftExpr.col(graft.expressions.SqAdcDist(
+      GraftExpr.expr(col("_qv")), GraftExpr.expr(col("_codes")), mins, steps))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+      .filter(col("adc").isNotNull)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc").asc, col("n_id").asc)))
+    if (rerank == 0)
+      scored.filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+    else {
+      val surv = scored.filter(col("rnk") <= rerank)
+        .select(col("q_id"), col("n_id"), col("_qv").as("q_vec"), col("q_nrm"))
+      val raw = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+      raw.join(broadcast(surv), Seq("n_id"))
+        .withColumn("cos", cosFromNorms(dim))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("n_id").asc)))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos"))
+    }
+  }
+
   /** Graph-based ANN search: bounded-hop BEAM SEARCH over a prebuilt
     * kNN graph ([[knnGraph]]/[[knnGraphPq]] output) — the fourth classic
     * index family next to LSH, IVF, and quantization, and the shape

@@ -556,9 +556,70 @@ object Registry12 {
     s.read.parquet(ledgerDir).orderBy("doc_id", "term")
   }
 
+  /** Routed SQ8 under the gate ([[Similarity.ivfSqTopK]], the FAISS
+    * IVFScalarQuantizer): cell routing restricts the scan to 4 of 16
+    * cells AND the scan operand is dim one-byte levels (4×) — the
+    * quantizer × routing matrix's third row (IVF-flat `ann_ivf_topk`,
+    * IVF-PQ `ann_ivf_pq_topk`, now IVF-SQ8), with nothing to train
+    * beyond the min/max scan. The oracle composes the `ann_sq8_topk`
+    * scoring algebra with the `ann_ivf_topk` probe restriction —
+    * routing changes the candidate set, never the scoring. */
+  val annIvfSq8TopK = Q("ann_ivf_sq8_topk",
+    s"""WITH ds AS (SELECT unnest(range(1, 65)) AS t),
+       |st AS (SELECT s.t, MIN(CAST(b.embedding[s.t] AS DOUBLE)) AS mn,
+       |    MAX(CAST(b.embedding[s.t] AS DOUBLE)) AS mx
+       |  FROM embeddings b CROSS JOIN ds s GROUP BY s.t),
+       |sp AS (SELECT t, mn, (mx - mn) / 255.0 AS stp FROM st),
+       |cd AS (SELECT b.vec_id AS n_id, s.t,
+       |    CASE WHEN s.stp = 0 THEN 0 ELSE
+       |      LEAST(255, GREATEST(0, CAST(floor(
+       |        (CAST(b.embedding[s.t] AS DOUBLE) - s.mn) / s.stp + 0.5)
+       |        AS BIGINT))) END AS code
+       |  FROM embeddings b CROSS JOIN sp s),
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.vec_id AS q_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY q.vec_id
+       |    ORDER BY ${Registry10.sqlCos("q.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 4),
+       |cand AS (SELECT p.q_id, a.n_id FROM probes p JOIN asg a USING (cell)
+       |  WHERE p.q_id <> a.n_id),
+       |dd AS (SELECT c2.q_id, c2.n_id, c.t,
+       |    (CAST(q.embedding[c.t] AS DOUBLE) - (s.mn + c.code * s.stp))
+       |  * (CAST(q.embedding[c.t] AS DOUBLE) - (s.mn + c.code * s.stp)) AS dsq
+       |  FROM cand c2 JOIN cd c ON c.n_id = c2.n_id
+       |  JOIN sp s ON s.t = c.t
+       |  JOIN embeddings q ON q.vec_id = c2.q_id),
+       |adc AS (SELECT q_id, n_id,
+       |    list_reduce(list_prepend(0.0, list(dsq ORDER BY t)),
+       |      (x, y) -> x + y) AS adc
+       |  FROM dd GROUP BY q_id, n_id),
+       |r AS (SELECT q_id, n_id, adc, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    val stats = Similarity.sqStats(e, "embedding", dim = 64)
+    Similarity.ivfSqTopK(e.filter(col("vec_id") < 5), e, cent, stats,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round12c: Seq[Q] =
     Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
       annMaxSimTopK, annGraphSearchPq, mineHardNegatives,
       textBm25IndexAppend, textBm25IndexRemove, evalRetrievalQuality,
-      streamingBm25Ingest)
+      streamingBm25Ingest, annIvfSq8TopK)
 }

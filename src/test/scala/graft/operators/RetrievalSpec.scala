@@ -85,6 +85,31 @@ class RetrievalSpec extends SparkSpec {
       (e2.getCause != null && e2.getCause.getMessage.contains("different quantizer")))
   }
 
+  test("ivfSqTopK: all cells probed collapses to exhaustive sqTopK; rerank to brute force") {
+    val e = emb.filter($"vec_id" < 60)
+    val cent = e.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val stats = Similarity.sqStats(e, "embedding", dim = 64)
+    val q = e.filter($"vec_id" < 3)
+    val routed = Similarity.ivfSqTopK(q, e, cent, stats,
+      "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("q_id", "n_id", "rnk", "adc").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val flat = Similarity.sqTopK(q, e, stats, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk", "adc").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(routed == flat, "probing every cell must equal the exhaustive scan")
+    val reranked = Similarity.ivfSqTopK(q, e, cent, stats,
+      "vec_id", "embedding", k = 5, nProbe = 8, rerank = 59)
+      .select("q_id", "n_id", "rnk").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk").orderBy("q_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(reranked == brute,
+      "all cells + full-pool re-rank must equal exact brute force")
+  }
+
   // ---- graph beam search ----------------------------------------------
 
   test("graphSearchTopK: complete graph + wide beam collapses to brute force") {
