@@ -209,6 +209,47 @@ object Retrieval {
       .select(col("q_id"), col("n_id"), col("rnk"), col("rrf"))
   }
 
+  /** Pseudo-relevance feedback (RM3-lite query expansion): run the
+    * query, take the top `fbDocs` documents as presumed-relevant,
+    * harvest their `expTerms` strongest NEW terms, and re-run the
+    * expanded query — the classical second-pass recipe that buys
+    * recall for vocabulary-mismatched queries with one extra
+    * (tiny-side) scoring round. Expansion strength is the INTEGER
+    * total term frequency across the feedback docs (ties to the
+    * lexicographically smaller term) — deliberately not the RM3
+    * float-weighted mixture, which would put an unordered cross-row
+    * float sum in the selection rule; the tf rank preserves the
+    * "frequent in relevant docs" signal and keeps the expansion
+    * bit-deterministic on any engine. Terms already in the query never
+    * expand (left_anti).
+    *
+    * Scale shape: both extra stages touch only query-sized frames —
+    * the feedback join reads ≤ queries × fbDocs ledger partitions on
+    * the doc key, and the second scoring pass is the same
+    * posting-list join as the first. The corpus-sized work (the tf
+    * ledger) is built once and shared by both passes.
+    * Returns [[bm25TopKFromIndex]]'s shape for the EXPANDED query. */
+  def bm25Prf(queryTerms: DataFrame, docs: DataFrame,
+              idCol: String, textCol: String, k: Int,
+              fbDocs: Int = 3, expTerms: Int = 5,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0, "fbDocs must be positive")
+    require(expTerms >= 0, "expTerms must be non-negative")
+    val ledger = Lineage.truncate(bm25IndexBuild(docs, idCol, textCol))
+    val qt0 = queryTerms.select(col("q_id"), col("term")).distinct()
+    val fb = bm25TopKFromIndex(qt0, ledger, fbDocs, k1, b)
+      .select(col("q_id"), col("doc_id"))
+    val expansion = fb.join(ledger, "doc_id")
+      .groupBy("q_id", "term").agg(sum("tf").as("_ttf"))
+      .join(qt0, Seq("q_id", "term"), "left_anti")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("_ttf").desc, col("term").asc)))
+      .filter(col("_r") <= expTerms)
+      .select(col("q_id"), col("term"))
+    bm25TopKFromIndex(qt0.unionByName(expansion), ledger, k, k1, b)
+  }
+
   /** Rank-quality evaluation of a candidate ranking against a truth
     * ranking — the measurement face every index family here needs: an
     * approximate index (IVF, PQ, binary, graph) is only as good as its

@@ -140,6 +140,34 @@ object Registry12 {
     * precedent (a transcendental log is not bit-stable cross-engine);
     * k1 + 1 spelled `(1.2 + 1.0)` so both engines run the same IEEE
     * add; per-(query, doc) term scores fold in term order. */
+  /** The Okapi term-score expression in [[Retrieval.bm25ScoresFromIndex]]'s
+    * exact IEEE order (rational idf, k1+1 spelled `(1.2 + 1.0)`). */
+  private val sqlBm25TermScore: String =
+    """(((CAST(stt.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5)
+      |       / (CAST(f.df AS DOUBLE) + 0.5))
+      |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+      |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+      |        + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |          / (CAST(stt.sum_dl AS DOUBLE) / CAST(stt.n_docs AS DOUBLE)))))""".stripMargin
+
+  /** One BM25 scoring pass against the shared tf/dl/dfreq/stt CTEs for
+    * query-term CTE `qtCte`, ranked top-`k` into CTE `out` (term
+    * scores fold in term order; self excluded). */
+  private def sqlBm25Pass(qtCte: String, out: String, k: Int): String =
+    s"""tsc_$out AS (SELECT q.q_id, tf.doc_id, tf.term,
+       |    $sqlBm25TermScore
+       |      AS v
+       |  FROM tf JOIN $qtCte q USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stt JOIN dfreq f USING (term)),
+       |sc_$out AS (SELECT q_id, doc_id,
+       |    list_reduce(list_prepend(0.0, list(v ORDER BY term)),
+       |      (x, y) -> x + y) AS score
+       |  FROM tsc_$out WHERE q_id <> doc_id GROUP BY 1, 2),
+       |$out AS (SELECT q_id, doc_id, rnk, score FROM (
+       |  SELECT q_id, doc_id, score, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM sc_$out) WHERE rnk <= $k)""".stripMargin
+
   private def sqlBm25(k: Int, where: String = "TRUE"): String =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |  FROM documents WHERE $where),
@@ -148,24 +176,7 @@ object Registry12 {
        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
        |stt AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
        |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id < 3),
-       |tsc AS (SELECT q.q_id, tf.doc_id, tf.term,
-       |    (((CAST(stt.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5)
-       |       / (CAST(f.df AS DOUBLE) + 0.5))
-       |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-       |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
-       |        + 0.75 * (CAST(dl.dl AS DOUBLE)
-       |          / (CAST(stt.sum_dl AS DOUBLE) / CAST(stt.n_docs AS DOUBLE)))))
-       |      AS v
-       |  FROM tf JOIN qt q USING (term) JOIN dl USING (doc_id)
-       |  CROSS JOIN stt JOIN dfreq f USING (term)),
-       |sc AS (SELECT q_id, doc_id,
-       |    list_reduce(list_prepend(0.0, list(v ORDER BY term)),
-       |      (x, y) -> x + y) AS score
-       |  FROM tsc WHERE q_id <> doc_id GROUP BY 1, 2),
-       |rb AS (SELECT q_id, doc_id, score, CAST(ROW_NUMBER() OVER (
-       |  PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
-       |  FROM sc WHERE TRUE),
-       |lex AS (SELECT q_id, doc_id, rnk, score FROM rb WHERE rnk <= $k)""".stripMargin
+       |${sqlBm25Pass("qt", "lex", k)}""".stripMargin
 
   /** BM25 lexical retrieval under the gate ([[Retrieval.bm25TopK]]):
     * the inverted-index dataflow — tokenize once, partial-agg tf/dl/df,
@@ -617,9 +628,43 @@ object Registry12 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Pseudo-relevance feedback under the gate ([[Retrieval.bm25Prf]],
+    * RM3-lite): first pass takes each query's BM25 top-3 docs as
+    * presumed-relevant, their top-5 NEW terms (by INTEGER total tf,
+    * ties to the smaller term — deliberately not the float-weighted
+    * RM3 mixture, which would put an unordered cross-row float sum in
+    * the selection rule) expand the query, and the expanded query
+    * re-ranks top-10. The oracle replays both passes against the SAME
+    * shared tf/dl/df/stats CTEs ([[sqlBm25Pass]] twice) plus the
+    * integer expansion election — the second pass is the same
+    * posting-list algebra, only the query-term set changes. */
+  val textBm25Prf = Q("text_bm25_prf",
+    s"""WITH ${sqlBm25(3)},
+       |fb AS (SELECT l.q_id, t.term, SUM(t.tf) AS ttf
+       |  FROM lex l JOIN tf t ON t.doc_id = l.doc_id GROUP BY 1, 2),
+       |exp AS (SELECT q_id, term FROM (
+       |  SELECT f.q_id, f.term, ROW_NUMBER() OVER (
+       |    PARTITION BY f.q_id ORDER BY f.ttf DESC, f.term ASC) AS r
+       |  FROM fb f WHERE NOT EXISTS (SELECT 1 FROM qt q
+       |    WHERE q.q_id = f.q_id AND q.term = f.term)) WHERE r <= 5),
+       |qt1 AS (SELECT q_id, term FROM qt
+       |  UNION SELECT q_id, term FROM exp),
+       |${sqlBm25Pass("qt1", "lex1", 10)}
+       |SELECT q_id, doc_id, rnk, score FROM lex1
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    Retrieval.bm25Prf(qt, dcs, "doc_id", "text", k = 10,
+      fbDocs = 3, expTerms = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round12c: Seq[Q] =
     Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
       annMaxSimTopK, annGraphSearchPq, mineHardNegatives,
       textBm25IndexAppend, textBm25IndexRemove, evalRetrievalQuality,
-      streamingBm25Ingest, annIvfSq8TopK)
+      streamingBm25Ingest, annIvfSq8TopK, textBm25Prf)
 }

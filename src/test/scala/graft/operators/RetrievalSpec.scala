@@ -277,6 +277,28 @@ class RetrievalSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L), s"dl normalization inverted: $got")
   }
 
+  test("bm25Prf: expansion reaches vocabulary-mismatched docs; expTerms=0 is plain BM25") {
+    val corpus = Seq(
+      (0L, "alpha"),
+      (1L, "alpha beta"),            // feedback doc: shares alpha, carries beta
+      (2L, "beta beta gamma"),       // no alpha — invisible without expansion
+      (3L, "delta delta delta")
+    ).toDF("doc_id", "text")
+    val qt = Seq((0L, "alpha")).toDF("q_id", "term")
+    val plain = Retrieval.bm25TopK(qt, corpus, "doc_id", "text", k = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(plain == Set(1L), s"plain BM25 must see only the alpha doc: $plain")
+    val prf = Retrieval.bm25Prf(qt, corpus, "doc_id", "text", k = 4,
+      fbDocs = 1, expTerms = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(prf.contains(2L),
+      s"expansion via 'beta' must recover the mismatched doc: $prf")
+    val zero = Retrieval.bm25Prf(qt, corpus, "doc_id", "text", k = 4,
+      fbDocs = 1, expTerms = 0)
+      .collect().map(_.getLong(1)).toSet
+    assert(zero == plain, "expTerms=0 must collapse to plain BM25")
+  }
+
   // ---- BM25 ledger maintenance -----------------------------------------
 
   test("bm25IndexAppend: replayed batches are absorbed; append == from-scratch rebuild") {
