@@ -71,6 +71,84 @@ object Multimodal {
     features.select(col("id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** A perceptual signature: 64 bits as a '0'/'1' string (the
+    * cross-engine-exact carrier — bit-packing into a BIGINT would wrap
+    * the 64th bit, the [[graft.operators.Similarity.binarySign]]
+    * lesson, and slicing/banding are string ops everywhere). */
+  case class MediaSignature(id: Long, sig: String)
+
+  /** Perceptual hash (the aHash shape): downsample the decoded frame to
+    * a 64-cell grid, bit i = cell i brighter than the frame mean —
+    * the image near-dup signature every multimodal training pipeline
+    * computes (re-encoded/resized copies of an image keep their
+    * brightness STRUCTURE, so their aHashes stay within a few bits
+    * while cryptographic hashes diverge completely). The decode is the
+    * STUB ([[MediaFeaturizer.decodeStub]]'s container constraint):
+    * cell i's "brightness" is payload byte ⌊i·len/64⌋ — a coarse
+    * byte-stream downsample, deterministic and oracle-replayable; a
+    * real decoder swaps in pixel-block means, same dataflow. The
+    * strict `cell·64 > Σcells` comparison keeps the mean test in
+    * INTEGER arithmetic (no division, no float). Empty payloads hash
+    * to all-zero bits. One mapPartitions pass, no shuffle. */
+  def perceptualHash(records: Dataset[MediaRecord]): Dataset[MediaSignature] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val n = r.content.length
+        val cells = Array.tabulate(64) { i =>
+          if (n == 0) 0 else r.content((i.toLong * n / 64).toInt) & 0xff
+        }
+        val sum = cells.sum
+        val bits = new StringBuilder(64)
+        var i = 0
+        while (i < 64) {
+          bits.append(if (cells(i) * 64 > sum) '1' else '0'); i += 1
+        }
+        MediaSignature(r.id, bits.toString)
+      }
+    }
+  }
+
+  /** Near-dup media pairs over perceptual signatures: 4×16-bit slice
+    * banding (two signatures within Hamming distance 3 MUST share an
+    * untouched slice — pigeonhole-complete recall at ≤ 3; above that
+    * the bands are the standard heuristic candidate generator and
+    * recall is < 1, the [[Dedup]] banded-operator contract), then an
+    * exact integer Hamming confirm on candidates only. The corpus
+    * never self-joins — the join key is (slice index, slice value),
+    * and the hot-bucket guard REFUSES a degenerate slice distribution
+    * (e.g. a corpus of near-black frames all hashing to one bucket)
+    * instead of running a quadratic bucket, [[Similarity.nearDupPairs]]'s
+    * posture. Returns (a_id, b_id, ham), a_id < b_id. */
+  def phashPairs(sigs: DataFrame, maxHamming: Int = 3,
+                 maxBucketRows: Long = 1L << 20): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val sliced = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("v", expr("substring(sig, k * 16 + 1, 16)"))
+    val top = sliced.groupBy("k", "v").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).head()
+    val maxBucket = if (top.isNullAt(0)) 0L else top.getLong(0)
+    require(maxBucket <= maxBucketRows,
+      s"phashPairs: largest slice bucket holds $maxBucket rows > " +
+        s"maxBucketRows=$maxBucketRows; the within-bucket join is " +
+        "quadratic — a degenerate signature distribution (uniform " +
+        "frames) needs a pre-filter, or raise the cap deliberately")
+    val ham = expr(
+      """aggregate(zip_with(split(a_sig, ''), split(b_sig, ''),
+        |  (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),
+        |  0, (acc, v) -> acc + v)""".stripMargin)
+    sliced.alias("a").join(sliced.alias("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
+      .distinct()
+      .withColumn("ham", ham)
+      .filter(col("ham") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("ham"))
+  }
+
   /** A resized frame: original record id + target-box dimensions. */
   case class ResizedFrame(id: Long, width: Int, height: Int,
                           scale: Double, content_md5: String)

@@ -1333,6 +1333,59 @@ object Similarity {
     ranked(frontier.filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /** Graph-index INSERT, batch form — the HNSW/DiskANN insert path:
+    * each arriving node beam-searches the EXISTING graph for its k
+    * nearest ([[graphSearchTopK]] with the batch as the query set),
+    * joins with BIDIRECTIONAL edges (in-edges are what make a new node
+    * findable), and every touched node's out-edges re-cap to
+    * `maxDegree` by cosine (the degree bound that keeps per-hop
+    * fan-out — and therefore search cost — constant as the graph
+    * grows; HNSW's neighbor-selection prune, done here as a
+    * rank-and-keep). Batch-parallel BY DESIGN: every insert sees the
+    * pre-batch graph, not its siblings — deterministic, and the shape
+    * a distributed builder batches (sequential visibility would
+    * serialize the batch through the driver). Edges carry their cosine
+    * (`graph`: (src_id, nbr_id, cos) — [[knnGraph]]'s output shape) so
+    * the recap never re-reads vectors. Returns the appended graph,
+    * same shape. */
+  def graphAppend(graph: DataFrame, corpus: DataFrame, batch: DataFrame,
+                  idCol: String, vecCol: String, k: Int, beam: Int = 8,
+                  hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
+                  maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(maxDegree >= k, "maxDegree must be >= k (inserts add k edges per side)")
+    val found = graphSearchTopK(batch, corpus, graph, idCol, vecCol,
+      k, beam, hops, dim, maxQueryRows)
+    val newE = found.select(col("q_id").as("src_id"),
+        col("n_id").as("nbr_id"), col("cos"))
+      .unionByName(found.select(col("n_id").as("src_id"),
+        col("q_id").as("nbr_id"), col("cos")))
+    graph.select(col("src_id"), col("nbr_id"), col("cos"))
+      .unionByName(newE)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("src_id")
+          .orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("_r") <= maxDegree)
+      .select(col("src_id"), col("nbr_id"), col("cos"))
+  }
+
+  /** Graph-index TAKEDOWN: tombstone the removed nodes — drop every
+    * edge that starts OR ends at them. Unlike the ledger families
+    * (tf rows, PQ codes) a graph deletion is NOT equivalent to a
+    * from-scratch rebuild: surviving nodes that routed through the
+    * removed ones lose those paths, and recovering rebuild-parity
+    * requires re-linking their neighborhoods (the HNSW repair
+    * problem). This operator is the honest cheap half — searches over
+    * the pruned graph never traverse or return removed nodes — and
+    * the scaladoc states the non-identity rather than faking it;
+    * periodic rebuild (or [[graphAppend]]-ing the orphaned
+    * neighborhoods) is the production compaction story. */
+  def graphRemove(graph: DataFrame, removals: DataFrame,
+                  idCol: String = "id"): DataFrame = {
+    val ids = removals.select(col(idCol).as("_rid")).distinct()
+    graph.join(ids, col("src_id") === col("_rid"), "left_anti")
+      .join(ids, col("nbr_id") === col("_rid"), "left_anti")
+  }
+
   /** PQ-guided graph search with exact re-rank — the DiskANN shape:
     * beam traversal distances come from the m-byte PQ CODES (one
     * [[graft.expressions.PqAdcLookup]] table read per candidate per

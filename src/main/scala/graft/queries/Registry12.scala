@@ -77,46 +77,45 @@ object Registry12 {
     * expansion, so the best candidate never regresses), then ranks the
     * final frontier minus the query's own node. Approximate by graph
     * connectivity, bit-exact in scoring. */
-  val annGraphSearch = Q("ann_graph_search",
-    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-       |g AS (SELECT src_id, nbr_id FROM (
-       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, ROW_NUMBER() OVER (
-       |    PARTITION BY a.vec_id
+  /** The fixed 200-node single-cell kNN graph every graph-family
+    * oracle pins (k = 3 out-edges, exact cosine, ties to the lower
+    * neighbor id — [[Similarity.knnGraph]]'s election), WITH the edge
+    * cosine (the append oracle's degree recap reads it). */
+  private def sqlKnnGraph: String =
+    s"""base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+       |g AS (SELECT src_id, nbr_id, cs AS cos FROM (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       |    ${Registry10.sqlCos("a.embedding", "b.embedding")} AS cs,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
        |    ORDER BY ${Registry10.sqlCos("a.embedding", "b.embedding")} DESC,
        |      b.vec_id ASC) AS rn
-       |  FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= 3),
+       |  FROM base a JOIN base b ON a.vec_id <> b.vec_id) WHERE rn <= 3)""".stripMargin
+
+  /** One exact-cosine beam hop over shared CTEs `g` (edges), `q`
+    * (q_id, q_vec), `base` (corpus): candidates = `prev` frontier ∪
+    * out-neighbors (distinct), scored into `scored`, top-`beam` into
+    * `next`. */
+  private def sqlCosHop(prev: String, cand: String, scored: String,
+                        next: String, beam: Int): String =
+    s"""$cand AS (SELECT DISTINCT q_id, n_id FROM (
+       |  SELECT f.q_id, g.nbr_id AS n_id FROM $prev f JOIN g ON g.src_id = f.n_id
+       |  UNION ALL SELECT q_id, n_id FROM $prev)),
+       |$scored AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |  FROM (SELECT c.q_id, c.n_id,
+       |      ${Registry10.sqlCos("q.q_vec", "b.embedding")} AS cs
+       |    FROM $cand c JOIN q ON q.q_id = c.q_id
+       |    JOIN base b ON b.vec_id = c.n_id)),
+       |$next AS (SELECT q_id, n_id FROM $scored WHERE rn <= $beam)""".stripMargin
+
+  val annGraphSearch = Q("ann_graph_search",
+    s"""WITH $sqlKnnGraph,
        |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM base
        |  WHERE vec_id < 5),
        |f0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM base) AS n_id FROM q),
-       |c1 AS (SELECT DISTINCT q_id, n_id FROM (
-       |  SELECT f.q_id, g.nbr_id AS n_id FROM f0 f JOIN g ON g.src_id = f.n_id
-       |  UNION ALL SELECT q_id, n_id FROM f0)),
-       |s1 AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
-       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
-       |  FROM (SELECT c.q_id, c.n_id,
-       |      ${Registry10.sqlCos("q.q_vec", "b.embedding")} AS cs
-       |    FROM c1 c JOIN q ON q.q_id = c.q_id
-       |    JOIN base b ON b.vec_id = c.n_id)),
-       |f1 AS (SELECT q_id, n_id FROM s1 WHERE rn <= 4),
-       |c2 AS (SELECT DISTINCT q_id, n_id FROM (
-       |  SELECT f.q_id, g.nbr_id AS n_id FROM f1 f JOIN g ON g.src_id = f.n_id
-       |  UNION ALL SELECT q_id, n_id FROM f1)),
-       |s2 AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
-       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
-       |  FROM (SELECT c.q_id, c.n_id,
-       |      ${Registry10.sqlCos("q.q_vec", "b.embedding")} AS cs
-       |    FROM c2 c JOIN q ON q.q_id = c.q_id
-       |    JOIN base b ON b.vec_id = c.n_id)),
-       |f2 AS (SELECT q_id, n_id FROM s2 WHERE rn <= 4),
-       |c3 AS (SELECT DISTINCT q_id, n_id FROM (
-       |  SELECT f.q_id, g.nbr_id AS n_id FROM f2 f JOIN g ON g.src_id = f.n_id
-       |  UNION ALL SELECT q_id, n_id FROM f2)),
-       |s3 AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
-       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
-       |  FROM (SELECT c.q_id, c.n_id,
-       |      ${Registry10.sqlCos("q.q_vec", "b.embedding")} AS cs
-       |    FROM c3 c JOIN q ON q.q_id = c.q_id
-       |    JOIN base b ON b.vec_id = c.n_id)),
+       |${sqlCosHop("f0", "c1", "s1", "f1", 4)},
+       |${sqlCosHop("f1", "c2", "s2", "f2", 4)},
+       |${sqlCosHop("f2", "c3", "s3", "f3", 4)},
        |r AS (SELECT q_id, n_id, cs AS cos, CAST(ROW_NUMBER() OVER (
        |  PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
        |  FROM s3 WHERE rn <= 4 AND q_id <> n_id)
@@ -662,9 +661,102 @@ object Registry12 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Perceptual-hash media near-dup under the gate
+    * ([[graft.operators.Multimodal.perceptualHash]] → `phashPairs`):
+    * the image-dedup signature every multimodal pipeline computes —
+    * 64-cell aHash over the (stubbed) decoded frame, 4×16-bit slice
+    * banding (pigeonhole-complete at Hamming ≤ 3; at the gate's
+    * threshold 8 the bands are the standard heuristic candidate
+    * generator, the banded-recall contract of the dedup family), exact
+    * integer Hamming confirm on candidates only. Text bytes stand in
+    * for payloads (the `multimodal_features` convention; the corpus is
+    * pure ASCII so DuckDB character positions ARE byte positions); the
+    * oracle replays the byte-downsample, the integer mean test, the
+    * slice join, and the positionwise Hamming fold. */
+  val multimodalPhashPairs = Q("multimodal_phash_pairs",
+    s"""WITH rec AS (SELECT doc_id AS id, text, length(text) AS n
+       |  FROM documents),
+       |cells AS (SELECT id, i, CASE WHEN n = 0 THEN 0
+       |    ELSE ascii(substring(text, CAST(i * n // 64 AS BIGINT) + 1, 1))
+       |    END AS c
+       |  FROM rec CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+       |sums AS (SELECT id, SUM(c) AS s FROM cells GROUP BY id),
+       |sig AS (SELECT c2.id, string_agg(
+       |    CASE WHEN c2.c * 64 > m.s THEN '1' ELSE '0' END, ''
+       |    ORDER BY c2.i) AS sig
+       |  FROM cells c2 JOIN sums m ON m.id = c2.id GROUP BY c2.id),
+       |sl AS (SELECT id, k, substring(sig, k * 16 + 1, 16) AS v
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+       |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM sl a JOIN sl b ON a.k = b.k AND a.v = b.v AND a.id < b.id),
+       |h AS (SELECT c.a_id, c.b_id,
+       |    list_reduce(list_prepend(0, list_transform(range(1, 65), t ->
+       |      CASE WHEN substring(sa.sig, CAST(t AS INT), 1)
+       |        <> substring(sb.sig, CAST(t AS INT), 1) THEN 1 ELSE 0 END)),
+       |      (x, y) -> x + y) AS ham
+       |  FROM cand c JOIN sig sa ON sa.id = c.a_id
+       |  JOIN sig sb ON sb.id = c.b_id)
+       |SELECT a_id, b_id, CAST(ham AS BIGINT) AS ham FROM h WHERE ham <= 8
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.operators.Multimodal
+    val records = docs(s, d).select(col("doc_id").as("id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.MediaRecord(id, "text", text.getBytes("UTF-8"))
+      }
+    val sigs = Multimodal.perceptualHash(records).toDF()
+    Multimodal.phashPairs(sigs, maxHamming = 8)
+      .withColumn("ham", col("ham").cast("long"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Graph-index INSERT under the gate ([[Similarity.graphAppend]],
+    * the HNSW/DiskANN insert path, batch form): five new nodes
+    * (vec_id 200..204) each beam-search the EXISTING 200-node graph
+    * for their 3 nearest, join with BIDIRECTIONAL edges (in-edges make
+    * the new node findable), and every touched node's out-edges recap
+    * to maxDegree = 4 by cosine — the degree bound that keeps per-hop
+    * fan-out constant as the graph grows. Batch-parallel by design
+    * (every insert sees the pre-batch graph, not its siblings). The
+    * oracle replays the stored-graph election WITH edge cosines, the
+    * three beam hops per new node, the bidirectional union, and the
+    * per-source recap rank. */
+  val annGraphAppend = Q("ann_graph_append",
+    s"""WITH $sqlKnnGraph,
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       |  WHERE vec_id >= 200 AND vec_id < 205),
+       |f0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM base) AS n_id FROM q),
+       |${sqlCosHop("f0", "c1", "s1", "f1", 4)},
+       |${sqlCosHop("f1", "c2", "s2", "f2", 4)},
+       |${sqlCosHop("f2", "c3", "s3", "f3", 4)},
+       |fnd AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+       |  FROM s3 WHERE rn <= 4 AND q_id <> n_id),
+       |top AS (SELECT q_id, n_id, cs FROM fnd WHERE rnk <= 3),
+       |alle AS (SELECT src_id, nbr_id, cos FROM g
+       |  UNION ALL SELECT q_id AS src_id, n_id AS nbr_id, cs AS cos FROM top
+       |  UNION ALL SELECT n_id AS src_id, q_id AS nbr_id, cs AS cos FROM top),
+       |rec AS (SELECT src_id, nbr_id, cos, ROW_NUMBER() OVER (
+       |  PARTITION BY src_id ORDER BY cos DESC, nbr_id ASC) AS r FROM alle)
+       |SELECT src_id, nbr_id, cos FROM rec WHERE r <= 4
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val base = e.filter(col("vec_id") < 200)
+    val cent = base.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g = Similarity.knnGraph(base, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val batch = e.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+    Similarity.graphAppend(g, base, batch, "vec_id", "embedding",
+      k = 3, beam = 4, hops = 3, maxDegree = 4)
+      .orderBy("src_id", "nbr_id")
+  }
+
   val round12c: Seq[Q] =
     Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
       annMaxSimTopK, annGraphSearchPq, mineHardNegatives,
       textBm25IndexAppend, textBm25IndexRemove, evalRetrievalQuality,
-      streamingBm25Ingest, annIvfSq8TopK, textBm25Prf)
+      streamingBm25Ingest, annIvfSq8TopK, textBm25Prf,
+      multimodalPhashPairs, annGraphAppend)
 }

@@ -24,6 +24,48 @@ class MultimodalSpec extends SparkSpec {
     assert(idx == (0 until 35 % 30 + 1 by 2).toSeq) // n_frames=6 → 0,2,4
   }
 
+  test("perceptualHash: 64-bit signature; one changed cell moves one bit; empty hashes to zeros") {
+    // 64-byte payloads: cell i IS byte i (i·64/64 = i), so cells are
+    // controlled directly. Five bright cells over a dim floor — strict
+    // integer mean test puts exactly the bright cells above threshold.
+    def payload(bright: Seq[Int]): Array[Byte] =
+      Array.tabulate[Byte](64)(i => if (bright.contains(i)) 200.toByte else 10)
+    val recs = Seq(
+      MediaRecord(1L, "image", payload(Seq(0, 1, 2, 3, 4))),
+      MediaRecord(2L, "image", payload(Seq(0, 1, 2, 3, 4))),      // exact dup
+      MediaRecord(3L, "image", payload(Seq(0, 1, 2, 3, 4, 60))),  // one more bright cell
+      MediaRecord(4L, "image", Array.emptyByteArray)
+    ).toDS()
+    val sigs = perceptualHash(recs).collect().map(s => s.id -> s.sig).toMap
+    assert(sigs.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sigs(1L) == sigs(2L), "identical payloads must hash identically")
+    assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a != b } == 1,
+      "one changed cell must move exactly one bit here")
+    assert(sigs(4L) == "0" * 64, "empty payload hashes to all-zero bits")
+  }
+
+  test("phashPairs: exact dups at ham 0, near dup found via pigeonhole, guard refuses degenerate buckets") {
+    def payload(bright: Seq[Int]): Array[Byte] =
+      Array.tabulate[Byte](64)(i => if (bright.contains(i)) 200.toByte else 10)
+    val recs = Seq(
+      MediaRecord(1L, "image", payload(Seq(0, 1, 2, 3, 4))),
+      MediaRecord(2L, "image", payload(Seq(0, 1, 2, 3, 4))),
+      MediaRecord(3L, "image", payload(Seq(0, 1, 2, 3, 4, 60))),
+      MediaRecord(4L, "image", payload(Seq(30, 31, 32, 33, 34)))  // far from the others
+    ).toDS()
+    val sigs = perceptualHash(recs).toDF()
+    val pairs = phashPairs(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0, "exact duplicate must confirm at Hamming 0")
+    assert(pairs((1L, 3L)) == 1 && pairs((2L, 3L)) == 1,
+      "a 1-bit neighbor is pigeonhole-guaranteed at threshold 3")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "the far signature must not pair")
+    intercept[IllegalArgumentException] {
+      phashPairs(sigs, maxHamming = 3, maxBucketRows = 2)
+    }
+  }
+
   test("resizeTo: aspect-preserving fit, never upscales") {
     val recs = Seq(
       MediaRecord(1L, "image", Array.fill[Byte](1290)(1)), // decodes 10×330

@@ -168,6 +168,51 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("graphAppend: an inserted node becomes findable; degrees never exceed the cap") {
+    val e = emb.filter($"vec_id" < 100)
+    val cent = e.filter($"vec_id" === 0)
+      .select(lit(0).cast("int").as("cell"), $"embedding".as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val batch = emb.filter($"vec_id" >= 100 && $"vec_id" < 103)
+    val g2 = Similarity.graphAppend(g, e, batch, "vec_id", "embedding",
+      k = 3, beam = 4, hops = 3, maxDegree = 4)
+    // every degree respects the cap
+    val maxDeg = g2.groupBy("src_id").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= 4, s"degree cap violated: $maxDeg")
+    // inserted nodes have out-edges AND in-edges (findable both ways)
+    val newIds = Set(100L, 101L, 102L)
+    val outs = g2.filter($"src_id" >= 100).select("src_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val ins = g2.filter($"nbr_id" >= 100).select("nbr_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(outs == newIds, s"every inserted node needs out-edges: $outs")
+    assert(ins == newIds, s"every inserted node needs in-edges: $ins")
+    // a search over the appended graph can now RETURN an inserted node
+    val all = e.unionByName(batch)
+    val found = Similarity.graphSearchTopK(batch, all, g2,
+      "vec_id", "embedding", k = 3, beam = 8, hops = 4)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(found.nonEmpty)
+  }
+
+  test("graphRemove: tombstoned nodes vanish from both edge ends and from search results") {
+    val e = emb.filter($"vec_id" < 60)
+    val cent = e.filter($"vec_id" === 0)
+      .select(lit(0).cast("int").as("cell"), $"embedding".as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val pruned = Similarity.graphRemove(g,
+      Seq(5L, 6L).toDF("id"))
+    assert(pruned.filter($"src_id".isin(5L, 6L) || $"nbr_id".isin(5L, 6L))
+      .count() == 0)
+    val survivors = e.filter(!$"vec_id".isin(5L, 6L))
+    val res = Similarity.graphSearchTopK(e.filter($"vec_id" < 3), survivors,
+      pruned, "vec_id", "embedding", k = 3, beam = 6, hops = 3)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(!res.contains(5L) && !res.contains(6L))
+  }
+
   // ---- PQ-guided graph search (DiskANN shape) --------------------------
 
   test("graphSearchPqTopK: complete graph + full re-rank collapses to brute force") {
