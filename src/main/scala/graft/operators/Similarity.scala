@@ -64,6 +64,45 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /** Multi-probe LSH top-k: each query probes its OWN bucket plus the
+    * `nPlanes` buckets one sign-bit away — the standard recall knob for
+    * hyperplane LSH (a near neighbor on the far side of ONE plane lands
+    * exactly one bit away; probing those buckets recovers it without
+    * re-hashing or widening the tables). Candidates are a strict
+    * SUPERSET of [[lshTopK]]'s at (nPlanes + 1)× the bucket fan-in —
+    * still a vanishing fraction of the corpus, and the corpus side is
+    * untouched: one bucket per row, the probe fan-out rides the
+    * broadcast-sized query side. A candidate can match at most one
+    * probe (buckets are distinct strings), so no dedup join is needed.
+    * Same scoring/tie contract as [[lshTopK]]. */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nPlanes: Int = 8, dim: Int = 64,
+                        maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"lshMultiProbeTopK: query side holds $nq rows > maxQueryRows=" +
+        s"$maxQueryRows; each query broadcasts nPlanes+1 probe rows — " +
+        "batch the queries or raise the cap deliberately")
+    val bucket = VectorFns.lshBucket(col(vecCol), nPlanes, dim)
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"), bucket.as("bkt"))
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"), bucket.as("bkt"))
+      .select(col("*"), explode(sequence(lit(0), lit(nPlanes))).as("f"))
+      .withColumn("pbkt", when(col("f") === 0, col("bkt"))
+        .otherwise(concat(
+          expr("substring(bkt, 1, f - 1)"),
+          when(expr("substring(bkt, f, 1)") === "1", lit("0")).otherwise(lit("1")),
+          expr(s"substring(bkt, f + 1, $nPlanes)"))))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("pbkt"))
+    val scored = c.join(broadcast(probes), col("bkt") === col("pbkt"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosFromNorms(dim))
+    ranked(scored, k)
+  }
+
   /** IVF (inverted-file) ANN: the corpus is partitioned into `nCells`
     * Voronoi cells around centroid vectors, each query probes its
     * `nProbe` nearest cells, and scoring touches only those cells'
@@ -717,6 +756,62 @@ object Similarity {
     }
   }
 
+  /** SERVE from the stored IVF-PQ ledger — the query-time path of a
+    * deployed index: the (vec_id, cell, codes) ledger
+    * ([[pqIndexBuild]]/[[pqIndexAppend]]'s output, read back from
+    * storage) is scanned directly; NO corpus vectors load, no
+    * assignment or encode runs at query time — the ledger paid those
+    * once at ingest. Queries route to their `nProbe` best cells by
+    * centroid cosine and ADC-score only cell-resident codes —
+    * [[ivfPqTopK]]'s probe half verbatim, minus its corpus-side build
+    * (the quantizer must be the FROZEN one the ledger was encoded
+    * against — [[graft.expressions.PqAdcLookup]] throws loudly on a
+    * mismatch rather than mis-ranking). Returns (q_id, n_id, rnk, adc). */
+  def ivfPqTopKFromIndex(queries: DataFrame, ledger: DataFrame,
+                         centroids: DataFrame, codebooks: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nProbe: Int = 4, dim: Int = 64,
+                         maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nProbe > 0, "nProbe must be positive")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"ivfPqTopKFromIndex: query side holds $nq rows > maxQueryRows=" +
+        s"$maxQueryRows; each query row broadcasts nProbe distance-table " +
+        "rows — batch the queries or raise the cap deliberately")
+    val cw = collectPqCodebook(codebooks)
+    val offs = cw.scanLeft(0)(_ + _.length).init
+    val widths = cw.map(_.length)
+    val c = ledger.select(col("vec_id").as("n_id"), col("cell"),
+      col("codes").as("_codes"))
+    val cent = centroids.select(col("cell"), col("c_vec"),
+      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
+    val qtab = GraftExpr.col(graft.expressions.PqDistTable(
+      GraftExpr.expr(col("_qv")), cw))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
+        VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+      .withColumn("_qtab", qtab)
+      .filter(col("_qtab").isNotNull)
+    val qcos = when(col("q_nrm") > 0.0 && col("c_nrm") > 0.0,
+      VectorFns.dotN(col("_qv"), col("c_vec"), dim) / (col("q_nrm") * col("c_nrm")))
+    val probes = q.join(broadcast(cent))
+      .withColumn("prb", row_number().over(
+        Window.partitionBy("q_id").orderBy(qcos.desc, col("cell").desc)))
+      .filter(col("prb") <= nProbe)
+      .select(col("q_id"), col("cell"), col("_qtab"))
+    val adc = GraftExpr.col(graft.expressions.PqAdcLookup(
+      GraftExpr.expr(col("_qtab")), GraftExpr.expr(col("_codes")),
+      offs, widths))
+    c.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc").asc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
+
   /** IVF-PQ index LEDGER build — the STORED face of the composed index:
     * one (vec_id, cell, codes) row per corpus vector, i.e. exactly what
     * [[ivfPqTopK]]'s corpus side computes before the probe join,
@@ -1355,17 +1450,27 @@ object Similarity {
     require(maxDegree >= k, "maxDegree must be >= k (inserts add k edges per side)")
     val found = graphSearchTopK(batch, corpus, graph, idCol, vecCol,
       k, beam, hops, dim, maxQueryRows)
-    val newE = found.select(col("q_id").as("src_id"),
+    val newE = Lineage.truncate(found.select(col("q_id").as("src_id"),
         col("n_id").as("nbr_id"), col("cos"))
       .unionByName(found.select(col("n_id").as("src_id"),
-        col("q_id").as("nbr_id"), col("cos")))
-    graph.select(col("src_id"), col("nbr_id"), col("cos"))
+        col("q_id").as("nbr_id"), col("cos"))))
+    // recap ONLY the sources that gained edges: an untouched node's
+    // out-degree is already ≤ k ≤ maxDegree (its rank-and-keep is a
+    // no-op), so restricting the window to touched sources changes
+    // nothing in the result while the recap exchange shrinks from
+    // corpus-sized (every node's edge list) to batch-sized
+    // (batch + their ≤ batch×k distinct neighbors)
+    val touched = newE.select(col("src_id")).distinct()
+    val old = graph.select(col("src_id"), col("nbr_id"), col("cos"))
+    val untouched = old.join(touched, Seq("src_id"), "left_anti")
+    val recapped = old.join(touched, Seq("src_id"))
       .unionByName(newE)
       .withColumn("_r", row_number().over(
         Window.partitionBy("src_id")
           .orderBy(col("cos").desc, col("nbr_id").asc)))
       .filter(col("_r") <= maxDegree)
       .select(col("src_id"), col("nbr_id"), col("cos"))
+    untouched.unionByName(recapped)
   }
 
   /** Graph-index TAKEDOWN: tombstone the removed nodes — drop every

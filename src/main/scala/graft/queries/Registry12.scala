@@ -753,10 +753,127 @@ object Registry12 {
       .orderBy("src_id", "nbr_id")
   }
 
+  /** Multi-probe LSH under the gate ([[Similarity.lshMultiProbeTopK]]):
+    * each query probes its own bucket PLUS the nPlanes = 4 buckets one
+    * sign-bit away — the standard LSH recall knob (a true neighbor on
+    * the far side of ONE hyperplane is exactly one bucket-bit away;
+    * probing those buckets recovers it without re-hashing). The corpus
+    * side is untouched — one bucket per row — and the 5× probe fan-out
+    * rides the broadcast query side. The oracle extends the
+    * `ann_lsh_topk` bucket algebra with the bit-flip probe expansion. */
+  val annLshMultiprobe = Q("ann_lsh_multiprobe", {
+    def bit(p: Int, v: String) =
+      s"""(CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         |  i -> CAST($v[i] AS DOUBLE) * (CASE WHEN substr(md5('$p:' ||
+         |    CAST(i - 1 AS VARCHAR)), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END))),
+         |  (x, y) -> x + y) >= 0.0 THEN '1' ELSE '0' END)""".stripMargin
+    val bkt = (v: String) => (0 until 4).map(p => bit(p, v)).mkString(" || ")
+    s"""WITH b AS (SELECT vec_id, embedding, ${bkt("embedding")} AS bkt
+       |  FROM embeddings),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_vec, bkt FROM b
+       |  WHERE vec_id < 5),
+       |pr AS (SELECT q_id, q_vec, CASE WHEN t.f = 0 THEN bkt ELSE
+       |    substr(bkt, 1, CAST(t.f AS INT) - 1)
+       |    || (CASE WHEN substr(bkt, CAST(t.f AS INT), 1) = '1'
+       |        THEN '0' ELSE '1' END)
+       |    || substr(bkt, CAST(t.f AS INT) + 1, 4) END AS pbkt
+       |  FROM q0 CROSS JOIN (SELECT unnest(range(0, 5)) AS f) t),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec, bkt FROM b),
+       |sc AS (SELECT q_id, n_id,
+       |    ${Registry10.sqlCos("q_vec", "n_vec")} AS cos
+       |  FROM c JOIN pr ON c.bkt = pr.pbkt WHERE q_id <> n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER
+       |  (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin
+  }) { (s, d) =>
+    val e = emb(s, d)
+    Similarity.lshMultiProbeTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 3, nPlanes = 4, dim = 64)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** STREAMING index SERVE: the query-time arrival path of the
+    * deployed IVF-PQ index — query pages as file-source micro-batches,
+    * each batch scored against the STORED (vec_id, cell, codes) ledger
+    * ([[Similarity.ivfPqTopKFromIndex]]: no corpus floats load, no
+    * encode runs; ingest paid those once) and its results appended to
+    * a parquet sink. Pages OVERLAP by one query (at-least-once
+    * replay): serving is stateless per query and the scoring is
+    * deterministic, so replayed results are BYTE-identical rows and
+    * dedup-on-read (DISTINCT over the sink) is the idempotence story —
+    * the serve-side dual of the ingest gates' id anti-join. The gate
+    * asserts the drained, deduped sink equals the from-scratch batch
+    * ranking (`ann_ivf_pq_topk`'s oracle verbatim). */
+  val streamingAnnServe = Q("streaming_ann_serve",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${Registry10.sqlIvfAdcRank("codes", "qd")}
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val fx = FixtureCache.cached(d, "aserve", 1, Seq("embeddings")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val bounds = Seq((0L, 3L), (2L, 5L)) // one-query overlap
+      bounds.zipWithIndex.foreach { case ((lo, hi), p) =>
+        val tmpd = tmp.resolve(s"tmp$p")
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_aserve")
+    val ledgerDir = stage.resolve("ledger").toString
+    val sinkDir = stage.resolve("results").toString
+    Similarity.pqIndexBuild(e, cent, cb, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(ledgerDir)
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("q_id", LongType),
+        StructField("n_id", LongType), StructField("rnk", IntegerType),
+        StructField("adc", DoubleType))))
+      .write.mode("overwrite").parquet(sinkDir)
+    val stream = s.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val serveBatch: (DataFrame, Long) => Unit = { (b, _) =>
+      val ledger = s.read.parquet(ledgerDir)
+      Similarity.ivfPqTopKFromIndex(b, ledger, cent, cb,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+        .write.mode("append").parquet(sinkDir)
+    }
+    val run = stream.writeStream
+      .foreachBatch(serveBatch)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    s.read.parquet(sinkDir).distinct()
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round12c: Seq[Q] =
     Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
       annMaxSimTopK, annGraphSearchPq, mineHardNegatives,
       textBm25IndexAppend, textBm25IndexRemove, evalRetrievalQuality,
       streamingBm25Ingest, annIvfSq8TopK, textBm25Prf,
-      multimodalPhashPairs, annGraphAppend)
+      multimodalPhashPairs, annGraphAppend, annLshMultiprobe,
+      streamingAnnServe)
 }

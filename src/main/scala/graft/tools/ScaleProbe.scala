@@ -499,7 +499,7 @@ object ScaleProbe {
         val graphPath = s"$scratch/_graph_$scale.parquet"
         var t0 = System.nanoTime()
         Similarity.knnGraph(e, centG, "vec_id", "embedding", k = 3)
-          .select("src_id", "nbr_id")
+          .select("src_id", "nbr_id", "cos")
           .write.mode("overwrite").parquet(graphPath)
         println(f"PROBE retr $scale graph_build_s=${(System.nanoTime() - t0) / 1e9}%.2f")
         val storedGraph = spark.read.parquet(graphPath)
@@ -510,6 +510,42 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
           println(f"PROBE retr $scale pass$pass " +
             f"graph_search_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        // graph-index INSERT: a FIXED 5-node batch appended against the
+        // stored graph — beam searches + a touched-sources-only degree
+        // recap, so wall must stay near-flat while the graph grows 10×
+        val mxIdG = e.agg(max("vec_id")).head().getLong(0)
+        val batchG = e.filter(col("vec_id") < 5)
+          .withColumn("vec_id", col("vec_id") + lit(mxIdG + 1))
+        for (pass <- 1 to 2) {
+          t0 = System.nanoTime()
+          Similarity.graphAppend(storedGraph, e, batchG,
+            "vec_id", "embedding", k = 3, beam = 4, hops = 3,
+            maxDegree = 4)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROBE retr $scale pass$pass " +
+            f"graph_append_batch5_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        // perceptual-hash near-dup: banded candidate pairs are the
+        // governing count (the slice join's fan-in before the Hamming
+        // confirm) — must track true-duplicate density, never factor²
+        import spark.implicits._
+        val recs = d.select(col("doc_id").as("id"), col("text"))
+          .as[(Long, String)]
+          .map { case (id, text) => graft.operators.Multimodal
+            .MediaRecord(id, "text", text.getBytes("UTF-8")) }
+        val sigsP = graft.operators.Multimodal.perceptualHash(recs).toDF()
+        val slB = sigsP.select(col("id"), col("sig"),
+            explode(sequence(lit(0), lit(3))).as("k"))
+          .withColumn("v", expr("substring(sig, k * 16 + 1, 16)"))
+        val candP = choose2(slB.groupBy("k", "v").agg(count(lit(1)).as("n")))
+        println(s"PROBE retr $scale phash docs=$nDocs banded_pairs=$candP")
+        for (pass <- 1 to 2) {
+          t0 = System.nanoTime()
+          graft.operators.Multimodal.phashPairs(sigsP, maxHamming = 8)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROBE retr $scale pass$pass " +
+            f"phash_pairs_s=${(System.nanoTime() - t0) / 1e9}%.2f")
         }
         // BM25 governing counts + timed end-to-end ranking
         val toks = d.select(col("doc_id"),

@@ -110,6 +110,42 @@ class RetrievalSpec extends SparkSpec {
       "all cells + full-pool re-rank must equal exact brute force")
   }
 
+  test("lshMultiProbeTopK: candidates strictly contain the single-probe set") {
+    val e = emb.filter($"vec_id" < 200)
+    val q = e.filter($"vec_id" < 3)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k = corpus size → the "top-k" IS the whole candidate set
+    val single = pairs(Similarity.lshTopK(q, e, "vec_id", "embedding",
+      k = 200, nPlanes = 4))
+    val multi = pairs(Similarity.lshMultiProbeTopK(q, e, "vec_id", "embedding",
+      k = 200, nPlanes = 4))
+    assert(single.subsetOf(multi),
+      s"multi-probe lost single-probe candidates: ${single.diff(multi)}")
+    assert(multi.size > single.size,
+      "probing 4 extra buckets must widen the candidate set on this corpus")
+  }
+
+  test("ivfPqTopKFromIndex: serving from the stored ledger equals the composed search") {
+    val e = emb.filter($"vec_id" < 100)
+    val cent = e.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val cb = Similarity.pqCodebookSeed(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val q = e.filter($"vec_id" < 3)
+    val ledger = Similarity.pqIndexBuild(e, cent, cb, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val served = rows(Similarity.ivfPqTopKFromIndex(q, ledger, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 3))
+    val direct = rows(Similarity.ivfPqTopK(q, e, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 3))
+    assert(served == direct,
+      "the stored ledger must serve bit-identical rankings")
+  }
+
   // ---- graph beam search ----------------------------------------------
 
   test("graphSearchTopK: complete graph + wide beam collapses to brute force") {
