@@ -120,27 +120,56 @@ object Multimodal {
     * (e.g. a corpus of near-black frames all hashing to one bucket)
     * instead of running a quadratic bucket, [[Similarity.nearDupPairs]]'s
     * posture. Returns (a_id, b_id, ham), a_id < b_id. */
+  /** `blockCol`: optional extra band-key column already present on
+    * `sigs` (e.g. a payload-length bucket) — candidates must also
+    * match it, which multiplies the effective slice alphabet without
+    * widening signatures. This is the measured prescription for the
+    * hot-slice Σn² saturation (SCALE.md round-12: banded pairs grew
+    * ~60× for 10× docs on near-uniform slices — the
+    * `dedup_simhash_blocked` story, enforced here the same way). */
+  /** `maxSliceDf`: optional occupancy cap — slice buckets holding more
+    * rows are DROPPED from candidate generation entirely (the
+    * [[Dedup]] n-gram `maxGramDf` pattern). This is the EXPONENT fix
+    * where [[phashPairs]]'s block key only divides the constant: on a
+    * homogeneous corpus every hot bucket's occupancy grows ∝ corpus
+    * and its pair count ∝ corpus² regardless of how the key space is
+    * multiplied (measured: blocking cut banded pairs 5.5× at 10× docs
+    * but growth stayed ~48× — SCALE.md round-12). The recall contract:
+    * a pair is lost only if EVERY slice it shares is generic
+    * (above-cap) — near-dup copies share their distinctive slices. */
   def phashPairs(sigs: DataFrame, maxHamming: Int = 3,
-                 maxBucketRows: Long = 1L << 20): DataFrame = {
+                 maxBucketRows: Long = 1L << 20,
+                 blockCol: Option[String] = None,
+                 maxSliceDf: Option[Long] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
-    val sliced = sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("k"))
+    val keep = col("id") +: col("sig") +: blockCol.map(col).toSeq
+    val sliced0 = sigs.select(keep :+
+        explode(sequence(lit(0), lit(3))).as("k"): _*)
       .withColumn("v", expr("substring(sig, k * 16 + 1, 16)"))
-    val top = sliced.groupBy("k", "v").agg(count(lit(1)).as("n"))
+    val bandKey = Seq("k", "v") ++ blockCol
+    val sliced = maxSliceDf.fold(sliced0) { cap =>
+      sliced0.join(
+        sliced0.groupBy(bandKey.map(col): _*).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= cap).select(bandKey.map(col): _*),
+        bandKey)
+    }
+    val top = sliced.groupBy(bandKey.map(col): _*)
+      .agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("m")).head()
     val maxBucket = if (top.isNullAt(0)) 0L else top.getLong(0)
     require(maxBucket <= maxBucketRows,
       s"phashPairs: largest slice bucket holds $maxBucket rows > " +
         s"maxBucketRows=$maxBucketRows; the within-bucket join is " +
         "quadratic — a degenerate signature distribution (uniform " +
-        "frames) needs a pre-filter, or raise the cap deliberately")
+        "frames) needs a block key or a pre-filter, or raise the cap " +
+        "deliberately")
     val ham = expr(
       """aggregate(zip_with(split(a_sig, ''), split(b_sig, ''),
         |  (x, y) -> CASE WHEN x <> y THEN 1 ELSE 0 END),
         |  0, (acc, v) -> acc + v)""".stripMargin)
-    sliced.alias("a").join(sliced.alias("b"),
-        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
-          col("a.id") < col("b.id"))
+    val joinCond = bandKey.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    sliced.alias("a").join(sliced.alias("b"), joinCond)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
       .distinct()

@@ -869,11 +869,68 @@ object Registry12 {
       .orderBy("q_id", "rnk")
   }
 
+  /** BLOCKED perceptual-hash near-dup ([[graft.operators.Multimodal]]
+    * `phashPairs(blockCol)`): candidates must also match a
+    * payload-length bucket (⌊len/100⌋) — the compound band key that
+    * multiplies the effective slice alphabet without widening
+    * signatures, the measured prescription for the hot-slice Σn²
+    * saturation the unblocked probe surfaced (SCALE.md: banded pairs
+    * grew ~60× for 10× docs; the `dedup_simhash_blocked` fix, applied
+    * to the phash family). Blocking is also SEMANTICALLY sound for
+    * media near-dup: a re-encoded copy keeps roughly its payload size,
+    * while two frames that merely share a brightness layout at very
+    * different sizes are the false-positive class the block key
+    * removes. Same scoring and threshold as `multimodal_phash_pairs` —
+    * its result restricted to same-bucket pairs. */
+  val multimodalPhashBlocked = Q("multimodal_phash_blocked",
+    s"""WITH rec AS (SELECT doc_id AS id, text, length(text) AS n
+       |  FROM documents),
+       |cells AS (SELECT id, i, CASE WHEN n = 0 THEN 0
+       |    ELSE ascii(substring(text, CAST(i * n // 64 AS BIGINT) + 1, 1))
+       |    END AS c
+       |  FROM rec CROSS JOIN (SELECT unnest(range(0, 64)) AS i)),
+       |sums AS (SELECT id, SUM(c) AS s FROM cells GROUP BY id),
+       |sig AS (SELECT c2.id, string_agg(
+       |    CASE WHEN c2.c * 64 > m.s THEN '1' ELSE '0' END, ''
+       |    ORDER BY c2.i) AS sig
+       |  FROM cells c2 JOIN sums m ON m.id = c2.id GROUP BY c2.id),
+       |sb AS (SELECT s.id, s.sig, r.n // 100 AS blk
+       |  FROM sig s JOIN rec r ON r.id = s.id),
+       |sl AS (SELECT id, blk, k, substring(sig, k * 16 + 1, 16) AS v
+       |  FROM sb CROSS JOIN (SELECT unnest(range(0, 4)) AS k)),
+       |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM sl a JOIN sl b ON a.k = b.k AND a.v = b.v
+       |    AND a.blk = b.blk AND a.id < b.id),
+       |h AS (SELECT c.a_id, c.b_id,
+       |    list_reduce(list_prepend(0, list_transform(range(1, 65), t ->
+       |      CASE WHEN substring(sa.sig, CAST(t AS INT), 1)
+       |        <> substring(sb2.sig, CAST(t AS INT), 1) THEN 1 ELSE 0 END)),
+       |      (x, y) -> x + y) AS ham
+       |  FROM cand c JOIN sig sa ON sa.id = c.a_id
+       |  JOIN sig sb2 ON sb2.id = c.b_id)
+       |SELECT a_id, b_id, CAST(ham AS BIGINT) AS ham FROM h WHERE ham <= 8
+       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.operators.Multimodal
+    val dd = docs(s, d)
+    val records = dd.select(col("doc_id").as("id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.MediaRecord(id, "text", text.getBytes("UTF-8"))
+      }
+    val sigs = Multimodal.perceptualHash(records).toDF()
+      .join(dd.select(col("doc_id").as("id"),
+        expr("CAST(length(text) AS BIGINT) DIV 100").as("blk")), "id")
+    Multimodal.phashPairs(sigs, maxHamming = 8, blockCol = Some("blk"))
+      .withColumn("ham", col("ham").cast("long"))
+      .orderBy("a_id", "b_id")
+  }
+
   val round12c: Seq[Q] =
     Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
       annMaxSimTopK, annGraphSearchPq, mineHardNegatives,
       textBm25IndexAppend, textBm25IndexRemove, evalRetrievalQuality,
       streamingBm25Ingest, annIvfSq8TopK, textBm25Prf,
       multimodalPhashPairs, annGraphAppend, annLshMultiprobe,
-      streamingAnnServe)
+      streamingAnnServe, multimodalPhashBlocked)
 }

@@ -539,7 +539,24 @@ object ScaleProbe {
             explode(sequence(lit(0), lit(3))).as("k"))
           .withColumn("v", expr("substring(sig, k * 16 + 1, 16)"))
         val candP = choose2(slB.groupBy("k", "v").agg(count(lit(1)).as("n")))
-        println(s"PROBE retr $scale phash docs=$nDocs banded_pairs=$candP")
+        // blocked variant (compound (slice, length-bucket) key — the
+        // dedup_simhash_blocked prescription): the Σn² term must
+        // collapse back toward linear
+        val slBb = slB.join(d.select(col("doc_id").as("id"),
+          expr("CAST(length(text) AS BIGINT) DIV 100").as("blk")), "id")
+        val candPb = choose2(
+          slBb.groupBy("k", "v", "blk").agg(count(lit(1)).as("n")))
+        // occupancy-capped (maxSliceDf = 32, the maxGramDf pattern):
+        // fan-in per surviving bucket is bounded by the cap, so growth
+        // is linear in the corpus BY CONSTRUCTION — the exponent fix
+        val keptC = slBb.join(
+          slBb.groupBy("k", "v", "blk").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") <= 32).select("k", "v", "blk"),
+          Seq("k", "v", "blk"))
+        val candPc = choose2(
+          keptC.groupBy("k", "v", "blk").agg(count(lit(1)).as("n")))
+        println(s"PROBE retr $scale phash docs=$nDocs banded_pairs=$candP " +
+          s"banded_pairs_blocked=$candPb banded_pairs_capped32=$candPc")
         for (pass <- 1 to 2) {
           t0 = System.nanoTime()
           graft.operators.Multimodal.phashPairs(sigsP, maxHamming = 8)

@@ -66,6 +66,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phashPairs blocked: pairs are the unblocked set restricted to same-block, and buckets shrink") {
+    def payload(bright: Seq[Int]): Array[Byte] =
+      Array.tabulate[Byte](64)(i => if (bright.contains(i)) 200.toByte else 10)
+    import org.apache.spark.sql.functions._
+    val recs = Seq(
+      (1L, payload(Seq(0, 1, 2)), 0L), (2L, payload(Seq(0, 1, 2)), 0L),
+      (3L, payload(Seq(0, 1, 2)), 1L)    // same signature, OTHER block
+    ).map { case (id, p, blk) => (MediaRecord(id, "image", p), blk) }
+    val sigs = perceptualHash(recs.map(_._1).toDS()).toDF()
+      .join(recs.map(t => (t._1.id, t._2)).toDF("id", "blk"), "id")
+    val unblocked = phashPairs(sigs, maxHamming = 3)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = phashPairs(sigs, maxHamming = 3, blockCol = Some("blk"))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unblocked == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(blocked == Set((1L, 2L)),
+      s"cross-block pairs must vanish under the block key: $blocked")
+    // the hot-bucket guard now sees per-(slice, block) occupancy: the
+    // 3-row degenerate bucket splits 2/1 and a cap of 2 passes
+    phashPairs(sigs, maxHamming = 3, maxBucketRows = 2,
+      blockCol = Some("blk")).collect()
+  }
+
+  test("phashPairs maxSliceDf: generic slices drop; pairs survive via their distinctive slice") {
+    def payload(bright: Seq[Int]): Array[Byte] =
+      Array.tabulate[Byte](64)(i => if (bright.contains(i)) 200.toByte else 10)
+    val recs = Seq(
+      MediaRecord(1L, "image", payload(Seq(0, 1, 2, 3, 4))),
+      MediaRecord(2L, "image", payload(Seq(0, 1, 2, 3, 4))),
+      MediaRecord(3L, "image", payload(Seq(0, 1, 2, 3, 4, 60)))
+    ).toDS()
+    val sigs = perceptualHash(recs).toDF()
+    // slices 0..2 are shared by ALL THREE (occupancy 3 > cap) and drop;
+    // slice 3 still holds {1,2} (occupancy 2) — the exact-dup pair
+    // survives through its distinctive slice, the (1,3)/(2,3) pairs
+    // whose ONLY shared slices were generic are the documented loss
+    val capped = phashPairs(sigs, maxHamming = 3, maxSliceDf = Some(2L))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+  }
+
   test("resizeTo: aspect-preserving fit, never upscales") {
     val recs = Seq(
       MediaRecord(1L, "image", Array.fill[Byte](1290)(1)), // decodes 10×330
