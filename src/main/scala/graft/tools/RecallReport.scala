@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, Similarity}
+
+/** Measured-recall report for every approximate index family against
+  * exact brute-force truth — the engine measuring its own indexes
+  * ([[Retrieval.evalRanking]] driven across the whole ANN surface):
+  * `runMain graft.tools.RecallReport [sfDir] [nQueries] [k]`.
+  *
+  * Prints one line per family: recall@k and MRR, aggregated over the
+  * held-out query set via exact integer sums (Σ hits / (n·k); MRR's
+  * mean is a double sum over ≤ n reciprocal ranks — a REPORT quantity,
+  * not a gate hash, so the unordered aggregate is acceptable here and
+  * noted). Configurations mirror the gated queries' so the numbers
+  * explain the gates' approximation contracts quantitatively. */
+object RecallReport {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nQ = if (args.length > 1) args(1).toInt else 50
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.GraftSession.create()
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQ)
+    val truth = graft.operators.Lineage.truncate(
+      Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val cbT = Similarity.pqCodebookTrain(e, cb, "vec_id", "embedding")
+    val stats = Similarity.sqStats(e, "embedding", dim = 64)
+    lazy val graph = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 8)
+      .select("src_id", "nbr_id", "cos")
+    val families: Seq[(String, () => DataFrame)] = Seq(
+      "lsh(4 planes)" -> (() =>
+        Similarity.lshTopK(q, e, "vec_id", "embedding", k, nPlanes = 4)),
+      "lsh_multiprobe(4 planes)" -> (() =>
+        Similarity.lshMultiProbeTopK(q, e, "vec_id", "embedding", k, nPlanes = 4)),
+      "ivf_flat(4/16)" -> (() =>
+        Similarity.ivfTopK(q, e, "vec_id", "embedding", k, nCells = 16, nProbe = 4)),
+      "ivf_pq_seed(4/16)" -> (() =>
+        Similarity.ivfPqTopK(q, e, cent, cb, "vec_id", "embedding", k, nProbe = 4)),
+      "ivf_pq_trained(4/16)" -> (() =>
+        Similarity.ivfPqTopK(q, e, cent, cbT, "vec_id", "embedding", k, nProbe = 4)),
+      "ivf_pq_rerank(4/16,r=3k)" -> (() =>
+        Similarity.ivfPqTopK(q, e, cent, cb, "vec_id", "embedding", k,
+          nProbe = 4, rerank = 3 * k)),
+      "ivf_sq8(4/16)" -> (() =>
+        Similarity.ivfSqTopK(q, e, cent, stats, "vec_id", "embedding", k, nProbe = 4)),
+      "sq8_flat" -> (() =>
+        Similarity.sqTopK(q, e, stats, "vec_id", "embedding", k)),
+      "binary_hamming" -> (() =>
+        Similarity.hammingTopK(q, e, "vec_id", "embedding", k)),
+      "binary_rerank(r=3k)" -> (() =>
+        Similarity.hammingTopK(q, e, "vec_id", "embedding", k, rerank = 3 * k)),
+      "pq_adc_exhaustive" -> (() =>
+        Similarity.pqTopK(q, e, cb, "vec_id", "embedding", k)),
+      "graph(beam16,hops4)" -> (() =>
+        Similarity.graphSearchTopK(q, e, graph, "vec_id", "embedding", k,
+          beam = 16, hops = 4)),
+      "graph_pq_rerank(beam16,hops4,r=16)" -> (() =>
+        Similarity.graphSearchPqTopK(q, e, graph, cb, "vec_id", "embedding", k,
+          beam = 16, hops = 4, rerank = 16)))
+    println(f"RECALL sf=$sfDir queries=$nQ k=$k")
+    families.foreach { case (name, mk) =>
+      try {
+        val ev = Retrieval.evalRanking(mk(), truth, k)
+          .agg(sum("hits").as("h"), count(lit(1)).as("n"), sum("rr").as("m"))
+          .head()
+        val recall = ev.getLong(0).toDouble / (ev.getLong(1) * k)
+        val mrr = ev.getDouble(2) / ev.getLong(1)
+        println(f"RECALL $name%-36s recall@$k=$recall%.3f mrr=$mrr%.3f")
+      } catch { case ex: Throwable =>
+        println(s"RECALL $name ERROR ${ex.getMessage.linesIterator.next()}")
+      }
+    }
+    spark.stop()
+  }
+}
