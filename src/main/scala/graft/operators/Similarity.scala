@@ -1090,6 +1090,61 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Cross-cell CONNECTIVITY augmentation for [[knnGraph]]: the
+    * cell-restricted build is the scalable one (within-cell pairs
+    * only), but its islands are exactly what caps beam-search recall —
+    * a single-entry search cannot leave the entry's cell (measured:
+    * recall@10 0.064 over a 16-cell graph, SCALE.md round-12). The
+    * standard fix is a sparse set of LONG-RANGE edges; here each
+    * cell's MEDOID (deterministically: its minimum-id member) links
+    * bidirectionally to the medoids of its `cellNeighbors` nearest
+    * cells by centroid cosine (ties to the higher cell id,
+    * [[ivfAssign]]'s rule), weighted by the actual medoid-to-medoid
+    * cosine so highway edges rank consistently with local ones.
+    * Cost: the within-cell build unchanged + one C-row centroid
+    * self-join + 2·C·cellNeighbors medoid rows — the highway overlay
+    * is centroid-sized, never corpus-sized. Returns
+    * (src_id, nbr_id, cos), deduplicated against local edges. */
+  def knnGraphConnected(embeddings: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        cellNeighbors: Int = 2, dim: Int = 64,
+                        maxCellRows: Long = 1L << 20): DataFrame = {
+    require(cellNeighbors > 0, "cellNeighbors must be positive")
+    val base = knnGraph(embeddings, centroids, idCol, vecCol, k, dim,
+      maxCellRows).select(col("src_id"), col("nbr_id"), col("cos"))
+    val asg = ivfAssign(embeddings, centroids, idCol, vecCol, dim)
+    val medoid = asg.groupBy("cell").agg(min(col("vec_id")).as("mid"))
+    val cent = centroids.select(col("cell"), col("c_vec"),
+      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
+    val ccos = when(col("a_nrm") > 0.0 && col("b_nrm") > 0.0,
+      VectorFns.dotN(col("a_vec"), col("b_vec"), dim) /
+        (col("a_nrm") * col("b_nrm")))
+    val near = cent.select(col("cell").as("a_cell"), col("c_vec").as("a_vec"),
+        col("c_nrm").as("a_nrm"))
+      .join(broadcast(cent.select(col("cell").as("b_cell"),
+        col("c_vec").as("b_vec"), col("c_nrm").as("b_nrm"))),
+        col("a_cell") =!= col("b_cell"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("a_cell").orderBy(ccos.desc, col("b_cell").desc)))
+      .filter(col("_r") <= cellNeighbors)
+      .select(col("a_cell"), col("b_cell"))
+    val vecs = embeddings.select(col(idCol).as("mid"),
+      col(vecCol).as("m_vec"), VectorFns.l2NormN(col(vecCol), dim).as("m_nrm"))
+    val hw0 = near
+      .join(medoid.select(col("cell").as("a_cell"), col("mid").as("src_id")), "a_cell")
+      .join(medoid.select(col("cell").as("b_cell"), col("mid").as("nbr_id")), "b_cell")
+      .filter(col("src_id") =!= col("nbr_id"))
+      .join(vecs.select(col("mid").as("src_id"), col("m_vec").as("q_vec"),
+        col("m_nrm").as("q_nrm")), "src_id")
+      .join(vecs.select(col("mid").as("nbr_id"), col("m_vec").as("n_vec"),
+        col("m_nrm").as("n_nrm")), "nbr_id")
+      .withColumn("cos", cosFromNorms(dim))
+      .select(col("src_id"), col("nbr_id"), col("cos"))
+    val highway = hw0.unionByName(hw0.select(col("nbr_id").as("src_id"),
+      col("src_id").as("nbr_id"), col("cos")))
+    base.unionByName(highway).distinct()
+  }
+
   /** The per-subspace k_j × k_j codeword-to-codeword squared-L2 table
     * for SYMMETRIC distance computation, flattened with per-subspace
     * offsets — built once, driver-side (≤ m·k² ≈ KBs), compiled into

@@ -926,11 +926,83 @@ object Registry12 {
       .orderBy("a_id", "b_id")
   }
 
+  /** CONNECTED graph search under the gate
+    * ([[Similarity.knnGraphConnected]] → [[Similarity.graphSearchTopK]]):
+    * the 200-node corpus splits into 8 Voronoi cells, the within-cell
+    * kNN edges get a medoid "highway" overlay (each cell's minimum-id
+    * member links bidirectionally to the medoids of its 2 nearest
+    * cells by centroid cosine), and the beam search runs over the
+    * union — the cross-cell fix for the island recall bound the
+    * cell-restricted build measures at scale (SCALE.md: recall@10
+    * 0.064 → 0.498). The oracle replays cell assignment, the
+    * within-cell kNN election, the medoid election, the cell-pair
+    * rank, the medoid-cosine highway edges, and the beam hops over
+    * the union. */
+  val annGraphConnected = Q("ann_graph_connected",
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM base WHERE vec_id < 8),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM base b CROSS JOIN cent c) WHERE rn = 1),
+       |gl AS (SELECT src_id, nbr_id, cs AS cos FROM (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       |    ${Registry10.sqlCos("a.embedding", "b.embedding")} AS cs,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY ${Registry10.sqlCos("a.embedding", "b.embedding")} DESC,
+       |      b.vec_id ASC) AS rn
+       |  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+       |  JOIN asg aa ON aa.n_id = a.vec_id
+       |  JOIN asg ab ON ab.n_id = b.vec_id AND ab.cell = aa.cell)
+       |  WHERE rn <= 3),
+       |md AS (SELECT cell, MIN(n_id) AS mid FROM asg GROUP BY cell),
+       |cp AS (SELECT a_cell, b_cell FROM (
+       |  SELECT a.cell AS a_cell, b.cell AS b_cell, ROW_NUMBER() OVER (
+       |    PARTITION BY a.cell
+       |    ORDER BY ${Registry10.sqlCos("a.c_vec", "b.c_vec")} DESC,
+       |      b.cell DESC) AS rn
+       |  FROM cent a JOIN cent b ON a.cell <> b.cell) WHERE rn <= 2),
+       |hw0 AS (SELECT ma.mid AS src_id, mb.mid AS nbr_id,
+       |    ${Registry10.sqlCos("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cp JOIN md ma ON ma.cell = cp.a_cell
+       |  JOIN md mb ON mb.cell = cp.b_cell
+       |  JOIN base ea ON ea.vec_id = ma.mid
+       |  JOIN base eb ON eb.vec_id = mb.mid
+       |  WHERE ma.mid <> mb.mid),
+       |g AS (SELECT DISTINCT src_id, nbr_id, cos FROM (
+       |  SELECT src_id, nbr_id, cos FROM gl
+       |  UNION ALL SELECT src_id, nbr_id, cos FROM hw0
+       |  UNION ALL SELECT nbr_id AS src_id, src_id AS nbr_id, cos FROM hw0)),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM base
+       |  WHERE vec_id < 5),
+       |f0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM base) AS n_id FROM q),
+       |${sqlCosHop("f0", "c1", "s1", "f1", 4)},
+       |${sqlCosHop("f1", "c2", "s2", "f2", 4)},
+       |${sqlCosHop("f2", "c3", "s3", "f3", 4)},
+       |r AS (SELECT q_id, n_id, cs AS cos, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM s3 WHERE rn <= 4 AND q_id <> n_id)
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g = Similarity.knnGraphConnected(e, cent, "vec_id", "embedding",
+      k = 3, cellNeighbors = 2)
+    Similarity.graphSearchTopK(e.filter(col("vec_id") < 5), e, g,
+      "vec_id", "embedding", k = 3, beam = 4, hops = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round12c: Seq[Q] =
     Seq(annSq8TopK, annGraphSearch, textBm25TopK, hybridRrfTopK,
       annMaxSimTopK, annGraphSearchPq, mineHardNegatives,
       textBm25IndexAppend, textBm25IndexRemove, evalRetrievalQuality,
       streamingBm25Ingest, annIvfSq8TopK, textBm25Prf,
       multimodalPhashPairs, annGraphAppend, annLshMultiprobe,
-      streamingAnnServe, multimodalPhashBlocked)
+      streamingAnnServe, multimodalPhashBlocked, annGraphConnected)
 }

@@ -33,6 +33,8 @@ object RecallReport {
     val stats = Similarity.sqStats(e, "embedding", dim = 64)
     lazy val graph = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 8)
       .select("src_id", "nbr_id", "cos")
+    lazy val graphC = Similarity.knnGraphConnected(e, cent,
+      "vec_id", "embedding", k = 8, cellNeighbors = 3)
     val families: Seq[(String, () => DataFrame)] = Seq(
       "lsh(4 planes)" -> (() =>
         Similarity.lshTopK(q, e, "vec_id", "embedding", k, nPlanes = 4)),
@@ -62,7 +64,10 @@ object RecallReport {
           beam = 16, hops = 4)),
       "graph_pq_rerank(beam16,hops4,r=16)" -> (() =>
         Similarity.graphSearchPqTopK(q, e, graph, cb, "vec_id", "embedding", k,
-          beam = 16, hops = 4, rerank = 16)))
+          beam = 16, hops = 4, rerank = 16)),
+      "graph_connected(beam16,hops8)" -> (() =>
+        Similarity.graphSearchTopK(q, e, graphC, "vec_id", "embedding", k,
+          beam = 16, hops = 8)))
     println(f"RECALL sf=$sfDir queries=$nQ k=$k")
     families.foreach { case (name, mk) =>
       try {

@@ -180,6 +180,34 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("knnGraphConnected: highway edges bridge the islands the cell-restricted build leaves") {
+    // two tight clusters; two centroids put each cluster in its own
+    // cell, so knnGraph alone has NO cross-cluster edge and a beam
+    // from the global entry (cluster A) can never reach cluster B
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.05f)), (2L, Array(0.98f, 0.1f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.05f, 0.99f)), (12L, Array(0.1f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("cell", "c_vec")
+    val island = Similarity.knnGraph(corpus, cent, "vec_id", "embedding",
+      k = 2, dim = 2).select("src_id", "nbr_id", "cos")
+    val q = corpus.filter($"vec_id" === 10L) // wants cluster B, entry is 0
+    def reached(g: org.apache.spark.sql.DataFrame) =
+      Similarity.graphSearchTopK(q, corpus, g, "vec_id", "embedding",
+        k = 2, beam = 4, hops = 4, dim = 2)
+        .collect().map(_.getLong(1)).toSet
+    assert(reached(island).forall(_ < 10L),
+      "cell-restricted graph must strand the search on island A")
+    val connected = Similarity.knnGraphConnected(corpus, cent,
+      "vec_id", "embedding", k = 2, cellNeighbors = 1, dim = 2)
+    val got = reached(connected)
+    assert(got.exists(_ >= 10L),
+      s"highway edges must let the search cross to cluster B: $got")
+    // local edges are a subset of the connected graph
+    assert(island.exceptAll(connected).isEmpty)
+  }
+
   test("graphSearchTopK: disconnected components are unreachable (the graph-ANN caveat)") {
     // two islands; entry node (min id) is on island A — island B never appears
     val corpus = Seq(
