@@ -122,6 +122,12 @@ case class SqAdcDist(left: Expression, right: Expression,
 
   override def prettyName: String = "graft_sq_adc"
   override def dataType: DataType = DoubleType
+  // null-independent of child nullability: score() refuses (returns
+  // null) on a short or hole-y QUERY even when both inputs carry
+  // non-nullable schemas — without this override the optimizer could
+  // fold the caller's isNotNull guard away and the refused query's
+  // candidates would all read back 0.0 and rank FIRST
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -184,6 +190,13 @@ object SqAdcDist {
     var s = 0.0
     i = 0
     while (i < dim) {
+      // a NULL code element would read 0 via ArrayData.getInt and
+      // silently score as level 0 — throw, never mis-rank (the
+      // validate-loudly contract; codes are index data, a hole means
+      // a corrupt ledger)
+      if (codes.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_sq_adc: null code at dimension $i — corrupt codes row")
       val c = codes.getInt(i)
       if (c < 0 || c > 255)
         throw new IllegalArgumentException(

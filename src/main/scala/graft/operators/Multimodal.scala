@@ -147,12 +147,17 @@ object Multimodal {
         explode(sequence(lit(0), lit(3))).as("k"): _*)
       .withColumn("v", expr("substring(sig, k * 16 + 1, 16)"))
     val bandKey = Seq("k", "v") ++ blockCol
-    val sliced = maxSliceDf.fold(sliced0) { cap =>
-      sliced0.join(
-        sliced0.groupBy(bandKey.map(col): _*).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= cap).select(bandKey.map(col): _*),
-        bandKey)
-    }
+    // materialized once: `sliced` feeds THREE consumers — the cap
+    // aggregate (when set), the hot-bucket guard action, and both
+    // self-join sides — which Spark plans as separate subtrees
+    // (simhashPairs'/knnGraph's checkpoint rationale)
+    val sliced = graft.operators.Lineage.truncate(
+      maxSliceDf.fold(sliced0) { cap =>
+        sliced0.join(
+          sliced0.groupBy(bandKey.map(col): _*).agg(count(lit(1)).as("_df"))
+            .filter(col("_df") <= cap).select(bandKey.map(col): _*),
+          bandKey)
+      })
     val top = sliced.groupBy(bandKey.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("m")).head()
@@ -169,13 +174,17 @@ object Multimodal {
         |  0, (acc, v) -> acc + v)""".stripMargin)
     val joinCond = bandKey.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
+    // Hamming BEFORE distinct (simhashPairs' rule): a pair can match
+    // in up to 4 slices, and filtering first means only close pairs'
+    // narrow (a_id, b_id, ham) rows ride the dedup exchange — never
+    // 4× duplicate rows dragging two 64-char signatures each
     sliced.alias("a").join(sliced.alias("b"), joinCond)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.sig").as("a_sig"), col("b.sig").as("b_sig"))
-      .distinct()
       .withColumn("ham", ham)
       .filter(col("ham") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("ham"))
+      .distinct()
   }
 
   /** A resized frame: original record id + target-box dimensions. */

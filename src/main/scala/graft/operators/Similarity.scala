@@ -1054,14 +1054,18 @@ object Similarity {
   def knnGraph(embeddings: DataFrame, centroids: DataFrame,
                idCol: String, vecCol: String, k: Int,
                dim: Int = 64, maxCellRows: Long = 1L << 20,
-               coarse: Option[DataFrame] = None): DataFrame = {
+               coarse: Option[DataFrame] = None,
+               precomputedAsg: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "k must be positive")
-    val assigned = coarse.fold(
+    // precomputedAsg: a caller that already assigned the corpus (e.g.
+    // [[knnGraphConnected]]'s medoid election) passes the
+    // (vec_id, cell, vecCol) frame so the n × C argmax runs once
+    val assigned = precomputedAsg.getOrElse(coarse.fold(
         ivfAssign(embeddings, centroids, idCol, vecCol, dim, keepVec = true)) {
         cc => ivfAssignTwoLevel(embeddings, cc,
           centroids.select(col("cell"), col("c_vec").as("f_vec")),
           idCol, vecCol, dim, keepVec = true)
-      }
+      })
     // materialize the assignment once: it feeds THREE consumers — the
     // hot-cell guard action and both self-join sides — and Spark plans
     // them as separate subtrees (same rationale as simhashPairs'
@@ -1110,9 +1114,14 @@ object Similarity {
                         cellNeighbors: Int = 2, dim: Int = 64,
                         maxCellRows: Long = 1L << 20): DataFrame = {
     require(cellNeighbors > 0, "cellNeighbors must be positive")
+    // assignment computed ONCE and shared: knnGraph accepts the
+    // precomputed frame, so the corpus-wide n × C argmax pass is not
+    // paid a second time just to elect medoids
+    val asg = Lineage.truncate(
+      ivfAssign(embeddings, centroids, idCol, vecCol, dim, keepVec = true))
     val base = knnGraph(embeddings, centroids, idCol, vecCol, k, dim,
-      maxCellRows).select(col("src_id"), col("nbr_id"), col("cos"))
-    val asg = ivfAssign(embeddings, centroids, idCol, vecCol, dim)
+      maxCellRows, precomputedAsg = Some(asg))
+      .select(col("src_id"), col("nbr_id"), col("cos"))
     val medoid = asg.groupBy("cell").agg(min(col("vec_id")).as("mid"))
     val cent = centroids.select(col("cell"), col("c_vec"),
       VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
@@ -1463,8 +1472,12 @@ object Similarity {
         .join(broadcast(q), "q_id")
         .withColumn("cos", cosFromNorms(dim))
         .select(col("q_id"), col("n_id"), col("cos"))
-    var frontier = score(
-      q.select(col("q_id")).crossJoin(broadcast(entry)))
+    // truncate per hop: the expansion references `frontier` TWICE
+    // (neighbor join + union), so an untruncated loop doubles the plan
+    // every iteration — O(2^hops) subtrees (the Dedup label-propagation
+    // loop's lesson); each materialization is ≤ queries × beam rows
+    var frontier = Lineage.truncate(score(
+      q.select(col("q_id")).crossJoin(broadcast(entry))))
     var h = 0
     while (h < hops) {
       val expanded = frontier.select(col("q_id"), col("n_id"))
@@ -1472,12 +1485,12 @@ object Similarity {
         .select(col("q_id"), col("nbr_id").as("n_id"))
         .union(frontier.select(col("q_id"), col("n_id")))
         .distinct()
-      frontier = score(expanded)
+      frontier = Lineage.truncate(score(expanded)
         .withColumn("rnk", row_number().over(
           Window.partitionBy("q_id")
             .orderBy(col("cos").desc, col("n_id").asc)))
         .filter(col("rnk") <= beam)
-        .select(col("q_id"), col("n_id"), col("cos"))
+        .select(col("q_id"), col("n_id"), col("cos")))
       h += 1
     }
     ranked(frontier.filter(col("q_id") =!= col("n_id")), k)
@@ -1503,7 +1516,16 @@ object Similarity {
                   hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
                   maxQueryRows: Long = 1L << 20): DataFrame = {
     require(maxDegree >= k, "maxDegree must be >= k (inserts add k edges per side)")
-    val found = graphSearchTopK(batch, corpus, graph, idCol, vecCol,
+    // idempotence under at-least-once replay (the pqIndexAppend /
+    // bm25IndexAppend posture): a batch node that already has
+    // out-edges was already inserted — re-searching it would union
+    // DUPLICATE edges into the recap, where the copy either survives
+    // as a dup row or evicts a genuine neighbor at the degree cap.
+    // The graph side ships only its distinct source ids.
+    val newNodes = batch.join(
+      graph.select(col("src_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val found = graphSearchTopK(newNodes, corpus, graph, idCol, vecCol,
       k, beam, hops, dim, maxQueryRows)
     val newE = Lineage.truncate(found.select(col("q_id").as("src_id"),
         col("n_id").as("nbr_id"), col("cos"))
@@ -1609,8 +1631,10 @@ object Similarity {
         .join(broadcast(qTabs), "q_id")
         .withColumn("adc", adc)
         .select(col("q_id"), col("n_id"), col("adc"))
-    var frontier = score(
-      q.select(col("q_id")).crossJoin(broadcast(entry)))
+    // per-hop truncate: same O(2^hops) plan-doubling argument as
+    // [[graphSearchTopK]]'s loop
+    var frontier = Lineage.truncate(score(
+      q.select(col("q_id")).crossJoin(broadcast(entry))))
     var h = 0
     while (h < hops) {
       val expanded = frontier.select(col("q_id"), col("n_id"))
@@ -1618,12 +1642,12 @@ object Similarity {
         .select(col("q_id"), col("nbr_id").as("n_id"))
         .union(frontier.select(col("q_id"), col("n_id")))
         .distinct()
-      frontier = score(expanded)
+      frontier = Lineage.truncate(score(expanded)
         .withColumn("rnk", row_number().over(
           Window.partitionBy("q_id")
             .orderBy(col("adc").asc, col("n_id").asc)))
         .filter(col("rnk") <= beam)
-        .select(col("q_id"), col("n_id"), col("adc"))
+        .select(col("q_id"), col("n_id"), col("adc")))
       h += 1
     }
     val fin = frontier.filter(col("q_id") =!= col("n_id"))

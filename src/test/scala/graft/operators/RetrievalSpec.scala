@@ -258,6 +258,12 @@ class RetrievalSpec extends SparkSpec {
       "vec_id", "embedding", k = 3, beam = 8, hops = 4)
       .select("n_id").collect().map(_.getLong(0)).toSet
     assert(found.nonEmpty)
+    // at-least-once replay: re-appending the same batch is a no-op
+    // (already-inserted nodes are anti-joined out, never re-searched)
+    val g3 = Similarity.graphAppend(g2, e, batch, "vec_id", "embedding",
+      k = 3, beam = 4, hops = 3, maxDegree = 4)
+    assert(g3.exceptAll(g2).isEmpty && g2.exceptAll(g3).isEmpty,
+      "replayed append must leave the graph byte-identical")
   }
 
   test("graphRemove: tombstoned nodes vanish from both edge ends and from search results") {
