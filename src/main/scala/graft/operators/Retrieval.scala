@@ -65,11 +65,15 @@ object Retrieval {
     * this ONE frame is the whole index, and maintaining it is row
     * arithmetic. One tokenize exchange, paid at build (and per
     * APPENDED BATCH thereafter — [[bm25IndexAppend]]), never at query
-    * time when the ledger is persisted. */
+    * time when the ledger is persisted. Zero-length tokens (minted by
+    * consecutive/leading/trailing spaces) are dropped — on real text
+    * they would otherwise become a phantom term whose df approaches N
+    * and pollute every dl. */
   def bm25IndexBuild(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** Append a document batch to a stored BM25 ledger: tokenize ONLY
@@ -257,8 +261,11 @@ object Retrieval {
     * itself a distributed job (millions of held-out queries). Per
     * query:
     *  - `hits`    = |got@k ∩ truth@k| (integer);
-    *  - `recall`  = hits / k — recall@k with truth@k as the relevant
-    *    set (one integer-to-double divide, no cross-row float sums);
+    *  - `recall`  = hits / min(k, |truth@k|) — recall@k with truth@k
+    *    as the relevant set; the denominator is the query's ACTUAL
+    *    truth count so a truth list shorter than k (small corpus,
+    *    truncated ground truth) can still score 1.0 (one
+    *    integer-to-double divide, no cross-row float sums);
     *  - `rr`      = 1 / (the candidate rank of the FIRST truth@k item
     *    found in got@k), 0 when none — the reciprocal-rank term of
     *    MRR (min over integer ranks, one divide).
@@ -278,12 +285,15 @@ object Retrieval {
     val per = g.join(t, Seq("q_id", "n_id"))
       .groupBy("q_id")
       .agg(count(lit(1)).as("hits"), min(col("rnk")).as("_minr"))
-    t.select("q_id").distinct()
+    // Recall denominator = |truth@k| per query, NOT a flat k: a truth
+    // ranking truncated below k (small corpus, short truth list) must
+    // still allow recall = 1 when every relevant item was found.
+    t.groupBy("q_id").agg(count(lit(1)).as("_tcnt"))
       .join(per, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)).cast("double") /
-          lit(k).cast("double")).as("recall"),
+          least(lit(k.toLong), col("_tcnt")).cast("double")).as("recall"),
         coalesce(lit(1.0) / col("_minr").cast("double"), lit(0.0)).as("rr"))
   }
 
@@ -355,7 +365,15 @@ object Retrieval {
             (col("q_nrm") * col("n_nrm"))))
       .groupBy("q_doc", "q_vid", "n_doc")
       .agg(max(col("cos")).as("mx"))
-    best
+    // Null-contract: cos is null for a zero-norm vector on EITHER
+    // side. max() skips nulls, so a zero-norm CORPUS vector simply
+    // never wins; but a zero-norm QUERY vector is null against every
+    // corpus vector and its null mx would poison the whole doc's fold
+    // (acc + null = null). Drop those rows — an unmatchable query
+    // vector contributes 0 to the MaxSim sum (and a query doc whose
+    // vectors are ALL zero-norm drops entirely, the family's refuse/
+    // drop posture — sqTopK, pqTopK drop refused rows the same way).
+    best.filter(col("mx").isNotNull)
       .select(col("q_doc"), col("n_doc"),
         struct(col("q_vid"), col("mx").as("v")).as("ts"))
       .groupBy("q_doc", "n_doc")

@@ -168,8 +168,9 @@ object Registry12 {
        |  FROM sc_$out) WHERE rnk <= $k)""".stripMargin
 
   private def sqlBm25(k: Int, where: String = "TRUE"): String =
-    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |  FROM documents WHERE $where),
+    s"""toks AS (SELECT doc_id, term FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents WHERE $where) WHERE term <> ''),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -260,7 +261,7 @@ object Registry12 {
        |    ${Registry10.sqlCos("q.embedding", "c.embedding")} AS cs
        |  FROM mv q JOIN mv c ON q.doc <> c.doc WHERE q.doc < 3),
        |mx AS (SELECT q_doc, q_vid, n_doc, MAX(cs) AS mx
-       |  FROM p GROUP BY 1, 2, 3),
+       |  FROM p GROUP BY 1, 2, 3 HAVING MAX(cs) IS NOT NULL),
        |sm AS (SELECT q_doc, n_doc,
        |    list_reduce(list_prepend(0.0, list(mx ORDER BY q_vid)),
        |      (x, y) -> x + y) AS maxsim
@@ -484,9 +485,11 @@ object Registry12 {
        |  FROM gt g JOIN tr t ON t.q_id = g.q_id AND t.n_id = g.n_id
        |  GROUP BY g.q_id)
        |SELECT u.q_id, COALESCE(h.hits, 0) AS hits,
-       |  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall,
+       |  CAST(COALESCE(h.hits, 0) AS DOUBLE)
+       |    / CAST(LEAST(5, u.tcnt) AS DOUBLE) AS recall,
        |  COALESCE(1.0 / CAST(h.minr AS DOUBLE), 0.0) AS rr
-       |FROM (SELECT DISTINCT q_id FROM tr) u LEFT JOIN h USING (q_id)
+       |FROM (SELECT q_id, COUNT(*) AS tcnt FROM tr GROUP BY 1) u
+       |LEFT JOIN h USING (q_id)
        |ORDER BY q_id""".stripMargin) { (s, d) =>
     val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
     val q = e.filter(col("vec_id") < 5)
@@ -513,6 +516,7 @@ object Registry12 {
     """SELECT doc_id, term, COUNT(*) AS tf
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents)
+      |WHERE term <> ''
       |GROUP BY doc_id, term
       |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
     val dcs = docs(s, d)

@@ -539,4 +539,57 @@ class RetrievalSpec extends SparkSpec {
         k = 2, maxQueryVecs = 3)
     }
   }
+
+  test("maxSimTopK: a zero-norm query vector contributes 0, never nulls the doc score") {
+    val q = Seq(
+      (0, 0L, Array(1.0f, 0.0f)),
+      (0, 1L, Array(0.0f, 0.0f)) // zero-norm: cos null vs EVERY corpus vec
+    ).toDF("doc", "vec_id", "embedding")
+    val corpus = Seq(
+      (7, 10L, Array(1.0f, 0.0f)), (8, 20L, Array(0.0f, 1.0f))
+    ).toDF("doc", "vec_id", "embedding")
+    val got = Retrieval.maxSimTopK(q, q.union(corpus),
+      "doc", "vec_id", "embedding", k = 2, dim = 2)
+      .orderBy("rnk").collect()
+    assert(got.length == 2, s"both corpus docs must rank, got ${got.length}")
+    // doc 7: max cos from vec 0 alone = 1.0; the zero-norm vector adds 0
+    assert(got.head.getInt(1) == 7)
+    assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-12,
+      s"zero-norm query vector must contribute 0, got ${got.head.getDouble(3)}")
+    assert(!got.exists(_.isNullAt(3)), "no null maxsim may survive")
+    // a query doc whose vectors are ALL zero-norm drops entirely
+    val allZero = Seq((1, 2L, Array(0.0f, 0.0f)))
+      .toDF("doc", "vec_id", "embedding")
+    val dropped = Retrieval.maxSimTopK(allZero, corpus,
+      "doc", "vec_id", "embedding", k = 2, dim = 2).collect()
+    assert(dropped.isEmpty, "an unmatchable query doc drops, never null-ranks")
+  }
+
+  test("evalRanking: truth shorter than k divides by the actual truth count") {
+    // truth carries only 2 rows for q1 — a perfect candidate must score 1.0
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "n_id", "rnk")
+    val got = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "n_id", "rnk")
+    val r = Retrieval.evalRanking(got, truth, k = 5).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2L)
+    assert(r.head.getDouble(2) == 1.0,
+      s"recall must reach 1.0 with truncated truth, got ${r.head.getDouble(2)}")
+  }
+
+  test("bm25IndexBuild: zero-length tokens from repeated spaces never become terms") {
+    val corpus = Seq(
+      (0L, "alpha  beta"), // double space mints a "" token if unfiltered
+      (1L, " alpha beta "), (2L, "gamma")
+    ).toDF("doc_id", "text")
+    val ledger = Retrieval.bm25IndexBuild(corpus, "doc_id", "text")
+    val terms = ledger.select("term").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(terms == Set("alpha", "beta", "gamma"),
+      s"phantom empty term leaked: $terms")
+    // dl must count only real tokens: doc 0 and doc 1 both have dl = 2
+    val dl = ledger.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == Map(0L -> 2L, 1L -> 2L, 2L -> 1L), s"dl drifted: $dl")
+  }
 }
