@@ -561,19 +561,39 @@ object Similarity {
     * encodings (null/truncated/null-element vectors) train nothing.
     * Float seed weights widen to double exactly on the kept path.
     * Returns (sub, code, w_vec: array<double>), materialized per step
-    * (codebooks are KB-scale by contract) so iteration cost is flat. */
+    * (codebooks are KB-scale by contract) so iteration cost is flat.
+    *
+    * `toFixpoint`: stop as soon as the corpus ASSIGNMENT repeats — at
+    * that point the means recompute over identical groups (fixed-point-
+    * exact, so bit-identical), every later step is a no-op, and the
+    * result equals running all `steps` steps. That identity is what
+    * lets a fixpoint-bounded train gate against an oracle that unrolls
+    * the full step count. The check is one id-keyed anti-join per step
+    * against the previous step's (already-materialized) codes — cheap
+    * against the whole corpus passes an early exit saves. */
   def pqCodebookTrain(corpus: DataFrame, codebooks: DataFrame,
                       idCol: String, vecCol: String,
-                      steps: Int = 1): DataFrame = {
+                      steps: Int = 1, toFixpoint: Boolean = false): DataFrame = {
     require(steps > 0, "steps must be positive")
     var current = codebooks
+    var prevCodes: Option[DataFrame] = None
     var step = 0
-    while (step < steps) {
+    var converged = false
+    while (step < steps && !converged) {
       val cw = collectPqCodebook(current)
       val m = cw.length
       val voffs = cw.map(_(0).length).scanLeft(0)(_ + _).init
-      val asg = pqEncode(corpus, current, idCol, vecCol, keepVec = true)
+      val enc0 = pqEncode(corpus, current, idCol, vecCol, keepVec = true)
         .filter(col("codes").isNotNull)
+      // fixpoint mode materializes the encode once: it feeds both the
+      // assignment comparison and (when training continues) the means
+      val enc = if (toFixpoint) Lineage.truncate(enc0) else enc0
+      if (toFixpoint && prevCodes.exists(p =>
+          enc.select(col("vec_id"), col("codes"))
+            .join(p, Seq("vec_id", "codes"), "left_anti").isEmpty)) {
+        converged = true
+      } else {
+      val asg = enc
         .select(explode(array((0 until m).map(j =>
           struct(lit(j).as("sub"),
             element_at(col("codes"), j + 1).as("code"),
@@ -599,9 +619,85 @@ object Similarity {
         .select(col("sub"), col("code"),
           coalesce(col("_w_new"), col("_w_old")).as("w_vec"))
         .localCheckpoint()
+      if (toFixpoint)
+        prevCodes = Some(enc.select(col("vec_id"), col("codes")))
       step += 1
+      }
     }
     current
+  }
+
+  /** OPQ-lite deterministic dimension permutation: PQ quantizes each
+    * subspace independently, so recall is bound by how evenly corpus
+    * VARIANCE spreads across subspaces — contiguous slicing can
+    * concentrate high-variance dimensions in a few subspaces and waste
+    * the codebook budget elsewhere. Full OPQ learns a rotation matrix
+    * (Ge et al., CVPR 2013, "Optimized Product Quantization"); this is
+    * the balancing idea without the rotation: rank dimensions by
+    * variance (descending, ties to the lower dimension) and deal them
+    * to the m subspaces in SNAKE order — rank r lands in subspace r%m
+    * on even passes and m−1−(r%m) on odd passes, the classic
+    * closed-form balanced assignment — so every subspace receives one
+    * dimension from each variance band. Full-vector distances are
+    * permutation-invariant, so the permuted index ranks in the SAME
+    * metric space; only the quantizer's subspace partition improves.
+    *
+    * Determinism contract (exactly oracle-able): per-dimension moments
+    * use scale-10¹⁰ fixed-point integer sums ([[cellMeans]]'s
+    * discipline — order-free adds), each divided /1e10 then /n in fixed
+    * IEEE order; variance = m2 − m1·m1. One corpus pass + a dim-sized
+    * aggregate; the corpus never shuffles, and the rank window runs on
+    * a dim-row (KB-scale) frame.
+    * Returns (d, pos): original 0-based dimension d moves to 0-based
+    * permuted position pos (= subspace·(dim/m) + slot). */
+  def opqPermutation(corpus: DataFrame, vecCol: String,
+                     dim: Int, m: Int): DataFrame = {
+    require(dim > 0 && m > 0 && dim % m == 0,
+      s"dim=$dim must be a positive multiple of m=$m")
+    val slotW = dim / m
+    val moments = corpus
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy("d")
+      .agg(
+        (sum(round(col("x").cast("double") * lit(1e10)).cast("long"))
+          .cast("double") / lit(1e10) / count(col("x"))).as("m1"),
+        (sum(round(col("x").cast("double") * col("x").cast("double") *
+            lit(1e10)).cast("long"))
+          .cast("double") / lit(1e10) / count(col("x"))).as("m2"))
+      .select(col("d"), (col("m2") - col("m1") * col("m1")).as("vr"))
+    moments
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("vr").desc, col("d").asc)) - 1)
+      .withColumn("_pass", expr(s"CAST(r DIV $m AS INT)"))
+      .withColumn("_lane", expr(s"CAST(r % $m AS INT)"))
+      .select(col("d"),
+        ((when(col("_pass") % 2 === 0, col("_lane"))
+          .otherwise(lit(m - 1) - col("_lane"))) * slotW + col("_pass"))
+          .cast("int").as("pos"))
+  }
+
+  /** Apply an [[opqPermutation]] to a vector column: a STATIC array
+    * projection — the dim-sized permutation collects to the driver
+    * (bounded by contract, the [[collectPqCodebook]] argument) and
+    * compiles to direct element reads, codegen-friendly, no join, no
+    * shuffle. Permute corpus AND queries with the SAME permutation
+    * before seeding/training/encoding: the quantizer then lives in the
+    * permuted space while full-vector distances stay bit-equal to the
+    * raw space (sub-distances legitimately change — that is the
+    * point). */
+  def permuteVectors(batch: DataFrame, vecCol: String,
+                     perm: DataFrame): DataFrame = {
+    val entries = perm.select(col("pos").cast("int"), col("d").cast("int"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1))
+    val dim = entries.length
+    require(entries.map(_._1).sorted.sameElements(0 until dim) &&
+      entries.map(_._2).sorted.sameElements(0 until dim),
+      "perm must be a dense permutation of 0..dim-1 in (pos, d)")
+    val byPos = entries.toMap
+    batch.withColumn(vecCol,
+      array((0 until dim).map(i =>
+        element_at(col(vecCol), byPos(i) + 1)): _*))
   }
 
   /** Per-vector IVF residuals: assign each vector to its cell

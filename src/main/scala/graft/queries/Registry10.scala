@@ -110,7 +110,7 @@ object Registry10 {
   /** Squared L2 between subspace `j` of full vector `a` and an 8-wide
     * DOUBLE codeword list `w8` — [[sqlSubDist]] with a pre-sliced right
     * side (trained codewords are stored per-subspace). */
-  private def sqlSubDist8(a: String, j: String, w8: String): String =
+  private[queries] def sqlSubDist8(a: String, j: String, w8: String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(range(1, 9),
        |  t -> (CAST($a[$j*8 + t] AS DOUBLE) - $w8[t])
        |     * (CAST($a[$j*8 + t] AS DOUBLE) - $w8[t]))),

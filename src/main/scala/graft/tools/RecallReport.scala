@@ -30,6 +30,22 @@ object RecallReport {
     val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
       m = 8, ksub = 16, subDim = 8)
     val cbT = Similarity.pqCodebookTrain(e, cb, "vec_id", "embedding")
+    lazy val cbF = Similarity.pqCodebookTrain(e, cb, "vec_id", "embedding",
+      steps = 10, toFixpoint = true)
+    // OPQ-lite space: everything (corpus, queries, centroids) permutes
+    // identically — cosine routing is permutation-invariant, so the
+    // routed candidate sets match the raw space exactly
+    lazy val perm = Similarity.opqPermutation(e, "embedding", dim = 64, m = 8)
+    lazy val pe = graft.operators.Lineage.truncate(
+      Similarity.permuteVectors(e, "embedding", perm))
+    lazy val pq2 = pe.filter(col("vec_id") < nQ)
+    lazy val pcent = pe.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("c_vec"))
+    lazy val pcb = Similarity.pqCodebookSeed(pe, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    lazy val pcbF = Similarity.pqCodebookTrain(pe, pcb, "vec_id", "embedding",
+      steps = 10, toFixpoint = true)
     val stats = Similarity.sqStats(e, "embedding", dim = 64)
     lazy val graph = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 8)
       .select("src_id", "nbr_id", "cos")
@@ -59,6 +75,31 @@ object RecallReport {
         Similarity.hammingTopK(q, e, "vec_id", "embedding", k, rerank = 3 * k)),
       "pq_adc_exhaustive" -> (() =>
         Similarity.pqTopK(q, e, cb, "vec_id", "embedding", k)),
+      "pq_fixpoint(<=10 steps)" -> (() =>
+        Similarity.pqTopK(q, e, cbF, "vec_id", "embedding", k)),
+      "ivf_pq_fixpoint(4/16)" -> (() =>
+        Similarity.ivfPqTopK(q, e, cent, cbF, "vec_id", "embedding", k,
+          nProbe = 4)),
+      "pq_opq_seed" -> (() =>
+        Similarity.pqTopK(pq2, pe, pcb, "vec_id", "embedding", k)),
+      "pq_opq_fixpoint" -> (() =>
+        Similarity.pqTopK(pq2, pe, pcbF, "vec_id", "embedding", k)),
+      "ivf_pq_opq_fixpoint(4/16)" -> (() =>
+        Similarity.ivfPqTopK(pq2, pe, pcent, pcbF, "vec_id", "embedding", k,
+          nProbe = 4)),
+      "ivf_pq_fixpoint_rerank(4/16,r=3k)" -> (() =>
+        Similarity.ivfPqTopK(q, e, cent, cbF, "vec_id", "embedding", k,
+          nProbe = 4, rerank = 3 * k)),
+      // production codebook budget (ksub=256, the FAISS default): the
+      // gates pin ksub=16 for oracle cost; quality at the real size is
+      // a REPORT number
+      "pq_fixpoint_ksub256" -> (() =>
+        Similarity.pqTopK(q, e,
+          Similarity.pqCodebookTrain(e,
+            Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+              m = 8, ksub = 256, subDim = 8),
+            "vec_id", "embedding", steps = 10, toFixpoint = true),
+          "vec_id", "embedding", k)),
       "graph(beam16,hops4)" -> (() =>
         Similarity.graphSearchTopK(q, e, graph, "vec_id", "embedding", k,
           beam = 16, hops = 4)),

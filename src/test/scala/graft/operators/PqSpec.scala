@@ -370,4 +370,77 @@ class PqSpec extends SparkSpec {
       emb.filter($"vec_id" >= 20), cent, cb, "vec_id", "embedding")
     assert(out.filter($"vec_id" === 0).head().getInt(1) == -99)
   }
+
+  test("pqCodebookTrain toFixpoint: early exit equals running every step (the gate identity)") {
+    // two tight clusters per subspace; the assignment stabilizes after
+    // one step, so fixpoint-train must equal the full unrolled chain
+    val corpus = Seq(
+      (0L, Array(1.0f, 1.1f, 9.0f, 9.1f)),
+      (1L, Array(1.2f, 0.9f, 8.8f, 9.3f)),
+      (2L, Array(9.1f, 9.0f, 1.1f, 0.9f)),
+      (3L, Array(8.9f, 9.2f, 1.0f, 1.2f))
+    ).toDF("vec_id", "embedding")
+    val cb = Seq(
+      (0, 0, Array(0.0, 0.0)), (0, 1, Array(10.0, 10.0)),
+      (1, 0, Array(0.0, 0.0)), (1, 1, Array(10.0, 10.0))
+    ).toDF("sub", "code", "w_vec")
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getSeq[Double](2).toList).toMap
+    val full = weights(Similarity.pqCodebookTrain(corpus, cb,
+      "vec_id", "embedding", steps = 5))
+    val fix = weights(Similarity.pqCodebookTrain(corpus, cb,
+      "vec_id", "embedding", steps = 5, toFixpoint = true))
+    assert(fix == full,
+      s"fixpoint early-exit drifted from the full chain: $fix vs $full")
+    // and on the real fixture: fixpoint-bounded == plain at equal steps
+    val a = weights(Similarity.pqCodebookTrain(emb, seedCb,
+      "vec_id", "embedding", steps = 2))
+    val b = weights(Similarity.pqCodebookTrain(emb, seedCb,
+      "vec_id", "embedding", steps = 2, toFixpoint = true))
+    assert(a == b)
+  }
+
+  test("pqCodebookTrain: more Lloyd steps never increase reconstruction error") {
+    val errs = Seq(1, 2, 3).map(n => totalErr(
+      Similarity.pqCodebookTrain(emb, seedCb, "vec_id", "embedding",
+        steps = n, toFixpoint = true)))
+    assert(errs.sliding(2).forall { case Seq(a, b) => b <= a + 1e-6 },
+      s"error must be monotone non-increasing over steps: $errs")
+  }
+
+  test("opqPermutation: variance rank + snake assignment on a constructed corpus") {
+    // per-dim variances 1, 9, 4, 16 -> rank order d3, d1, d2, d0
+    // snake over m=2 subspaces (slotW=2): r0->pos0, r1->pos2, r2->pos3, r3->pos1
+    val corpus = Seq(
+      (0L, Array(1.0f, 3.0f, 2.0f, 4.0f)),
+      (1L, Array(-1.0f, -3.0f, -2.0f, -4.0f))
+    ).toDF("vec_id", "embedding")
+    val perm = Similarity.opqPermutation(corpus, "embedding", dim = 4, m = 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(perm == Map(3 -> 0, 0 -> 1, 1 -> 2, 2 -> 3),
+      s"snake assignment drifted: $perm")
+    val permuted = Similarity.permuteVectors(corpus, "embedding",
+      Similarity.opqPermutation(corpus, "embedding", dim = 4, m = 2))
+      .orderBy("vec_id").collect().map(_.getSeq[Float](1).toList)
+    assert(permuted.head == List(4.0f, 1.0f, 3.0f, 2.0f),
+      s"permuted vector wrong: ${permuted.head}")
+  }
+
+  test("permuteVectors: full-vector distances are permutation-invariant; broken perms refuse") {
+    val e = emb.filter($"vec_id" < 30)
+    val perm = Similarity.opqPermutation(e, "embedding", dim = 64, m = 8)
+    val pe = Similarity.permuteVectors(e, "embedding", perm)
+    val raw = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e,
+      "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk").collect().toSet
+    val prm = Similarity.bruteForceTopK(pe.filter($"vec_id" < 3), pe,
+      "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id", "rnk").collect().toSet
+    assert(raw == prm, "cosine ranking must be permutation-invariant")
+    val broken = Seq((0, 0), (1, 0)).toDF("pos", "d") // d repeats, pos 1 missing... (both defects)
+    intercept[IllegalArgumentException] {
+      Similarity.permuteVectors(e, "embedding", broken)
+    }
+  }
 }
