@@ -1664,6 +1664,77 @@ object Similarity {
       .join(ids, col("nbr_id") === col("_rid"), "left_anti")
   }
 
+  /** Graph takedown REPAIR — the recovery half [[graphRemove]]'s
+    * scaladoc prescribes: tombstoning severs every path through the
+    * removed nodes, so survivors that pointed AT them lose out-degree
+    * (and the regions behind them can fall off the searchable graph —
+    * the HNSW repair problem). The repair elects exactly that orphaned
+    * neighborhood — surviving sources that lost an out-edge to a
+    * removed node — and re-links each one by beam-searching the PRUNED
+    * graph for its k nearest survivors ([[graphAppend]]'s search +
+    * bidirectional-union + degree-recap dataflow, applied to nodes
+    * that already exist). Edges the orphan already holds re-derive to
+    * the bit-identical (src, nbr, cos) row and collapse in the
+    * DISTINCT; every touched source re-caps to `maxDegree` by cosine.
+    *
+    * Scale shape: the election is two id-keyed joins on the edge list
+    * (never the corpus); the search cost is orphans × hops × beam ×
+    * fan-out, and the recap exchange is orphan-neighborhood-sized by
+    * the same touched-only argument as [[graphAppend]]. Repair is NOT
+    * full rebuild-parity (paths that crossed the removed region
+    * through non-orphan nodes are out of its election — periodic
+    * rebuild remains the compaction story); what it restores is
+    * reachability INTO the orphaned neighborhoods, the recall the
+    * tombstone-only graph measurably loses. `corpus` must be the
+    * SURVIVING corpus (removed rows already dropped) — the entry node
+    * derives from it. */
+  def graphRepair(graph: DataFrame, corpus: DataFrame, removals: DataFrame,
+                  idCol: String, vecCol: String, k: Int, beam: Int = 8,
+                  hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
+                  maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(maxDegree >= k, "maxDegree must be >= k (repairs add k edges per side)")
+    val ids = removals.select(col(idCol).as("_rid")).distinct()
+    val pruned = Lineage.truncate(graphRemove(graph, removals, idCol))
+    // orphaned neighborhood: surviving sources that lost an out-edge
+    val orphanIds = graph
+      .join(ids, col("nbr_id") === col("_rid")).drop("_rid")
+      .select(col("src_id").as(idCol)).distinct()
+      .join(ids, col(idCol) === col("_rid"), "left_anti")
+    // truncate the (KB-scale) orphan frame: it pins the election once
+    // for the search AND cuts the alias-constraint chain back to the
+    // input graph's attributes, which otherwise leaks into the
+    // bidirectional-union legs and trips Catalyst's constraint rewrite
+    val orphans = Lineage.truncate(
+      corpus.join(orphanIds, Seq(idCol), "left_semi"))
+    val found = graphSearchTopK(orphans, corpus, pruned, idCol, vecCol,
+      k, beam, hops, dim, maxQueryRows)
+    // unlike graphAppend (whose batch side is disjoint from the graph
+    // by the anti-join), a repair's two link directions can mint the
+    // SAME edge twice (orphans a and b finding each other) and can
+    // re-find an edge the orphan still holds — both as bit-identical
+    // (src, nbr, cos) rows. distinct() collapses the within-batch
+    // dups; the (src, nbr)-keyed anti-join drops the re-found ones so
+    // a duplicate can neither survive the recap nor evict a neighbor
+    val newE = Lineage.truncate(found.select(col("q_id").as("src_id"),
+        col("n_id").as("nbr_id"), col("cos"))
+      .unionByName(found.select(col("n_id").as("src_id"),
+        col("q_id").as("nbr_id"), col("cos")))
+      .distinct())
+    val touched = newE.select(col("src_id")).distinct()
+    val old = pruned.select(col("src_id"), col("nbr_id"), col("cos"))
+    val untouched = old.join(touched, Seq("src_id"), "left_anti")
+    val newOnly = newE.join(old.select(col("src_id"), col("nbr_id")),
+      Seq("src_id", "nbr_id"), "left_anti")
+    val recapped = old.join(touched, Seq("src_id"))
+      .unionByName(newOnly)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy("src_id")
+          .orderBy(col("cos").desc, col("nbr_id").asc)))
+      .filter(col("_r") <= maxDegree)
+      .select(col("src_id"), col("nbr_id"), col("cos"))
+    untouched.unionByName(recapped)
+  }
+
   /** PQ-guided graph search with exact re-rank — the DiskANN shape:
     * beam traversal distances come from the m-byte PQ CODES (one
     * [[graft.expressions.PqAdcLookup]] table read per candidate per

@@ -81,7 +81,7 @@ object Registry12 {
     * oracle pins (k = 3 out-edges, exact cosine, ties to the lower
     * neighbor id — [[Similarity.knnGraph]]'s election), WITH the edge
     * cosine (the append oracle's degree recap reads it). */
-  private def sqlKnnGraph: String =
+  private[queries] def sqlKnnGraph: String =
     s"""base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
        |g AS (SELECT src_id, nbr_id, cs AS cos FROM (
        |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
@@ -95,7 +95,7 @@ object Registry12 {
     * (q_id, q_vec), `base` (corpus): candidates = `prev` frontier ∪
     * out-neighbors (distinct), scored into `scored`, top-`beam` into
     * `next`. */
-  private def sqlCosHop(prev: String, cand: String, scored: String,
+  private[queries] def sqlCosHop(prev: String, cand: String, scored: String,
                         next: String, beam: Int): String =
     s"""$cand AS (SELECT DISTINCT q_id, n_id FROM (
        |  SELECT f.q_id, g.nbr_id AS n_id FROM $prev f JOIN g ON g.src_id = f.n_id

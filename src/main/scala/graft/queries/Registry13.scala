@@ -164,5 +164,192 @@ object Registry13 {
       .orderBy("q_id", "rnk")
   }
 
-  val round13: Seq[Q] = Seq(annPqTrainedFix, annOpqTopK)
+  // ------------------------------------------------- graph maintenance
+
+  /** [[Registry12.sqlCosHop]] with parametrized EDGE / corpus / query
+    * CTEs (the repair hops traverse the pruned graph, the streaming-
+    * ingest replay traverses each intermediate graph with the FULL
+    * corpus as the scoring side). */
+  private def sqlCosHopOn(edges: String, baseCte: String = "base",
+                          qCte: String = "q")(
+                          prev: String, cand: String,
+                          scored: String, next: String,
+                          beam: Int): String =
+    s"""$cand AS (SELECT DISTINCT q_id, n_id FROM (
+       |  SELECT f.q_id, e.nbr_id AS n_id FROM $prev f
+       |  JOIN $edges e ON e.src_id = f.n_id
+       |  UNION ALL SELECT q_id, n_id FROM $prev)),
+       |$scored AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rn
+       |  FROM (SELECT c.q_id, c.n_id,
+       |      ${Registry10.sqlCos("qq.q_vec", "b.embedding")} AS cs
+       |    FROM $cand c JOIN $qCte qq ON qq.q_id = c.q_id
+       |    JOIN $baseCte b ON b.vec_id = c.n_id)),
+       |$next AS (SELECT q_id, n_id FROM $scored WHERE rn <= $beam)""".stripMargin
+
+  /** Graph takedown REPAIR under the gate ([[Similarity.graphRemove]] →
+    * [[Similarity.graphRepair]]): nodes 10..29 tombstone out of the
+    * pinned 200-node graph, the orphaned neighborhood (surviving
+    * sources that lost an out-edge to a removed node) is elected, and
+    * each orphan re-links by beam-searching the PRUNED graph for its 3
+    * nearest survivors — [[Similarity.graphAppend]]'s bidirectional-
+    * union + touched-only degree-recap dataflow applied to existing
+    * nodes, with re-found existing edges collapsing in the DISTINCT
+    * (bit-identical (src, nbr, cos) rows). The oracle replays the full
+    * journey: graph election, prune, orphan election, three beam hops
+    * over the pruned edges from the surviving entry node, the top-3
+    * link election, the bidirectional union, and the per-source recap
+    * rank. RetrievalSpec proves the recall recovery on the two-island
+    * fixture. */
+  val annGraphRepair = Q("ann_graph_repair",
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |rm AS (SELECT CAST(unnest(range(10, 30)) AS BIGINT) AS rid),
+       |gp AS (SELECT src_id, nbr_id, cos FROM g
+       |  WHERE src_id NOT IN (SELECT rid FROM rm)
+       |    AND nbr_id NOT IN (SELECT rid FROM rm)),
+       |orp AS (SELECT DISTINCT g.src_id FROM g JOIN rm ON g.nbr_id = rm.rid
+       |  WHERE g.src_id NOT IN (SELECT rid FROM rm)),
+       |q AS (SELECT o.src_id AS q_id, b.embedding AS q_vec
+       |  FROM orp o JOIN base b ON b.vec_id = o.src_id),
+       |f0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM base
+       |  WHERE vec_id NOT IN (SELECT rid FROM rm)) AS n_id FROM q),
+       |${sqlCosHopOn("gp")("f0", "c1", "s1", "f1", 4)},
+       |${sqlCosHopOn("gp")("f1", "c2", "s2", "f2", 4)},
+       |${sqlCosHopOn("gp")("f2", "c3", "s3", "f3", 4)},
+       |fnd AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+       |  FROM s3 WHERE rn <= 4 AND q_id <> n_id),
+       |top AS (SELECT q_id, n_id, cs FROM fnd WHERE rnk <= 3),
+       |newe AS (SELECT q_id AS src_id, n_id AS nbr_id, cs AS cos FROM top
+       |  UNION ALL SELECT n_id AS src_id, q_id AS nbr_id, cs AS cos FROM top),
+       |tch AS (SELECT DISTINCT src_id FROM newe),
+       |alle AS (SELECT DISTINCT src_id, nbr_id, cos FROM (
+       |  SELECT p.src_id, p.nbr_id, p.cos FROM gp p
+       |  JOIN tch t ON t.src_id = p.src_id
+       |  UNION ALL SELECT src_id, nbr_id, cos FROM newe)),
+       |rec AS (SELECT src_id, nbr_id, cos, ROW_NUMBER() OVER (
+       |  PARTITION BY src_id ORDER BY cos DESC, nbr_id ASC) AS r FROM alle),
+       |outg AS (SELECT p.src_id, p.nbr_id, p.cos FROM gp p
+       |  WHERE p.src_id NOT IN (SELECT src_id FROM tch)
+       |  UNION ALL SELECT src_id, nbr_id, cos FROM rec WHERE r <= 4)
+       |SELECT src_id, nbr_id, cos FROM outg
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val removals = e.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+      .select("vec_id")
+    val surviving = e.filter(col("vec_id") < 10 || col("vec_id") >= 30)
+    Similarity.graphRepair(g, surviving, removals, "vec_id", "embedding",
+      k = 3, beam = 4, hops = 3, maxDegree = 4)
+      .orderBy("src_id", "nbr_id")
+  }
+
+  /** One replayed [[Similarity.graphAppend]] in the oracle: batch
+    * nodes [lo, hi) beam-search graph CTE `gin` (3 hops, beam 4,
+    * scoring against the FULL corpus `allv` — candidates may be nodes
+    * a previous append inserted), link top-3 bidirectionally, and the
+    * global degree recap (equal to the operator's touched-only recap:
+    * an untouched source's rank-and-keep over its own ≤ cap edges is a
+    * no-op) yields `gout`. */
+  private def sqlGraphAppendReplay(i: Int, gin: String, gout: String,
+                                   lo: Int, hi: Int): String = {
+    def hop(prev: String, cand: String, scored: String, next: String) =
+      sqlCosHopOn(gin, "allv", s"q$i")(prev, cand, scored, next, 4)
+    s"""q$i AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       |  WHERE vec_id >= $lo AND vec_id < $hi),
+       |f${i}0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM allv) AS n_id
+       |  FROM q$i),
+       |${hop(s"f${i}0", s"c${i}1", s"s${i}1", s"f${i}1")},
+       |${hop(s"f${i}1", s"c${i}2", s"s${i}2", s"f${i}2")},
+       |${hop(s"f${i}2", s"c${i}3", s"s${i}3", s"f${i}3")},
+       |fnd$i AS (SELECT q_id, n_id, cs, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS rnk
+       |  FROM s${i}3 WHERE rn <= 4 AND q_id <> n_id),
+       |top$i AS (SELECT q_id, n_id, cs FROM fnd$i WHERE rnk <= 3),
+       |alle$i AS (SELECT src_id, nbr_id, cos FROM $gin
+       |  UNION ALL SELECT q_id AS src_id, n_id AS nbr_id, cs AS cos FROM top$i
+       |  UNION ALL SELECT n_id AS src_id, q_id AS nbr_id, cs AS cos FROM top$i),
+       |rec$i AS (SELECT src_id, nbr_id, cos, ROW_NUMBER() OVER (
+       |  PARTITION BY src_id ORDER BY cos DESC, nbr_id ASC) AS r
+       |  FROM alle$i),
+       |$gout AS (SELECT src_id, nbr_id, cos FROM rec$i WHERE r <= 4)""".stripMargin
+  }
+
+  /** STREAMING graph-index ingest: the third ledger family's arrival
+    * face, completing the triple (`streaming_index_ingest` for PQ
+    * codes, `streaming_bm25_ingest` for tf rows, now the kNN graph):
+    * node pages arrive as file-source micro-batches, each batch runs
+    * [[Similarity.graphAppend]] against the parquet-stored graph and
+    * overwrites it (a graph append RECAPS existing rows — the ledger
+    * is replaced per batch, not appended; the materialize-then-write
+    * discipline makes the swap safe). Pages overlap by one node
+    * (at-least-once replay), absorbed by graphAppend's already-
+    * inserted anti-join. Unlike the row-ledger families the drained
+    * graph is NOT arrival-order-free in general — it equals the SAME
+    * page sequence applied as batch appends, which is exactly what the
+    * oracle replays: the pinned 200-node build, then two unrolled
+    * append journeys (the second's dedup'd batch) with each search
+    * running over the PREVIOUS append's graph. */
+  val streamingGraphIngest = Q("streaming_graph_ingest",
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |allv AS (SELECT vec_id, embedding FROM embeddings),
+       |${sqlGraphAppendReplay(1, "g", "g1", 200, 205)},
+       |${sqlGraphAppendReplay(2, "g1", "g2", 205, 210)}
+       |SELECT src_id, nbr_id, cos FROM g2
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val base = e.filter(col("vec_id") < 200)
+    val cent = base.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g0 = Similarity.knnGraph(base, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val fx = FixtureCache.cached(d, "gingest", 1, Seq("embeddings")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val pbase = System.currentTimeMillis() - 3600L * 1000
+      val bounds = Seq((200L, 205L), (204L, 210L)) // one-node overlap
+      bounds.zipWithIndex.foreach { case ((lo, hi), p) =>
+        val tmpd = tmp.resolve(s"tmp$p")
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(pbase + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_gingest")
+    val ledgerDir = stage.resolve("ledger").toString
+    g0.write.mode("overwrite").parquet(ledgerDir)
+    val stream = s.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
+      val stored = s.read.parquet(ledgerDir)
+      // materialize BEFORE the overwrite clears the directory the
+      // append is reading from
+      val next = Similarity.graphAppend(stored, e, b, "vec_id", "embedding",
+        k = 3, beam = 4, hops = 3, maxDegree = 4).localCheckpoint()
+      next.write.mode("overwrite").parquet(ledgerDir)
+    }
+    val run = stream.writeStream
+      .foreachBatch(appendBatch)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    s.read.parquet(ledgerDir).orderBy("src_id", "nbr_id")
+  }
+
+  val round13: Seq[Q] =
+    Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest)
 }

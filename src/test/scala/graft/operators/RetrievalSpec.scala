@@ -283,6 +283,42 @@ class RetrievalSpec extends SparkSpec {
     assert(!res.contains(5L) && !res.contains(6L))
   }
 
+  test("graphRepair: re-linking the orphaned neighborhood recovers the recall a tombstone loses") {
+    // a chain graph A(0,1) - bridge(5) - B(10,11): removing the bridge
+    // strands island B behind the entry node (min id, island A)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.95f, 0.31f)),
+      (5L, Array(0.7f, 0.71f)),
+      (10L, Array(0.31f, 0.95f)), (11L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val g = Seq(
+      (0L, 1L, 0.97), (1L, 0L, 0.97), (1L, 5L, 0.88), (5L, 1L, 0.88),
+      (5L, 10L, 0.88), (10L, 5L, 0.88), (10L, 11L, 0.97), (11L, 10L, 0.97)
+    ).toDF("src_id", "nbr_id", "cos")
+    val removals = Seq(5L).toDF("vec_id")
+    val surviving = corpus.filter($"vec_id" =!= 5L)
+    val pruned = Similarity.graphRemove(g, removals, "vec_id")
+    def reach(graph: org.apache.spark.sql.DataFrame) =
+      Similarity.graphSearchTopK(corpus.filter($"vec_id" === 11L),
+        surviving, graph, "vec_id", "embedding", k = 2, beam = 4,
+        hops = 4, dim = 2)
+        .collect().map(_.getLong(1)).toSet
+    assert(reach(pruned).forall(_ < 10L),
+      "tombstone-only graph must strand island B")
+    val repaired = Similarity.graphRepair(g, surviving, removals,
+      "vec_id", "embedding", k = 2, beam = 4, hops = 4, maxDegree = 4,
+      dim = 2)
+    // removed node fully gone; degree cap holds
+    assert(repaired.filter($"src_id" === 5L || $"nbr_id" === 5L).count() == 0)
+    val maxDeg = repaired.groupBy("src_id").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxDeg <= 4, s"degree cap violated: $maxDeg")
+    // the orphaned island re-links: the same search now crosses to B
+    val got = reach(repaired)
+    assert(got.contains(10L),
+      s"repair must restore reachability into island B, got $got")
+  }
+
   // ---- PQ-guided graph search (DiskANN shape) --------------------------
 
   test("graphSearchPqTopK: complete graph + full re-rank collapses to brute force") {
