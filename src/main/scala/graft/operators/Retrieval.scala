@@ -345,6 +345,59 @@ object Retrieval {
     * `corpus`: same shape. Self-pairs (same doc id) are excluded.
     * Returns (q_doc, n_doc, rnk, maxsim), top-k docs per query doc,
     * ties to the lower doc id. */
+  /** MaxSim over an ANN SHORTLIST — the production two-stage
+    * composition [[maxSimTopK]]'s scaladoc prescribes: a cheap
+    * single-vector ANN stage (centroid / [CLS] representative) picks
+    * `pairs` = (q_doc, n_doc) candidates, and the expensive
+    * all-vectors MaxSim runs ONLY on those pairs. The corpus's vector
+    * bags are touched for shortlisted documents alone (the pair frame
+    * — ≤ query docs × shortlist rows — broadcasts onto the corpus
+    * scan; everything else prunes before any cosine runs), which is
+    * what makes multi-vector late interaction affordable at 10⁹ docs:
+    * full MaxSim is |Q docs| × |D docs| × both bag widths, the
+    * composed form is |Q docs| × shortlist × bag widths.
+    *
+    * Scoring, null contract ([[maxSimTopK]]'s zero-norm posture), tie
+    * order, and the collected-struct fold are identical to the
+    * unrestricted operator — restriction changes the candidate set,
+    * never the scoring (the `ivfSqTopK` routing argument). `k` must be
+    * ≤ the per-query shortlist size to mean anything; pairs with
+    * q_doc = n_doc are excluded as always. */
+  def maxSimRerank(pairs: DataFrame, queries: DataFrame, corpus: DataFrame,
+                   docCol: String, idCol: String, vecCol: String, k: Int,
+                   dim: Int = 64, maxQueryVecs: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryVecs,
+      s"maxSimRerank: query side holds $nq vectors > maxQueryVecs=" +
+        s"$maxQueryVecs; query docs broadcast their whole vector bags — " +
+        "batch the query docs or raise the cap deliberately")
+    val q = queries.select(col(docCol).as("q_doc"), col(idCol).as("q_vid"),
+      col(vecCol).as("q_vec"), VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+    val c = corpus.select(col(docCol).as("n_doc"), col(vecCol).as("n_vec"),
+      VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+    val pr = pairs.select(col("q_doc"), col("n_doc")).distinct()
+    val best = c.join(broadcast(pr), Seq("n_doc"))
+      .join(broadcast(q), Seq("q_doc"))
+      .filter(col("q_doc") =!= col("n_doc"))
+      .withColumn("cos",
+        when(col("q_nrm") > 0.0 && col("n_nrm") > 0.0,
+          VectorFns.dotN(col("q_vec"), col("n_vec"), dim) /
+            (col("q_nrm") * col("n_nrm"))))
+      .groupBy("q_doc", "q_vid", "n_doc")
+      .agg(max(col("cos")).as("mx"))
+    best.filter(col("mx").isNotNull)
+      .select(col("q_doc"), col("n_doc"),
+        struct(col("q_vid"), col("mx").as("v")).as("ts"))
+      .groupBy("q_doc", "n_doc")
+      .agg(foldSum(collect_list(col("ts"))).as("maxsim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_doc")
+          .orderBy(col("maxsim").desc, col("n_doc").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_doc"), col("n_doc"), col("rnk"), col("maxsim"))
+  }
+
   def maxSimTopK(queries: DataFrame, corpus: DataFrame,
                  docCol: String, idCol: String, vecCol: String, k: Int,
                  dim: Int = 64, maxQueryVecs: Long = 1L << 20): DataFrame = {

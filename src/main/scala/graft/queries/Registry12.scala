@@ -167,7 +167,7 @@ object Registry12 {
        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
        |  FROM sc_$out) WHERE rnk <= $k)""".stripMargin
 
-  private def sqlBm25(k: Int, where: String = "TRUE"): String =
+  private[queries] def sqlBm25(k: Int, where: String = "TRUE"): String =
     s"""toks AS (SELECT doc_id, term FROM (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
        |  FROM documents WHERE $where) WHERE term <> ''),

@@ -350,6 +350,114 @@ object Registry13 {
     s.read.parquet(ledgerDir).orderBy("src_id", "nbr_id")
   }
 
+  // ------------------------------------------- composed retrieval
+
+  /** Hybrid retrieval over STORED indexes ([[Retrieval.rrfFuse]] of
+    * [[Retrieval.bm25TopKFromIndex]] ⊕
+    * [[Similarity.ivfPqTopKFromIndex]]): the deployed form of
+    * `hybrid_rrf_topk` — the lexical side scores from the persisted tf
+    * ledger (no tokenize at query time) and the dense side ADC-scans
+    * the persisted (vec_id, cell, codes) ledger restricted to 4 probed
+    * cells (no corpus floats, no encode) — corpus-sized work all paid
+    * at ingest; the fuse itself joins two ≤ queries × 20 frames. The
+    * oracle composes the two already-proven algebras (the BM25 CTE
+    * chain, the IVF-ADC rank chain) with the RRF arithmetic; doc_id n
+    * ↔ vec_id n is the testdata pairing. */
+  val hybridIndexedTopK = Q("hybrid_indexed_topk",
+    s"""WITH ${Registry12.sqlBm25(20)},
+       |${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 3),
+       |${Registry10.sqlIvfAdcRank("codes", "qd")},
+       |den AS (SELECT q_id, n_id, rnk FROM r WHERE rnk <= 20),
+       |lc AS (SELECT q_id, doc_id AS n_id,
+       |    1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS c0 FROM lex),
+       |dc AS (SELECT q_id, n_id,
+       |    1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS c1 FROM den),
+       |fz AS (SELECT COALESCE(l.q_id, r2.q_id) AS q_id,
+       |    COALESCE(l.n_id, r2.n_id) AS n_id,
+       |    COALESCE(l.c0, 0.0) + COALESCE(r2.c1, 0.0) AS rrf
+       |  FROM lc l FULL OUTER JOIN dc r2
+       |    ON l.q_id = r2.q_id AND l.n_id = r2.n_id),
+       |fr AS (SELECT q_id, n_id, rrf, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM fz)
+       |SELECT q_id, n_id, rnk, rrf FROM fr WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val tfLedger = Retrieval.bm25IndexBuild(dcs, "doc_id", "text")
+    val codeLedger = Similarity.pqIndexBuild(e, cent, cb,
+      "vec_id", "embedding")
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val lex = Retrieval.bm25TopKFromIndex(qt, tfLedger, k = 20)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("rnk"))
+    val den = Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 3),
+      codeLedger, cent, cb, "vec_id", "embedding", k = 20, nProbe = 4)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    Retrieval.rrfFuse(Seq(lex, den), k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** ANN shortlist → MaxSim re-rank ([[Retrieval.maxSimRerank]]): the
+    * two-stage multi-vector pipeline [[Retrieval.maxSimTopK]]'s
+    * scaladoc prescribes — each document's REPRESENTATIVE vector (its
+    * minimum-vec_id member, the [CLS] stand-in) feeds a cheap
+    * single-vector cosine stage that shortlists 6 candidate docs per
+    * query doc, and the full bag-vs-bag MaxSim scores only those
+    * pairs. Restriction changes the candidate set, never the scoring:
+    * the oracle composes the representative election + cosine rank
+    * with `ann_maxsim_topk`'s algebra, the pair join planted before
+    * any bag cosine runs. */
+  val annMaxSimRerank = Q("ann_maxsim_rerank",
+    s"""WITH mv AS (SELECT vec_id, CAST(vec_id // 16 AS INT) AS doc,
+       |    embedding FROM embeddings WHERE vec_id < 240),
+       |rep AS (SELECT m.doc, e.embedding FROM
+       |  (SELECT doc, MIN(vec_id) AS rid FROM mv GROUP BY doc) m
+       |  JOIN mv e ON e.vec_id = m.rid),
+       |sl AS (SELECT q_doc, n_doc FROM (
+       |  SELECT q.doc AS q_doc, c.doc AS n_doc, ROW_NUMBER() OVER (
+       |    PARTITION BY q.doc
+       |    ORDER BY ${Registry10.sqlCos("q.embedding", "c.embedding")} DESC,
+       |      c.doc ASC) AS rn
+       |  FROM rep q JOIN rep c ON q.doc <> c.doc WHERE q.doc < 3)
+       |  WHERE rn <= 6),
+       |p AS (SELECT q.doc AS q_doc, q.vec_id AS q_vid, c.doc AS n_doc,
+       |    ${Registry10.sqlCos("q.embedding", "c.embedding")} AS cs
+       |  FROM mv q JOIN sl ON sl.q_doc = q.doc
+       |  JOIN mv c ON c.doc = sl.n_doc
+       |  WHERE q.doc <> c.doc),
+       |mx AS (SELECT q_doc, q_vid, n_doc, MAX(cs) AS mx
+       |  FROM p GROUP BY 1, 2, 3 HAVING MAX(cs) IS NOT NULL),
+       |sm AS (SELECT q_doc, n_doc,
+       |    list_reduce(list_prepend(0.0, list(mx ORDER BY q_vid)),
+       |      (x, y) -> x + y) AS maxsim
+       |  FROM mx GROUP BY 1, 2),
+       |r AS (SELECT q_doc, n_doc, maxsim, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_doc ORDER BY maxsim DESC, n_doc ASC) AS BIGINT) AS rnk
+       |  FROM sm)
+       |SELECT q_doc, n_doc, rnk, maxsim FROM r WHERE rnk <= 5
+       |ORDER BY q_doc, rnk""".stripMargin) { (s, d) =>
+    val mv = emb(s, d).filter(col("vec_id") < 240)
+      .withColumn("doc", expr("CAST(vec_id DIV 16 AS INT)"))
+    val reps = mv.groupBy("doc").agg(min("vec_id").as("rid"))
+      .join(mv.select(col("vec_id").as("rid"), col("embedding")), "rid")
+      .select(col("doc"), col("embedding"))
+    val shortlist = Similarity.bruteForceTopK(
+      reps.filter(col("doc") < 3), reps, "doc", "embedding", k = 6)
+      .select(col("q_id").as("q_doc"), col("n_id").as("n_doc"))
+    Retrieval.maxSimRerank(shortlist, mv.filter(col("doc") < 3), mv,
+      "doc", "vec_id", "embedding", k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_doc", "rnk")
+  }
+
   val round13: Seq[Q] =
-    Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest)
+    Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
+      hybridIndexedTopK, annMaxSimRerank)
 }

@@ -568,6 +568,30 @@ class RetrievalSpec extends SparkSpec {
     assert(math.abs(got(1).getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("maxSimRerank: a full shortlist collapses to maxSimTopK; pruned docs never rank") {
+    val mv = emb.filter($"vec_id" < 96)
+      .withColumn("doc", expr("CAST(vec_id DIV 16 AS INT)"))
+    val q = mv.filter($"doc" < 2)
+    val allPairs = q.select($"doc".as("q_doc")).distinct()
+      .crossJoin(mv.select($"doc".as("n_doc")).distinct())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_doc", "rnk").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    val full = rows(Retrieval.maxSimRerank(allPairs, q, mv,
+      "doc", "vec_id", "embedding", k = 3))
+    val direct = rows(Retrieval.maxSimTopK(q, mv,
+      "doc", "vec_id", "embedding", k = 3))
+    assert(full == direct,
+      "restriction to the complete pair set must be bit-identical")
+    // pruning the winner from the shortlist: it can never rank
+    val winner = direct.head._2
+    val pruned = allPairs.filter($"n_doc" =!= winner)
+    val got = rows(Retrieval.maxSimRerank(pruned, q, mv,
+      "doc", "vec_id", "embedding", k = 3))
+    assert(!got.exists(_._2 == winner), "a pruned doc leaked into the re-rank")
+  }
+
   test("maxSimTopK: query-side size guard refuses") {
     val mv = emb.withColumn("doc", expr("CAST(vec_id DIV 16 AS INT)"))
     intercept[IllegalArgumentException] {
