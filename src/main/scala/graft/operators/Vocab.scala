@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Subword-vocabulary training: byte-pair-encoding merge learning over
+  * a document corpus (Sennrich et al., ACL 2016 — the canonical
+  * LLM-tokenizer training step; [[graft.functions.TextFns.bpeishCount]]
+  * is the APPLY-side budget proxy, this is the LEARN side).
+  *
+  * Dataflow per merge round (the Lloyd/label-propagation loop pattern):
+  * one pass over the DISTINCT-WORD frame (tokenize once up front —
+  * pair statistics are per word FORM × its corpus frequency, so the
+  * corpus text is never rescanned), a pair-count aggregate
+  * (partial-aggregated map-side; the exchange carries (l, r, cnt)
+  * groups, never words), a 1-row argmax collect to the driver (the
+  * merge decision is globally sequential BY DEFINITION — same as the
+  * Lloyd step's codebook collect), and a codegen'd literal `replace`
+  * projection applying the merge. [[Lineage.truncate]] pins the word
+  * frame each round, so plan depth stays flat in the merge count.
+  *
+  * Determinism contract (exactly oracle-able): pair counts are integer
+  * sums; the winning pair maximizes (cnt, then lexicographically
+  * smaller l, then r); merges apply LEFT-TO-RIGHT NON-OVERLAPPING
+  * within each word — the standard BPE greedy scan, realized
+  * identically in both engines as string `replace` over the guarded
+  * symbol encoding below.
+  *
+  * Symbol encoding: a word's symbol sequence is one string — a guard
+  * space, the symbols joined by DOUBLE spaces, a guard space
+  * (`" a  b  c "`). Searching for `" l  r "` can then never match
+  * across a symbol boundary (symbols contain no spaces), and because
+  * adjacent occurrences SHARE only the middle of a double separator,
+  * replace's non-overlapping left-to-right scan consumes exactly the
+  * greedy BPE merge positions (`" a  a  a  a "` → `" aa  aa "`).
+  *
+  * Returns the learned merge table (step 1.., lhs, rhs, cnt) — the
+  * tokenizer artifact; fewer than `merges` rows when the corpus runs
+  * out of mergeable pairs. */
+object Vocab {
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges > 0, "merges must be positive")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var state = Lineage.truncate(words.withColumn("s",
+      concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          "  "),
+        lit(" "))))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = state
+        .select(col("freq"), explode(expr(
+          """transform(slice(split(trim(s), '  '), 1,
+            |  size(split(trim(s), '  ')) - 1),
+            |  (x, i) -> struct(x AS l,
+            |    element_at(split(trim(s), '  '), i + 2) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        learned += ((step, l, r, best(0).getLong(2)))
+        state = Lineage.truncate(state.withColumn("s",
+          call_function("replace", col("s"),
+            lit(s" $l  $r "), lit(s" $l$r "))))
+        step += 1
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.toSeq.map { case (st, l, r, c) => Row(st, l, r, c) }, 1),
+      StructType(Seq(StructField("step", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+}

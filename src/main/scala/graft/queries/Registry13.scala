@@ -457,7 +457,56 @@ object Registry13 {
       .orderBy("q_doc", "rnk")
   }
 
+  // ------------------------------------------------ vocabulary training
+
+  /** One unrolled BPE merge round: adjacent-pair counts over the
+    * guarded symbol strings (list_zip pads the tail with NULL —
+    * filtered), integer-count argmax with lexicographic ties, and the
+    * literal `replace` applying the merge left-to-right
+    * non-overlapping ([[graft.operators.Vocab]]'s encoding argument). */
+  private def sqlBpeStep(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"""pc$i AS (SELECT s.freq, u.pr[1] AS l, u.pr[2] AS r FROM $prev s,
+       |  UNNEST(list_zip(string_split(trim(s.s, ' '), '  '),
+       |    string_split(trim(s.s, ' '), '  ')[2:])) AS u(pr)),
+       |p$i AS (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM pc$i
+       |  WHERE r IS NOT NULL GROUP BY 1, 2),
+       |b$i AS MATERIALIZED (SELECT CAST($i AS INT) AS step, l, r, cnt FROM p$i
+       |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+       |s$i AS MATERIALIZED (SELECT w, freq, replace(s,
+       |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
+       |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS s
+       |  FROM $prev)""".stripMargin
+  }
+
+  /** BPE-merge vocabulary training under the gate
+    * ([[graft.operators.Vocab.bpeTrain]]): 8 merge rounds over the
+    * documents corpus — each round counts adjacent symbol pairs
+    * (weighted by distinct-word corpus frequency, overlaps included —
+    * the Sennrich get_stats convention), elects the max-count pair
+    * (ties to the lexicographically smaller), and applies it
+    * left-to-right non-overlapping. The oracle unrolls all 8 rounds
+    * over the SAME guarded string encoding, so an off-by-one in pair
+    * extraction, a tie-break drift, or an overlap-handling difference
+    * flips the hash at the first divergent round. Output is the merge
+    * TABLE — the tokenizer artifact a trained BPE ships. */
+  val textBpeVocab = Q("text_bpe_vocab",
+    s"""WITH w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
+       |  FROM w0),
+       |${(1 to 8).map(sqlBpeStep).mkString(",\n")}
+       |SELECT step, l AS lhs, r AS rhs, cnt
+       |FROM (${(1 to 8).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    graft.operators.Vocab.bpeTrain(docs(s, d), "text", merges = 8)
+      .orderBy("step")
+  }
+
   val round13: Seq[Q] =
     Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
-      hybridIndexedTopK, annMaxSimRerank)
+      hybridIndexedTopK, annMaxSimRerank, textBpeVocab)
 }

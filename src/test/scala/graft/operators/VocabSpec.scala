@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** BPE-merge vocabulary training: greedy pair election, frequency
+  * weighting, left-to-right non-overlapping application, lexicographic
+  * tie-breaks, and early exhaustion. */
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def train(text: String, merges: Int) =
+    Vocab.bpeTrain(Seq(text).toDF("text"), "text", merges)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("bpeTrain: the hand-computed merge sequence on a tiny corpus") {
+    // words: aaab x3, ab x2
+    // round 1: (a,a) = 2*3 = 6 beats (a,b) = 3+2 = 5 -> aaab = [aa,a,b]
+    // round 2: (a,b) = 3+2 = 5 beats (aa,a) = 3     -> [aa,ab], [ab]
+    // round 3: (aa,ab) = 3, the only pair left      -> [aaab]
+    // round 4: no pairs -> exhausted at 3 of 5 requested merges
+    val got = train("aaab aaab aaab ab ab", merges = 5)
+    assert(got == Seq((1, "a", "a", 6L), (2, "a", "b", 5L),
+      (3, "aa", "ab", 3L)), s"merge sequence drifted: $got")
+  }
+
+  test("bpeTrain: count ties elect the lexicographically smaller pair") {
+    val got = train("dc ba dc ba", merges = 1)
+    assert(got == Seq((1, "b", "a", 2L)), s"tie-break drifted: $got")
+  }
+
+  test("bpeTrain: overlapping chains merge left-to-right non-overlapping") {
+    // "aaaa": pairs (a,a) = 3 (overlaps counted, the get_stats way);
+    // applying merges positions 0-1 and 2-3, NOT the middle
+    val got = train("aaaa", merges = 2)
+    assert(got.head == ((1, "a", "a", 3L)))
+    // round 2 sees [aa, aa] -> (aa, aa) = 1
+    assert(got(1) == ((2, "aa", "aa", 1L)), s"round-2 pair drifted: ${got(1)}")
+  }
+
+  test("bpeTrain: merged symbols never re-merge within the same round") {
+    // "abab": (a,b) = 2 wins round 1 -> [ab, ab]; (b,a) = 1 never applies
+    val got = train("abab", merges = 2)
+    assert(got == Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)),
+      s"got $got")
+  }
+}
