@@ -85,4 +85,41 @@ object Vocab {
         StructField("rhs", StringType, nullable = false),
         StructField("cnt", LongType, nullable = false))))
   }
+
+  /** APPLY a learned merge table ([[bpeTrain]]'s output) to a corpus
+    * and return the subword-token histogram (token, cnt — counts
+    * weighted by word frequency): the tokenizer's serving side, and
+    * the vocabulary artifact an LLM data pipeline ships with its
+    * tokenized shards.
+    *
+    * Scale shape: the merge table collects to the driver (KB-scale by
+    * contract — a production vocab is ~10⁴–10⁵ merges) and compiles
+    * into ONE projection of chained literal `replace`s over the
+    * guarded symbol encoding — a narrow codegen'd map, no join, no
+    * shuffle until the final (token)-keyed histogram aggregate, whose
+    * exchange carries partial counts, never words. Tokenizing new text
+    * against a FROZEN vocabulary is the same call with someone else's
+    * merge frame — merges apply in learned order, which is what makes
+    * BPE apply deterministic on any engine. */
+  def bpeApply(docs: DataFrame, textCol: String,
+               merges: DataFrame): DataFrame = {
+    val ordered = merges.select(col("step"), col("lhs"), col("rhs"))
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val s0: org.apache.spark.sql.Column =
+      concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          "  "),
+        lit(" "))
+    val merged = ordered.foldLeft(s0) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    words.select(col("freq"),
+        explode(split(trim(merged), "  ")).as("token"))
+      .groupBy("token").agg(sum("freq").as("cnt"))
+  }
 }

@@ -506,7 +506,35 @@ object Registry13 {
       .orderBy("step")
   }
 
+  /** BPE APPLY under the gate ([[graft.operators.Vocab.bpeApply]]):
+    * the 8 learned merges compile into one chained-replace projection
+    * over the corpus words (learned order — the BPE apply contract)
+    * and the gate emits the subword-token histogram, frequency-
+    * weighted — the vocabulary artifact of the tokenized corpus. The
+    * oracle replays the training chain (same 8 MATERIALIZED rounds as
+    * `text_bpe_vocab`) and histograms the final symbol strings; any
+    * drift in merge ORDER between learn and apply flips token counts
+    * wholesale. */
+  val textBpeApply = Q("text_bpe_apply",
+    s"""WITH w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
+       |  FROM w0),
+       |${(1 to 8).map(sqlBpeStep).mkString(",\n")}
+       |SELECT u.tok AS token, CAST(SUM(s.freq) AS BIGINT) AS cnt
+       |FROM s8 s, UNNEST(string_split(trim(s.s, ' '), '  ')) AS u(tok)
+       |GROUP BY 1
+       |ORDER BY token""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val merges = graft.operators.Vocab.bpeTrain(dd, "text", merges = 8)
+    graft.operators.Vocab.bpeApply(dd, "text", merges)
+      .orderBy("token")
+  }
+
   val round13: Seq[Q] =
     Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
-      hybridIndexedTopK, annMaxSimRerank, textBpeVocab)
+      hybridIndexedTopK, annMaxSimRerank, textBpeVocab, textBpeApply)
 }

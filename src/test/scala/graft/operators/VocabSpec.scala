@@ -45,4 +45,18 @@ class VocabSpec extends SparkSpec {
     assert(got == Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)),
       s"got $got")
   }
+
+  test("bpeApply: the learned merges tokenize the corpus; no merges = char histogram") {
+    val docsDf = Seq("aaab aaab aaab ab ab").toDF("text")
+    val merges = Vocab.bpeTrain(docsDf, "text", merges = 8)
+    val toks = Vocab.bpeApply(docsDf, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 3 learned merges fully fuse both word forms
+    assert(toks == Map("aaab" -> 3L, "ab" -> 2L), s"tokens drifted: $toks")
+    val none = Vocab.bpeApply(docsDf, "text",
+      merges.filter($"step" < 0))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 x (a,a,a,b) + 2 x (a,b): a = 11, b = 5
+    assert(none == Map("a" -> 11L, "b" -> 5L), s"char histogram drifted: $none")
+  }
 }
