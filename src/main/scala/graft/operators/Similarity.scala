@@ -1539,10 +1539,47 @@ object Similarity {
     *
     * Queries broadcast per hop (small by contract, same `maxQueryRows`
     * refuse-guard as [[pqTopK]]). Returns (q_id, n_id, rnk, cos). */
+  /** Per-query ENTRY nodes for routed graph search: the query's
+    * `nProbe` nearest cells by centroid cosine ([[ivfTopKWith]]'s
+    * probe rule, ties to the higher cell), each contributing its
+    * cell's MEDOID (minimum member id — [[knnGraphConnected]]'s
+    * deterministic medoid election). Starting the beam at the medoids
+    * of the cells the query actually lives near is the HNSW
+    * entry-point idea in IVF form: the search begins hops-away-from-
+    * answer instead of corpus-diameter-away, and an island graph is
+    * searchable WITHOUT cross-cell edges because every island the
+    * query cares about gets its own frontier seed. One scalar-
+    * projection assignment over the corpus (shared with the graph
+    * build in production — pass the same centroid frame) + a
+    * query-sized probe join. Returns (q_id, n_id) seed pairs for
+    * [[graphSearchTopK]]'s `entries`. */
+  def graphEntries(queries: DataFrame, corpus: DataFrame,
+                   centroids: DataFrame, idCol: String, vecCol: String,
+                   nProbe: Int = 2, dim: Int = 64): DataFrame = {
+    require(nProbe > 0, "nProbe must be positive")
+    val asg = ivfAssign(corpus, centroids, idCol, vecCol, dim)
+    val medoid = asg.groupBy("cell").agg(min(col("vec_id")).as("n_id"))
+    val cent = centroids.select(col("cell"), col("c_vec"),
+      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
+      VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+    val qcos = when(col("q_nrm") > 0.0 && col("c_nrm") > 0.0,
+      VectorFns.dotN(col("_qv"), col("c_vec"), dim) /
+        (col("q_nrm") * col("c_nrm")))
+    q.join(broadcast(cent))
+      .withColumn("prb", row_number().over(
+        Window.partitionBy("q_id").orderBy(qcos.desc, col("cell").desc)))
+      .filter(col("prb") <= nProbe)
+      .select(col("q_id"), col("cell"))
+      .join(broadcast(medoid), "cell")
+      .select(col("q_id"), col("n_id"))
+  }
+
   def graphSearchTopK(queries: DataFrame, corpus: DataFrame,
                       graph: DataFrame, idCol: String, vecCol: String,
                       k: Int, beam: Int = 8, hops: Int = 3, dim: Int = 64,
-                      maxQueryRows: Long = 1L << 20): DataFrame = {
+                      maxQueryRows: Long = 1L << 20,
+                      entries: Option[DataFrame] = None): DataFrame = {
     require(k > 0, "k must be positive")
     require(beam >= k, "beam must be >= k (the final frontier is the candidate pool)")
     require(hops > 0, "hops must be positive")
@@ -1560,7 +1597,8 @@ object Similarity {
       graph.select(col("src_id"), col("nbr_id")))
     // entry as a 1-row FRAME (not a collected literal): keeps the id's
     // exact type in-plan, and an empty corpus degrades to an empty
-    // result instead of a driver crash
+    // result instead of a driver crash. `entries` overrides it with
+    // per-query seed pairs ([[graphEntries]]'s routed form).
     val entry = corpus.agg(min(col(idCol)).as("n_id"))
       .filter(col("n_id").isNotNull)
     def score(cand: DataFrame): DataFrame =
@@ -1572,8 +1610,10 @@ object Similarity {
     // (neighbor join + union), so an untruncated loop doubles the plan
     // every iteration — O(2^hops) subtrees (the Dedup label-propagation
     // loop's lesson); each materialization is ≤ queries × beam rows
-    var frontier = Lineage.truncate(score(
-      q.select(col("q_id")).crossJoin(broadcast(entry))))
+    var frontier = Lineage.truncate(score(entries match {
+      case Some(seeds) => seeds.select(col("q_id"), col("n_id"))
+      case None => q.select(col("q_id")).crossJoin(broadcast(entry))
+    }))
     var h = 0
     while (h < hops) {
       val expanded = frontier.select(col("q_id"), col("n_id"))

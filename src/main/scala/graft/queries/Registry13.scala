@@ -534,7 +534,73 @@ object Registry13 {
       .orderBy("token")
   }
 
+  /** Routed MULTI-ENTRY graph search ([[Similarity.graphEntries]] →
+    * [[Similarity.graphSearchTopK]] `entries`): each query's beam
+    * starts at the MEDOIDS of its 2 nearest cells (centroid-cosine
+    * probe, the IVF rule) instead of one global entry — the HNSW
+    * entry-point idea in IVF form. The gate runs it over the
+    * cell-restricted ISLAND graph on purpose: single-entry search
+    * strands on the entry's island (`ann_graph_search`'s caveat,
+    * measured at 0.064 recall in SCALE.md); routed entries make the
+    * same island graph searchable because every island the query
+    * lives near seeds its own frontier. The oracle replays the cell
+    * assignment, the within-cell kNN election, the medoid election,
+    * the 2-cell probe, the seeded frontier, and the three beam hops. */
+  val annGraphMultientry = Q("ann_graph_multientry",
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM base WHERE vec_id < 8),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM base b CROSS JOIN cent c) WHERE rn = 1),
+       |g AS (SELECT src_id, nbr_id, cs AS cos FROM (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       |    ${Registry10.sqlCos("a.embedding", "b.embedding")} AS cs,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY ${Registry10.sqlCos("a.embedding", "b.embedding")} DESC,
+       |      b.vec_id ASC) AS rn
+       |  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+       |  JOIN asg aa ON aa.n_id = a.vec_id
+       |  JOIN asg ab ON ab.n_id = b.vec_id AND ab.cell = aa.cell)
+       |  WHERE rn <= 3),
+       |md AS (SELECT cell, MIN(n_id) AS mid FROM asg GROUP BY cell),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM base
+       |  WHERE vec_id < 5),
+       |pr AS (SELECT q_id, cell FROM (
+       |  SELECT qq.q_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY qq.q_id
+       |    ORDER BY ${Registry10.sqlCos("qq.q_vec", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM q qq CROSS JOIN cent c) WHERE rn <= 2),
+       |f0 AS (SELECT p.q_id, m.mid AS n_id FROM pr p JOIN md m
+       |  ON m.cell = p.cell),
+       |${sqlCosHopOn("g")("f0", "c1", "s1", "f1", 4)},
+       |${sqlCosHopOn("g")("f1", "c2", "s2", "f2", 4)},
+       |${sqlCosHopOn("g")("f2", "c3", "s3", "f3", 4)},
+       |r AS (SELECT q_id, n_id, cs AS cos, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM s3 WHERE rn <= 4 AND q_id <> n_id)
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"),
+        col("embedding").as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+    val queries = e.filter(col("vec_id") < 5)
+    val ent = Similarity.graphEntries(queries, e, cent,
+      "vec_id", "embedding", nProbe = 2)
+    Similarity.graphSearchTopK(queries, e, g, "vec_id", "embedding",
+      k = 3, beam = 4, hops = 3, entries = Some(ent))
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round13: Seq[Q] =
     Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
-      hybridIndexedTopK, annMaxSimRerank, textBpeVocab, textBpeApply)
+      hybridIndexedTopK, annMaxSimRerank, textBpeVocab, textBpeApply,
+      annGraphMultientry)
 }

@@ -108,7 +108,17 @@ object RecallReport {
           beam = 16, hops = 4, rerank = 16)),
       "graph_connected(beam16,hops8)" -> (() =>
         Similarity.graphSearchTopK(q, e, graphC, "vec_id", "embedding", k,
-          beam = 16, hops = 8)))
+          beam = 16, hops = 8)),
+      "graph_multientry(4probes,beam16,hops4)" -> (() =>
+        Similarity.graphSearchTopK(q, e, graph, "vec_id", "embedding", k,
+          beam = 16, hops = 4, entries = Some(
+            Similarity.graphEntries(q, e, cent, "vec_id", "embedding",
+              nProbe = 4)))),
+      "graph_conn_multientry(4probes,beam16,hops4)" -> (() =>
+        Similarity.graphSearchTopK(q, e, graphC, "vec_id", "embedding", k,
+          beam = 16, hops = 4, entries = Some(
+            Similarity.graphEntries(q, e, cent, "vec_id", "embedding",
+              nProbe = 4)))))
     println(f"RECALL sf=$sfDir queries=$nQ k=$k")
     families.foreach { case (name, mk) =>
       try {

@@ -208,6 +208,35 @@ class RetrievalSpec extends SparkSpec {
     assert(island.exceptAll(connected).isEmpty)
   }
 
+  test("graphEntries: routed seeds make an island graph searchable without highway edges") {
+    // same two-island fixture as the connectivity tests: single-entry
+    // search strands on island A; per-query medoid entries reach B
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.99f, 0.05f)), (2L, Array(0.98f, 0.1f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.05f, 0.99f)), (12L, Array(0.1f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("cell", "c_vec")
+    val island = Similarity.knnGraph(corpus, cent, "vec_id", "embedding",
+      k = 2, dim = 2).select("src_id", "nbr_id", "cos")
+    val q = corpus.filter($"vec_id" === 10L)
+    val single = Similarity.graphSearchTopK(q, corpus, island,
+      "vec_id", "embedding", k = 2, beam = 4, hops = 4, dim = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(single.forall(_ < 10L), "single entry must strand on island A")
+    val ent = Similarity.graphEntries(q, corpus, cent,
+      "vec_id", "embedding", nProbe = 2, dim = 2)
+    // the probe elects both cells; cell 1's medoid (node 10) seeds B
+    val seeds = ent.collect().map(_.getLong(1)).toSet
+    assert(seeds.exists(_ >= 10L), s"probe must seed island B: $seeds")
+    val routed = Similarity.graphSearchTopK(q, corpus, island,
+      "vec_id", "embedding", k = 2, beam = 4, hops = 4, dim = 2,
+      entries = Some(ent))
+      .collect().map(_.getLong(1)).toSet
+    assert(routed.exists(_ >= 10L),
+      s"routed entries must reach island B over the island graph: $routed")
+  }
+
   test("graphSearchTopK: disconnected components are unreachable (the graph-ANN caveat)") {
     // two islands; entry node (min id) is on island A — island B never appears
     val corpus = Seq(
