@@ -1128,6 +1128,33 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** SemDeDup-style semantic near-dup pairs: block by a PQ code PREFIX
+    * (the first `prefix` subspace codes), confirm by exact cosine —
+    * [[nearDupPairs]] with a CONTENT-derived block key instead of a
+    * metadata column. Two vectors can only be near-dups if the
+    * quantizer maps their leading subspaces to the same codewords, so
+    * the prefix is a semantic blocking key the corpus itself provides:
+    * no labels needed, one extra scalar-projection encode, and the
+    * block alphabet (k_sub^prefix, e.g. 256 at 16²) tunes the
+    * quadratic-within-block budget exactly like the dedup family's
+    * band keys. Coarser than full-code equality (which at 16⁸ ≈ 4·10⁹
+    * blocks would mostly single-out on an unclustered corpus), and
+    * honest about recall: a near-dup pair split by a leading-subspace
+    * boundary is missed — the banded-recall contract every blocked
+    * dedup face here states. Same hot-block refuse guard as the
+    * delegate. */
+  def semanticPqPairs(embeddings: DataFrame, codebooks: DataFrame,
+                      idCol: String, vecCol: String, threshold: Double,
+                      prefix: Int = 2, dim: Int = 64,
+                      maxBlockRows: Long = 1L << 20): DataFrame = {
+    require(prefix > 0, "prefix must be positive")
+    val enc = pqEncode(embeddings, codebooks, idCol, vecCol, keepVec = true)
+      .filter(col("codes").isNotNull)
+      .withColumn("_blk", array_join(slice(col("codes"), 1, prefix), ","))
+    nearDupPairs(enc, "vec_id", vecCol, col("_blk"), threshold, dim,
+      maxBlockRows)
+  }
+
   /** Approximate kNN GRAPH over the whole corpus: every vector's top-k
     * cosine neighbors WITHIN its IVF cell — the graph-construction step
     * behind graph-based curation (duplicate clusters over it, diversity

@@ -599,8 +599,37 @@ object Registry13 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Semantic PQ-blocked near-dup under the gate
+    * ([[Similarity.semanticPqPairs]]): candidates block on the first
+    * two subspace codes of the seed PQ quantizer (a content-derived
+    * 256-way key — the SemDeDup shape: no labels, the corpus provides
+    * its own blocking), then confirm by exact cosine ≥ 0.3
+    * (`dedup_embedding`'s threshold, with the metadata block key
+    * swapped for the quantizer's). The oracle replays the argmin
+    * codes, the prefix key, the within-block self-join, and the
+    * cosine confirm. */
+  val dedupPqSemantic = Q("dedup_pq_semantic",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |blk AS (SELECT n_id, array_to_string(
+       |    list(CAST(code AS INT) ORDER BY sub), ',') AS blk
+       |  FROM codes WHERE sub < 2 GROUP BY n_id),
+       |base AS (SELECT b.vec_id AS id, b.embedding AS vec, k.blk
+       |  FROM embeddings b JOIN blk k ON k.n_id = b.vec_id)
+       |SELECT a_id, b_id, cos FROM (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    ${Registry10.sqlCos("a.vec", "b.vec")} AS cos
+       |  FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id)
+       |WHERE cos >= 0.3 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    Similarity.semanticPqPairs(e, cb, "vec_id", "embedding",
+      threshold = 0.3, prefix = 2)
+      .orderBy("a_id", "b_id")
+  }
+
   val round13: Seq[Q] =
     Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
       hybridIndexedTopK, annMaxSimRerank, textBpeVocab, textBpeApply,
-      annGraphMultientry)
+      annGraphMultientry, dedupPqSemantic)
 }

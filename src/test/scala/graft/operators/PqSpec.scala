@@ -427,6 +427,26 @@ class PqSpec extends SparkSpec {
       s"permuted vector wrong: ${permuted.head}")
   }
 
+  test("semanticPqPairs: code-prefix blocks find within-block dups and never cross blocks") {
+    // codebook m=2 (2-wide subspaces, 2 codewords): sub-vectors near
+    // (1,0) code 0, near (0,1) code 1
+    val cb = Seq(
+      (0, 0, Array(1.0, 0.0)), (0, 1, Array(0.0, 1.0)),
+      (1, 0, Array(1.0, 0.0)), (1, 1, Array(0.0, 1.0))
+    ).toDF("sub", "code", "w_vec")
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f)),   // block "0,0"
+      (1L, Array(0.9f, 0.1f, 0.9f, 0.1f)),   // block "0,0" — near-dup of 0
+      (2L, Array(0.1f, 0.9f, 0.1f, 0.9f)),   // block "1,1": cos vs 0 is
+      (3L, Array(0.2f, 0.8f, 0.2f, 0.8f))    //   ~0.3 but never compared
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticPqPairs(corpus, cb, "vec_id", "embedding",
+      threshold = 0.1, prefix = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)),
+      s"blocking must keep within-block pairs only: $pairs")
+  }
+
   test("permuteVectors: full-vector distances are permutation-invariant; broken perms refuse") {
     val e = emb.filter($"vec_id" < 30)
     val perm = Similarity.opqPermutation(e, "embedding", dim = 64, m = 8)
