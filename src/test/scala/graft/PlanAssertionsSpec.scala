@@ -195,6 +195,52 @@ class PlanAssertionsSpec extends SparkSpec {
       s"raw embeddings leaked into a join's streamed side: $streamedOut")
   }
 
+  test("ann_opq_topk: permutation is a pure projection; the moment pass partial-aggregates") {
+    val plan = planOf(q("ann_opq_topk"))
+    // same scan shape as ann_pq_topk: query side broadcasts, partial
+    // top-k below the exchange — the permutation adds NO join and no
+    // corpus shuffle (it is a static element-read projection)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("WindowGroupLimit"), s"no partial top-k:\n$plan")
+    // the variance pass runs in its own (driver-collected, dim-sized)
+    // job — assert THAT plan partial-aggregates map-side
+    val momPlan = planOf(graft.operators.Similarity.opqPermutation(
+      Tables.embeddings(spark, sf), "embedding", dim = 64, m = 8))
+    assert(momPlan.contains("partial_sum") || momPlan.contains("partial_count"),
+      s"moment aggregate not partial:\n$momPlan")
+  }
+
+  test("ann_maxsim_rerank: the shortlist pair frame broadcasts onto the corpus scan") {
+    val plan = planOf(q("ann_maxsim_rerank"))
+    val bcasts = plan.linesIterator.count(_.contains("BroadcastExchange"))
+    // at least the pair frame and the query bags broadcast — the
+    // corpus's vector bags never shuffle for scoring
+    assert(bcasts >= 2, s"expected pair+query broadcasts, got $bcasts:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"pair join must be a broadcast hash join:\n$plan")
+  }
+
+  test("dedup_pq_semantic: the block join keys on the derived code prefix, never the vector") {
+    val plan = planOf(q("dedup_pq_semantic"))
+    // nearDupPairs renames the prefix key to its working column `blk`
+    assert(plan.contains("blk"), s"derived block key missing from plan:\n$plan")
+    // no hash exchange may carry the embedding column: the quadratic
+    // join moves on the KB-wide prefix key, vectors ride within rows
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("embedding")),
+      s"an exchange partitions on the raw vector:\n${exchanges.mkString("\n")}")
+  }
+
+  test("bpeApply: the merge chain compiles to projections, histogram partial-aggregates") {
+    import spark.implicits._
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val merges = graft.operators.Vocab.bpeTrain(docs, "text", merges = 3)
+    val df = graft.operators.Vocab.bpeApply(docs, "text", merges)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"apply must not join:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"token histogram not partial-aggregated:\n$plan")
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     val df = Tables.documents(spark, sf).select(
       graft.functions.TextFns.rollingHash(col("text")).as("rh"),
