@@ -122,4 +122,40 @@ object Vocab {
         explode(split(trim(merged), "  ")).as("token"))
       .groupBy("token").agg(sum("freq").as("cnt"))
   }
+
+  /** Per-document BPE token counts against a frozen merge table — the
+    * budget column every packing/mixing stage downstream consumes
+    * ([[Pack.packSequences]], [[Sampling.tokenBudgetPerSource]]):
+    * replaces the whitespace/bpeish PROXIES with the real learned
+    * tokenizer's counts.
+    *
+    * Scale shape: the merge chain runs once per DISTINCT WORD (the
+    * vocabulary frame — tokenizing "the" once, not 10⁹ times), then
+    * documents join their words on the word key and sum — one
+    * vocab-sized projection, one word-keyed join whose exchange
+    * carries (word, count) pairs, one partial-aggregated per-doc sum.
+    * Returns (idCol, n_tokens); documents whose text holds no words
+    * are absent (count 0 ≡ no packable content, the
+    * [[Pack.packSequences]] `_tk > 0` posture). */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: DataFrame): DataFrame = {
+    val ordered = merges.select(col("step"), col("lhs"), col("rhs"))
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val s0: org.apache.spark.sql.Column =
+      concat(lit(" "),
+        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          "  "),
+        lit(" "))
+    val merged = ordered.foldLeft(s0) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    val wordToks = words.select("w").distinct()
+      .withColumn("_wtk", size(split(trim(merged), "  ")).cast("long"))
+    words.join(wordToks, "w")
+      .groupBy(col(idCol)).agg(sum("_wtk").as("n_tokens"))
+  }
 }

@@ -628,8 +628,55 @@ object Registry13 {
       .orderBy("a_id", "b_id")
   }
 
+  /** BPE counts → token-budget packing, composed end-to-end
+    * ([[graft.operators.Vocab.bpeTokenCounts]] →
+    * [[graft.operators.Pack.packSequences]]): the production tokenize-
+    * then-pack flow with the LEARNED tokenizer's counts replacing the
+    * whitespace proxy `pack_sequences` uses — documents lay end-to-end
+    * per source and cut every 256 BPE tokens. The oracle replays the
+    * 8-round training chain, the per-distinct-word token counts, the
+    * word-join per-doc sums, and `pack_sequences`' integer layout
+    * arithmetic over the same window cumsum. */
+  val packBpeSequences = Q("pack_bpe_sequences",
+    s"""WITH w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
+       |  FROM w0),
+       |${(1 to 8).map(sqlBpeStep).mkString(",\n")},
+       |wt AS (SELECT w, CAST(len(string_split(trim(s, ' '), '  '))
+       |    AS BIGINT) AS wtk FROM s8),
+       |dw AS (SELECT doc_id, source, w FROM (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents) WHERE w <> ''),
+       |dt AS (SELECT d.doc_id, ANY_VALUE(d.source) AS source,
+       |    CAST(SUM(wt.wtk) AS BIGINT) AS tk
+       |  FROM dw d JOIN wt ON wt.w = d.w GROUP BY d.doc_id)
+       |SELECT source, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(LEAST(cum, (seq_id + 1) * 256)
+       |    - GREATEST(strt, seq_id * 256) AS BIGINT) AS tok_in_seq
+       |FROM (
+       |  SELECT source, doc_id, cum, cum - tk AS strt,
+       |    unnest(range((cum - tk) // 256, (cum - 1) // 256 + 1)) AS seq_id
+       |  FROM (
+       |    SELECT source, doc_id, tk,
+       |      CAST(SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |    FROM dt WHERE tk > 0))
+       |ORDER BY doc_id, seq_id""".stripMargin) { (s, d) =>
+    import graft.operators.{Pack, Vocab}
+    val dd = docs(s, d)
+    val merges = Vocab.bpeTrain(dd, "text", merges = 8)
+    val counts = Vocab.bpeTokenCounts(dd, "doc_id", "text", merges)
+    Pack.packSequences(dd.join(counts, "doc_id"), "doc_id",
+      col("n_tokens"), budget = 256L, partCol = col("source"))
+      .orderBy("doc_id", "seq_id")
+  }
+
   val round13: Seq[Q] =
     Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
       hybridIndexedTopK, annMaxSimRerank, textBpeVocab, textBpeApply,
-      annGraphMultientry, dedupPqSemantic)
+      annGraphMultientry, dedupPqSemantic, packBpeSequences)
 }
