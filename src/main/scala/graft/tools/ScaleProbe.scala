@@ -102,7 +102,7 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
     }
-    if (rebuild && (want("ann") || want("pq") || want("retr"))) {
+    if (rebuild && (want("ann") || want("pq") || want("retr") || want("semdedup"))) {
       val c = col("_c")
       val k = (c % 64).cast("int")
       val e = col("embedding")
@@ -350,6 +350,39 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
           val t2 = (System.nanoTime() - t0) / 1e9
           println(f"PROBE ivf_assign $scale pass$pass flat_c1024=$tf%.2f two_level_32x1024=$t2%.2f")
+        }
+      }
+
+      if (want("semdedup")) {
+        // PQ-prefix semantic blocking: the governing count is the
+        // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a
+        // FIXED prefix the alphabet is constant (ksub^prefix), so
+        // candidates grow quadratically with the corpus - the same
+        // saturation every banded family measures - and the prescription
+        // is the same: grow the prefix with the corpus (one more
+        // subspace multiplies the alphabet by ksub, dividing occupancy).
+        import graft.operators.Similarity
+        val e = graft.Tables.embeddings(spark, dir)
+        val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+          m = 8, ksub = 16, subDim = 8)
+        for (prefix <- Seq(2, 3)) {
+          val g = Similarity.pqEncode(e, cb, "vec_id", "embedding")
+            .filter(col("codes").isNotNull)
+            .select(array_join(slice(col("codes"), 1, prefix), ",").as("blk"))
+            .groupBy("blk").agg(count(lit(1)).as("n"))
+          val st = g.agg(max("n").as("mx"), count(lit(1)).as("blocks"),
+            sum(expr("CAST(n * (n - 1) DIV 2 AS BIGINT)")).as("pairs")).head()
+          println(s"PROBE semdedup $scale prefix=$prefix " +
+            s"blocks=${st.getLong(1)} max_block=${st.getLong(0)} " +
+            s"cand_pairs=${st.getLong(2)}")
+        }
+        for (pass <- 1 to 2) {
+          val t0 = System.nanoTime()
+          Similarity.semanticPqPairs(e, cb, "vec_id", "embedding",
+            threshold = 0.3, prefix = 2)
+            .write.format("noop").mode("overwrite").save()
+          println(f"PROBE semdedup $scale pass$pass " +
+            f"pairs_prefix2_s=${(System.nanoTime() - t0) / 1e9}%.2f")
         }
       }
 
