@@ -583,17 +583,23 @@ object Similarity {
       val cw = collectPqCodebook(current)
       val m = cw.length
       val voffs = cw.map(_(0).length).scanLeft(0)(_ + _).init
-      val enc0 = pqEncode(corpus, current, idCol, vecCol, keepVec = true)
-        .filter(col("codes").isNotNull)
-      // fixpoint mode materializes the encode once: it feeds both the
-      // assignment comparison and (when training continues) the means
-      val enc = if (toFixpoint) Lineage.truncate(enc0) else enc0
+      // fixpoint mode materializes ONLY (vec_id, codes) — m bytes/row,
+      // what the convergence anti-join reads — never the raw vectors:
+      // the means re-derive the keepVec encode lazily below (a scalar
+      // projection, the same pass the non-fixpoint path runs), so the
+      // per-step checkpoint write stays codes-sized at any corpus
+      val codesNow =
+        if (toFixpoint) Some(Lineage.truncate(
+          pqEncode(corpus, current, idCol, vecCol)
+            .filter(col("codes").isNotNull)
+            .select(col("vec_id"), col("codes"))))
+        else None
       if (toFixpoint && prevCodes.exists(p =>
-          enc.select(col("vec_id"), col("codes"))
-            .join(p, Seq("vec_id", "codes"), "left_anti").isEmpty)) {
+          codesNow.get.join(p, Seq("vec_id", "codes"), "left_anti").isEmpty)) {
         converged = true
       } else {
-      val asg = enc
+      val asg = pqEncode(corpus, current, idCol, vecCol, keepVec = true)
+        .filter(col("codes").isNotNull)
         .select(explode(array((0 until m).map(j =>
           struct(lit(j).as("sub"),
             element_at(col("codes"), j + 1).as("code"),
@@ -619,8 +625,7 @@ object Similarity {
         .select(col("sub"), col("code"),
           coalesce(col("_w_new"), col("_w_old")).as("w_vec"))
         .localCheckpoint()
-      if (toFixpoint)
-        prevCodes = Some(enc.select(col("vec_id"), col("codes")))
+      if (toFixpoint) prevCodes = codesNow
       step += 1
       }
     }
@@ -1148,9 +1153,14 @@ object Similarity {
                       prefix: Int = 2, dim: Int = 64,
                       maxBlockRows: Long = 1L << 20): DataFrame = {
     require(prefix > 0, "prefix must be positive")
-    val enc = pqEncode(embeddings, codebooks, idCol, vecCol, keepVec = true)
-      .filter(col("codes").isNotNull)
-      .withColumn("_blk", array_join(slice(col("codes"), 1, prefix), ","))
+    // truncate: the delegate's hot-block guard is an eager action over
+    // the block column, and the self-join reads the frame again —
+    // un-materialized, the corpus would pay the PqCodes projection
+    // twice; pinned, the encode runs once
+    val enc = Lineage.truncate(
+      pqEncode(embeddings, codebooks, idCol, vecCol, keepVec = true)
+        .filter(col("codes").isNotNull)
+        .withColumn("_blk", array_join(slice(col("codes"), 1, prefix), ",")))
     nearDupPairs(enc, "vec_id", vecCol, col("_blk"), threshold, dim,
       maxBlockRows)
   }
@@ -1582,9 +1592,15 @@ object Similarity {
     * [[graphSearchTopK]]'s `entries`. */
   def graphEntries(queries: DataFrame, corpus: DataFrame,
                    centroids: DataFrame, idCol: String, vecCol: String,
-                   nProbe: Int = 2, dim: Int = 64): DataFrame = {
+                   nProbe: Int = 2, dim: Int = 64,
+                   precomputedAsg: Option[DataFrame] = None): DataFrame = {
     require(nProbe > 0, "nProbe must be positive")
-    val asg = ivfAssign(corpus, centroids, idCol, vecCol, dim)
+    // the n × C assignment is a pure function of (corpus, centroids)
+    // the graph build already ran — accept it precomputed (the
+    // knnGraph/knnGraphConnected hook) so repeated query batches and
+    // co-resident builds pay the corpus argmax once
+    val asg = precomputedAsg.getOrElse(
+      ivfAssign(corpus, centroids, idCol, vecCol, dim))
     val medoid = asg.groupBy("cell").agg(min(col("vec_id")).as("n_id"))
     val cent = centroids.select(col("cell"), col("c_vec"),
       VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -33,12 +33,51 @@ import org.apache.spark.sql.types._
   * across a symbol boundary (symbols contain no spaces), and because
   * adjacent occurrences SHARE only the middle of a double separator,
   * replace's non-overlapping left-to-right scan consumes exactly the
-  * greedy BPE merge positions (`" a  a  a  a "` → `" aa  aa "`).
-  *
-  * Returns the learned merge table (step 1.., lhs, rhs, cnt) — the
-  * tokenizer artifact; fewer than `merges` rows when the corpus runs
-  * out of mergeable pairs. */
+  * greedy BPE merge positions (`" a  a  a  a "` → `" aa  aa "`). */
 object Vocab {
+
+  /** The guard-encoded symbol string of word column `w` — one shared
+    * construction for train, apply, and count (drift here would make
+    * them tokenize different alphabets). */
+  private def symbolString(w: String): Column =
+    concat(lit(" "),
+      array_join(expr(s"transform(sequence(1, length($w)), i -> substring($w, i, 1))"),
+        "  "),
+      lit(" "))
+
+  /** One merge as a literal replace over the guarded encoding. */
+  private def applyOne(s: Column, l: String, r: String): Column =
+    call_function("replace", s, lit(s" $l  $r "), lit(s" $l$r "))
+
+  /** Collect a merge table in learned order. KB-scale by contract (a
+    * production vocab is ~10⁴–10⁵ rows — the PQ-codebook collect
+    * argument). */
+  private def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.select(col("step"), col("lhs"), col("rhs"))
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Replace chain per projection before the plan is cut: bounds both
+    * expression-tree depth (Catalyst's recursive transforms overflow
+    * the stack thousands of levels deep) and generated-method size
+    * (whole-stage codegen splits at 64 KB). */
+  private val MergesPerStage = 64
+
+  /** Apply a whole merge table to a frame's `s` column: chunks of
+    * [[MergesPerStage]] chained replaces, [[Lineage.truncate]] between
+    * chunks so a 10⁵-merge vocabulary runs as ~10³ shallow projections
+    * over the (vocab-sized) word frame instead of one 10⁵-deep
+    * expression Catalyst cannot analyze. */
+  private def applyMerges(frame: DataFrame,
+                          ordered: Seq[(String, String)]): DataFrame =
+    ordered.grouped(MergesPerStage).foldLeft(frame) { (df, chunk) =>
+      Lineage.truncate(df.withColumn("s",
+        chunk.foldLeft(col("s")) { case (c, (l, r)) => applyOne(c, l, r) }))
+    }
+
+  /** Learn `merges` BPE merges. Returns the merge table
+    * (step 1.., lhs, rhs, cnt) — the tokenizer artifact; fewer rows
+    * when the corpus runs out of mergeable pairs. */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
     require(merges > 0, "merges must be positive")
     val spark = docs.sparkSession
@@ -46,11 +85,7 @@ object Vocab {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    var state = Lineage.truncate(words.withColumn("s",
-      concat(lit(" "),
-        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-          "  "),
-        lit(" "))))
+    var state = Lineage.truncate(words.withColumn("s", symbolString("w")))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -71,9 +106,7 @@ object Vocab {
         val l = best(0).getString(0)
         val r = best(0).getString(1)
         learned += ((step, l, r, best(0).getLong(2)))
-        state = Lineage.truncate(state.withColumn("s",
-          call_function("replace", col("s"),
-            lit(s" $l  $r "), lit(s" $l$r "))))
+        state = Lineage.truncate(state.withColumn("s", applyOne(col("s"), l, r)))
         step += 1
       }
     }
@@ -93,33 +126,24 @@ object Vocab {
     * tokenized shards.
     *
     * Scale shape: the merge table collects to the driver (KB-scale by
-    * contract — a production vocab is ~10⁴–10⁵ merges) and compiles
-    * into ONE projection of chained literal `replace`s over the
-    * guarded symbol encoding — a narrow codegen'd map, no join, no
-    * shuffle until the final (token)-keyed histogram aggregate, whose
-    * exchange carries partial counts, never words. Tokenizing new text
-    * against a FROZEN vocabulary is the same call with someone else's
-    * merge frame — merges apply in learned order, which is what makes
-    * BPE apply deterministic on any engine. */
+    * contract) and applies as [[MergesPerStage]]-deep chained-replace
+    * projections over the DISTINCT-WORD frame — narrow codegen'd maps
+    * with the plan cut between chunks, so a 10⁵-merge production vocab
+    * is ~10³ shallow vocab-sized passes; no join, no shuffle until the
+    * final (token)-keyed histogram aggregate, whose exchange carries
+    * partial counts, never words. Tokenizing new text against a FROZEN
+    * vocabulary is the same call with someone else's merge frame —
+    * merges apply in learned order, which is what makes BPE apply
+    * deterministic on any engine. */
   def bpeApply(docs: DataFrame, textCol: String,
                merges: DataFrame): DataFrame = {
-    val ordered = merges.select(col("step"), col("lhs"), col("rhs"))
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2)))
     val words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    val s0: org.apache.spark.sql.Column =
-      concat(lit(" "),
-        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-          "  "),
-        lit(" "))
-    val merged = ordered.foldLeft(s0) { case (c, (l, r)) =>
-      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
-    }
-    words.select(col("freq"),
-        explode(split(trim(merged), "  ")).as("token"))
+      .withColumn("s", symbolString("w"))
+    applyMerges(words, collectMerges(merges))
+      .select(col("freq"), explode(split(trim(col("s")), "  ")).as("token"))
       .groupBy("token").agg(sum("freq").as("cnt"))
   }
 
@@ -130,31 +154,22 @@ object Vocab {
     * tokenizer's counts.
     *
     * Scale shape: the merge chain runs once per DISTINCT WORD (the
-    * vocabulary frame — tokenizing "the" once, not 10⁹ times), then
-    * documents join their words on the word key and sum — one
-    * vocab-sized projection, one word-keyed join whose exchange
-    * carries (word, count) pairs, one partial-aggregated per-doc sum.
-    * Returns (idCol, n_tokens); documents whose text holds no words
-    * are absent (count 0 ≡ no packable content, the
+    * vocabulary frame — tokenizing "the" once, not 10⁹ times; same
+    * chunked projections as [[bpeApply]]), then documents join their
+    * words on the word key and sum — one word-keyed join whose
+    * exchange carries (word, count) pairs, one partial-aggregated
+    * per-doc sum. Returns (idCol, n_tokens); documents whose text
+    * holds no words are absent (count 0 ≡ no packable content, the
     * [[Pack.packSequences]] `_tk > 0` posture). */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
                      merges: DataFrame): DataFrame = {
-    val ordered = merges.select(col("step"), col("lhs"), col("rhs"))
-      .orderBy("step").collect()
-      .map(r => (r.getString(1), r.getString(2)))
     val words = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val s0: org.apache.spark.sql.Column =
-      concat(lit(" "),
-        array_join(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-          "  "),
-        lit(" "))
-    val merged = ordered.foldLeft(s0) { case (c, (l, r)) =>
-      call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
-    }
-    val wordToks = words.select("w").distinct()
-      .withColumn("_wtk", size(split(trim(merged), "  ")).cast("long"))
+    val wordToks = applyMerges(
+      words.select("w").distinct().withColumn("s", symbolString("w")),
+      collectMerges(merges))
+      .select(col("w"), size(split(trim(col("s")), "  ")).cast("long").as("_wtk"))
     words.join(wordToks, "w")
       .groupBy(col(idCol)).agg(sum("_wtk").as("n_tokens"))
   }

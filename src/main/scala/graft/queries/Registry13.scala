@@ -466,6 +466,10 @@ object Registry13 {
     * non-overlapping ([[graft.operators.Vocab]]'s encoding argument). */
   private def sqlBpeStep(i: Int): String = {
     val prev = s"s${i - 1}"
+    // exhaustion guard: once no pair remains, b$i is empty and its
+    // scalar subqueries are NULL — replace(s, NULL, NULL) would NULL
+    // every symbol string and silently empty the s$i consumers, while
+    // the Spark loop just stops merging; pass s through unchanged
     s"""pc$i AS (SELECT s.freq, u.pr[1] AS l, u.pr[2] AS r FROM $prev s,
        |  UNNEST(list_zip(string_split(trim(s.s, ' '), '  '),
        |    string_split(trim(s.s, ' '), '  ')[2:])) AS u(pr)),
@@ -473,11 +477,26 @@ object Registry13 {
        |  WHERE r IS NOT NULL GROUP BY 1, 2),
        |b$i AS MATERIALIZED (SELECT CAST($i AS INT) AS step, l, r, cnt FROM p$i
        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-       |s$i AS MATERIALIZED (SELECT w, freq, replace(s,
+       |s$i AS MATERIALIZED (SELECT w, freq,
+       |  CASE WHEN (SELECT COUNT(*) FROM b$i) = 0 THEN s ELSE replace(s,
        |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
-       |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') AS s
+       |    ' ' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || ' ') END AS s
        |  FROM $prev)""".stripMargin
   }
+
+  /** The shared BPE oracle preamble: word frequencies, guard-encoded
+    * symbol strings, and `rounds` unrolled merge rounds — ONE
+    * construction for all three BPE gates (drift between copies would
+    * make them test different tokenizers). */
+  private def sqlBpeChain(rounds: Int): String =
+    s"""w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
+       |  FROM w0),
+       |${(1 to rounds).map(sqlBpeStep).mkString(",\n")}""".stripMargin
 
   /** BPE-merge vocabulary training under the gate
     * ([[graft.operators.Vocab.bpeTrain]]): 8 merge rounds over the
@@ -491,14 +510,7 @@ object Registry13 {
     * flips the hash at the first divergent round. Output is the merge
     * TABLE — the tokenizer artifact a trained BPE ships. */
   val textBpeVocab = Q("text_bpe_vocab",
-    s"""WITH w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
-       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-       |  WHERE term <> '' GROUP BY 1),
-       |s0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(
-       |    list_transform(range(1, length(w) + 1),
-       |      i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
-       |  FROM w0),
-       |${(1 to 8).map(sqlBpeStep).mkString(",\n")}
+    s"""WITH ${sqlBpeChain(8)}
        |SELECT step, l AS lhs, r AS rhs, cnt
        |FROM (${(1 to 8).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
        |ORDER BY step""".stripMargin) { (s, d) =>
@@ -516,14 +528,7 @@ object Registry13 {
     * drift in merge ORDER between learn and apply flips token counts
     * wholesale. */
   val textBpeApply = Q("text_bpe_apply",
-    s"""WITH w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
-       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-       |  WHERE term <> '' GROUP BY 1),
-       |s0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(
-       |    list_transform(range(1, length(w) + 1),
-       |      i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
-       |  FROM w0),
-       |${(1 to 8).map(sqlBpeStep).mkString(",\n")}
+    s"""WITH ${sqlBpeChain(8)}
        |SELECT u.tok AS token, CAST(SUM(s.freq) AS BIGINT) AS cnt
        |FROM s8 s, UNNEST(string_split(trim(s.s, ' '), '  ')) AS u(tok)
        |GROUP BY 1
@@ -638,14 +643,7 @@ object Registry13 {
     * word-join per-doc sums, and `pack_sequences`' integer layout
     * arithmetic over the same window cumsum. */
   val packBpeSequences = Q("pack_bpe_sequences",
-    s"""WITH w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
-       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-       |  WHERE term <> '' GROUP BY 1),
-       |s0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(
-       |    list_transform(range(1, length(w) + 1),
-       |      i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
-       |  FROM w0),
-       |${(1 to 8).map(sqlBpeStep).mkString(",\n")},
+    s"""WITH ${sqlBpeChain(8)},
        |wt AS (SELECT w, CAST(len(string_split(trim(s, ' '), '  '))
        |    AS BIGINT) AS wtk FROM s8),
        |dw AS (SELECT doc_id, source, w FROM (
