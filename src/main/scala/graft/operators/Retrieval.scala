@@ -323,6 +323,79 @@ object Retrieval {
       .select(col("q_id"), col("n_id"), col("rnk"), col("lex_rnk"))
   }
 
+  /** Maximal-marginal-relevance diversity re-rank (Carbonell &
+    * Goldstein, SIGIR 1998) — the curation face of retrieval: a plain
+    * top-k returns k near-duplicates of the best hit; MMR greedily
+    * picks candidates maximizing
+    *   λ·relevance − (1−λ)·max_{s ∈ selected} cos(candidate, s)
+    * so each pick is relevant AND far from what is already chosen —
+    * the standard recipe for diverse few-shot example selection,
+    * dedup'd retrieval-augmented contexts, and diverse training-pair
+    * mining. The first pick has an empty selected set (the penalty
+    * coalesces to 0), i.e. pure relevance.
+    *
+    * Dataflow: `candidates` is already top-k'd per query
+    * (q_id, n_id, rnk, score — ≤ queries × poolK rows), and vectors
+    * join in ONCE from `corpus` for the pool only; the k greedy
+    * rounds then run over query-sized frames ([[Lineage.truncate]]
+    * per round — the beam-hop loop discipline), each round one
+    * pool × selected cosine pass + a per-query argmax window. The
+    * corpus never participates beyond the initial pool vector fetch.
+    * Ties break to the lower candidate id at every argmax; the
+    * objective is a fixed-order IEEE expression, so the whole greedy
+    * trajectory is oracle-replayable. Returns
+    * (q_id, n_id, pick 1.., mmr). */
+  def mmrRerank(candidates: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.5, dim: Int = 64): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val vecs = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+    val pool = Lineage.truncate(
+      candidates.select(col("q_id"), col("n_id"), col("score"))
+        .join(vecs, "n_id"))
+    var selected = Lineage.truncate(
+      pool.sparkSession.createDataFrame(
+        pool.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            pool.schema("q_id").dataType),
+          org.apache.spark.sql.types.StructField("n_id",
+            pool.schema("n_id").dataType),
+          org.apache.spark.sql.types.StructField("pick",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("mmr",
+            org.apache.spark.sql.types.DoubleType)))))
+    var round = 1
+    while (round <= k) {
+      val remaining = pool.join(
+        selected.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"),
+        "left_anti")
+      val selVecs = selected.select(col("q_id"), col("n_id").as("s_id"))
+        .join(vecs.select(col("n_id").as("s_id"), col("n_vec").as("s_vec"),
+          col("n_nrm").as("s_nrm")), "s_id")
+      val penalty = remaining.join(selVecs, Seq("q_id"))
+        .withColumn("_cos",
+          when(col("n_nrm") > 0.0 && col("s_nrm") > 0.0,
+            VectorFns.dotN(col("n_vec"), col("s_vec"), dim) /
+              (col("n_nrm") * col("s_nrm"))))
+        .groupBy("q_id", "n_id").agg(max(col("_cos")).as("_mx"))
+      val best = remaining
+        .join(penalty, Seq("q_id", "n_id"), "left")
+        .withColumn("mmr", lit(lambda) * col("score") -
+          lit(1.0 - lambda) * coalesce(col("_mx"), lit(0.0)))
+        .withColumn("_r", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("mmr").desc, col("n_id").asc)))
+        .filter(col("_r") === 1)
+        .select(col("q_id"), col("n_id"), lit(round).as("pick"), col("mmr"))
+      selected = Lineage.truncate(selected.unionByName(best))
+      round += 1
+    }
+    selected.select(col("q_id"), col("n_id"), col("pick"), col("mmr"))
+  }
+
   /** Multi-vector MaxSim late interaction (the ColBERT scoring rule):
     * documents are BAGS of vectors (one per token/chunk), and
     *   score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} cos(q, d)

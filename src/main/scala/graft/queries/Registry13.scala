@@ -673,8 +673,70 @@ object Registry13 {
       .orderBy("doc_id", "seq_id")
   }
 
+  /** One unrolled MMR greedy round `i`: remaining pool (anti-join of
+    * everything picked so far), the max-cosine-to-selected penalty
+    * (empty selected → COALESCE 0, the pure-relevance first pick), the
+    * fixed-order objective λ·score − (1−λ)·penalty, and the per-query
+    * argmax with ties to the lower id. */
+  private def sqlMmrRound(i: Int): String = {
+    val prevSel = (1 until i).map(j => s"SELECT q_id, n_id FROM b$j")
+    val remPred = if (prevSel.isEmpty) "TRUE"
+      else s"""NOT EXISTS (SELECT 1 FROM (${prevSel.mkString(" UNION ALL ")}) s
+              |    WHERE s.q_id = cand.q_id AND s.n_id = cand.n_id)""".stripMargin
+    val selSrc = if (prevSel.isEmpty)
+      "SELECT NULL AS q_id, NULL AS n_id WHERE FALSE"
+      else prevSel.mkString(" UNION ALL ")
+    s"""rem$i AS (SELECT q_id, n_id, score FROM cand WHERE $remPred),
+       |pen$i AS (SELECT r.q_id, r.n_id, MAX(
+       |    ${Registry10.sqlCos("en.embedding", "es.embedding")}) AS mx
+       |  FROM rem$i r JOIN ($selSrc) s ON s.q_id = r.q_id
+       |  JOIN embeddings en ON en.vec_id = r.n_id
+       |  JOIN embeddings es ON es.vec_id = s.n_id
+       |  GROUP BY r.q_id, r.n_id),
+       |b$i AS MATERIALIZED (SELECT q_id, n_id, CAST($i AS INT) AS pick, mmr
+       |  FROM (SELECT r.q_id, r.n_id,
+       |      0.5 * r.score - 0.5 * COALESCE(p.mx, 0.0) AS mmr,
+       |      ROW_NUMBER() OVER (PARTITION BY r.q_id
+       |        ORDER BY 0.5 * r.score - 0.5 * COALESCE(p.mx, 0.0) DESC,
+       |          r.n_id ASC) AS rn
+       |    FROM rem$i r LEFT JOIN pen$i p
+       |      ON p.q_id = r.q_id AND p.n_id = r.n_id)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** MMR diversity re-rank under the gate ([[Retrieval.mmrRerank]],
+    * Carbonell & Goldstein): the exact-cosine top-8 pool per query
+    * re-ranks to 4 picks maximizing λ·relevance − (1−λ)·max-cos-to-
+    * selected (λ = 0.5) — each pick relevant AND far from the picks
+    * before it, the diversity face a curation pipeline needs where a
+    * plain top-k returns near-duplicates of the best hit. The oracle
+    * unrolls all 4 greedy rounds (remaining pool, penalty join,
+    * fixed-order objective, argmax with ties to the lower id) — a
+    * drift anywhere in the trajectory flips every later pick. */
+  val annMmrRerank = Q("ann_mmr_rerank",
+    s"""WITH sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${Registry10.sqlCos("q.embedding", "c.embedding")} AS score
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 3),
+       |cand AS MATERIALIZED (SELECT q_id, n_id, score FROM (
+       |  SELECT q_id, n_id, score, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rnk
+       |  FROM sc) WHERE rnk <= 8),
+       |${(1 to 4).map(sqlMmrRound).mkString(",\n")}
+       |SELECT q_id, n_id, CAST(pick AS INT) AS pick, mmr
+       |FROM (${(1 to 4).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+       |ORDER BY q_id, pick""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val cand = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e,
+      "vec_id", "embedding", k = 8)
+      .select(col("q_id"), col("n_id"), col("cos").as("score"))
+    Retrieval.mmrRerank(cand, e, "vec_id", "embedding", k = 4,
+      lambda = 0.5)
+      .orderBy("q_id", "pick")
+  }
+
   val round13: Seq[Q] =
     Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
       hybridIndexedTopK, annMaxSimRerank, textBpeVocab, textBpeApply,
-      annGraphMultientry, dedupPqSemantic, packBpeSequences)
+      annGraphMultientry, dedupPqSemantic, packBpeSequences, annMmrRerank)
 }

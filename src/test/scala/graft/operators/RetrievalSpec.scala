@@ -577,6 +577,29 @@ class RetrievalSpec extends SparkSpec {
     r.foreach(x => assert(x.getDouble(2) == 1.0 && x.getDouble(3) == 1.0))
   }
 
+  test("mmrRerank: a near-duplicate of the first pick defers to a diverse candidate; lambda=1 is plain top-k") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),    // the query
+      (1L, Array(0.99f, 0.14f)),  // best hit
+      (2L, Array(0.99f, 0.14f)),  // identical to 1 — a near-dup candidate
+      (3L, Array(0.14f, -0.99f))  // orthogonal to the best hit: zero
+                                  // penalty, modest relevance — beats
+                                  // the duplicate's cos-1 penalty
+    ).toDF("vec_id", "embedding")
+    val cand = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0L),
+      corpus, "vec_id", "embedding", k = 3, dim = 2)
+      .select($"q_id", $"n_id", $"cos".as("score"))
+    def picks(lambda: Double) =
+      Retrieval.mmrRerank(cand, corpus, "vec_id", "embedding", k = 2,
+        lambda = lambda, dim = 2)
+        .orderBy("pick").collect().map(_.getLong(1)).toSeq
+    // relevance order is 1, 2, 3 (tie 1-vs-2 to the lower id); with the
+    // diversity penalty the duplicate of pick 1 loses to candidate 3
+    assert(picks(0.5) == Seq(1L, 3L), s"diversity pick drifted: ${picks(0.5)}")
+    // lambda = 1 removes the penalty entirely: plain relevance order
+    assert(picks(1.0) == Seq(1L, 2L), s"lambda=1 must be top-k: ${picks(1.0)}")
+  }
+
   // ---- MaxSim ----------------------------------------------------------
 
   test("maxSimTopK: an identical bag under another doc id scores |Q| (cos 1 per query vector)") {
