@@ -76,6 +76,57 @@ object Retrieval {
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL inverted index: the (doc_id, term, positions) ledger —
+    * [[bm25IndexBuild]]'s tf ledger with each term's 0-based word
+    * offsets kept (sorted — deterministic array layout), the stored
+    * asset phrase and proximity queries need. Positions index the RAW
+    * whitespace split (zero-length tokens drop as terms but do not
+    * renumber their neighbors), so adjacency means "adjacent in the
+    * original text". Same one-tokenize-exchange build shape; the
+    * ledger grows by one int per token over the tf form. */
+  def positionalIndexBuild(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** PHRASE match over a positional ledger: a document matches when
+    * some base offset p has phrase term i at position p + i for every
+    * i — the classic consecutive-position posting intersection, the
+    * query class tf-only indexes cannot answer ("supreme court" as a
+    * phrase, not a bag). `phrases`: (q_id, idx, term), idx 0-based
+    * within each phrase.
+    *
+    * Dataflow: the (small, broadcast) phrase-term side joins the
+    * posting list on the term key — only postings for the phrase's
+    * terms move; positions explode to (base = pos − idx) rows, and a
+    * base seen by ALL phrase positions is one occurrence (exact
+    * integer arithmetic end-to-end). Repeated terms in a phrase are
+    * handled by construction: each idx row joins the posting
+    * independently. Returns (q_id, doc_id, occurrences ≥ 1) — a
+    * match FILTER, so the query's own document matches itself (rank
+    * stages downstream apply their own self-exclusion). */
+  def phraseMatch(phrases: DataFrame, posLedger: DataFrame): DataFrame = {
+    val nTerms = phrases.groupBy("q_id")
+      .agg(countDistinct(col("idx")).as("_n"))
+    val hits = posLedger
+      .join(broadcast(
+        phrases.select(col("q_id"), col("idx"), col("term")).distinct()),
+        "term")
+      .select(col("q_id"), col("doc_id"), col("idx"),
+        explode(col("positions")).as("pos"))
+      .withColumn("base", col("pos") - col("idx"))
+      .filter(col("base") >= 0)
+      .groupBy("q_id", "doc_id", "base")
+      .agg(count(lit(1)).as("_k"))
+    hits.join(broadcast(nTerms), "q_id")
+      .filter(col("_k") === col("_n"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("occurrences"))
+  }
+
   /** Append a document batch to a stored BM25 ledger: tokenize ONLY
     * the arriving batch, anti-join already-indexed ids (idempotent
     * under at-least-once replay — the [[Similarity.pqIndexAppend]]

@@ -735,8 +735,50 @@ object Registry13 {
       .orderBy("q_id", "pick")
   }
 
+  /** Positional phrase match under the gate
+    * ([[Retrieval.positionalIndexBuild]] → [[Retrieval.phraseMatch]]):
+    * each query phrase is the first three words of docs 0..2, matched
+    * as a CONSECUTIVE sequence via the shifted-base posting
+    * intersection — a base offset counted once per phrase slot it
+    * satisfies, kept only when every slot matched. The tf-only BM25
+    * family cannot answer this query class; the positional ledger is
+    * its one-int-per-token extension. The oracle replays the raw-split
+    * positions (empty tokens drop as terms, never renumber), the
+    * phrase extraction, the base arithmetic, and the all-slots filter. */
+  val textPhraseMatch = Q("text_phrase_match",
+    s"""WITH pl AS (SELECT doc_id, term, pos FROM (
+       |  SELECT d.doc_id, u.i - 1 AS pos, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents) d,
+       |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
+       |  WHERE term <> ''),
+       |ph AS (SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents WHERE doc_id < 3) d,
+       |  UNNEST(range(1, 4)) AS u(i)),
+       |hits AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
+       |    COUNT(*) AS k
+       |  FROM pl l JOIN ph p ON p.term = l.term
+       |  WHERE l.pos - p.idx >= 0
+       |  GROUP BY 1, 2, 3),
+       |nt AS (SELECT q_id, COUNT(DISTINCT idx) AS n FROM ph GROUP BY 1)
+       |SELECT h.q_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+       |FROM hits h JOIN nt ON nt.q_id = h.q_id WHERE h.k = nt.n
+       |GROUP BY h.q_id, h.doc_id
+       |ORDER BY h.q_id, h.doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val ledger = Retrieval.positionalIndexBuild(dd, "doc_id", "text")
+    val ph = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(split(col("text"), " "), 1, 3))
+          .as(Seq("idx", "term")))
+    Retrieval.phraseMatch(ph, ledger)
+      .orderBy("q_id", "doc_id")
+  }
+
   val round13: Seq[Q] =
     Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
       hybridIndexedTopK, annMaxSimRerank, textBpeVocab, textBpeApply,
-      annGraphMultientry, dedupPqSemantic, packBpeSequences, annMmrRerank)
+      annGraphMultientry, dedupPqSemantic, packBpeSequences, annMmrRerank,
+      textPhraseMatch)
 }

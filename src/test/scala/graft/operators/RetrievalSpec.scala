@@ -577,6 +577,27 @@ class RetrievalSpec extends SparkSpec {
     r.foreach(x => assert(x.getDouble(2) == 1.0 && x.getDouble(3) == 1.0))
   }
 
+  test("phraseMatch: consecutive-only semantics, overlap counting, repeated-term phrases") {
+    val corpus = Seq(
+      (0L, "a b c d"),   // contains "b c"
+      (1L, "c b a"),     // reversed — must NOT match
+      (2L, "b x c"),     // gap — must NOT match
+      (3L, "b c b c"),   // two occurrences
+      (4L, "a a a")      // for the repeated-term phrase
+    ).toDF("doc_id", "text")
+    val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
+    val bc = Seq((0L, 0, "b"), (0L, 1, "c")).toDF("q_id", "idx", "term")
+    val got = Retrieval.phraseMatch(bc, ledger)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 1L, 3L -> 2L),
+      s"phrase 'b c' matches drifted: $got")
+    // repeated-term phrase "a a" over "a a a": overlapping bases 0 and 1
+    val aa = Seq((1L, 0, "a"), (1L, 1, "a")).toDF("q_id", "idx", "term")
+    val got2 = Retrieval.phraseMatch(aa, ledger)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got2 == Map(4L -> 2L), s"'a a' occurrences drifted: $got2")
+  }
+
   test("mmrRerank: a near-duplicate of the first pick defers to a diverse candidate; lambda=1 is plain top-k") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f)),    // the query
