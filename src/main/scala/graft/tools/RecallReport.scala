@@ -120,6 +120,37 @@ object RecallReport {
             Similarity.graphEntries(q, e, cent, "vec_id", "embedding",
               nProbe = 4)))))
     println(f"RECALL sf=$sfDir queries=$nQ k=$k")
+    // takedown-repair story: tombstone a 10% id range out of the
+    // connected graph, then measure search recall against the
+    // SURVIVING corpus's truth — tombstone-only vs repaired
+    val removals = e.filter(col("vec_id") >= 500 && col("vec_id") < 700)
+      .select("vec_id")
+    lazy val surviving = graft.operators.Lineage.truncate(
+      e.filter(col("vec_id") < 500 || col("vec_id") >= 700))
+    lazy val truthSurv = graft.operators.Lineage.truncate(
+      Similarity.bruteForceTopK(q, surviving, "vec_id", "embedding", k))
+    lazy val prunedG = Similarity.graphRemove(graphC, removals, "vec_id")
+    lazy val repairedG = Similarity.graphRepair(graphC, surviving, removals,
+      "vec_id", "embedding", k = 8, beam = 16, hops = 8, maxDegree = 16)
+    val takedown: Seq[(String, () => DataFrame)] = Seq(
+      "graph_conn_tombstoned(beam16,hops8)" -> (() =>
+        Similarity.graphSearchTopK(q, surviving, prunedG,
+          "vec_id", "embedding", k, beam = 16, hops = 8)),
+      "graph_conn_repaired(beam16,hops8)" -> (() =>
+        Similarity.graphSearchTopK(q, surviving, repairedG,
+          "vec_id", "embedding", k, beam = 16, hops = 8)))
+    takedown.foreach { case (name, mk) =>
+      try {
+        val ev = Retrieval.evalRanking(mk(), truthSurv, k)
+          .agg(sum("hits").as("h"), count(lit(1)).as("n"), sum("rr").as("m"))
+          .head()
+        val recall = ev.getLong(0).toDouble / (ev.getLong(1) * k)
+        val mrr = ev.getDouble(2) / ev.getLong(1)
+        println(f"RECALL $name%-36s recall@$k=$recall%.3f mrr=$mrr%.3f")
+      } catch { case ex: Throwable =>
+        println(s"RECALL $name ERROR ${ex.getMessage.linesIterator.next()}")
+      }
+    }
     families.foreach { case (name, mk) =>
       try {
         val ev = Retrieval.evalRanking(mk(), truth, k)
