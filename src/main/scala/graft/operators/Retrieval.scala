@@ -92,6 +92,24 @@ object Retrieval {
       .groupBy("doc_id", "term")
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
 
+  /** Append a document batch to a stored POSITIONAL ledger —
+    * [[bm25IndexAppend]]'s posture on the positions shape: tokenize
+    * only the batch, anti-join already-indexed ids (idempotent under
+    * at-least-once replay; the ledger ships only distinct doc ids).
+    * Positions are per-document facts like tf rows, so
+    * append ≡ from-scratch rebuild unconditionally. `deltaOnly`
+    * returns just the new rows (the parquet `mode("append")` face).
+    * Takedown is [[bm25IndexRemove]] — it is shape-generic over any
+    * doc_id-keyed ledger, positional included. */
+  def positionalIndexAppend(ledger: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            deltaOnly: Boolean = false): DataFrame = {
+    val seen = ledger.select(col("doc_id")).distinct()
+    val delta = positionalIndexBuild(batch, idCol, textCol)
+      .join(seen, Seq("doc_id"), "left_anti")
+    if (deltaOnly) delta else ledger.unionByName(delta)
+  }
+
   /** PHRASE match over a positional ledger: a document matches when
     * some base offset p has phrase term i at position p + i for every
     * i — the classic consecutive-position posting intersection, the

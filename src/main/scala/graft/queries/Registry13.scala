@@ -776,9 +776,53 @@ object Registry13 {
       .orderBy("q_id", "doc_id")
   }
 
+  /** Positional-ledger APPEND under the gate
+    * ([[Retrieval.positionalIndexAppend]] →
+    * [[Retrieval.phraseMatch]]): the phrase index as a maintained
+    * stored asset — a ledger of docs < 250 extended by a batch of
+    * docs ≥ 240 (ten-doc overlap, absorbed by the id anti-join), then
+    * the same phrase queries as `text_phrase_match` run against the
+    * APPENDED ledger. Positions are per-document facts, so append ≡
+    * from-scratch rebuild and the oracle IS `text_phrase_match`'s: a
+    * broken anti-join would duplicate the overlap docs' position rows
+    * and inflate their occurrence counts — a hash flip. */
+  val textPhraseIndexAppend = Q("text_phrase_index_append",
+    s"""WITH pl AS (SELECT doc_id, term, pos FROM (
+       |  SELECT d.doc_id, u.i - 1 AS pos, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents) d,
+       |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
+       |  WHERE term <> ''),
+       |ph AS (SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents WHERE doc_id < 3) d,
+       |  UNNEST(range(1, 4)) AS u(i)),
+       |hits AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
+       |    COUNT(*) AS k
+       |  FROM pl l JOIN ph p ON p.term = l.term
+       |  WHERE l.pos - p.idx >= 0
+       |  GROUP BY 1, 2, 3),
+       |nt AS (SELECT q_id, COUNT(DISTINCT idx) AS n FROM ph GROUP BY 1)
+       |SELECT h.q_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+       |FROM hits h JOIN nt ON nt.q_id = h.q_id WHERE h.k = nt.n
+       |GROUP BY h.q_id, h.doc_id
+       |ORDER BY h.q_id, h.doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val ledger = Retrieval.positionalIndexBuild(
+      dd.filter(col("doc_id") < 250), "doc_id", "text")
+    val appended = Retrieval.positionalIndexAppend(ledger,
+      dd.filter(col("doc_id") >= 240), "doc_id", "text")
+    val ph = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(split(col("text"), " "), 1, 3))
+          .as(Seq("idx", "term")))
+    Retrieval.phraseMatch(ph, appended)
+      .orderBy("q_id", "doc_id")
+  }
+
   val round13: Seq[Q] =
     Seq(annPqTrainedFix, annOpqTopK, annGraphRepair, streamingGraphIngest,
       hybridIndexedTopK, annMaxSimRerank, textBpeVocab, textBpeApply,
       annGraphMultientry, dedupPqSemantic, packBpeSequences, annMmrRerank,
-      textPhraseMatch)
+      textPhraseMatch, textPhraseIndexAppend)
 }

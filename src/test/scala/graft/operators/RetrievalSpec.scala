@@ -598,6 +598,19 @@ class RetrievalSpec extends SparkSpec {
     assert(got2 == Map(4L -> 2L), s"'a a' occurrences drifted: $got2")
   }
 
+  test("positionalIndexAppend: append == rebuild; replayed batches are absorbed") {
+    val ledger = Retrieval.positionalIndexBuild(
+      docs.filter($"doc_id" < 30), "doc_id", "text")
+    val batch = docs.filter($"doc_id" >= 20 && $"doc_id" < 50)
+    val once = Retrieval.positionalIndexAppend(ledger, batch, "doc_id", "text")
+    val rebuild = Retrieval.positionalIndexBuild(
+      docs.filter($"doc_id" < 50), "doc_id", "text")
+    assert(once.exceptAll(rebuild).isEmpty && rebuild.exceptAll(once).isEmpty,
+      "append must equal the from-scratch rebuild")
+    val twice = Retrieval.positionalIndexAppend(once, batch, "doc_id", "text")
+    assert(twice.count() == once.count(), "replayed batch must be absorbed")
+  }
+
   test("mmrRerank: a near-duplicate of the first pick defers to a diverse candidate; lambda=1 is plain top-k") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f)),    // the query
