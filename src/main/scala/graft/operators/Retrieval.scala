@@ -125,13 +125,23 @@ object Retrieval {
     * handled by construction: each idx row joins the posting
     * independently. Returns (q_id, doc_id, occurrences ≥ 1) — a
     * match FILTER, so the query's own document matches itself (rank
-    * stages downstream apply their own self-exclusion). */
+    * stages downstream apply their own self-exclusion).
+    *
+    * Zero-length phrase slots (mintable by doubled spaces in a raw
+    * split) are DROPPED before `_n` is counted — the ledger never
+    * indexes empty tokens, so an empty slot counted toward `_n` could
+    * never be satisfied and would silently make the whole phrase
+    * unmatchable, including by its own document. Dropping the slot
+    * matches the ledger's positions contract: empty tokens vanish as
+    * terms but never renumber their neighbors, so the surviving slots'
+    * idx offsets still land on the original text's positions. */
   def phraseMatch(phrases: DataFrame, posLedger: DataFrame): DataFrame = {
-    val nTerms = phrases.groupBy("q_id")
+    val ph = phrases.filter(length(col("term")) > 0)
+    val nTerms = ph.groupBy("q_id")
       .agg(countDistinct(col("idx")).as("_n"))
     val hits = posLedger
       .join(broadcast(
-        phrases.select(col("q_id"), col("idx"), col("term")).distinct()),
+        ph.select(col("q_id"), col("idx"), col("term")).distinct()),
         "term")
       .select(col("q_id"), col("doc_id"), col("idx"),
         explode(col("positions")).as("pos"))

@@ -585,9 +585,7 @@ object Similarity {
       val voffs = cw.map(_(0).length).scanLeft(0)(_ + _).init
       // fixpoint mode materializes ONLY (vec_id, codes) — m bytes/row,
       // what the convergence anti-join reads — never the raw vectors:
-      // the means re-derive the keepVec encode lazily below (a scalar
-      // projection, the same pass the non-fixpoint path runs), so the
-      // per-step checkpoint write stays codes-sized at any corpus
+      // the per-step checkpoint write stays codes-sized at any corpus
       val codesNow =
         if (toFixpoint) Some(Lineage.truncate(
           pqEncode(corpus, current, idCol, vecCol)
@@ -598,8 +596,18 @@ object Similarity {
           codesNow.get.join(p, Seq("vec_id", "codes"), "left_anti").isEmpty)) {
         converged = true
       } else {
-      val asg = pqEncode(corpus, current, idCol, vecCol, keepVec = true)
-        .filter(col("codes").isNotNull)
+      // ONE encode per step: fixpoint mode reuses the already-
+      // materialized (vec_id, codes) frame and joins the raw vectors
+      // back by id for the means input — re-encoding with keepVec would
+      // run the dominant per-step corpus projection twice; non-fixpoint
+      // mode encodes once with the vector kept in-row (no join)
+      val enc = codesNow match {
+        case Some(cn) => cn.join(
+          corpus.select(col(idCol).as("vec_id"), col(vecCol)), "vec_id")
+        case None => pqEncode(corpus, current, idCol, vecCol, keepVec = true)
+          .filter(col("codes").isNotNull)
+      }
+      val asg = enc
         .select(explode(array((0 until m).map(j =>
           struct(lit(j).as("sub"),
             element_at(col("codes"), j + 1).as("code"),
@@ -653,6 +661,17 @@ object Similarity {
     * IEEE order; variance = m2 − m1·m1. One corpus pass + a dim-sized
     * aggregate; the corpus never shuffles, and the rank window runs on
     * a dim-row (KB-scale) frame.
+    *
+    * Amplitude contract: the SECOND moment casts round(x·x·1e10) to
+    * BIGINT per element, which overflows Long once |x| exceeds ~3×10⁴
+    * (the m1 path tolerates ~9×10⁸) — silent corruption of the variance
+    * RANKING, not an error. Embeddings are expected unit-scale (the
+    * [[cellMeans]] posture: |x| ≲ 1, where the per-element term is
+    * ≤ 10¹⁰ and the integer SUM holds ~9×10⁸ rows of headroom); the
+    * operator enforces the element bound eagerly — a dimension whose
+    * max |x| exceeds 3×10⁴ raises rather than ranking on corrupt
+    * variance. Rescale (or normalize) non-unit-scale embeddings before
+    * permuting.
     * Returns (d, pos): original 0-based dimension d moves to 0-based
     * permuted position pos (= subspace·(dim/m) + slot). */
   def opqPermutation(corpus: DataFrame, vecCol: String,
@@ -669,17 +688,28 @@ object Similarity {
           .cast("double") / lit(1e10) / count(col("x"))).as("m1"),
         (sum(round(col("x").cast("double") * col("x").cast("double") *
             lit(1e10)).cast("long"))
-          .cast("double") / lit(1e10) / count(col("x"))).as("m2"))
-      .select(col("d"), (col("m2") - col("m1") * col("m1")).as("vr"))
+          .cast("double") / lit(1e10) / count(col("x"))).as("m2"),
+        // amplitude witness, free in the same pass: the m2 fixed-point
+        // cast corrupts silently past |x| ≈ 3e4 (see scaladoc) — carry
+        // the max so the guard below can refuse instead
+        max(abs(col("x").cast("double"))).as("_amx"))
+      .select(col("d"), (col("m2") - col("m1") * col("m1")).as("vr"),
+        col("_amx"))
     moments
       .withColumn("r", row_number().over(
         Window.orderBy(col("vr").desc, col("d").asc)) - 1)
       .withColumn("_pass", expr(s"CAST(r DIV $m AS INT)"))
       .withColumn("_lane", expr(s"CAST(r % $m AS INT)"))
       .select(col("d"),
-        ((when(col("_pass") % 2 === 0, col("_lane"))
-          .otherwise(lit(m - 1) - col("_lane"))) * slotW + col("_pass"))
-          .cast("int").as("pos"))
+        when(col("_amx") > lit(3.0e4), expr(
+          "raise_error(concat('opqPermutation: element magnitude ', " +
+            "CAST(_amx AS STRING), ' exceeds the 3e4 fixed-point " +
+            "amplitude bound for the second moment — normalize or " +
+            "rescale the embeddings before permuting'))").cast("int"))
+        .otherwise(
+          ((when(col("_pass") % 2 === 0, col("_lane"))
+            .otherwise(lit(m - 1) - col("_lane"))) * slotW + col("_pass"))
+            .cast("int")).as("pos"))
   }
 
   /** Apply an [[opqPermutation]] to a vector column: a STATIC array

@@ -752,10 +752,11 @@ object Registry13 {
        |    FROM documents) d,
        |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
        |  WHERE term <> ''),
-       |ph AS (SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
+       |ph AS (SELECT q_id, idx, term FROM (
+       |  SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
        |    FROM documents WHERE doc_id < 3) d,
-       |  UNNEST(range(1, 4)) AS u(i)),
+       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
        |hits AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
        |    COUNT(*) AS k
        |  FROM pl l JOIN ph p ON p.term = l.term
@@ -793,10 +794,11 @@ object Registry13 {
        |    FROM documents) d,
        |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
        |  WHERE term <> ''),
-       |ph AS (SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
+       |ph AS (SELECT q_id, idx, term FROM (
+       |  SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
        |    FROM documents WHERE doc_id < 3) d,
-       |  UNNEST(range(1, 4)) AS u(i)),
+       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
        |hits AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
        |    COUNT(*) AS k
        |  FROM pl l JOIN ph p ON p.term = l.term

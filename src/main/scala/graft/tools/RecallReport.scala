@@ -9,12 +9,15 @@ import graft.operators.{Retrieval, Similarity}
   * ([[Retrieval.evalRanking]] driven across the whole ANN surface):
   * `runMain graft.tools.RecallReport [sfDir] [nQueries] [k]`.
   *
-  * Prints one line per family: recall@k and MRR, aggregated over the
-  * held-out query set via exact integer sums (Σ hits / (n·k); MRR's
-  * mean is a double sum over ≤ n reciprocal ranks — a REPORT quantity,
-  * not a gate hash, so the unordered aggregate is acceptable here and
-  * noted). Configurations mirror the gated queries' so the numbers
-  * explain the gates' approximation contracts quantitatively. */
+  * Prints one line per family: recall@k and MRR as the MEAN of
+  * [[Retrieval.evalRanking]]'s own per-query columns — the report and
+  * the operator define recall identically (per-query denominator
+  * min(k, |truth@k|)), so a truth list shorter than k scores the same
+  * here as under the gates. The means are double sums over ≤ n rows —
+  * REPORT quantities, not gate hashes, so the unordered aggregate is
+  * acceptable and noted. Configurations mirror the gated queries' so
+  * the numbers explain the gates' approximation contracts
+  * quantitatively. */
 object RecallReport {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -139,30 +142,23 @@ object RecallReport {
       "graph_conn_repaired(beam16,hops8)" -> (() =>
         Similarity.graphSearchTopK(q, surviving, repairedG,
           "vec_id", "embedding", k, beam = 16, hops = 8)))
-    takedown.foreach { case (name, mk) =>
+    // aggregate from evalRanking's OWN per-query recall column (mean
+    // over queries) so the report defines recall exactly as the
+    // operator does — the per-query denominator is min(k, |truth@k|),
+    // not a flat n·k, and the two only coincide when every truth list
+    // runs the full k deep; mrr = avg(rr) likewise
+    def report(name: String, mk: () => DataFrame, truthDf: DataFrame): Unit =
       try {
-        val ev = Retrieval.evalRanking(mk(), truthSurv, k)
-          .agg(sum("hits").as("h"), count(lit(1)).as("n"), sum("rr").as("m"))
+        val ev = Retrieval.evalRanking(mk(), truthDf, k)
+          .agg(avg(col("recall")).as("rec"), avg(col("rr")).as("m"))
           .head()
-        val recall = ev.getLong(0).toDouble / (ev.getLong(1) * k)
-        val mrr = ev.getDouble(2) / ev.getLong(1)
-        println(f"RECALL $name%-36s recall@$k=$recall%.3f mrr=$mrr%.3f")
+        println(f"RECALL $name%-36s recall@$k=${ev.getDouble(0)}%.3f " +
+          f"mrr=${ev.getDouble(1)}%.3f")
       } catch { case ex: Throwable =>
         println(s"RECALL $name ERROR ${ex.getMessage.linesIterator.next()}")
       }
-    }
-    families.foreach { case (name, mk) =>
-      try {
-        val ev = Retrieval.evalRanking(mk(), truth, k)
-          .agg(sum("hits").as("h"), count(lit(1)).as("n"), sum("rr").as("m"))
-          .head()
-        val recall = ev.getLong(0).toDouble / (ev.getLong(1) * k)
-        val mrr = ev.getDouble(2) / ev.getLong(1)
-        println(f"RECALL $name%-36s recall@$k=$recall%.3f mrr=$mrr%.3f")
-      } catch { case ex: Throwable =>
-        println(s"RECALL $name ERROR ${ex.getMessage.linesIterator.next()}")
-      }
-    }
+    takedown.foreach { case (name, mk) => report(name, mk, truthSurv) }
+    families.foreach { case (name, mk) => report(name, mk, truth) }
     spark.stop()
   }
 }
