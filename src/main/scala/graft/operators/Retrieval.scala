@@ -155,6 +155,57 @@ object Retrieval {
       .agg(count(lit(1)).as("occurrences"))
   }
 
+  /** PROXIMITY (NEAR/w) match over a positional ledger: a document
+    * matches when every query term occurs within a `window`-position
+    * span, in ANY order — the query class users reach for the day
+    * after phrase search ("court NEAR/3 supreme" — both words close,
+    * order free). [[phraseMatch]]'s base arithmetic generalizes by
+    * dropping the slot offsets: an assignment of one position per term
+    * with max(pos) − min(pos) ≤ window exists iff some ANCHOR position
+    * p (any matched-term position in the doc) covers every term inside
+    * [p, p + window] — the minimal covering set's min position is such
+    * an anchor, so the existence check is exact, not heuristic.
+    *
+    * Dataflow: the (small, broadcast) query-term SET joins the posting
+    * list on the term key — only postings for the query's terms move;
+    * positions explode once, self-pair WITHIN each (q_id, doc_id)
+    * group under the window inequality, and an anchor seen by ALL
+    * terms is a covering span (exact integer arithmetic end-to-end).
+    * The within-doc pairing is quadratic in the doc's MATCHED-term
+    * occurrences only — bounded by the doc's length, never by the
+    * corpus; the (q_id, doc_id) exchange co-locates each group, so
+    * at 10⁹ docs the pairing cost is per-doc local. Zero-length terms
+    * drop exactly as in [[phraseMatch]] (the ledger never indexes
+    * them). `queryTerms`: (q_id, term) — a term SET (order carries no
+    * meaning for NEAR); `window` ≥ 0 in word positions, window = 0
+    * demands all terms at one position (only satisfiable by the
+    * single-term query). Returns (q_id, doc_id, anchors ≥ 1) — a match
+    * FILTER like [[phraseMatch]], anchors = how many positions open a
+    * covering span (a crude density signal; rank stages downstream
+    * apply their own scoring). */
+  def proximityMatch(queryTerms: DataFrame, posLedger: DataFrame,
+                     window: Int): DataFrame = {
+    require(window >= 0, "window must be non-negative")
+    val qt = queryTerms.filter(length(col("term")) > 0)
+      .select(col("q_id"), col("term")).distinct()
+    val nTerms = qt.groupBy("q_id").agg(countDistinct(col("term")).as("_n"))
+    val occ = posLedger
+      .join(broadcast(qt), "term")
+      .select(col("q_id"), col("doc_id"), col("term"),
+        explode(col("positions")).as("pos"))
+    val anchors = occ.select(col("q_id"), col("doc_id"),
+      col("pos").as("base")).distinct()
+    val cover = occ.join(anchors, Seq("q_id", "doc_id"))
+      .filter(col("pos") >= col("base") &&
+        col("pos") <= col("base") + lit(window))
+      .groupBy("q_id", "doc_id", "base")
+      .agg(countDistinct(col("term")).as("_k"))
+    cover.join(broadcast(nTerms), "q_id")
+      .filter(col("_k") === col("_n"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("anchors"))
+  }
+
   /** Append a document batch to a stored BM25 ledger: tokenize ONLY
     * the arriving batch, anti-join already-indexed ids (idempotent
     * under at-least-once replay — the [[Similarity.pqIndexAppend]]

@@ -401,5 +401,6 @@ object RegistryExt {
     Registry3.round3 ++ Registry4.round4 ++ Registry5.round6 ++
     Registry6.round7 ++ Registry7.round8 ++ Registry8.round9 ++
     Registry9.round9b ++ Registry10.round11 ++ Registry10.round12 ++
-    Registry11.round12b ++ Registry12.round12c ++ Registry13.round13
+    Registry11.round12b ++ Registry12.round12c ++ Registry13.round13 ++
+    Registry14.round14
 }

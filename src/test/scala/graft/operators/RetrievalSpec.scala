@@ -611,6 +611,62 @@ class RetrievalSpec extends SparkSpec {
     assert(twice.count() == once.count(), "replayed batch must be absorbed")
   }
 
+  test("proximityMatch: NEAR/w hits where phrase fails; window bound is inclusive and exact") {
+    val corpus = Seq(
+      (0L, "b c x"),       // adjacent, in order
+      (1L, "c x b"),       // reversed with a gap of 1 — span 2
+      (2L, "b x y z c"),   // span 4 — outside NEAR/3
+      (3L, "b x y c"),     // span 3 — exactly on the NEAR/3 boundary
+      (4L, "b b b")        // missing c entirely
+    ).toDF("doc_id", "text")
+    val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
+    val q = Seq((0L, "b"), (0L, "c")).toDF("q_id", "term")
+    // phrase "b c" (consecutive, ordered) matches doc 0 only…
+    val phrase = Retrieval.phraseMatch(
+      Seq((0L, 0, "b"), (0L, 1, "c")).toDF("q_id", "idx", "term"), ledger)
+      .collect().map(_.getLong(1)).toSet
+    assert(phrase == Set(0L), s"phrase baseline drifted: $phrase")
+    // …NEAR/3 additionally matches the reversed doc 1 and the
+    // boundary-span doc 3, still excludes span-4 doc 2 and doc 4
+    val near = Retrieval.proximityMatch(q, ledger, window = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(near.keySet == Set(0L, 1L, 3L),
+      s"NEAR/3 match set drifted: $near")
+    // anchors: doc 0 — base 0 covers {b@0, c@1}, base 1 covers c only
+    // (no b in [1,4]… b@0 is BEFORE the anchor) → 1 anchor; doc 3 —
+    // only base 0 spans both ends → 1 anchor
+    assert(near(0L) == 1L && near(3L) == 1L, s"anchor counts drifted: $near")
+    // window=0 collapses to single-position cover: multi-term queries
+    // can never match
+    assert(Retrieval.proximityMatch(q, ledger, window = 0).isEmpty)
+    // zero-length query terms drop (the phraseMatch posture): a query
+    // with an empty slot still matches on its real terms
+    val qEmpty = Seq((0L, "b"), (0L, ""), (0L, "c")).toDF("q_id", "term")
+    val near2 = Retrieval.proximityMatch(qEmpty, ledger, window = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(near2 == Set(0L, 1L, 3L), s"empty-term query drifted: $near2")
+  }
+
+  test("positional remove: takedown == rebuild of survivors; removed docs vanish from phrase hits") {
+    val ledger = Retrieval.positionalIndexBuild(
+      docs.filter($"doc_id" < 50), "doc_id", "text")
+    val removals = docs.filter($"doc_id" >= 20 && $"doc_id" < 30)
+      .select("doc_id")
+    val pruned = Retrieval.bm25IndexRemove(ledger, removals)
+    val rebuild = Retrieval.positionalIndexBuild(
+      docs.filter($"doc_id" < 20 || ($"doc_id" >= 30 && $"doc_id" < 50)),
+      "doc_id", "text")
+    assert(pruned.exceptAll(rebuild).isEmpty && rebuild.exceptAll(pruned).isEmpty,
+      "positional takedown must equal the from-scratch survivor rebuild")
+    // a phrase drawn from a REMOVED doc no longer matches it
+    val ph = docs.filter($"doc_id" === 25)
+      .select($"doc_id".as("q_id"),
+        posexplode(slice(split($"text", " "), 1, 3)).as(Seq("idx", "term")))
+    val hits = Retrieval.phraseMatch(ph, pruned)
+      .collect().map(_.getLong(1)).toSet
+    assert(!hits.contains(25L), s"removed doc still matches: $hits")
+  }
+
   test("mmrRerank: a near-duplicate of the first pick defers to a diverse candidate; lambda=1 is plain top-k") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f)),    // the query
