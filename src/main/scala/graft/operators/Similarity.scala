@@ -1848,6 +1848,35 @@ object Similarity {
     untouched.unionByName(recapped)
   }
 
+  /** Graph COMPACTION — the periodic rebuild [[graphRemove]] and
+    * [[graphRepair]] both defer to: discard the tombstone-heavy ledger
+    * and rebuild the k-NN graph from the surviving corpus alone.
+    * Repair restores reachability INTO orphaned neighborhoods but is
+    * honestly NOT rebuild-parity (paths that crossed the removed
+    * region through non-orphan nodes are outside its election); after
+    * enough takedowns the accumulated asymmetry is what compaction
+    * clears. The result is BY CONSTRUCTION bit-equal to
+    * [[knnGraph]] over the survivors — that identity is the
+    * operator's contract (and what its gate hashes): a compacted
+    * ledger serves exactly like a freshly built one, no residue of
+    * the removal history.
+    *
+    * Scale shape: one [[knnGraph]] build over the surviving corpus
+    * (within-cell pairs only, the same `maxCellRows` refuse guard) —
+    * paid on the compaction CADENCE, not per takedown; the cheap
+    * tombstone/repair faces absorb the steady state and this clears
+    * the debt periodically, the LSM posture every ledger family here
+    * follows. `removals` may contain never-present ids (no-op rows,
+    * the [[bm25IndexRemove]] posture). */
+  def graphCompact(corpus: DataFrame, removals: DataFrame,
+                   centroids: DataFrame, idCol: String, vecCol: String,
+                   k: Int, dim: Int = 64,
+                   maxCellRows: Long = 1L << 20): DataFrame =
+    knnGraph(
+      corpus.join(removals.select(col(idCol)).distinct(), Seq(idCol),
+        "left_anti"),
+      centroids, idCol, vecCol, k, dim, maxCellRows)
+
   /** PQ-guided graph search with exact re-rank — the DiskANN shape:
     * beam traversal distances come from the m-byte PQ CODES (one
     * [[graft.expressions.PqAdcLookup]] table read per candidate per

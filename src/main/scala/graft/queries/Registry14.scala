@@ -124,6 +124,85 @@ object Registry14 {
       .orderBy("q_id", "doc_id")
   }
 
+  /** Production-shaped PQ codebook under the hash gate
+    * ([[Similarity.pqCodebookSeed]] ksub=64 →
+    * [[Similarity.pqTopK]]): the gated PQ family pins ksub=16 for
+    * oracle cost, while SCALE.md's measured recall lift lives at the
+    * production budget (ksub=256) — this gate closes the gap with a
+    * mid-size 64-codeword codebook (seeded, deterministic) whose whole
+    * ADC journey runs under the oracle machinery: 4× the codeword
+    * range of `ann_pq_topk` through the identical argmin + subspace-
+    * order fold + rank algebra, so the budget LEVER itself (more
+    * codewords per subspace, same dataflow) is hash-witnessed, not
+    * only report-measured. */
+  val annPqTopKK64 = Q("ann_pq_topk_k64",
+    s"""WITH cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
+       |  FROM embeddings WHERE vec_id < 64),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings b CROSS JOIN js CROSS JOIN cw c),
+       |codes AS (SELECT n_id, sub, code FROM (
+       |  SELECT n_id, sub, code, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |adc AS (SELECT q.q_id, n.n_id,
+       |    list_reduce(list_prepend(0.0, list(q.dist ORDER BY q.sub)),
+       |      (x, y) -> x + y) AS adc
+       |  FROM codes n JOIN qd q ON q.sub = n.sub AND q.code = n.code
+       |  WHERE q.q_id <> n.n_id
+       |  GROUP BY q.q_id, n.n_id),
+       |r AS (SELECT q_id, n_id, adc, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    Similarity.pqTopK(e.filter(col("vec_id") < 5), e,
+      Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+        m = 8, ksub = 64, subDim = 8),
+      "vec_id", "embedding", k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Graph COMPACTION under the gate ([[Similarity.graphCompact]]):
+    * a tombstone-heavy history — 30% of the pinned 200-node corpus
+    * removed — compacts to a fresh k-NN build over the 140 survivors,
+    * the periodic rebuild the repair scaladoc defers to
+    * (`ann_graph_repair` restores reachability but is honestly not
+    * rebuild-parity; compaction clears the residue). The oracle IS the
+    * surviving-corpus build replay: pairwise cosine rank over the
+    * filtered base, rn ≤ 3 — so the gate hashes the compaction
+    * contract itself (compacted ≡ freshly built, no removal-history
+    * residue). The RecallReport repaired-vs-compacted rows measure
+    * what the parity buys. */
+  val annGraphCompact = Q("ann_graph_compact",
+    s"""WITH sbase AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < 200 AND NOT (vec_id >= 10 AND vec_id < 70)),
+       |g AS (SELECT src_id, nbr_id, cs AS cos FROM (
+       |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+       |    ${Registry10.sqlCos("a.embedding", "b.embedding")} AS cs,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |    ORDER BY ${Registry10.sqlCos("a.embedding", "b.embedding")} DESC,
+       |      b.vec_id ASC) AS rn
+       |  FROM sbase a JOIN sbase b ON a.vec_id <> b.vec_id) WHERE rn <= 3)
+       |SELECT src_id, nbr_id, cos FROM g
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val removals = e.filter(col("vec_id") >= 10 && col("vec_id") < 70)
+      .select("vec_id")
+    Similarity.graphCompact(e, removals, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+      .orderBy("src_id", "nbr_id")
+  }
+
   val round14: Seq[Q] =
-    Seq(textPhraseIndexRemove, textNearMatch)
+    Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact)
 }

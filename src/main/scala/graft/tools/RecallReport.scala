@@ -141,6 +141,16 @@ object RecallReport {
           "vec_id", "embedding", k, beam = 16, hops = 8)),
       "graph_conn_repaired(beam16,hops8)" -> (() =>
         Similarity.graphSearchTopK(q, surviving, repairedG,
+          "vec_id", "embedding", k, beam = 16, hops = 8)),
+      // the compaction face (ann_graph_compact): periodic rebuild over
+      // the survivors — the recall ceiling repair approaches but does
+      // not reach (repair is honestly not rebuild-parity); same
+      // connected-build family as the tombstoned/repaired rows so the
+      // three numbers are one story
+      "graph_conn_compacted(beam16,hops8)" -> (() =>
+        Similarity.graphSearchTopK(q, surviving,
+          Similarity.knnGraphConnected(surviving, cent,
+            "vec_id", "embedding", k = 8, cellNeighbors = 3),
           "vec_id", "embedding", k, beam = 16, hops = 8)))
     // aggregate from evalRanking's OWN per-query recall column (mean
     // over queries) so the report defines recall exactly as the

@@ -348,6 +348,33 @@ class RetrievalSpec extends SparkSpec {
       s"repair must restore reachability into island B, got $got")
   }
 
+  test("graphCompact: rebuild-parity on the survivors; never-present removal ids are no-ops") {
+    val e = emb.filter($"vec_id" < 100)
+    val cent = e.filter($"vec_id" === 0)
+      .select(lit(0).cast("int").as("cell"), $"embedding".as("c_vec"))
+    val removals = e.filter($"vec_id" >= 10 && $"vec_id" < 40)
+      .select("vec_id")
+    val compacted = Similarity.graphCompact(e, removals, cent,
+      "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val fresh = Similarity.knnGraph(
+      e.filter($"vec_id" < 10 || $"vec_id" >= 40), cent,
+      "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    assert(compacted.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(compacted).isEmpty,
+      "compaction must equal the from-scratch survivor build")
+    assert(compacted.filter($"src_id" >= 10 && $"src_id" < 40).count() == 0,
+      "no removal-history residue")
+    // removal ids that never existed change nothing
+    val withGhosts = Similarity.graphCompact(e,
+      removals.unionByName(Seq(10000L, 10001L).toDF("vec_id")), cent,
+      "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    assert(withGhosts.exceptAll(fresh).isEmpty &&
+      fresh.exceptAll(withGhosts).isEmpty)
+  }
+
   // ---- PQ-guided graph search (DiskANN shape) --------------------------
 
   test("graphSearchPqTopK: complete graph + full re-rank collapses to brute force") {
