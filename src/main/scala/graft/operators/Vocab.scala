@@ -9,16 +9,22 @@ import org.apache.spark.sql.types._
   * LLM-tokenizer training step; [[graft.functions.TextFns.bpeishCount]]
   * is the APPLY-side budget proxy, this is the LEARN side).
   *
-  * Dataflow per merge round (the Lloyd/label-propagation loop pattern):
-  * one pass over the DISTINCT-WORD frame (tokenize once up front —
-  * pair statistics are per word FORM × its corpus frequency, so the
-  * corpus text is never rescanned), a pair-count aggregate
+  * Dataflow: the corpus-sized work — the distinct-word histogram — is
+  * one distributed tokenize exchange, always (pair statistics are per
+  * word FORM × its corpus frequency, so the corpus text is never
+  * rescanned). The merge LOOP itself is globally sequential by
+  * definition and runs in one of two places: DRIVER-LOCAL over the
+  * collected histogram when it fits `maxDistinctWords` (the
+  * single-node-trainer shape — one collect, then in-memory rounds; the
+  * production path, since a 10⁵-merge vocab over a 10⁵-word histogram
+  * is MBs of driver state vs ~10⁵ sequential cluster jobs), or
+  * DISTRIBUTED above the cap: per round one pair-count aggregate
   * (partial-aggregated map-side; the exchange carries (l, r, cnt)
-  * groups, never words), a 1-row argmax collect to the driver (the
-  * merge decision is globally sequential BY DEFINITION — same as the
-  * Lloyd step's codebook collect), and a codegen'd literal `replace`
-  * projection applying the merge. [[Lineage.truncate]] pins the word
-  * frame each round, so plan depth stays flat in the merge count.
+  * groups, never words), a 1-row argmax collect (the Lloyd-step
+  * codebook-collect posture), and a codegen'd literal `replace`
+  * projection, with [[Lineage.truncate]] pinning the word frame so
+  * plan depth stays flat in the merge count. Both paths elect
+  * bit-identical merge tables (gated).
   *
   * Determinism contract (exactly oracle-able): pair counts are integer
   * sums; the winning pair maximizes (cnt, then lexicographically
@@ -75,17 +81,91 @@ object Vocab {
         chunk.foldLeft(col("s")) { case (c, (l, r)) => applyOne(c, l, r) }))
     }
 
-  /** Learn `merges` BPE merges. Returns the merge table
-    * (step 1.., lhs, rhs, cnt) — the tokenizer artifact; fewer rows
-    * when the corpus runs out of mergeable pairs. */
-  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges > 0, "merges must be positive")
-    val spark = docs.sparkSession
-    val words = docs
-      .select(explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-    var state = Lineage.truncate(words.withColumn("s", symbolString("w")))
+  /** UTF-8 binary string comparison — Spark's UTF8String and DuckDB's
+    * default collation order strings by their UTF-8 BYTES, while
+    * Java's `compareTo` orders by UTF-16 code units (the two diverge
+    * above the basic multilingual plane): the local merge loop must
+    * elect the same tie-broken pair the distributed argmax would. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The DRIVER-LOCAL merge loop over a collected (s, freq) histogram
+    * — what every single-node BPE trainer does, and the production
+    * answer when the distinct-word frame fits the driver (a 10⁵-word
+    * vocabulary is MBs): the merge decision is globally sequential BY
+    * DEFINITION, so the distributed loop's per-round
+    * aggregate + 1-row collect buys nothing once the whole histogram
+    * is driver-sized — it pays a corpus-cluster round-trip per merge
+    * (~10⁵ sequential jobs for a production vocab). Bit-identical to
+    * the distributed rounds: same guarded symbol strings (collected as
+    * Spark built them — no re-derivation that could drift on
+    * supplementary-plane characters), same overlap-counting adjacent
+    * pairs, same (cnt desc, lhs asc, rhs asc) election under UTF-8
+    * byte order, same literal non-overlapping left-to-right replace
+    * (`String.replace` ≡ the engines' `replace`). */
+  private def trainLocal(state: DataFrame,
+                         merges: Int): Seq[(Int, String, String, Long)] = {
+    var hist = state.select(col("s"), col("freq")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      hist.foreach { case (s, f) =>
+        // strip exactly the two guard spaces (never a bare trim: a
+        // symbol drawn from the corpus could END in a character Java's
+        // trim would eat but the engines' space-only trim would not)
+        val syms = s.substring(1, s.length - 1).split("  ", -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          cnt.update(key, cnt.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        cnt.foreach { e =>
+          val better = best == null || {
+            val c = java.lang.Long.compare(e._2, best._2)
+            if (c != 0) c > 0
+            else {
+              val lc = utf8Compare(e._1._1, best._1._1)
+              if (lc != 0) lc < 0 else utf8Compare(e._1._2, best._1._2) < 0
+            }
+          }
+          if (better) best = e
+        }
+        val ((l, r), c) = best
+        learned += ((step, l, r, c))
+        val pat = s" $l  $r "
+        val rep = s" $l$r "
+        hist = hist.map { case (s, f) => (s.replace(pat, rep), f) }
+        step += 1
+      }
+    }
+    learned.toSeq
+  }
+
+  /** The DISTRIBUTED merge loop — one pair-count aggregate + 1-row
+    * argmax collect + one replace projection per round over the
+    * materialized word frame; the path for vocabularies too large to
+    * collect. */
+  private def trainDistributed(state0: DataFrame,
+                               merges: Int): Seq[(Int, String, String, Long)] = {
+    var state = state0
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -110,9 +190,39 @@ object Vocab {
         step += 1
       }
     }
+    learned.toSeq
+  }
+
+  /** Learn `merges` BPE merges. Returns the merge table
+    * (step 1.., lhs, rhs, cnt) — the tokenizer artifact; fewer rows
+    * when the corpus runs out of mergeable pairs.
+    *
+    * Path selection: the corpus-sized work — the word histogram — is
+    * always distributed (one tokenize exchange); the merge LOOP then
+    * runs driver-local when the distinct-word frame holds at most
+    * `maxDistinctWords` rows ([[trainLocal]] — a 10⁵-merge production
+    * vocabulary becomes one collect plus an in-memory loop instead of
+    * ~10⁵ sequential cluster round-trips at ~0.17 s each), and
+    * distributed above the cap ([[trainDistributed]]). The two paths
+    * elect identical merge tables bit-for-bit (the gates pin this);
+    * the count that picks the path is read from the already-
+    * materialized frame, costing one metadata-cheap action. */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
+               maxDistinctWords: Long = 1L << 20): DataFrame = {
+    require(merges > 0, "merges must be positive")
+    require(maxDistinctWords >= 0, "maxDistinctWords must be non-negative")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val state = Lineage.truncate(words.withColumn("s", symbolString("w")))
+    val learned =
+      if (state.count() <= maxDistinctWords) trainLocal(state, merges)
+      else trainDistributed(state, merges)
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        learned.toSeq.map { case (st, l, r, c) => Row(st, l, r, c) }, 1),
+        learned.map { case (st, l, r, c) => Row(st, l, r, c) }, 1),
       StructType(Seq(StructField("step", IntegerType, nullable = false),
         StructField("lhs", StringType, nullable = false),
         StructField("rhs", StringType, nullable = false),

@@ -46,6 +46,23 @@ class VocabSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("bpeTrain: local and distributed merge loops elect identical tables") {
+    // the documents fixture (multi-word, tie-rich) plus a crafted
+    // tie-heavy corpus: any drift in pair counting, UTF-8 tie order,
+    // or replace semantics between the collected loop and the
+    // aggregate+argmax loop flips a row
+    val fixtures = Seq(
+      graft.Tables.documents(spark, sf).select("text"),
+      Seq("aaab aaab ab cd cd dc ba aaaa x yz yz").toDF("text"))
+    fixtures.foreach { df =>
+      val local = Vocab.bpeTrain(df, "text", merges = 12)
+      val dist = Vocab.bpeTrain(df, "text", merges = 12,
+        maxDistinctWords = 0L)
+      assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty,
+        "local/distributed merge tables diverged")
+    }
+  }
+
   test("bpeApply: the learned merges tokenize the corpus; no merges = char histogram") {
     val docsDf = Seq("aaab aaab aaab ab ab").toDF("text")
     val merges = Vocab.bpeTrain(docsDf, "text", merges = 8)
