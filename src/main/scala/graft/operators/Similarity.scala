@@ -1724,6 +1724,22 @@ object Similarity {
                   idCol: String, vecCol: String, k: Int, beam: Int = 8,
                   hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
                   maxQueryRows: Long = 1L << 20): DataFrame = {
+    val newE = graphLinkEdges(graph, corpus, batch, idCol, vecCol,
+      k, beam, hops, maxDegree, dim, maxQueryRows)
+    val touched = newE.select(col("src_id")).distinct()
+    val old = graph.select(col("src_id"), col("nbr_id"), col("cos"))
+    val untouched = old.join(touched, Seq("src_id"), "left_anti")
+    untouched.unionByName(recapTouched(old, touched, newE, maxDegree))
+  }
+
+  /** The search + bidirectional-link half shared by [[graphAppend]]
+    * and [[graphAppendDelta]]: beam-search each genuinely-new batch
+    * node's k nearest, union both edge directions. Truncated — the
+    * frame feeds the touched election AND the recap union. */
+  private def graphLinkEdges(graph: DataFrame, corpus: DataFrame,
+                             batch: DataFrame, idCol: String, vecCol: String,
+                             k: Int, beam: Int, hops: Int, maxDegree: Int,
+                             dim: Int, maxQueryRows: Long): DataFrame = {
     require(maxDegree >= k, "maxDegree must be >= k (inserts add k edges per side)")
     // idempotence under at-least-once replay (the pqIndexAppend /
     // bm25IndexAppend posture): a batch node that already has
@@ -1736,27 +1752,92 @@ object Similarity {
       Seq(idCol), "left_anti")
     val found = graphSearchTopK(newNodes, corpus, graph, idCol, vecCol,
       k, beam, hops, dim, maxQueryRows)
-    val newE = Lineage.truncate(found.select(col("q_id").as("src_id"),
+    Lineage.truncate(found.select(col("q_id").as("src_id"),
         col("n_id").as("nbr_id"), col("cos"))
       .unionByName(found.select(col("n_id").as("src_id"),
         col("q_id").as("nbr_id"), col("cos"))))
-    // recap ONLY the sources that gained edges: an untouched node's
-    // out-degree is already ≤ k ≤ maxDegree (its rank-and-keep is a
-    // no-op), so restricting the window to touched sources changes
-    // nothing in the result while the recap exchange shrinks from
-    // corpus-sized (every node's edge list) to batch-sized
-    // (batch + their ≤ batch×k distinct neighbors)
-    val touched = newE.select(col("src_id")).distinct()
-    val old = graph.select(col("src_id"), col("nbr_id"), col("cos"))
-    val untouched = old.join(touched, Seq("src_id"), "left_anti")
-    val recapped = old.join(touched, Seq("src_id"))
+  }
+
+  /** Rank-and-keep the touched sources' merged edge lists to
+    * `maxDegree` — [[graphAppend]]'s recap, shared with the delta
+    * faces. Recapping ONLY touched sources changes nothing in the
+    * result (an untouched node's out-degree is already ≤ k ≤ maxDegree,
+    * its rank-and-keep a no-op) while the recap exchange shrinks from
+    * corpus-sized to batch-sized (batch + their ≤ batch×k distinct
+    * neighbors). */
+  private def recapTouched(old: DataFrame, touched: DataFrame,
+                           newE: DataFrame, maxDegree: Int): DataFrame =
+    old.join(touched, Seq("src_id"))
       .unionByName(newE)
       .withColumn("_r", row_number().over(
         Window.partitionBy("src_id")
           .orderBy(col("cos").desc, col("nbr_id").asc)))
       .filter(col("_r") <= maxDegree)
       .select(col("src_id"), col("nbr_id"), col("cos"))
-    untouched.unionByName(recapped)
+
+  /** [[graphAppend]]'s DELTA face: ONLY the touched sources' complete
+    * new out-edge lists (batch nodes + the existing nodes that gained
+    * an in-edge, recapped to `maxDegree`) — the rows a stored ledger
+    * must REPLACE, O(batch × k), never O(graph). Contract: replacing
+    * exactly these sources' rows in the stored graph (keep every other
+    * source untouched — their recap is a no-op by the degree argument
+    * on [[recapTouched]]) yields bit-for-bit [[graphAppend]]'s result;
+    * this is what makes a streaming graph sink's per-batch WRITE
+    * touched-sized instead of graph-sized ([[graphAppendBucketDelta]]
+    * packages the replacement for a bucket-partitioned ledger). */
+  def graphAppendDelta(graph: DataFrame, corpus: DataFrame, batch: DataFrame,
+                       idCol: String, vecCol: String, k: Int, beam: Int = 8,
+                       hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
+                       maxQueryRows: Long = 1L << 20): DataFrame = {
+    val newE = graphLinkEdges(graph, corpus, batch, idCol, vecCol,
+      k, beam, hops, maxDegree, dim, maxQueryRows)
+    val touched = newE.select(col("src_id")).distinct()
+    val old = graph.select(col("src_id"), col("nbr_id"), col("cos"))
+    recapTouched(old, touched, newE, maxDegree)
+  }
+
+  /** The replacement content of the TOUCHED BUCKETS of a
+    * bucket-partitioned graph ledger — the streaming-sink face that
+    * keeps per-batch write I/O O(touched), not O(graph): `stored` must
+    * carry a `bkt` partition column equal to pmod(src_id, buckets)
+    * (the shape a `partitionBy("bkt")` parquet ledger reads back
+    * with). The delta sources' buckets are elected (a ≤ `buckets`-int
+    * driver collect), the SURVIVING sources of exactly those buckets
+    * re-read under a LITERAL partition predicate — partition pruning
+    * keeps the untouched buckets' files unread — and the union, with
+    * `bkt` recomputed, is what a dynamic partition-overwrite write
+    * replaces those buckets with. Untouched buckets are neither read
+    * nor rewritten; the composed result (their stored rows + this
+    * frame) is bit-for-bit [[graphAppend]]. Empty delta (fully
+    * replayed batch) → empty frame → the write replaces nothing.
+    *
+    * Sizing `buckets` at scale: per-batch write volume is
+    * touched-bucket count × bucket size, so buckets should be ≫ the
+    * per-batch touched-source count at a granularity where a bucket's
+    * files are rewrite-cheap (the [[graft.operators.Layout]]
+    * break-even argument); too few buckets degrades toward the full
+    * rewrite this face exists to avoid. */
+  def graphAppendBucketDelta(stored: DataFrame, corpus: DataFrame,
+                             batch: DataFrame, idCol: String, vecCol: String,
+                             k: Int, buckets: Int, beam: Int = 8,
+                             hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
+                             maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val recapped = Lineage.truncate(
+      graphAppendDelta(stored, corpus, batch, idCol, vecCol,
+        k, beam, hops, maxDegree, dim, maxQueryRows))
+    val bktOf = pmod(col("src_id"), lit(buckets.toLong)).cast("int")
+    val tb = recapped.select(bktOf.as("bkt")).distinct()
+      .collect().map(_.getInt(0))
+    val replaced =
+      if (tb.isEmpty) recapped // empty by construction — typed empty frame
+      else stored
+        .filter(col("bkt").isin(tb.map(Int.box): _*))
+        .join(recapped.select(col("src_id")).distinct(),
+          Seq("src_id"), "left_anti")
+        .select(col("src_id"), col("nbr_id"), col("cos"))
+        .unionByName(recapped)
+    replaced.withColumn("bkt", bktOf)
   }
 
   /** Graph-index TAKEDOWN: tombstone the removed nodes — drop every

@@ -281,11 +281,14 @@ object Registry13 {
   /** STREAMING graph-index ingest: the third ledger family's arrival
     * face, completing the triple (`streaming_index_ingest` for PQ
     * codes, `streaming_bm25_ingest` for tf rows, now the kNN graph):
-    * node pages arrive as file-source micro-batches, each batch runs
-    * [[Similarity.graphAppend]] against the parquet-stored graph and
-    * overwrites it (a graph append RECAPS existing rows — the ledger
-    * is replaced per batch, not appended; the materialize-then-write
-    * discipline makes the swap safe). Pages overlap by one node
+    * node pages arrive as file-source micro-batches, each batch
+    * appends to a BUCKET-PARTITIONED parquet graph with per-batch
+    * write I/O O(touched), not O(graph): a graph append RECAPS
+    * existing rows, but only the TOUCHED sources' lists change, so
+    * [[Similarity.graphAppendBucketDelta]] computes just the touched
+    * buckets' replacement content and dynamic partition-overwrite
+    * rewrites those bucket directories alone (the materialize-then-
+    * write discipline makes the swap safe). Pages overlap by one node
     * (at-least-once replay), absorbed by graphAppend's already-
     * inserted anti-join. Unlike the row-ledger families the drained
     * graph is NOT arrival-order-free in general — it equals the SAME
@@ -328,18 +331,33 @@ object Registry13 {
     }
     val stage = StreamHarness.runDir("graft_gingest")
     val ledgerDir = stage.resolve("ledger").toString
-    g0.write.mode("overwrite").parquet(ledgerDir)
+    // the ledger is BUCKET-PARTITIONED by pmod(src_id, 16): the drain
+    // below writes only the buckets a batch touches
+    val nBkt = 16
+    g0.withColumn("bkt", pmod(col("src_id"), lit(nBkt.toLong)).cast("int"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(ledgerDir)
     val stream = s.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
       .option("maxFilesPerTrigger", "1")
       .parquet(fx.resolve("pages").toString)
+    // O(touched) sink discipline: graphAppend's recap is touched-only
+    // BY CONSTRUCTION (untouched sources' edge lists are bit-identical),
+    // so the drain computes only the touched buckets' replacement rows
+    // ([[Similarity.graphAppendBucketDelta]] — the survivors leg reads
+    // JUST those buckets under a literal partition predicate) and
+    // dynamic partition-overwrite rewrites just those bucket
+    // directories; the rest of the stored graph is neither re-read on
+    // the survivors leg nor rewritten. localCheckpoint materializes
+    // the (touched-sized) frame before the overwrite clears the
+    // directories it read from.
     val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
       val stored = s.read.parquet(ledgerDir)
-      // materialize BEFORE the overwrite clears the directory the
-      // append is reading from
-      val next = Similarity.graphAppend(stored, e, b, "vec_id", "embedding",
-        k = 3, beam = 4, hops = 3, maxDegree = 4).localCheckpoint()
-      next.write.mode("overwrite").parquet(ledgerDir)
+      val out = Similarity.graphAppendBucketDelta(stored, e, b,
+        "vec_id", "embedding", k = 3, buckets = nBkt,
+        beam = 4, hops = 3, maxDegree = 4).localCheckpoint()
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt").parquet(ledgerDir)
     }
     val run = stream.writeStream
       .foreachBatch(appendBatch)
@@ -347,7 +365,8 @@ object Registry13 {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     run.awaitTermination()
-    s.read.parquet(ledgerDir).orderBy("src_id", "nbr_id")
+    s.read.parquet(ledgerDir).select("src_id", "nbr_id", "cos")
+      .orderBy("src_id", "nbr_id")
   }
 
   // ------------------------------------------- composed retrieval

@@ -241,6 +241,62 @@ class PlanAssertionsSpec extends SparkSpec {
       s"token histogram not partial-aggregated:\n$plan")
   }
 
+  test("streaming graph sink: per-batch write is touched-buckets-sized, pruned on read, append-exact") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val base = e.filter(col("vec_id") < 200)
+    val cent = base.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g0 = Similarity.knnGraph(base, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinkspec")
+    try {
+      val nBkt = 64
+      g0.withColumn("bkt", pmod(col("src_id"), lit(nBkt.toLong)).cast("int"))
+        .write.partitionBy("bkt").mode("overwrite").parquet(dir.toString)
+      val stored = spark.read.parquet(dir.toString)
+      val batch = e.filter(col("vec_id") >= 200 && col("vec_id") < 203)
+      val out = Similarity.graphAppendBucketDelta(stored, e, batch,
+        "vec_id", "embedding", k = 3, buckets = nBkt,
+        beam = 4, hops = 3, maxDegree = 4)
+      // write volume is touched-sized: a 3-node batch touches a strict
+      // subset of the 64 buckets and far fewer rows than the ledger
+      // (bucket granularity is the write amplification: ~touched
+      // sources / buckets of the ledger re-writes, here ~12/64)
+      val outBkts = out.select("bkt").distinct().count()
+      val allBkts = stored.select("bkt").distinct().count()
+      assert(outBkts < allBkts,
+        s"delta spans $outBkts of $allBkts buckets — not touched-only")
+      assert(out.count() < stored.count() / 2,
+        "per-batch write rows must be batch+neighborhood-sized, not graph-sized")
+      // the survivors leg reads ONLY the touched buckets: its ledger
+      // scan carries a LITERAL bkt partition predicate (the search's
+      // full-graph read is behind the delta's checkpoint, so the one
+      // scan left in this plan is the survivors')
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(raw"PartitionFilters: \[[^\]]*bkt[^\]]*".r.findFirstIn(plan)
+        .exists(_.contains("IN")),
+        s"expected a literal bkt IN partition filter on the survivors scan:\n$plan")
+      // end-to-end: dynamic overwrite of the touched buckets leaves the
+      // ledger bit-equal to a full graphAppend
+      val fullNext = Similarity.graphAppend(
+        stored.select("src_id", "nbr_id", "cos"), e, batch,
+        "vec_id", "embedding", k = 3, beam = 4, hops = 3, maxDegree = 4)
+        .localCheckpoint()
+      out.localCheckpoint()
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt").parquet(dir.toString)
+      val after = spark.read.parquet(dir.toString)
+        .select("src_id", "nbr_id", "cos")
+      assert(after.exceptAll(fullNext).isEmpty &&
+        fullNext.exceptAll(after).isEmpty,
+        "bucket-delta write must reproduce the full graphAppend ledger")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     val df = Tables.documents(spark, sf).select(
       graft.functions.TextFns.rollingHash(col("text")).as("rh"),
