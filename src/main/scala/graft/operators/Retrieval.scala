@@ -206,6 +206,103 @@ object Retrieval {
       .agg(count(lit(1)).as("anchors"))
   }
 
+  /** ORDERED proximity match (phrase-with-slop, the Lucene sloppy-
+    * ordered shape): the phrase terms must appear in PHRASE ORDER with
+    * total span ≤ `window` positions — between [[phraseMatch]] (order
+    * + adjacency) and [[proximityMatch]] (neither): "supreme … court"
+    * with up to `window` − (n−1) interveners, but never "court …
+    * supreme". Matching is an exact GREEDY chain per anchor: for each
+    * position p of slot 0, extend slot by slot taking the EARLIEST
+    * position that is strictly after the previous slot's and within
+    * [p, p + window] — the classic exchange argument makes greedy
+    * complete iff ANY valid chain from that anchor exists, so the
+    * count is exact, not heuristic.
+    *
+    * Dataflow: matched postings explode once ([[proximityMatch]]'s
+    * shape); the chain then advances one slot per round over
+    * ANCHOR-SIZED frames — (q_id, doc_id, p0, last) rows, one per
+    * still-alive anchor — with a min-aggregate per round and
+    * [[Lineage.truncate]] between rounds (the beam-hop loop
+    * discipline); rounds = phrase length − 1, driver-known from a
+    * 1-row bounded collect. Queries with fewer slots than the longest
+    * phrase finish early and carry through untouched. `phrases`:
+    * (q_id, idx, term) — idx orders the slots (gaps fine, zero-length
+    * terms drop as everywhere). Returns (q_id, doc_id, anchors ≥ 1):
+    * anchors = slot-0 positions opening a complete ordered chain. */
+  def orderedNearMatch(phrases: DataFrame, posLedger: DataFrame,
+                       window: Int): DataFrame = {
+    require(window >= 0, "window must be non-negative")
+    val ordered = phrases.filter(length(col("term")) > 0)
+      .select(col("q_id"), col("idx"), col("term")).distinct()
+      .withColumn("_ord", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("idx"))) - 1)
+    // the loop bound: longest phrase's slot count (1-row collect,
+    // bounded by contract — phrases are query-sized)
+    val maxOrdRow = ordered.agg(max(col("_ord"))).head()
+    val maxOrd = if (maxOrdRow.isNullAt(0)) 0 else maxOrdRow.getInt(0)
+    val occ = posLedger
+      .join(broadcast(ordered.select(col("q_id"), col("_ord"), col("term"))),
+        "term")
+      .select(col("q_id"), col("doc_id"), col("_ord"),
+        explode(col("positions")).as("pos"))
+    var frontier = Lineage.truncate(occ.filter(col("_ord") === 0)
+      .select(col("q_id"), col("doc_id"), col("pos").as("p0"),
+        col("pos").as("last")))
+    var i = 1
+    while (i <= maxOrd) {
+      val step = occ.filter(col("_ord") === i)
+        .select(col("q_id"), col("doc_id"), col("pos").as("np"))
+      // queries whose phrase ran out of slots are DONE — their anchors
+      // survive untouched while longer phrases keep chaining
+      val hasSlot = ordered.filter(col("_ord") === i)
+        .select(col("q_id")).distinct()
+      val done = frontier.join(broadcast(hasSlot), Seq("q_id"), "left_anti")
+      val advanced = frontier.join(step, Seq("q_id", "doc_id"))
+        .filter(col("np") > col("last") &&
+          col("np") <= col("p0") + lit(window))
+        .groupBy("q_id", "doc_id", "p0").agg(min(col("np")).as("last"))
+      frontier = Lineage.truncate(done.unionByName(
+        advanced.select(col("q_id"), col("doc_id"), col("p0"), col("last"))))
+      i += 1
+    }
+    frontier.groupBy("q_id", "doc_id").agg(count(lit(1)).as("anchors"))
+  }
+
+  /** Phrase-boosted BM25 — the standard two-signal relevance compose a
+    * production search stack ships first: lexical BM25 recall with
+    * exact-phrase presence as a multiplicative boost (matched docs'
+    * scores × `boost`), so documents containing the query AS A PHRASE
+    * outrank bag-of-words co-occurrence without a second index — both
+    * signals read the SAME stored assets (tf ledger, positional
+    * ledger), and the boost is one IEEE multiply gated on the match
+    * set, bit-deterministic on any engine.
+    *
+    * Scale shape: [[bm25ScoresFromIndex]]'s posting join (corpus-sized
+    * work only in the ledger build, paid at ingest) plus
+    * [[phraseMatch]]'s intersection (only phrase-term postings move);
+    * the boost join is scores × (query-sized match set). Self excluded,
+    * ties to the lower doc id, [[bm25TopKFromIndex]]'s rank contract.
+    * Returns (q_id, doc_id, rnk, score). */
+  def phraseBoostTopK(queryTerms: DataFrame, phrases: DataFrame,
+                      tfLedger: DataFrame, posLedger: DataFrame, k: Int,
+                      boost: Double = 1.5,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(boost > 0.0, "boost must be positive")
+    val matched = phraseMatch(phrases, posLedger)
+      .select(col("q_id"), col("doc_id"), lit(true).as("_hit"))
+    bm25ScoresFromIndex(queryTerms, tfLedger, k1, b)
+      .filter(col("q_id") =!= col("doc_id"))
+      .join(matched, Seq("q_id", "doc_id"), "left")
+      .withColumn("score",
+        when(col("_hit"), col("score") * lit(boost)).otherwise(col("score")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("score"))
+  }
+
   /** Append a document batch to a stored BM25 ledger: tokenize ONLY
     * the arriving batch, anti-join already-indexed ids (idempotent
     * under at-least-once replay — the [[Similarity.pqIndexAppend]]

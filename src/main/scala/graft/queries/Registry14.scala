@@ -203,6 +203,180 @@ object Registry14 {
       .orderBy("src_id", "nbr_id")
   }
 
+  /** ORDERED proximity (phrase-with-slop) under the gate
+    * ([[Retrieval.orderedNearMatch]]): docs 0..2's first three words
+    * must appear in PHRASE ORDER with total span ≤ 3 — at most one
+    * intervener across the whole phrase — the Lucene sloppy-ordered
+    * middle ground between `text_phrase_match` (adjacency) and
+    * `text_near_match` (order-free). The oracle unrolls the exact
+    * greedy chain: slot-0 anchors, then per slot the MIN position
+    * strictly after the previous slot's within [p0, p0+3] — the
+    * exchange argument makes greedy-completion ≡ any-chain-exists, so
+    * a drift in the strictness, the window bound, or the greedy pick
+    * flips the anchor counts. */
+  val textNearOrdered = Q("text_near_ordered",
+    s"""WITH ${sqlPosLedger()},
+       |$sqlPhrases,
+       |ord AS (SELECT q_id, idx, term, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY idx) - 1 AS o
+       |  FROM (SELECT DISTINCT q_id, idx, term FROM ph)),
+       |occ AS (SELECT p.q_id, l.doc_id, p.o, l.pos
+       |  FROM pl l JOIN ord p ON p.term = l.term),
+       |f0 AS (SELECT q_id, doc_id, pos AS p0, pos AS last
+       |  FROM occ WHERE o = 0),
+       |f1 AS (SELECT f.q_id, f.doc_id, f.p0, MIN(s.pos) AS last
+       |  FROM f0 f JOIN occ s ON s.q_id = f.q_id AND s.doc_id = f.doc_id
+       |    AND s.o = 1 AND s.pos > f.last AND s.pos <= f.p0 + 3
+       |  GROUP BY 1, 2, 3),
+       |f2 AS (SELECT f.q_id, f.doc_id, f.p0, MIN(s.pos) AS last
+       |  FROM f1 f JOIN occ s ON s.q_id = f.q_id AND s.doc_id = f.doc_id
+       |    AND s.o = 2 AND s.pos > f.last AND s.pos <= f.p0 + 3
+       |  GROUP BY 1, 2, 3)
+       |SELECT q_id, doc_id, CAST(COUNT(*) AS BIGINT) AS anchors
+       |FROM f2 GROUP BY 1, 2
+       |ORDER BY q_id, doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val ledger = Retrieval.positionalIndexBuild(dd, "doc_id", "text")
+    val ph = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(split(col("text"), " "), 1, 3))
+          .as(Seq("idx", "term")))
+    Retrieval.orderedNearMatch(ph, ledger, window = 3)
+      .orderBy("q_id", "doc_id")
+  }
+
+  /** Phrase-boosted BM25 under the gate
+    * ([[Retrieval.phraseBoostTopK]]): the two-signal relevance compose
+    * every production search stack ships — BM25 bag-of-words recall
+    * with exact-phrase presence as a ×1.5 multiplicative boost, both
+    * signals read from STORED assets (the tf ledger and the positional
+    * ledger — no second index, no re-tokenize). The oracle composes
+    * the two already-proven algebras (the Okapi CTE chain's sc_lex
+    * scores, the shifted-base phrase intersection) with the one gated
+    * multiply and re-ranks — a drift in either signal or in the boost
+    * arithmetic flips the fused ranking. */
+  val textPhraseBoostTopK = Q("text_phrase_boost_topk",
+    s"""WITH ${Registry12.sqlBm25(10)},
+       |${sqlPosLedger()},
+       |phb AS (SELECT q_id, idx, term FROM (
+       |  SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents WHERE doc_id < 3) d,
+       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
+       |ntb AS (SELECT q_id, COUNT(DISTINCT idx) AS n FROM phb GROUP BY 1),
+       |hitb AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
+       |    COUNT(*) AS k
+       |  FROM pl l JOIN phb p ON p.term = l.term
+       |  WHERE l.pos - p.idx >= 0
+       |  GROUP BY 1, 2, 3),
+       |pm AS (SELECT h.q_id, h.doc_id
+       |  FROM hitb h JOIN ntb ON ntb.q_id = h.q_id WHERE h.k = ntb.n
+       |  GROUP BY h.q_id, h.doc_id),
+       |bs AS (SELECT s.q_id, s.doc_id,
+       |    CASE WHEN pm.doc_id IS NOT NULL THEN s.score * 1.5
+       |         ELSE s.score END AS score
+       |  FROM sc_lex s LEFT JOIN pm
+       |    ON pm.q_id = s.q_id AND pm.doc_id = s.doc_id),
+       |rb AS (SELECT q_id, doc_id, score, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM bs)
+       |SELECT q_id, doc_id, rnk, score FROM rb WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val tfLedger = Retrieval.bm25IndexBuild(dd, "doc_id", "text")
+    val posLedger = Retrieval.positionalIndexBuild(dd, "doc_id", "text")
+    val qt = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val ph = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(split(col("text"), " "), 1, 3))
+          .as(Seq("idx", "term")))
+    Retrieval.phraseBoostTopK(qt, ph, tfLedger, posLedger, k = 10,
+      boost = 1.5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** STREAMING positional-index ingest — the FOURTH ledger family's
+    * arrival face, completing the quadruple (`streaming_index_ingest`
+    * PQ codes, `streaming_bm25_ingest` tf rows,
+    * `streaming_graph_ingest` graph edges, now positions): document
+    * pages as file-source micro-batches, each appending its
+    * [[Retrieval.positionalIndexAppend]] `deltaOnly` rows after the id
+    * anti-join (pages overlap by 10 docs — at-least-once replay,
+    * absorbed). Positions are per-document facts, so the drained
+    * ledger is arrival-order-independent and the gate asserts the
+    * strongest form: it equals the from-scratch positional build of
+    * the whole corpus. Positions leave both engines as comma-joined
+    * strings (the q14 array convention). */
+  val streamingPositionalIngest = Q("streaming_positional_ingest",
+    """SELECT doc_id, term,
+      |  array_to_string(list(pos ORDER BY pos), ',') AS positions
+      |FROM (SELECT d.doc_id, u.i - 1 AS pos, d.parts[u.i] AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+      |    FROM documents) d,
+      |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
+      |WHERE term <> ''
+      |GROUP BY doc_id, term
+      |ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val n = dcs.count()
+    // the SAME quartered page fixture streaming_bm25_ingest uses
+    // (identical key + builder → one cached copy serves both drains)
+    val fx = FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val qn = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * qn - 10)
+        val hi = if (p == 3) n else (p + 1) * qn
+        val tmpd = tmp.resolve(s"tmp$p")
+        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_posidx")
+    val ledgerDir = stage.resolve("ledger").toString
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("term", StringType),
+        StructField("positions", ArrayType(IntegerType)))))
+      .write.mode("overwrite").parquet(ledgerDir)
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
+      val stored = s.read.parquet(ledgerDir)
+      Retrieval.positionalIndexAppend(stored, b, "doc_id", "text",
+        deltaOnly = true)
+        .write.mode("append").parquet(ledgerDir)
+    }
+    val run = stream.writeStream
+      .foreachBatch(appendBatch)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    s.read.parquet(ledgerDir)
+      .select(col("doc_id"), col("term"),
+        array_join(col("positions"), ",").as("positions"))
+      .orderBy("doc_id", "term")
+  }
+
   val round14: Seq[Q] =
-    Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact)
+    Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact,
+      textNearOrdered, textPhraseBoostTopK, streamingPositionalIngest)
 }

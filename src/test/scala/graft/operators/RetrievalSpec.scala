@@ -674,6 +674,63 @@ class RetrievalSpec extends SparkSpec {
     assert(near2 == Set(0L, 1L, 3L), s"empty-term query drifted: $near2")
   }
 
+  test("orderedNearMatch: order enforced, slop honored, greedy chain is exact, short phrases finish early") {
+    val corpus = Seq(
+      (0L, "b x c"),       // ordered, span 2 — matches NEAR/3 ordered
+      (1L, "c x b"),       // reversed — unordered NEAR/3 hits, ordered must NOT
+      (2L, "b x y z c"),   // span 4 — outside the window
+      (3L, "b c d c"),     // greedy case: c@1 then d@2 completes; c@3 would dead-end
+      (4L, "b c")          // for the 2-term query
+    ).toDF("doc_id", "text")
+    val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
+    val bc = Seq((0L, 0, "b"), (0L, 1, "c")).toDF("q_id", "idx", "term")
+    val got = Retrieval.orderedNearMatch(bc, ledger, window = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(0L, 3L, 4L),
+      s"ordered NEAR/3 'b c' match set drifted: $got")
+    val bcd = Seq((1L, 0, "b"), (1L, 1, "c"), (1L, 2, "d"))
+      .toDF("q_id", "idx", "term")
+    val got3 = Retrieval.orderedNearMatch(bcd, ledger, window = 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got3 == Map(3L -> 1L),
+      s"greedy must take c@1 (not c@3) and complete with d@2: $got3")
+    // mixed lengths in ONE call: the 2-term query finishes one round
+    // before the 3-term one and must carry through the done leg
+    val mixed = Retrieval.orderedNearMatch(bc.unionByName(bcd), ledger,
+      window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixed == Set((0L, 0L), (0L, 3L), (0L, 4L), (1L, 3L)),
+      s"mixed-length phrase batch drifted: $mixed")
+  }
+
+  test("phraseBoostTopK: phrase presence outranks a better bag-of-words score; no phrase = plain BM25 order") {
+    // doc 10 repeats the terms (high tf, higher BM25) but never as the
+    // phrase; doc 11 has them ONCE but adjacent — the boost must flip
+    val corpus2 = Seq(
+      (9L, "q w"),
+      (10L, "q z w z q z w z q z"),
+      (11L, "q w z z z z"),
+      (12L, "z z z z z z")
+    ).toDF("doc_id", "text")
+    val tf = Retrieval.bm25IndexBuild(corpus2, "doc_id", "text")
+    val pos = Retrieval.positionalIndexBuild(corpus2, "doc_id", "text")
+    val qt = Seq((9L, "q"), (9L, "w")).toDF("q_id", "term")
+    val ph = Seq((9L, 0, "q"), (9L, 1, "w")).toDF("q_id", "idx", "term")
+    val plain = Retrieval.bm25TopKFromIndex(qt, tf, k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(plain.head == 10L, s"bag-of-words baseline drifted: $plain")
+    val boosted = Retrieval.phraseBoostTopK(qt, ph, tf, pos, k = 3,
+      boost = 1.5)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(boosted.head == 11L,
+      s"the phrase doc must outrank the bag doc under the boost: $boosted")
+    // a phrase that matches nothing leaves the ranking = plain BM25
+    val phNone = Seq((9L, 0, "w"), (9L, 1, "q")).toDF("q_id", "idx", "term")
+    val same = Retrieval.phraseBoostTopK(qt, phNone, tf, pos, k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(same == plain, s"no-match boost must be a no-op: $same vs $plain")
+  }
+
   test("positional remove: takedown == rebuild of survivors; removed docs vanish from phrase hits") {
     val ledger = Retrieval.positionalIndexBuild(
       docs.filter($"doc_id" < 50), "doc_id", "text")
