@@ -38,7 +38,7 @@ object ScaleProbe {
 
   /** Query → family, for the optional 4th-arg family filter (csv of
     * {minhash,simhash,jaccard,cc,ccwide,ccinc,ann,pq,retr,tfidf,fluency,
-    * mix,spans,decon} —
+    * mix,spans,decon,semdedup,gsink} —
     * e.g. the 100× point runs `minhash` alone; default runs
     * everything). */
   private val family = Map(
@@ -102,7 +102,8 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
     }
-    if (rebuild && (want("ann") || want("pq") || want("retr") || want("semdedup"))) {
+    if (rebuild && (want("ann") || want("pq") || want("retr") ||
+        want("semdedup") || want("gsink"))) {
       val c = col("_c")
       val k = (c % 64).cast("int")
       val e = col("embedding")
@@ -351,6 +352,37 @@ object ScaleProbe {
           val t2 = (System.nanoTime() - t0) / 1e9
           println(f"PROBE ivf_assign $scale pass$pass flat_c1024=$tf%.2f two_level_32x1024=$t2%.2f")
         }
+      }
+
+      if (want("gsink")) {
+        // streaming graph sink: the governing count is per-batch WRITE
+        // volume — rows and buckets the bucket-delta replaces vs the
+        // stored ledger's size. O(touched) means write_rows tracks the
+        // BATCH (stays flat as the corpus grows) while ledger_rows
+        // grows with the corpus; a full-rewrite sink would have
+        // write_rows = ledger_rows.
+        import graft.operators.Similarity
+        val e = graft.Tables.embeddings(spark, dir)
+        val nV = e.count()
+        val cent = e.filter(col("vec_id") < 64)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").as("c_vec"))
+        val batch = e.orderBy(col("vec_id").desc).limit(5)
+        val base = e.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+        val g = graft.operators.Lineage.truncate(
+          Similarity.knnGraph(base, cent, "vec_id", "embedding", k = 3)
+            .select("src_id", "nbr_id", "cos"))
+        val buckets = 4096
+        val stored = g.withColumn("bkt",
+          pmod(col("src_id"), lit(buckets.toLong)).cast("int"))
+        val delta = graft.operators.Lineage.truncate(
+          Similarity.graphAppendBucketDelta(stored, e, batch,
+            "vec_id", "embedding", k = 3, buckets = buckets,
+            beam = 4, hops = 3, maxDegree = 4))
+        println(s"PROBE gsink $scale nodes=$nV ledger_rows=${g.count()} " +
+          s"batch=5 write_rows=${delta.count()} " +
+          s"write_buckets=${delta.select("bkt").distinct().count()} " +
+          s"of $buckets")
       }
 
       if (want("semdedup")) {
