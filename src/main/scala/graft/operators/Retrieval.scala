@@ -232,10 +232,12 @@ object Retrieval {
   def orderedNearMatch(phrases: DataFrame, posLedger: DataFrame,
                        window: Int): DataFrame = {
     require(window >= 0, "window must be non-negative")
+    // term joins idx in the sort only to pin determinism if a caller
+    // hands duplicate idx slots (a malformed phrase either way)
     val ordered = phrases.filter(length(col("term")) > 0)
       .select(col("q_id"), col("idx"), col("term")).distinct()
       .withColumn("_ord", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("idx"))) - 1)
+        Window.partitionBy("q_id").orderBy(col("idx"), col("term"))) - 1)
     // the loop bound: longest phrase's slot count (1-row collect,
     // bounded by contract — phrases are query-sized)
     val maxOrdRow = ordered.agg(max(col("_ord"))).head()

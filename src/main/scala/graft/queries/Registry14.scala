@@ -376,7 +376,55 @@ object Registry14 {
       .orderBy("doc_id", "term")
   }
 
+  /** Semantic near-dup CLUSTERS — the SemDeDup keep/drop decision
+    * face: [[Similarity.semanticPqPairs]]' PQ-prefix-blocked cosine
+    * pairs closed under transitivity
+    * ([[graft.operators.Dedup.connectedComponents]] min-label
+    * propagation), every vector labeled with its component's smallest
+    * id (singletons label themselves) — `dedup_clusters`' posture with
+    * the lexical MinHash signal swapped for the embedding signal, so
+    * the semantic family now has the same pairs → clusters →
+    * keep/drop chain the MinHash family ships. The oracle composes the
+    * two already-proven algebras: `dedup_pq_semantic`'s block + confirm
+    * CTEs and `dedup_clusters`' recursive closure. */
+  val dedupSemanticClusters = Q("dedup_semantic_clusters",
+    s"""WITH RECURSIVE ${Registry10.sqlPqCodes},
+       |blk AS (SELECT n_id, array_to_string(
+       |    list(CAST(code AS INT) ORDER BY sub), ',') AS blk
+       |  FROM codes WHERE sub < 2 GROUP BY n_id),
+       |vbase AS (SELECT b.vec_id AS id, b.embedding AS vec, k.blk
+       |  FROM embeddings b JOIN blk k ON k.n_id = b.vec_id),
+       |prs AS (SELECT a_id, b_id FROM (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    ${Registry10.sqlCos("a.vec", "b.vec")} AS cos
+       |  FROM vbase a JOIN vbase b ON a.blk = b.blk AND a.id < b.id)
+       |  WHERE cos >= 0.3),
+       |edges AS (SELECT a_id AS s, b_id AS t FROM prs
+       |  UNION SELECT b_id, a_id FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+       |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+       |SELECT b.vec_id, COALESCE(l.cl, b.vec_id) AS cluster_id
+       |FROM embeddings b LEFT JOIN lbl l ON b.vec_id = l.id
+       |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    val e = emb(s, d)
+    val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val pairs = Similarity.semanticPqPairs(e, cb, "vec_id", "embedding",
+      threshold = 0.3, prefix = 2)
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    e.select("vec_id")
+      .join(cc, e("vec_id") === cc("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   val round14: Seq[Q] =
     Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact,
-      textNearOrdered, textPhraseBoostTopK, streamingPositionalIngest)
+      textNearOrdered, textPhraseBoostTopK, streamingPositionalIngest,
+      dedupSemanticClusters)
 }
