@@ -442,6 +442,52 @@ object Retrieval {
       .select(col("q_id"), col("n_id"), col("rnk"), col("rrf"))
   }
 
+  /** Weighted LINEAR score fusion with per-query min-max
+    * normalization — [[rrfFuse]]'s calibrated sibling: where RRF
+    * discards scores for ranks, linear fusion keeps score SHAPE (a
+    * close second stays close), at the price of a normalization step —
+    * the standard convex-combination hybrid (score' = Σ wᵢ·normᵢ)
+    * every two-tower + lexical stack ships next to RRF. Each ranking's
+    * scores rescale per query to [0, 1] via (s − min)/(max − min); a
+    * degenerate list (max = min — every candidate equally good) maps
+    * to 1.0, not a 0/0; a candidate absent from a ranking contributes
+    * 0 from it. Normalization is two exact per-query aggregates + one
+    * fixed-order IEEE expression, and the weighted sum folds over the
+    * ranker list in the caller's order — deterministic on any engine,
+    * no cross-row float sums.
+    *
+    * Scale shape: inputs are already top-k'd per query (≤ queries × k
+    * rows), so the min/max aggregates and the full-outer fuse all run
+    * on SMALL frames — the corpus never participates ([[rrfFuse]]'s
+    * argument). `rankings`: (frame, weight) pairs, each frame
+    * (q_id, n_id, rnk, score). Returns (q_id, n_id, rnk, fused) —
+    * ties to the lower candidate id. */
+  def linearFuse(rankings: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(rankings.nonEmpty, "linearFuse needs at least one ranking")
+    require(k > 0, "k must be positive")
+    val contribs = rankings.zipWithIndex.map { case ((r, w), i) =>
+      val ext = r.groupBy("q_id")
+        .agg(min(col("score")).as("_mn"), max(col("score")).as("_mx"))
+      r.join(ext, "q_id")
+        .select(col("q_id"), col("n_id"),
+          (when(col("_mx") > col("_mn"),
+            (col("score") - col("_mn")) / (col("_mx") - col("_mn")))
+            .otherwise(lit(1.0)) * lit(w)).as(s"_c$i"))
+    }
+    val joined = contribs.reduce { (a, b) =>
+      a.join(b, Seq("q_id", "n_id"), "full_outer")
+    }
+    val fused = contribs.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("fused", fused)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("fused").desc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("fused"))
+  }
+
   /** Pseudo-relevance feedback (RM3-lite query expansion): run the
     * query, take the top `fbDocs` documents as presumed-relevant,
     * harvest their `expTerms` strongest NEW terms, and re-run the

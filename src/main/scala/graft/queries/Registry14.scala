@@ -423,8 +423,101 @@ object Registry14 {
       .orderBy("vec_id")
   }
 
+  /** FILTERED vector search over the stored IVF-PQ ledger
+    * ([[Similarity.pqIndexBuild]] → label semi-join →
+    * [[Similarity.ivfPqTopKFromIndex]]): only corpus vectors whose
+    * metadata passes the predicate (label < 5, ~half the corpus) may
+    * be returned — the production "vector search WHERE …" face every
+    * deployed ANN service needs (tenancy, language, license filters).
+    * Composed as a pre-scan restriction of the code ledger: the
+    * predicate prunes ledger ROWS before any ADC runs (at scale, a
+    * partition/zone-map prune on the stored ledger), the routing and
+    * scoring algebra untouched — restriction changes the candidate
+    * set, never the scoring (the `ivfSqTopK` argument). The oracle
+    * composes `ann_ivf_pq_topk`'s routing + ADC chain with the label
+    * join on the candidate set. */
+  val annFilteredIndexedTopK = Q("ann_filtered_indexed_topk",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${Registry10.sqlIvfAdcRank("codes", "qd", candJoin =
+         "JOIN embeddings lb ON lb.vec_id = a.n_id AND lb.label < 5")}
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val ledger = Similarity.pqIndexBuild(e, cent, cb, "vec_id", "embedding")
+    val allowed = e.filter(col("label") < 5).select("vec_id")
+    Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 5),
+      ledger.join(allowed, Seq("vec_id"), "left_semi"), cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Weighted linear hybrid fusion under the gate
+    * ([[Retrieval.linearFuse]]): BM25 top-20 (stored tf ledger) ⊕
+    * exact-cosine top-20, each min-max normalized PER QUERY to [0, 1]
+    * and combined 0.5/0.5 — [[Retrieval.rrfFuse]]'s calibrated
+    * sibling, keeping score SHAPE where RRF keeps only rank. The
+    * oracle replays the per-side extrema, the degenerate-list guard
+    * (max = min → 1.0), the normalization divide, the weighted
+    * fixed-order sum with absent-side 0, and the fused re-rank — a
+    * drift in any normalization or the combine order flips the
+    * ranking. */
+  val hybridLinearTopK = Q("hybrid_linear_topk",
+    s"""WITH ${Registry12.sqlBm25(20)},
+       |dcs AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    ${Registry10.sqlCos("q.embedding", "c.embedding")} AS score
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 3),
+       |den AS (SELECT q_id, n_id, score FROM (
+       |  SELECT q_id, n_id, score, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rnk
+       |  FROM dcs) WHERE rnk <= 20),
+       |lex2 AS (SELECT q_id, doc_id AS n_id, score FROM lex),
+       |lst AS (SELECT q_id, MIN(score) AS mn, MAX(score) AS mx
+       |  FROM lex2 GROUP BY 1),
+       |dst AS (SELECT q_id, MIN(score) AS mn, MAX(score) AS mx
+       |  FROM den GROUP BY 1),
+       |lc AS (SELECT l.q_id, l.n_id,
+       |    (CASE WHEN st.mx > st.mn THEN (l.score - st.mn) / (st.mx - st.mn)
+       |          ELSE 1.0 END) * 0.5 AS c0
+       |  FROM lex2 l JOIN lst st USING (q_id)),
+       |dc AS (SELECT d2.q_id, d2.n_id,
+       |    (CASE WHEN st.mx > st.mn THEN (d2.score - st.mn) / (st.mx - st.mn)
+       |          ELSE 1.0 END) * 0.5 AS c1
+       |  FROM den d2 JOIN dst st USING (q_id)),
+       |fz AS (SELECT COALESCE(l.q_id, r2.q_id) AS q_id,
+       |    COALESCE(l.n_id, r2.n_id) AS n_id,
+       |    COALESCE(l.c0, 0.0) + COALESCE(r2.c1, 0.0) AS fused
+       |  FROM lc l FULL OUTER JOIN dc r2
+       |    ON l.q_id = r2.q_id AND l.n_id = r2.n_id),
+       |fr AS (SELECT q_id, n_id, fused, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY fused DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM fz)
+       |SELECT q_id, n_id, rnk, fused FROM fr WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val e = emb(s, d)
+    val tfLedger = Retrieval.bm25IndexBuild(dd, "doc_id", "text")
+    val qt = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val lex = Retrieval.bm25TopKFromIndex(qt, tfLedger, k = 20)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("rnk"),
+        col("score"))
+    val den = Similarity.bruteForceTopK(e.filter(col("vec_id") < 3), e,
+      "vec_id", "embedding", k = 20)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("cos").as("score"))
+    Retrieval.linearFuse(Seq((lex, 0.5), (den, 0.5)), k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round14: Seq[Q] =
     Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact,
       textNearOrdered, textPhraseBoostTopK, streamingPositionalIngest,
-      dedupSemanticClusters)
+      dedupSemanticClusters, annFilteredIndexedTopK, hybridLinearTopK)
 }

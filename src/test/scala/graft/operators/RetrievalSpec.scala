@@ -674,6 +674,54 @@ class RetrievalSpec extends SparkSpec {
     assert(near2 == Set(0L, 1L, 3L), s"empty-term query drifted: $near2")
   }
 
+  test("linearFuse: min-max normalization, degenerate-list guard, absent-side zero, weights") {
+    val a = Seq((0L, 1L, 1, 10.0), (0L, 2L, 2, 5.0), (0L, 3L, 3, 0.0))
+      .toDF("q_id", "n_id", "rnk", "score")
+    val b = Seq((0L, 2L, 1, 7.0), (0L, 4L, 2, 7.0)) // degenerate: max = min
+      .toDF("q_id", "n_id", "rnk", "score")
+    val got = Retrieval.linearFuse(Seq((a, 0.6), (b, 0.4)), k = 4)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // a normalizes to {1: 1.0, 2: 0.5, 3: 0.0}; b's degenerate list is
+    // 1.0 for both; fused = 0.6*na + 0.4*nb with absent sides 0
+    assert(got(1L) == 0.6 && got(2L) == 0.6 * 0.5 + 0.4 &&
+      got(3L) == 0.0 && got(4L) == 0.4,
+      s"fused scores drifted: $got")
+    // candidate 2 (in both lists) must outrank 1 (first list only)
+    val order = Retrieval.linearFuse(Seq((a, 0.6), (b, 0.4)), k = 4)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(order.head == 2L, s"fusion order drifted: $order")
+  }
+
+  test("filtered indexed ANN: every hit passes the predicate; unfiltered ranks preserved on the allowed subset") {
+    val e = emb.filter($"vec_id" < 200)
+    val cent = e.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val ledger = Similarity.pqIndexBuild(e, cent, cb, "vec_id", "embedding")
+    val allowed = e.filter($"label" < 5).select("vec_id")
+    val q = e.filter($"vec_id" < 3)
+    val got = Similarity.ivfPqTopKFromIndex(q,
+      ledger.join(allowed, Seq("vec_id"), "left_semi"), cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+    val labels = e.select($"vec_id".as("n_id"), $"label")
+    assert(got.join(labels, "n_id").filter($"label" >= 5).count() == 0,
+      "a filtered-out vector leaked into the results")
+    // restriction never rescores: the filtered top-k is the unfiltered
+    // candidate list with disallowed rows dropped and ranks renumbered
+    val unf = Similarity.ivfPqTopKFromIndex(q, ledger, cent, cb,
+      "vec_id", "embedding", k = 200, nProbe = 4)
+      .join(allowed.select($"vec_id".as("n_id")), Seq("n_id"), "left_semi")
+      .withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy($"rnk")))
+      .filter($"rr" <= 5)
+      .select($"q_id", $"n_id")
+    assert(got.select($"q_id", $"n_id").exceptAll(unf).isEmpty &&
+      unf.exceptAll(got.select($"q_id", $"n_id")).isEmpty,
+      "filtered serve must equal drop-and-renumber of the unfiltered scan")
+  }
+
   test("orderedNearMatch: order enforced, slop honored, greedy chain is exact, short phrases finish early") {
     val corpus = Seq(
       (0L, "b x c"),       // ordered, span 2 — matches NEAR/3 ordered
