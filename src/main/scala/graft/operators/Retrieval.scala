@@ -189,10 +189,13 @@ object Retrieval {
     val qt = queryTerms.filter(length(col("term")) > 0)
       .select(col("q_id"), col("term")).distinct()
     val nTerms = qt.groupBy("q_id").agg(countDistinct(col("term")).as("_n"))
-    val occ = posLedger
+    // matched postings feed TWO consumers (the anchor frame and the
+    // cover join) — truncate so the ledger join runs once, not twice
+    // (the knnGraph multi-consumer discipline)
+    val occ = Lineage.truncate(posLedger
       .join(broadcast(qt), "term")
       .select(col("q_id"), col("doc_id"), col("term"),
-        explode(col("positions")).as("pos"))
+        explode(col("positions")).as("pos")))
     val anchors = occ.select(col("q_id"), col("doc_id"),
       col("pos").as("base")).distinct()
     val cover = occ.join(anchors, Seq("q_id", "doc_id"))
@@ -242,11 +245,13 @@ object Retrieval {
     // bounded by contract — phrases are query-sized)
     val maxOrdRow = ordered.agg(max(col("_ord"))).head()
     val maxOrd = if (maxOrdRow.isNullAt(0)) 0 else maxOrdRow.getInt(0)
-    val occ = posLedger
+    // matched postings feed every chain round (slot filter per round)
+    // — truncate so the ledger join runs once, not once per slot
+    val occ = Lineage.truncate(posLedger
       .join(broadcast(ordered.select(col("q_id"), col("_ord"), col("term"))),
         "term")
       .select(col("q_id"), col("doc_id"), col("_ord"),
-        explode(col("positions")).as("pos"))
+        explode(col("positions")).as("pos")))
     var frontier = Lineage.truncate(occ.filter(col("_ord") === 0)
       .select(col("q_id"), col("doc_id"), col("pos").as("p0"),
         col("pos").as("last")))

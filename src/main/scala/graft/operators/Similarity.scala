@@ -1823,6 +1823,10 @@ object Similarity {
                              hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
                              maxQueryRows: Long = 1L << 20): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(stored.columns.contains("bkt"),
+      "graphAppendBucketDelta: `stored` must carry the bkt partition " +
+        "column (= pmod(src_id, buckets)) — read the ledger from its " +
+        "bucket-partitioned layout, or add the column before calling")
     val recapped = Lineage.truncate(
       graphAppendDelta(stored, corpus, batch, idCol, vecCol,
         k, beam, hops, maxDegree, dim, maxQueryRows))
