@@ -677,8 +677,12 @@ object Registry12 {
     * pure ASCII so DuckDB character positions ARE byte positions); the
     * oracle replays the byte-downsample, the integer mean test, the
     * slice join, and the positionwise Hamming fold. */
-  val multimodalPhashPairs = Q("multimodal_phash_pairs",
-    s"""WITH rec AS (SELECT doc_id AS id, text, length(text) AS n
+  /** The aHash signature + slice-banding + Hamming-confirm CTE chain
+    * (rec → cells → sums → sig → sl → cand → h), ONE construction for
+    * the pairs gate and round-14's clusters gate — drift between
+    * copies would make them test different signatures. */
+  private[queries] def sqlPhashHam: String =
+    s"""rec AS (SELECT doc_id AS id, text, length(text) AS n
        |  FROM documents),
        |cells AS (SELECT id, i, CASE WHEN n = 0 THEN 0
        |    ELSE ascii(substring(text, CAST(i * n // 64 AS BIGINT) + 1, 1))
@@ -699,7 +703,10 @@ object Registry12 {
        |        <> substring(sb.sig, CAST(t AS INT), 1) THEN 1 ELSE 0 END)),
        |      (x, y) -> x + y) AS ham
        |  FROM cand c JOIN sig sa ON sa.id = c.a_id
-       |  JOIN sig sb ON sb.id = c.b_id)
+       |  JOIN sig sb ON sb.id = c.b_id)""".stripMargin
+
+  val multimodalPhashPairs = Q("multimodal_phash_pairs",
+    s"""WITH $sqlPhashHam
        |SELECT a_id, b_id, CAST(ham AS BIGINT) AS ham FROM h WHERE ham <= 8
        |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     import s.implicits._

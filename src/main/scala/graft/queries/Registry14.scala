@@ -516,8 +516,46 @@ object Registry14 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Perceptual-hash media CLUSTERS — the keep/drop decision face for
+    * the MULTIMODAL near-dup signal, completing the symmetry round-14
+    * gave the embedding signal (`dedup_semantic_clusters`): every
+    * media-signal family now runs the same pairs → connected
+    * components → smallest-id label chain the lexical MinHash family
+    * established. The oracle composes `multimodal_phash_pairs`' shared
+    * signature/banding/Hamming CTEs with the recursive closure. */
+  val multimodalPhashClusters = Q("multimodal_phash_clusters",
+    s"""WITH RECURSIVE ${Registry12.sqlPhashHam},
+       |prs AS (SELECT a_id, b_id FROM h WHERE ham <= 8),
+       |edges AS (SELECT a_id AS s, b_id AS t FROM prs
+       |  UNION SELECT b_id, a_id FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+       |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+       |SELECT d.doc_id AS id, COALESCE(l.cl, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+       |ORDER BY id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    val records = docs(s, d).select(col("doc_id").as("id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.MediaRecord(id, "text", text.getBytes("UTF-8"))
+      }
+    val sigs = Multimodal.perceptualHash(records).toDF()
+    val pairs = Multimodal.phashPairs(sigs, maxHamming = 8)
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    docs(s, d).select(col("doc_id"))
+      .join(cc, col("doc_id") === cc("id"), "left")
+      .select(col("doc_id").as("id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+      .orderBy("id")
+  }
+
   val round14: Seq[Q] =
     Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact,
       textNearOrdered, textPhraseBoostTopK, streamingPositionalIngest,
-      dedupSemanticClusters, annFilteredIndexedTopK, hybridLinearTopK)
+      dedupSemanticClusters, annFilteredIndexedTopK, hybridLinearTopK,
+      multimodalPhashClusters)
 }

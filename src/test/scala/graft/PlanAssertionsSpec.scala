@@ -297,6 +297,28 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("text_near_match: the query-term side broadcasts onto the posting list") {
+    val plan = planOf(q("text_near_match"))
+    // only postings for the query's terms move: the term join must be
+    // a broadcast (query side), never a corpus-sized shuffle join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms must broadcast to the posting list:\n$plan")
+  }
+
+  test("ann_filtered_indexed_topk: the metadata filter prunes the ledger BEFORE the probe join") {
+    val plan = planOf(q("ann_filtered_indexed_topk"))
+    // the predicate is a semi join on the ledger side; the ADC probe
+    // join consumes the already-restricted rows — at scale this is the
+    // predicate prune that keeps disallowed codes from ever scoring
+    assert(plan.contains("LeftSemi"),
+      s"the label predicate must restrict as a semi join:\n$plan")
+    val semiIdx = plan.indexOf("LeftSemi")
+    val adcIdx = plan.indexOf("graft_pq_adc")
+    assert(semiIdx >= 0 && adcIdx >= 0 && adcIdx < semiIdx,
+      s"ADC scoring must sit ABOVE the semi-restricted ledger scan " +
+        s"(adc at $adcIdx, semi at $semiIdx):\n$plan")
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     val df = Tables.documents(spark, sf).select(
       graft.functions.TextFns.rollingHash(col("text")).as("rh"),
