@@ -168,41 +168,44 @@ object Retrieval {
     *
     * Dataflow: the (small, broadcast) query-term SET joins the posting
     * list on the term key — only postings for the query's terms move;
-    * positions explode once, self-pair WITHIN each (q_id, doc_id)
-    * group under the window inequality, and an anchor seen by ALL
-    * terms is a covering span (exact integer arithmetic end-to-end).
-    * The within-doc pairing is quadratic in the doc's MATCHED-term
-    * occurrences only — bounded by the doc's length, never by the
-    * corpus; the (q_id, doc_id) exchange co-locates each group, so
-    * at 10⁹ docs the pairing cost is per-doc local. Zero-length terms
-    * drop exactly as in [[phraseMatch]] (the ledger never indexes
-    * them). `queryTerms`: (q_id, term) — a term SET (order carries no
-    * meaning for NEAR); `window` ≥ 0 in word positions, window = 0
-    * demands all terms at one position (only satisfiable by the
-    * single-term query). Returns (q_id, doc_id, anchors ≥ 1) — a match
-    * FILTER like [[phraseMatch]], anchors = how many positions open a
-    * covering span (a crude density signal; rank stages downstream
-    * apply their own scoring). */
+    * positions explode once, then each occurrence reads its own
+    * [pos, pos + window] cover as a RANGE-FRAME window aggregate
+    * (size of collect_set(term) over rangeBetween(0, window)) — the
+    * declarative form of the classic per-doc plane sweep. One
+    * (q_id, doc_id) exchange co-locates each group and the frame walk
+    * is O(occurrences × window) — never the O(occurrences²) pair
+    * blow-up a self-join-then-filter would materialize on a hot
+    * doc × stopword query (each frame holds ≤ window + 1 rows:
+    * positions are integers and a position holds one term).
+    * Zero-length terms drop exactly as in [[phraseMatch]] (the ledger
+    * never indexes them). `queryTerms`: (q_id, term) — a term SET
+    * (order carries no meaning for NEAR); `window` ≥ 0 in word
+    * positions, window = 0 demands all terms at one position (only
+    * satisfiable by the single-term query). Returns
+    * (q_id, doc_id, anchors ≥ 1) — a match FILTER like
+    * [[phraseMatch]], anchors = how many positions open a covering
+    * span (a crude density signal; rank stages downstream apply their
+    * own scoring). */
   def proximityMatch(queryTerms: DataFrame, posLedger: DataFrame,
                      window: Int): DataFrame = {
     require(window >= 0, "window must be non-negative")
     val qt = queryTerms.filter(length(col("term")) > 0)
       .select(col("q_id"), col("term")).distinct()
     val nTerms = qt.groupBy("q_id").agg(countDistinct(col("term")).as("_n"))
-    // matched postings feed TWO consumers (the anchor frame and the
-    // cover join) — truncate so the ledger join runs once, not twice
-    // (the knnGraph multi-consumer discipline)
-    val occ = Lineage.truncate(posLedger
+    val occ = posLedger
       .join(broadcast(qt), "term")
       .select(col("q_id"), col("doc_id"), col("term"),
-        explode(col("positions")).as("pos")))
-    val anchors = occ.select(col("q_id"), col("doc_id"),
-      col("pos").as("base")).distinct()
-    val cover = occ.join(anchors, Seq("q_id", "doc_id"))
-      .filter(col("pos") >= col("base") &&
-        col("pos") <= col("base") + lit(window))
-      .groupBy("q_id", "doc_id", "base")
-      .agg(countDistinct(col("term")).as("_k"))
+        explode(col("positions")).as("pos"))
+    // set-size over a range frame is order-free (size() does not read
+    // collect_set's nondeterministic order), so the cover count is
+    // deterministic; distinct guards the anchor count against a
+    // malformed ledger indexing two terms at one position
+    val cover = occ.withColumn("_k",
+      size(collect_set(col("term")).over(
+        Window.partitionBy("q_id", "doc_id").orderBy(col("pos"))
+          .rangeBetween(Window.currentRow, window))))
+      .select(col("q_id"), col("doc_id"), col("pos"), col("_k"))
+      .distinct()
     cover.join(broadcast(nTerms), "q_id")
       .filter(col("_k") === col("_n"))
       .groupBy("q_id", "doc_id")
