@@ -29,6 +29,12 @@ object Retrieval {
     aggregate(transform(sort_array(structs), s => s.getField("v")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Left-fold PRODUCT, same discipline — for scorers whose per-term
+    * contributions multiply (query likelihood) rather than add. */
+  private def foldProduct(structs: org.apache.spark.sql.Column) =
+    aggregate(transform(sort_array(structs), s => s.getField("v")),
+      lit(1.0), (acc, x) => acc * x)
+
   /** BM25 document scoring via the posting-list join — the inverted-
     * index dataflow at any scale: tokenize once, aggregate term
     * frequencies (tf), document lengths (dl), and document frequencies
@@ -376,6 +382,103 @@ object Retrieval {
         struct(col("term"), termScore.as("v")).as("ts"))
       .groupBy("q_id", "doc_id")
       .agg(foldSum(collect_list(col("ts"))).as("score"))
+  }
+
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR 2001) — the OTHER classical probabilistic lexical
+    * scorer next to BM25, scored from the SAME stored tf ledger:
+    *   p(q|d) = Π_{t ∈ q} (tf_{t,d} + μ·cf_t/T) / (dl_d + μ)
+    * (cf = collection term frequency, T = total collection tokens,
+    * μ = the smoothing mass). Emitted in the standard RANK-EQUIVALENT
+    * decomposition that keeps the posting join sparse AND every
+    * arithmetic step rational/bit-stable (no logs — the BM25 rational-
+    * idf argument):
+    *   score = [Π_{t ∈ q ∩ d} (1 + tf·T/(μ·cf))] · (μ/(dl+μ))^{n_q}
+    * — the per-query constant Π μ·cf/T is dropped (rank-invariant),
+    * matched-term factors fold in TERM order, and the length penalty's
+    * integer power n_q (the query's IN-VOCABULARY distinct term count;
+    * out-of-vocabulary terms have no smoothed mass and drop, the
+    * standard treatment) is computed as an explicit n_q-step left fold
+    * of multiplications — `pow()` is libm and not cross-engine stable,
+    * a fold of IEEE multiplies is. Only docs sharing ≥ 1 query term
+    * score (everything else ties at the background score — the sparse
+    * contract every lexical index serves).
+    *
+    * Scale shape: identical to [[bm25ScoresFromIndex]] — cf/T/dl/n_q
+    * derive from the ledger with partial aggregation, the query side
+    * broadcasts onto the posting list, nothing corpus-sized moves at
+    * query time. Returns (q_id, doc_id, rnk, score), self excluded,
+    * ties to the lower doc id. */
+  def lmTopKFromIndex(queryTerms: DataFrame, ledger: DataFrame, k: Int,
+                      mu: Double = 1000.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(mu > 0.0, "mu must be positive")
+    val tf = ledger.select(col("doc_id"), col("term"), col("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+    val tot = tf.agg(sum("tf").as("t"))
+    val qt = queryTerms.select(col("q_id"), col("term")).distinct()
+    // n_q counts only in-vocabulary terms: semi-join the collection's
+    // term universe (cf rows) — OOV terms have no smoothed mass
+    val nq = qt.join(cf.select("term"), Seq("term"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("_nq"))
+    val termFactor = lit(1.0) +
+      (col("tf").cast("double") * col("t").cast("double")) /
+        (lit(mu) * col("cf").cast("double"))
+    val matched = tf.join(broadcast(qt), "term")
+      .join(cf, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("q_id"), col("doc_id"),
+        struct(col("term"), termFactor.as("v")).as("ts"))
+      .groupBy("q_id", "doc_id")
+      .agg(foldProduct(collect_list(col("ts"))).as("_mprod"))
+    val penaltyBase = lit(mu) / (col("dl").cast("double") + lit(mu))
+    matched
+      .join(dl, "doc_id")
+      .join(broadcast(nq), "q_id")
+      .withColumn("score", col("_mprod") *
+        aggregate(sequence(lit(1), col("_nq").cast("int")), lit(1.0),
+          (acc, _) => acc * penaltyBase))
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("score"))
+  }
+
+  /** Best-window election over a positional ledger — the SNIPPET face:
+    * for each (query, matching doc), the `window`-wide span covering
+    * the MOST distinct query terms, earliest span on ties — what a
+    * result page highlights and what weak-supervision span-mining
+    * extracts. Reuses [[proximityMatch]]'s range-frame plane sweep
+    * (each matched occurrence reads its own [pos, pos + window] cover
+    * in O(occurrences × window)), then one per-(q, doc) argmax window:
+    * cover count descending, start position ascending. Zero-length
+    * terms drop as everywhere. Returns
+    * (q_id, doc_id, win_start, win_terms ≥ 1) for every doc sharing
+    * ≥ 1 query term. */
+  def bestWindow(queryTerms: DataFrame, posLedger: DataFrame,
+                 window: Int): DataFrame = {
+    require(window >= 0, "window must be non-negative")
+    val qt = queryTerms.filter(length(col("term")) > 0)
+      .select(col("q_id"), col("term")).distinct()
+    val occ = posLedger
+      .join(broadcast(qt), "term")
+      .select(col("q_id"), col("doc_id"), col("term"),
+        explode(col("positions")).as("pos"))
+    val cover = occ.withColumn("_k",
+      size(collect_set(col("term")).over(
+        Window.partitionBy("q_id", "doc_id").orderBy(col("pos"))
+          .rangeBetween(Window.currentRow, window))))
+      .select(col("q_id"), col("doc_id"), col("pos"), col("_k"))
+      .distinct()
+    cover.withColumn("_r", row_number().over(
+        Window.partitionBy("q_id", "doc_id")
+          .orderBy(col("_k").desc, col("pos").asc)))
+      .filter(col("_r") === 1)
+      .select(col("q_id"), col("doc_id"), col("pos").as("win_start"),
+        col("_k").cast("long").as("win_terms"))
   }
 
   /** [[bm25TopK]] against a stored ledger — rank + self-exclusion over

@@ -553,9 +553,94 @@ object Registry14 {
       .orderBy("id")
   }
 
+  /** Query-likelihood (Dirichlet-smoothed) lexical ranking under the
+    * gate ([[Retrieval.lmTopKFromIndex]], Zhai & Lafferty): the second
+    * classical probabilistic scorer, served from the SAME stored tf
+    * ledger BM25 reads — one ledger, two ranking models. The oracle
+    * replays the rank-equivalent rational decomposition exactly:
+    * matched-term factors 1 + tf·T/(μ·cf) folded in term order, the
+    * in-vocabulary distinct-term count n_q, and the length penalty
+    * (μ/(dl+μ))^{n_q} as an explicit n_q-step multiply fold (`pow` is
+    * libm and not cross-engine stable; a fold of IEEE multiplies is). */
+  val textLmTopK = Q("text_lm_topk",
+    s"""WITH ${Registry12.sqlBm25(20)},
+       |cfq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf
+       |  GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM tf),
+       |nql AS (SELECT q.q_id, COUNT(*) AS nq FROM qt q
+       |  JOIN cfq USING (term) GROUP BY 1),
+       |mp AS (SELECT q.q_id, tf.doc_id,
+       |    list_reduce(list_prepend(1.0, list(
+       |      1.0 + (CAST(tf.tf AS DOUBLE) * CAST(tt.t AS DOUBLE))
+       |        / (1000.0 * CAST(f.cf AS DOUBLE)) ORDER BY tf.term)),
+       |      (x, y) -> x * y) AS mprod
+       |  FROM tf JOIN qt q USING (term) JOIN cfq f USING (term)
+       |  CROSS JOIN tt
+       |  GROUP BY 1, 2),
+       |scl AS (SELECT m.q_id, m.doc_id, m.mprod * list_reduce(
+       |    list_prepend(1.0, list_transform(range(1, n.nq + 1),
+       |      x -> 1000.0 / (CAST(dl.dl AS DOUBLE) + 1000.0))),
+       |    (x, y) -> x * y) AS score
+       |  FROM mp m JOIN dl ON dl.doc_id = m.doc_id
+       |  JOIN nql n ON n.q_id = m.q_id
+       |  WHERE m.q_id <> m.doc_id),
+       |rl AS (SELECT q_id, doc_id, score, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT)
+       |  AS rnk FROM scl)
+       |SELECT q_id, doc_id, rnk, score FROM rl WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val tfLedger = Retrieval.bm25IndexBuild(dd, "doc_id", "text")
+    val qt = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    Retrieval.lmTopKFromIndex(qt, tfLedger, k = 10, mu = 1000.0)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Best-window (snippet) election under the gate
+    * ([[Retrieval.bestWindow]]): for each query × matching doc, the
+    * 4-position span covering the most distinct query terms, earliest
+    * span on ties — the highlight a result page renders and the span
+    * weak supervision mines, computed by the same range-frame plane
+    * sweep `text_near_match` uses with an argmax instead of an
+    * all-terms filter. The oracle replays the cover counts (via the
+    * quadratic join form — oracle cost, not engine cost) and the
+    * (count desc, start asc) election. */
+  val textBestWindow = Q("text_best_window",
+    s"""WITH ${sqlPosLedger()},
+       |qtw AS (SELECT DISTINCT q_id, term FROM (
+       |  SELECT d.doc_id AS q_id, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents WHERE doc_id < 3) d,
+       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
+       |occ AS (SELECT q.q_id, l.doc_id, l.term, l.pos
+       |  FROM pl l JOIN qtw q ON q.term = l.term),
+       |cov AS (SELECT o.q_id, o.doc_id, a.pos AS p,
+       |    COUNT(DISTINCT o.term) AS k
+       |  FROM occ o JOIN (SELECT DISTINCT q_id, doc_id, pos FROM occ) a
+       |    ON a.q_id = o.q_id AND a.doc_id = o.doc_id
+       |    AND o.pos >= a.pos AND o.pos <= a.pos + 3
+       |  GROUP BY 1, 2, 3),
+       |wn AS (SELECT q_id, doc_id, p, k, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id, doc_id ORDER BY k DESC, p ASC) AS r FROM cov)
+       |SELECT q_id, doc_id, p AS win_start, CAST(k AS BIGINT) AS win_terms
+       |FROM wn WHERE r = 1
+       |ORDER BY q_id, doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val ledger = Retrieval.positionalIndexBuild(dd, "doc_id", "text")
+    val qt = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+    Retrieval.bestWindow(qt, ledger, window = 3)
+      .withColumn("win_start", col("win_start").cast("long"))
+      .orderBy("q_id", "doc_id")
+  }
+
   val round14: Seq[Q] =
     Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact,
       textNearOrdered, textPhraseBoostTopK, streamingPositionalIngest,
       dedupSemanticClusters, annFilteredIndexedTopK, hybridLinearTopK,
-      multimodalPhashClusters)
+      multimodalPhashClusters, textLmTopK, textBestWindow)
 }

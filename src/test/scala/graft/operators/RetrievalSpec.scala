@@ -674,6 +674,44 @@ class RetrievalSpec extends SparkSpec {
     assert(near2 == Set(0L, 1L, 3L), s"empty-term query drifted: $near2")
   }
 
+  test("lmTopKFromIndex: hand-computed Dirichlet scores; OOV terms drop from n_q; length penalty orders") {
+    // corpus: T = 6 total tokens, cf(a)=3, cf(b)=2, cf(z)=1
+    val corpus = Seq(
+      (0L, "a b"),      // the query doc
+      (1L, "a a"),      // short, tf(a)=2
+      (2L, "a b z")     // longer, has both terms once
+    ).toDF("doc_id", "text")
+    val tf = Retrieval.bm25IndexBuild(corpus, "doc_id", "text")
+    val qt = Seq((0L, "a"), (0L, "b"), (0L, "oov")).toDF("q_id", "term")
+    val got = Retrieval.lmTopKFromIndex(qt, tf, k = 3, mu = 2.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // T = 7 tokens, cf(a) = 4, cf(b) = 2; n_q = 2 (oov has no
+    // collection mass and drops); mu = 2; doc 0 is the query's self
+    // doc 1: {a: 1 + 2*7/(2*4) = 2.75}, dl 2 -> penalty (2/4)^2
+    val d1 = (1.0 * 2.75) * ((1.0 * 0.5) * 0.5)
+    // doc 2: {a: 1 + 7/8 = 1.875} * {b: 1 + 7/4 = 2.75}, dl 3 -> (2/5)^2
+    val d2 = ((1.0 * 1.875) * 2.75) * ((1.0 * 0.4) * 0.4)
+    assert(math.abs(got(1L) - d1) < 1e-12 && math.abs(got(2L) - d2) < 1e-12,
+      s"hand-computed QL scores drifted: $got (want 1->$d1, 2->$d2)")
+    assert(got(2L) > got(1L), "both-terms doc must outrank the single-term doc")
+  }
+
+  test("bestWindow: densest span wins, earliest on ties, every matching doc reported") {
+    val corpus = Seq(
+      (0L, "a x b x x a b c"),  // [5,8] covers a,b,c — the densest
+      (1L, "a x x x b"),        // no span covers both within w=3
+      (2L, "c c c")             // single distinct term, window at 0
+    ).toDF("doc_id", "text")
+    val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
+    val qt = Seq((9L, "a"), (9L, "b"), (9L, "c")).toDF("q_id", "term")
+    val got = Retrieval.bestWindow(qt, ledger, window = 3)
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(got(0L) == (5, 3L), s"densest window drifted: ${got(0L)}")
+    // doc 1: best any-window covers 1 term; earliest start = pos 0
+    assert(got(1L) == (0, 1L), s"tie-to-earliest drifted: ${got(1L)}")
+    assert(got(2L) == (0, 1L), s"single-term doc drifted: ${got(2L)}")
+  }
+
   test("linearFuse: min-max normalization, degenerate-list guard, absent-side zero, weights") {
     val a = Seq((0L, 1L, 1, 10.0), (0L, 2L, 2, 5.0), (0L, 3L, 3, 0.0))
       .toDF("q_id", "n_id", "rnk", "score")
