@@ -733,6 +733,35 @@ object Dedup {
     * document text never rides the exchange twice (the window carries
     * the already-projected row once). This is the operator a training
     * pipeline actually runs; [[exactGroups]] is its audit view. */
+  /** QUALITY-AWARE survivor selection over a near-dup cluster labeling
+    * — the keep/drop decision production curation actually executes:
+    * [[dedupKeepFirst]] keeps the smallest id (arbitrary but cheap);
+    * keeping the BEST-scoring member of each cluster (highest `score`,
+    * ties to the smaller id) retains the cleanest copy of every
+    * near-dup family instead of whichever arrived first. `clusters`:
+    * (id, cluster) — [[connectedComponents]]' shape; documents absent
+    * from the labeling are singletons and survive unconditionally.
+    * One left join on the id key + one per-cluster rank window — the
+    * exchange carries (id, cluster, score), never the text. Returns
+    * the surviving docs rows plus the score under `scoreOut`. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String,
+                         clusters: DataFrame, score: Column,
+                         scoreOut: String = "score"): DataFrame = {
+    val rn = "_graft_best_rn"
+    require(!docs.columns.contains(rn), s"input already has a $rn column")
+    val cl = "_graft_best_cl"
+    docs
+      .join(clusters, docs(idCol) === clusters("id"), "left")
+      .withColumn(cl, coalesce(col("cluster"), col(idCol)))
+      .drop("id", "cluster")
+      .withColumn(scoreOut, score)
+      .withColumn(rn, row_number().over(
+        Window.partitionBy(col(cl))
+          .orderBy(col(scoreOut).desc, col(idCol).asc)))
+      .filter(col(rn) === 1)
+      .drop(rn, cl)
+  }
+
   def dedupKeepFirst(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val rn = "_graft_dedup_rn"
     require(!docs.columns.contains(rn), s"input already has a $rn column")

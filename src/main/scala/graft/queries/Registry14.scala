@@ -638,9 +638,41 @@ object Registry14 {
       .orderBy("q_id", "doc_id")
   }
 
+  /** Quality-aware near-dup survivor selection under the gate
+    * ([[graft.operators.Dedup.keepBestPerCluster]]): `dedup_survivors`
+    * keeps the smallest id per exact-dup group (cheap, arbitrary);
+    * production curation keeps the CLEANEST member — here the MinHash
+    * near-dup clusters (`dedup_clusters`' labeling, shared CTE) elect
+    * the member with the highest `text_quality` composite (shared
+    * CTE), ties to the smaller id, singletons surviving
+    * unconditionally. The oracle composes the two already-proven
+    * chains with one rank window — scoring drift OR clustering drift
+    * flips the survivor set. */
+  val dedupSurvivorsQuality = Q("dedup_survivors_quality",
+    s"""WITH RECURSIVE ${Registry3.sqlMinhashCc},
+       |${RegistryExt.sqlQualityCte},
+       |al AS (SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cl, qy.quality
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+       |  JOIN qy ON qy.doc_id = d.doc_id),
+       |rk AS (SELECT doc_id, cl, quality, ROW_NUMBER() OVER (
+       |  PARTITION BY cl ORDER BY quality DESC, doc_id ASC) AS rn FROM al)
+       |SELECT doc_id, quality FROM rk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    val dd = docs(s, d)
+    val pairs = Dedup.minhashCandidates(dd, "doc_id", "text")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    Dedup.keepBestPerCluster(dd, "doc_id", cc,
+      TextFns.qualityScore(col("text")), scoreOut = "quality")
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
   val round14: Seq[Q] =
     Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact,
       textNearOrdered, textPhraseBoostTopK, streamingPositionalIngest,
       dedupSemanticClusters, annFilteredIndexedTopK, hybridLinearTopK,
-      multimodalPhashClusters, textLmTopK, textBestWindow)
+      multimodalPhashClusters, textLmTopK, textBestWindow,
+      dedupSurvivorsQuality)
 }

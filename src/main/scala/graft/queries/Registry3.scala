@@ -27,8 +27,11 @@ object Registry3 {
     * pairwise dedup signals into the keep/drop decision a training
     * pipeline actually executes. Oracle: the same pair SQL as
     * dedup_minhash_lsh, closed with a recursive CTE. */
-  val dedupClusters = Q("dedup_clusters",
-    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+  /** The MinHash+LSH pairs → recursive transitive closure CTE chain
+    * (w…lbl), shared with round-14's quality-aware survivor gate —
+    * one construction so the two can never test different clusterings. */
+  private[queries] def sqlMinhashCc: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
       |sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
       |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM w),
       |sig AS (SELECT doc_id, list_transform(range(0, 8),
@@ -47,7 +50,10 @@ object Registry3 {
       |  SELECT s, s FROM edges
       |  UNION
       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
-      |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+      |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)""".stripMargin
+
+  val dedupClusters = Q("dedup_clusters",
+    s"""WITH RECURSIVE $sqlMinhashCc
       |SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cluster_id
       |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>

@@ -198,26 +198,34 @@ object RegistryExt {
   }
 
   /** Quality scoring: length/punct/word-shape/stopword signals in [0,1]. */
-  val textQuality = Q("text_quality", {
+  /** The (tq, qy) quality CTE chain of text_quality's oracle, shared
+    * with round-14's quality-aware survivor gate — one construction so
+    * the two can never score different qualities. */
+  private[queries] def sqlQualityCte: String = {
     val en = TextFns.EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+    s"""tq AS (SELECT doc_id, text, string_split(text, ' ') AS w,
        |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
        |  CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
        |  CAST(len(list_filter(string_split(text, ' '), x -> list_contains($en, x))) AS DOUBLE)
        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
-       |  FROM documents)
-       |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, avg_word_len,
-       |  punct_ratio, stopword_ratio,
-       |  ((CASE WHEN length(text) >= 100 THEN 1.0
+       |  FROM documents),
+       |qy AS (SELECT doc_id, ((CASE WHEN length(text) >= 100 THEN 1.0
        |      ELSE CAST(length(text) AS DOUBLE) / 100.0 END
        |    + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
        |    + (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0
        |        THEN 1.0 ELSE 0.5 END)
        |    + LEAST(stopword_ratio * 4.0, 1.0)) / 4.0) AS quality
-       |FROM t ORDER BY doc_id""".stripMargin
-  }) { (s, d) =>
+       |  FROM tq)""".stripMargin
+  }
+
+  val textQuality = Q("text_quality",
+    s"""WITH $sqlQualityCte
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+       |  t.avg_word_len, t.punct_ratio, t.stopword_ratio, qy.quality
+       |FROM tq t JOIN qy ON qy.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
     docs(s, d).select(col("doc_id"),
       TextFns.wsTokenCount(col("text")).as("n_words"),
       TextFns.avgWordLen(col("text")).as("avg_word_len"),

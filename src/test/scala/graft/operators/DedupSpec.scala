@@ -273,6 +273,19 @@ class DedupSpec extends SparkSpec {
       Seq("doc_id", "text"))
   }
 
+  test("keepBestPerCluster: highest score survives, ties to the smaller id, singletons pass") {
+    val frame = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster 1: 2 and 3 tie on score
+      (7L, 0.1)                        // singleton (absent from clusters)
+    ).toDF("doc_id", "sc")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster")
+    val out = Dedup.keepBestPerCluster(frame, "doc_id", clusters, $"sc",
+      scoreOut = "q")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L, 7L), s"survivor set drifted: $ids")
+    assert(out.columns.toSeq == Seq("doc_id", "sc", "q"))
+  }
+
   test("dedupIncremental: within-batch winner survives only if unseen in the ledger") {
     val batch = Seq(
       (10L, "seen before"),   // in ledger → dropped
