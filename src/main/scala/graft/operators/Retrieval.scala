@@ -233,10 +233,13 @@ object Retrieval {
     * Dataflow: matched postings explode once ([[proximityMatch]]'s
     * shape); the chain then advances one slot per round over
     * ANCHOR-SIZED frames — (q_id, doc_id, p0, last) rows, one per
-    * still-alive anchor — with a min-aggregate per round and
-    * [[Lineage.truncate]] between rounds (the beam-hop loop
-    * discipline); rounds = phrase length − 1, driver-known from a
-    * 1-row bounded collect. Queries with fewer slots than the longest
+    * still-alive anchor — each round a ceiling-successor PLANE SWEEP
+    * (anchors ∪ slot occurrences, one position-ordered walk per
+    * (q, doc) group — O(rows log rows), never the anchors ×
+    * occurrences pair join) with [[Lineage.truncate]] between rounds
+    * (the beam-hop loop discipline); rounds = phrase length − 1,
+    * driver-known from a 1-row bounded collect. Queries with fewer
+    * slots than the longest
     * phrase finish early and carry through untouched. `phrases`:
     * (q_id, idx, term) — idx orders the slots (gaps fine, zero-length
     * terms drop as everywhere). Returns (q_id, doc_id, anchors ≥ 1):
@@ -266,19 +269,39 @@ object Retrieval {
         col("pos").as("last")))
     var i = 1
     while (i <= maxOrd) {
-      val step = occ.filter(col("_ord") === i)
-        .select(col("q_id"), col("doc_id"), col("pos").as("np"))
       // queries whose phrase ran out of slots are DONE — their anchors
       // survive untouched while longer phrases keep chaining
       val hasSlot = ordered.filter(col("_ord") === i)
         .select(col("q_id")).distinct()
       val done = frontier.join(broadcast(hasSlot), Seq("q_id"), "left_anti")
-      val advanced = frontier.join(step, Seq("q_id", "doc_id"))
-        .filter(col("np") > col("last") &&
-          col("np") <= col("p0") + lit(window))
-        .groupBy("q_id", "doc_id", "p0").agg(min(col("np")).as("last"))
-      frontier = Lineage.truncate(done.unionByName(
-        advanced.select(col("q_id"), col("doc_id"), col("p0"), col("last"))))
+      // the greedy pick "earliest slot-i position strictly after last"
+      // is a ceiling-successor lookup — computed as a PLANE SWEEP, not
+      // a frontier × occurrences join (which would materialize
+      // anchors × occ_i pairs per doc before its filter, the
+      // proximityMatch blow-up): anchors and slot-i occurrences union
+      // into one (q, doc) stream ordered by position, and each anchor
+      // reads min(np) over the strictly-following rows. A slot-i
+      // occurrence AT the anchor's own position (repeated-term
+      // phrases) sorts BEFORE the anchor row (np asc_nulls_last), so
+      // "following" is exactly "strictly greater position".
+      val step = occ.filter(col("_ord") === i)
+        .select(col("q_id"), col("doc_id"),
+          lit(null).cast("int").as("p0"), col("pos"),
+          col("pos").as("np"))
+      val tagged = frontier
+        .select(col("q_id"), col("doc_id"), col("p0"),
+          col("last").as("pos"), lit(null).cast("int").as("np"))
+        .unionByName(step)
+      val nxt = min(col("np")).over(
+        Window.partitionBy("q_id", "doc_id")
+          .orderBy(col("pos").asc, col("np").asc_nulls_last)
+          .rowsBetween(1, Window.unboundedFollowing))
+      val advanced = tagged.withColumn("_nx", nxt)
+        .filter(col("p0").isNotNull && col("_nx").isNotNull &&
+          col("_nx") <= col("p0") + lit(window))
+        .select(col("q_id"), col("doc_id"), col("p0"),
+          col("_nx").as("last"))
+      frontier = Lineage.truncate(done.unionByName(advanced))
       i += 1
     }
     frontier.groupBy("q_id", "doc_id").agg(count(lit(1)).as("anchors"))
