@@ -554,6 +554,40 @@ object ScaleProbe {
           println(f"PROBE retr $scale pass$pass sq8_encode_s=$tEnc%.2f " +
             f"sq8_exhaustive_s=$tScan%.2f")
         }
+        // positional-retrieval faces over a STORED ledger (round 14):
+        // build once per corpus, then time the match ops alone —
+        // phrase and both NEAR forms must scale with MATCHED postings
+        // (the query terms' occurrence lists), never with the corpus²
+        // pair space (the plane-sweep argument); the 10× wall ratio is
+        // the witness
+        val posPath = s"$scratch/_posledger_$scale.parquet"
+        var tP0 = System.nanoTime()
+        graft.operators.Retrieval.positionalIndexBuild(d, "doc_id", "text")
+          .write.mode("overwrite").parquet(posPath)
+        println(f"PROBE retr $scale " +
+          f"pos_ledger_build_s=${(System.nanoTime() - tP0) / 1e9}%.2f")
+        val posLedger = spark.read.parquet(posPath)
+        val phq = d.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"),
+            posexplode(slice(split(col("text"), " "), 1, 3))
+              .as(Seq("idx", "term")))
+        val qts = phq.select(col("q_id"), col("term"))
+        for (pass <- 1 to 2) {
+          tP0 = System.nanoTime()
+          Retrieval.phraseMatch(phq, posLedger)
+            .write.format("noop").mode("overwrite").save()
+          val tPh = (System.nanoTime() - tP0) / 1e9
+          tP0 = System.nanoTime()
+          Retrieval.proximityMatch(qts, posLedger, window = 3)
+            .write.format("noop").mode("overwrite").save()
+          val tNe = (System.nanoTime() - tP0) / 1e9
+          tP0 = System.nanoTime()
+          Retrieval.orderedNearMatch(phq, posLedger, window = 3)
+            .write.format("noop").mode("overwrite").save()
+          val tOr = (System.nanoTime() - tP0) / 1e9
+          println(f"PROBE retr $scale pass$pass phrase_s=$tPh%.2f " +
+            f"near_s=$tNe%.2f ordered_s=$tOr%.2f")
+        }
         // frozen-graph search: build the kNN graph ONCE per corpus
         // (cells ∝ corpus — the knnGraph sizing rule), store it, then
         // time the 3-hop beam search alone against the stored edges
