@@ -748,12 +748,18 @@ object Dedup {
                          clusters: DataFrame, score: Column,
                          scoreOut: String = "score"): DataFrame = {
     val rn = "_graft_best_rn"
-    require(!docs.columns.contains(rn), s"input already has a $rn column")
     val cl = "_graft_best_cl"
+    val cid = "_graft_best_id"
+    // the cluster side renames to private columns BEFORE the join so a
+    // docs column named "id" or "cluster" can neither collide in the
+    // coalesce nor be silently swallowed by a post-join drop
+    require(!docs.columns.exists(Set(rn, cl, cid).contains),
+      s"input already has a $rn/$cl/$cid column")
+    val cl2 = clusters.select(col("id").as(cid), col("cluster").as(cl))
     docs
-      .join(clusters, docs(idCol) === clusters("id"), "left")
-      .withColumn(cl, coalesce(col("cluster"), col(idCol)))
-      .drop("id", "cluster")
+      .join(cl2, docs(idCol) === col(cid), "left")
+      .withColumn(cl, coalesce(col(cl), col(idCol)))
+      .drop(cid)
       .withColumn(scoreOut, score)
       .withColumn(rn, row_number().over(
         Window.partitionBy(col(cl))

@@ -192,27 +192,40 @@ object Retrieval {
     * [[phraseMatch]], anchors = how many positions open a covering
     * span (a crude density signal; rank stages downstream apply their
     * own scoring). */
-  def proximityMatch(queryTerms: DataFrame, posLedger: DataFrame,
-                     window: Int): DataFrame = {
-    require(window >= 0, "window must be non-negative")
+  /** The shared window-cover plane sweep of [[proximityMatch]] and
+    * [[bestWindow]]: matched postings explode once, then each
+    * occurrence reads its [pos, pos + window] cover as a range-frame
+    * window aggregate. set-size over the frame is order-free (size()
+    * does not read collect_set's nondeterministic order), so the cover
+    * count is deterministic; distinct guards the anchor count against
+    * a malformed ledger indexing two terms at one position. Returns
+    * (q_id, doc_id, pos, _k). One construction for both faces — a fix
+    * to the empty-term filter or the frame bound can never apply to
+    * one and not the other. */
+  private def coverFrame(queryTerms: DataFrame, posLedger: DataFrame,
+                         window: Int): DataFrame = {
     val qt = queryTerms.filter(length(col("term")) > 0)
       .select(col("q_id"), col("term")).distinct()
-    val nTerms = qt.groupBy("q_id").agg(countDistinct(col("term")).as("_n"))
-    val occ = posLedger
+    posLedger
       .join(broadcast(qt), "term")
       .select(col("q_id"), col("doc_id"), col("term"),
         explode(col("positions")).as("pos"))
-    // set-size over a range frame is order-free (size() does not read
-    // collect_set's nondeterministic order), so the cover count is
-    // deterministic; distinct guards the anchor count against a
-    // malformed ledger indexing two terms at one position
-    val cover = occ.withColumn("_k",
-      size(collect_set(col("term")).over(
-        Window.partitionBy("q_id", "doc_id").orderBy(col("pos"))
-          .rangeBetween(Window.currentRow, window))))
+      .withColumn("_k",
+        size(collect_set(col("term")).over(
+          Window.partitionBy("q_id", "doc_id").orderBy(col("pos"))
+            .rangeBetween(Window.currentRow, window))))
       .select(col("q_id"), col("doc_id"), col("pos"), col("_k"))
       .distinct()
-    cover.join(broadcast(nTerms), "q_id")
+  }
+
+  def proximityMatch(queryTerms: DataFrame, posLedger: DataFrame,
+                     window: Int): DataFrame = {
+    require(window >= 0, "window must be non-negative")
+    val nTerms = queryTerms.filter(length(col("term")) > 0)
+      .select(col("q_id"), col("term")).distinct()
+      .groupBy("q_id").agg(countDistinct(col("term")).as("_n"))
+    coverFrame(queryTerms, posLedger, window)
+      .join(broadcast(nTerms), "q_id")
       .filter(col("_k") === col("_n"))
       .groupBy("q_id", "doc_id")
       .agg(count(lit(1)).as("anchors"))
@@ -484,19 +497,8 @@ object Retrieval {
   def bestWindow(queryTerms: DataFrame, posLedger: DataFrame,
                  window: Int): DataFrame = {
     require(window >= 0, "window must be non-negative")
-    val qt = queryTerms.filter(length(col("term")) > 0)
-      .select(col("q_id"), col("term")).distinct()
-    val occ = posLedger
-      .join(broadcast(qt), "term")
-      .select(col("q_id"), col("doc_id"), col("term"),
-        explode(col("positions")).as("pos"))
-    val cover = occ.withColumn("_k",
-      size(collect_set(col("term")).over(
-        Window.partitionBy("q_id", "doc_id").orderBy(col("pos"))
-          .rangeBetween(Window.currentRow, window))))
-      .select(col("q_id"), col("doc_id"), col("pos"), col("_k"))
-      .distinct()
-    cover.withColumn("_r", row_number().over(
+    coverFrame(queryTerms, posLedger, window)
+      .withColumn("_r", row_number().over(
         Window.partitionBy("q_id", "doc_id")
           .orderBy(col("_k").desc, col("pos").asc)))
       .filter(col("_r") === 1)

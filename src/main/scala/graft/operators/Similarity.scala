@@ -662,16 +662,17 @@ object Similarity {
     * aggregate; the corpus never shuffles, and the rank window runs on
     * a dim-row (KB-scale) frame.
     *
-    * Amplitude contract: the SECOND moment casts round(x·x·1e10) to
-    * BIGINT per element, which overflows Long once |x| exceeds ~3×10⁴
-    * (the m1 path tolerates ~9×10⁸) — silent corruption of the variance
-    * RANKING, not an error. Embeddings are expected unit-scale (the
-    * [[cellMeans]] posture: |x| ≲ 1, where the per-element term is
-    * ≤ 10¹⁰ and the integer SUM holds ~9×10⁸ rows of headroom); the
-    * operator enforces the element bound eagerly — a dimension whose
-    * max |x| exceeds 3×10⁴ raises rather than ranking on corrupt
-    * variance. Rescale (or normalize) non-unit-scale embeddings before
-    * permuting.
+    * Amplitude contract: the SECOND moment sums round(x·x·1e10) BIGINT
+    * terms, so the per-dimension sum wraps once n·max(x²)·10¹⁰ passes
+    * Long range — silent corruption of the variance RANKING, not an
+    * error. Embeddings are expected unit-scale (the [[cellMeans]]
+    * posture: |x| ≲ 1, where the integer sum holds ~9×10⁸ rows of
+    * headroom); the operator enforces the SUM bound eagerly from the
+    * same pass's max|x| and row count — a dimension whose conservative
+    * bound n·max(x²)·10¹⁰ exceeds 9×10¹⁸ raises rather than ranking on
+    * corrupt variance (this also covers the single-element cast bound
+    * |x| ≈ 3×10⁴). Rescale (or normalize) non-unit-scale embeddings
+    * before permuting.
     * Returns (d, pos): original 0-based dimension d moves to 0-based
     * permuted position pos (= subspace·(dim/m) + slot). */
   def opqPermutation(corpus: DataFrame, vecCol: String,
@@ -690,22 +691,31 @@ object Similarity {
             lit(1e10)).cast("long"))
           .cast("double") / lit(1e10) / count(col("x"))).as("m2"),
         // amplitude witness, free in the same pass: the m2 fixed-point
-        // cast corrupts silently past |x| ≈ 3e4 (see scaladoc) — carry
-        // the max so the guard below can refuse instead
-        max(abs(col("x").cast("double"))).as("_amx"))
+        // cast corrupts silently past |x| ≈ 3e4 — and the per-dimension
+        // integer SUM wraps much earlier on large corpora (n rows of up
+        // to x²·10¹⁰ each) — carry max|x| AND the row count so the
+        // guard below bounds the whole sum, not just one element
+        max(abs(col("x").cast("double"))).as("_amx"),
+        count(col("x")).as("_n"))
       .select(col("d"), (col("m2") - col("m1") * col("m1")).as("vr"),
-        col("_amx"))
+        col("_amx"), col("_n"))
     moments
       .withColumn("r", row_number().over(
         Window.orderBy(col("vr").desc, col("d").asc)) - 1)
       .withColumn("_pass", expr(s"CAST(r DIV $m AS INT)"))
       .withColumn("_lane", expr(s"CAST(r % $m AS INT)"))
       .select(col("d"),
-        when(col("_amx") > lit(3.0e4), expr(
-          "raise_error(concat('opqPermutation: element magnitude ', " +
-            "CAST(_amx AS STRING), ' exceeds the 3e4 fixed-point " +
-            "amplitude bound for the second moment — normalize or " +
-            "rescale the embeddings before permuting'))").cast("int"))
+        // the m2 sum holds iff n · max(x²) · 10¹⁰ stays under
+        // Long.Max ≈ 9.2e18 (conservative: the max element bounds
+        // every term); the check covers BOTH the per-element cast
+        // (n = 1 degenerate case) and the accumulated sum
+        when(col("_amx") * col("_amx") * lit(1e10) *
+            col("_n").cast("double") > lit(9.0e18), expr(
+          "raise_error(concat('opqPermutation: second-moment " +
+            "fixed-point sum may overflow (max|x|=', " +
+            "CAST(_amx AS STRING), ', rows=', CAST(_n AS STRING), " +
+            "') — normalize or rescale the embeddings before " +
+            "permuting'))").cast("int"))
         .otherwise(
           ((when(col("_pass") % 2 === 0, col("_lane"))
             .otherwise(lit(m - 1) - col("_lane"))) * slotW + col("_pass"))

@@ -199,26 +199,37 @@ object Vocab {
     *
     * Path selection: the corpus-sized work — the word histogram — is
     * always distributed (one tokenize exchange); the merge LOOP then
-    * runs driver-local when the distinct-word frame holds at most
-    * `maxDistinctWords` rows ([[trainLocal]] — a 10⁵-merge production
-    * vocabulary becomes one collect plus an in-memory loop instead of
-    * ~10⁵ sequential cluster round-trips at ~0.17 s each), and
-    * distributed above the cap ([[trainDistributed]]). The two paths
-    * elect identical merge tables bit-for-bit (the gates pin this);
-    * the count that picks the path is read from the already-
-    * materialized frame, costing one metadata-cheap action. */
+    * runs driver-local when the distinct-word frame fits BOTH caps —
+    * `maxDistinctWords` rows AND `maxLocalChars` total symbol-string
+    * characters (the collect is string-heavy, so rows alone would
+    * under-count a long-token vocabulary) — ([[trainLocal]]: a
+    * 10⁵-merge production vocabulary becomes one collect plus an
+    * in-memory loop instead of ~10⁵ sequential cluster round-trips at
+    * ~0.17 s each), and distributed above either cap
+    * ([[trainDistributed]]). The two paths elect identical merge
+    * tables bit-for-bit (the gates pin this); the counts that pick the
+    * path read from the already-materialized frame, one cheap
+    * action. */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int,
-               maxDistinctWords: Long = 1L << 20): DataFrame = {
+               maxDistinctWords: Long = 1L << 20,
+               maxLocalChars: Long = 1L << 27): DataFrame = {
     require(merges > 0, "merges must be positive")
     require(maxDistinctWords >= 0, "maxDistinctWords must be non-negative")
+    require(maxLocalChars >= 0, "maxLocalChars must be non-negative")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
     val state = Lineage.truncate(words.withColumn("s", symbolString("w")))
+    // the local path collects the symbol strings, so the gate bounds
+    // BYTES as well as rows: a row-count cap alone would happily
+    // collect 2^20 hundred-char tokens (URLs, hashes) into driver heap
+    val stats = state.agg(count(lit(1)).as("n"),
+      coalesce(sum(length(col("s"))), lit(0L)).as("chars")).head()
     val learned =
-      if (state.count() <= maxDistinctWords) trainLocal(state, merges)
+      if (stats.getLong(0) <= maxDistinctWords &&
+          stats.getLong(1) <= maxLocalChars) trainLocal(state, merges)
       else trainDistributed(state, merges)
     spark.createDataFrame(
       spark.sparkContext.parallelize(

@@ -41,14 +41,21 @@ object Registry14 {
        |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
        |nt AS (SELECT q_id, COUNT(DISTINCT idx) AS n FROM ph GROUP BY 1)""".stripMargin
 
-  /** The shifted-base phrase intersection + all-slots filter over
-    * ledger CTE `pl` ([[Retrieval.phraseMatch]]'s algebra). */
-  private def sqlPhraseHits: String =
+  /** The shifted-base phrase intersection CTE over ledger CTE `pl` and
+    * phrase CTE `ph` ([[Retrieval.phraseMatch]]'s algebra) — shared by
+    * the match/remove gates' final select AND the boost gate's match
+    * set, one construction so they can never intersect differently. */
+  private def sqlPhraseHitsCte: String =
     s"""hits AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
        |    COUNT(*) AS k
        |  FROM pl l JOIN ph p ON p.term = l.term
        |  WHERE l.pos - p.idx >= 0
-       |  GROUP BY 1, 2, 3)
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** [[sqlPhraseHitsCte]] + the all-slots filter and occurrence-count
+    * select — the full phrase-match oracle tail. */
+  private def sqlPhraseHits: String =
+    s"""$sqlPhraseHitsCte
        |SELECT h.q_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
        |FROM hits h JOIN nt ON nt.q_id = h.q_id WHERE h.k = nt.n
        |GROUP BY h.q_id, h.doc_id
@@ -241,6 +248,15 @@ object Registry14 {
       .select(col("doc_id").as("q_id"),
         posexplode(slice(split(col("text"), " "), 1, 3))
           .as(Seq("idx", "term")))
+    // the oracle unrolls EXACTLY two chain rounds (3 slots per query);
+    // assert the fixture property it depends on so a data change fails
+    // LOUDLY instead of silently diverging from the operator's
+    // early-finish contract (which the spec covers separately)
+    val slots = ph.filter(length(col("term")) > 0)
+      .groupBy("q_id").agg(countDistinct(col("idx")).as("n"))
+      .agg(min("n"), max("n")).head()
+    require(slots.getLong(0) == 3 && slots.getLong(1) == 3,
+      "text_near_ordered's oracle unrolls 3 slots; the fixture drifted")
     Retrieval.orderedNearMatch(ph, ledger, window = 3)
       .orderBy("q_id", "doc_id")
   }
@@ -258,19 +274,10 @@ object Registry14 {
   val textPhraseBoostTopK = Q("text_phrase_boost_topk",
     s"""WITH ${Registry12.sqlBm25(10)},
        |${sqlPosLedger()},
-       |phb AS (SELECT q_id, idx, term FROM (
-       |  SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
-       |    FROM documents WHERE doc_id < 3) d,
-       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
-       |ntb AS (SELECT q_id, COUNT(DISTINCT idx) AS n FROM phb GROUP BY 1),
-       |hitb AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
-       |    COUNT(*) AS k
-       |  FROM pl l JOIN phb p ON p.term = l.term
-       |  WHERE l.pos - p.idx >= 0
-       |  GROUP BY 1, 2, 3),
+       |$sqlPhrases,
+       |$sqlPhraseHitsCte,
        |pm AS (SELECT h.q_id, h.doc_id
-       |  FROM hitb h JOIN ntb ON ntb.q_id = h.q_id WHERE h.k = ntb.n
+       |  FROM hits h JOIN nt ON nt.q_id = h.q_id WHERE h.k = nt.n
        |  GROUP BY h.q_id, h.doc_id),
        |bs AS (SELECT s.q_id, s.doc_id,
        |    CASE WHEN pm.doc_id IS NOT NULL THEN s.score * 1.5

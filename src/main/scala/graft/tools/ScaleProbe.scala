@@ -364,7 +364,11 @@ object ScaleProbe {
         import graft.operators.Similarity
         val e = graft.Tables.embeddings(spark, dir)
         val nV = e.count()
-        val cent = e.filter(col("vec_id") < 64)
+        // cells ∝ corpus (the knnGraph sizing rule, as the retr probe's
+        // graph build) so the base-graph SETUP stays linear — the probe
+        // measures the sink's write volume, not a mis-sized build
+        val nCellsS = if (dir == sfDir) 64 else 64 * factor
+        val cent = e.filter(col("vec_id") < nCellsS)
           .select(col("vec_id").cast("int").as("cell"),
             col("embedding").as("c_vec"))
         val batch = e.orderBy(col("vec_id").desc).limit(5)
