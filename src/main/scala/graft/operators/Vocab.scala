@@ -106,53 +106,100 @@ object Vocab {
     * DEFINITION, so the distributed loop's per-round
     * aggregate + 1-row collect buys nothing once the whole histogram
     * is driver-sized — it pays a corpus-cluster round-trip per merge
-    * (~10⁵ sequential jobs for a production vocab). Bit-identical to
-    * the distributed rounds: same guarded symbol strings (collected as
+    * (~10⁵ sequential jobs for a production vocab).
+    *
+    * Pair statistics maintain INCREMENTALLY (the Sennrich learn_bpe
+    * refinement): applying merge (l, r) re-counts only the words that
+    * actually contain the pair (a pair → word-index map, superset-
+    * stale entries filtered by a contains check), and the argmax is a
+    * lazy max-heap of (count, l, r) snapshots with stale entries
+    * skipped on pop — per-round cost is O(affected words + heap ops),
+    * not O(vocabulary), so merge count scales past 10⁵ without the
+    * whole-histogram rescan each round. Bit-identical to the
+    * distributed rounds: same guarded symbol strings (collected as
     * Spark built them — no re-derivation that could drift on
     * supplementary-plane characters), same overlap-counting adjacent
     * pairs, same (cnt desc, lhs asc, rhs asc) election under UTF-8
-    * byte order, same literal non-overlapping left-to-right replace
-    * (`String.replace` ≡ the engines' `replace`). */
+    * byte order (the heap's total order), same literal non-overlapping
+    * left-to-right replace (`String.replace` ≡ the engines'
+    * `replace`). A leftover occurrence after an odd-overlap replace
+    * re-enters the counts via the re-count, exactly as the
+    * distributed recount would see it. */
   private def trainLocal(state: DataFrame,
                          merges: Int): Seq[(Int, String, String, Long)] = {
-    var hist = state.select(col("s"), col("freq")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    val rows = state.select(col("s"), col("freq")).collect()
+    val sArr = rows.map(_.getString(0))
+    val fArr = rows.map(_.getLong(1))
+    val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    // max-heap order: count desc, then lhs/rhs asc in UTF-8 bytes —
+    // the exact distributed election order
+    val heapOrd: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val lc = utf8Compare(b._2, a._2)
+          if (lc != 0) lc else utf8Compare(b._3, a._3)
+        }
+      }
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](heapOrd)
+    // strip exactly the two guard spaces (never a bare trim: a symbol
+    // drawn from the corpus could END in a character Java's trim would
+    // eat but the engines' space-only trim would not)
+    def eachPair(s: String)(f: ((String, String)) => Unit): Unit = {
+      val syms = s.substring(1, s.length - 1).split("  ", -1)
+      var i = 0
+      while (i < syms.length - 1) {
+        f((syms(i), syms(i + 1)))
+        i += 1
+      }
+    }
+    def register(i: Int, sign: Long): Unit = eachPair(sArr(i)) { key =>
+      val nv = cnt.getOrElse(key, 0L) + sign * fArr(i)
+      if (nv == 0L) cnt.remove(key) else cnt.update(key, nv)
+      if (nv != 0L) heap.enqueue((nv, key._1, key._2))
+      if (sign > 0L) {
+        // `where` is a SUPERSET of true containment (never shrunk on
+        // decrement — the word may hold the pair elsewhere); the
+        // apply-time contains() check filters the stale entries
+        where.getOrElseUpdate(key, scala.collection.mutable.HashSet.empty)
+          .add(i)
+      }
+    }
+    sArr.indices.foreach(register(_, 1L))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      hist.foreach { case (s, f) =>
-        // strip exactly the two guard spaces (never a bare trim: a
-        // symbol drawn from the corpus could END in a character Java's
-        // trim would eat but the engines' space-only trim would not)
-        val syms = s.substring(1, s.length - 1).split("  ", -1)
-        var i = 0
-        while (i < syms.length - 1) {
-          val key = (syms(i), syms(i + 1))
-          cnt.update(key, cnt.getOrElse(key, 0L) + f)
-          i += 1
-        }
+      // pop stale snapshots (count changed since push) until the top
+      // reflects a live pair
+      var best: (Long, String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (cnt.get((top._2, top._3)).contains(top._1)) best = top
       }
-      if (cnt.isEmpty) exhausted = true
+      if (best == null) exhausted = true
       else {
-        var best: ((String, String), Long) = null
-        cnt.foreach { e =>
-          val better = best == null || {
-            val c = java.lang.Long.compare(e._2, best._2)
-            if (c != 0) c > 0
-            else {
-              val lc = utf8Compare(e._1._1, best._1._1)
-              if (lc != 0) lc < 0 else utf8Compare(e._1._2, best._1._2) < 0
-            }
-          }
-          if (better) best = e
-        }
-        val ((l, r), c) = best
+        val (c, l, r) = best
         learned += ((step, l, r, c))
         val pat = s" $l  $r "
         val rep = s" $l$r "
-        hist = hist.map { case (s, f) => (s.replace(pat, rep), f) }
+        // snapshot-and-remove BEFORE re-registering, so any index a
+        // recount re-adds lands in a fresh set that survives this round
+        val affected = where.remove((l, r))
+          .getOrElse(scala.collection.mutable.HashSet.empty)
+        // iteration order is irrelevant: each word re-counts
+        // independently and pair counts are commutative sums
+        affected.toArray.foreach { i =>
+          if (sArr(i).contains(pat)) {
+            register(i, -1L)
+            sArr(i) = sArr(i).replace(pat, rep)
+            register(i, 1L)
+          }
+        }
         step += 1
       }
     }
