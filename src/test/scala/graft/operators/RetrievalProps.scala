@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.SparkSpec
+
+/** Model-based properties for the positional match operators:
+  * [[Retrieval.proximityMatch]] and [[Retrieval.orderedNearMatch]]
+  * against INDEPENDENT brute-force models written directly from the
+  * definitions — an exhaustive assignment search over raw positions, a
+  * different algebra from the operators' range-frame / ceiling-
+  * successor plane sweeps, so agreement on random corpora is evidence
+  * for the sweep reductions themselves (the anchor-cover and
+  * greedy-exchange arguments), not two copies of one implementation. */
+object RetrievalProps extends Properties("Retrieval") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(8)
+
+  /** Raw word positions per doc (the positional-ledger semantics:
+    * 0-based whitespace offsets, empty tokens dropped as terms). */
+  private def positions(doc: String): Map[String, Seq[Int]] =
+    doc.split(" ", -1).zipWithIndex
+      .filter(_._1.nonEmpty)
+      .groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2).toSeq }
+
+  /** Model NEAR/w: anchors = matched-term positions p such that every
+    * query term has an occurrence in [p, p + w] — checked directly
+    * against the raw position lists. */
+  private def modelNear(doc: String, terms: Set[String],
+                        w: Int): Option[Long] = {
+    val pos = positions(doc)
+    if (!terms.forall(pos.contains)) None
+    else {
+      val anchorPos = terms.toSeq.flatMap(pos).distinct
+      val n = anchorPos.count(p =>
+        terms.forall(t => pos(t).exists(q => q >= p && q <= p + w)))
+      if (n > 0) Some(n.toLong) else None
+    }
+  }
+
+  /** Model ordered NEAR/w: anchors = slot-0 positions p0 from which
+    * SOME strictly-increasing assignment of the remaining slots stays
+    * within [p0, p0 + w] — exhaustive DFS over position choices (no
+    * greedy shortcut: the operator's exchange argument is exactly
+    * what this model must independently confirm). */
+  private def modelOrdered(doc: String, phrase: Seq[String],
+                           w: Int): Option[Long] = {
+    val pos = positions(doc)
+    if (!phrase.forall(pos.contains)) None
+    else {
+      def chain(slot: Int, last: Int, p0: Int): Boolean =
+        if (slot == phrase.length) true
+        else pos(phrase(slot)).exists(q =>
+          q > last && q <= p0 + w && chain(slot + 1, q, p0))
+      val n = pos(phrase.head)
+        .count(p0 => chain(1, p0, p0))
+      if (n > 0) Some(n.toLong) else None
+    }
+  }
+
+  private val genWord: Gen[String] = Gen.oneOf("a", "b", "c", "d")
+  private val genDoc: Gen[String] = Gen.choose(0, 10)
+    .flatMap(n => Gen.listOfN(n, genWord).map(_.mkString(" ")))
+  private val genCorpus: Gen[List[String]] = Gen.choose(2, 5)
+    .flatMap(n => Gen.listOfN(n, genDoc))
+
+  property("proximityMatch == exhaustive anchor model") =
+    forAll(genCorpus, Gen.choose(1, 3), Gen.choose(0, 4)) { (docs, nq, w) =>
+      val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
+      val terms = Set("a", "b", "c", "d").take(nq)
+      val qt = terms.toSeq.map(t => (0L, t)).toDF("q_id", "term")
+      val got = Retrieval.proximityMatch(qt, ledger, w)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val want = docs.zipWithIndex.flatMap { case (t, i) =>
+        modelNear(t, terms, w).map(i.toLong -> _)
+      }.toMap
+      got == want
+    }
+
+  property("orderedNearMatch == exhaustive increasing-assignment model") =
+    forAll(genCorpus, Gen.choose(1, 3), Gen.choose(0, 4),
+      Gen.listOfN(3, genWord)) { (docs, np, w, pwords) =>
+      val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
+      val phrase = pwords.take(np)
+      val ph = phrase.zipWithIndex.map { case (t, i) => (0L, i, t) }
+        .toDF("q_id", "idx", "term")
+      val got = Retrieval.orderedNearMatch(ph, ledger, w)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val want = docs.zipWithIndex.flatMap { case (t, i) =>
+        modelOrdered(t, phrase, w).map(i.toLong -> _)
+      }.toMap
+      got == want
+    }
+}
