@@ -83,6 +83,65 @@ object RetrievalProps extends Properties("Retrieval") {
       got == want
     }
 
+  /** Model phrase match: base offsets b ≥ 0 where slot i's term sits
+    * at position b + i for every i. */
+  private def modelPhrase(doc: String,
+                          phrase: Seq[String]): Option[Long] = {
+    val pos = positions(doc)
+    if (!phrase.forall(pos.contains)) None
+    else {
+      val n = pos(phrase.head).count(b =>
+        phrase.zipWithIndex.forall { case (t, i) =>
+          pos(t).contains(b + i) })
+      if (n > 0) Some(n.toLong) else None
+    }
+  }
+
+  /** Model best window: over matched-term positions p, the cover
+    * |{t : t occurs in [p, p + w]}|; winner = max cover, earliest p. */
+  private def modelBestWindow(doc: String, terms: Set[String],
+                              w: Int): Option[(Int, Long)] = {
+    val pos = positions(doc)
+    val present = terms.filter(pos.contains)
+    val anchorPos = present.toSeq.flatMap(pos).distinct
+    if (anchorPos.isEmpty) None
+    else Some(anchorPos.map { p =>
+      (p, present.count(t => pos(t).exists(q => q >= p && q <= p + w)).toLong)
+    }.minBy { case (p, k) => (-k, p) })
+  }
+
+  property("phraseMatch == exhaustive base-offset model") =
+    forAll(genCorpus, Gen.choose(1, 3), Gen.listOfN(3, genWord)) {
+      (docs, np, pwords) =>
+        val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
+        val phrase = pwords.take(np)
+        val ph = phrase.zipWithIndex.map { case (t, i) => (0L, i, t) }
+          .toDF("q_id", "idx", "term")
+        val got = Retrieval.phraseMatch(ph, ledger)
+          .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+        val want = docs.zipWithIndex.flatMap { case (t, i) =>
+          modelPhrase(t, phrase).map(i.toLong -> _)
+        }.toMap
+        got == want
+    }
+
+  property("bestWindow == exhaustive cover-argmax model") =
+    forAll(genCorpus, Gen.choose(1, 3), Gen.choose(0, 4)) { (docs, nq, w) =>
+      val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
+      val terms = Set("a", "b", "c", "d").take(nq)
+      val qt = terms.toSeq.map(t => (0L, t)).toDF("q_id", "term")
+      val got = Retrieval.bestWindow(qt, ledger, w)
+        .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+      val want = docs.zipWithIndex.flatMap { case (t, i) =>
+        modelBestWindow(t, terms, w).map(i.toLong -> _)
+      }.toMap
+      got == want
+    }
+
   property("orderedNearMatch == exhaustive increasing-assignment model") =
     forAll(genCorpus, Gen.choose(1, 3), Gen.choose(0, 4),
       Gen.listOfN(3, genWord)) { (docs, np, w, pwords) =>
