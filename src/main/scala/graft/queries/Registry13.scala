@@ -37,7 +37,7 @@ object Registry13 {
   /** Argmin encode of the whole corpus against per-subspace codebook
     * CTE `cwCte` (dist ASC, code ASC ≡ the expression's strict-< left
     * scan). */
-  private def sqlPqStepCodes(cwCte: String, cdCte: String,
+  private[queries] def sqlPqStepCodes(cwCte: String, cdCte: String,
                              codesCte: String): String =
     s"""$cdCte AS (SELECT b.vec_id AS n_id, c.sub, c.code,
        |    ${Registry10.sqlSubDist8("b.embedding", "c.sub", "c.w8")} AS dist
@@ -51,7 +51,7 @@ object Registry13 {
     * previous step's assignment, COALESCE to the previous weights for
     * unwon codewords, re-encode. Mirrors one iteration of
     * [[Similarity.pqCodebookTrain]] bit-for-bit. */
-  private def sqlPqLloydStep(codesIn: String, cwIn: String, i: Int): String =
+  private[queries] def sqlPqLloydStep(codesIn: String, cwIn: String, i: Int): String =
     s"""tm$i AS (SELECT n.sub, n.code, s.t,
        |    CAST(SUM(CAST(round(CAST(b.embedding[n.sub*8 + s.t] AS DOUBLE) * 1e10)
        |      AS BIGINT)) AS DOUBLE)

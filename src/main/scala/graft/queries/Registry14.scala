@@ -676,10 +676,46 @@ object Registry14 {
       .orderBy("doc_id")
   }
 
+  /** TRAINED ksub=64 product quantization under the gate
+    * ([[Similarity.pqCodebookSeed]] ksub=64 →
+    * [[Similarity.pqCodebookTrain]] 2 Lloyd steps →
+    * [[Similarity.pqEncode]]): `ann_pq_topk_k64` put the
+    * production-shaped codebook WIDTH under the hash gate; this puts
+    * its TRAINING there too — two full Lloyd steps (fixed-point-exact
+    * means, COALESCE for unwon codewords, re-encode) at the 64-way
+    * alphabet, the shape SCALE.md's recall table measures at
+    * ksub=256. The oracle chains the same per-subspace step algebra
+    * as `ann_pq_trained_fix` with the wider codeword range. */
+  val annPqTrainedK64 = Q("ann_pq_trained_k64",
+    s"""WITH cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
+       |  FROM embeddings WHERE vec_id < 64),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |ts AS (SELECT unnest(range(1, 9)) AS t),
+       |cw0 AS (SELECT s.j AS sub, c.code, list_transform(range(1, 9),
+       |    u -> CAST(c.w[s.j*8 + u] AS DOUBLE)) AS w8
+       |  FROM cw c CROSS JOIN js s),
+       |${Registry13.sqlPqStepCodes("cw0", "cd0", "codes0")},
+       |${Registry13.sqlPqLloydStep("codes0", "cw0", 1)},
+       |${Registry13.sqlPqLloydStep("codes1", "cw1", 2)}
+       |SELECT n_id AS vec_id,
+       |  array_to_string(list(CAST(code AS INT) ORDER BY sub), ',') AS codes,
+       |  list_reduce(list_prepend(0.0, list(dist ORDER BY sub)),
+       |    (x, y) -> x + y) AS err
+       |FROM codes2 GROUP BY n_id ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val trained = Similarity.pqCodebookTrain(e,
+      Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+        m = 8, ksub = 64, subDim = 8),
+      "vec_id", "embedding", steps = 2)
+    Similarity.pqEncode(e, trained, "vec_id", "embedding")
+      .withColumn("codes", array_join(col("codes"), ","))
+      .orderBy("vec_id")
+  }
+
   val round14: Seq[Q] =
     Seq(textPhraseIndexRemove, textNearMatch, annPqTopKK64, annGraphCompact,
       textNearOrdered, textPhraseBoostTopK, streamingPositionalIngest,
       dedupSemanticClusters, annFilteredIndexedTopK, hybridLinearTopK,
       multimodalPhashClusters, textLmTopK, textBestWindow,
-      dedupSurvivorsQuality)
+      dedupSurvivorsQuality, annPqTrainedK64)
 }
