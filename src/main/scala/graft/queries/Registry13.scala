@@ -23,10 +23,13 @@ object Registry13 {
 
   /** Per-subspace (sub, code, w8) seed codebook + its argmin codes —
     * the w8-sliced form of [[Registry10.sqlPqCodes]], the shape every
-    * unrolled Lloyd step consumes and produces. */
-  private def sqlPqW8Seed: String =
+    * unrolled Lloyd step consumes and produces; `ksub` picks the
+    * codeword range (16 for the toy gates, 64 for the
+    * production-shaped `ann_pq_trained_k64`) — ONE construction so
+    * the two trained-PQ oracles can never seed differently. */
+  private[queries] def sqlPqW8Seed(ksub: Int = 16): String =
     s"""cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
-       |  FROM embeddings WHERE vec_id < 16),
+       |  FROM embeddings WHERE vec_id < $ksub),
        |js AS (SELECT unnest(range(0, 8)) AS j),
        |ts AS (SELECT unnest(range(1, 9)) AS t),
        |cw0 AS (SELECT s.j AS sub, c.code, list_transform(range(1, 9),
@@ -77,7 +80,7 @@ object Registry13 {
     * monotone over the chain; the RecallReport row measures the recall
     * this buys over the one-step `ann_pq_trained`. */
   val annPqTrainedFix = Q("ann_pq_trained_fix",
-    s"""WITH $sqlPqW8Seed,
+    s"""WITH ${sqlPqW8Seed()},
        |${sqlPqLloydStep("codes0", "cw0", 1)},
        |${sqlPqLloydStep("codes1", "cw1", 2)},
        |${sqlPqLloydStep("codes2", "cw2", 3)}

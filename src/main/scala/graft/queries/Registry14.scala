@@ -687,14 +687,7 @@ object Registry14 {
     * ksub=256. The oracle chains the same per-subspace step algebra
     * as `ann_pq_trained_fix` with the wider codeword range. */
   val annPqTrainedK64 = Q("ann_pq_trained_k64",
-    s"""WITH cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
-       |  FROM embeddings WHERE vec_id < 64),
-       |js AS (SELECT unnest(range(0, 8)) AS j),
-       |ts AS (SELECT unnest(range(1, 9)) AS t),
-       |cw0 AS (SELECT s.j AS sub, c.code, list_transform(range(1, 9),
-       |    u -> CAST(c.w[s.j*8 + u] AS DOUBLE)) AS w8
-       |  FROM cw c CROSS JOIN js s),
-       |${Registry13.sqlPqStepCodes("cw0", "cd0", "codes0")},
+    s"""WITH ${Registry13.sqlPqW8Seed(ksub = 64)},
        |${Registry13.sqlPqLloydStep("codes0", "cw0", 1)},
        |${Registry13.sqlPqLloydStep("codes1", "cw1", 2)}
        |SELECT n_id AS vec_id,

@@ -93,14 +93,15 @@ object RecallReport {
       "ivf_pq_fixpoint_rerank(4/16,r=3k)" -> (() =>
         Similarity.ivfPqTopK(q, e, cent, cbF, "vec_id", "embedding", k,
           nProbe = 4, rerank = 3 * k)),
-      // the gated mid-size budget (ann_pq_trained_k64): the third
-      // point on the codeword-budget curve 16 → 64 → 256
-      "pq_trained_ksub64(2 steps)" -> (() =>
+      // the gated mid-size budget (ann_pq_trained_k64; the GATE pins
+      // 2 Lloyd steps for oracle cost — the report trains to fixpoint
+      // so all three codeword-budget points share one protocol)
+      "pq_fixpoint_ksub64" -> (() =>
         Similarity.pqTopK(q, e,
           Similarity.pqCodebookTrain(e,
             Similarity.pqCodebookSeed(e, "vec_id", "embedding",
               m = 8, ksub = 64, subDim = 8),
-            "vec_id", "embedding", steps = 2),
+            "vec_id", "embedding", steps = 10, toFixpoint = true),
           "vec_id", "embedding", k)),
       // production codebook budget (ksub=256, the FAISS default): the
       // gates pin ksub=16 for oracle cost; quality at the real size is

@@ -68,14 +68,24 @@ object RetrievalProps extends Properties("Retrieval") {
   private val genCorpus: Gen[List[String]] = Gen.choose(2, 5)
     .flatMap(n => Gen.listOfN(n, genDoc))
 
+  /** The shared fixture build: corpus frame + its positional ledger. */
+  private def ledgerOf(docs: List[String]) =
+    Retrieval.positionalIndexBuild(
+      docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+
+  private def phraseDf(phrase: Seq[String]) =
+    phrase.zipWithIndex.map { case (t, i) => (0L, i, t) }
+      .toDF("q_id", "idx", "term")
+
+  private def termsDf(terms: Set[String]) =
+    terms.toSeq.map(t => (0L, t)).toDF("q_id", "term")
+
   property("proximityMatch == exhaustive anchor model") =
     forAll(genCorpus, Gen.choose(1, 3), Gen.choose(0, 4)) { (docs, nq, w) =>
-      val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "text")
-      val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
       val terms = Set("a", "b", "c", "d").take(nq)
-      val qt = terms.toSeq.map(t => (0L, t)).toDF("q_id", "term")
-      val got = Retrieval.proximityMatch(qt, ledger, w)
+      val got = Retrieval.proximityMatch(termsDf(terms), ledgerOf(docs), w)
         .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
       val want = docs.zipWithIndex.flatMap { case (t, i) =>
         modelNear(t, terms, w).map(i.toLong -> _)
@@ -113,13 +123,8 @@ object RetrievalProps extends Properties("Retrieval") {
   property("phraseMatch == exhaustive base-offset model") =
     forAll(genCorpus, Gen.choose(1, 3), Gen.listOfN(3, genWord)) {
       (docs, np, pwords) =>
-        val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-          .toDF("doc_id", "text")
-        val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
         val phrase = pwords.take(np)
-        val ph = phrase.zipWithIndex.map { case (t, i) => (0L, i, t) }
-          .toDF("q_id", "idx", "term")
-        val got = Retrieval.phraseMatch(ph, ledger)
+        val got = Retrieval.phraseMatch(phraseDf(phrase), ledgerOf(docs))
           .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
         val want = docs.zipWithIndex.flatMap { case (t, i) =>
           modelPhrase(t, phrase).map(i.toLong -> _)
@@ -129,12 +134,8 @@ object RetrievalProps extends Properties("Retrieval") {
 
   property("bestWindow == exhaustive cover-argmax model") =
     forAll(genCorpus, Gen.choose(1, 3), Gen.choose(0, 4)) { (docs, nq, w) =>
-      val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "text")
-      val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
       val terms = Set("a", "b", "c", "d").take(nq)
-      val qt = terms.toSeq.map(t => (0L, t)).toDF("q_id", "term")
-      val got = Retrieval.bestWindow(qt, ledger, w)
+      val got = Retrieval.bestWindow(termsDf(terms), ledgerOf(docs), w)
         .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
       val want = docs.zipWithIndex.flatMap { case (t, i) =>
         modelBestWindow(t, terms, w).map(i.toLong -> _)
@@ -145,13 +146,8 @@ object RetrievalProps extends Properties("Retrieval") {
   property("orderedNearMatch == exhaustive increasing-assignment model") =
     forAll(genCorpus, Gen.choose(1, 3), Gen.choose(0, 4),
       Gen.listOfN(3, genWord)) { (docs, np, w, pwords) =>
-      val corpus = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "text")
-      val ledger = Retrieval.positionalIndexBuild(corpus, "doc_id", "text")
       val phrase = pwords.take(np)
-      val ph = phrase.zipWithIndex.map { case (t, i) => (0L, i, t) }
-        .toDF("q_id", "idx", "term")
-      val got = Retrieval.orderedNearMatch(ph, ledger, w)
+      val got = Retrieval.orderedNearMatch(phraseDf(phrase), ledgerOf(docs), w)
         .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
       val want = docs.zipWithIndex.flatMap { case (t, i) =>
         modelOrdered(t, phrase, w).map(i.toLong -> _)
