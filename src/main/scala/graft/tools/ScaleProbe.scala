@@ -379,14 +379,29 @@ object ScaleProbe {
         val buckets = 4096
         val stored = g.withColumn("bkt",
           pmod(col("src_id"), lit(buckets.toLong)).cast("int"))
+        val probe = new Similarity.LedgerReadProbe
         val delta = graft.operators.Lineage.truncate(
           Similarity.graphAppendBucketDelta(stored, e, batch,
             "vec_id", "embedding", k = 3, buckets = buckets,
-            beam = 4, hops = 3, maxDegree = 4))
+            beam = 4, hops = 3, maxDegree = 4, probe = Some(probe)))
+        // READ volume (round 15): every drain leg elects a literal
+        // bucket set (LedgerReadProbe records them); read_rows counts
+        // ledger rows in the union of those buckets — the rows a
+        // partition-pruned batch actually opens — and scan_rows sums
+        // per-leg volumes (hop re-reads included). O(touched) on the
+        // read side means both track the BATCH while ledger_rows
+        // grows with the corpus.
+        val perBkt = stored.groupBy("bkt").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val readRows = probe.buckets.map(perBkt.getOrElse(_, 0L)).sum
+        val scanRows = probe.stages
+          .map(_._2.map(perBkt.getOrElse(_, 0L)).sum).sum
         println(s"PROBE gsink $scale nodes=$nV ledger_rows=${g.count()} " +
           s"batch=5 write_rows=${delta.count()} " +
           s"write_buckets=${delta.select("bkt").distinct().count()} " +
-          s"of $buckets")
+          s"of $buckets " +
+          s"read_buckets=${probe.buckets.size} read_rows=$readRows " +
+          s"scan_rows=$scanRows legs=${probe.stages.size}")
       }
 
       if (want("semdedup")) {

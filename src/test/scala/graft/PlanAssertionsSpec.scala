@@ -297,6 +297,79 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("graph drain READ path: hop/anti-join/recap ledger scans are bucket-pruned and search-exact") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val base = e.filter(col("vec_id") < 200)
+    val cent = base.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g0 = Similarity.knnGraph(base, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val dir = java.nio.file.Files.createTempDirectory("graft_readspec")
+    try {
+      val nBkt = 64
+      g0.withColumn("bkt", pmod(col("src_id"), lit(nBkt.toLong)).cast("int"))
+        .write.partitionBy("bkt").mode("overwrite").parquet(dir.toString)
+      val stored = spark.read.parquet(dir.toString)
+      // bit-equality first: the bucket-pruned search is the SAME search
+      // (the bkt IN filter is a no-op on the n_id === src_id equi-join)
+      val q3 = e.filter(col("vec_id") >= 200 && col("vec_id") < 203)
+      val unpr = Similarity.graphSearchTopK(q3, e,
+        stored.select("src_id", "nbr_id"), "vec_id", "embedding",
+        k = 3, beam = 4, hops = 3)
+      val pr = Similarity.graphSearchTopK(q3, e, stored, "vec_id",
+        "embedding", k = 3, beam = 4, hops = 3,
+        edgeBuckets = Some(nBkt))
+      assert(pr.exceptAll(unpr).isEmpty && unpr.exceptAll(pr).isEmpty,
+        "bucket-pruned search must return bit-identical results")
+      // the unpruned control run above legitimately scanned the whole
+      // ledger — scope the plan witness to executions AFTER it
+      val minId = spark.sharedState.statusStore.executionsList()
+        .lastOption.map(_.executionId).getOrElse(-1L)
+      // the full drain: every ledger-read leg elects a literal bucket set
+      val probe = new Similarity.LedgerReadProbe
+      val out = Similarity.graphAppendBucketDelta(stored, e, q3,
+        "vec_id", "embedding", k = 3, buckets = nBkt,
+        beam = 4, hops = 3, maxDegree = 4, probe = Some(probe))
+      out.collect()
+      val stages = probe.stages
+      assert(stages.count(_._1 == "hop") >= 3,
+        s"expected a bucket election per beam hop, got: ${stages.map(_._1)}")
+      for (leg <- Seq("inserted", "recap", "survivors"))
+        assert(stages.exists(_._1 == leg), s"missing $leg bucket election")
+      assert(probe.buckets.nonEmpty && probe.buckets.size < nBkt,
+        s"read buckets ${probe.buckets.size} of $nBkt — not a strict subset")
+      // plan witness via the SQL status store: every executed plan that
+      // scanned the ledger path did so under a bkt partition filter —
+      // no leg of the drain reads the whole stored graph
+      val token = dir.getFileName.toString
+      // the store fills from the listener bus asynchronously — poll
+      // until the matching-plan count is non-zero AND stable
+      var plans: Seq[String] = Nil
+      var stable = 0
+      var tries = 0
+      while (tries < 100 && stable < 3) {
+        val now = spark.sharedState.statusStore.executionsList()
+          .filter(_.executionId > minId)
+          .map(_.physicalPlanDescription)
+          .filter(p => p.contains(token) && p.contains("Scan parquet"))
+        if (now.nonEmpty && now.size == plans.size) stable += 1 else stable = 0
+        plans = now
+        Thread.sleep(100); tries += 1
+      }
+      assert(plans.nonEmpty,
+        "no executed plan scanned the ledger — the witness found nothing")
+      val unpruned = plans.filterNot(p =>
+        raw"PartitionFilters: \[[^\]]*bkt[^\]]*".r.findFirstIn(p)
+          .exists(f => f.contains("IN") || f.contains("isnotnull")))
+      assert(unpruned.isEmpty,
+        s"${unpruned.size} ledger scan(s) without a bkt partition filter:\n" +
+          unpruned.headOption.getOrElse("").take(4000))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("text_near_match: the query-term side broadcasts onto the posting list") {
     val plan = planOf(q("text_near_match"))
     // only postings for the query's terms move: the term join must be
