@@ -741,6 +741,13 @@ object Dedup {
     * near-dup family instead of whichever arrived first. `clusters`:
     * (id, cluster) — [[connectedComponents]]' shape; documents absent
     * from the labeling are singletons and survive unconditionally.
+    * The rank-window key NAMESPACES labeled rows ("c:" + label) apart
+    * from singleton fallbacks ("s:" + id), so an ARBITRARY labeling
+    * whose label happens to equal the id of a document absent from it
+    * can never pull that singleton into the cluster's window (with
+    * [[connectedComponents]]' min-member-id labels the collision was
+    * already impossible — the label's own doc is in the labeling —
+    * but the contract only requires the (id, cluster) shape).
     * One left join on the id key + one per-cluster rank window — the
     * exchange carries (id, cluster, score), never the text. Returns
     * the surviving docs rows plus the score under `scoreOut`. */
@@ -758,7 +765,9 @@ object Dedup {
     val cl2 = clusters.select(col("id").as(cid), col("cluster").as(cl))
     docs
       .join(cl2, docs(idCol) === col(cid), "left")
-      .withColumn(cl, coalesce(col(cl), col(idCol)))
+      .withColumn(cl, when(col(cl).isNotNull,
+          concat(lit("c:"), col(cl).cast("string")))
+        .otherwise(concat(lit("s:"), col(idCol).cast("string"))))
       .drop(cid)
       .withColumn(scoreOut, score)
       .withColumn(rn, row_number().over(

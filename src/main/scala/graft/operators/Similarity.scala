@@ -681,17 +681,18 @@ object Similarity {
     * aggregate; the corpus never shuffles, and the rank window runs on
     * a dim-row (KB-scale) frame.
     *
-    * Amplitude contract: the SECOND moment sums round(x·x·1e10) BIGINT
-    * terms, so the per-dimension sum wraps once n·max(x²)·10¹⁰ passes
-    * Long range — silent corruption of the variance RANKING, not an
+    * Amplitude contract: BOTH moments sum round(·1e10) BIGINT terms,
+    * so a per-dimension sum wraps once n·max(x²)·10¹⁰ (m2) or
+    * n·max|x|·10¹⁰ (m1 — the larger bound when |x| < 1) passes Long
+    * range — silent corruption of the variance RANKING, not an
     * error. Embeddings are expected unit-scale (the [[cellMeans]]
-    * posture: |x| ≲ 1, where the integer sum holds ~9×10⁸ rows of
+    * posture: |x| ≲ 1, where the integer sums hold ~9×10⁸ rows of
     * headroom); the operator enforces the SUM bound eagerly from the
     * same pass's max|x| and row count — a dimension whose conservative
-    * bound n·max(x²)·10¹⁰ exceeds 9×10¹⁸ raises rather than ranking on
-    * corrupt variance (this also covers the single-element cast bound
-    * |x| ≈ 3×10⁴). Rescale (or normalize) non-unit-scale embeddings
-    * before permuting.
+    * bound n·greatest(max|x|, max(x²))·10¹⁰ exceeds 9×10¹⁸ raises
+    * rather than ranking on corrupt variance (this also covers the
+    * single-element cast bound |x| ≈ 3×10⁴). Rescale (or normalize)
+    * non-unit-scale embeddings before permuting.
     * Returns (d, pos): original 0-based dimension d moves to 0-based
     * permuted position pos (= subspace·(dim/m) + slot). */
   def opqPermutation(corpus: DataFrame, vecCol: String,
@@ -724,13 +725,17 @@ object Similarity {
       .withColumn("_pass", expr(s"CAST(r DIV $m AS INT)"))
       .withColumn("_lane", expr(s"CAST(r % $m AS INT)"))
       .select(col("d"),
-        // the m2 sum holds iff n · max(x²) · 10¹⁰ stays under
-        // Long.Max ≈ 9.2e18 (conservative: the max element bounds
-        // every term); the check covers BOTH the per-element cast
-        // (n = 1 degenerate case) and the accumulated sum
-        when(col("_amx") * col("_amx") * lit(1e10) *
-            col("_n").cast("double") > lit(9.0e18), expr(
-          "raise_error(concat('opqPermutation: second-moment " +
+        // BOTH fixed-point sums must hold: the m2 sum is bounded by
+        // n·max(x²)·10¹⁰, the m1 sum by n·max|x|·10¹⁰ — and when
+        // max|x| < 1 the m1 bound is the LARGER of the two (x > x²),
+        // so guarding m2 alone would pass while the first-moment sum
+        // wraps (e.g. max|x|=0.1, n=10¹⁰: m2 bound 10¹⁸ fits, m1
+        // bound 10¹⁹ overflows). greatest(max|x|, max(x²)) bounds
+        // every term of either sum; the check covers the per-element
+        // cast (n = 1) and both accumulated sums
+        when(greatest(col("_amx") * col("_amx"), col("_amx")) *
+            lit(1e10) * col("_n").cast("double") > lit(9.0e18), expr(
+          "raise_error(concat('opqPermutation: moment " +
             "fixed-point sum may overflow (max|x|=', " +
             "CAST(_amx AS STRING), ', rows=', CAST(_n AS STRING), " +
             "') — normalize or rescale the embeddings before " +

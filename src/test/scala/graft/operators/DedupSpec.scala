@@ -286,6 +286,22 @@ class DedupSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "sc", "q"))
   }
 
+  test("keepBestPerCluster: a label colliding with an absent doc's id cannot drop the singleton") {
+    // arbitrary labeling (NOT min-member-id): label 7 names a cluster
+    // whose members are 1..3, while doc 7 is absent from the labeling —
+    // the namespaced window key keeps singleton 7 out of that cluster's
+    // rank window, so it survives unconditionally
+    val frame = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.4),
+      (7L, 0.1) // singleton whose id equals the cluster LABEL
+    ).toDF("doc_id", "sc")
+    val clusters = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("id", "cluster")
+    val ids = Dedup.keepBestPerCluster(frame, "doc_id", clusters, $"sc")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L, 7L),
+      s"label/id collision wrongly changed the survivor set: $ids")
+  }
+
   test("dedupIncremental: within-batch winner survives only if unseen in the ledger") {
     val batch = Seq(
       (10L, "seen before"),   // in ledger → dropped
