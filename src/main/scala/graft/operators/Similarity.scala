@@ -977,6 +977,90 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
   }
 
+  /** FILTERED serve with ADAPTIVE PROBE WIDENING — the guard a
+    * metadata-filtered vector search needs once the predicate gets
+    * selective: restricting the ledger (`WHERE label = …` as a
+    * semi-join) before [[ivfPqTopKFromIndex]] keeps the routing fixed
+    * at `nProbe` cells, so a 1%-selectivity filter leaves the probed
+    * cells nearly EMPTY of allowed rows and recall silently collapses
+    * — the reason production systems widen probes or fall back to
+    * brute force over the filter's survivors. This face widens
+    * per-query, declaratively: the allowed ledger's per-cell counts (a
+    * ≤ C-row broadcast frame) join the query's cosine-ranked cell list,
+    * and a cell at probe rank r is kept iff r ≤ `nProbe` OR the
+    * cumulative allowed count over ranks < r is still below
+    * max(k, `minCandidates`) — each query probes exactly as far as its
+    * filtered candidate supply requires, and a filter so selective that
+    * the WHOLE allowed set is smaller than the floor degrades to
+    * brute-force-over-survivors (every cell holding an allowed row gets
+    * probed) — the fallback as the widening rule's fixed point, not a
+    * separate code path. Unfiltered or mildly filtered queries probe
+    * exactly [[ivfPqTopKFromIndex]]'s `nProbe` cells whenever those
+    * already supply the floor.
+    *
+    * The floor counts ledger rows in probed cells (the query's own row
+    * included if present — the q ≠ n exclusion happens at scoring), so
+    * it is a supply guarantee, k-results-exact only when supply ≥ k+1.
+    * Scale shape unchanged from [[ivfPqTopKFromIndex]]: the count
+    * frame is cell-cardinality-sized, probes broadcast, and the ADC
+    * scan touches Σ probed-cell allowed rows — widening trades exactly
+    * the extra cells the filter starved, never the whole ledger.
+    * Returns (q_id, n_id, rnk, adc). */
+  def ivfPqTopKFromIndexAdaptive(queries: DataFrame, ledger: DataFrame,
+                                 centroids: DataFrame, codebooks: DataFrame,
+                                 idCol: String, vecCol: String, k: Int,
+                                 nProbe: Int = 4, dim: Int = 64,
+                                 minCandidates: Int = 0,
+                                 maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nProbe > 0, "nProbe must be positive")
+    val need = math.max(k, minCandidates)
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"ivfPqTopKFromIndexAdaptive: query side holds $nq rows > " +
+        s"maxQueryRows=$maxQueryRows; each query row broadcasts probe " +
+        "rows — batch the queries or raise the cap deliberately")
+    val cw = collectPqCodebook(codebooks)
+    val offs = cw.scanLeft(0)(_ + _.length).init
+    val widths = cw.map(_.length)
+    val c = ledger.select(col("vec_id").as("n_id"), col("cell"),
+      col("codes").as("_codes"))
+    val cellCnt = ledger.groupBy(col("cell")).agg(count(lit(1)).as("_cnt"))
+    val cent = centroids.select(col("cell"), col("c_vec"),
+      VectorFns.l2NormN(col("c_vec"), dim).as("c_nrm"))
+    val qtab = GraftExpr.col(graft.expressions.PqDistTable(
+      GraftExpr.expr(col("_qv")), cw))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"),
+        VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+      .withColumn("_qtab", qtab)
+      .filter(col("_qtab").isNotNull)
+    val qcos = when(col("q_nrm") > 0.0 && col("c_nrm") > 0.0,
+      VectorFns.dotN(col("_qv"), col("c_vec"), dim) / (col("q_nrm") * col("c_nrm")))
+    // every cell ranks (prb over all C); the widening rule prunes —
+    // cumBefore = allowed rows in strictly better-ranked cells
+    val probes = q.join(broadcast(cent))
+      .withColumn("prb", row_number().over(
+        Window.partitionBy("q_id").orderBy(qcos.desc, col("cell").desc)))
+      .join(broadcast(cellCnt), Seq("cell"), "left")
+      .withColumn("_cnt", coalesce(col("_cnt"), lit(0L)))
+      .withColumn("_cumb", coalesce(sum(col("_cnt")).over(
+        Window.partitionBy("q_id").orderBy(col("prb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prb") <= nProbe || col("_cumb") < need)
+      .select(col("q_id"), col("cell"), col("_qtab"))
+    val adc = GraftExpr.col(graft.expressions.PqAdcLookup(
+      GraftExpr.expr(col("_qtab")), GraftExpr.expr(col("_codes")),
+      offs, widths))
+    c.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adc").asc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("adc"))
+  }
+
   /** IVF-PQ index LEDGER build — the STORED face of the composed index:
     * one (vec_id, cell, codes) row per corpus vector, i.e. exactly what
     * [[ivfPqTopK]]'s corpus side computes before the probe join,

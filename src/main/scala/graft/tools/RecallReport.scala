@@ -179,6 +179,45 @@ object RecallReport {
       }
     takedown.foreach { case (name, mk) => report(name, mk, truthSurv) }
     families.foreach { case (name, mk) => report(name, mk, truth) }
+    // filtered-ANN recall vs predicate selectivity (round 15): the
+    // stored-ledger serve restricted to a metadata filter, FIXED
+    // nProbe=4/16 vs the ADAPTIVE widening rule, each against brute
+    // force over the filter's survivors (the correct truth for a
+    // filtered search). A selective filter starves fixed probes —
+    // the probed cells hold few allowed rows — while the adaptive
+    // rule widens until the supply floor (k) is met, degrading to
+    // brute-over-survivors when the whole allowed set is below it.
+    val ledger = graft.operators.Lineage.truncate(
+      Similarity.pqIndexBuild(e, cent, cb, "vec_id", "embedding"))
+    val sels: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("label<5 (~50%)", col("label") < 5),
+      ("label=7 (~10%)", col("label") === 7),
+      ("label=7&id%5=0 (~2%)", col("label") === 7 && col("vec_id") % 5 === 0),
+      ("label=7&id%20=0 (~0.5%)",
+        col("label") === 7 && col("vec_id") % 20 === 0))
+    sels.foreach { case (selName, pred) =>
+      val allowed = e.filter(pred).select("vec_id")
+      val nAllowed = allowed.count()
+      val lgF = graft.operators.Lineage.truncate(
+        ledger.join(allowed, Seq("vec_id"), "left_semi"))
+      val truthF = graft.operators.Lineage.truncate(
+        Similarity.bruteForceTopK(q,
+          e.join(allowed, Seq("vec_id"), "left_semi"),
+          "vec_id", "embedding", k))
+      println(s"RECALL filtered allowed=$nAllowed $selName")
+      report(s"filtered_fixed(4/16) $selName", () =>
+        Similarity.ivfPqTopKFromIndex(q, lgF, cent, cb,
+          "vec_id", "embedding", k, nProbe = 4), truthF)
+      report(s"filtered_adaptive(4/16) $selName", () =>
+        Similarity.ivfPqTopKFromIndexAdaptive(q, lgF, cent, cb,
+          "vec_id", "embedding", k, nProbe = 4), truthF)
+      // widen to a 3k candidate floor (the rerank-pool sizing): the
+      // production setting when the filter starves the default probes
+      report(s"filtered_adaptive(4/16,m=3k) $selName", () =>
+        Similarity.ivfPqTopKFromIndexAdaptive(q, lgF, cent, cb,
+          "vec_id", "embedding", k, nProbe = 4,
+          minCandidates = 3 * k), truthF)
+    }
     spark.stop()
   }
 }

@@ -146,6 +146,45 @@ class RetrievalSpec extends SparkSpec {
       "the stored ledger must serve bit-identical rankings")
   }
 
+  test("ivfPqTopKFromIndexAdaptive: no widening when supply is rich; brute fixed point when starved") {
+    val e = emb.filter($"vec_id" < 200)
+    val cent = e.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    val cb = Similarity.pqCodebookSeed(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val q = e.filter($"vec_id" < 3)
+    val ledger = Similarity.pqIndexBuild(e, cent, cb, "vec_id", "embedding")
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    // unfiltered ledger: every probed cell is full, the cumulative
+    // count covers k inside nProbe cells — the adaptive rule must
+    // degrade to exactly the fixed-probe serve
+    assert(rows(Similarity.ivfPqTopKFromIndexAdaptive(q, ledger, cent, cb,
+        "vec_id", "embedding", k = 5, nProbe = 3)) ==
+      rows(Similarity.ivfPqTopKFromIndex(q, ledger, cent, cb,
+        "vec_id", "embedding", k = 5, nProbe = 3)),
+      "rich supply must not widen")
+    // starved filter: 6 allowed rows < k+1 — the widening rule's fixed
+    // point probes every allowed cell, i.e. ADC over ALL survivors
+    // (per-query result covers the whole allowed set minus self)
+    val allowed = e.filter($"vec_id" % 33 === 0).select("vec_id")
+    val nAllowed = allowed.count()
+    assert(nAllowed >= 3 && nAllowed < 10, s"fixture drifted: $nAllowed")
+    val lgF = ledger.join(allowed, Seq("vec_id"), "left_semi")
+    val got = Similarity.ivfPqTopKFromIndexAdaptive(q, lgF, cent, cb,
+      "vec_id", "embedding", k = 10, nProbe = 2)
+    val perQ = got.groupBy("q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allowedIds = allowed.as[Long].collect().toSet
+    for ((qid, n) <- perQ) {
+      val want = if (allowedIds(qid)) nAllowed - 1 else nAllowed
+      assert(n == want,
+        s"query $qid returned $n of $want allowed survivors — starved")
+    }
+  }
+
   // ---- graph beam search ----------------------------------------------
 
   test("graphSearchTopK: complete graph + wide beam collapses to brute force") {
