@@ -2045,6 +2045,30 @@ object Similarity {
     replaced.withColumn("bkt", bktOf)
   }
 
+  /** Re-bucket a bucket-partitioned ledger from its current B to
+    * `buckets` = B′ — the migration face that makes the streaming
+    * sink's "size B ∝ corpus" prescription EXECUTABLE on a live
+    * ledger: [[graphAppendBucketDelta]]'s per-batch write volume is
+    * touched_buckets × (ledger/B), so a ledger that has outgrown its
+    * creation-time B pays ever-larger bucket rewrites per batch until
+    * a re-bucket restores rewrite-cheap buckets. Pure recompute: rows
+    * pass through IDENTICALLY with only `bkt` re-derived as
+    * pmod(key, B′) — no join, no shuffle beyond the write's own
+    * partitioning, one full-ledger pass (a re-bucket is inherently
+    * O(ledger); it amortizes over every subsequent batch-sized
+    * append, the [[graft.operators.Layout]] paid-once discipline).
+    * Migration protocol: write the result `partitionBy("bkt")` to a
+    * NEW path, then swap readers — never dynamic-overwrite in place
+    * (old and new bucket numberings interleave mid-write). Works for
+    * any pmod-bucketed ledger keyed by a long id (the graph ledger's
+    * src_id, a positional ledger's doc_id). */
+  def rebucketLedger(stored: DataFrame, keyCol: String,
+                     buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    stored.drop("bkt")
+      .withColumn("bkt", pmod(col(keyCol), lit(buckets.toLong)).cast("int"))
+  }
+
   /** Graph-index TAKEDOWN: tombstone the removed nodes — drop every
     * edge that starts OR ends at them. Unlike the ledger families
     * (tf rows, PQ codes) a graph deletion is NOT equivalent to a

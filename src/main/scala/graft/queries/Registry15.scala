@@ -91,5 +91,44 @@ object Registry15 {
       .orderBy("q_id", "rnk")
   }
 
-  val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK)
+  // -------------------------------------------- ledger re-bucketing
+
+  /** Live-ledger RE-BUCKETING ([[Similarity.rebucketLedger]]): the
+    * gsink write law's "size B ∝ corpus" prescription, executable —
+    * the fixed 200-node kNN-graph ledger is written bucket-partitioned
+    * at B = 16 (the `streaming_graph_ingest` layout), read back LIVE
+    * from parquet, re-bucketed to B′ = 64, written partitionBy("bkt")
+    * to a new path (the migration protocol: never overwrite in place —
+    * old and new numberings would interleave), and read back again.
+    * The gate proves the migration is a pure recompute: every
+    * (src_id, nbr_id, cos) row survives IDENTICALLY and only `bkt` is
+    * re-derived as pmod(src_id, 64) — the oracle builds the same graph
+    * and computes the same pmod directly, so any row lost, duplicated,
+    * or re-valued by the round-trip breaks the hash. ScaleProbe's
+    * gsink family measures the payoff (batch-sized writes restored
+    * after corpus growth); this gate pins the identity. */
+  val annGraphRebucket = Q("ann_graph_rebucket",
+    s"""WITH ${Registry12.sqlKnnGraph}
+       |SELECT src_id, nbr_id, cos,
+       |  CAST(src_id % 64 AS INT) AS bkt
+       |FROM g ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g0 = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val stage = StreamHarness.runDir("graft_rebucket")
+    val oldDir = stage.resolve("b16").toString
+    val newDir = stage.resolve("b64").toString
+    g0.withColumn("bkt", pmod(col("src_id"), lit(16L)).cast("int"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(oldDir)
+    val live = s.read.parquet(oldDir)
+    Similarity.rebucketLedger(live, "src_id", buckets = 64)
+      .write.partitionBy("bkt").mode("overwrite").parquet(newDir)
+    s.read.parquet(newDir)
+      .select(col("src_id"), col("nbr_id"), col("cos"), col("bkt"))
+      .orderBy("src_id", "nbr_id")
+  }
+
+  val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket)
 }

@@ -402,6 +402,27 @@ object ScaleProbe {
           s"of $buckets " +
           s"read_buckets=${probe.buckets.size} read_rows=$readRows " +
           s"scan_rows=$scanRows legs=${probe.stages.size}")
+        // re-bucketing payoff (round 15): a ledger that outgrew its
+        // creation-time B pays occupancy-inflated bucket rewrites per
+        // batch; rebucketLedger(B → 4096) restores batch-sized writes.
+        // B = 64 plays the undersized creation-time choice.
+        val small = 64
+        val storedSmall = g.withColumn("bkt",
+          pmod(col("src_id"), lit(small.toLong)).cast("int"))
+        val dSmall = graft.operators.Lineage.truncate(
+          Similarity.graphAppendBucketDelta(storedSmall, e, batch,
+            "vec_id", "embedding", k = 3, buckets = small,
+            beam = 4, hops = 3, maxDegree = 4))
+        val rb = graft.operators.Lineage.truncate(
+          Similarity.rebucketLedger(storedSmall, "src_id", buckets))
+        val dRb = graft.operators.Lineage.truncate(
+          Similarity.graphAppendBucketDelta(rb, e, batch,
+            "vec_id", "embedding", k = 3, buckets = buckets,
+            beam = 4, hops = 3, maxDegree = 4))
+        println(s"PROBE rebucket $scale B=$small " +
+          s"write_rows_undersized=${dSmall.count()} " +
+          s"-> rebucket B'=$buckets " +
+          s"write_rows_restored=${dRb.count()}")
       }
 
       if (want("semdedup")) {
