@@ -99,6 +99,36 @@ object TextFns {
     (lenOk + punctOk + wlenOk + stopOk) / 4.0
   }
 
+  /** Shared text ANALYZER — the one normalization every tokenizing
+    * build composes with: lowercase, every non-alphanumeric run
+    * (punctuation, tabs, repeated spaces) collapsed to a single space,
+    * trimmed. On real corpora the raw single-space split the index
+    * builds use ([[graft.operators.Retrieval.bm25IndexBuild]],
+    * [[graft.operators.Retrieval.positionalIndexBuild]],
+    * [[graft.operators.Vocab.bpeTrain]]) makes "Court" and "court,"
+    * distinct terms; analyzing FIRST unifies them while keeping every
+    * build's tokenizer untouched — compose as
+    * `docs.withColumn(textCol, TextFns.analyze(col(textCol)))` before
+    * any build, and analyze queries with the SAME function (an
+    * analyzer mismatch between index and query silently matches
+    * nothing — one shared function, not per-site regexes).
+    * One codegen'd regexp projection per document, paid at build time.
+    * [[fingerprint]] is md5 ∘ analyze — the same normalization, so a
+    * fingerprint-equal pair is exactly an analyzer-equal pair. */
+  def analyze(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** [[analyze]] plus stopword removal: normalized tokens in
+    * `stopwords` drop, survivors rejoin single-spaced (the
+    * index-shrinking variant — stoplist terms carry no BM25 signal but
+    * dominate posting-list volume). Stopwords must be given in
+    * analyzed (lowercase) form. */
+  def analyzeStop(text: Column, stopwords: Seq[String] = EnStop): Column = {
+    val stop = array(stopwords.map(lit): _*)
+    array_join(filter(split(analyze(text), " "),
+      w => !array_contains(stop, w)), " ")
+  }
+
   /** Content fingerprint: md5 over the punctuation/case-normalized text —
     * robust to formatting-only differences. */
   def fingerprint(text: Column): Column =

@@ -130,5 +130,128 @@ object Registry15 {
       .orderBy("src_id", "nbr_id")
   }
 
-  val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket)
+  // ----------------------------------------------- shared text analyzer
+
+  /** The deterministic case/punctuation PERTURBATION both engines
+    * apply to the (all-lowercase, alnum) synthetic corpus so the
+    * analyzer has real work to undo: token w uppercases iff
+    * md5(w)[1] ≥ '8' (~half the vocabulary) and gains a trailing
+    * comma iff md5(w)[2] ≥ 'c' (~quarter) — content-derived, so the
+    * two engines perturb identically with no side channel. */
+  private def perturbed: org.apache.spark.sql.Column =
+    array_join(transform(split(col("text"), " "), w =>
+      concat(
+        when(substring(md5(w), 1, 1) >= "8", upper(w)).otherwise(w),
+        when(substring(md5(w), 2, 1) >= "c", lit(",")).otherwise(lit("")))),
+      " ")
+
+  // no line may START with "||": the embedding oracle's stripMargin
+  // would eat one pipe and leave a binary | over VARCHARs
+  private val sqlPerturb: String =
+    """array_to_string(list_transform(string_split(text, ' '),
+      |    w -> (CASE WHEN substr(md5(w), 1, 1) >= '8'
+      |            THEN upper(w) ELSE w END) ||
+      |      (CASE WHEN substr(md5(w), 2, 1) >= 'c'
+      |            THEN ',' ELSE '' END)), ' ')""".stripMargin
+
+  /** The shared ANALYZER under the gate ([[TextFns.analyze]] /
+    * [[TextFns.analyzeStop]]): the corpus is case/punctuation-
+    * perturbed (see [[perturbed]] — "court" becomes "COURT,"), then
+    * normalized back — lowercase, non-alphanumeric runs collapsed to
+    * one space, trimmed — plus the stopword-removal face. The oracle
+    * replays the perturbation AND the full normalization chain in
+    * DuckDB, so a drift in either engine's regex/case/stoplist
+    * algebra flips the hash. This is the one normalization every
+    * tokenizing build composes with (the gates below prove the
+    * composition against the BM25 and positional families). */
+  val textAnalyze = Q("text_analyze", {
+    val stop = graft.functions.TextFns.EnStop
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH p AS (SELECT doc_id, $sqlPerturb AS pert FROM documents),
+       |a AS (SELECT doc_id, pert,
+       |    trim(regexp_replace(lower(pert), '[^a-z0-9]+', ' ', 'g'))
+       |      AS analyzed
+       |  FROM p)
+       |SELECT doc_id, pert, analyzed,
+       |  array_to_string(list_filter(string_split(analyzed, ' '),
+       |    w -> NOT list_contains($stop, w)), ' ') AS analyzed_stop
+       |FROM a ORDER BY doc_id""".stripMargin
+  }) { (s, d) =>
+    import graft.functions.TextFns
+    docs(s, d).select(col("doc_id"), perturbed.as("pert"))
+      .select(col("doc_id"), col("pert"),
+        TextFns.analyze(col("pert")).as("analyzed"),
+        TextFns.analyzeStop(col("pert")).as("analyzed_stop"))
+      .orderBy("doc_id")
+  }
+
+  /** BM25 THROUGH the analyzer — the unification identity: the
+    * perturbed corpus ("Court," ≠ "court" under the raw split) is
+    * analyzed and fed to the UNCHANGED stored-index BM25 build +
+    * serve; the oracle is `text_bm25_topk`'s chain over the RAW
+    * corpus. A hash match proves analyze ∘ perturb = id on this
+    * corpus — i.e. the analyzer unifies every case/punctuation
+    * variant back to the raw term, scores and ranks bit-identical,
+    * with the build's tokenizer untouched (normalization composes,
+    * it does not fork the index algebra). Queries analyze with the
+    * same function — the index/query analyzer pairing the scaladoc
+    * prescribes. */
+  val textBm25Analyzed = Q("text_bm25_analyzed",
+    s"""WITH ${Registry12.sqlBm25(10)}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val dd = docs(s, d).withColumn("text", perturbed)
+    val analyzed = dd.withColumn("text", TextFns.analyze(col("text")))
+    val ledger = Retrieval.bm25IndexBuild(analyzed, "doc_id", "text")
+    val qt = analyzed.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    Retrieval.bm25TopKFromIndex(qt, ledger, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Phrase match THROUGH the analyzer — the positional family's
+    * unification identity: positions index the analyzed perturbed
+    * corpus, phrases are the analyzed first three words of docs 0..2,
+    * and the oracle is `text_phrase_match`'s raw-corpus algebra. A
+    * perturbed token that failed to unify would shift or break a
+    * phrase's consecutive-position cover and flip occurrence counts. */
+  val textPhraseAnalyzed = Q("text_phrase_analyzed",
+    s"""WITH pl AS (SELECT doc_id, term, pos FROM (
+       |  SELECT d.doc_id, u.i - 1 AS pos, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents) d,
+       |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
+       |  WHERE term <> ''),
+       |ph AS (SELECT q_id, idx, term FROM (
+       |  SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents WHERE doc_id < 3) d,
+       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
+       |hits AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
+       |    COUNT(*) AS k
+       |  FROM pl l JOIN ph p ON p.term = l.term
+       |  WHERE l.pos - p.idx >= 0
+       |  GROUP BY 1, 2, 3),
+       |nt AS (SELECT q_id, COUNT(DISTINCT idx) AS n FROM ph GROUP BY 1)
+       |SELECT h.q_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+       |FROM hits h JOIN nt ON nt.q_id = h.q_id WHERE h.k = nt.n
+       |GROUP BY h.q_id, h.doc_id
+       |ORDER BY h.q_id, h.doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val analyzed = docs(s, d).withColumn("text", perturbed)
+      .withColumn("text", TextFns.analyze(col("text")))
+    val ledger = Retrieval.positionalIndexBuild(analyzed, "doc_id", "text")
+    val ph = analyzed.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(split(col("text"), " "), 1, 3))
+          .as(Seq("idx", "term")))
+    Retrieval.phraseMatch(ph, ledger)
+      .orderBy("q_id", "doc_id")
+  }
+
+  val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket,
+    textAnalyze, textBm25Analyzed, textPhraseAnalyzed)
 }

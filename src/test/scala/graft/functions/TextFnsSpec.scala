@@ -124,4 +124,24 @@ class TextFnsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(fast == slow)
   }
+
+  test("analyze: case/punct variants unify; stopword face; fingerprint coherence") {
+    val df = Seq(
+      "The Court, ruled;  the   court ruled.",
+      "the court ruled the court ruled",
+      "", "  ,;!  ").toDF("text")
+      .select(TextFns.analyze($"text").as("a"),
+        TextFns.analyzeStop($"text").as("s"),
+        TextFns.fingerprint($"text").as("fp"))
+    val rows = df.collect()
+    // "Court," and "court" unify; runs of space/punct collapse
+    assert(rows(0).getString(0) == "the court ruled the court ruled")
+    assert(rows(0).getString(0) == rows(1).getString(0))
+    // fingerprint = md5 ∘ analyze: analyzer-equal ⇒ fingerprint-equal
+    assert(rows(0).getString(2) == rows(1).getString(2))
+    // stopword face drops "the", keeps content words
+    assert(rows(0).getString(1) == "court ruled court ruled")
+    // degenerate inputs normalize to empty, not nulls or stray spaces
+    assert(rows(2).getString(0) == "" && rows(3).getString(0) == "")
+  }
 }
