@@ -1313,6 +1313,75 @@ object Similarity {
       maxBlockRows)
   }
 
+  /** The semantic family's STORED blocking asset: (id, blk) — each
+    * vector's PQ code PREFIX ([[semanticPqPairs]]' block key),
+    * materialized once at ingest so arriving batches can block against
+    * the corpus WITHOUT re-encoding it (the [[pqIndexBuild]] posture
+    * for the dedup signal; at 10⁹ vectors the asset is ~prefix bytes +
+    * an id per row). The codebook must stay FROZEN between builds —
+    * stored prefixes encode codeword identities, and appending rows
+    * under a retrained codebook silently forks the block space
+    * (the [[pqIndexAppend]] contract). Unencodable vectors are absent,
+    * not zero-blocked. */
+  def semanticBlockIndex(embeddings: DataFrame, codebooks: DataFrame,
+                         idCol: String, vecCol: String,
+                         prefix: Int = 2): DataFrame = {
+    require(prefix > 0, "prefix must be positive")
+    pqEncode(embeddings, codebooks, idCol, vecCol)
+      .filter(col("codes").isNotNull)
+      .select(col("vec_id").as("id"),
+        array_join(slice(col("codes"), 1, prefix), ",").as("blk"))
+  }
+
+  /** Batch-vs-stored semantic candidate pairs — the ARRIVAL face of
+    * the SemDeDup family ([[Dedup.minhashCandidatesAgainst]]'s posture
+    * on the embedding signal): an arriving batch's block rows
+    * (`batchIdx`, its [[semanticBlockIndex]] slice) join the STORED
+    * block ledger on the prefix key, and only the blocked candidates'
+    * raw vectors load for the exact-cosine confirm — corpus encode
+    * paid once at ingest, per-batch work ∝ batch blocks' stored
+    * occupancy. Composed with within-batch [[semanticPqPairs]] and
+    * [[Dedup.connectedComponentsIncremental]], this makes nightly
+    * semantic near-dup maintenance O(batch + frontier), never
+    * O(corpus) — the lexical family's incremental chain, completed for
+    * the semantic signal. Same hot-block refuse guard, measured over
+    * the BATCH's blocks only (an untouched hot block costs nothing).
+    * Returns (a_id, b_id, cos), a_id < b_id, cos ≥ threshold. */
+  def semanticPqPairsAgainst(batchIdx: DataFrame, storedIdx: DataFrame,
+                             vectors: DataFrame, idCol: String,
+                             vecCol: String, threshold: Double,
+                             dim: Int = 64,
+                             maxBlockRows: Long = 1L << 20): DataFrame = {
+    require(maxBlockRows > 0, "maxBlockRows must be positive")
+    val batchBlks = batchIdx.select(col("blk")).distinct()
+    val hot = storedIdx.join(broadcast(batchBlks), Seq("blk"))
+      .groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("m")).head()
+    val maxBlk = if (hot.isNullAt(0)) 0L else hot.getLong(0)
+    require(maxBlk <= maxBlockRows,
+      s"semanticPqPairsAgainst: hottest touched block holds $maxBlk " +
+        s"stored rows > maxBlockRows=$maxBlockRows; every batch row in " +
+        "that block joins all of them — grow the prefix or raise " +
+        "maxBlockRows deliberately")
+    val cand = batchIdx.select(col("id").as("_bid"), col("blk"))
+      .join(storedIdx.select(col("id").as("_sid"), col("blk")), Seq("blk"))
+      .select(least(col("_bid"), col("_sid")).as("a_id"),
+        greatest(col("_bid"), col("_sid")).as("b_id"))
+    val v = vectors.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
+      VectorFns.l2NormN(col(vecCol), dim).as("_n"))
+    cand
+      .join(v.select(col("_vid").as("a_id"), col("_v").as("_va"),
+        col("_n").as("_na")), Seq("a_id"))
+      .join(v.select(col("_vid").as("b_id"), col("_v").as("_vb"),
+        col("_n").as("_nb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        when(col("_na") > 0.0 && col("_nb") > 0.0,
+          VectorFns.dotN(col("_va"), col("_vb"), dim) /
+            (col("_na") * col("_nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** Approximate kNN GRAPH over the whole corpus: every vector's top-k
     * cosine neighbors WITHIN its IVF cell — the graph-construction step
     * behind graph-based curation (duplicate clusters over it, diversity

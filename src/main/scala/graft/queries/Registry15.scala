@@ -252,6 +252,81 @@ object Registry15 {
       .orderBy("q_id", "doc_id")
   }
 
+  // ------------------------------------- semantic dedup, arrival face
+
+  /** Incremental SEMANTIC near-dup maintenance — the arrival face the
+    * lexical family already ships (`dedup_clusters_incremental`),
+    * completed for the embedding signal: a pre-batch corpus
+    * (vec_id % 40 ≠ 23) holds a stored label ledger (semantic
+    * PQ-prefix pairs → [[Dedup.connectedComponents]]) and a stored
+    * block index ([[Similarity.semanticBlockIndex]]); the arriving
+    * batch (vec_id % 40 = 23) encodes against the FROZEN codebook,
+    * blocks against the stored index
+    * ([[Similarity.semanticPqPairsAgainst]]) plus within itself, and
+    * [[Dedup.connectedComponentsIncremental]] merges the incident
+    * edges into the ledger label-graph-sized — never re-propagating
+    * the corpus. The oracle is the batch-global answer
+    * (`dedup_semantic_clusters`' full-corpus chain restricted to the
+    * clusters the batch touches): incremental ≡ from-scratch is
+    * exactly the maintenance contract. Batch ids avoid the seed
+    * codewords (23 ∉ [0,16)) so the frozen codebook derives from
+    * pre-batch data alone. */
+  val dedupSemanticIncremental = Q("dedup_semantic_incremental",
+    s"""WITH RECURSIVE ${Registry10.sqlPqCodes},
+       |blk AS (SELECT n_id, array_to_string(
+       |    list(CAST(code AS INT) ORDER BY sub), ',') AS blk
+       |  FROM codes WHERE sub < 2 GROUP BY n_id),
+       |vbase AS (SELECT b.vec_id AS id, b.embedding AS vec, k.blk
+       |  FROM embeddings b JOIN blk k ON k.n_id = b.vec_id),
+       |prs AS (SELECT a_id, b_id FROM (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    ${Registry10.sqlCos("a.vec", "b.vec")} AS cos
+       |  FROM vbase a JOIN vbase b ON a.blk = b.blk AND a.id < b.id)
+       |  WHERE cos >= 0.3),
+       |edges AS (SELECT a_id AS s, b_id AS t FROM prs
+       |  UNION SELECT b_id, a_id FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+       |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id),
+       |alldocs AS (SELECT b.vec_id, COALESCE(l.cl, b.vec_id) AS cluster_id
+       |  FROM embeddings b LEFT JOIN lbl l ON b.vec_id = l.id)
+       |SELECT vec_id, cluster_id FROM alldocs
+       |WHERE cluster_id IN (SELECT cluster_id FROM alldocs
+       |                     WHERE vec_id % 40 = 23)
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val stored = e.filter(col("vec_id") % 40 =!= 23)
+    val batch = e.filter(col("vec_id") % 40 === 23)
+    val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    // pre-batch assets: label ledger + block index, both stored-only
+    val pairs0 = Similarity.semanticPqPairs(stored, cb, "vec_id",
+      "embedding", threshold = 0.3, prefix = 2)
+    val cc0 = Dedup.connectedComponents(pairs0, "a_id", "b_id")
+    val ledger = stored.select(col("vec_id").as("id"))
+      .join(cc0, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val storedIdx = Similarity.semanticBlockIndex(stored, cb,
+      "vec_id", "embedding", prefix = 2)
+    // arrival: encode the batch only, block vs stored + within batch
+    val batchIdx = Similarity.semanticBlockIndex(batch, cb,
+      "vec_id", "embedding", prefix = 2)
+    val incident = Similarity.semanticPqPairsAgainst(batchIdx, storedIdx,
+        e, "vec_id", "embedding", threshold = 0.3)
+      .unionByName(Similarity.semanticPqPairs(batch, cb, "vec_id",
+        "embedding", threshold = 0.3, prefix = 2))
+    val updated = Dedup.connectedComponentsIncremental(ledger,
+      batch.select(col("vec_id")), "vec_id", incident, "a_id", "b_id")
+    val touched = updated.filter(col("id") % 40 === 23)
+      .select(col("cluster")).distinct()
+    updated.join(broadcast(touched), Seq("cluster"))
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket,
-    textAnalyze, textBm25Analyzed, textPhraseAnalyzed)
+    textAnalyze, textBm25Analyzed, textPhraseAnalyzed,
+    dedupSemanticIncremental)
 }

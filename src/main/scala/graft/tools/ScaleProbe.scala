@@ -456,6 +456,22 @@ object ScaleProbe {
           println(f"PROBE semdedup $scale pass$pass " +
             f"pairs_prefix2_s=${(System.nanoTime() - t0) / 1e9}%.2f")
         }
+        // arrival face (round 15): per-batch incident candidate volume
+        // = Σ over the batch's blocks of batch_n × stored_n — the
+        // governing count of dedup_semantic_incremental's maintenance
+        // cost; O(batch) means it tracks the batch's block occupancy,
+        // not the corpus pair total above
+        val batchSem = e.filter(col("vec_id") % 40 === 23)
+        val storedSem = e.filter(col("vec_id") % 40 =!= 23)
+        val sIdx = Similarity.semanticBlockIndex(storedSem, cb,
+          "vec_id", "embedding", prefix = 2)
+        val bIdx = Similarity.semanticBlockIndex(batchSem, cb,
+          "vec_id", "embedding", prefix = 2)
+        val inc = bIdx.groupBy("blk").agg(count(lit(1)).as("bn"))
+          .join(sIdx.groupBy("blk").agg(count(lit(1)).as("sn")), Seq("blk"))
+          .agg(sum(col("bn") * col("sn")).as("cand")).head()
+        println(s"PROBE semdedup $scale incident_batch=${batchSem.count()} " +
+          s"incident_cand=${if (inc.isNullAt(0)) 0L else inc.getLong(0)}")
       }
 
       if (want("pq")) {

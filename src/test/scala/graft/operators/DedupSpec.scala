@@ -302,6 +302,34 @@ class DedupSpec extends SparkSpec {
       s"label/id collision wrongly changed the survivor set: $ids")
   }
 
+  test("semantic arrival face: stored-pairs ∪ batch-incident-pairs = full-corpus pairs") {
+    // threshold 0.0: the decomposition property is threshold-independent
+    // and the tiny spec corpus confirms few pairs at 0.3
+    import graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, sf).filter($"vec_id" < 300)
+    val stored = e.filter($"vec_id" % 40 =!= 23)
+    val batch = e.filter($"vec_id" % 40 === 23)
+    val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = keys(Similarity.semanticPqPairs(e, cb, "vec_id",
+      "embedding", threshold = 0.0, prefix = 2))
+    val pre = keys(Similarity.semanticPqPairs(stored, cb, "vec_id",
+      "embedding", threshold = 0.0, prefix = 2))
+    val sIdx = Similarity.semanticBlockIndex(stored, cb, "vec_id", "embedding")
+    val bIdx = Similarity.semanticBlockIndex(batch, cb, "vec_id", "embedding")
+    val incident = keys(Similarity.semanticPqPairsAgainst(bIdx, sIdx, e,
+        "vec_id", "embedding", threshold = 0.0)) ++
+      keys(Similarity.semanticPqPairs(batch, cb, "vec_id", "embedding",
+        threshold = 0.0, prefix = 2))
+    assert(pre.union(incident) == full,
+      s"pair decomposition leaked: missing=${full.diff(pre ++ incident)} " +
+        s"extra=${(pre ++ incident).diff(full)}")
+    assert(incident.nonEmpty, "fixture has no batch-incident pairs — weak test")
+  }
+
   test("dedupIncremental: within-batch winner survives only if unseen in the ledger") {
     val batch = Seq(
       (10L, "seen before"),   // in ledger → dropped
