@@ -287,6 +287,105 @@ object Vocab {
         StructField("cnt", LongType, nullable = false))))
   }
 
+  /** MID-PATH BPE for vocabularies ABOVE the driver-local caps — the
+    * standard practical answer between [[bpeTrain]]'s two poles: the
+    * frequency-DOMINANT head of the vocabulary (words ranked by
+    * (freq desc, w asc), the maximal prefix whose cumulative
+    * symbol-string chars fit `headChars`) collects and trains
+    * driver-local, while the tail — Zipf-distributed vocabularies put
+    * the overwhelming share of token OCCURRENCES in the head — never
+    * ships to the driver and contributes no pair statistics. The
+    * learned table still APPLIES to every word (tail words tokenize
+    * through whatever merges match, characters otherwise — BPE apply
+    * is total by construction); what the tail loses is only its vote
+    * in the elections, bounded by [[bpeHeadClosure]]'s measured
+    * tail-mass fraction. This trades the distributed path's
+    * per-merge cluster round-trip (~10⁵ sequential jobs at production
+    * vocab) for ONE ranked election pass + the in-memory loop.
+    *
+    * The election window runs unpartitioned over the vocab-sized
+    * histogram (one single-partition exchange of (w, freq, len) rows
+    * — MBs at 10⁶ words; the corpus text never rides it). Same merge
+    * semantics as [[bpeTrain]]'s local path bit-for-bit on the head
+    * frame: guarded symbol strings, (cnt desc, lhs, rhs) UTF-8
+    * election, non-overlapping left-to-right replace. */
+  def bpeTrainHead(docs: DataFrame, textCol: String, merges: Int,
+                   headChars: Long,
+                   maxHeadRows: Long = 1L << 20): DataFrame = {
+    require(merges > 0, "merges must be positive")
+    require(headChars > 0, "headChars must be positive")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val ranked = words.withColumn("s", symbolString("w"))
+      .withColumn("_cum", sum(length(col("s"))).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("w").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+    val head = Lineage.truncate(
+      ranked.filter(col("_cum") <= headChars).select(col("s"), col("freq")))
+    val nHead = head.count()
+    require(nHead > 0,
+      s"bpeTrainHead: headChars=$headChars admits no word — the longest " +
+        "most-frequent word's symbol string alone exceeds the budget")
+    require(nHead <= maxHeadRows,
+      s"bpeTrainHead: head holds $nHead rows > maxHeadRows=$maxHeadRows; " +
+        "lower headChars or raise the cap deliberately")
+    val learned = trainLocal(head, merges)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        learned.map { case (st, l, r, c) => Row(st, l, r, c) }, 1),
+      StructType(Seq(StructField("step", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+
+  /** The TAIL-CLOSURE verification for [[bpeTrainHead]] — ONE
+    * distributed pass, never per-merge: a 1-row frame measuring what
+    * the head election left out. `head_words`/`tail_words` count
+    * vocabulary rows on each side of the `headChars` cut;
+    * `head_mass`/`tail_mass` sum word frequencies (token OCCURRENCES —
+    * the quantity Zipf concentrates in the head: tail_mass / total is
+    * the occurrence fraction that trained without a vote);
+    * `oov_chars` counts distinct CHARACTERS appearing only in tail
+    * words — base-alphabet non-closure (an OOV character can never
+    * appear inside any learned merge; its words tokenize to raw
+    * characters). A pipeline promotes the head cut when tail_mass and
+    * oov_chars are acceptably small — measured, not assumed. */
+  def bpeHeadClosure(docs: DataFrame, textCol: String,
+                     headChars: Long): DataFrame = {
+    require(headChars > 0, "headChars must be positive")
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val ranked = Lineage.truncate(words.withColumn("s", symbolString("w"))
+      .withColumn("_cum", sum(length(col("s"))).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("w").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("_head", col("_cum") <= headChars))
+    val chars = ranked.select(col("_head"),
+        explode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as("c"))
+      .groupBy("c")
+      .agg(max(when(col("_head"), 1).otherwise(0)).as("_inHead"))
+    val oov = chars.filter(col("_inHead") === 0)
+      .agg(count(lit(1)).as("oov_chars"))
+    ranked.groupBy()
+      .agg(
+        sum(when(col("_head"), 1L).otherwise(0L)).as("head_words"),
+        sum(when(!col("_head"), 1L).otherwise(0L)).as("tail_words"),
+        sum(when(col("_head"), col("freq")).otherwise(0L)).as("head_mass"),
+        sum(when(!col("_head"), col("freq")).otherwise(0L)).as("tail_mass"))
+      .crossJoin(broadcast(oov))
+  }
+
   /** APPLY a learned merge table ([[bpeTrain]]'s output) to a corpus
     * and return the subword-token histogram (token, cnt — counts
     * weighted by word frequency): the tokenizer's serving side, and

@@ -486,7 +486,7 @@ object Registry13 {
     * filtered), integer-count argmax with lexicographic ties, and the
     * literal `replace` applying the merge left-to-right
     * non-overlapping ([[graft.operators.Vocab]]'s encoding argument). */
-  private def sqlBpeStep(i: Int): String = {
+  private[queries] def sqlBpeStep(i: Int): String = {
     val prev = s"s${i - 1}"
     // exhaustion guard: once no pair remains, b$i is empty and its
     // scalar subqueries are NULL — replace(s, NULL, NULL) would NULL

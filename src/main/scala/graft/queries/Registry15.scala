@@ -326,7 +326,80 @@ object Registry15 {
       .orderBy("vec_id")
   }
 
+  // ------------------------------------------------- mid-path BPE
+
+  /** The shared head-election preamble for the two mid-path BPE
+    * oracles: word histogram, guarded symbol strings, the
+    * (freq DESC, w ASC) ranking with a running symbol-char sum, and
+    * the `cap`-char head cut — [[graft.operators.Vocab.bpeTrainHead]]'s
+    * election, replayed. `s0` is the head frame the merge rounds
+    * consume. */
+  private def sqlBpeHead(cap: Int): String =
+    s"""w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term <> '' GROUP BY 1),
+       |sA AS (SELECT w, freq, ' ' || array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substring(w, CAST(i AS INT), 1)), '  ') || ' ' AS s
+       |  FROM w0),
+       |rk AS MATERIALIZED (SELECT w, freq, s,
+       |    SUM(length(s)) OVER (ORDER BY freq DESC, w ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sA),
+       |s0 AS MATERIALIZED (SELECT w, freq, s FROM rk WHERE cum <= $cap)""".stripMargin
+
+  /** MID-PATH BPE training under the gate
+    * ([[graft.operators.Vocab.bpeTrainHead]]): vocabularies above the
+    * driver-local caps train on the frequency-DOMINANT head — here the
+    * maximal (freq desc, w asc) prefix whose symbol strings fit 300
+    * chars (20 of 31 words, ~68% of token mass) — driver-local, while
+    * the tail never ships and contributes no pair statistics (the
+    * closure gate below measures exactly what that omits). The oracle
+    * replays the ranked election with its running char sum, then the
+    * same 8 unrolled merge rounds as `text_bpe_vocab` over the HEAD
+    * frame only — a drift in the cut point, the ranking ties, or any
+    * merge election flips the hash. */
+  val textBpeHeadVocab = Q("text_bpe_head_vocab",
+    s"""WITH ${sqlBpeHead(300)},
+       |${(1 to 8).map(Registry13.sqlBpeStep).mkString(",\n")}
+       |SELECT step, l AS lhs, r AS rhs, cnt
+       |FROM (${(1 to 8).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    Vocab.bpeTrainHead(docs(s, d), "text", merges = 8, headChars = 300)
+      .orderBy("step")
+  }
+
+  /** The TAIL-CLOSURE verification under the gate
+    * ([[graft.operators.Vocab.bpeHeadClosure]]): ONE distributed pass
+    * — never per-merge — measuring what the head cut left out:
+    * head/tail word counts, head/tail token MASS (the Zipf
+    * concentration the mid-path bets on), and `oov_chars`, the
+    * distinct characters appearing only in tail words (base-alphabet
+    * non-closure: an OOV character can never occur inside a learned
+    * merge). The oracle replays the same election and character-set
+    * algebra. */
+  val textBpeHeadClosure = Q("text_bpe_head_closure",
+    s"""WITH ${sqlBpeHead(300)},
+       |hf AS (SELECT w, freq, (cum <= 300) AS hd FROM rk),
+       |st AS (SELECT
+       |    CAST(SUM(CASE WHEN hd THEN 1 ELSE 0 END) AS BIGINT) AS head_words,
+       |    CAST(SUM(CASE WHEN hd THEN 0 ELSE 1 END) AS BIGINT) AS tail_words,
+       |    CAST(SUM(CASE WHEN hd THEN freq ELSE 0 END) AS BIGINT) AS head_mass,
+       |    CAST(SUM(CASE WHEN hd THEN 0 ELSE freq END) AS BIGINT) AS tail_mass
+       |  FROM hf),
+       |ch AS (SELECT u.c AS c,
+       |    MAX(CASE WHEN hf.hd THEN 1 ELSE 0 END) AS in_head
+       |  FROM hf, UNNEST(list_transform(range(1, length(hf.w) + 1),
+       |    i -> substring(hf.w, CAST(i AS INT), 1))) AS u(c)
+       |  GROUP BY 1),
+       |ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS oov_chars FROM ch
+       |  WHERE in_head = 0)
+       |SELECT head_words, tail_words, head_mass, tail_mass, oov_chars
+       |FROM st CROSS JOIN ov""".stripMargin) { (s, d) =>
+    Vocab.bpeHeadClosure(docs(s, d), "text", headChars = 300)
+  }
+
   val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket,
     textAnalyze, textBm25Analyzed, textPhraseAnalyzed,
-    dedupSemanticIncremental)
+    dedupSemanticIncremental, textBpeHeadVocab, textBpeHeadClosure)
 }

@@ -52,6 +52,53 @@ object BpeReport {
         .write.format("noop").mode("overwrite").save()
       println(f"BPE counts pass$pass wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
+    // MID-PATH on a synthetic ABOVE-CAP vocabulary (round 15): ~12.5%
+    // of (doc, word) occurrences get a content-derived salt suffix, so
+    // the vocabulary inflates ~1000× (the multilingual-web shape: a
+    // fat Zipf head + a huge low-frequency tail) while ~87% of token
+    // MASS stays in the unsalted head. bpeTrainHead trains driver-local
+    // on the headChars-elected head; the closure frame measures the
+    // tail it skipped; the distributed path on the same corpus prices
+    // the per-merge round-trip the mid-path avoids; merge overlap vs
+    // the full-vocabulary local table is the quality number.
+    val wide = docs.withColumn("text",
+      array_join(transform(split(col("text"), " "), w =>
+        when(substring(md5(concat(col("doc_id").cast("string"), lit(":"), w)),
+          1, 1) >= "e",
+          concat(w, lit("x"), substring(
+            md5(concat(col("doc_id").cast("string"), lit("#"), w)), 1, 3)))
+          .otherwise(w)), " ")).localCheckpoint()
+    val nWide = wide.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    val headCap = 2048L
+    val cls = graft.operators.Vocab.bpeHeadClosure(wide, "text", headCap).head()
+    val hm = cls.getLong(2); val tm = cls.getLong(3)
+    println(s"BPE wide distinct_words=$nWide headChars=$headCap " +
+      s"head_words=${cls.getLong(0)} tail_words=${cls.getLong(1)} " +
+      f"head_mass=${hm.toDouble / (hm + tm)}%.3f oov_chars=${cls.getLong(4)}")
+    t0 = System.nanoTime()
+    val tableHead = graft.operators.Vocab.bpeTrainHead(wide, "text",
+      merges, headChars = headCap).localCheckpoint()
+    val tHead = (System.nanoTime() - t0) / 1e9
+    println(f"BPE train(mid-path head) merges=${tableHead.count()}%d " +
+      f"wall=$tHead%.1f s")
+    t0 = System.nanoTime()
+    val tableWide = graft.operators.Vocab.bpeTrain(wide, "text", merges)
+      .localCheckpoint()
+    val tWide = (System.nanoTime() - t0) / 1e9
+    val common = tableHead.select("lhs", "rhs")
+      .intersect(tableWide.select("lhs", "rhs")).count()
+    println(f"BPE train(wide full-local) wall=$tWide%.1f s " +
+      f"head_merge_overlap=$common%d/${tableWide.count()}%d")
+    val mDist = math.min(16, merges)
+    t0 = System.nanoTime()
+    val nDist = graft.operators.Vocab.bpeTrain(wide, "text", mDist,
+      maxDistinctWords = 0L).count()
+    val tDistW = (System.nanoTime() - t0) / 1e9
+    println(f"BPE train(wide distributed) merges=$nDist%d wall=$tDistW%.1f s " +
+      f"per_round=${tDistW / math.max(1L, nDist)}%.3f s " +
+      f"projected_${merges}m=${tDistW / math.max(1L, nDist) * merges}%.0f s " +
+      f"vs mid-path $tHead%.1f s")
     spark.stop()
   }
 }

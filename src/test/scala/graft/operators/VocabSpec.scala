@@ -76,4 +76,33 @@ class VocabSpec extends SparkSpec {
     // 3 x (a,a,a,b) + 2 x (a,b): a = 11, b = 5
     assert(none == Map("a" -> 11L, "b" -> 5L), s"char histogram drifted: $none")
   }
+
+  test("bpeTrainHead: cap covering the whole vocab = bpeTrain; tight cap trains on the head only") {
+    val docsDf = Seq("aaab aaab aaab ab ab cd cd zq").toDF("text")
+    // cap big enough for every symbol string → identical to full train
+    val full = Vocab.bpeTrain(docsDf, "text", merges = 8)
+    val headAll = Vocab.bpeTrainHead(docsDf, "text", merges = 8,
+      headChars = 1L << 20)
+    assert(headAll.exceptAll(full).isEmpty && full.exceptAll(headAll).isEmpty,
+      "an all-covering head cut must reproduce the full merge table")
+    // tight cap: only "aaab" (freq 3, symbol string len 12) fits 15
+    // chars — merges learn from it alone, so (a,b) counts 3 not 5
+    // (the tail's two "ab" votes are exactly what the head cut omits)
+    val headTight = Vocab.bpeTrainHead(docsDf, "text", merges = 2,
+      headChars = 15)
+    val t = headTight.orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(t == Seq(("a", "a", 6L), ("a", "b", 3L)),
+      s"head-only elections drifted: $t")
+    // closure: tail words/mass counted, tail-only chars flagged OOV
+    val cl = Vocab.bpeHeadClosure(docsDf, "text", headChars = 15).head()
+    assert(cl.getLong(0) == 1 && cl.getLong(1) == 3, "head/tail words")
+    assert(cl.getLong(2) == 3 && cl.getLong(3) == 5, "head/tail mass")
+    assert(cl.getLong(4) == 4, s"c, d, z, q are tail-only: ${cl.getLong(4)}")
+    // a cap no word fits refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Vocab.bpeTrainHead(docsDf, "text", merges = 2, headChars = 3)
+    }
+    assert(ex.getMessage.contains("admits no word"))
+  }
 }
