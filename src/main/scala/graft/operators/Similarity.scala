@@ -1841,7 +1841,8 @@ object Similarity {
                       maxQueryRows: Long = 1L << 20,
                       entries: Option[DataFrame] = None,
                       edgeBuckets: Option[Int] = None,
-                      probe: Option[LedgerReadProbe] = None): DataFrame = {
+                      probe: Option[LedgerReadProbe] = None,
+                      corpusBuckets: Option[Int] = None): DataFrame = {
     require(k > 0, "k must be positive")
     require(beam >= k, "beam must be >= k (the final frontier is the candidate pool)")
     require(hops > 0, "hops must be positive")
@@ -1851,6 +1852,14 @@ object Similarity {
         "graphSearchTopK: edgeBuckets is set but `graph` carries no bkt " +
           "partition column (= pmod(src_id, buckets)) — read the ledger " +
           "from its bucket-partitioned layout, or pass edgeBuckets=None")
+    }
+    corpusBuckets.foreach { b =>
+      require(b > 0, "corpusBuckets must be positive")
+      require(corpus.columns.contains("bkt"),
+        "graphSearchTopK: corpusBuckets is set but `corpus` carries no " +
+          s"bkt partition column (= pmod($idCol, buckets)) — read the " +
+          "corpus from its bucket-partitioned layout, or pass " +
+          "corpusBuckets=None")
     }
     val nq = queries.select(col(idCol)).count()
     require(nq <= maxQueryRows,
@@ -1894,11 +1903,36 @@ object Similarity {
     // per-query seed pairs ([[graphEntries]]'s routed form).
     val entry = corpus.agg(min(col(idCol)).as("n_id"))
       .filter(col("n_id").isNotNull)
-    def score(cand: DataFrame): DataFrame =
-      cand.join(c, "n_id")
-        .join(broadcast(q), "q_id")
-        .withColumn("cos", cosFromNorms(dim))
-        .select(col("q_id"), col("n_id"), col("cos"))
+    // corpus-score leg, same discipline as hopEdges: the candidates'
+    // ids determine their vector buckets, so a literal `bkt IN` filter
+    // on the corpus side of the scoring join is a semantic no-op that
+    // partition-prunes the per-hop VECTOR read — without it, every hop
+    // of an ingest drain re-reads the whole corpus's floats to score
+    // ≤ queries × beam × (k+1) candidates. The candidate frame is
+    // checkpointed first (it is about to be scored anyway) so the
+    // bucket election is a bounded collect over materialized rows.
+    def score(cand0: DataFrame): DataFrame = corpusBuckets match {
+      case None =>
+        cand0.join(c, "n_id")
+          .join(broadcast(q), "q_id")
+          .withColumn("cos", cosFromNorms(dim))
+          .select(col("q_id"), col("n_id"), col("cos"))
+      case Some(b) =>
+        val cand = Lineage.truncate(cand0)
+        val bks = cand
+          .select(pmod(col("n_id"), lit(b.toLong)).cast("int").as("bkt"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        probe.foreach(_.record("score", bks))
+        val cPruned =
+          if (bks.isEmpty) corpus.filter(lit(false))
+          else corpus.filter(col("bkt").isin(bks.map(Int.box): _*))
+        cand.join(cPruned.select(col(idCol).as("n_id"),
+            col(vecCol).as("n_vec"),
+            VectorFns.l2NormN(col(vecCol), dim).as("n_nrm")), "n_id")
+          .join(broadcast(q), "q_id")
+          .withColumn("cos", cosFromNorms(dim))
+          .select(col("q_id"), col("n_id"), col("cos"))
+    }
     // truncate per hop: the expansion references `frontier` TWICE
     // (neighbor join + union), so an untruncated loop doubles the plan
     // every iteration — O(2^hops) subtrees (the Dedup label-propagation
@@ -1961,7 +1995,8 @@ object Similarity {
                              k: Int, beam: Int, hops: Int, maxDegree: Int,
                              dim: Int, maxQueryRows: Long,
                              edgeBuckets: Option[Int] = None,
-                             probe: Option[LedgerReadProbe] = None): DataFrame = {
+                             probe: Option[LedgerReadProbe] = None,
+                             corpusBuckets: Option[Int] = None): DataFrame = {
     require(maxDegree >= k, "maxDegree must be >= k (inserts add k edges per side)")
     // idempotence under at-least-once replay (the pqIndexAppend /
     // bm25IndexAppend posture): a batch node that already has
@@ -1988,7 +2023,8 @@ object Similarity {
     val newNodes = batch.join(grSrc, Seq(idCol), "left_anti")
     val found = graphSearchTopK(newNodes, corpus, graph, idCol, vecCol,
       k, beam, hops, dim, maxQueryRows, entries = None,
-      edgeBuckets = edgeBuckets, probe = probe)
+      edgeBuckets = edgeBuckets, probe = probe,
+      corpusBuckets = corpusBuckets)
     Lineage.truncate(found.select(col("q_id").as("src_id"),
         col("n_id").as("nbr_id"), col("cos"))
       .unionByName(found.select(col("n_id").as("src_id"),
@@ -2027,9 +2063,11 @@ object Similarity {
                        hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
                        maxQueryRows: Long = 1L << 20,
                        edgeBuckets: Option[Int] = None,
-                       probe: Option[LedgerReadProbe] = None): DataFrame = {
+                       probe: Option[LedgerReadProbe] = None,
+                       corpusBuckets: Option[Int] = None): DataFrame = {
     val newE = graphLinkEdges(graph, corpus, batch, idCol, vecCol,
-      k, beam, hops, maxDegree, dim, maxQueryRows, edgeBuckets, probe)
+      k, beam, hops, maxDegree, dim, maxQueryRows, edgeBuckets, probe,
+      corpusBuckets)
     val touched = newE.select(col("src_id")).distinct()
     // the recap re-reads only the touched sources' current lists; on a
     // bucket-partitioned ledger those live in exactly the touched
@@ -2082,7 +2120,8 @@ object Similarity {
                              k: Int, buckets: Int, beam: Int = 8,
                              hops: Int = 3, maxDegree: Int = 8, dim: Int = 64,
                              maxQueryRows: Long = 1L << 20,
-                             probe: Option[LedgerReadProbe] = None): DataFrame = {
+                             probe: Option[LedgerReadProbe] = None,
+                             corpusBuckets: Option[Int] = None): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(stored.columns.contains("bkt"),
       "graphAppendBucketDelta: `stored` must carry the bkt partition " +
@@ -2098,7 +2137,8 @@ object Similarity {
     val recapped = Lineage.truncate(
       graphAppendDelta(stored, corpus, batch, idCol, vecCol,
         k, beam, hops, maxDegree, dim, maxQueryRows,
-        edgeBuckets = Some(buckets), probe = probe))
+        edgeBuckets = Some(buckets), probe = probe,
+        corpusBuckets = corpusBuckets))
     val bktOf = pmod(col("src_id"), lit(buckets.toLong)).cast("int")
     val tb = recapped.select(bktOf.as("bkt")).distinct()
       .collect().map(_.getInt(0))

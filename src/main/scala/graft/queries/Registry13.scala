@@ -312,7 +312,12 @@ object Registry13 {
       .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
     val g0 = Similarity.knnGraph(base, cent, "vec_id", "embedding", k = 3)
       .select("src_id", "nbr_id", "cos")
-    val fx = FixtureCache.cached(d, "gingest", 1, Seq("embeddings")) { tmp =>
+    // v2: the fixture also stages the CORPUS bucket-partitioned on
+    // pmod(vec_id, 16) — the layout that makes the drain's per-hop
+    // VECTOR reads partition-prune (corpusBuckets below), completing
+    // the read-side O(touched) discipline for the score leg
+    val nBkt = 16
+    val fx = FixtureCache.cached(d, "gingest", 2, Seq("embeddings")) { tmp =>
       val pages = tmp.resolve("pages")
       java.nio.file.Files.createDirectories(pages)
       val pbase = System.currentTimeMillis() - 3600L * 1000
@@ -331,12 +336,14 @@ object Registry13 {
         }
         FixtureCache.deleteRecursively(tmpd)
       }
+      e.withColumn("bkt", pmod(col("vec_id"), lit(nBkt.toLong)).cast("int"))
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(tmp.resolve("corpus").toString)
     }
     val stage = StreamHarness.runDir("graft_gingest")
     val ledgerDir = stage.resolve("ledger").toString
     // the ledger is BUCKET-PARTITIONED by pmod(src_id, 16): the drain
     // below writes only the buckets a batch touches
-    val nBkt = 16
     g0.withColumn("bkt", pmod(col("src_id"), lit(nBkt.toLong)).cast("int"))
       .write.partitionBy("bkt").mode("overwrite").parquet(ledgerDir)
     val stream = s.readStream
@@ -355,9 +362,15 @@ object Registry13 {
     // directories it read from.
     val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
       val stored = s.read.parquet(ledgerDir)
-      val out = Similarity.graphAppendBucketDelta(stored, e, b,
+      // the corpus reads back from ITS bucket-partitioned layout too:
+      // each hop's scoring join loads only the candidate buckets'
+      // vectors (corpusBuckets), so neither the edge ledger nor the
+      // corpus floats are scanned whole per micro-batch
+      val eB = s.read.parquet(fx.resolve("corpus").toString)
+      val out = Similarity.graphAppendBucketDelta(stored, eB, b,
         "vec_id", "embedding", k = 3, buckets = nBkt,
-        beam = 4, hops = 3, maxDegree = 4).localCheckpoint()
+        beam = 4, hops = 3, maxDegree = 4,
+        corpusBuckets = Some(nBkt)).localCheckpoint()
       out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bkt").parquet(ledgerDir)
@@ -510,7 +523,7 @@ object Registry13 {
     * symbol strings, and `rounds` unrolled merge rounds — ONE
     * construction for all three BPE gates (drift between copies would
     * make them test different tokenizers). */
-  private def sqlBpeChain(rounds: Int): String =
+  private[queries] def sqlBpeChainShared(rounds: Int): String =
     s"""w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
        |  WHERE term <> '' GROUP BY 1),
@@ -532,7 +545,7 @@ object Registry13 {
     * flips the hash at the first divergent round. Output is the merge
     * TABLE — the tokenizer artifact a trained BPE ships. */
   val textBpeVocab = Q("text_bpe_vocab",
-    s"""WITH ${sqlBpeChain(8)}
+    s"""WITH ${sqlBpeChainShared(8)}
        |SELECT step, l AS lhs, r AS rhs, cnt
        |FROM (${(1 to 8).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
        |ORDER BY step""".stripMargin) { (s, d) =>
@@ -550,7 +563,7 @@ object Registry13 {
     * drift in merge ORDER between learn and apply flips token counts
     * wholesale. */
   val textBpeApply = Q("text_bpe_apply",
-    s"""WITH ${sqlBpeChain(8)}
+    s"""WITH ${sqlBpeChainShared(8)}
        |SELECT u.tok AS token, CAST(SUM(s.freq) AS BIGINT) AS cnt
        |FROM s8 s, UNNEST(string_split(trim(s.s, ' '), '  ')) AS u(tok)
        |GROUP BY 1
@@ -665,7 +678,7 @@ object Registry13 {
     * word-join per-doc sums, and `pack_sequences`' integer layout
     * arithmetic over the same window cumsum. */
   val packBpeSequences = Q("pack_bpe_sequences",
-    s"""WITH ${sqlBpeChain(8)},
+    s"""WITH ${sqlBpeChainShared(8)},
        |wt AS (SELECT w, CAST(len(string_split(trim(s, ' '), '  '))
        |    AS BIGINT) AS wtk FROM s8),
        |dw AS (SELECT doc_id, source, w FROM (

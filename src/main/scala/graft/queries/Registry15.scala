@@ -252,6 +252,26 @@ object Registry15 {
       .orderBy("q_id", "doc_id")
   }
 
+  /** BPE THROUGH the analyzer — the third unification identity,
+    * completing the triple the round-14 verdict named (BM25,
+    * positions, BPE): merges learned over the analyzed perturbed
+    * corpus hash-match `text_bpe_vocab`'s raw-corpus oracle — the
+    * case/punctuation noise that would otherwise fracture the word
+    * histogram ("Court," and "court" training as distinct words with
+    * split frequencies, electing different merges) normalizes away
+    * before the histogram exchange. */
+  val textBpeAnalyzed = Q("text_bpe_analyzed",
+    s"""WITH ${Registry13.sqlBpeChainShared(8)}
+       |SELECT step, l AS lhs, r AS rhs, cnt
+       |FROM (${(1 to 8).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val analyzed = docs(s, d).withColumn("text", perturbed)
+      .withColumn("text", TextFns.analyze(col("text")))
+    Vocab.bpeTrain(analyzed, "text", merges = 8)
+      .orderBy("step")
+  }
+
   // ------------------------------------- semantic dedup, arrival face
 
   /** Incremental SEMANTIC near-dup maintenance — the arrival face the
@@ -401,5 +421,6 @@ object Registry15 {
 
   val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket,
     textAnalyze, textBm25Analyzed, textPhraseAnalyzed,
-    dedupSemanticIncremental, textBpeHeadVocab, textBpeHeadClosure)
+    dedupSemanticIncremental, textBpeHeadVocab, textBpeHeadClosure,
+    textBpeAnalyzed)
 }

@@ -380,10 +380,13 @@ object ScaleProbe {
         val stored = g.withColumn("bkt",
           pmod(col("src_id"), lit(buckets.toLong)).cast("int"))
         val probe = new Similarity.LedgerReadProbe
+        val eB = e.withColumn("bkt",
+          pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
         val delta = graft.operators.Lineage.truncate(
-          Similarity.graphAppendBucketDelta(stored, e, batch,
+          Similarity.graphAppendBucketDelta(stored, eB, batch,
             "vec_id", "embedding", k = 3, buckets = buckets,
-            beam = 4, hops = 3, maxDegree = 4, probe = Some(probe)))
+            beam = 4, hops = 3, maxDegree = 4, probe = Some(probe),
+            corpusBuckets = Some(buckets)))
         // READ volume (round 15): every drain leg elects a literal
         // bucket set (LedgerReadProbe records them); read_rows counts
         // ledger rows in the union of those buckets — the rows a
@@ -393,15 +396,26 @@ object ScaleProbe {
         // grows with the corpus.
         val perBkt = stored.groupBy("bkt").agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-        val readRows = probe.buckets.map(perBkt.getOrElse(_, 0L)).sum
-        val scanRows = probe.stages
+        val ledgerStages = probe.stages.filterNot(_._1 == "score")
+        val ledgerBkts = ledgerStages.flatMap(_._2).distinct
+        val readRows = ledgerBkts.map(perBkt.getOrElse(_, 0L)).sum
+        val scanRows = ledgerStages
           .map(_._2.map(perBkt.getOrElse(_, 0L)).sum).sum
+        // corpus (vector) read volume: rows in the union of the score
+        // legs' elected buckets — the floats a batch's scoring joins
+        // actually load vs the whole corpus (round 15)
+        val perCBkt = eB.groupBy("bkt").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val scoreBkts = probe.stages.filter(_._1 == "score")
+          .flatMap(_._2).distinct
+        val corpusRead = scoreBkts.map(perCBkt.getOrElse(_, 0L)).sum
         println(s"PROBE gsink $scale nodes=$nV ledger_rows=${g.count()} " +
           s"batch=5 write_rows=${delta.count()} " +
           s"write_buckets=${delta.select("bkt").distinct().count()} " +
           s"of $buckets " +
-          s"read_buckets=${probe.buckets.size} read_rows=$readRows " +
-          s"scan_rows=$scanRows legs=${probe.stages.size}")
+          s"read_buckets=${ledgerBkts.size} read_rows=$readRows " +
+          s"scan_rows=$scanRows legs=${probe.stages.size} " +
+          s"corpus_read_rows=$corpusRead of $nV")
         // re-bucketing payoff (round 15): a ledger that outgrew its
         // creation-time B pays occupancy-inflated bucket rewrites per
         // batch; rebucketLedger(B → 4096) restores batch-sized writes.

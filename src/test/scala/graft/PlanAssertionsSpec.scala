@@ -326,19 +326,74 @@ class PlanAssertionsSpec extends SparkSpec {
       // ledger — scope the plan witness to executions AFTER it
       val minId = spark.sharedState.statusStore.executionsList()
         .lastOption.map(_.executionId).getOrElse(-1L)
-      // the full drain: every ledger-read leg elects a literal bucket set
-      val probe = new Similarity.LedgerReadProbe
-      val out = Similarity.graphAppendBucketDelta(stored, e, q3,
-        "vec_id", "embedding", k = 3, buckets = nBkt,
-        beam = 4, hops = 3, maxDegree = 4, probe = Some(probe))
-      out.collect()
-      val stages = probe.stages
-      assert(stages.count(_._1 == "hop") >= 3,
-        s"expected a bucket election per beam hop, got: ${stages.map(_._1)}")
-      for (leg <- Seq("inserted", "recap", "survivors"))
-        assert(stages.exists(_._1 == leg), s"missing $leg bucket election")
-      assert(probe.buckets.nonEmpty && probe.buckets.size < nBkt,
-        s"read buckets ${probe.buckets.size} of $nBkt — not a strict subset")
+      // the full drain: every ledger-read leg elects a literal bucket
+      // set, and with a bucket-partitioned corpus the per-hop VECTOR
+      // reads (score legs) elect theirs too
+      val cdir = java.nio.file.Files.createTempDirectory("graft_corpusspec")
+      try {
+        e.withColumn("bkt", pmod(col("vec_id"), lit(nBkt.toLong)).cast("int"))
+          .write.partitionBy("bkt").mode("overwrite").parquet(cdir.toString)
+        // the fixture write above reads vectors unpruned by design —
+        // scope the corpus-scan witness to executions after it
+        val cMinId = spark.sharedState.statusStore.executionsList()
+          .lastOption.map(_.executionId).getOrElse(-1L)
+        val corpusB = spark.read.parquet(cdir.toString)
+        val probe = new Similarity.LedgerReadProbe
+        val out = Similarity.graphAppendBucketDelta(stored, corpusB, q3,
+          "vec_id", "embedding", k = 3, buckets = nBkt,
+          beam = 4, hops = 3, maxDegree = 4, probe = Some(probe),
+          corpusBuckets = Some(nBkt))
+        out.collect()
+        val stages = probe.stages
+        assert(stages.count(_._1 == "hop") >= 3,
+          s"expected a bucket election per beam hop, got: ${stages.map(_._1)}")
+        assert(stages.count(_._1 == "score") >= 4, // seed + one per hop
+          s"expected a corpus-bucket election per score leg, got: ${stages.map(_._1)}")
+        for (leg <- Seq("inserted", "recap", "survivors"))
+          assert(stages.exists(_._1 == leg), s"missing $leg bucket election")
+        assert(probe.buckets.nonEmpty && probe.buckets.size < nBkt,
+          s"read buckets ${probe.buckets.size} of $nBkt — not a strict subset")
+        // bit-equality vs the unbucketed-corpus drain result
+        val outPlain = Similarity.graphAppendBucketDelta(stored, e, q3,
+          "vec_id", "embedding", k = 3, buckets = nBkt,
+          beam = 4, hops = 3, maxDegree = 4)
+        assert(out.exceptAll(outPlain).isEmpty &&
+          outPlain.exceptAll(out).isEmpty,
+          "corpus-pruned drain must produce bit-identical deltas")
+        // plan witness: every executed corpus scan that read VECTORS
+        // (the embedding column) carried a bkt partition filter; the
+        // one unpruned corpus read is the entry min-id scan, which
+        // reads no floats
+        val ctoken = cdir.getFileName.toString
+        var cplans: Seq[String] = Nil
+        var cstable = 0
+        var ctries = 0
+        while (ctries < 100 && cstable < 3) {
+          val now = spark.sharedState.statusStore.executionsList()
+            .filter(_.executionId > cMinId)
+            .map(_.physicalPlanDescription)
+            .filter(p => p.contains(ctoken) && p.contains("Scan parquet") &&
+              !p.contains("WriteFiles"))
+          if (now.nonEmpty && now.size == cplans.size) cstable += 1
+          else cstable = 0
+          cplans = now
+          Thread.sleep(100); ctries += 1
+        }
+        val vecScans = cplans.filter(p =>
+          raw"ReadSchema: [^\n]*embedding".r.findFirstIn(p).isDefined)
+        assert(vecScans.nonEmpty,
+          "no executed plan read corpus vectors — the witness found nothing")
+        // a single-bucket election compiles to `bkt = N` (Catalyst
+        // rewrites a 1-element isin), multi-bucket to `bkt IN (...)`
+        val unprunedVec = vecScans.filterNot(p =>
+          raw"PartitionFilters: \[[^\]]*bkt[^\]]*".r.findFirstIn(p)
+            .exists(f => f.contains("IN") || f.contains("=")))
+        assert(unprunedVec.isEmpty,
+          s"${unprunedVec.size} corpus vector scan(s) without a bkt " +
+            s"partition filter:\n${unprunedVec.headOption.getOrElse("").take(4000)}")
+      } finally {
+        graft.queries.FixtureCache.deleteRecursively(cdir)
+      }
       // plan witness via the SQL status store: every executed plan that
       // scanned the ledger path did so under a bkt partition filter —
       // no leg of the drain reads the whole stored graph
