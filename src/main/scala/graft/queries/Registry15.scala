@@ -346,6 +346,152 @@ object Registry15 {
       .orderBy("vec_id")
   }
 
+  /** STREAMING semantic-dedup ingest — the FIFTH ledger family's
+    * arrival face under a drain (after PQ codes, BM25 tf, the kNN
+    * graph, and positions): embedding pages arrive as file-source
+    * micro-batches and the drain maintains BOTH stored assets of the
+    * semantic family — the block index (append-only, O(batch) delta
+    * writes like the positional ingest) and the cluster-label ledger,
+    * BUCKET-PARTITIONED on pmod(id, 16) so a batch's label merges
+    * rewrite only the TOUCHED buckets (changed labels + fresh ids)
+    * via dynamic partition overwrite — the gsink write discipline
+    * applied to the label ledger, whose untouched components pass
+    * through without being rewritten. Each batch: anti-join already
+    * -seen ids (idempotent under the one-node replay overlap), encode
+    * the fresh rows against the FROZEN base codebook, block vs the
+    * stored index + within the batch, and merge the incident edges
+    * with [[Dedup.connectedComponentsIncremental]] — label-graph-
+    * sized, never corpus re-propagation. Labels are arrival-order-
+    * free (incremental ≡ batch-global CC — the gated
+    * `dedup_semantic_incremental` identity), so the oracle is simply
+    * the full-corpus semantic-cluster chain over every arrived id. */
+  val streamingSemanticIngest = Q("streaming_semantic_ingest",
+    s"""WITH RECURSIVE eb AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id < 210),
+       |cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
+       |  FROM embeddings WHERE vec_id < 16),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
+       |  FROM eb b CROSS JOIN js CROSS JOIN cw c),
+       |codes AS (SELECT n_id, sub, code, dist FROM (
+       |  SELECT n_id, sub, code, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |blk AS (SELECT n_id, array_to_string(
+       |    list(CAST(code AS INT) ORDER BY sub), ',') AS blk
+       |  FROM codes WHERE sub < 2 GROUP BY n_id),
+       |vbase AS (SELECT b.vec_id AS id, b.embedding AS vec, k.blk
+       |  FROM eb b JOIN blk k ON k.n_id = b.vec_id),
+       |prs AS (SELECT a_id, b_id FROM (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    ${Registry10.sqlCos("a.vec", "b.vec")} AS cos
+       |  FROM vbase a JOIN vbase b ON a.blk = b.blk AND a.id < b.id)
+       |  WHERE cos >= 0.3),
+       |edges AS (SELECT a_id AS s, b_id AS t FROM prs
+       |  UNION SELECT b_id, a_id FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+       |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+       |SELECT b.vec_id, COALESCE(l.cl, b.vec_id) AS cluster_id
+       |FROM eb b LEFT JOIN lbl l ON b.vec_id = l.id
+       |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val base = e.filter(col("vec_id") < 200)
+    val cb = Similarity.pqCodebookSeed(base, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val nBkt = 16
+    val fx = FixtureCache.cached(d, "gingest", 2, Seq("embeddings")) { tmp =>
+      // shared with streaming_graph_ingest (same page bounds + corpus)
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val pbase = System.currentTimeMillis() - 3600L * 1000
+      val bounds = Seq((200L, 205L), (204L, 210L))
+      bounds.zipWithIndex.foreach { case ((lo, hi), p) =>
+        val tmpd = tmp.resolve(s"tmp$p")
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(pbase + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+      e.withColumn("bkt", pmod(col("vec_id"), lit(16L)).cast("int"))
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(tmp.resolve("corpus").toString)
+    }
+    val stage = StreamHarness.runDir("graft_semingest")
+    val ledgerDir = stage.resolve("labels").toString
+    val blkDir = stage.resolve("blkidx").toString
+    // pre-batch assets: label ledger (bucket-partitioned) + block index
+    val pairs0 = Similarity.semanticPqPairs(base, cb, "vec_id",
+      "embedding", threshold = 0.3, prefix = 2)
+    val cc0 = Dedup.connectedComponents(pairs0, "a_id", "b_id")
+    base.select(col("vec_id").as("id"))
+      .join(cc0, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("bkt", pmod(col("id"), lit(nBkt.toLong)).cast("int"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(ledgerDir)
+    Similarity.semanticBlockIndex(base, cb, "vec_id", "embedding",
+      prefix = 2)
+      .write.mode("overwrite").parquet(blkDir)
+    val stream = s.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
+      val stored = s.read.parquet(ledgerDir)
+      val sIdx = s.read.parquet(blkDir)
+      // already-seen ids replay as no-ops: the label ledger holds every
+      // arrived id (singletons included), so it IS the seen set
+      val fresh = b.join(stored.select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_anti").localCheckpoint()
+      val bIdx = Similarity.semanticBlockIndex(fresh, cb,
+        "vec_id", "embedding", prefix = 2)
+      val incident = Similarity.semanticPqPairsAgainst(bIdx, sIdx,
+          e, "vec_id", "embedding", threshold = 0.3)
+        .unionByName(Similarity.semanticPqPairs(fresh, cb, "vec_id",
+          "embedding", threshold = 0.3, prefix = 2))
+      val updated = Dedup.connectedComponentsIncremental(
+        stored.select("id", "cluster"), fresh.select(col("vec_id")),
+        "vec_id", incident, "a_id", "b_id").localCheckpoint()
+      // O(touched) label write: only buckets holding a changed label
+      // or a fresh id are replaced; untouched components' rows are
+      // neither read back into the replacement nor rewritten
+      val changed = updated.join(stored.select("id", "cluster"),
+        Seq("id", "cluster"), "left_anti")
+      val bktOf = pmod(col("id"), lit(nBkt.toLong)).cast("int")
+      val tb = changed.select(bktOf.as("bkt")).distinct()
+        .collect().map(_.getInt(0))
+      if (tb.nonEmpty) {
+        updated.withColumn("bkt", bktOf)
+          .filter(col("bkt").isin(tb.map(Int.box): _*))
+          .localCheckpoint()
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bkt").parquet(ledgerDir)
+      }
+      // block-index delta append: O(batch) rows, the positional posture
+      bIdx.write.mode("append").parquet(blkDir)
+    }
+    val run = stream.writeStream
+      .foreachBatch(appendBatch)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    s.read.parquet(ledgerDir)
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   // ------------------------------------------------- mid-path BPE
 
   /** The shared head-election preamble for the two mid-path BPE
@@ -422,5 +568,5 @@ object Registry15 {
   val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket,
     textAnalyze, textBm25Analyzed, textPhraseAnalyzed,
     dedupSemanticIncremental, textBpeHeadVocab, textBpeHeadClosure,
-    textBpeAnalyzed)
+    textBpeAnalyzed, streamingSemanticIngest)
 }
