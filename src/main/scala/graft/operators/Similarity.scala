@@ -1959,6 +1959,51 @@ object Similarity {
     ranked(frontier.filter(col("q_id") =!= col("n_id")), k)
   }
 
+  /** FILTERED graph search — the metadata-predicate guard for the
+    * graph family, completing the symmetry with
+    * [[ivfPqTopKFromIndexAdaptive]] on the IVF-PQ side: the beam
+    * TRAVERSES the full graph (filtering nodes out of the traversal
+    * severs paths through them and strands whole regions — the
+    * filtered-HNSW lesson; disallowed nodes still route), and only
+    * ALLOWED nodes may be returned. A plain post-filter of the final
+    * frontier starves exactly like fixed probes under a selective
+    * filter — a beam of 8 with a 10% predicate leaves < 1 allowed
+    * candidate — so the beam WIDENS by `widen` (the policy knob:
+    * ⌈corpus/allowed⌉ is the natural setting, giving the final
+    * frontier ~beam expected allowed members; `widen` = 0 computes
+    * exactly that from two column-pruned counts). Traversal cost
+    * scales linearly in the widened beam — the price of filtering a
+    * connectivity-based index, paid in beam width rather than in
+    * severed reachability. Returns (q_id, n_id, rnk, cos), allowed
+    * nodes only. */
+  def graphSearchTopKFiltered(queries: DataFrame, corpus: DataFrame,
+                              graph: DataFrame, allowed: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              beam: Int = 8, hops: Int = 3,
+                              widen: Int = 0, dim: Int = 64,
+                              maxQueryRows: Long = 1L << 20,
+                              entries: Option[DataFrame] = None): DataFrame = {
+    require(widen >= 0, "widen must be non-negative (0 = derive from counts)")
+    val factor =
+      if (widen > 0) widen
+      else {
+        val na = allowed.select(col(idCol)).distinct().count()
+        require(na > 0, "graphSearchTopKFiltered: allowed set is empty")
+        val nc = corpus.select(col(idCol)).count()
+        math.max(1L, (nc + na - 1) / na).toInt
+      }
+    val wb = beam * factor
+    val pool = graphSearchTopK(queries, corpus, graph, idCol, vecCol,
+      k = wb, beam = wb, hops = hops, dim = dim,
+      maxQueryRows = maxQueryRows, entries = entries)
+    pool.join(allowed.select(col(idCol).as("n_id")).distinct(), Seq("n_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("cos"))
+  }
+
   /** Graph-index INSERT, batch form — the HNSW/DiskANN insert path:
     * each arriving node beam-searches the EXISTING graph for its k
     * nearest ([[graphSearchTopK]] with the batch as the query set),

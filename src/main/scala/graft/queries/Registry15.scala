@@ -492,6 +492,42 @@ object Registry15 {
       .orderBy("vec_id")
   }
 
+  /** FILTERED graph search under the gate
+    * ([[Similarity.graphSearchTopKFiltered]]): the beam traverses the
+    * FULL fixed 200-node graph — disallowed nodes still route, the
+    * filtered-HNSW discipline — while only label < 5 nodes (~half)
+    * may be returned; the beam widens 4 → 8 (widen = 2,
+    * ⌈200/~100⌉ — the policy the auto face derives from counts,
+    * pinned literal here so the oracle's unrolled hops share it). The
+    * oracle replays the three beam-8 hops and applies the
+    * allowed-filter + re-rank ONLY at the end — filtering inside the
+    * hops would sever paths and is exactly what the operator must not
+    * do (a traversal-filtered variant diverges from this oracle). */
+  val annGraphFilteredTopK = Q("ann_graph_filtered_topk",
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM base
+       |  WHERE vec_id < 5),
+       |f0 AS (SELECT q_id, (SELECT MIN(vec_id) FROM base) AS n_id FROM q),
+       |${Registry12.sqlCosHop("f0", "c1", "s1", "f1", 8)},
+       |${Registry12.sqlCosHop("f1", "c2", "s2", "f2", 8)},
+       |${Registry12.sqlCosHop("f2", "c3", "s3", "f3", 8)},
+       |r AS (SELECT q_id, n_id, cs AS cos, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY cs DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM s3 WHERE rn <= 8 AND q_id <> n_id
+       |    AND n_id IN (SELECT vec_id FROM embeddings WHERE label < 5))
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 3
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+    Similarity.graphSearchTopKFiltered(e.filter(col("vec_id") < 5), e, g,
+      e.filter(col("label") < 5), "vec_id", "embedding",
+      k = 3, beam = 4, hops = 3, widen = 2)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   // ------------------------------------------------- mid-path BPE
 
   /** The shared head-election preamble for the two mid-path BPE
@@ -568,5 +604,5 @@ object Registry15 {
   val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket,
     textAnalyze, textBm25Analyzed, textPhraseAnalyzed,
     dedupSemanticIncremental, textBpeHeadVocab, textBpeHeadClosure,
-    textBpeAnalyzed, streamingSemanticIngest)
+    textBpeAnalyzed, streamingSemanticIngest, annGraphFilteredTopK)
 }

@@ -218,6 +218,21 @@ object RecallReport {
           "vec_id", "embedding", k, nProbe = 4,
           minCandidates = 3 * k), truthF)
     }
+    // the graph family's filtered face (round 15): a plain post-filter
+    // of the final frontier (widen = 1) vs the auto-widened beam, at
+    // ~10% selectivity — the graph-side twin of the probe-widening
+    // story above
+    val allowed7 = e.filter(col("label") === 7)
+    val truth7 = graft.operators.Lineage.truncate(
+      Similarity.bruteForceTopK(q,
+        e.join(allowed7.select("vec_id"), Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", k))
+    report("graph_filtered_postfilter(beam16) label=7", () =>
+      Similarity.graphSearchTopKFiltered(q, e, graphC, allowed7,
+        "vec_id", "embedding", k, beam = 16, hops = 4, widen = 1), truth7)
+    report("graph_filtered_widened(beam16,auto) label=7", () =>
+      Similarity.graphSearchTopKFiltered(q, e, graphC, allowed7,
+        "vec_id", "embedding", k, beam = 16, hops = 4), truth7)
     spark.stop()
   }
 }

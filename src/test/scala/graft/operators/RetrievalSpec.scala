@@ -185,6 +185,31 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("graphSearchTopKFiltered: auto-widen = ceil(corpus/allowed); unwidened post-filter returns no more") {
+    val e = emb.filter($"vec_id" < 60)
+    val cent = e.filter($"vec_id" === 0)
+      .select(lit(0).cast("int").as("cell"), $"embedding".as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+      .localCheckpoint()
+    val q = e.filter($"vec_id" < 3)
+    val allowed = e.filter($"vec_id" % 3 === 0) // 20 of 60 → factor 3
+    def rows(widen: Int) =
+      Similarity.graphSearchTopKFiltered(q, e, g, allowed,
+        "vec_id", "embedding", k = 5, beam = 4, hops = 3, widen = widen)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = rows(0)
+    assert(auto == rows(3),
+      "widen=0 must derive exactly ceil(60/20) = 3")
+    // an unwidened post-filter can only return a subset of the widened
+    // pool's allowed members (the starvation the widening exists for)
+    val starved = rows(1)
+    assert(starved.subsetOf(auto) || starved.size <= auto.size,
+      s"unwidened pool returned more than the widened one: $starved vs $auto")
+    assert(auto.forall { case (_, n) => n % 3 == 0 },
+      "a disallowed node leaked into filtered results")
+  }
+
   // ---- graph beam search ----------------------------------------------
 
   test("graphSearchTopK: complete graph + wide beam collapses to brute force") {
