@@ -1367,6 +1367,17 @@ object Similarity {
       .join(storedIdx.select(col("id").as("_sid"), col("blk")), Seq("blk"))
       .select(least(col("_bid"), col("_sid")).as("a_id"),
         greatest(col("_bid"), col("_sid")).as("b_id"))
+    cosConfirm(cand, vectors, idCol, vecCol, threshold, dim)
+  }
+
+  /** Exact-cosine pair confirm shared by the semantic arrival and
+    * takedown faces: join each candidate side's raw vector (pair-sized
+    * id joins — floats load for candidates only), keep pairs at
+    * `threshold`. Zero-norm or null vectors fail the filter (null
+    * cos), the [[nearDupPairs]] posture. */
+  private def cosConfirm(cand: DataFrame, vectors: DataFrame,
+                         idCol: String, vecCol: String,
+                         threshold: Double, dim: Int): DataFrame = {
     val v = vectors.select(col(idCol).as("_vid"), col(vecCol).as("_v"),
       VectorFns.l2NormN(col(vecCol), dim).as("_n"))
     cand
@@ -1380,6 +1391,53 @@ object Similarity {
             (col("_na") * col("_nb"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
+  }
+
+  /** Semantic cluster maintenance, DELETION face — the takedown path
+    * for the embedding signal ([[Dedup.connectedComponentsRemove]]'s
+    * posture with the LSH band re-derivation swapped for the
+    * PQ-prefix block join + exact-cosine confirm): removing a vector
+    * can SPLIT its component (it may be the only cosine bridge
+    * between two near-dup groups), which no label mapping expresses —
+    * the touched components' surviving members genuinely re-pair and
+    * re-propagate. Inputs are the stored assets the streaming drain
+    * maintains (`streaming_semantic_ingest`): the label ledger
+    * (id, cluster), the block index ([[semanticBlockIndex]] output),
+    * and the corpus vectors for the confirm. Scale shape: removals
+    * and touched cluster ids broadcast; the block self-join runs over
+    * touched-component members ONLY (component edges never cross
+    * components, so the restricted re-derivation is exact); vectors
+    * load pair-sized via [[cosConfirm]]. Returns the updated full
+    * ledger — removed ids gone, untouched rows unchanged, rebuilt
+    * labels indistinguishable from never having ingested the removed
+    * vectors. */
+  def semanticClustersRemove(ledger: DataFrame, removeIds: DataFrame,
+                             idCol: String, blockIdx: DataFrame,
+                             vectors: DataFrame, vecCol: String,
+                             threshold: Double, dim: Int = 64,
+                             maxIter: Int = 25): DataFrame = {
+    val rm = broadcast(removeIds.select(col(idCol).as("id")).distinct())
+    val touched = broadcast(
+      ledger.join(rm, Seq("id")).select("cluster").distinct())
+    val members = Lineage.truncate(
+      ledger.join(touched, Seq("cluster"))
+        .join(rm, Seq("id"), "left_anti")
+        .select("id"))
+    val mIdx = blockIdx.join(members, Seq("id"))
+    val cand = mIdx.alias("a").join(mIdx.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val confirmed = cosConfirm(cand, vectors, idCol, vecCol,
+      threshold, dim)
+    val rebuilt = Dedup.connectedComponents(confirmed, "a_id", "b_id",
+        maxIter)
+      .select(col("id"), col("cluster").as("_nc"))
+    val relabeled = members
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_nc"), col("id")).as("cluster"))
+    ledger.join(touched, Seq("cluster"), "left_anti")
+      .select("id", "cluster")
+      .union(relabeled)
   }
 
   /** Approximate kNN GRAPH over the whole corpus: every vector's top-k

@@ -346,6 +346,73 @@ object Registry15 {
       .orderBy("vec_id")
   }
 
+  /** Semantic cluster TAKEDOWN ([[Similarity.semanticClustersRemove]])
+    * — the deletion face completing the semantic family's
+    * build / append / remove triple (the lexical family's
+    * `dedup_clusters_remove` posture on the embedding signal):
+    * vectors vec_id % 50 = 23 are removed from the stored corpus, and
+    * the touched components' surviving members re-pair via the stored
+    * block index + exact-cosine confirm and re-propagate — removal
+    * can SPLIT a component, which no label mapping expresses. The
+    * codebook stays FROZEN (seed ids 0..15 are never removed;
+    * retraining on takedown would silently re-block the whole
+    * ledger). Oracle: from-scratch closure over the SURVIVORS under
+    * the same frozen codebook — deletion maintenance must be
+    * indistinguishable from never having ingested the removed
+    * vectors, and the full output ledger is gated so untouched-row
+    * pass-through is proven too. */
+  val dedupSemanticRemove = Q("dedup_semantic_remove",
+    s"""WITH RECURSIVE cw AS (SELECT CAST(vec_id AS INT) AS code,
+       |    embedding AS w
+       |  FROM embeddings WHERE vec_id < 16),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |sv AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 50 <> 23),
+       |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
+       |  FROM sv b CROSS JOIN js CROSS JOIN cw c),
+       |codes AS (SELECT n_id, sub, code, dist FROM (
+       |  SELECT n_id, sub, code, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |blk AS (SELECT n_id, array_to_string(
+       |    list(CAST(code AS INT) ORDER BY sub), ',') AS blk
+       |  FROM codes WHERE sub < 2 GROUP BY n_id),
+       |vbase AS (SELECT b.vec_id AS id, b.embedding AS vec, k.blk
+       |  FROM sv b JOIN blk k ON k.n_id = b.vec_id),
+       |prs AS (SELECT a_id, b_id FROM (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    ${Registry10.sqlCos("a.vec", "b.vec")} AS cos
+       |  FROM vbase a JOIN vbase b ON a.blk = b.blk AND a.id < b.id)
+       |  WHERE cos >= 0.3),
+       |edges AS (SELECT a_id AS s, b_id AS t FROM prs
+       |  UNION SELECT b_id, a_id FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.t),
+       |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
+       |SELECT b.vec_id, COALESCE(l.cl, b.vec_id) AS cluster_id
+       |FROM sv b LEFT JOIN lbl l ON b.vec_id = l.id
+       |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
+    val e = emb(s, d)
+    val cb = Similarity.pqCodebookSeed(e, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val pairs0 = Similarity.semanticPqPairs(e, cb, "vec_id",
+      "embedding", threshold = 0.3, prefix = 2)
+    val cc0 = Dedup.connectedComponents(pairs0, "a_id", "b_id")
+    val ledger = e.select(col("vec_id").as("id"))
+      .join(cc0, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val idx = Similarity.semanticBlockIndex(e, cb, "vec_id", "embedding",
+      prefix = 2)
+    val rm = e.filter(col("vec_id") % 50 === 23).select(col("vec_id"))
+    Similarity.semanticClustersRemove(ledger, rm, "vec_id", idx,
+      e, "embedding", threshold = 0.3)
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   /** STREAMING semantic-dedup ingest — the FIFTH ledger family's
     * arrival face under a drain (after PQ codes, BM25 tf, the kNN
     * graph, and positions): embedding pages arrive as file-source
@@ -604,5 +671,6 @@ object Registry15 {
   val round15: Seq[Q] = Seq(annFilteredAdaptiveTopK, annGraphRebucket,
     textAnalyze, textBm25Analyzed, textPhraseAnalyzed,
     dedupSemanticIncremental, textBpeHeadVocab, textBpeHeadClosure,
-    textBpeAnalyzed, streamingSemanticIngest, annGraphFilteredTopK)
+    textBpeAnalyzed, streamingSemanticIngest, annGraphFilteredTopK,
+    dedupSemanticRemove)
 }
