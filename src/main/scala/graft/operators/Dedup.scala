@@ -499,6 +499,29 @@ object Dedup {
                                      newIds: DataFrame, idCol: String,
                                      newEdges: DataFrame, aCol: String, bCol: String,
                                      maxIter: Int = 25): DataFrame = {
+    val (mapping, fresh) = connectedComponentsIncrementalDelta(
+      ledger, newIds, idCol, newEdges, aCol, bCol, maxIter)
+    val updated = ledger
+      .join(broadcast(mapping), ledger("cluster") === col("_old"), "left")
+      .select(ledger("id"), coalesce(col("_new"), ledger("cluster")).as("cluster"))
+    updated.union(fresh)
+  }
+
+  /** [[connectedComponentsIncremental]]'s DELTA face: the
+    * (old label → new label) relabeling `mapping` and the batch's
+    * `fresh` (id, cluster) rows, WITHOUT applying the mapping to the
+    * ledger — what a stored-ledger maintainer needs to rewrite only
+    * TOUCHED rows (the mapping is touched-label-sized by contract and
+    * broadcasts; `streaming_semantic_ingest` applies it under
+    * bucket-pruned reads so neither side of the update ever scans the
+    * whole ledger). The only ledger access here is the endpoint-label
+    * lookup — an id-keyed semi-join a pmod(id, B)-bucketed ledger
+    * layout prunes to the endpoints' buckets. */
+  def connectedComponentsIncrementalDelta(ledger: DataFrame,
+                                          newIds: DataFrame, idCol: String,
+                                          newEdges: DataFrame,
+                                          aCol: String, bCol: String,
+                                          maxIter: Int = 25): (DataFrame, DataFrame) = {
     val ends = newEdges.select(col(aCol).as("id"))
       .union(newEdges.select(col(bCol).as("id"))).distinct()
     // labels of the edge endpoints: ONE map-side ledger pass (endpoint
@@ -521,13 +544,10 @@ object Dedup {
     val mapping = connectedComponents(labelEdges, "la", "lb", maxIter)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("_old"), col("cluster").as("_new"))
-    val updated = ledger
-      .join(broadcast(mapping), ledger("cluster") === col("_old"), "left")
-      .select(ledger("id"), coalesce(col("_new"), ledger("cluster")).as("cluster"))
     val fresh = newIds.select(col(idCol).as("id"))
       .join(broadcast(mapping), col("id") === col("_old"), "left")
       .select(col("id"), coalesce(col("_new"), col("id")).as("cluster"))
-    updated.union(fresh)
+    (mapping, fresh)
   }
 
   /** Incremental cluster maintenance, DELETION face — the takedown /

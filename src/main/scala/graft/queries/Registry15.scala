@@ -495,58 +495,122 @@ object Registry15 {
         .parquet(tmp.resolve("corpus").toString)
     }
     val stage = StreamHarness.runDir("graft_semingest")
-    val ledgerDir = stage.resolve("labels").toString
+    val byIdDir = stage.resolve("labels").toString
+    val byClDir = stage.resolve("labels_by_cluster").toString
     val blkDir = stage.resolve("blkidx").toString
-    // pre-batch assets: label ledger (bucket-partitioned) + block index
+    // pre-batch assets, each bucket-partitioned ON ITS LOOKUP KEY so
+    // every per-batch access partition-prunes (O(touched) READS, the
+    // gsink discipline applied to all three):
+    //  - labels/           (id, cluster) by pmod(id, 16)      — seen
+    //    check + endpoint-label lookups + the authoritative output
+    //  - labels_by_cluster (id, cluster) by pmod(cluster, 16) — the
+    //    relabel side: touched COMPONENTS' members are found by
+    //    cluster key, never by scanning ids
+    //  - blkidx/           (id, blk) by pmod(xxhash64(blk), 16) — the
+    //    pair join probes only the batch's own block keys
+    val ibktOf = pmod(col("id"), lit(nBkt.toLong)).cast("int")
+    val cbktOf = pmod(col("cluster"), lit(nBkt.toLong)).cast("int")
+    val kbktOf = pmod(xxhash64(col("blk")), lit(nBkt.toLong)).cast("int")
     val pairs0 = Similarity.semanticPqPairs(base, cb, "vec_id",
       "embedding", threshold = 0.3, prefix = 2)
     val cc0 = Dedup.connectedComponents(pairs0, "a_id", "b_id")
-    base.select(col("vec_id").as("id"))
+    val ledger0 = base.select(col("vec_id").as("id"))
       .join(cc0, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-      .withColumn("bkt", pmod(col("id"), lit(nBkt.toLong)).cast("int"))
-      .write.partitionBy("bkt").mode("overwrite").parquet(ledgerDir)
+      .localCheckpoint()
+    ledger0.withColumn("bkt", ibktOf)
+      .write.partitionBy("bkt").mode("overwrite").parquet(byIdDir)
+    ledger0.withColumn("bkt", cbktOf)
+      .write.partitionBy("bkt").mode("overwrite").parquet(byClDir)
     Similarity.semanticBlockIndex(base, cb, "vec_id", "embedding",
       prefix = 2)
-      .write.mode("overwrite").parquet(blkDir)
+      .withColumn("bkt", kbktOf)
+      .write.partitionBy("bkt").mode("overwrite").parquet(blkDir)
     val stream = s.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
       .option("maxFilesPerTrigger", "1")
       .parquet(fx.resolve("pages").toString)
+    def bktsOf(df: DataFrame, key: org.apache.spark.sql.Column): Seq[Int] =
+      df.select(key.as("b")).distinct().collect().map(_.getInt(0)).toSeq
+    def pruned(dir: String, bkts: Seq[Int]): DataFrame = {
+      val df = s.read.parquet(dir)
+      if (bkts.isEmpty) df.filter(lit(false))
+      else df.filter(col("bkt").isin(bkts.map(Int.box): _*))
+    }
     val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
-      val stored = s.read.parquet(ledgerDir)
-      val sIdx = s.read.parquet(blkDir)
-      // already-seen ids replay as no-ops: the label ledger holds every
-      // arrived id (singletons included), so it IS the seen set
-      val fresh = b.join(stored.select(col("id").as("vec_id")),
-        Seq("vec_id"), "left_anti").localCheckpoint()
+      val bIds = b.select(col("vec_id")).distinct().localCheckpoint()
+      // seen check: batch ids can only live in their own id-buckets
+      val seen = pruned(byIdDir,
+        bktsOf(bIds, pmod(col("vec_id"), lit(nBkt.toLong)).cast("int")))
+        .select(col("id").as("vec_id"))
+      val fresh = b.join(seen, Seq("vec_id"), "left_anti").localCheckpoint()
       val bIdx = Similarity.semanticBlockIndex(fresh, cb,
-        "vec_id", "embedding", prefix = 2)
+        "vec_id", "embedding", prefix = 2).localCheckpoint()
+      // pair join: only the batch's block keys' buckets are probed
+      val sIdx = pruned(blkDir, bktsOf(bIdx, kbktOf)).select("id", "blk")
       val incident = Similarity.semanticPqPairsAgainst(bIdx, sIdx,
           e, "vec_id", "embedding", threshold = 0.3)
         .unionByName(Similarity.semanticPqPairs(fresh, cb, "vec_id",
           "embedding", threshold = 0.3, prefix = 2))
-      val updated = Dedup.connectedComponentsIncremental(
-        stored.select("id", "cluster"), fresh.select(col("vec_id")),
-        "vec_id", incident, "a_id", "b_id").localCheckpoint()
-      // O(touched) label write: only buckets holding a changed label
-      // or a fresh id are replaced; untouched components' rows are
-      // neither read back into the replacement nor rewritten
-      val changed = updated.join(stored.select("id", "cluster"),
-        Seq("id", "cluster"), "left_anti")
-      val bktOf = pmod(col("id"), lit(nBkt.toLong)).cast("int")
-      val tb = changed.select(bktOf.as("bkt")).distinct()
-        .collect().map(_.getInt(0))
-      if (tb.nonEmpty) {
-        updated.withColumn("bkt", bktOf)
-          .filter(col("bkt").isin(tb.map(Int.box): _*))
+        .localCheckpoint()
+      // endpoint-label lookup: endpoints' id-buckets only
+      val ends = incident.select(col("a_id").as("id"))
+        .unionByName(incident.select(col("b_id").as("id"))).distinct()
+      val lookup = pruned(byIdDir, bktsOf(ends, ibktOf))
+        .select("id", "cluster")
+      val (mapping0, fresh0) = Dedup.connectedComponentsIncrementalDelta(
+        lookup, fresh.select(col("vec_id")), "vec_id",
+        incident, "a_id", "b_id")
+      val mapping = mapping0.localCheckpoint()
+      val freshLb = fresh0.localCheckpoint()
+      // touched CLUSTER buckets: old labels, their new labels, and the
+      // fresh rows' labels — every bucket whose content changes
+      val tcb = (bktsOf(mapping, pmod(col("_old"), lit(nBkt.toLong)).cast("int")) ++
+        bktsOf(mapping, pmod(col("_new"), lit(nBkt.toLong)).cast("int")) ++
+        bktsOf(freshLb, cbktOf)).distinct
+      if (tcb.nonEmpty) {
+        val relabel: DataFrame => DataFrame = df => df
+          .join(broadcast(mapping), df("cluster") === col("_old"), "left")
+          .select(df("id"),
+            coalesce(col("_new"), df("cluster")).as("cluster"))
+        // by-cluster replacement: touched components' member rows are
+        // IN the touched cluster-buckets by construction (a row's
+        // bucket only changes when its label does, and both old and
+        // new label buckets are in tcb)
+        val oldCl = pruned(byClDir, tcb).select("id", "cluster")
           .localCheckpoint()
+        val replCl = relabel(oldCl).unionByName(freshLb).localCheckpoint()
+        // by-id replacement: only the id-buckets holding a CHANGED row
+        // or a fresh id rewrite
+        val changedRows = oldCl.join(broadcast(mapping),
+            oldCl("cluster") === col("_old"))
+          .select(oldCl("id"))
+        val tib = (bktsOf(changedRows, ibktOf) ++
+          bktsOf(freshLb, ibktOf)).distinct
+        val replId = relabel(pruned(byIdDir, tib).select("id", "cluster"))
+          .unionByName(freshLb).localCheckpoint()
+        replCl.withColumn("bkt", cbktOf)
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bkt").parquet(ledgerDir)
+          .partitionBy("bkt").parquet(byClDir)
+        // dynamic overwrite only replaces partitions PRESENT in the
+        // write: a touched cluster-bucket whose every row migrated out
+        // (and gained none) has an EMPTY replacement and would keep
+        // its stale rows — delete those directories explicitly (the
+        // id-keyed ledger cannot hit this: ids never change buckets)
+        val kept = bktsOf(replCl, cbktOf).toSet
+        tcb.filterNot(kept).foreach { bk =>
+          FixtureCache.deleteRecursively(
+            java.nio.file.Paths.get(byClDir, s"bkt=$bk"))
+        }
+        replId.withColumn("bkt", ibktOf)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bkt").parquet(byIdDir)
       }
       // block-index delta append: O(batch) rows, the positional posture
-      bIdx.write.mode("append").parquet(blkDir)
+      bIdx.withColumn("bkt", kbktOf).write.mode("append")
+        .partitionBy("bkt").parquet(blkDir)
     }
     val run = stream.writeStream
       .foreachBatch(appendBatch)
@@ -554,8 +618,13 @@ object Registry15 {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     run.awaitTermination()
-    s.read.parquet(ledgerDir)
-      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+    // the two ledgers are dual-keyed views of ONE fact table — assert
+    // they never drifted before serving the authoritative one
+    val byId = s.read.parquet(byIdDir).select("id", "cluster")
+    val byCl = s.read.parquet(byClDir).select("id", "cluster")
+    require(byId.exceptAll(byCl).isEmpty && byCl.exceptAll(byId).isEmpty,
+      "streaming_semantic_ingest: dual-keyed label ledgers drifted")
+    byId.select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
       .orderBy("vec_id")
   }
 
