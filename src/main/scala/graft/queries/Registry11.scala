@@ -239,7 +239,16 @@ object Registry11 {
     *
     * Stateless streaming (no watermark, no state store): the ledger IS
     * the state, exactly as a production vector-index ingest holds its
-    * state in storage, not in the stream engine. */
+    * state in storage, not in the stream engine.
+    *
+    * O(touched) on BOTH sides: the write appends the batch's delta
+    * (never rewrites the ledger), and the idempotency anti-join's read
+    * leg is bucket-pruned — the ledger is partitioned on
+    * pmod(vec_id, B) and [[graft.operators.Ledger.prunedToBatch]]
+    * pre-filters the stored side to the batch's elected buckets (a
+    * semantic no-op on the id anti-join, a literal `bkt IN` partition
+    * filter in the executed plan), so a batch reads touched_buckets ×
+    * (ledger/B) rows instead of the whole stored id column. */
   val streamingIndexIngest = Q("streaming_index_ingest",
     s"""WITH ${Registry10.sqlPqCodes},
        |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
@@ -281,22 +290,30 @@ object Registry11 {
     val stage = StreamHarness.runDir("graft_sidx")
     val ledgerDir = stage.resolve("ledger").toString
     val (_, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
-    // seed an empty ledger so the first batch's stored-side read plans
+    // the ledger is BUCKET-PARTITIONED on pmod(vec_id, B): the
+    // anti-join read leg below prunes to the batch's buckets (the
+    // empty partitioned seed writes no files, so reads carry the
+    // explicit schema — partition column included)
+    val nBkt = 16
     import org.apache.spark.sql.types._
+    val ledgerSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cell", IntegerType),
+      StructField("codes", ArrayType(IntegerType, containsNull = false)),
+      StructField("bkt", IntegerType)))
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("vec_id", LongType),
-        StructField("cell", IntegerType),
-        StructField("codes", ArrayType(IntegerType, containsNull = false)))))
-      .write.mode("overwrite").parquet(ledgerDir)
+      ledgerSchema)
+      .write.partitionBy("bkt").mode("overwrite").parquet(ledgerDir)
     val stream = s.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
       .option("maxFilesPerTrigger", "1")
       .parquet(fx.resolve("pages").toString)
     val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
-      val stored = s.read.parquet(ledgerDir)
-      Similarity.pqIndexAppend(stored, b, cent, cb,
-        "vec_id", "embedding", deltaOnly = true)
-        .write.mode("append").parquet(ledgerDir)
+      val stored = graft.operators.Ledger.prunedToBatch(
+        s.read.schema(ledgerSchema).parquet(ledgerDir), b, "vec_id", nBkt)
+      graft.operators.Ledger.withBucket(
+        Similarity.pqIndexAppend(stored, b, cent, cb,
+          "vec_id", "embedding", deltaOnly = true), "vec_id", nBkt)
+        .write.partitionBy("bkt").mode("append").parquet(ledgerDir)
     }
     val run = stream.writeStream
       .foreachBatch(appendBatch)
@@ -304,7 +321,7 @@ object Registry11 {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     run.awaitTermination()
-    s.read.parquet(ledgerDir)
+    s.read.schema(ledgerSchema).parquet(ledgerDir).drop("bkt")
       .withColumn("codes", array_join(col("codes"), ","))
       .orderBy("vec_id")
   }

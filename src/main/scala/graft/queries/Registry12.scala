@@ -511,7 +511,10 @@ object Registry12 {
     * whole corpus. Stateless streaming — the ledger IS the state, held
     * in storage as a production search-index ingest holds its
     * segments (`streaming_index_ingest`'s posture, third ledger
-    * family). */
+    * family). O(touched) on both sides: delta-append writes, and the
+    * anti-join read leg bucket-pruned via
+    * [[graft.operators.Ledger.prunedToBatch]] over the
+    * pmod(doc_id, B)-partitioned ledger. */
   val streamingBm25Ingest = Q("streaming_bm25_ingest",
     """SELECT doc_id, term, COUNT(*) AS tf
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -545,21 +548,29 @@ object Registry12 {
     }
     val stage = StreamHarness.runDir("graft_bmidx")
     val ledgerDir = stage.resolve("ledger").toString
+    // bucket-partitioned on pmod(doc_id, B): the idempotency
+    // anti-join's read leg prunes to the batch's elected buckets
+    // (O(touched) reads — streaming_index_ingest's posture)
+    val nBkt = 16
     import org.apache.spark.sql.types._
+    val ledgerSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("term", StringType),
+      StructField("tf", LongType),
+      StructField("bkt", IntegerType)))
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType),
-        StructField("term", StringType),
-        StructField("tf", LongType))))
-      .write.mode("overwrite").parquet(ledgerDir)
+      ledgerSchema)
+      .write.partitionBy("bkt").mode("overwrite").parquet(ledgerDir)
     val stream = s.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       .option("maxFilesPerTrigger", "1")
       .parquet(fx.resolve("pages").toString)
     val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
-      val stored = s.read.parquet(ledgerDir)
-      Retrieval.bm25IndexAppend(stored, b, "doc_id", "text",
-        deltaOnly = true)
-        .write.mode("append").parquet(ledgerDir)
+      val stored = graft.operators.Ledger.prunedToBatch(
+        s.read.schema(ledgerSchema).parquet(ledgerDir), b, "doc_id", nBkt)
+      graft.operators.Ledger.withBucket(
+        Retrieval.bm25IndexAppend(stored, b, "doc_id", "text",
+          deltaOnly = true), "doc_id", nBkt)
+        .write.partitionBy("bkt").mode("append").parquet(ledgerDir)
     }
     val run = stream.writeStream
       .foreachBatch(appendBatch)
@@ -567,7 +578,8 @@ object Registry12 {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     run.awaitTermination()
-    s.read.parquet(ledgerDir).orderBy("doc_id", "term")
+    s.read.schema(ledgerSchema).parquet(ledgerDir).drop("bkt")
+      .orderBy("doc_id", "term")
   }
 
   /** Routed SQ8 under the gate ([[Similarity.ivfSqTopK]], the FAISS

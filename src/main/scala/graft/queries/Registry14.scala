@@ -316,7 +316,10 @@ object Registry14 {
     * ledger is arrival-order-independent and the gate asserts the
     * strongest form: it equals the from-scratch positional build of
     * the whole corpus. Positions leave both engines as comma-joined
-    * strings (the q14 array convention). */
+    * strings (the q14 array convention). O(touched) on both sides:
+    * delta-append writes, and the anti-join read leg bucket-pruned via
+    * [[graft.operators.Ledger.prunedToBatch]] over the
+    * pmod(doc_id, B)-partitioned ledger. */
   val streamingPositionalIngest = Q("streaming_positional_ingest",
     """SELECT doc_id, term,
       |  array_to_string(list(pos ORDER BY pos), ',') AS positions
@@ -355,21 +358,27 @@ object Registry14 {
     }
     val stage = StreamHarness.runDir("graft_posidx")
     val ledgerDir = stage.resolve("ledger").toString
+    // bucket-partitioned on pmod(doc_id, B): O(touched) anti-join reads
+    val nBkt = 16
     import org.apache.spark.sql.types._
+    val ledgerSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("term", StringType),
+      StructField("positions", ArrayType(IntegerType)),
+      StructField("bkt", IntegerType)))
     s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("doc_id", LongType),
-        StructField("term", StringType),
-        StructField("positions", ArrayType(IntegerType)))))
-      .write.mode("overwrite").parquet(ledgerDir)
+      ledgerSchema)
+      .write.partitionBy("bkt").mode("overwrite").parquet(ledgerDir)
     val stream = s.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       .option("maxFilesPerTrigger", "1")
       .parquet(fx.resolve("pages").toString)
     val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
-      val stored = s.read.parquet(ledgerDir)
-      Retrieval.positionalIndexAppend(stored, b, "doc_id", "text",
-        deltaOnly = true)
-        .write.mode("append").parquet(ledgerDir)
+      val stored = graft.operators.Ledger.prunedToBatch(
+        s.read.schema(ledgerSchema).parquet(ledgerDir), b, "doc_id", nBkt)
+      graft.operators.Ledger.withBucket(
+        Retrieval.positionalIndexAppend(stored, b, "doc_id", "text",
+          deltaOnly = true), "doc_id", nBkt)
+        .write.partitionBy("bkt").mode("append").parquet(ledgerDir)
     }
     val run = stream.writeStream
       .foreachBatch(appendBatch)
@@ -377,7 +386,7 @@ object Registry14 {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     run.awaitTermination()
-    s.read.parquet(ledgerDir)
+    s.read.schema(ledgerSchema).parquet(ledgerDir).drop("bkt")
       .select(col("doc_id"), col("term"),
         array_join(col("positions"), ",").as("positions"))
       .orderBy("doc_id", "term")

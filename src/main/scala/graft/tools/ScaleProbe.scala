@@ -439,6 +439,37 @@ object ScaleProbe {
           s"write_rows_restored=${dRb.count()}")
       }
 
+      if (want("lidx")) {
+        // append-only ledger drains (PQ codes / tf / positions): the
+        // write is batch-sized by construction (deltaOnly + parquet
+        // append), so the governing count is the idempotency
+        // anti-join's READ volume — rows the pruned stored side opens
+        // ([[graft.operators.Ledger.prunedToBatch]]: occupancy of the
+        // batch's elected buckets) vs the whole ledger a naive
+        // anti-join scans. The tf ledger is the representative (worst
+        // rows-per-key of the three families).
+        import graft.operators.{Ledger, Retrieval}
+        val d = graft.Tables.documents(spark, dir)
+        val nD = d.count()
+        val buckets = 4096
+        val batch = d.orderBy(col("doc_id").desc).limit(50)
+        val base = d.join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+        val stored = graft.operators.Lineage.truncate(
+          Ledger.withBucket(
+            Retrieval.bm25IndexBuild(base, "doc_id", "text"),
+            "doc_id", buckets))
+        val ledgerRows = stored.count()
+        val bkts = Ledger.batchBuckets(batch, "doc_id", buckets)
+        val readRows = stored
+          .filter(col("bkt").isin(bkts: _*)).count()
+        val delta = Retrieval.bm25IndexAppend(
+          Ledger.prunedToBatch(stored, batch, "doc_id", buckets),
+          batch, "doc_id", "text", deltaOnly = true)
+        println(s"PROBE lidx $scale docs=$nD ledger_rows=$ledgerRows " +
+          s"batch=50 read_buckets=${bkts.size} of $buckets " +
+          s"read_rows=$readRows write_rows=${delta.count()}")
+      }
+
       if (want("semdedup")) {
         // PQ-prefix semantic blocking: the governing count is the
         // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a

@@ -425,6 +425,73 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("append-only ledger drains: the idempotency anti-join reads bucket-pruned and delta-exact") {
+    import graft.operators.{Ledger, Retrieval}
+    val dcs = Tables.documents(spark, sf)
+    val nBkt = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_lidxspec")
+    try {
+      // a stored tf ledger over doc_id < 150, bucket-partitioned
+      Ledger.withBucket(
+          Retrieval.bm25IndexBuild(dcs.filter(col("doc_id") < 150),
+            "doc_id", "text"), "doc_id", nBkt)
+        .write.partitionBy("bkt").mode("overwrite").parquet(dir.toString)
+      val batch = dcs.filter(col("doc_id") >= 140 && col("doc_id") < 160)
+      // control: the unpruned append (legitimately scans the ledger)
+      val unpr = Retrieval.bm25IndexAppend(
+        spark.read.parquet(dir.toString), batch, "doc_id", "text",
+        deltaOnly = true)
+      val unprRows = unpr.collect()
+      // scope the plan witness to executions after the control run
+      val minId = spark.sharedState.statusStore.executionsList()
+        .lastOption.map(_.executionId).getOrElse(-1L)
+      // the drains' read leg: prune the stored side to the batch's
+      // elected buckets before the anti-join — a semantic no-op (pmod
+      // is a function of the id), so the delta is bit-identical
+      val bkts = Ledger.batchBuckets(batch, "doc_id", nBkt)
+      assert(bkts.nonEmpty && bkts.size < nBkt,
+        s"elected ${bkts.size} of $nBkt buckets — not a strict subset")
+      val pr = Retrieval.bm25IndexAppend(
+        Ledger.prunedToBatch(spark.read.parquet(dir.toString), batch,
+          "doc_id", nBkt), batch, "doc_id", "text", deltaOnly = true)
+      // driver-side multiset compare — an exceptAll here would
+      // re-execute the UNPRUNED control scan after the watermark
+      def canon(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(_.toSeq.map(String.valueOf).mkString("\t")).sorted.toSeq
+      assert(canon(pr.collect()) == canon(unprRows),
+        "bucket-pruned append must produce a bit-identical delta")
+      assert(unprRows.nonEmpty, "overlap fixture produced an empty delta")
+      // plan witness via the SQL status store: every executed plan that
+      // scanned the ledger after the watermark carried a bkt partition
+      // filter (single-bucket isin compiles to `bkt = N`, not IN)
+      val token = dir.getFileName.toString
+      var plans: Seq[String] = Nil
+      var stable = 0
+      var tries = 0
+      while (tries < 100 && stable < 3) {
+        val now = spark.sharedState.statusStore.executionsList()
+          .filter(_.executionId > minId)
+          .map(_.physicalPlanDescription)
+          .filter(p => p.contains(token) && p.contains("Scan parquet") &&
+            !p.contains("WriteFiles"))
+        if (now.nonEmpty && now.size == plans.size) stable += 1
+        else stable = 0
+        plans = now
+        Thread.sleep(100); tries += 1
+      }
+      assert(plans.nonEmpty,
+        "no executed plan scanned the ledger — the witness found nothing")
+      val unpruned = plans.filterNot(p =>
+        raw"PartitionFilters: \[[^\]]*bkt[^\]]*".r.findFirstIn(p)
+          .exists(f => f.contains("IN") || f.contains("=")))
+      assert(unpruned.isEmpty,
+        s"${unpruned.size} ledger scan(s) without a bkt partition filter:\n" +
+          unpruned.headOption.getOrElse("").take(4000))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("text_near_match: the query-term side broadcasts onto the posting list") {
     val plan = planOf(q("text_near_match"))
     // only postings for the query's terms move: the term join must be
