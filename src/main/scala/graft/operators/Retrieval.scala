@@ -395,8 +395,23 @@ object Retrieval {
     * [[bm25Scores]] over the same corpus). */
   def bm25ScoresFromIndex(queryTerms: DataFrame, ledger: DataFrame,
                           k1: Double = 1.2, b: Double = 0.75,
-                          logIdf: Boolean = false): DataFrame = {
+                          logIdf: Boolean = false,
+                          allowed: Option[DataFrame] = None): DataFrame = {
     val tf = ledger.select(col("doc_id"), col("term"), col("tf"))
+    // metadata filter (filtered-serve face): candidates restrict to the
+    // allowed set BELOW the posting join — a selective tenant/category
+    // filter reads only its own postings — while df/N/avgdl stay
+    // GLOBAL (an index's statistics are properties of the index, not
+    // of one query's filter — the filtered-ANN convention, where the
+    // quantizer/centroids don't move per predicate either)
+    val tfCand = allowed match {
+      case Some(a) =>
+        tf.join(a.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_semi")
+      case None => tf
+    }
+    // dl/df/N/Σdl all derive GLOBALLY; the posting join below is driven
+    // by the restricted tfCand, so global dl restricts for free
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N and Σdl are exact integer aggregates; avgdl = one IEEE divide
@@ -410,7 +425,7 @@ object Retrieval {
     val denom = tfD + lit(k1) * (lit(1.0) - lit(b) +
       lit(b) * (col("dl").cast("double") / avgdl))
     val termScore = idf * (tfD * lit(k1 + 1.0)) / denom
-    tf.join(broadcast(qt), "term")
+    tfCand.join(broadcast(qt), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .join(dfreq, "term")
@@ -513,6 +528,36 @@ object Retrieval {
                         logIdf: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     bm25ScoresFromIndex(queryTerms, ledger, k1, b, logIdf)
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("score"))
+  }
+
+  /** Metadata-FILTERED BM25 serve from the stored ledger — "search
+    * within tenant / category / language": candidates restrict to
+    * `allowed` (one doc_id column) BELOW the posting join, so a
+    * selective filter's serve cost is ∝ the allowed set's postings,
+    * never the corpus — while df/N/avgdl stay GLOBAL (scores of
+    * allowed docs are identical to their unfiltered scores; the
+    * filter changes WHO ranks, never HOW a doc scores — so cached /
+    * precomputed per-doc statistics stay valid under every filter,
+    * and a filtered top-k is a suffix-stable restriction of the
+    * unfiltered ranking). The lexical twin of
+    * [[Similarity.ivfPqTopKFromIndex]]'s `allowed` leg; on a
+    * doc-bucketed ledger the allowed set can additionally elect
+    * buckets ([[Ledger.prunedToBatch]]'s discipline) for a
+    * partition-pruned posting scan. Returns
+    * (q_id, doc_id, rnk, score), self excluded, ties to the lower
+    * doc id. */
+  def bm25TopKFromIndexFiltered(queryTerms: DataFrame, ledger: DataFrame,
+                                allowed: DataFrame, k: Int,
+                                k1: Double = 1.2, b: Double = 0.75,
+                                logIdf: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    bm25ScoresFromIndex(queryTerms, ledger, k1, b, logIdf, Some(allowed))
       .filter(col("q_id") =!= col("doc_id"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id")

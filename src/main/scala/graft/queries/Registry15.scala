@@ -212,6 +212,58 @@ object Registry15 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Metadata-FILTERED BM25 serve from the stored tf ledger
+    * ([[Retrieval.bm25TopKFromIndexFiltered]]) — "search within
+    * tenant": candidates restrict to documents whose source matches
+    * `src1*` (11 of 20 sources) BELOW the posting join, while
+    * df/N/avgdl stay GLOBAL — allowed docs keep their unfiltered
+    * scores (the filter changes WHO ranks, never HOW a doc scores),
+    * the filtered-ANN convention (`ann_filtered_topk`'s frozen
+    * quantizer) applied to the lexical family. The oracle keeps the
+    * full-corpus tf/dl/dfreq/stt CTEs and restricts the scoring join
+    * by the same predicate. */
+  val textBm25Filtered = Q("text_bm25_filtered",
+    s"""WITH toks AS (SELECT doc_id, term FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents) WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |stt AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id < 3),
+       |alw AS (SELECT doc_id FROM documents WHERE source LIKE 'src1%'),
+       |tsc AS (SELECT q.q_id, tf.doc_id, tf.term,
+       |    (((CAST(stt.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5)
+       |       / (CAST(f.df AS DOUBLE) + 0.5))
+       |    * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+       |    / (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+       |        + 0.75 * (CAST(dl.dl AS DOUBLE)
+       |          / (CAST(stt.sum_dl AS DOUBLE) / CAST(stt.n_docs AS DOUBLE)))))
+       |      AS v
+       |  FROM tf JOIN alw USING (doc_id) JOIN qt q USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN stt JOIN dfreq f USING (term)),
+       |sc AS (SELECT q_id, doc_id,
+       |    list_reduce(list_prepend(0.0, list(v ORDER BY term)),
+       |      (x, y) -> x + y) AS score
+       |  FROM tsc WHERE q_id <> doc_id GROUP BY 1, 2),
+       |fout AS (SELECT q_id, doc_id, rnk, score FROM (
+       |  SELECT q_id, doc_id, score, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+       |  FROM sc) WHERE rnk <= 10)
+       |SELECT q_id, doc_id, rnk, score FROM fout
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val ledger = Retrieval.bm25IndexBuild(dcs, "doc_id", "text")
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val allowed = dcs.filter(col("source").startsWith("src1"))
+      .select("doc_id")
+    Retrieval.bm25TopKFromIndexFiltered(qt, ledger, allowed, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Phrase match THROUGH the analyzer — the positional family's
     * unification identity: positions index the analyzed perturbed
     * corpus, phrases are the analyzed first three words of docs 0..2,
@@ -741,5 +793,5 @@ object Registry15 {
     textAnalyze, textBm25Analyzed, textPhraseAnalyzed,
     dedupSemanticIncremental, textBpeHeadVocab, textBpeHeadClosure,
     textBpeAnalyzed, streamingSemanticIngest, annGraphFilteredTopK,
-    dedupSemanticRemove)
+    dedupSemanticRemove, textBm25Filtered)
 }

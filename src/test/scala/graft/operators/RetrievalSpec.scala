@@ -1028,4 +1028,34 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dl == Map(0L -> 2L, 1L -> 2L, 2L -> 1L), s"dl drifted: $dl")
   }
+
+  test("bm25TopKFromIndexFiltered: allowed docs keep their unfiltered scores; disallowed never rank") {
+    val dcs = graft.Tables.documents(spark, sf)
+    val ledger = Retrieval.bm25IndexBuild(dcs, "doc_id", "text")
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val allowed = dcs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val filtered = Retrieval.bm25TopKFromIndexFiltered(
+      qt, ledger, allowed, k = 10)
+    // no disallowed candidate ranks
+    assert(filtered.filter(col("doc_id") % 3 =!= 0).isEmpty,
+      "a disallowed doc ranked")
+    // global stats: an allowed doc's score is bit-identical to its
+    // unfiltered score (the filter changes WHO ranks, never HOW a doc
+    // scores) — so the filtered ranking is the allowed restriction of
+    // a big-k unfiltered ranking
+    val unf = Retrieval.bm25TopKFromIndex(qt, ledger, k = 10000)
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "doc_id", "rnk", "score")
+    val f2 = filtered.select(col("q_id"), col("doc_id"),
+      col("rnk").cast("int").as("rnk"), col("score"))
+    assert(f2.exceptAll(unf).isEmpty && unf.exceptAll(f2).isEmpty,
+      "filtered serve drifted from the allowed restriction of the " +
+        "unfiltered ranking")
+  }
 }
