@@ -1135,6 +1135,38 @@ object Similarity {
     ledger.join(removals.select(col(idCol).as("vec_id")),
       Seq("vec_id"), "left_anti")
 
+  /** Quantizer REFRESH — re-encode a stored [[pqIndexBuild]] ledger
+    * under NEW centroids + codebooks, completing the index lifecycle:
+    * the quantizer is frozen between rebuilds ([[pqIndexAppend]]'s
+    * invariant), so as the corpus drifts away from the training
+    * distribution, cell routing and ADC scoring degrade — and the fix
+    * is the FAISS retrain-and-reindex story: train a fresh quantizer
+    * on the current corpus, re-encode, swap ledgers (write to a NEW
+    * path, then switch readers — [[rebucketLedger]]'s migration
+    * protocol; old codes mean codewords of the OLD codebook and can
+    * never mix with new ones in place).
+    *
+    * The LEDGER is the membership authority — its id set is the
+    * product of the full append/remove history, which the raw corpus
+    * table does not carry — so re-encode is exactly a from-scratch
+    * [[pqIndexBuild]] over the corpus restricted to the ledger's
+    * members (the gated identity). The corpus is the FLOAT authority:
+    * codes cannot re-derive codes, so members whose floats are gone
+    * from the corpus (or refuse to encode) drop from the refreshed
+    * ledger, the build-time refusal contract. One semi-join + the
+    * build's two scalar projections; O(ledger) by necessity and
+    * amortized over every subsequent batch-sized append, the paid-once
+    * discipline. */
+  def pqIndexReencode(ledger: DataFrame, corpus: DataFrame,
+                      centroids: DataFrame, codebooks: DataFrame,
+                      idCol: String, vecCol: String,
+                      dim: Int = 64): DataFrame = {
+    val members = corpus.join(
+      ledger.select(col("vec_id").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    pqIndexBuild(members, centroids, codebooks, idCol, vecCol, dim)
+  }
+
   /** Sign-bit BINARY quantization: dim bits per vector (bit i = 1 iff
     * component i ≥ 0) packed into ⌈dim/32⌉ longs of 32 bits each — the
     * cheapest ANN memory face (64-dim float = 256 B → 8 B, 32×… and

@@ -130,6 +130,63 @@ object Registry15 {
       .orderBy("src_id", "nbr_id")
   }
 
+  /** Quantizer REFRESH under the gate ([[Similarity.pqIndexReencode]]):
+    * a ledger built over the full corpus with quantizer A (the seed
+    * centroids/codebook from vec_id < 16), takedown-pruned
+    * (vec_id ≡ 0 mod 7 removed), then re-encoded under quantizer B
+    * (seeded from vec_id 16..31 — the "retrained on the current
+    * corpus" stand-in) must equal a from-scratch quantizer-B build of
+    * exactly the SURVIVING membership — the ledger is the membership
+    * authority (its id set carries the append/remove history), the
+    * corpus the float authority. The oracle computes quantizer B's
+    * assignment + codes over the survivors directly. */
+  val annIndexReencode = Q("ann_index_reencode",
+    s"""WITH cwb AS (SELECT CAST(vec_id - 16 AS INT) AS code,
+       |    embedding AS w
+       |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings b CROSS JOIN js CROSS JOIN cwb c
+       |  WHERE b.vec_id % 7 <> 0),
+       |codes AS (SELECT n_id, sub, code FROM (
+       |  SELECT n_id, sub, code, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |centb AS (SELECT CAST(vec_id - 16 AS INT) AS cell,
+       |    embedding AS c_vec
+       |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN centb c
+       |  WHERE b.vec_id % 7 <> 0) WHERE rn = 1)
+       |SELECT a.n_id AS vec_id, a.cell,
+       |  array_to_string(list(CAST(n.code AS INT) ORDER BY n.sub), ',') AS codes
+       |FROM asg a JOIN codes n ON n.n_id = a.n_id
+       |GROUP BY a.n_id, a.cell ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val (e, centA, cbA) = Registry10.ivfPqSparkInputs(s, d)
+    val ledger = Similarity.pqIndexBuild(e, centA, cbA,
+      "vec_id", "embedding")
+    val survived = Similarity.pqIndexRemove(ledger,
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    // quantizer B: seeded from the NEXT 16 corpus vectors (ids 16..31
+    // re-based to 0..15 — pqCodebookSeed seeds from idCol < ksub)
+    val eShift = e.withColumn("vec_id", col("vec_id") - 16)
+      .filter(col("vec_id") >= 0)
+    val cbB = Similarity.pqCodebookSeed(eShift, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val centB = e.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select((col("vec_id") - 16).cast("int").as("cell"),
+        col("embedding").as("c_vec"))
+    Similarity.pqIndexReencode(survived, e, centB, cbB,
+      "vec_id", "embedding")
+      .withColumn("codes", array_join(col("codes"), ","))
+      .orderBy("vec_id")
+  }
+
   // ----------------------------------------------- shared text analyzer
 
   /** The deterministic case/punctuation PERTURBATION both engines
@@ -793,5 +850,5 @@ object Registry15 {
     textAnalyze, textBm25Analyzed, textPhraseAnalyzed,
     dedupSemanticIncremental, textBpeHeadVocab, textBpeHeadClosure,
     textBpeAnalyzed, streamingSemanticIngest, annGraphFilteredTopK,
-    dedupSemanticRemove, textBm25Filtered)
+    dedupSemanticRemove, textBm25Filtered, annIndexReencode)
 }

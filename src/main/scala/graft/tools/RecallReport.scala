@@ -233,6 +233,46 @@ object RecallReport {
     report("graph_filtered_widened(beam16,auto) label=7", () =>
       Similarity.graphSearchTopKFiltered(q, e, graphC, allowed7,
         "vec_id", "embedding", k, beam = 16, hops = 4), truth7)
+    // quantizer-refresh story (round 15, pqIndexReencode's measured
+    // motivation): DRIFT = the corpus's upper half displaced by a
+    // fixed alternating-sign per-dim offset (deterministic; norm
+    // ~3.2 against typical vector norm ~8). The STALE codebook
+    // fixpoint-trained on the PRE-drift corpus serves the drifted
+    // one; the REFRESHED codebook retrains on the current corpus —
+    // exhaustive ADC on both (no routing) so the delta is pure
+    // quantization quality. Truth = brute force over the drifted
+    // corpus.
+    val half = e.agg(max("vec_id")).head().getLong(0) / 2
+    val eD = graft.operators.Lineage.truncate(
+      e.withColumn("embedding",
+        when(col("vec_id") >= half,
+          transform(col("embedding"), (x, i) =>
+            (x + when(pmod(i, lit(2)) === 0, lit(0.4f))
+              .otherwise(lit(-0.4f))).cast("float")))
+          .otherwise(col("embedding"))))
+    val qD = eD.filter(col("vec_id") < nQ)
+    val truthD = graft.operators.Lineage.truncate(
+      Similarity.bruteForceTopK(qD, eD, "vec_id", "embedding", k))
+    val cbStale = Similarity.pqCodebookTrain(e, cb, "vec_id", "embedding",
+      steps = 10, toFixpoint = true)
+    val cbFresh = Similarity.pqCodebookTrain(eD,
+      Similarity.pqCodebookSeed(eD, "vec_id", "embedding",
+        m = 8, ksub = 16, subDim = 8),
+      "vec_id", "embedding", steps = 10, toFixpoint = true)
+    report("pq_drift_stale(fixpoint,pre-drift)", () =>
+      Similarity.pqTopK(qD, eD, cbStale, "vec_id", "embedding", k), truthD)
+    report("pq_drift_refreshed(fixpoint,current)", () =>
+      Similarity.pqTopK(qD, eD, cbFresh, "vec_id", "embedding", k), truthD)
+    // same story at the ksub=64 budget, where codeword capacity is no
+    // longer the binding constraint and the drift penalty is purer
+    def cb64On(c: DataFrame) = Similarity.pqCodebookTrain(c,
+      Similarity.pqCodebookSeed(c, "vec_id", "embedding",
+        m = 8, ksub = 64, subDim = 8),
+      "vec_id", "embedding", steps = 10, toFixpoint = true)
+    report("pq_drift_stale_ksub64", () =>
+      Similarity.pqTopK(qD, eD, cb64On(e), "vec_id", "embedding", k), truthD)
+    report("pq_drift_refreshed_ksub64", () =>
+      Similarity.pqTopK(qD, eD, cb64On(eD), "vec_id", "embedding", k), truthD)
     spark.stop()
   }
 }

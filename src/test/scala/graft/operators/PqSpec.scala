@@ -345,6 +345,42 @@ class PqSpec extends SparkSpec {
     assert(noop.exceptAll(got).isEmpty && got.exceptAll(noop).isEmpty)
   }
 
+  test("pqIndexReencode: ledger is the membership authority, corpus the float authority") {
+    val cent = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
+    // ledger over a strict subset of the corpus (members 0..149 minus
+    // multiples of 5 — an append/remove history the corpus can't see)
+    val members = emb.filter($"vec_id" < 150 && $"vec_id" % 5 =!= 0)
+    val ledger = Similarity.pqIndexRemove(
+      Similarity.pqIndexBuild(emb.filter($"vec_id" < 150), cent, seedCb,
+        "vec_id", "embedding"),
+      emb.filter($"vec_id" % 5 === 0).select($"vec_id"), "vec_id")
+    // quantizer B: the next 16 ids re-based (a retrain stand-in)
+    val shifted = emb.withColumn("vec_id", $"vec_id" - 16)
+      .filter($"vec_id" >= 0)
+    val cbB = Similarity.pqCodebookSeed(shifted, "vec_id", "embedding",
+      m = 8, ksub = 16, subDim = 8)
+    val centB = emb.filter($"vec_id" >= 16 && $"vec_id" < 32)
+      .select(($"vec_id" - 16).cast("int").as("cell"),
+        $"embedding".as("c_vec"))
+    val got = Similarity.pqIndexReencode(ledger, emb, centB, cbB,
+      "vec_id", "embedding")
+    // identity: re-encode == from-scratch B-build of exactly the members
+    val want = Similarity.pqIndexBuild(members, centB, cbB,
+      "vec_id", "embedding")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // corpus rows OUTSIDE the membership never enter the refreshed
+    // ledger (ids >= 150 exist in the corpus but not the ledger)
+    assert(got.filter($"vec_id" >= 150).isEmpty)
+    // members whose floats are gone from the corpus drop (the corpus
+    // is the float authority — codes cannot re-derive codes)
+    val corpusMissing = emb.filter($"vec_id" =!= 7L)
+    val got2 = Similarity.pqIndexReencode(ledger, corpusMissing, centB,
+      cbB, "vec_id", "embedding")
+    assert(got2.filter($"vec_id" === 7L).isEmpty &&
+      got2.count() == got.count() - 1)
+  }
+
   test("pqIndexBuild/pqIndexAppend: append == rebuild, ledger untouched, idempotent") {
     val cent = emb.filter($"vec_id" < 16)
       .select($"vec_id".cast("int").as("cell"), $"embedding".as("c_vec"))
