@@ -54,4 +54,88 @@ object Ledger {
     val bkts = batchBuckets(batch, keyCol, buckets)
     stored.filter(col("bkt").isin(bkts: _*))
   }
+
+  /** [[withBucket]]'s STRING-keyed face: `bkt = pmod(xxhash64(key), B)`
+    * — the layout for term-sharded posting and term-stats ledgers,
+    * where the key is text and arithmetic pmod does not apply.
+    * xxhash64 with the default seed is deterministic across sessions
+    * and executors (a pure function of the bytes), so the bucket is a
+    * function of the key exactly as pmod(id, B) is. */
+  def withHashBucket(df: DataFrame, keyCol: String,
+                     buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.withColumn("bkt",
+      pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
+  }
+
+  /** The bucket set a key frame elects under the HASH layout — driver
+    * collect bounded by min(buckets, distinct keys). Serve-side
+    * callers pass the QUERY's term set (query-sized by contract); the
+    * collect is the same bounded election [[batchBuckets]] performs
+    * for arriving batches. */
+  def keyHashBuckets(keys: DataFrame, keyCol: String,
+                     buckets: Int): Seq[Int] = {
+    require(buckets > 0, "buckets must be positive")
+    keys.select(pmod(xxhash64(col(keyCol)), lit(buckets.toLong))
+        .cast("int").as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+  }
+
+  /** Prune a HASH-bucketed stored ledger to the buckets `keys` elect —
+    * the SERVE-side pruning law: a query's key-equi join against the
+    * ledger can only match rows in the query keys' own buckets, so the
+    * filter is a semantic no-op on the join while the scan becomes a
+    * literal `bkt IN` partition filter (query-sized read at any corpus
+    * size — the read-side twin of [[prunedToBatch]]). */
+  def prunedToKeys(stored: DataFrame, keys: DataFrame, keyCol: String,
+                   buckets: Int): DataFrame = {
+    val bkts = keyHashBuckets(keys, keyCol, buckets)
+    stored.filter(col("bkt").isin(bkts: _*))
+  }
+
+  /** O(touched) TAKEDOWN on a bucket-partitioned ledger: the removal
+    * keys elect buckets (pmod layout), the replacement content is the
+    * touched buckets' survivors (pruned read + key anti-join), and the
+    * caller dynamic-partition-overwrites just those directories —
+    * every other bucket holds no row with a removal key, so
+    * overwrite(touched) ≡ the full-ledger anti-join rewrite
+    * [[graft.operators.Retrieval.bm25IndexRemove]] pays. Returns the
+    * replacement rows WITH their `bkt` column (the overwrite's
+    * partition column); an empty intersection returns an empty frame,
+    * and dynamic overwrite of an empty frame touches nothing —
+    * removing never-indexed keys is a no-op end to end. */
+  def removeBucketDelta(stored: DataFrame, removals: DataFrame,
+                        keyCol: String, buckets: Int): DataFrame = {
+    val keys = removals.select(col(keyCol)).distinct()
+    prunedToBatch(stored, keys, keyCol, buckets)
+      .join(keys, Seq(keyCol), "left_anti")
+  }
+
+  /** Commit a touched-bucket replacement to a `bkt`-partitioned parquet
+    * ledger: dynamic partition-overwrite writes the delta's buckets,
+    * then any TOUCHED bucket the delta no longer populates is deleted
+    * outright — dynamic overwrite only rewrites partitions PRESENT in
+    * the written frame, so a takedown that empties a whole bucket
+    * would otherwise silently leave its stale directory behind (the
+    * one failure mode of overwrite-by-delta ledgers; witnessed by
+    * LedgerSpec's emptied-bucket case). `delta` should be
+    * materialized (localCheckpoint) by the caller when it was read
+    * from `dir` itself; the `bkt` collect is bounded by `touched`. */
+  def overwriteBuckets(delta: DataFrame, touched: Seq[Int],
+                       dir: String): Unit = {
+    delta.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bkt").parquet(dir)
+    val present = delta.select(col("bkt").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val emptied = touched.filterNot(present)
+    if (emptied.nonEmpty) {
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(
+        delta.sparkSession.sessionState.newHadoopConf())
+      emptied.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"bkt=$b"), true)
+      }
+    }
+  }
 }

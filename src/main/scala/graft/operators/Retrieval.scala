@@ -387,6 +387,168 @@ object Retrieval {
     ledger.join(removals.select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Store the document-length NORM in the posting row — Lucene's
+    * norms-in-the-index design: (doc_id, term, tf) gains `dl = Σ tf`
+    * over the document, a PER-DOCUMENT fact (appending or removing
+    * other documents never changes it, so the column is append-safe
+    * and the maintenance triple carries over unchanged). The payoff is
+    * at serve time: [[bm25TopKFromStats]] reads dl off the matched
+    * posting itself instead of deriving it with a corpus-sized
+    * groupBy — the step that otherwise forces a full-ledger aggregate
+    * per query batch. Integer-exact (a sum of longs). Applies to a
+    * build output or an append delta alike. */
+  def withDocNorms(ledger: DataFrame): DataFrame =
+    ledger.withColumn("dl",
+      sum("tf").over(Window.partitionBy("doc_id")))
+
+  /** The term-statistics LEDGER: (term, df, cf) — document frequency
+    * and collection frequency per term, the two cross-document
+    * aggregates BM25 (df) and query-likelihood (cf) need. Built once
+    * from the tf ledger, then maintained INCREMENTALLY
+    * ([[bm25TermStatsAppend]] / [[bm25TermStatsRemove]]) so a serve
+    * never re-aggregates the posting ledger: at 10⁹ documents the df
+    * of a query's terms is a query-sized read of this frame, not a
+    * corpus-sized groupBy. Vocabulary-sized (≪ corpus). */
+  def bm25TermStatsBuild(ledger: DataFrame): DataFrame =
+    ledger.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+
+  /** The 1-row GLOBAL ledger: (n_docs, sum_dl) — N and Σdl, the two
+    * whole-corpus scalars in every BM25 denominator. Built once;
+    * maintained by 1-row integer arithmetic
+    * ([[bm25GlobalStatsAppend]] / [[bm25GlobalStatsRemove]]). */
+  def bm25GlobalStatsBuild(ledger: DataFrame): DataFrame =
+    ledger.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** Fold an append DELTA into the term-stats ledger. `batchTf` MUST
+    * be the delta tf rows of documents not already indexed (the
+    * `deltaOnly = true` output of [[bm25IndexAppend]] — the append
+    * path's anti-join is what makes the increment exact; feeding
+    * already-indexed rows would double-count df). Only the batch's own
+    * terms change: their replacement rows are old ⊕ batch (full-outer
+    * merge, so unseen terms mint rows), every other term's row is
+    * untouched — with `deltaOnly = true` the caller gets JUST the
+    * replacement rows, the dynamic-overwrite face for a term-bucketed
+    * stats layout ([[graft.operators.Ledger.withHashBucket]]).
+    * Integer-exact, so append ≡ from-scratch rebuild of the unioned
+    * corpus. */
+  def bm25TermStatsAppend(stats: DataFrame, batchTf: DataFrame,
+                          deltaOnly: Boolean = false): DataFrame = {
+    val b = batchTf.groupBy("term")
+      .agg(count(lit(1)).as("_bdf"), sum("tf").as("_bcf"))
+    val merged = stats.join(b.select("term"), Seq("term"), "left_semi")
+      .join(b, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("_bdf"), lit(0L)))
+          .as("df"),
+        (coalesce(col("cf"), lit(0L)) + coalesce(col("_bcf"), lit(0L)))
+          .as("cf"))
+    if (deltaOnly) merged
+    else stats.join(b.select("term"), Seq("term"), "left_anti")
+      .unionByName(merged)
+  }
+
+  /** Fold a takedown into the term-stats ledger. `removedTf` is the tf
+    * rows BEING REMOVED — the caller reads them off the posting ledger
+    * by semi-joining the removal ids (bucket-pruned on a partitioned
+    * layout), which also makes removing never-indexed ids a no-op
+    * (they contribute no rows). Terms whose df reaches 0 DROP — the
+    * ledger's row set stays exactly the live vocabulary, so
+    * remove ≡ from-scratch rebuild of the surviving corpus. */
+  def bm25TermStatsRemove(stats: DataFrame, removedTf: DataFrame,
+                          deltaOnly: Boolean = false): DataFrame = {
+    val b = removedTf.groupBy("term")
+      .agg(count(lit(1)).as("_bdf"), sum("tf").as("_bcf"))
+    val merged = stats.join(b, Seq("term"), "inner")
+      .select(col("term"), (col("df") - col("_bdf")).as("df"),
+        (col("cf") - col("_bcf")).as("cf"))
+      .filter(col("df") > 0)
+    if (deltaOnly) merged
+    else stats.join(b.select("term"), Seq("term"), "left_anti")
+      .unionByName(merged)
+  }
+
+  /** 1-row global increment for an append delta (same `batchTf`
+    * contract as [[bm25TermStatsAppend]]): n_docs gains the batch's
+    * distinct documents, sum_dl its total tokens. Empty batch ⇒
+    * +0/+0. Integer adds — exact at any history length. */
+  def bm25GlobalStatsAppend(global: DataFrame,
+                            batchTf: DataFrame): DataFrame = {
+    val b = batchTf.agg(
+      count_distinct(col("doc_id")).as("_bn"),
+      coalesce(sum("tf"), lit(0L)).as("_bdl"))
+    global.crossJoin(broadcast(b))
+      .select((col("n_docs") + col("_bn")).as("n_docs"),
+        (col("sum_dl") + col("_bdl")).as("sum_dl"))
+  }
+
+  /** 1-row global decrement for a takedown (same `removedTf` contract
+    * as [[bm25TermStatsRemove]]). */
+  def bm25GlobalStatsRemove(global: DataFrame,
+                            removedTf: DataFrame): DataFrame = {
+    val b = removedTf.agg(
+      count_distinct(col("doc_id")).as("_bn"),
+      coalesce(sum("tf"), lit(0L)).as("_bdl"))
+    global.crossJoin(broadcast(b))
+      .select((col("n_docs") - col("_bn")).as("n_docs"),
+        (col("sum_dl") - col("_bdl")).as("sum_dl"))
+  }
+
+  /** BM25 serve in O(query) READS — the production query path over a
+    * persisted index: `postings` carries its own norms
+    * ([[withDocNorms]] — dl rides the matched row), df comes from the
+    * incrementally-maintained term-stats ledger (semi-joined to the
+    * query's terms: a query-sized read), and N/Σdl broadcast from the
+    * 1-row global ledger — NO corpus-sized aggregate anywhere at query
+    * time, where [[bm25ScoresFromIndex]] re-derives dl/df/N/Σdl from
+    * the whole tf ledger per serve. On a term-bucketed layout
+    * ([[graft.operators.Ledger.withHashBucket]]) the caller prunes
+    * both `postings` and `termStats` to the query terms' buckets
+    * ([[Ledger.prunedToKeys]]) — a semantic no-op on the term-equi
+    * joins that turns both scans into literal `bkt IN` partition
+    * filters, completing the serve-side O(query) law.
+    *
+    * Bit-equal to [[bm25TopKFromIndex]] over the same corpus: the
+    * stats ledgers are integer-exact, the term-score expression is
+    * spelled identically, and the fold order is the same TERM order —
+    * every IEEE step sees the same operands. Returns
+    * (q_id, doc_id, rnk, score), self excluded, ties to the lower
+    * doc id. */
+  def bm25TopKFromStats(queryTerms: DataFrame, postings: DataFrame,
+                        termStats: DataFrame, global: DataFrame, k: Int,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        logIdf: Boolean = false): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qt = queryTerms.select(col("q_id"), col("term")).distinct()
+    val dfq = termStats
+      .join(broadcast(qt.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .select(col("term"), col("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idfRat = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val idf = if (logIdf) log(idfRat) else idfRat
+    val tfD = col("tf").cast("double")
+    val denom = tfD + lit(k1) * (lit(1.0) - lit(b) +
+      lit(b) * (col("dl").cast("double") / avgdl))
+    val termScore = idf * (tfD * lit(k1 + 1.0)) / denom
+    postings.select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(global))
+      .select(col("q_id"), col("doc_id"),
+        struct(col("term"), termScore.as("v")).as("ts"))
+      .groupBy("q_id", "doc_id")
+      .agg(foldSum(collect_list(col("ts"))).as("score"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("score"))
+  }
+
   /** Score queries against a stored tf ledger ([[bm25IndexBuild]]
     * shape) — the query-time path when the index is a persisted asset:
     * no tokenize, the corpus-sized text never loads; dl/df/N/Σdl

@@ -514,6 +514,76 @@ class PlanAssertionsSpec extends SparkSpec {
         s"(adc at $adcIdx, semi at $semiIdx):\n$plan")
   }
 
+  test("O(query) BM25 serve: posting and stats scans carry bkt partition filters; result equals the full-derivation serve") {
+    import graft.operators.{Ledger, Retrieval}
+    val dcs = Tables.documents(spark, sf)
+    val nBkt = 64
+    val stage = java.nio.file.Files.createTempDirectory("graft_servspec")
+    try {
+      val postDir = stage.resolve("postings").toString
+      val statsDir = stage.resolve("termstats").toString
+      // index build (legitimately corpus-sized, before the witness
+      // window): norm-carrying postings + term stats, both term-bucketed
+      val ledger = Retrieval.withDocNorms(
+        Retrieval.bm25IndexBuild(dcs, "doc_id", "text"))
+      Ledger.withHashBucket(ledger, "term", nBkt)
+        .write.partitionBy("bkt").mode("overwrite").parquet(postDir)
+      Ledger.withHashBucket(Retrieval.bm25TermStatsBuild(ledger),
+          "term", nBkt)
+        .write.partitionBy("bkt").mode("overwrite").parquet(statsDir)
+      val global = Retrieval.bm25GlobalStatsBuild(ledger)
+        .localCheckpoint() // pin: the serve must not re-scan the corpus
+      val qt = dcs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          explode(split(col("text"), " ")).as("term"))
+      // control: the full-derivation serve over the raw tf ledger
+      val want = Retrieval.bm25TopKFromIndex(qt,
+          Retrieval.bm25IndexBuild(dcs, "doc_id", "text"), k = 10)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("\t")).sorted
+      assert(want.nonEmpty)
+      // witness window opens here
+      val minId = spark.sharedState.statusStore.executionsList()
+        .lastOption.map(_.executionId).getOrElse(-1L)
+      val qterms = qt.select("term").distinct()
+      val got = Retrieval.bm25TopKFromStats(qt,
+          Ledger.prunedToKeys(spark.read.parquet(postDir), qterms,
+            "term", nBkt),
+          Ledger.prunedToKeys(spark.read.parquet(statsDir), qterms,
+            "term", nBkt),
+          global, k = 10)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("\t")).sorted
+      assert(got.toSeq == want.toSeq,
+        "the O(query) serve drifted from the full-derivation serve")
+      // every executed plan that scanned either stored asset inside the
+      // witness window carried a bkt partition filter
+      val token = stage.getFileName.toString
+      var plans: Seq[String] = Nil
+      var stable = 0
+      var tries = 0
+      while (tries < 100 && stable < 3) {
+        val now = spark.sharedState.statusStore.executionsList()
+          .filter(_.executionId > minId)
+          .map(_.physicalPlanDescription)
+          .filter(p => p.contains(token) && p.contains("Scan parquet") &&
+            !p.contains("WriteFiles"))
+        if (now.nonEmpty && now.size == plans.size) stable += 1
+        else stable = 0
+        plans = now
+        Thread.sleep(100); tries += 1
+      }
+      assert(plans.nonEmpty,
+        "no executed plan scanned the stored index — the witness found nothing")
+      val unpruned = plans.filterNot(p =>
+        raw"PartitionFilters: \[[^\]]*bkt[^\]]*".r.findFirstIn(p)
+          .exists(f => f.contains("IN") || f.contains("=")))
+      assert(unpruned.isEmpty,
+        s"${unpruned.size} stored-index scan(s) without a bkt partition " +
+          s"filter:\n" + unpruned.headOption.getOrElse("").take(4000))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(stage)
+    }
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     val df = Tables.documents(spark, sf).select(
       graft.functions.TextFns.rollingHash(col("text")).as("rh"),

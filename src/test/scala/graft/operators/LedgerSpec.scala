@@ -42,4 +42,57 @@ class LedgerSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(0L -> 0, 1L -> 1, 4095L -> 4095, 4096L -> 0))
   }
+
+  test("withHashBucket/prunedToKeys: buckets in [0, B); pruning is a no-op on term-equi joins; strict subset read") {
+    import spark.implicits._
+    val stored = Ledger.withHashBucket(
+      ('a' to 'z').map(c => (c.toString, c.toInt.toLong)).toDF("term", "v"),
+      "term", 8)
+    val range = stored.select("bkt").collect().map(_.getInt(0))
+    assert(range.forall(b => b >= 0 && b < 8))
+    val keys = Seq("c", "q", "zz").toDF("term") // zz: never stored
+    val pruned = Ledger.prunedToKeys(stored, keys, "term", 8)
+    val full = keys.join(stored, Seq("term"), "left")
+    val pr = keys.join(pruned, Seq("term"), "left")
+    assert(pr.exceptAll(full).isEmpty && full.exceptAll(pr).isEmpty,
+      "pruned term join drifted from the full join")
+    // the read is a strict subset: only the keys' hash buckets survive
+    val elected = Ledger.keyHashBuckets(keys, "term", 8).toSet
+    val kept = pruned.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(kept.subsetOf(elected) && kept.size < 8,
+      s"kept $kept not a strict subset of elected $elected")
+  }
+
+  test("removeBucketDelta + overwriteBuckets == full rewrite; a fully-emptied bucket's directory is deleted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rmspec")
+    try {
+      // B = 4: bucket b holds ids ≡ b (mod 4). Removing every id ≡ 1
+      // (mod 4) EMPTIES bucket 1 — the case plain dynamic overwrite
+      // silently misses (no delta row elects the partition, so the
+      // stale directory would survive).
+      val stored = Ledger.withBucket(
+        (0L until 16L).toDF("id").withColumn("v", col("id") * 10), "id", 4)
+      stored.write.partitionBy("bkt").mode("overwrite")
+        .parquet(dir.toString)
+      val removals = (Seq(1L, 5L, 9L, 13L) ++ Seq(2L)).toDF("id")
+      val live = spark.read.parquet(dir.toString)
+      val delta = Ledger.removeBucketDelta(live, removals, "id", 4)
+        .localCheckpoint()
+      Ledger.overwriteBuckets(delta,
+        Ledger.batchBuckets(removals, "id", 4), dir.toString)
+      val got = spark.read.parquet(dir.toString).select("id", "v", "bkt")
+      val want = stored.join(removals, Seq("id"), "left_anti")
+        .select("id", "v", "bkt")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "bucketed takedown drifted from the full anti-join rewrite")
+      assert(!java.nio.file.Files.exists(dir.resolve("bkt=1")),
+        "the fully-emptied bucket's directory survived")
+      assert(java.nio.file.Files.exists(dir.resolve("bkt=0")),
+        "an untouched bucket's directory vanished")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
 }

@@ -1058,4 +1058,90 @@ class RetrievalSpec extends SparkSpec {
       "filtered serve drifted from the allowed restriction of the " +
         "unfiltered ranking")
   }
+
+  // ---- stats ledgers + the O(query) serve ------------------------------
+
+  test("bm25 stats ledgers: append/remove fold to the from-scratch rebuild; df=0 terms drop; empty delta is a no-op") {
+    val base = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val batch = Seq((3L, "c d")).toDF("doc_id", "text")
+    val l0 = Retrieval.bm25IndexBuild(base, "doc_id", "text")
+    val st0 = Retrieval.bm25TermStatsBuild(l0)
+    val g0 = Retrieval.bm25GlobalStatsBuild(l0)
+    val delta = Retrieval.bm25IndexAppend(l0, batch, "doc_id", "text",
+      deltaOnly = true)
+    val lAll = Retrieval.bm25IndexBuild(base.unionByName(batch),
+      "doc_id", "text")
+    val stAll = Retrieval.bm25TermStatsBuild(lAll)
+    // append ≡ rebuild of the unioned corpus (term "d" minted fresh)
+    val stApp = Retrieval.bm25TermStatsAppend(st0, delta)
+    assert(stApp.exceptAll(stAll).isEmpty && stAll.exceptAll(stApp).isEmpty,
+      "term-stats append drifted from the rebuild")
+    val gApp = Retrieval.bm25GlobalStatsAppend(g0, delta).head()
+    val gAll = Retrieval.bm25GlobalStatsBuild(lAll).head()
+    assert(gApp == gAll, s"global append $gApp != rebuild $gAll")
+    // remove doc 3 ≡ rebuild of the base corpus — and term "d", whose
+    // df reaches 0, must VANISH from the ledger's rows
+    val removedTf = lAll.join(Seq(3L).toDF("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val stRem = Retrieval.bm25TermStatsRemove(stAll, removedTf)
+    assert(stRem.exceptAll(st0).isEmpty && st0.exceptAll(stRem).isEmpty,
+      "term-stats remove drifted from the rebuild")
+    assert(stRem.filter(col("term") === "d").isEmpty,
+      "a df=0 term survived the takedown")
+    val gRem = Retrieval.bm25GlobalStatsRemove(
+      Retrieval.bm25GlobalStatsBuild(lAll), removedTf).head()
+    assert(gRem == g0.head(), "global remove drifted from the rebuild")
+    // an empty delta leaves both ledgers untouched (+0/+0, no rows)
+    val stNoop = Retrieval.bm25TermStatsAppend(st0, l0.limit(0))
+    assert(stNoop.exceptAll(st0).isEmpty && st0.exceptAll(stNoop).isEmpty)
+    assert(Retrieval.bm25GlobalStatsAppend(g0, l0.limit(0)).head() ==
+      g0.head())
+  }
+
+  test("bm25TopKFromStats == bm25TopKFromIndex bit-for-bit; bucket-pruned serve identical") {
+    val dcs = docs.filter(col("doc_id") < 200)
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val ledger = Retrieval.bm25IndexBuild(dcs, "doc_id", "text")
+    val want = Retrieval.bm25TopKFromIndex(qt, ledger, k = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(want.nonEmpty)
+    val norm = Retrieval.withDocNorms(ledger)
+    val st = Retrieval.bm25TermStatsBuild(ledger)
+    val g = Retrieval.bm25GlobalStatsBuild(ledger)
+    val got = Retrieval.bm25TopKFromStats(qt, norm, st, g, k = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == want.toSeq,
+      "stats serve drifted from the full-derivation serve")
+    // pruning postings AND stats to the query terms' hash buckets is a
+    // semantic no-op on the serve (bkt is a function of the term)
+    val qterms = qt.select("term").distinct()
+    val postB = Ledger.withHashBucket(norm, "term", 16)
+    val statB = Ledger.withHashBucket(st, "term", 16)
+    val gotPr = Retrieval.bm25TopKFromStats(qt,
+        Ledger.prunedToKeys(postB, qterms, "term", 16),
+        Ledger.prunedToKeys(statB, qterms, "term", 16), g, k = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(gotPr.toSeq == want.toSeq,
+      "bucket-pruned serve drifted from the full-derivation serve")
+  }
+
+  test("withDocNorms: dl is the per-document token total and appending other docs never changes it") {
+    val a = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
+    val la = Retrieval.withDocNorms(
+      Retrieval.bm25IndexBuild(a, "doc_id", "text"))
+    val dl = la.select("doc_id", "dl").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl == Map(1L -> 3L, 2L -> 2L), s"dl drifted: $dl")
+    // doc 1's rows under a grown corpus are bit-identical — dl is a
+    // per-document fact, which is what makes the column append-safe
+    val b = Seq((1L, "x y x"), (2L, "y z"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val lb = Retrieval.withDocNorms(
+      Retrieval.bm25IndexBuild(b, "doc_id", "text"))
+      .filter(col("doc_id") === 1)
+    val one = la.filter(col("doc_id") === 1)
+    assert(lb.exceptAll(one).isEmpty && one.exceptAll(lb).isEmpty)
+  }
 }
