@@ -549,6 +549,59 @@ object Retrieval {
       .select(col("q_id"), col("doc_id"), col("rnk"), col("score"))
   }
 
+  /** Dirichlet query-likelihood serve in O(query) reads — the
+    * [[lmTopKFromIndex]] scorer over the SAME stored assets
+    * [[bm25TopKFromStats]] reads: cf from the term-stats ledger (the
+    * reason the ledger carries cf next to df — one stats asset serves
+    * both classical scorers), T = Σdl from the 1-row global ledger
+    * (Σdl ≡ Σtf, the total token count), and dl off the norm-carrying
+    * posting row. No corpus-sized aggregate at query time;
+    * bucket-pruned scans apply exactly as in [[bm25TopKFromStats]].
+    * Bit-equal to [[lmTopKFromIndex]]: identical operands through the
+    * identical rational decomposition (term-ordered factor fold,
+    * in-vocabulary n_q, the explicit n_q-step penalty fold). */
+  def lmTopKFromStats(queryTerms: DataFrame, postings: DataFrame,
+                      termStats: DataFrame, global: DataFrame, k: Int,
+                      mu: Double = 1000.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(mu > 0.0, "mu must be positive")
+    val qt = queryTerms.select(col("q_id"), col("term")).distinct()
+    val cfq = termStats
+      .join(broadcast(qt.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .select(col("term"), col("cf"))
+    // n_q counts only in-vocabulary terms; every query term present in
+    // the vocabulary survives the cfq semi-join (bucket pruning keeps
+    // all of the query's own buckets), so the count is exact
+    val nq = qt.join(cfq.select("term"), Seq("term"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("_nq"))
+    val termFactor = lit(1.0) +
+      (col("tf").cast("double") * col("sum_dl").cast("double")) /
+        (lit(mu) * col("cf").cast("double"))
+    val penaltyBase = lit(mu) / (col("dl").cast("double") + lit(mu))
+    postings.select(col("doc_id"), col("term"), col("tf"), col("dl"))
+      .join(broadcast(qt), "term")
+      .join(broadcast(cfq), "term")
+      .crossJoin(broadcast(global.select(col("sum_dl"))))
+      .select(col("q_id"), col("doc_id"), col("dl"),
+        struct(col("term"), termFactor.as("v")).as("ts"))
+      // dl is functional on doc_id (one norm per document), so keying
+      // it alongside keeps the grouping unchanged while saving the
+      // dl re-join the ledger-derivation path pays
+      .groupBy("q_id", "doc_id", "dl")
+      .agg(foldProduct(collect_list(col("ts"))).as("_mprod"))
+      .join(broadcast(nq), "q_id")
+      .withColumn("score", col("_mprod") *
+        aggregate(sequence(lit(1), col("_nq").cast("int")), lit(1.0),
+          (acc, _) => acc * penaltyBase))
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("score"))
+  }
+
   /** Score queries against a stored tf ledger ([[bm25IndexBuild]]
     * shape) — the query-time path when the index is a persisted asset:
     * no tokenize, the corpus-sized text never loads; dl/df/N/Σdl

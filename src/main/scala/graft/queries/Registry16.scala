@@ -151,6 +151,183 @@ object Registry16 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Dirichlet query-likelihood from the SAME stats assets
+    * ([[Retrieval.lmTopKFromStats]]): one stored layout — norm-carrying
+    * term-bucketed postings, the (df, cf) term-stats ledger, the 1-row
+    * global — serves BOTH classical lexical scorers (cf is why the
+    * stats ledger carries a second column). Same pruned-scan serve
+    * shape as `text_bm25_stats_topk`; the oracle is `text_lm_topk`'s
+    * exact rational-decomposition replay (term-ordered factor fold,
+    * in-vocabulary n_q, explicit n_q-step penalty fold), which derives
+    * every statistic from the raw corpus — so a drift anywhere in the
+    * stats maintenance or the serve algebra flips the hash. */
+  val textLmStatsTopK = Q("text_lm_stats_topk",
+    s"""WITH ${Registry12.sqlBm25(20)},
+       |cfq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf
+       |  GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM tf),
+       |nql AS (SELECT q.q_id, COUNT(*) AS nq FROM qt q
+       |  JOIN cfq USING (term) GROUP BY 1),
+       |mp AS (SELECT q.q_id, tf.doc_id,
+       |    list_reduce(list_prepend(1.0, list(
+       |      1.0 + (CAST(tf.tf AS DOUBLE) * CAST(tt.t AS DOUBLE))
+       |        / (1000.0 * CAST(f.cf AS DOUBLE)) ORDER BY tf.term)),
+       |      (x, y) -> x * y) AS mprod
+       |  FROM tf JOIN qt q USING (term) JOIN cfq f USING (term)
+       |  CROSS JOIN tt
+       |  GROUP BY 1, 2),
+       |scl AS (SELECT m.q_id, m.doc_id, m.mprod * list_reduce(
+       |    list_prepend(1.0, list_transform(range(1, n.nq + 1),
+       |      x -> 1000.0 / (CAST(dl.dl AS DOUBLE) + 1000.0))),
+       |    (x, y) -> x * y) AS score
+       |  FROM mp m JOIN dl ON dl.doc_id = m.doc_id
+       |  JOIN nql n ON n.q_id = m.q_id
+       |  WHERE m.q_id <> m.doc_id),
+       |rl AS (SELECT q_id, doc_id, score, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT)
+       |  AS rnk FROM scl)
+       |SELECT q_id, doc_id, rnk, score FROM rl WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val ledger = Retrieval.withDocNorms(
+      Retrieval.bm25IndexBuild(dcs, "doc_id", "text"))
+    val stats = Retrieval.bm25TermStatsBuild(ledger)
+    val global = Retrieval.bm25GlobalStatsBuild(ledger)
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qterms = qt.select("term").distinct()
+    Retrieval.lmTopKFromStats(qt,
+      Ledger.prunedToKeys(Ledger.withHashBucket(ledger, "term", 64),
+        qterms, "term", 64),
+      Ledger.prunedToKeys(Ledger.withHashBucket(stats, "term", 64),
+        qterms, "term", 64),
+      global, k = 10, mu = 1000.0)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** STREAMING maintenance of the whole serve stack
+    * (`streaming_bm25_ingest`'s drain extended to the stats ledgers —
+    * what a search engine's soft-commit does): each micro-batch (1)
+    * appends its anti-joined, NORM-carrying posting delta to the
+    * doc-bucketed posting ledger, (2) folds the delta into the
+    * term-bucketed term-stats ledger by replacing ONLY the batch
+    * terms' buckets (pruned read → merge → dynamic bucket overwrite —
+    * [[Ledger.overwriteBuckets]]), and (3) increments the 1-row
+    * global by integer adds. Page overlaps (at-least-once replay) are
+    * absorbed BEFORE the stats fold — the tf delta's anti-join is
+    * what makes every downstream increment exact. The gate's output is
+    * the O(query) serve ([[Retrieval.bm25TopKFromStats]]) over the
+    * drained assets; the oracle derives everything from the raw corpus
+    * — streamed-maintained serve ≡ batch truth. (The posting append
+    * and stats overwrite are two storage commits; a crash between them
+    * diverges the assets until the page replays — the standard
+    * multi-asset soft-commit caveat, documented not hidden.) */
+  val streamingStatsIngest = Q("streaming_stats_ingest",
+    s"""WITH ${Registry12.sqlBm25(10)}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val n = dcs.count()
+    val fx = FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val qn = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * qn - 10)
+        val hi = if (p == 3) n else (p + 1) * qn
+        val tmpd = tmp.resolve(s"tmp$p")
+        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_statsingest")
+    val postDir = stage.resolve("postings").toString
+    val statsDir = stage.resolve("termstats").toString
+    val globalDir = stage.resolve("global").toString
+    val nBkt = 16 // doc buckets (posting anti-join pruning)
+    val sBkt = 16 // term-hash buckets (stats overwrite + serve pruning)
+    import org.apache.spark.sql.types._
+    val postSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("term", StringType), StructField("tf", LongType),
+      StructField("dl", LongType), StructField("bkt", IntegerType)))
+    val statsSchema = StructType(Seq(StructField("term", StringType),
+      StructField("df", LongType), StructField("cf", LongType),
+      StructField("bkt", IntegerType)))
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      postSchema).write.partitionBy("bkt").mode("overwrite").parquet(postDir)
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      statsSchema).write.partitionBy("bkt").mode("overwrite").parquet(statsDir)
+    import s.implicits._
+    Seq((0L, 0L)).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(globalDir)
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
+      val storedTf = graft.operators.Ledger.prunedToBatch(
+        s.read.schema(postSchema).parquet(postDir), b, "doc_id", nBkt)
+      val delta = Retrieval.bm25IndexAppend(storedTf, b, "doc_id", "text",
+        deltaOnly = true).localCheckpoint()
+      // 1. postings: norm-carrying delta, parquet append
+      graft.operators.Ledger.withBucket(
+          Retrieval.withDocNorms(delta), "doc_id", nBkt)
+        .write.partitionBy("bkt").mode("append").parquet(postDir)
+      // 2. term stats: replace the batch terms' buckets — the pruned
+      // stored rows (batch buckets' FULL content) merge the delta;
+      // non-batch terms sharing a touched bucket ride through the
+      // append's anti-join leg, so the bucket replacement is complete
+      val batchTerms = delta.select("term").distinct()
+      val replaced = Retrieval.bm25TermStatsAppend(
+        graft.operators.Ledger.prunedToKeys(
+            s.read.schema(statsSchema).parquet(statsDir),
+            batchTerms, "term", sBkt)
+          .drop("bkt"), delta)
+      graft.operators.Ledger.overwriteBuckets(
+        graft.operators.Ledger.withHashBucket(replaced, "term", sBkt)
+          .localCheckpoint(),
+        graft.operators.Ledger.keyHashBuckets(batchTerms, "term", sBkt),
+        statsDir)
+      // 3. global: 1-row integer increment, full overwrite
+      val g1 = Retrieval.bm25GlobalStatsAppend(
+        s.read.parquet(globalDir), delta).localCheckpoint()
+      g1.write.mode("overwrite").parquet(globalDir)
+    }
+    val run = stream.writeStream
+      .foreachBatch(appendBatch)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qterms = qt.select("term").distinct()
+    // THIS ledger's postings are DOC-bucketed (the ingest anti-join's
+    // layout), so term-bucket pruning does not apply to them — the
+    // term-pruned posting serve is `text_bm25_stats_topk`'s gate; the
+    // stats ledger IS term-bucketed and prunes
+    Retrieval.bm25TopKFromStats(qt,
+      s.read.schema(postSchema).parquet(postDir),
+      Ledger.prunedToKeys(s.read.schema(statsSchema).parquet(statsDir),
+        qterms, "term", sBkt),
+      s.read.parquet(globalDir), k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   // ------------------------------------------- O(touched) bucket takedown
 
   /** O(touched-bucket) TAKEDOWN under the gate
@@ -191,5 +368,6 @@ object Registry16 {
   }
 
   val round16: Seq[Q] = Seq(textIndexStats, textIndexStatsAppend,
-    textIndexStatsRemove, textBm25StatsTopK, textIndexRemoveBucketed)
+    textIndexStatsRemove, textBm25StatsTopK, textIndexRemoveBucketed,
+    textLmStatsTopK, streamingStatsIngest)
 }

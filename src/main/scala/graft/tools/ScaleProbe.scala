@@ -470,6 +470,56 @@ object ScaleProbe {
           s"read_rows=$readRows write_rows=${delta.count()}")
       }
 
+      if (want("serv")) {
+        // the O(query) BM25 serve: the governing count is the posting
+        // and term-stats rows the query's elected hash buckets open
+        // ([[graft.operators.Ledger.prunedToKeys]]) vs the whole
+        // ledger the full-derivation serve scans AND aggregates. The
+        // query is fixed (docs 0..2's terms) while the corpus grows,
+        // so the read fraction must fall ∝ 1/corpus until the elected
+        // buckets saturate (query terms' bucket occupancy — the same
+        // B ∝ corpus sizing law as lidx/gsink).
+        import graft.operators.{Ledger, Retrieval}
+        val d = graft.Tables.documents(spark, dir)
+        val nD = d.count()
+        val buckets = 4096
+        val ledger = graft.operators.Lineage.truncate(
+          Ledger.withHashBucket(
+            Retrieval.withDocNorms(
+              Retrieval.bm25IndexBuild(d, "doc_id", "text")),
+            "term", buckets))
+        val ledgerRows = ledger.count()
+        val stats = graft.operators.Lineage.truncate(
+          Ledger.withHashBucket(Retrieval.bm25TermStatsBuild(
+            ledger.select("doc_id", "term", "tf")), "term", buckets))
+        val vocabRows = stats.count()
+        // two query shapes: a whole-document query (30 of the base
+        // corpus's ~31 terms — the matched-postings floor dominates,
+        // since ANY inverted index must read its own terms' postings)
+        // and a 3-term query (the pruning's effect isolated: read ∝
+        // query size, independent of the corpus's vocabulary growth)
+        val qtDoc = d.filter(col("doc_id") < 3)
+          .select(col("doc_id").as("q_id"),
+            explode(split(col("text"), " ")).as("term"))
+        val qtSmall = qtDoc.select(col("q_id"), col("term"))
+          .distinct()
+          .withColumn("_r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("q_id").orderBy("term")))
+          .filter(col("_r") <= 3).drop("_r")
+        for ((tag, qt) <- Seq("docq" -> qtDoc, "small3" -> qtSmall)) {
+          val qterms = qt.select("term").distinct()
+          val nQTerms = qterms.count()
+          val bkts = Ledger.keyHashBuckets(qterms, "term", buckets)
+          val postRead = ledger.filter(col("bkt").isin(bkts: _*)).count()
+          val statsRead = stats.filter(col("bkt").isin(bkts: _*)).count()
+          println(s"PROBE serv $scale $tag docs=$nD " +
+            s"ledger_rows=$ledgerRows vocab_rows=$vocabRows " +
+            s"q_terms=$nQTerms read_buckets=${bkts.size} of $buckets " +
+            s"post_read=$postRead stats_read=$statsRead")
+        }
+      }
+
       if (want("semdedup")) {
         // PQ-prefix semantic blocking: the governing count is the
         // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a

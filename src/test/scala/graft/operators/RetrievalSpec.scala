@@ -1127,6 +1127,28 @@ class RetrievalSpec extends SparkSpec {
       "bucket-pruned serve drifted from the full-derivation serve")
   }
 
+  test("lmTopKFromStats == lmTopKFromIndex bit-for-bit; OOV query terms still drop from n_q") {
+    val dcs = docs.filter(col("doc_id") < 200)
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+      // an out-of-vocabulary term per query: must not perturb n_q in
+      // either path (no smoothed mass — the standard treatment)
+      .unionByName(Seq((0L, "zzoov"), (1L, "zzoov"), (2L, "zzoov"))
+        .toDF("q_id", "term"))
+    val ledger = Retrieval.bm25IndexBuild(dcs, "doc_id", "text")
+    val want = Retrieval.lmTopKFromIndex(qt, ledger, k = 10, mu = 1000.0)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(want.nonEmpty)
+    val got = Retrieval.lmTopKFromStats(qt,
+        Retrieval.withDocNorms(ledger),
+        Retrieval.bm25TermStatsBuild(ledger),
+        Retrieval.bm25GlobalStatsBuild(ledger), k = 10, mu = 1000.0)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.toSeq == want.toSeq,
+      "stats-ledger LM serve drifted from the full-derivation serve")
+  }
+
   test("withDocNorms: dl is the per-document token total and appending other docs never changes it") {
     val a = Seq((1L, "x y x"), (2L, "y z")).toDF("doc_id", "text")
     val la = Retrieval.withDocNorms(
