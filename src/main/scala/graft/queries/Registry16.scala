@@ -328,6 +328,56 @@ object Registry16 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Term-bucket-pruned PHRASE serve ([[Retrieval.phraseMatch]] over a
+    * TERM-bucketed positional ledger) — the third lexical ledger
+    * family under the serve-side O(query) law: the phrase's terms
+    * elect hash buckets, the stored positional index reads back under
+    * a literal `bkt IN` partition filter, and the shifted-base
+    * intersection sees a bit-identical world (every posting a phrase
+    * term can match lives in that term's own bucket). Positional
+    * ledgers are the heaviest lexical asset (one int per token), so
+    * the pruning matters most here. The oracle is `text_phrase_match`'s
+    * exact algebra over the raw corpus — any row the pruning wrongly
+    * dropped (or kept) flips occurrence counts. */
+  val textPhrasePrunedServe = Q("text_phrase_pruned_serve",
+    s"""WITH pl AS (SELECT doc_id, term, pos FROM (
+       |  SELECT d.doc_id, u.i - 1 AS pos, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents) d,
+       |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
+       |  WHERE term <> ''),
+       |ph AS (SELECT q_id, idx, term FROM (
+       |  SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents WHERE doc_id < 3) d,
+       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
+       |hits AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
+       |    COUNT(*) AS k
+       |  FROM pl l JOIN ph p ON p.term = l.term
+       |  WHERE l.pos - p.idx >= 0
+       |  GROUP BY 1, 2, 3),
+       |nt AS (SELECT q_id, COUNT(DISTINCT idx) AS n FROM ph GROUP BY 1)
+       |SELECT h.q_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+       |FROM hits h JOIN nt ON nt.q_id = h.q_id WHERE h.k = nt.n
+       |GROUP BY h.q_id, h.doc_id
+       |ORDER BY h.q_id, h.doc_id""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val stage = StreamHarness.runDir("graft_posserve")
+    val dir = stage.resolve("posledger").toString
+    Ledger.withHashBucket(
+        Retrieval.positionalIndexBuild(dcs, "doc_id", "text"),
+        "term", 64)
+      .write.partitionBy("bkt").mode("overwrite").parquet(dir)
+    val ph = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(split(col("text"), " "), 1, 3))
+          .as(Seq("idx", "term")))
+    val phTerms = ph.select("term").distinct()
+    Retrieval.phraseMatch(ph,
+        Ledger.prunedToKeys(s.read.parquet(dir), phTerms, "term", 64))
+      .orderBy("q_id", "doc_id")
+  }
+
   // ------------------------------------------- O(touched) bucket takedown
 
   /** O(touched-bucket) TAKEDOWN under the gate
@@ -369,5 +419,5 @@ object Registry16 {
 
   val round16: Seq[Q] = Seq(textIndexStats, textIndexStatsAppend,
     textIndexStatsRemove, textBm25StatsTopK, textIndexRemoveBucketed,
-    textLmStatsTopK, streamingStatsIngest)
+    textLmStatsTopK, streamingStatsIngest, textPhrasePrunedServe)
 }
