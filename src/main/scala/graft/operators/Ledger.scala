@@ -25,23 +25,36 @@ import org.apache.spark.sql.functions._
   * the migration face when the corpus outgrows B. */
 object Ledger {
 
+  /** The ONE bucket law both layouts share: `pmod(k, B)` over the raw
+    * key (numeric layout) or `xxhash64(key)` (string layout). Every
+    * public face below derives from this expression, so the cast, the
+    * positivity check, and the partition-column name can never diverge
+    * between the two layouts. */
+  private def bucketCol(keyCol: String, buckets: Int,
+                        hashed: Boolean): org.apache.spark.sql.Column = {
+    require(buckets > 0, "buckets must be positive")
+    pmod(if (hashed) xxhash64(col(keyCol)) else col(keyCol),
+      lit(buckets.toLong)).cast("int")
+  }
+
+  /** The bucket set a key frame elects — a driver `collect` bounded by
+    * min(B, distinct keys), regardless of batch or corpus size. */
+  private def electedBuckets(keys: DataFrame, keyCol: String,
+                             buckets: Int, hashed: Boolean): Seq[Int] =
+    keys.select(bucketCol(keyCol, buckets, hashed).as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
   /** `bkt = pmod(key, buckets)` — the write-side column every
     * bucket-partitioned ledger derives before `partitionBy("bkt")`. */
-  def withBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    df.withColumn("bkt", pmod(col(keyCol), lit(buckets.toLong)).cast("int"))
-  }
+  def withBucket(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
+    df.withColumn("bkt", bucketCol(keyCol, buckets, hashed = false))
 
   /** The bucket set an arriving batch's keys can touch — a driver
     * `collect` bounded by B (≤ buckets distinct ints, regardless of
     * batch or corpus size). */
   def batchBuckets(batch: DataFrame, keyCol: String,
-                   buckets: Int): Seq[Int] = {
-    require(buckets > 0, "buckets must be positive")
-    batch.select(pmod(col(keyCol), lit(buckets.toLong)).cast("int")
-        .as("bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-  }
+                   buckets: Int): Seq[Int] =
+    electedBuckets(batch, keyCol, buckets, hashed = false)
 
   /** Prune a stored bucket-partitioned ledger to the buckets `batch`'s
     * keys elect: the anti-join read leg of an idempotent append scans
@@ -62,11 +75,8 @@ object Ledger {
     * and executors (a pure function of the bytes), so the bucket is a
     * function of the key exactly as pmod(id, B) is. */
   def withHashBucket(df: DataFrame, keyCol: String,
-                     buckets: Int): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    df.withColumn("bkt",
-      pmod(xxhash64(col(keyCol)), lit(buckets.toLong)).cast("int"))
-  }
+                     buckets: Int): DataFrame =
+    df.withColumn("bkt", bucketCol(keyCol, buckets, hashed = true))
 
   /** The bucket set a key frame elects under the HASH layout — driver
     * collect bounded by min(buckets, distinct keys). Serve-side
@@ -74,12 +84,8 @@ object Ledger {
     * collect is the same bounded election [[batchBuckets]] performs
     * for arriving batches. */
   def keyHashBuckets(keys: DataFrame, keyCol: String,
-                     buckets: Int): Seq[Int] = {
-    require(buckets > 0, "buckets must be positive")
-    keys.select(pmod(xxhash64(col(keyCol)), lit(buckets.toLong))
-        .cast("int").as("bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-  }
+                     buckets: Int): Seq[Int] =
+    electedBuckets(keys, keyCol, buckets, hashed = true)
 
   /** Prune a HASH-bucketed stored ledger to the buckets `keys` elect —
     * the SERVE-side pruning law: a query's key-equi join against the
@@ -120,14 +126,18 @@ object Ledger {
     * one failure mode of overwrite-by-delta ledgers; witnessed by
     * LedgerSpec's emptied-bucket case). `delta` should be
     * materialized (localCheckpoint) by the caller when it was read
-    * from `dir` itself; the `bkt` collect is bounded by `touched`. */
+    * from `dir` itself; the `bkt` collect is bounded by `touched` and
+    * runs BEFORE the overwrite — after it, `dir` no longer holds the
+    * state the delta's lineage read, so a post-write re-evaluation
+    * could elect the wrong present set (and would re-run the delta
+    * plan a second time besides). */
   def overwriteBuckets(delta: DataFrame, touched: Seq[Int],
                        dir: String): Unit = {
+    val present = delta.select(col("bkt").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
     delta.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bkt").parquet(dir)
-    val present = delta.select(col("bkt").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSet
     val emptied = touched.filterNot(present)
     if (emptied.nonEmpty) {
       val base = new org.apache.hadoop.fs.Path(dir)

@@ -429,10 +429,17 @@ object Retrieval {
     * terms change: their replacement rows are old ⊕ batch (full-outer
     * merge, so unseen terms mint rows), every other term's row is
     * untouched — with `deltaOnly = true` the caller gets JUST the
-    * replacement rows, the dynamic-overwrite face for a term-bucketed
-    * stats layout ([[graft.operators.Ledger.withHashBucket]]).
-    * Integer-exact, so append ≡ from-scratch rebuild of the unioned
-    * corpus. */
+    * batch terms' replacement rows. deltaOnly output is a KEY-level
+    * delta, NOT bucket-overwrite content: on a term-bucketed layout
+    * ([[graft.operators.Ledger.withHashBucket]]) a touched bucket also
+    * holds non-batch terms, which a dynamic overwrite with only the
+    * batch terms' rows would silently delete. The bucket-overwrite
+    * face is `deltaOnly = false` over a bucket-PRUNED stats read
+    * ([[graft.operators.Ledger.prunedToKeys]]) — the anti-join leg
+    * then carries exactly the non-batch terms sharing the touched
+    * buckets, making the replacement complete (the streaming drain's
+    * wiring). Integer-exact, so append ≡ from-scratch rebuild of the
+    * unioned corpus. */
   def bm25TermStatsAppend(stats: DataFrame, batchTf: DataFrame,
                           deltaOnly: Boolean = false): DataFrame = {
     val b = batchTf.groupBy("term")

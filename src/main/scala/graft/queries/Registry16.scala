@@ -24,7 +24,6 @@ import graft.operators.{Ledger, Retrieval}
 object Registry16 {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
-
   /** Shared stats-oracle algebra: tf/df/cf/dl/N/Σdl over the raw
     * space-split corpus restricted by `where` — the exact DuckDB
     * replay of [[Retrieval.bm25IndexBuild]] →
@@ -220,10 +219,17 @@ object Registry16 {
     * what makes every downstream increment exact. The gate's output is
     * the O(query) serve ([[Retrieval.bm25TopKFromStats]]) over the
     * drained assets; the oracle derives everything from the raw corpus
-    * — streamed-maintained serve ≡ batch truth. (The posting append
-    * and stats overwrite are two storage commits; a crash between them
-    * diverges the assets until the page replays — the standard
-    * multi-asset soft-commit caveat, documented not hidden.) */
+    * — streamed-maintained serve ≡ batch truth. (Crash contract: the
+    * three storage commits are not atomic, and replay CANNOT heal a
+    * crash between them — the delta derivation anti-joins the posting
+    * ledger, so once postings committed, the replayed page yields an
+    * EMPTY delta and the stats folds absorb nothing. The posting
+    * ledger is the single AUTHORITY; df/cf/N/Σdl are derived data
+    * whose recovery path is re-derivation from postings
+    * ([[Retrieval.bm25TermStatsBuild]] / [[Retrieval.bm25GlobalStatsBuild]]
+    * — corpus-sized, paid only on crash recovery, never steady-state).
+    * A production deployment closes the window with a transactional
+    * table format or a per-asset batch-id high-water mark.) */
   val streamingStatsIngest = Q("streaming_stats_ingest",
     s"""WITH ${Registry12.sqlBm25(10)}
        |SELECT q_id, doc_id, rnk, score FROM lex
