@@ -148,4 +148,61 @@ object Ledger {
       }
     }
   }
+
+  /** Parquet-file census per bucket directory of a `bkt`-partitioned
+    * ledger — the fragmentation signal an append-only drain
+    * accumulates: every micro-batch's `mode("append")` adds one file
+    * per touched bucket, so after F batches a hot bucket holds F
+    * small files and its scans pay F footer reads + F row-group
+    * starts for batch-sized content. Driver-side FS listing, bounded
+    * by the ledger's file count (metadata, never data). */
+  def bucketFileCounts(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Map[Int, Int] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) Map.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bkt="))
+      .map { s =>
+        val b = s.getPath.getName.stripPrefix("bkt=").toInt
+        val n = fs.listStatus(s.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        b -> n
+      }.toMap
+  }
+
+  /** The buckets whose file count exceeds `maxFiles` — the compaction
+    * CADENCE's election ([[compactBuckets]]'s natural input): compact
+    * when fragmentation crosses the threshold, not on every batch. */
+  def fragmentedBuckets(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, maxFiles: Int): Seq[Int] = {
+    require(maxFiles > 0, "maxFiles must be positive")
+    bucketFileCounts(spark, dir).filter(_._2 > maxFiles)
+      .keys.toSeq.sorted
+  }
+
+  /** COMPACT the elected buckets of a `bkt`-partitioned ledger:
+    * content-identical rewrite that collapses each bucket to ONE
+    * parquet file — the maintenance face that pays down
+    * [[overwriteBuckets]]/append-drain fragmentation on a cadence
+    * (what a table format's OPTIMIZE does), completing the ledger
+    * life cycle next to build/append/remove. Only the elected buckets
+    * are read (literal `bkt IN` partition filter) and only they are
+    * rewritten (dynamic partition overwrite through
+    * [[overwriteBuckets]]); rows, values, and bucket assignment are
+    * untouched by contract — a compacted ledger serves bit-identically
+    * (witnessed by the gate). The repartition on `bkt` puts each
+    * bucket's rows in exactly one task, hence one output file per
+    * bucket directory; localCheckpoint materializes the read before
+    * the overwrite clears the directories it came from. */
+  def compactBuckets(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, bkts: Seq[Int]): Unit = {
+    if (bkts.nonEmpty) {
+      val pruned = spark.read.parquet(dir)
+        .filter(col("bkt").isin(bkts.map(Int.box): _*))
+        .repartition(col("bkt"))
+        .localCheckpoint()
+      overwriteBuckets(pruned, bkts, dir)
+    }
+  }
 }

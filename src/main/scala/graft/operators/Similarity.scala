@@ -1853,6 +1853,83 @@ object Similarity {
     }
   }
 
+  /** Matryoshka (MRL) prefix-dimension search: score every candidate
+    * with only the FIRST `dPrefix` components (nested-representation
+    * embeddings are trained so every prefix is itself a valid
+    * lower-resolution embedding), keep the top `rerank` per query, and
+    * re-rank the survivors by exact FULL-dimension cosine — the
+    * adaptive-retrieval serving pattern for MRL model families, and the
+    * cheapest member of the coarse-score→exact-rerank family next to
+    * [[pqTopK]]'s ADC and [[binaryTopK]]'s Hamming stages (no codebook,
+    * no training: the "quantizer" is truncation).
+    *
+    * Scale shape: stage 1's arithmetic is dPrefix/dim of brute force,
+    * and with `prefixCorpus` supplied (an (idCol, vecCol) ledger
+    * holding the stored dPrefix-slices — written once at ingest, the
+    * production deployment) stage 1's scan I/O drops by the same
+    * factor: the full-width floats are read ONLY for the ≤ queries ×
+    * rerank survivors in stage 2. Without it the slice is computed in
+    * the scan projection — same dataflow and results, full-width read
+    * (the local-test convenience). Ties and refusals follow the family
+    * contract: prefix ties to the lower id, zero-norm prefixes (or
+    * whole vectors) score null and are dropped, never ranked; queries
+    * broadcast behind the [[pqTopK]] refuse-guard.
+    *
+    * Returns (q_id, n_id, rnk, cos) — `cos` is the exact full-dim
+    * score, so downstream consumers see brute-force semantics over the
+    * survivor set. */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     dPrefix: Int, rerank: Int, dim: Int = 64,
+                     prefixCorpus: Option[DataFrame] = None,
+                     maxQueryRows: Long = 1L << 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(dPrefix > 0 && dPrefix <= dim,
+      s"dPrefix must be in [1, dim], got dPrefix=$dPrefix dim=$dim")
+    require(rerank >= k, s"rerank must be >= k, got rerank=$rerank k=$k")
+    val nq = queries.select(col(idCol)).count()
+    require(nq <= maxQueryRows,
+      s"matryoshkaTopK: query side holds $nq rows > maxQueryRows=" +
+        s"$maxQueryRows; queries broadcast raw vectors — batch the " +
+        "queries or raise the cap deliberately")
+    val q = queries.select(col(idCol).as("q_id"),
+      slice(col(vecCol), 1, dPrefix).as("q_pv"),
+      col(vecCol).as("q_vec"),
+      VectorFns.l2NormN(col(vecCol), dim).as("q_nrm"))
+      .withColumn("q_pnrm", VectorFns.l2NormN(col("q_pv"), dPrefix))
+    val cPrefix = prefixCorpus match {
+      case Some(p) => p.select(col(idCol).as("n_id"),
+        col(vecCol).as("n_pv"))
+      case None => corpus.select(col(idCol).as("n_id"),
+        slice(col(vecCol), 1, dPrefix).as("n_pv"))
+    }
+    val c = cPrefix.withColumn("n_pnrm",
+      VectorFns.l2NormN(col("n_pv"), dPrefix))
+    val pd = VectorFns.dotN(col("q_pv"), col("n_pv"), dPrefix)
+    val pcos = when(col("q_pnrm") > 0.0 && col("n_pnrm") > 0.0,
+      pd / (col("q_pnrm") * col("n_pnrm")))
+    val surv = c.join(broadcast(q.select("q_id", "q_pv", "q_pnrm")),
+        col("q_id") =!= col("n_id"))
+      .withColumn("pcos", pcos)
+      .filter(col("pcos").isNotNull)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("pcos").desc, col("n_id").asc)))
+      .filter(col("rnk") <= rerank)
+      .select(col("q_id"), col("n_id"))
+    val raw = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorFns.l2NormN(col(vecCol), dim).as("n_nrm"))
+    raw.join(broadcast(surv), Seq("n_id"))
+      .join(broadcast(q.select("q_id", "q_vec", "q_nrm")), Seq("q_id"))
+      .withColumn("cos", cosFromNorms(dim))
+      .filter(col("cos").isNotNull)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"), col("cos"))
+  }
+
   /** Graph-based ANN search: bounded-hop BEAM SEARCH over a prebuilt
     * kNN graph ([[knnGraph]]/[[knnGraphPq]] output) — the fourth classic
     * index family next to LSH, IVF, and quantization, and the shape

@@ -24,6 +24,17 @@ import graft.operators.{Ledger, Retrieval}
 object Registry16 {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** DuckDB left-fold dot/cosine over the FIRST n components — the
+    * prefix-space twin of Registry10.sqlCos (same fold order as
+    * [[graft.functions.VectorFns.dotN]] over a sliced array). */
+  private def sqlDotN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+  private def sqlCosN(a: String, b: String, n: Int): String =
+    s"""(${sqlDotN(a, b, n)} / (sqrt(${sqlDotN(a, a, n)}) * sqrt(${sqlDotN(b, b, n)})))"""
+
   /** Shared stats-oracle algebra: tf/df/cf/dl/N/Σdl over the raw
     * space-split corpus restricted by `where` — the exact DuckDB
     * replay of [[Retrieval.bm25IndexBuild]] →
@@ -423,7 +434,100 @@ object Registry16 {
       .orderBy("doc_id", "term")
   }
 
+  /** Bucket COMPACTION under the gate ([[Ledger.compactBuckets]]):
+    * an append-drained ledger accumulates one parquet file per batch
+    * per touched bucket; the compaction cadence elects the fragmented
+    * buckets ([[Ledger.fragmentedBuckets]] — a metadata listing, never
+    * data) and rewrites each to ONE file with bit-identical content —
+    * the ledger life cycle's fourth face next to build/append/remove
+    * (what a table format's OPTIMIZE does, expressed on the raw
+    * bucket-partitioned layout). The fixture builds the ledger in
+    * four writes (1 build + 3 appends — multiple files per bucket,
+    * guarded), compacts, asserts the 1-file-per-bucket postcondition
+    * in-query, and hashes the full read-back with its bucket column:
+    * any row lost, duplicated, or re-bucketed by the rewrite breaks
+    * the gate. The oracle derives the tf content from the raw corpus
+    * — compaction must be invisible to every consumer. */
+  val textIndexCompact = Q("text_index_compact",
+    s"""WITH toks AS (SELECT doc_id, term FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents) WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+       |SELECT doc_id, term, tf, CAST(doc_id % 16 AS INT) AS bkt
+       |FROM tf ORDER BY doc_id, term""".stripMargin) { (s, d) =>
+    val dcs = docs(s, d)
+    val n = dcs.count()
+    val stage = StreamHarness.runDir("graft_compact")
+    val dir = stage.resolve("ledger").toString
+    val cuts = Seq(0L, n / 2, n * 3 / 4, n * 7 / 8, n)
+    cuts.init.zip(cuts.tail).zipWithIndex.foreach { case ((lo, hi), i) =>
+      Ledger.withBucket(
+          Retrieval.bm25IndexBuild(
+            dcs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+            "doc_id", "text"), "doc_id", 16)
+        .write.partitionBy("bkt")
+        .mode(if (i == 0) "overwrite" else "append").parquet(dir)
+    }
+    val frag = Ledger.fragmentedBuckets(s, dir, maxFiles = 1)
+    require(frag.nonEmpty,
+      "fixture must fragment: 4 writes should leave >1 file somewhere")
+    Ledger.compactBuckets(s, dir, frag)
+    val after = Ledger.bucketFileCounts(s, dir)
+    require(after.nonEmpty && after.forall { case (b, nf) =>
+      nf <= 1 || !frag.contains(b) },
+      s"compacted buckets must hold exactly one file, got $after")
+    s.read.parquet(dir)
+      .select(col("doc_id"), col("term"), col("tf"), col("bkt"))
+      .orderBy("doc_id", "term")
+  }
+
+  // ------------------------------------------------- matryoshka ANN
+
+  /** Matryoshka prefix-dimension search under the gate
+    * ([[graft.operators.Similarity.matryoshkaTopK]]): stage 1 scores
+    * with the first 16 of 64 components read from a STORED prefix
+    * ledger (written once at "ingest" — the adaptive-retrieval
+    * deployment where stage 1's scan I/O is dPrefix/dim of the
+    * corpus), stage 2 re-ranks the top-20 survivors by exact full-dim
+    * cosine to top-5. The oracle replays both stages: prefix cosine as
+    * a range(1,17) left fold (the same slice the Spark side stores),
+    * rank to 20 with the (pcos DESC, n_id) tie rule, full-width rerank
+    * with brute force's algebra — a drift in either stage's candidate
+    * set or either tie-break flips the hash. */
+  val annMatryoshka = Q("ann_matryoshka_topk",
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |  FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+       |ps AS (SELECT q_id, n_id, ${sqlCosN("q_vec", "n_vec", 16)} AS pcos
+       |  FROM c CROSS JOIN q WHERE q_id <> n_id),
+       |pr AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY pcos DESC, n_id ASC) AS prnk FROM ps)
+       |  WHERE prnk <= 20),
+       |sc AS (SELECT pr.q_id, pr.n_id,
+       |    ${RegistryExt.sqlCos("q.q_vec", "c.n_vec")} AS cos
+       |  FROM pr JOIN q ON pr.q_id = q.q_id
+       |  JOIN c ON pr.n_id = c.n_id),
+       |r AS (SELECT q_id, n_id, cos, CAST(ROW_NUMBER() OVER
+       |  (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT q_id, n_id, rnk, cos FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val e = emb(s, d)
+    val stage = StreamHarness.runDir("graft_mrl")
+    val prefDir = stage.resolve("prefix16").toString
+    e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      .write.mode("overwrite").parquet(prefDir)
+    Similarity.matryoshkaTopK(e.filter(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 5, dPrefix = 16, rerank = 20,
+      prefixCorpus = Some(s.read.parquet(prefDir)))
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round16: Seq[Q] = Seq(textIndexStats, textIndexStatsAppend,
     textIndexStatsRemove, textBm25StatsTopK, textIndexRemoveBucketed,
-    textLmStatsTopK, streamingStatsIngest, textPhrasePrunedServe)
+    textLmStatsTopK, streamingStatsIngest, textPhrasePrunedServe,
+    textIndexCompact, annMatryoshka)
 }

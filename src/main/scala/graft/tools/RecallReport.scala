@@ -131,7 +131,20 @@ object RecallReport {
         Similarity.graphSearchTopK(q, e, graphC, "vec_id", "embedding", k,
           beam = 16, hops = 4, entries = Some(
             Similarity.graphEntries(q, e, cent, "vec_id", "embedding",
-              nProbe = 4)))))
+              nProbe = 4)))),
+      // matryoshka prefix-width curve (ann_matryoshka_topk's serving
+      // pattern): stage-1 arithmetic AND — with a stored prefix
+      // ledger — scan I/O scale with dPrefix/64; recall measures what
+      // each truncation level costs at a fixed rerank budget
+      "matryoshka(d8,r=3k)" -> (() =>
+        Similarity.matryoshkaTopK(q, e, "vec_id", "embedding", k,
+          dPrefix = 8, rerank = 3 * k)),
+      "matryoshka(d16,r=3k)" -> (() =>
+        Similarity.matryoshkaTopK(q, e, "vec_id", "embedding", k,
+          dPrefix = 16, rerank = 3 * k)),
+      "matryoshka(d32,r=3k)" -> (() =>
+        Similarity.matryoshkaTopK(q, e, "vec_id", "embedding", k,
+          dPrefix = 32, rerank = 3 * k)))
     println(f"RECALL sf=$sfDir queries=$nQ k=$k")
     // takedown-repair story: tombstone a 10% id range out of the
     // connected graph, then measure search recall against the

@@ -95,4 +95,46 @@ class LedgerSpec extends SparkSpec {
       graft.queries.FixtureCache.deleteRecursively(dir)
     }
   }
+
+  test("compactBuckets: content-identical, one file per compacted bucket, untouched buckets' files untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpspec")
+    try {
+      // 3 appends over B = 4, each a single task → each write adds one
+      // file to every bucket it touches. Buckets 0..2 get 3 files;
+      // bucket 3's ids appear only in the first write (1 file) so it
+      // must NOT be elected at maxFiles = 2, and compaction must not
+      // rewrite it.
+      Seq[Seq[Long]](0L until 16L,               // all four buckets
+          Seq(16L, 17L, 18L, 20L, 21L, 22L),     // no id ≡ 3 (mod 4)
+          Seq(24L, 25L, 26L, 28L, 29L, 30L)      // no id ≡ 3 (mod 4)
+      ).foreach { ids =>
+        Ledger.withBucket(ids.toDF("id").withColumn("v", col("id") * 10),
+            "id", 4)
+          .coalesce(1)
+          .write.partitionBy("bkt").mode("append").parquet(dir.toString)
+      }
+      val before = spark.read.parquet(dir.toString)
+        .select("id", "v", "bkt").collect().toSet
+      val counts0 = Ledger.bucketFileCounts(spark, dir.toString)
+      assert(counts0(0) == 3 && counts0(3) == 1, s"fixture drifted: $counts0")
+      val frag = Ledger.fragmentedBuckets(spark, dir.toString, maxFiles = 2)
+      assert(frag == Seq(0, 1, 2), s"election drifted: $frag")
+      val b3file = Ledger.bucketFileCounts(spark, dir.toString)
+      Ledger.compactBuckets(spark, dir.toString, frag)
+      val after = spark.read.parquet(dir.toString)
+        .select("id", "v", "bkt").collect().toSet
+      assert(after == before, "compaction changed ledger content")
+      val counts1 = Ledger.bucketFileCounts(spark, dir.toString)
+      assert(frag.forall(counts1(_) == 1),
+        s"compacted buckets must hold one file: $counts1")
+      assert(counts1(3) == b3file(3),
+        "an unelected bucket was rewritten")
+      // empty election is a no-op
+      Ledger.compactBuckets(spark, dir.toString, Seq.empty)
+      assert(Ledger.bucketFileCounts(spark, dir.toString) == counts1)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
 }

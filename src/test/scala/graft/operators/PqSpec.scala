@@ -499,4 +499,58 @@ class PqSpec extends SparkSpec {
       Similarity.permuteVectors(e, "embedding", broken)
     }
   }
+
+  test("matryoshkaTopK: full-width prefix with full rerank equals brute force") {
+    val q = emb.filter($"vec_id" < 3)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val mrl = Similarity.matryoshkaTopK(q, emb, "vec_id", "embedding",
+      k = 5, dPrefix = 64, rerank = n)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(mrl == brute,
+      "dPrefix = dim with an uncut rerank must reproduce brute force exactly")
+  }
+
+  test("matryoshkaTopK: stored-prefix path is bit-equal to the inline slice; cos is exact full-dim") {
+    val q = emb.filter($"vec_id" < 3)
+    val pref = emb.select($"vec_id",
+      slice($"embedding", 1, 16).as("embedding"))
+    val inline = Similarity.matryoshkaTopK(q, emb, "vec_id", "embedding",
+      k = 5, dPrefix = 16, rerank = 20)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val stored = Similarity.matryoshkaTopK(q, emb, "vec_id", "embedding",
+      k = 5, dPrefix = 16, rerank = 20,
+      prefixCorpus = Some(pref))
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(inline == stored,
+      "the stored prefix ledger must be a pure input substitution")
+    // every returned cos is the exact full-dim cosine — the survivors'
+    // scores must match brute force's for the same (q, n) pairs
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+      k = emb.count().toInt)
+      .select("q_id", "n_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    inline.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf(key) == r.getDouble(3),
+        s"rerank score for $key drifted from exact full-dim cosine")
+    }
+  }
+
+  test("matryoshkaTopK: guards refuse bad widths and a rerank below k") {
+    val q = emb.filter($"vec_id" < 2)
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(q, emb, "vec_id", "embedding",
+        k = 5, dPrefix = 0, rerank = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(q, emb, "vec_id", "embedding",
+        k = 5, dPrefix = 65, rerank = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaTopK(q, emb, "vec_id", "embedding",
+        k = 5, dPrefix = 16, rerank = 4)
+    }
+  }
 }
