@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** MANIFEST commit protocol for multi-asset serve stacks — the
+  * transactional face the plain drains document as their crash
+  * caveat (`streaming_stats_ingest`: three independent storage
+  * commits; a crash between them diverges derived state with no
+  * replay repair). The protocol is the table-format snapshot idea
+  * (Iceberg/Delta's core) expressed on raw parquet + one text file:
+  *
+  *  - every asset write lands in a VERSIONED location that no reader
+  *    resolves directly — postings as per-batch delta directories
+  *    (`postings/batch=N`), small derived ledgers as whole-version
+  *    directories (`global/v=N`), bucket-replaced ledgers as
+  *    per-bucket versions (`stats/v=N/bkt=M`);
+  *  - the manifest is a tiny key=value file pinning exactly one
+  *    consistent cut: the high-water batch id, the global version,
+  *    and each stats bucket's current version;
+  *  - the COMMIT POINT is the manifest's atomic rename. A crash
+  *    anywhere before it leaves the previous manifest intact, so a
+  *    reader can never observe a torn multi-asset state — the
+  *    orphaned new-version files are invisible and get overwritten
+  *    by the replay;
+  *  - replay idempotency is BY BATCH ID, not by anti-join against
+  *    mutable state: a batch whose id is ≤ the manifest's high-water
+  *    mark is skipped whole; a batch that crashed mid-write re-runs
+  *    all its writes (same target paths — overwrite) and commits
+  *    once. Exactly-once end to end, with every write still
+  *    O(touched).
+  *
+  * The rename-as-commit is atomic on POSIX filesystems and HDFS; an
+  * object store without atomic rename needs a conditional-put
+  * manifest swap instead (the documented reason table formats have
+  * pluggable commit protocols) — the PROTOCOL (versioned writes +
+  * single pointer swap + batch-id high-water) is identical.
+  */
+object Manifest {
+
+  /** One consistent cut of a multi-asset stack: the replay high-water
+    * batch id, the manifest version, the global ledger's version, and
+    * each stats bucket's pinned version (buckets absent from the map
+    * have never been written). */
+  case class State(version: Long, batchId: Long, globalV: Long,
+                   statsV: Map[Int, Long]) {
+    def render: String = {
+      val sv = statsV.toSeq.sorted.map { case (b, v) => s"$b:$v" }
+        .mkString(",")
+      s"version=$version\nbatch=$batchId\nglobal=$globalV\nstats=$sv\n"
+    }
+  }
+
+  private def fs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Resolve the current committed state; None before the first
+    * commit. Reads ONE small file — the serve-side cost of the
+    * protocol is a single metadata read per query batch. */
+  def read(spark: SparkSession, dir: String): Option[State] = {
+    val (f, base) = fs(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(base, "manifest")
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val kv = txt.linesIterator.filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      val sv = kv("stats").split(",").filter(_.nonEmpty).map { e =>
+        val Array(b, v) = e.split(":"); b.toInt -> v.toLong
+      }.toMap
+      Some(State(kv("version").toLong, kv("batch").toLong,
+        kv("global").toLong, sv))
+    }
+  }
+
+  /** COMMIT: write the rendered state to a scratch name, then rename
+    * onto `manifest` — the swap is the transaction's only visible
+    * effect; everything written before it was invisible. */
+  def commit(spark: SparkSession, dir: String, state: State): Unit = {
+    val (f, base) = fs(spark, dir)
+    f.mkdirs(base)
+    val tmp = new org.apache.hadoop.fs.Path(base,
+      s"manifest.tmp-${state.version}")
+    val out = f.create(tmp, true)
+    try out.write(state.render.getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(base, "manifest")
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"manifest commit failed: rename $tmp -> $dst")
+  }
+
+  /** The posting delta directories a committed state makes visible:
+    * `postings/batch=0 .. batch=batchId`, existing ones only (a batch
+    * may legitimately contribute no delta). Orphans past the
+    * high-water mark — a crashed batch's un-committed write — are NOT
+    * returned: invisibility before the manifest swap is the whole
+    * protocol. */
+  def visiblePostingDirs(spark: SparkSession, dir: String,
+                         state: State): Seq[String] = {
+    val (f, base) = fs(spark, dir)
+    (0L to state.batchId).map(b =>
+        new org.apache.hadoop.fs.Path(base, s"postings/batch=$b"))
+      .filter(f.exists).map(_.toString)
+  }
+
+  /** The stats bucket directories a committed state pins — each
+    * bucket at ITS version (`stats/v=V/bkt=B`): a batch that replaced
+    * buckets {2, 7} at v5 left every other bucket pinned at older
+    * versions, and the union of pinned paths IS the ledger. */
+  def visibleStatsDirs(spark: SparkSession, dir: String,
+                       state: State): Seq[String] = {
+    val (_, base) = fs(spark, dir)
+    state.statsV.toSeq.sorted.map { case (b, v) =>
+      new org.apache.hadoop.fs.Path(base, s"stats/v=$v/bkt=$b").toString
+    }
+  }
+
+  /** The pinned global-ledger directory. */
+  def globalDir(dir: String, state: State): String =
+    s"$dir/global/v=${state.globalV}"
+}
+
+/** The BM25 serve stack's TRANSACTIONAL drain — the
+  * [[Manifest]] protocol applied to the three assets
+  * `streaming_stats_ingest` maintains with independent commits
+  * (postings / term stats / global). Per batch, every write targets
+  * a location derived from (version + 1, batchId) that no committed
+  * manifest points at, then ONE manifest swap makes all three visible
+  * together:
+  *
+  *  - postings: the anti-joined, norm-carrying delta lands whole in
+  *    `postings/batch=N` (doc-bucketed inside for the next batch's
+  *    pruned anti-join reads) — replay overwrites the same directory;
+  *  - term stats: the batch terms' buckets are re-derived from their
+  *    PINNED versions ⊕ the delta and written under
+  *    `stats/v=N'/bkt=M`; untouched buckets keep their old pinned
+  *    versions in the manifest — per-bucket MVCC, O(touched) write;
+  *  - global: the 1-row increment lands at `global/v=N'`.
+  *
+  * Because every write goes to a fresh versioned path, the drain
+  * never overwrites anything it read — the self-overwrite
+  * checkpointing the in-place drains need disappears structurally.
+  * Idempotency is by batch id (≤ high-water ⇒ skip whole), so a crash
+  * at ANY point replays to the exact committed state: before the
+  * swap nothing was visible; after it the batch is skipped. This is
+  * the fix for the in-place drain's documented crash caveat (its
+  * replay could not heal a partial commit because its delta
+  * derivation anti-joined already-committed postings). */
+object TxServeStack {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Resolve the committed assets for serving: (postings, termStats,
+    * global), each read ONLY through the manifest's pinned paths.
+    * `statsBuckets` restricts the stats read to an elected bucket set
+    * (the serve-side O(query) pruning — here it is PATH-level: an
+    * unelected bucket's directory is never even listed). */
+  def resolve(spark: SparkSession, root: String,
+              statsBuckets: Option[Seq[Int]] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    val pdirs = Manifest.visiblePostingDirs(spark, root, st)
+    val postings =
+      if (pdirs.isEmpty)
+        spark.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit("").as("term"),
+            lit(0L).as("tf"), lit(0L).as("dl")).limit(0)
+      else spark.read.option("basePath", s"$root/postings")
+        .parquet(pdirs: _*)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val pinned = statsBuckets match {
+      case None => st.statsV
+      case Some(bs) => st.statsV.filter { case (b, _) => bs.contains(b) }
+    }
+    val sdirs = pinned.toSeq.sorted.map { case (b, v) =>
+      s"$root/stats/v=$v/bkt=$b" }
+    val stats =
+      if (sdirs.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("term"), lit(0L).as("df"), lit(0L).as("cf"))
+          .limit(0)
+      else spark.read.option("basePath", s"$root/stats")
+        .parquet(sdirs: _*)
+        .select(col("term"), col("df"), col("cf"))
+    val global = spark.read.parquet(Manifest.globalDir(root, st))
+    (postings, stats, global)
+  }
+
+  /** One micro-batch through the protocol. `publish = false`
+    * simulates a crash after ALL asset writes but before the commit
+    * point (the spec's crash face — a reader must see no change).
+    * Returns true when the batch ran, false when the high-water mark
+    * skipped it. */
+  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long, idCol: String, textCol: String,
+                  docBuckets: Int, termBuckets: Int,
+                  publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      Manifest.State(-1L, -1L, -1L, Map.empty))
+    if (batchId <= st.batchId) return false // replayed: already committed
+    val vNew = st.version + 1
+    // delta vs the COMMITTED postings only (orphans invisible) —
+    // bucket-pruned to the batch's doc buckets like every drain
+    val pdirs = Manifest.visiblePostingDirs(spark, root, st)
+    val storedTf =
+      if (pdirs.isEmpty)
+        spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      else Ledger.prunedToBatch(
+        spark.read.option("basePath", s"$root/postings").parquet(pdirs: _*)
+          .select(col("doc_id"), col("bkt")),
+        batch, idCol, docBuckets)
+    val delta = Retrieval.bm25IndexAppend(
+      storedTf.select(col("doc_id")), batch, idCol, textCol,
+      deltaOnly = true).localCheckpoint()
+    Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id", docBuckets)
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/postings/batch=$batchId")
+    // term stats: touched buckets re-derived from their pinned versions
+    val batchTerms = delta.select("term").distinct()
+    val touched = Ledger.keyHashBuckets(batchTerms, "term", termBuckets)
+    val pinnedPrev = st.statsV.filter { case (b, _) => touched.contains(b) }
+    val prev =
+      if (pinnedPrev.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("term"), lit(0L).as("df"), lit(0L).as("cf"))
+          .limit(0)
+      else spark.read.option("basePath", s"$root/stats")
+        .parquet(pinnedPrev.toSeq.sorted.map { case (b, v) =>
+          s"$root/stats/v=$v/bkt=$b" }: _*)
+        .select(col("term"), col("df"), col("cf"))
+    val replaced = Retrieval.bm25TermStatsAppend(prev, delta)
+    Ledger.withHashBucket(replaced, "term", termBuckets)
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/stats/v=$vNew")
+    // global: pinned 1-row read + integer increment, fresh version
+    val gPrev =
+      if (st.globalV < 0) {
+        import spark.implicits._
+        Seq((0L, 0L)).toDF("n_docs", "sum_dl")
+      } else spark.read.parquet(Manifest.globalDir(root, st))
+    Retrieval.bm25GlobalStatsAppend(gPrev, delta)
+      .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
+    if (publish)
+      Manifest.commit(spark, root, Manifest.State(vNew, batchId, vNew,
+        st.statsV ++ touched.map(_ -> vNew)))
+    true
+  }
+}

@@ -526,8 +526,81 @@ object Registry16 {
       .orderBy("q_id", "rnk")
   }
 
+  /** The TRANSACTIONAL serve-stack drain under the gate
+    * ([[graft.operators.TxServeStack]] — the [[graft.operators.Manifest]]
+    * commit protocol): where `streaming_stats_ingest` pays three
+    * independent storage commits per batch (and documents the crash
+    * window between them as unhealable), here every asset write lands
+    * at a versioned path no reader resolves, and ONE atomic manifest
+    * rename publishes all three together — per-bucket MVCC for the
+    * term stats (untouched buckets stay pinned at old versions),
+    * per-batch delta directories for the postings, batch-id
+    * high-water for exactly-once replay. The gate's output is the
+    * O(query) BM25 serve resolved ONLY through the manifest (the
+    * stats read is PATH-pruned to the query terms' buckets — an
+    * unelected bucket's directory is never listed); the oracle derives
+    * everything from the raw corpus, so torn or double-applied state
+    * from any batch flips the hash. ManifestSpec carries the crash
+    * face: assets written + commit skipped ≡ invisible. */
+  val streamingStatsManifest = Q("streaming_stats_manifest",
+    s"""WITH ${Registry12.sqlBm25(10)}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.TxServeStack
+    val dcs = docs(s, d)
+    val n = dcs.count()
+    val fx = FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val qn = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * qn - 10)
+        val hi = if (p == 3) n else (p + 1) * qn
+        val tmpd = tmp.resolve(s"tmp$p")
+        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_statstx")
+    val root = stage.resolve("stack").toString
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val run = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TxServeStack.commitBatch(s, root, b, id, "doc_id", "text",
+          docBuckets = 16, termBuckets = 16)
+        ()
+      }
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qBkts = Ledger.keyHashBuckets(qt.select("term").distinct(),
+      "term", 16)
+    val (postings, stats, global) =
+      TxServeStack.resolve(s, root, statsBuckets = Some(qBkts))
+    Retrieval.bm25TopKFromStats(qt, postings, stats, global, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round16: Seq[Q] = Seq(textIndexStats, textIndexStatsAppend,
     textIndexStatsRemove, textBm25StatsTopK, textIndexRemoveBucketed,
     textLmStatsTopK, streamingStatsIngest, textPhrasePrunedServe,
-    textIndexCompact, annMatryoshka)
+    textIndexCompact, annMatryoshka, streamingStatsManifest)
 }

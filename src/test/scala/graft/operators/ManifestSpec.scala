@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Manifest]] / [[TxServeStack]] — the atomic multi-asset commit
+  * protocol. The load-bearing claims: (1) nothing written before the
+  * manifest swap is visible to a reader; (2) a crash after ALL asset
+  * writes but before the swap replays to the exact state a
+  * straight-through run produces; (3) the batch-id high-water mark
+  * makes replay of a committed batch a no-op. */
+class ManifestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox"),
+    (1L, "the lazy dog sleeps"),
+    (2L, "quick dogs and lazy foxes"),
+    (3L, "a fox a dog a fox")
+  ).toDF("doc_id", "text")
+
+  private def snapshot(root: String): (Set[String], Set[String], Seq[String]) = {
+    val (p, s, g) = TxServeStack.resolve(spark, root)
+    (p.collect().map(_.toString).toSet,
+     s.collect().map(_.toString).toSet,
+     g.collect().map(_.toString).toSeq)
+  }
+
+  test("manifest read/commit round-trip; missing manifest resolves to None") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftrt")
+    try {
+      assert(Manifest.read(spark, dir.toString).isEmpty)
+      val st = Manifest.State(3L, 2L, 3L, Map(0 -> 1L, 5 -> 3L))
+      Manifest.commit(spark, dir.toString, st)
+      assert(Manifest.read(spark, dir.toString).contains(st))
+      // re-commit overwrites (the pointer swap)
+      val st2 = st.copy(version = 4L, batchId = 3L)
+      Manifest.commit(spark, dir.toString, st2)
+      assert(Manifest.read(spark, dir.toString).contains(st2))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("uncommitted asset writes are invisible; replay converges to the straight-through state") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_mfta")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_mftb")
+    try {
+      val b0 = corpus.filter($"doc_id" < 2)
+      val b1 = corpus.filter($"doc_id" >= 2)
+      // path A: straight through
+      TxServeStack.commitBatch(spark, dirA.toString, b0, 0L,
+        "doc_id", "text", 4, 4)
+      TxServeStack.commitBatch(spark, dirA.toString, b1, 1L,
+        "doc_id", "text", 4, 4)
+      // path B: batch 1 crashes AFTER all asset writes, BEFORE commit
+      TxServeStack.commitBatch(spark, dirB.toString, b0, 0L,
+        "doc_id", "text", 4, 4)
+      val afterB0 = snapshot(dirB.toString)
+      TxServeStack.commitBatch(spark, dirB.toString, b1, 1L,
+        "doc_id", "text", 4, 4, publish = false)
+      // invisibility: a reader sees exactly the batch-0 state
+      assert(snapshot(dirB.toString) == afterB0,
+        "assets written before the manifest swap leaked to a reader")
+      assert(Manifest.read(spark, dirB.toString).get.batchId == 0L)
+      // replay of the crashed batch (same id, full run incl. commit)
+      TxServeStack.commitBatch(spark, dirB.toString, b1, 1L,
+        "doc_id", "text", 4, 4)
+      assert(snapshot(dirB.toString) == snapshot(dirA.toString),
+        "crash + replay drifted from the straight-through run")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dirA)
+      graft.queries.FixtureCache.deleteRecursively(dirB)
+    }
+  }
+
+  test("batch-id high-water mark: a committed batch replays as a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfthw")
+    try {
+      val b0 = corpus.filter($"doc_id" < 2)
+      assert(TxServeStack.commitBatch(spark, dir.toString, b0, 0L,
+        "doc_id", "text", 4, 4))
+      val s0 = snapshot(dir.toString)
+      val v0 = Manifest.read(spark, dir.toString).get.version
+      // replay: returns false, state byte-identical (version unmoved)
+      assert(!TxServeStack.commitBatch(spark, dir.toString, b0, 0L,
+        "doc_id", "text", 4, 4))
+      assert(snapshot(dir.toString) == s0)
+      assert(Manifest.read(spark, dir.toString).get.version == v0)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("tx stack serve == in-place ledgers built from the same corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfteq")
+    try {
+      TxServeStack.commitBatch(spark, dir.toString,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      TxServeStack.commitBatch(spark, dir.toString,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      val (p, s, g) = TxServeStack.resolve(spark, dir.toString)
+      val ledger = Retrieval.bm25IndexBuild(corpus, "doc_id", "text")
+      val wantP = Retrieval.withDocNorms(ledger)
+      assert(p.exceptAll(wantP).isEmpty && wantP.exceptAll(p).isEmpty,
+        "manifest-resolved postings drifted from a from-scratch build")
+      val wantS = Retrieval.bm25TermStatsBuild(ledger)
+      assert(s.exceptAll(wantS).isEmpty && wantS.exceptAll(s).isEmpty,
+        "manifest-resolved term stats drifted from a from-scratch build")
+      val wantG = Retrieval.bm25GlobalStatsBuild(ledger).collect().toSeq
+      assert(g.collect().toSeq == wantG,
+        "manifest-resolved global stats drifted from a from-scratch build")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+}
