@@ -520,6 +520,70 @@ object ScaleProbe {
         }
       }
 
+      if (want("compact")) {
+        // ledger fragmentation (round 15): an append drain leaves one
+        // file per batch per touched bucket, so a serve's pruned read
+        // opens elected_buckets × files_per_bucket parquet footers for
+        // batch-sized content — the footer/row-group constant is what
+        // grows, not the rows. Governing counts: files under the
+        // elected buckets before/after [[Ledger.compactBuckets]], with
+        // the pass-2 pruned-read wall both ways; rows are identical by
+        // the gate's contract, so any wall delta is pure per-file
+        // overhead.
+        import graft.operators.{Ledger, Retrieval}
+        val d = graft.Tables.documents(spark, dir)
+        val buckets = 64
+        val nBatches = 16
+        val stage = java.nio.file.Files.createTempDirectory("graft_pcpt")
+        val ldir = stage.resolve("ledger").toString
+        try {
+          val ledger = graft.operators.Lineage.truncate(
+            Ledger.withHashBucket(Retrieval.withDocNorms(
+              Retrieval.bm25IndexBuild(d, "doc_id", "text")),
+              "term", buckets))
+          for (b <- 0 until nBatches) {
+            ledger.filter(pmod(col("doc_id"), lit(nBatches.toLong)) === b)
+              .coalesce(1)
+              .write.partitionBy("bkt").mode("append").parquet(ldir)
+          }
+          // deterministic 3-term election (orderBy before limit): the
+          // frame is evaluated more than once below and a free-order
+          // limit could pick different terms per evaluation
+          val qterms = d.filter(col("doc_id") === 0)
+            .select(explode(split(col("text"), " ")).as("term"))
+            .filter(col("term") =!= "").distinct()
+            .orderBy("term").limit(3)
+          val bkts = Ledger.keyHashBuckets(qterms, "term", buckets)
+          def elected = Ledger.bucketFileCounts(spark, ldir)
+            .filter { case (b, _) => bkts.contains(b) }
+          def readWall(): (Long, Double) = {
+            var rows = 0L; var best = Double.MaxValue
+            for (_ <- 1 to 2) {
+              val t0 = System.nanoTime()
+              rows = spark.read.parquet(ldir)
+                .filter(col("bkt").isin(bkts: _*))
+                .join(qterms, Seq("term"), "left_semi").count()
+              best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            }
+            (rows, best)
+          }
+          val fBefore = elected.values.sum
+          val (rowsB, wallB) = readWall()
+          Ledger.compactBuckets(spark, ldir,
+            Ledger.fragmentedBuckets(spark, ldir, maxFiles = 1))
+          val fAfter = elected.values.sum
+          val (rowsA, wallA) = readWall()
+          require(rowsA == rowsB,
+            s"compaction changed pruned-read content: $rowsB -> $rowsA")
+          println(f"PROBE compact $scale buckets=$buckets " +
+            f"batches=$nBatches elected=${bkts.size} " +
+            f"files_before=$fBefore read_s_before=$wallB%.3f " +
+            f"files_after=$fAfter read_s_after=$wallA%.3f rows=$rowsB")
+        } finally {
+          graft.queries.FixtureCache.deleteRecursively(stage)
+        }
+      }
+
       if (want("semdedup")) {
         // PQ-prefix semantic blocking: the governing count is the
         // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a
