@@ -599,8 +599,124 @@ object Registry16 {
       .orderBy("q_id", "rnk")
   }
 
+  /** The FULL O(query) hybrid ([[Retrieval.rrfFuse]] of
+    * [[Retrieval.bm25TopKFromStats]] ⊕
+    * [[graft.operators.Similarity.ivfPqTopKFromIndex]]):
+    * `hybrid_indexed_topk`'s deployment upgraded on the lexical side
+    * — that gate's BM25 leg still re-derives dl/df/N/Σdl from the
+    * whole tf ledger per query batch; here it reads norm-carrying
+    * postings + the vocabulary stats ledger under `bkt IN` pruning
+    * and the 1-row global, so BOTH legs of the fuse do query-sized
+    * reads over corpus-sized stored assets. The oracle is
+    * `hybrid_indexed_topk`'s verbatim (the stats serve is bit-equal
+    * to the full-derivation serve — RetrievalSpec's identity — so
+    * the fused ranking cannot differ). */
+  val hybridStatsTopK = Q("hybrid_stats_topk",
+    s"""WITH ${Registry12.sqlBm25(20)},
+       |${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 3),
+       |${Registry10.sqlIvfAdcRank("codes", "qd")},
+       |den AS (SELECT q_id, n_id, rnk FROM r WHERE rnk <= 20),
+       |lc AS (SELECT q_id, doc_id AS n_id,
+       |    1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS c0 FROM lex),
+       |dc AS (SELECT q_id, n_id,
+       |    1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS c1 FROM den),
+       |fz AS (SELECT COALESCE(l.q_id, r2.q_id) AS q_id,
+       |    COALESCE(l.n_id, r2.n_id) AS n_id,
+       |    COALESCE(l.c0, 0.0) + COALESCE(r2.c1, 0.0) AS rrf
+       |  FROM lc l FULL OUTER JOIN dc r2
+       |    ON l.q_id = r2.q_id AND l.n_id = r2.n_id),
+       |fr AS (SELECT q_id, n_id, rrf, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM fz)
+       |SELECT q_id, n_id, rnk, rrf FROM fr WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.Similarity
+    val dcs = docs(s, d)
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val sBkt = 64
+    val postings = Ledger.withHashBucket(
+      Retrieval.withDocNorms(
+        Retrieval.bm25IndexBuild(dcs, "doc_id", "text")), "term", sBkt)
+    val stats = Ledger.withHashBucket(
+      Retrieval.bm25TermStatsBuild(
+        postings.select("doc_id", "term", "tf")), "term", sBkt)
+    val global = Retrieval.bm25GlobalStatsBuild(
+      postings.select("doc_id", "term", "tf"))
+    val codeLedger = Similarity.pqIndexBuild(e, cent, cb,
+      "vec_id", "embedding")
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qterms = qt.select("term").distinct()
+    val lex = Retrieval.bm25TopKFromStats(qt,
+      Ledger.prunedToKeys(postings, qterms, "term", sBkt),
+      Ledger.prunedToKeys(stats, qterms, "term", sBkt),
+      global, k = 20)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("rnk"))
+    val den = Similarity.ivfPqTopKFromIndex(e.filter(col("vec_id") < 3),
+      codeLedger, cent, cb, "vec_id", "embedding", k = 20, nProbe = 4)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    Retrieval.rrfFuse(Seq(lex, den), k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Term-pruned SNIPPET serve ([[Retrieval.bestWindow]] over a
+    * TERM-bucketed positional ledger) — the fourth consumer of the
+    * serve-side pruning law after the BM25/LM/phrase serves: the
+    * snippet query's terms elect hash buckets, the positional ledger
+    * (the heaviest lexical asset — one row per token) reads back
+    * under a literal `bkt IN` filter, and the cover sweep sees a
+    * bit-identical world (every occurrence a query term can cover
+    * lives in that term's own bucket). Oracle = `text_best_window`'s
+    * quadratic-join replay over the raw corpus. */
+  val textBestWindowPruned = Q("text_best_window_pruned",
+    s"""WITH pl AS (SELECT doc_id, term, pos FROM (
+       |  SELECT d.doc_id, u.i - 1 AS pos, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents) d,
+       |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
+       |  WHERE term <> ''),
+       |qtw AS (SELECT DISTINCT q_id, term FROM (
+       |  SELECT d.doc_id AS q_id, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents WHERE doc_id < 3) d,
+       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
+       |occ AS (SELECT q.q_id, l.doc_id, l.term, l.pos
+       |  FROM pl l JOIN qtw q ON q.term = l.term),
+       |cov AS (SELECT o.q_id, o.doc_id, a.pos AS p,
+       |    COUNT(DISTINCT o.term) AS k
+       |  FROM occ o JOIN (SELECT DISTINCT q_id, doc_id, pos FROM occ) a
+       |    ON a.q_id = o.q_id AND a.doc_id = o.doc_id
+       |    AND o.pos >= a.pos AND o.pos <= a.pos + 3
+       |  GROUP BY 1, 2, 3),
+       |wn AS (SELECT q_id, doc_id, p, k, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id, doc_id ORDER BY k DESC, p ASC) AS r FROM cov)
+       |SELECT q_id, doc_id, p AS win_start, CAST(k AS BIGINT) AS win_terms
+       |FROM wn WHERE r = 1
+       |ORDER BY q_id, doc_id""".stripMargin) { (s, d) =>
+    val dd = docs(s, d)
+    val sBkt = 64
+    val ledger = Ledger.withHashBucket(
+      Retrieval.positionalIndexBuild(dd, "doc_id", "text"), "term", sBkt)
+    val qt = dd.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+    Retrieval.bestWindow(qt,
+      Ledger.prunedToKeys(ledger, qt.select("term").distinct(),
+        "term", sBkt),
+      window = 3)
+      .withColumn("win_start", col("win_start").cast("long"))
+      .orderBy("q_id", "doc_id")
+  }
+
   val round16: Seq[Q] = Seq(textIndexStats, textIndexStatsAppend,
     textIndexStatsRemove, textBm25StatsTopK, textIndexRemoveBucketed,
     textLmStatsTopK, streamingStatsIngest, textPhrasePrunedServe,
-    textIndexCompact, annMatryoshka, streamingStatsManifest)
+    textIndexCompact, annMatryoshka, streamingStatsManifest,
+    hybridStatsTopK, textBestWindowPruned)
 }

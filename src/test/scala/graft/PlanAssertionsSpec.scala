@@ -584,6 +584,62 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("pruned snippet serve: the stored positional scan carries a bkt partition filter; windows equal the unpruned serve") {
+    import graft.operators.{Ledger, Retrieval}
+    val dcs = Tables.documents(spark, sf)
+    val nBkt = 64
+    val stage = java.nio.file.Files.createTempDirectory("graft_snipspec")
+    try {
+      val posDir = stage.resolve("positions").toString
+      Ledger.withHashBucket(
+          Retrieval.positionalIndexBuild(dcs, "doc_id", "text"),
+          "term", nBkt)
+        .write.partitionBy("bkt").mode("overwrite").parquet(posDir)
+      val qt = dcs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      val want = Retrieval.bestWindow(qt,
+          Retrieval.positionalIndexBuild(dcs, "doc_id", "text"),
+          window = 3)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("\t")).sorted
+      assert(want.nonEmpty)
+      val minId = spark.sharedState.statusStore.executionsList()
+        .lastOption.map(_.executionId).getOrElse(-1L)
+      val got = Retrieval.bestWindow(qt,
+          Ledger.prunedToKeys(spark.read.parquet(posDir),
+            qt.select("term").distinct(), "term", nBkt),
+          window = 3)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("\t")).sorted
+      assert(got.toSeq == want.toSeq,
+        "the pruned snippet serve drifted from the unpruned one")
+      val token = stage.getFileName.toString
+      var plans: Seq[String] = Nil
+      var stable = 0
+      var tries = 0
+      while (tries < 100 && stable < 3) {
+        val now = spark.sharedState.statusStore.executionsList()
+          .filter(_.executionId > minId)
+          .map(_.physicalPlanDescription)
+          .filter(p => p.contains(token) && p.contains("Scan parquet") &&
+            !p.contains("WriteFiles"))
+        if (now.nonEmpty && now.size == plans.size) stable += 1
+        else stable = 0
+        plans = now
+        Thread.sleep(100); tries += 1
+      }
+      assert(plans.nonEmpty,
+        "no executed plan scanned the stored positional ledger")
+      val unpruned = plans.filterNot(p =>
+        raw"PartitionFilters: \[[^\]]*bkt[^\]]*".r.findFirstIn(p)
+          .exists(f => f.contains("IN") || f.contains("=")))
+      assert(unpruned.isEmpty,
+        s"${unpruned.size} positional-ledger scan(s) without a bkt " +
+          s"partition filter:\n" + unpruned.headOption.getOrElse("").take(4000))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(stage)
+    }
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     val df = Tables.documents(spark, sf).select(
       graft.functions.TextFns.rollingHash(col("text")).as("rh"),
