@@ -714,9 +714,84 @@ object Registry16 {
       .orderBy("q_id", "doc_id")
   }
 
+  /** The SEARCH-PAGE composition — the serve-side sibling of
+    * `curate_incremental`'s ingest composition, chaining three
+    * gate-checked stages into the one dataflow a result page runs:
+    * (1) corpus admission by the quality composite
+    * ([[graft.functions.TextFns.qualityScore]] ≥ 0.75 — at sf0.1 this
+    * drops query doc 1 itself, so the filter demonstrably reshapes
+    * the query set, not just the candidates), (2) BM25 top-10 from
+    * the survivors' stored stats assets under `bkt IN` pruning
+    * ([[Retrieval.bm25TopKFromStats]]), (3) a best-window snippet per
+    * hit from the survivors' term-bucketed positional ledger
+    * ([[Retrieval.bestWindow]], window 3 over the full query term
+    * set). Every hit carries its snippet (a BM25 match shares ≥ 1
+    * term with the query, so a cover window always exists). The
+    * oracle chains the three proven algebras — quality CTE → BM25
+    * CTE restricted by the quality cut → cover/argmax CTE — and any
+    * drift in admission, ranking, or window election flips the
+    * hash. */
+  val searchPageServe = Q("search_page_serve", {
+    val where =
+      "doc_id IN (SELECT doc_id FROM qy WHERE quality >= 0.75)"
+    s"""WITH ${RegistryExt.sqlQualityCte},
+       |${Registry12.sqlBm25(10, where)},
+       |pl AS (SELECT doc_id, term, pos FROM (
+       |  SELECT d.doc_id, u.i - 1 AS pos, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM documents WHERE $where) d,
+       |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
+       |  WHERE term <> ''),
+       |occ AS (SELECT q.q_id, l.doc_id, l.term, l.pos
+       |  FROM pl l JOIN qt q ON q.term = l.term),
+       |cov AS (SELECT o.q_id, o.doc_id, a.pos AS p,
+       |    COUNT(DISTINCT o.term) AS k
+       |  FROM occ o JOIN (SELECT DISTINCT q_id, doc_id, pos FROM occ) a
+       |    ON a.q_id = o.q_id AND a.doc_id = o.doc_id
+       |    AND o.pos >= a.pos AND o.pos <= a.pos + 3
+       |  GROUP BY 1, 2, 3),
+       |wn AS (SELECT q_id, doc_id, p, k, ROW_NUMBER() OVER (
+       |  PARTITION BY q_id, doc_id ORDER BY k DESC, p ASC) AS r FROM cov)
+       |SELECT l.q_id, l.doc_id, l.rnk, l.score,
+       |  w.p AS win_start, CAST(w.k AS BIGINT) AS win_terms
+       |FROM lex l JOIN wn w
+       |  ON w.q_id = l.q_id AND w.doc_id = l.doc_id AND w.r = 1
+       |ORDER BY l.q_id, l.rnk""".stripMargin }) { (s, d) =>
+    import graft.functions.TextFns
+    val dd = docs(s, d)
+    val surv = dd.filter(TextFns.qualityScore(col("text")) >= 0.75)
+    val sBkt = 64
+    val postings = Ledger.withHashBucket(
+      Retrieval.withDocNorms(
+        Retrieval.bm25IndexBuild(surv, "doc_id", "text")), "term", sBkt)
+    val stats = Ledger.withHashBucket(
+      Retrieval.bm25TermStatsBuild(
+        postings.select("doc_id", "term", "tf")), "term", sBkt)
+    val global = Retrieval.bm25GlobalStatsBuild(
+      postings.select("doc_id", "term", "tf"))
+    val qt = surv.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qterms = qt.select("term").distinct()
+    val hits = Retrieval.bm25TopKFromStats(qt,
+      Ledger.prunedToKeys(postings, qterms, "term", sBkt),
+      Ledger.prunedToKeys(stats, qterms, "term", sBkt),
+      global, k = 10)
+    val posLedger = Ledger.withHashBucket(
+      Retrieval.positionalIndexBuild(surv, "doc_id", "text"),
+      "term", sBkt)
+    val wins = Retrieval.bestWindow(qt,
+      Ledger.prunedToKeys(posLedger, qterms, "term", sBkt), window = 3)
+    hits.join(wins, Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        col("rnk").cast("long").as("rnk"), col("score"),
+        col("win_start").cast("long").as("win_start"), col("win_terms"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round16: Seq[Q] = Seq(textIndexStats, textIndexStatsAppend,
     textIndexStatsRemove, textBm25StatsTopK, textIndexRemoveBucketed,
     textLmStatsTopK, streamingStatsIngest, textPhrasePrunedServe,
     textIndexCompact, annMatryoshka, streamingStatsManifest,
-    hybridStatsTopK, textBestWindowPruned)
+    hybridStatsTopK, textBestWindowPruned, searchPageServe)
 }
