@@ -150,7 +150,19 @@ object Manifest {
   * swap nothing was visible; after it the batch is skipped. This is
   * the fix for the in-place drain's documented crash caveat (its
   * replay could not heal a partial commit because its delta
-  * derivation anti-joined already-committed postings). */
+  * derivation anti-joined already-committed postings).
+  *
+  * Drain-age caveat, stated not hidden: the per-batch posting delta
+  * directories accumulate — after F batches a read lists and opens F
+  * directories (the same footer-count law [[Ledger.compactBuckets]]
+  * measures on the in-place layout). The protocol's compaction is
+  * the table-format one: consolidate the visible deltas into a fresh
+  * versioned BASE directory, then commit a manifest whose batch list
+  * restarts from it — the same single-swap atomicity, run on a
+  * cadence. The stats side does not share the problem (per-bucket
+  * MVCC keeps exactly one live version per bucket; superseded
+  * version directories are garbage, collectable by comparing
+  * listings against the manifest). */
 object TxServeStack {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
