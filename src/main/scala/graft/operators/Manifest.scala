@@ -42,11 +42,13 @@ object Manifest {
     * each stats bucket's pinned version (buckets absent from the map
     * have never been written). */
   case class State(version: Long, batchId: Long, globalV: Long,
-                   statsV: Map[Int, Long]) {
+                   statsV: Map[Int, Long], baseV: Long = -1L,
+                   baseBatch: Long = -1L) {
     def render: String = {
       val sv = statsV.toSeq.sorted.map { case (b, v) => s"$b:$v" }
         .mkString(",")
-      s"version=$version\nbatch=$batchId\nglobal=$globalV\nstats=$sv\n"
+      s"version=$version\nbatch=$batchId\nglobal=$globalV\nstats=$sv\n" +
+        s"base=$baseV\nbasebatch=$baseBatch\n"
     }
   }
 
@@ -73,7 +75,9 @@ object Manifest {
         val Array(b, v) = e.split(":"); b.toInt -> v.toLong
       }.toMap
       Some(State(kv("version").toLong, kv("batch").toLong,
-        kv("global").toLong, sv))
+        kv("global").toLong, sv,
+        kv.getOrElse("base", "-1").toLong,
+        kv.getOrElse("basebatch", "-1").toLong))
     }
   }
 
@@ -103,9 +107,13 @@ object Manifest {
   def visiblePostingDirs(spark: SparkSession, dir: String,
                          state: State): Seq[String] = {
     val (f, base) = fs(spark, dir)
-    (0L to state.batchId).map(b =>
-        new org.apache.hadoop.fs.Path(base, s"postings/batch=$b"))
-      .filter(f.exists).map(_.toString)
+    val consolidated =
+      if (state.baseV < 0) Seq.empty
+      else Seq(new org.apache.hadoop.fs.Path(base,
+        s"postings/base/v=${state.baseV}"))
+    val deltas = ((state.baseBatch + 1) to state.batchId).map(b =>
+      new org.apache.hadoop.fs.Path(base, s"postings/batch=$b"))
+    (consolidated ++ deltas).filter(f.exists).map(_.toString)
   }
 
   /** The stats bucket directories a committed state pins — each
@@ -172,20 +180,38 @@ object TxServeStack {
     * `statsBuckets` restricts the stats read to an elected bucket set
     * (the serve-side O(query) pruning — here it is PATH-level: an
     * unelected bucket's directory is never even listed). */
+  /** Read the committed postings (doc_id, term, tf, dl, bkt) through
+    * the manifest. The consolidated base and the per-batch deltas
+    * live under DIFFERENT partition-path shapes (`base/v=V/bkt=M` vs
+    * `batch=N/bkt=M`), so they read in two groups and union on the
+    * shared columns — one frame, still only manifest-pinned paths. */
+  private def readPostings(spark: SparkSession, root: String,
+                           st: Manifest.State): DataFrame = {
+    val cols = Seq(col("doc_id"), col("term"), col("tf"), col("dl"),
+      col("bkt"))
+    val dirs = Manifest.visiblePostingDirs(spark, root, st)
+    val (baseDirs, deltaDirs) = dirs.partition(_.contains("/base/"))
+    val parts =
+      (if (baseDirs.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", s"$root/postings/base")
+         .parquet(baseDirs: _*).select(cols: _*))) ++
+      (if (deltaDirs.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", s"$root/postings")
+         .parquet(deltaDirs: _*).select(cols: _*)))
+    if (parts.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit("").as("term"),
+          lit(0L).as("tf"), lit(0L).as("dl"), lit(0).as("bkt")).limit(0)
+    else parts.reduce(_ unionByName _)
+  }
+
   def resolve(spark: SparkSession, root: String,
               statsBuckets: Option[Seq[Int]] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
-    val pdirs = Manifest.visiblePostingDirs(spark, root, st)
-    val postings =
-      if (pdirs.isEmpty)
-        spark.emptyDataFrame
-          .select(lit(0L).as("doc_id"), lit("").as("term"),
-            lit(0L).as("tf"), lit(0L).as("dl")).limit(0)
-      else spark.read.option("basePath", s"$root/postings")
-        .parquet(pdirs: _*)
-        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val postings = readPostings(spark, root, st)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val pinned = statsBuckets match {
       case None => st.statsV
       case Some(bs) => st.statsV.filter { case (b, _) => bs.contains(b) }
@@ -219,14 +245,9 @@ object TxServeStack {
     val vNew = st.version + 1
     // delta vs the COMMITTED postings only (orphans invisible) —
     // bucket-pruned to the batch's doc buckets like every drain
-    val pdirs = Manifest.visiblePostingDirs(spark, root, st)
-    val storedTf =
-      if (pdirs.isEmpty)
-        spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-      else Ledger.prunedToBatch(
-        spark.read.option("basePath", s"$root/postings").parquet(pdirs: _*)
-          .select(col("doc_id"), col("bkt")),
-        batch, idCol, docBuckets)
+    val storedTf = Ledger.prunedToBatch(
+      readPostings(spark, root, st).select(col("doc_id"), col("bkt")),
+      batch, idCol, docBuckets)
     val delta = Retrieval.bm25IndexAppend(
       storedTf.select(col("doc_id")), batch, idCol, textCol,
       deltaOnly = true).localCheckpoint()
@@ -259,8 +280,41 @@ object TxServeStack {
     Retrieval.bm25GlobalStatsAppend(gPrev, delta)
       .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
     if (publish)
-      Manifest.commit(spark, root, Manifest.State(vNew, batchId, vNew,
-        st.statsV ++ touched.map(_ -> vNew)))
+      // copy, not construct: the base pointer (baseV/baseBatch) from a
+      // prior compaction must ride through every subsequent commit
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId, globalV = vNew,
+        statsV = st.statsV ++ touched.map(_ -> vNew)))
+    true
+  }
+
+  /** Posting COMPACTION under the protocol — the drain-age answer the
+    * [[TxServeStack]] scaladoc prescribes: consolidate every visible
+    * posting path (prior base + accumulated per-batch deltas) into a
+    * fresh versioned BASE directory, one file per bucket
+    * ([[Ledger.compactBuckets]]' shape), then commit a manifest whose
+    * base pointer moves and whose delta window restarts — the same
+    * single-swap atomicity as a batch commit, run on a cadence. A
+    * crash before the swap leaves the old manifest intact (the new
+    * base is an invisible orphan); rows are untouched by contract, so
+    * a compacted stack serves bit-identically. Superseded batch
+    * directories become garbage the swap already unpinned —
+    * collectable by listing against the manifest. `publish = false`
+    * is the spec's crash face. Returns false when there is nothing
+    * visible to compact. */
+  def compactPostings(spark: SparkSession, root: String,
+                      publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (Manifest.visiblePostingDirs(spark, root, st).isEmpty) return false
+    val vNew = st.version + 1
+    readPostings(spark, root, st)
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/postings/base/v=$vNew")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        baseV = vNew, baseBatch = st.batchId))
     true
   }
 }

@@ -599,6 +599,77 @@ object Registry16 {
       .orderBy("q_id", "rnk")
   }
 
+  /** Posting compaction under the protocol
+    * ([[graft.operators.TxServeStack.compactPostings]]): the 4-page
+    * drain leaves 4 per-batch delta directories; compaction
+    * consolidates them into a 1-file-per-bucket versioned BASE and
+    * swaps a manifest whose delta window restarts — the drain-age
+    * answer, same single-rename atomicity as a batch commit. The
+    * serve then resolves THROUGH the moved base pointer; the oracle
+    * is the raw-corpus truth, so a row lost, duplicated, or
+    * re-bucketed by the consolidation flips the hash (and
+    * ManifestSpec holds the crash face + post-compaction append). */
+  val streamingStatsCompacted = Q("streaming_stats_compacted",
+    s"""WITH ${Registry12.sqlBm25(10)}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.TxServeStack
+    val dcs = docs(s, d)
+    val n = dcs.count()
+    val fx = FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val qn = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * qn - 10)
+        val hi = if (p == 3) n else (p + 1) * qn
+        val tmpd = tmp.resolve(s"tmp$p")
+        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_statscpt")
+    val root = stage.resolve("stack").toString
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val run = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TxServeStack.commitBatch(s, root, b, id, "doc_id", "text",
+          docBuckets = 16, termBuckets = 16)
+        ()
+      }
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    require(TxServeStack.compactPostings(s, root),
+      "the drained stack must have visible postings to compact")
+    val stC = graft.operators.Manifest.read(s, root).get
+    require(stC.baseV >= 0, "compaction must move the base pointer")
+    val qt = dcs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qBkts = Ledger.keyHashBuckets(qt.select("term").distinct(),
+      "term", 16)
+    val (postings, stats, global) =
+      TxServeStack.resolve(s, root, statsBuckets = Some(qBkts))
+    Retrieval.bm25TopKFromStats(qt, postings, stats, global, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** The FULL O(query) hybrid ([[Retrieval.rrfFuse]] of
     * [[Retrieval.bm25TopKFromStats]] ⊕
     * [[graft.operators.Similarity.ivfPqTopKFromIndex]]):
@@ -793,5 +864,6 @@ object Registry16 {
     textIndexStatsRemove, textBm25StatsTopK, textIndexRemoveBucketed,
     textLmStatsTopK, streamingStatsIngest, textPhrasePrunedServe,
     textIndexCompact, annMatryoshka, streamingStatsManifest,
-    hybridStatsTopK, textBestWindowPruned, searchPageServe)
+    hybridStatsTopK, textBestWindowPruned, searchPageServe,
+    streamingStatsCompacted)
 }

@@ -92,6 +92,49 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("compactPostings: serve bit-identical; 1-file-per-bucket base; crash face invisible; later appends compose") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftcp")
+    try {
+      TxServeStack.commitBatch(spark, dir.toString,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      TxServeStack.commitBatch(spark, dir.toString,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      val before = snapshot(dir.toString)
+      // crash face: base written, manifest not swapped — invisible
+      TxServeStack.compactPostings(spark, dir.toString, publish = false)
+      assert(snapshot(dir.toString) == before,
+        "an uncommitted compaction leaked to a reader")
+      assert(Manifest.read(spark, dir.toString).get.baseV == -1L)
+      // committed compaction: same serve, base pointer moves
+      assert(TxServeStack.compactPostings(spark, dir.toString))
+      val stC = Manifest.read(spark, dir.toString).get
+      assert(stC.baseV >= 0 && stC.baseBatch == 1L)
+      assert(snapshot(dir.toString) == before,
+        "compaction changed the served state")
+      // consolidated base holds one file per bucket
+      val baseDir = s"${dir.toString}/postings/base/v=${stC.baseV}"
+      val counts = Ledger.bucketFileCounts(spark, baseDir)
+      assert(counts.nonEmpty && counts.values.forall(_ == 1),
+        s"base must hold one file per bucket: $counts")
+      // an append after compaction composes with the base
+      val more = Seq((4L, "brown dog jumps the fence"),
+        (5L, "sleepy foxes dream")).toDF("doc_id", "text")
+      TxServeStack.commitBatch(spark, dir.toString, more, 2L,
+        "doc_id", "text", 4, 4)
+      val (p, _, g) = TxServeStack.resolve(spark, dir.toString)
+      val all = corpus.unionByName(more)
+      val wantP = Retrieval.withDocNorms(
+        Retrieval.bm25IndexBuild(all, "doc_id", "text"))
+      assert(p.exceptAll(wantP).isEmpty && wantP.exceptAll(p).isEmpty,
+        "post-compaction append drifted from a from-scratch build")
+      val wantG = Retrieval.bm25GlobalStatsBuild(
+        Retrieval.bm25IndexBuild(all, "doc_id", "text")).collect().toSeq
+      assert(g.collect().toSeq == wantG)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("tx stack serve == in-place ledgers built from the same corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfteq")
     try {
