@@ -68,34 +68,77 @@ object Manifest {
       val in = f.open(m)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      val kv = txt.linesIterator.filter(_.contains("="))
-        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
-        .toMap
-      val sv = kv("stats").split(",").filter(_.nonEmpty).map { e =>
-        val Array(b, v) = e.split(":"); b.toInt -> v.toLong
-      }.toMap
-      Some(State(kv("version").toLong, kv("batch").toLong,
-        kv("global").toLong, sv,
-        kv.getOrElse("base", "-1").toLong,
-        kv.getOrElse("basebatch", "-1").toLong))
+      Some(parse(txt))
     }
   }
 
   /** COMMIT: write the rendered state to a scratch name, then rename
     * onto `manifest` — the swap is the transaction's only visible
-    * effect; everything written before it was invisible. */
+    * effect; everything written before it was invisible.
+    *
+    * Each commit ALSO writes the immutable history file
+    * `manifest.v=N` (before the swap), which is what makes
+    * [[readAt]] snapshot reads possible. The ordering is safe: a
+    * crash between the history write and the swap leaves a history
+    * file for a version the pointer never reached — [[readAt]]
+    * refuses versions above the committed pointer, and the replayed
+    * batch re-derives the SAME version (version = committed + 1 is
+    * deterministic) and overwrites the torn file in place. */
   def commit(spark: SparkSession, dir: String, state: State): Unit = {
     val (f, base) = fs(spark, dir)
     f.mkdirs(base)
+    val bytes = state.render.getBytes("UTF-8")
+    val hist = new org.apache.hadoop.fs.Path(base,
+      s"manifest.v=${state.version}")
+    val hOut = f.create(hist, true)
+    try hOut.write(bytes) finally hOut.close()
     val tmp = new org.apache.hadoop.fs.Path(base,
       s"manifest.tmp-${state.version}")
     val out = f.create(tmp, true)
-    try out.write(state.render.getBytes("UTF-8")) finally out.close()
+    try out.write(bytes) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(base, "manifest")
     if (f.exists(dst)) f.delete(dst, false)
     if (!f.rename(tmp, dst))
       throw new java.io.IOException(
         s"manifest commit failed: rename $tmp -> $dst")
+  }
+
+  private def parse(txt: String): State = {
+    val kv = txt.linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+    val sv = kv("stats").split(",").filter(_.nonEmpty).map { e =>
+      val Array(b, v) = e.split(":"); b.toInt -> v.toLong
+    }.toMap
+    State(kv("version").toLong, kv("batch").toLong,
+      kv("global").toLong, sv,
+      kv.getOrElse("base", "-1").toLong,
+      kv.getOrElse("basebatch", "-1").toLong)
+  }
+
+  /** SNAPSHOT read — resolve the state committed as `version` (time
+    * travel, the table-format snapshot-isolation face): every version
+    * the pointer ever reached is a consistent cut frozen in its
+    * immutable `manifest.v=N` file, so a reader pinned to it serves
+    * exactly the stack as of that commit, concurrent with any number
+    * of later commits. Refuses versions ABOVE the committed pointer
+    * (a crashed batch's torn history file must stay invisible) and
+    * versions whose history file [[TxServeStack.vacuum]] has already
+    * retired (time travel is bounded by the retention policy, the
+    * standard table-format trade). */
+  def readAt(spark: SparkSession, dir: String,
+             version: Long): Option[State] = {
+    read(spark, dir).filter(_.version >= version).flatMap { _ =>
+      val (f, base) = fs(spark, dir)
+      val h = new org.apache.hadoop.fs.Path(base, s"manifest.v=$version")
+      if (!f.exists(h)) None
+      else {
+        val in = f.open(h)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(parse(txt))
+      }
+    }
   }
 
   /** The posting delta directories a committed state makes visible:
@@ -206,10 +249,16 @@ object TxServeStack {
   }
 
   def resolve(spark: SparkSession, root: String,
-              statsBuckets: Option[Seq[Int]] = None)
+              statsBuckets: Option[Seq[Int]] = None,
+              version: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val st = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
+    val st = version match {
+      case None => Manifest.read(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest at $root"))
+      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $root is uncommitted or vacuumed"))
+    }
     val postings = readPostings(spark, root, st)
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val pinned = statsBuckets match {
@@ -316,5 +365,84 @@ object TxServeStack {
       Manifest.commit(spark, root, st.copy(version = vNew,
         baseV = vNew, baseBatch = st.batchId))
     true
+  }
+
+  /** What [[vacuum]] did: asset directories deleted (superseded
+    * versions, compacted-away batch deltas, crash orphans), history
+    * manifests retired (bounding time travel), and asset directories
+    * kept because some retained manifest still pins them. */
+  case class VacuumStats(deletedDirs: Int, deletedManifests: Int,
+                         keptDirs: Int)
+
+  /** GARBAGE COLLECTION — the executable form of what the protocol's
+    * scaladoc calls "collectable by listing against the manifest".
+    * Versioned writes never delete anything, so three kinds of
+    * garbage accumulate: superseded versions (a stats bucket's old
+    * `v=` dirs once a later commit re-pins it; the pre-compaction
+    * `batch=` deltas once the base pointer moves past them), crash
+    * orphans (asset writes whose manifest swap never happened), and
+    * stale `manifest.tmp-*` scratch files. None is ever readable
+    * through a committed manifest, so deletion is invisible to every
+    * pinned reader — vacuum lists each asset family, keeps exactly
+    * the paths some RETAINED manifest references, and deletes the
+    * rest.
+    *
+    * `retainVersions` keeps the last N history manifests below the
+    * current one alive (and every asset they pin), bounding
+    * [[Manifest.readAt]] time travel — the standard table-format
+    * retention trade: retain 0 reclaims everything unpinned NOW;
+    * retain N pays N versions of storage for N versions of snapshot
+    * reads. Like every table format's vacuum, this must not run
+    * concurrently with an in-flight writer whose commit has not yet
+    * swapped (its fresh-version writes look like orphans); run it
+    * from the same maintenance cadence as compaction. */
+  def vacuum(spark: SparkSession, root: String,
+             retainVersions: Int = 0): VacuumStats = {
+    import org.apache.hadoop.fs.Path
+    val cur = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    val floor = cur.version - retainVersions.toLong
+    val f = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val retained = (floor to cur.version)
+      .flatMap(v => Manifest.readAt(spark, root, v))
+    // every (family, identifier) some retained manifest still pins
+    val keepStats = retained.flatMap(_.statsV.map { case (b, v) =>
+      s"v=$v/bkt=$b" }).toSet
+    val keepGlobal = retained.map(st => s"v=${st.globalV}").toSet
+    val keepBase = retained.filter(_.baseV >= 0)
+      .map(st => s"v=${st.baseV}").toSet
+    val keepBatch = retained.flatMap(st =>
+      (st.baseBatch + 1) to st.batchId).map(b => s"batch=$b").toSet
+    def ls(sub: String): Seq[Path] = {
+      val p = new Path(root, sub)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.map(_.getPath)
+    }
+    var deleted = 0; var kept = 0
+    def sweep(paths: Seq[Path], keep: Path => Boolean): Unit =
+      paths.foreach { p =>
+        if (keep(p)) kept += 1
+        else { f.delete(p, true); deleted += 1 }
+      }
+    // stats: per-(version, bucket) granularity — one commit's version
+    // directory can hold both live and superseded buckets
+    sweep(ls("stats").flatMap(v => f.listStatus(v).toSeq.map(_.getPath)),
+      p => keepStats.contains(s"${p.getParent.getName}/${p.getName}"))
+    ls("stats").filter(v => f.listStatus(v).isEmpty)
+      .foreach { v => f.delete(v, true) }
+    sweep(ls("global"), p => keepGlobal.contains(p.getName))
+    sweep(ls("postings/base"), p => keepBase.contains(p.getName))
+    sweep(ls("postings").filterNot(_.getName == "base"),
+      p => keepBatch.contains(p.getName))
+    // history manifests below the retention floor + scratch leftovers
+    var retired = 0
+    f.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale =
+        (n.startsWith("manifest.v=") && n.drop(11).toLong < floor) ||
+          n.startsWith("manifest.tmp-")
+      if (stale) { f.delete(p, false); retired += 1 }
+    }
+    VacuumStats(deleted, retired, kept)
   }
 }

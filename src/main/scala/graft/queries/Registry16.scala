@@ -246,29 +246,7 @@ object Registry16 {
        |SELECT q_id, doc_id, rnk, score FROM lex
        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val dcs = docs(s, d)
-    val n = dcs.count()
-    val fx = FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
-      val pages = tmp.resolve("pages")
-      java.nio.file.Files.createDirectories(pages)
-      val base = System.currentTimeMillis() - 3600L * 1000
-      val qn = n / 4
-      for (p <- 0 until 4) {
-        val lo = math.max(0L, p * qn - 10)
-        val hi = if (p == 3) n else (p + 1) * qn
-        val tmpd = tmp.resolve(s"tmp$p")
-        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
-        val parts = tmpd.toFile.listFiles().toSeq
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          val dest = pages.resolve(s"page$p-$i.parquet")
-          java.nio.file.Files.move(f.toPath, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
-        }
-        FixtureCache.deleteRecursively(tmpd)
-      }
-    }
+    val fx = bmPagesFixture(s, d)
     val stage = StreamHarness.runDir("graft_statsingest")
     val postDir = stage.resolve("postings").toString
     val statsDir = stage.resolve("termstats").toString
@@ -526,6 +504,84 @@ object Registry16 {
       .orderBy("q_id", "rnk")
   }
 
+  /** The shared 4-page streaming fixture (FixtureCache "bmidx"): the
+    * corpus split into four mtime-ordered parquet page files with
+    * 10-doc overlaps (the at-least-once replay the drains absorb),
+    * page p covering [max(0, p·⌊n/4⌋ − 10), (p+1)·⌊n/4⌋). */
+  private def bmPagesFixture(s: SparkSession, d: String): java.nio.file.Path = {
+    val dcs = docs(s, d)
+    val n = dcs.count()
+    FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val qn = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * qn - 10)
+        val hi = if (p == 3) n else (p + 1) * qn
+        val tmpd = tmp.resolve(s"tmp$p")
+        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+  }
+
+  /** Drain the pages fixture through [[graft.operators.TxServeStack.commitBatch]]
+    * (manifest-protocol commits, 16 doc + 16 term buckets) and return
+    * the stack root. One micro-batch per page in mtime order, so
+    * batches 0..3 commit manifest versions 0..3. */
+  private def drainTxStack(s: SparkSession, d: String,
+                           tag: String): String = {
+    import graft.operators.TxServeStack
+    val stage = StreamHarness.runDir(tag)
+    val root = stage.resolve("stack").toString
+    val stream = s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(bmPagesFixture(s, d).resolve("pages").toString)
+    val run = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TxServeStack.commitBatch(s, root, b, id, "doc_id", "text",
+          docBuckets = 16, termBuckets = 16)
+        ()
+      }
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    root
+  }
+
+  /** The manifest gates' serve: resolve the stack (optionally pinned
+    * to a snapshot `version`) with the query terms' stats buckets
+    * elected — PATH-level pruning, an unelected bucket's directory is
+    * never listed — then the O(query) BM25 over docs 0..2's token
+    * sets. */
+  private def txBm25Serve(s: SparkSession, d: String, root: String,
+                          version: Option[Long] = None): DataFrame = {
+    import graft.operators.TxServeStack
+    val qt = docs(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qBkts = Ledger.keyHashBuckets(qt.select("term").distinct(),
+      "term", 16)
+    val (postings, stats, global) =
+      TxServeStack.resolve(s, root, statsBuckets = Some(qBkts),
+        version = version)
+    Retrieval.bm25TopKFromStats(qt, postings, stats, global, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** The TRANSACTIONAL serve-stack drain under the gate
     * ([[graft.operators.TxServeStack]] — the [[graft.operators.Manifest]]
     * commit protocol): where `streaming_stats_ingest` pays three
@@ -546,57 +602,70 @@ object Registry16 {
     s"""WITH ${Registry12.sqlBm25(10)}
        |SELECT q_id, doc_id, rnk, score FROM lex
        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-    import graft.operators.TxServeStack
-    val dcs = docs(s, d)
-    val n = dcs.count()
-    val fx = FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
-      val pages = tmp.resolve("pages")
-      java.nio.file.Files.createDirectories(pages)
-      val base = System.currentTimeMillis() - 3600L * 1000
-      val qn = n / 4
-      for (p <- 0 until 4) {
-        val lo = math.max(0L, p * qn - 10)
-        val hi = if (p == 3) n else (p + 1) * qn
-        val tmpd = tmp.resolve(s"tmp$p")
-        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
-        val parts = tmpd.toFile.listFiles().toSeq
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          val dest = pages.resolve(s"page$p-$i.parquet")
-          java.nio.file.Files.move(f.toPath, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
-        }
-        FixtureCache.deleteRecursively(tmpd)
-      }
-    }
-    val stage = StreamHarness.runDir("graft_statstx")
-    val root = stage.resolve("stack").toString
-    val stream = s.readStream
-      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(fx.resolve("pages").toString)
-    val run = stream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        TxServeStack.commitBatch(s, root, b, id, "doc_id", "text",
-          docBuckets = 16, termBuckets = 16)
-        ()
-      }
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    run.awaitTermination()
-    val qt = dcs.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("q_id"),
-        explode(split(col("text"), " ")).as("term"))
-    val qBkts = Ledger.keyHashBuckets(qt.select("term").distinct(),
-      "term", 16)
-    val (postings, stats, global) =
-      TxServeStack.resolve(s, root, statsBuckets = Some(qBkts))
-    Retrieval.bm25TopKFromStats(qt, postings, stats, global, k = 10)
-      .withColumn("rnk", col("rnk").cast("long"))
-      .orderBy("q_id", "rnk")
+    txBm25Serve(s, d, drainTxStack(s, d, "graft_statstx"))
+  }
+
+  /** SNAPSHOT reads over the manifest stack ([[graft.operators.Manifest.readAt]]
+    * — the table-format time-travel face): every commit freezes its
+    * consistent cut in an immutable `manifest.v=N` history file, so a
+    * reader pinned to version 1 serves EXACTLY the stack as of batch
+    * 1's commit — pages 2 and 3 arrived, committed, and moved the
+    * pointer, and the pinned reader must see none of it. The gate
+    * drains all four pages, then serves at version 1; the oracle
+    * computes BM25 over just the first two pages' documents
+    * (doc_id < 2·⌊n/4⌋ — the fixture's page boundaries), so any leak
+    * of post-snapshot state (a doc, a stats increment, the global
+    * N/Σdl moving) flips scores and the hash. readAt refuses
+    * versions above the committed pointer (a crashed batch's torn
+    * history file stays invisible — ManifestSpec). */
+  val streamingStatsSnapshot = Q("streaming_stats_snapshot",
+    s"""WITH ${Registry12.sqlBm25(10,
+         "doc_id < 2 * ((SELECT COUNT(*) FROM documents) // 4)")}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    txBm25Serve(s, d, drainTxStack(s, d, "graft_statssnap"),
+      version = Some(1L))
+  }
+
+  /** GARBAGE COLLECTION under the protocol
+    * ([[graft.operators.TxServeStack.vacuum]]): versioned writes never
+    * delete, so superseded stats-bucket versions, compacted-away
+    * posting deltas, and crash orphans accumulate as unreadable
+    * storage. The gate drains four pages, compacts (stranding the
+    * four delta dirs), simulates a crashed batch (assets written,
+    * swap skipped — the orphan class), vacuums with retention 0, and
+    * REQUIRES garbage was actually reclaimed and the post-vacuum
+    * batch-dir listing is empty; the output is the serve through the
+    * surviving pins vs the raw-corpus oracle — a vacuum that deleted
+    * one live path flips the hash, a vacuum that missed the orphan
+    * fails the require. ManifestSpec holds the retention face
+    * (retainVersions keeps old snapshots servable; retire ends time
+    * travel). */
+  val streamingStatsVacuum = Q("streaming_stats_vacuum",
+    s"""WITH ${Registry12.sqlBm25(10)}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.{Manifest, TxServeStack}
+    val root = drainTxStack(s, d, "graft_statsvac")
+    require(TxServeStack.compactPostings(s, root),
+      "the drained stack must have visible postings to compact")
+    // a crashed batch: all three asset writes land, the swap never runs
+    TxServeStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") < 5), 99L, "doc_id", "text",
+      docBuckets = 16, termBuckets = 16, publish = false)
+    val vs = TxServeStack.vacuum(s, root, retainVersions = 0)
+    require(vs.deletedDirs > 0,
+      "compaction + the crash left garbage; vacuum must reclaim it")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val strays = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/postings")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    require(strays.isEmpty,
+      s"compacted-away delta dirs survived vacuum: $strays")
+    require(Manifest.read(s, root).get.batchId == 3L,
+      "vacuum must not disturb the committed pointer")
+    txBm25Serve(s, d, root)
   }
 
   /** Posting compaction under the protocol
@@ -614,60 +683,12 @@ object Registry16 {
        |SELECT q_id, doc_id, rnk, score FROM lex
        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     import graft.operators.TxServeStack
-    val dcs = docs(s, d)
-    val n = dcs.count()
-    val fx = FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
-      val pages = tmp.resolve("pages")
-      java.nio.file.Files.createDirectories(pages)
-      val base = System.currentTimeMillis() - 3600L * 1000
-      val qn = n / 4
-      for (p <- 0 until 4) {
-        val lo = math.max(0L, p * qn - 10)
-        val hi = if (p == 3) n else (p + 1) * qn
-        val tmpd = tmp.resolve(s"tmp$p")
-        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
-        val parts = tmpd.toFile.listFiles().toSeq
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          val dest = pages.resolve(s"page$p-$i.parquet")
-          java.nio.file.Files.move(f.toPath, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
-        }
-        FixtureCache.deleteRecursively(tmpd)
-      }
-    }
-    val stage = StreamHarness.runDir("graft_statscpt")
-    val root = stage.resolve("stack").toString
-    val stream = s.readStream
-      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(fx.resolve("pages").toString)
-    val run = stream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        TxServeStack.commitBatch(s, root, b, id, "doc_id", "text",
-          docBuckets = 16, termBuckets = 16)
-        ()
-      }
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    run.awaitTermination()
+    val root = drainTxStack(s, d, "graft_statscpt")
     require(TxServeStack.compactPostings(s, root),
       "the drained stack must have visible postings to compact")
     val stC = graft.operators.Manifest.read(s, root).get
     require(stC.baseV >= 0, "compaction must move the base pointer")
-    val qt = dcs.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("q_id"),
-        explode(split(col("text"), " ")).as("term"))
-    val qBkts = Ledger.keyHashBuckets(qt.select("term").distinct(),
-      "term", 16)
-    val (postings, stats, global) =
-      TxServeStack.resolve(s, root, statsBuckets = Some(qBkts))
-    Retrieval.bm25TopKFromStats(qt, postings, stats, global, k = 10)
-      .withColumn("rnk", col("rnk").cast("long"))
-      .orderBy("q_id", "rnk")
+    txBm25Serve(s, d, root)
   }
 
   /** The FULL O(query) hybrid ([[Retrieval.rrfFuse]] of
@@ -865,5 +886,6 @@ object Registry16 {
     textLmStatsTopK, streamingStatsIngest, textPhrasePrunedServe,
     textIndexCompact, annMatryoshka, streamingStatsManifest,
     hybridStatsTopK, textBestWindowPruned, searchPageServe,
-    streamingStatsCompacted)
+    streamingStatsCompacted, streamingStatsSnapshot,
+    streamingStatsVacuum)
 }

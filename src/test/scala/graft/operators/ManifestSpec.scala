@@ -135,6 +135,88 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("snapshot reads: readAt pins an old consistent cut; refuses torn and future versions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftsn")
+    try {
+      TxServeStack.commitBatch(spark, dir.toString,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      val afterB0 = snapshot(dir.toString)
+      val v0 = Manifest.read(spark, dir.toString).get.version
+      TxServeStack.commitBatch(spark, dir.toString,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      assert(snapshot(dir.toString) != afterB0) // the head moved on
+      // time travel: the pinned old version serves the batch-0 cut
+      val (p, s, g) = TxServeStack.resolve(spark, dir.toString,
+        version = Some(v0))
+      assert((p.collect().map(_.toString).toSet,
+        s.collect().map(_.toString).toSet,
+        g.collect().map(_.toString).toSeq) == afterB0,
+        "snapshot read drifted from the state committed as that version")
+      // a version the pointer never reached is invisible, even if a
+      // crashed batch left its history file behind
+      val cur = Manifest.read(spark, dir.toString).get
+      assert(Manifest.readAt(spark, dir.toString, cur.version + 1).isEmpty)
+      TxServeStack.commitBatch(spark, dir.toString,
+        Seq((9L, "orphan page text")).toDF("doc_id", "text"), 2L,
+        "doc_id", "text", 4, 4, publish = false)
+      assert(Manifest.readAt(spark, dir.toString, cur.version + 1).isEmpty,
+        "a torn history file leaked through readAt")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("vacuum: deletes superseded/orphaned/compacted-away paths, keeps every retained pin, bounds time travel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftvc")
+    try {
+      val root = dir.toString
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      val v0 = Manifest.read(spark, root).get.version
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      assert(TxServeStack.compactPostings(spark, root))
+      // a crashed batch leaves orphan asset writes
+      TxServeStack.commitBatch(spark, root,
+        Seq((9L, "orphan page text")).toDF("doc_id", "text"), 7L,
+        "doc_id", "text", 4, 4, publish = false)
+      val before = snapshot(root)
+      // retain 1 prior version: v0's pins must survive this vacuum
+      val stats1 = TxServeStack.vacuum(spark, root, retainVersions = 2)
+      assert(stats1.deletedDirs > 0, "orphans/superseded dirs must go")
+      assert(snapshot(root) == before, "vacuum changed the served state")
+      assert(Manifest.readAt(spark, root, v0).nonEmpty)
+      val (pOld, _, _) = TxServeStack.resolve(spark, root,
+        version = Some(v0))
+      assert(pOld.count() > 0, "a retained snapshot must still serve")
+      // retain nothing: history below the head retires, time travel ends
+      val stats2 = TxServeStack.vacuum(spark, root, retainVersions = 0)
+      assert(stats2.deletedManifests > 0)
+      assert(Manifest.readAt(spark, root, v0).isEmpty,
+        "vacuum must retire history below the retention floor")
+      assert(snapshot(root) == before,
+        "retain-0 vacuum changed the served state")
+      // post-compaction + vacuum: superseded pre-base batch dirs gone
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val batchDirs = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/postings")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+      assert(batchDirs.isEmpty,
+        s"compacted-away delta dirs survived vacuum: $batchDirs")
+      // idempotent: nothing left to reclaim
+      assert(TxServeStack.vacuum(spark, root).deletedDirs == 0)
+      // and the stack still APPENDS after a full vacuum
+      TxServeStack.commitBatch(spark, root,
+        Seq((4L, "brown dog jumps")).toDF("doc_id", "text"), 8L,
+        "doc_id", "text", 4, 4)
+      val (p, _, _) = TxServeStack.resolve(spark, root)
+      assert(p.filter($"doc_id" === 4L).count() > 0)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("tx stack serve == in-place ledgers built from the same corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfteq")
     try {
