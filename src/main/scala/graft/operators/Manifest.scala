@@ -141,23 +141,29 @@ object Manifest {
     }
   }
 
-  /** The posting delta directories a committed state makes visible:
-    * `postings/batch=0 .. batch=batchId`, existing ones only (a batch
-    * may legitimately contribute no delta). Orphans past the
-    * high-water mark — a crashed batch's un-committed write — are NOT
-    * returned: invisibility before the manifest swap is the whole
-    * protocol. */
-  def visiblePostingDirs(spark: SparkSession, dir: String,
-                         state: State): Seq[String] = {
+  /** The delta directories a committed state makes visible for a
+    * row-append asset family (`family/base/v=V` if a compaction has
+    * moved the base pointer, then `family/batch=baseBatch+1 ..
+    * batch=batchId`), existing ones only (a batch may legitimately
+    * contribute no delta). Orphans past the high-water mark — a
+    * crashed batch's un-committed write — are NOT returned:
+    * invisibility before the manifest swap is the whole protocol. */
+  def visibleDeltaDirs(spark: SparkSession, dir: String, state: State,
+                       family: String): Seq[String] = {
     val (f, base) = fs(spark, dir)
     val consolidated =
       if (state.baseV < 0) Seq.empty
       else Seq(new org.apache.hadoop.fs.Path(base,
-        s"postings/base/v=${state.baseV}"))
+        s"$family/base/v=${state.baseV}"))
     val deltas = ((state.baseBatch + 1) to state.batchId).map(b =>
-      new org.apache.hadoop.fs.Path(base, s"postings/batch=$b"))
+      new org.apache.hadoop.fs.Path(base, s"$family/batch=$b"))
     (consolidated ++ deltas).filter(f.exists).map(_.toString)
   }
+
+  /** [[visibleDeltaDirs]] for the BM25 stack's posting family. */
+  def visiblePostingDirs(spark: SparkSession, dir: String,
+                         state: State): Seq[String] =
+    visibleDeltaDirs(spark, dir, state, "postings")
 
   /** The stats bucket directories a committed state pins — each
     * bucket at ITS version (`stats/v=V/bkt=B`): a batch that replaced
@@ -174,6 +180,52 @@ object Manifest {
   /** The pinned global-ledger directory. */
   def globalDir(dir: String, state: State): String =
     s"$dir/global/v=${state.globalV}"
+
+  /** One asset family for [[sweepUnpinned]]: list `subdir` at `depth`
+    * directory levels below it (1 = version dirs, 2 = version/bucket
+    * dirs) and keep entries whose relative name — `v=V` at depth 1,
+    * `v=V/bkt=B` at depth 2 — passes `keep`. */
+  private[operators] case class SweepFamily(subdir: String, depth: Int,
+                                            keep: String => Boolean)
+
+  /** Shared vacuum core for manifest-protocol stacks: delete every
+    * listed asset directory its family does not keep, retire history
+    * manifests below the retention `floor`, drop `manifest.tmp-*`
+    * scratch files, and clean version dirs a depth-2 sweep emptied.
+    * Returns (deletedDirs, retiredManifests, keptDirs). */
+  private[operators] def sweepUnpinned(spark: SparkSession, dir: String,
+      floor: Long, families: Seq[SweepFamily]): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def ls(p: Path): Seq[Path] =
+      if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq.map(_.getPath)
+    var deleted = 0; var kept = 0
+    families.foreach { fam =>
+      val top = new Path(root, fam.subdir)
+      val entries = fam.depth match {
+        case 1 => ls(top).map(p => p -> p.getName)
+        case 2 => ls(top).flatMap(v => ls(v).map(b =>
+          b -> s"${v.getName}/${b.getName}"))
+      }
+      entries.foreach { case (p, rel) =>
+        if (fam.keep(rel)) kept += 1
+        else { f.delete(p, true); deleted += 1 }
+      }
+      if (fam.depth == 2)
+        ls(top).filter(v => f.listStatus(v).isEmpty)
+          .foreach(v => f.delete(v, true))
+    }
+    var retired = 0
+    ls(root).foreach { p =>
+      val n = p.getName
+      val stale =
+        (n.startsWith("manifest.v=") && n.drop(11).toLong < floor) ||
+          n.startsWith("manifest.tmp-")
+      if (stale) { f.delete(p, false); retired += 1 }
+    }
+    (deleted, retired, kept)
+  }
 }
 
 /** The BM25 serve stack's TRANSACTIONAL drain — the
@@ -398,14 +450,14 @@ object TxServeStack {
     * from the same maintenance cadence as compaction. */
   def vacuum(spark: SparkSession, root: String,
              retainVersions: Int = 0): VacuumStats = {
-    import org.apache.hadoop.fs.Path
     val cur = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     val floor = cur.version - retainVersions.toLong
-    val f = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     val retained = (floor to cur.version)
       .flatMap(v => Manifest.readAt(spark, root, v))
-    // every (family, identifier) some retained manifest still pins
+    // every (family, identifier) some retained manifest still pins;
+    // stats sweep at (version, bucket) granularity — one commit's
+    // version dir can hold both live and superseded buckets
     val keepStats = retained.flatMap(_.statsV.map { case (b, v) =>
       s"v=$v/bkt=$b" }).toSet
     val keepGlobal = retained.map(st => s"v=${st.globalV}").toSet
@@ -413,36 +465,190 @@ object TxServeStack {
       .map(st => s"v=${st.baseV}").toSet
     val keepBatch = retained.flatMap(st =>
       (st.baseBatch + 1) to st.batchId).map(b => s"batch=$b").toSet
-    def ls(sub: String): Seq[Path] = {
-      val p = new Path(root, sub)
-      if (!f.exists(p)) Seq.empty
-      else f.listStatus(p).toSeq.map(_.getPath)
-    }
-    var deleted = 0; var kept = 0
-    def sweep(paths: Seq[Path], keep: Path => Boolean): Unit =
-      paths.foreach { p =>
-        if (keep(p)) kept += 1
-        else { f.delete(p, true); deleted += 1 }
-      }
-    // stats: per-(version, bucket) granularity — one commit's version
-    // directory can hold both live and superseded buckets
-    sweep(ls("stats").flatMap(v => f.listStatus(v).toSeq.map(_.getPath)),
-      p => keepStats.contains(s"${p.getParent.getName}/${p.getName}"))
-    ls("stats").filter(v => f.listStatus(v).isEmpty)
-      .foreach { v => f.delete(v, true) }
-    sweep(ls("global"), p => keepGlobal.contains(p.getName))
-    sweep(ls("postings/base"), p => keepBase.contains(p.getName))
-    sweep(ls("postings").filterNot(_.getName == "base"),
-      p => keepBatch.contains(p.getName))
-    // history manifests below the retention floor + scratch leftovers
-    var retired = 0
-    f.listStatus(new Path(root)).toSeq.map(_.getPath).foreach { p =>
-      val n = p.getName
-      val stale =
-        (n.startsWith("manifest.v=") && n.drop(11).toLong < floor) ||
-          n.startsWith("manifest.tmp-")
-      if (stale) { f.delete(p, false); retired += 1 }
-    }
+    val (deleted, retired, kept) = Manifest.sweepUnpinned(spark, root,
+      floor, Seq(
+        Manifest.SweepFamily("stats", 2, keepStats),
+        Manifest.SweepFamily("global", 1, keepGlobal),
+        Manifest.SweepFamily("postings/base", 1, keepBase),
+        Manifest.SweepFamily("postings", 1,
+          n => n == "base" || keepBatch(n))))
     VacuumStats(deleted, retired, kept)
+  }
+}
+
+/** The IVF-PQ serve stack's TRANSACTIONAL face — the [[Manifest]]
+  * protocol applied to the VECTOR index's multi-asset state. The
+  * stack is three assets that must move together:
+  *
+  *  - `codes/batch=N` (+ `codes/base/v=V` after a refresh): the
+  *    (vec_id, cell, codes) ledger [[Similarity.pqIndexBuild]]
+  *    produces, bucketed on pmod(vec_id, B) inside each directory so
+  *    the next batch's already-inserted anti-join reads only the
+  *    batch's buckets;
+  *  - `quant/v=V/centroids` + `quant/v=V/codebook`: the FROZEN
+  *    quantizer pair the codes were encoded against. This pair is the
+  *    protocol's sharpest torn-state hazard: a code is m indexes into
+  *    a specific codebook — serve codes from quantizer A against
+  *    codebook B and every ADC distance is silently wrong
+  *    ([[graft.expressions.PqAdcLookup]] throws only on WIDTH
+  *    mismatches; same-shape quantizers mis-rank undetectably). One
+  *    manifest pins codes and quantizer to the same cut, so the
+  *    mixed state is unobservable by construction.
+  *
+  * State mapping onto [[Manifest.State]]: `globalV` pins the
+  * quantizer version, `baseV`/`baseBatch` the codes base pointer,
+  * `statsV` is unused (empty). QUANTIZER REFRESH — the FAISS
+  * retrain-and-reindex lifecycle [[Similarity.pqIndexReencode]]
+  * documents as "write to a new path, then switch readers" — becomes
+  * a first-class transaction here: re-encode into a fresh codes BASE
+  * + fresh quant version, then ONE swap moves both pointers; a crash
+  * anywhere leaves the old index serving. */
+object TxVectorStack {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Create the stack: commit a trained quantizer (centroids +
+    * codebook) with no codes yet. Deployment order is quantizer
+    * first — [[commitBatch]] encodes every arrival against the
+    * PINNED quantizer, never retrains ([[Similarity.pqIndexAppend]]'s
+    * frozen-quantizer invariant). */
+  def init(spark: SparkSession, root: String, centroids: DataFrame,
+           codebooks: DataFrame): Unit = {
+    require(Manifest.read(spark, root).isEmpty,
+      s"vector stack already initialized at $root")
+    writeQuant(root, 0L, centroids, codebooks)
+    Manifest.commit(spark, root,
+      Manifest.State(0L, -1L, 0L, Map.empty))
+  }
+
+  private def writeQuant(root: String, v: Long, centroids: DataFrame,
+                         codebooks: DataFrame): Unit = {
+    centroids.select(col("cell"), col("c_vec"))
+      .write.mode("overwrite").parquet(s"$root/quant/v=$v/centroids")
+    codebooks.select(col("sub"), col("code"), col("w_vec"))
+      .write.mode("overwrite").parquet(s"$root/quant/v=$v/codebook")
+  }
+
+  private def readCodes(spark: SparkSession, root: String,
+                        st: Manifest.State): DataFrame = {
+    val cols = Seq(col("vec_id"), col("cell"), col("codes"), col("bkt"))
+    val dirs = Manifest.visibleDeltaDirs(spark, root, st, "codes")
+    val (baseDirs, deltaDirs) = dirs.partition(_.contains("/base/"))
+    val parts =
+      (if (baseDirs.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", s"$root/codes/base")
+         .parquet(baseDirs: _*).select(cols: _*))) ++
+      (if (deltaDirs.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", s"$root/codes")
+         .parquet(deltaDirs: _*).select(cols: _*)))
+    if (parts.isEmpty)
+      spark.emptyDataFrame.select(lit(0L).as("vec_id"),
+        lit(0).as("cell"), array().cast("array<int>").as("codes"),
+        lit(0).as("bkt")).limit(0)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Resolve the committed (codes ledger, centroids, codebook) for
+    * serving — optionally pinned to a snapshot `version`, which
+    * serves the index exactly as of that commit (old quantizer, old
+    * membership) concurrent with later commits and refreshes. */
+  def resolve(spark: SparkSession, root: String,
+              version: Option[Long] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val st = version match {
+      case None => Manifest.read(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest at $root"))
+      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $root is uncommitted or vacuumed"))
+    }
+    (readCodes(spark, root, st).select("vec_id", "cell", "codes"),
+      spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids"),
+      spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook"))
+  }
+
+  /** One arrival batch through the protocol: anti-join the committed
+    * membership (bucket-pruned to the batch's buckets), encode the
+    * fresh vectors under the PINNED quantizer, land the delta at
+    * `codes/batch=N`, swap. Idempotent by batch id; `publish = false`
+    * is the crash face. */
+  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long, idCol: String, vecCol: String,
+                  buckets: Int = 16, publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"vector stack not initialized at $root — call init first"))
+    if (batchId <= st.batchId) return false // replayed: already committed
+    val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
+    val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
+    val stored = Ledger.prunedToBatch(
+      readCodes(spark, root, st).select(col("vec_id"), col("bkt")),
+      batch.select(col(idCol).as("vec_id")), "vec_id", buckets)
+    val delta = Similarity.pqIndexAppend(stored, batch, cent, cb,
+      idCol, vecCol, deltaOnly = true)
+    Ledger.withBucket(delta, "vec_id", buckets)
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/codes/batch=$batchId")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = st.version + 1,
+        batchId = batchId))
+    true
+  }
+
+  /** QUANTIZER REFRESH as one transaction: re-encode the committed
+    * membership under a NEW quantizer ([[Similarity.pqIndexReencode]]
+    * — the ledger is the membership authority, `corpus` the float
+    * authority) into a fresh codes BASE (one file per bucket, so the
+    * refresh is also the codes compaction) plus a fresh quant
+    * version, then ONE swap moves both pointers and restarts the
+    * delta window. A crash anywhere before the swap leaves the old
+    * quantizer serving the old codes — the mixed codes-from-A /
+    * codebook-B state that in-place reindexing risks cannot be
+    * observed. `publish = false` is the crash face. */
+  def refresh(spark: SparkSession, root: String, corpus: DataFrame,
+              centroids: DataFrame, codebooks: DataFrame,
+              idCol: String, vecCol: String, buckets: Int = 16,
+              publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    val vNew = st.version + 1
+    val reenc = Similarity.pqIndexReencode(
+      readCodes(spark, root, st).select("vec_id", "cell", "codes"),
+      corpus, centroids, codebooks, idCol, vecCol)
+    Ledger.withBucket(reenc, "vec_id", buckets)
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/codes/base/v=$vNew")
+    writeQuant(root, vNew, centroids, codebooks)
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        globalV = vNew, baseV = vNew, baseBatch = st.batchId))
+    true
+  }
+
+  /** [[TxServeStack.vacuum]]'s twin for the vector stack: reclaim
+    * superseded quantizer versions (each refresh strands one),
+    * refreshed-away codes deltas, crash orphans, and history
+    * manifests below the retention floor. Same writer caveat: not
+    * concurrent with an in-flight commit. */
+  def vacuum(spark: SparkSession, root: String,
+             retainVersions: Int = 0): TxServeStack.VacuumStats = {
+    val cur = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    val floor = cur.version - retainVersions.toLong
+    val retained = (floor to cur.version)
+      .flatMap(v => Manifest.readAt(spark, root, v))
+    val keepQuant = retained.map(st => s"v=${st.globalV}").toSet
+    val keepBase = retained.filter(_.baseV >= 0)
+      .map(st => s"v=${st.baseV}").toSet
+    val keepBatch = retained.flatMap(st =>
+      (st.baseBatch + 1) to st.batchId).map(b => s"batch=$b").toSet
+    val (deleted, retired, kept) = Manifest.sweepUnpinned(spark, root,
+      floor, Seq(
+        Manifest.SweepFamily("quant", 1, keepQuant),
+        Manifest.SweepFamily("codes/base", 1, keepBase),
+        Manifest.SweepFamily("codes", 1,
+          n => n == "base" || keepBatch(n))))
+    TxServeStack.VacuumStats(deleted, retired, kept)
   }
 }

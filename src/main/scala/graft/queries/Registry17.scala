@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Similarity, TxVectorStack}
+
+/** Round-15 transactional index lifecycle: the [[graft.operators.Manifest]]
+  * commit protocol extended from the BM25 serve stack to the VECTOR
+  * index ([[graft.operators.TxVectorStack]]). The IVF-PQ stack is the
+  * protocol's sharpest client: its assets (codes ledger, centroids,
+  * codebook) are mutually meaningless when torn — a PQ code is m
+  * indexes into one specific codebook, so serving codes from
+  * quantizer A against codebook B mis-ranks silently. One manifest
+  * pins all three to a consistent cut; quantizer refresh becomes a
+  * single atomic swap instead of [[Similarity.pqIndexReencode]]'s
+  * documented "write to a new path, then switch readers" convention.
+  *
+  * Reference (jurimetria-etl) has no vector surface; these are the
+  * LLM-training-data extensions (brief §"Beyond the reference").
+  */
+object Registry17 {
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Drain the whole embeddings table into a fresh vector stack in
+    * four overlapping arrival batches (10-id overlaps — the
+    * at-least-once replay the anti-join absorbs) under quantizer A
+    * (the shared seed inputs). Returns the stack root. */
+  private def drainVectorStack(s: SparkSession, d: String,
+                               tag: String): String = {
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val root = StreamHarness.runDir(tag).resolve("stack").toString
+    TxVectorStack.init(s, root, cent, cb)
+    val n = e.select("vec_id").count()
+    val qn = n / 4
+    for (p <- 0 until 4) {
+      val lo = math.max(0L, p * qn - 10)
+      val hi = if (p == 3) n else (p + 1) * qn
+      TxVectorStack.commitBatch(s, root,
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi),
+        p.toLong, "vec_id", "embedding", buckets = 16)
+    }
+    root
+  }
+
+  /** The vector index under the MANIFEST protocol
+    * ([[graft.operators.TxVectorStack]]): quantizer committed first,
+    * four overlapping arrival batches encoded under it (each an
+    * anti-joined delta at a versioned path + one manifest swap), then
+    * the IVF-PQ serve ([[Similarity.ivfPqTopKFromIndex]]) resolved
+    * ONLY through the committed manifest — codes, centroids, and
+    * codebook all from pinned versions. The oracle is
+    * `ann_ivf_pq_topk`'s exact routing + restricted-ADC algebra over
+    * the raw corpus, so a torn cut (codes without their quantizer), a
+    * double-applied overlap, or a leaked uncommitted batch flips the
+    * ranking hash. VectorStackSpec carries the crash faces. */
+  val annIndexManifest = Q("ann_index_manifest",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${Registry10.sqlIvfAdcRank("codes", "qd")}
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val root = drainVectorStack(s, d, "graft_vectx")
+    val (ledger, cent, cb) = TxVectorStack.resolve(s, root)
+    Similarity.ivfPqTopKFromIndex(
+      emb(s, d).filter(col("vec_id") < 5), ledger, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Quantizer refresh as ONE transaction
+    * ([[graft.operators.TxVectorStack.refresh]]): the drained stack
+    * re-encodes its committed membership under quantizer B (seeded
+    * from corpus vectors 16..31, `ann_index_reencode`'s retrained
+    * stand-in) into a fresh codes base + fresh quant version, and a
+    * single manifest swap moves BOTH pointers — where the in-place
+    * reencode gate documents "write to a new path, then switch
+    * readers" as the caller's job, here the switch is the protocol's
+    * commit point and a crash anywhere leaves quantizer A serving
+    * (VectorStackSpec). The output is the post-swap ledger resolved
+    * through the manifest; the oracle builds quantizer B's assignment
+    * + codes from scratch, so a row lost by the re-encode, a stale
+    * quantizer pin, or codes mixed across quantizers flips the hash. */
+  val annRefreshManifest = Q("ann_refresh_manifest",
+    s"""WITH cwb AS (SELECT CAST(vec_id - 16 AS INT) AS code,
+       |    embedding AS w
+       |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings b CROSS JOIN js CROSS JOIN cwb c),
+       |codes AS (SELECT n_id, sub, code FROM (
+       |  SELECT n_id, sub, code, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |centb AS (SELECT CAST(vec_id - 16 AS INT) AS cell,
+       |    embedding AS c_vec
+       |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 32),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM embeddings b CROSS JOIN centb c) WHERE rn = 1)
+       |SELECT a.n_id AS vec_id, a.cell,
+       |  array_to_string(list(CAST(n.code AS INT) ORDER BY n.sub), ',') AS codes
+       |FROM asg a JOIN codes n ON n.n_id = a.n_id
+       |GROUP BY a.n_id, a.cell ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val root = drainVectorStack(s, d, "graft_vecrf")
+    val e = emb(s, d)
+    val centB = e.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select((col("vec_id") - 16).cast("int").as("cell"),
+        col("embedding").as("c_vec"))
+    val cbB = Similarity.pqCodebookSeed(
+      e.withColumn("vec_id", col("vec_id") - 16)
+        .filter(col("vec_id") >= 0),
+      "vec_id", "embedding", m = 8, ksub = 16, subDim = 8)
+    require(TxVectorStack.refresh(s, root, e, centB, cbB,
+      "vec_id", "embedding", buckets = 16),
+      "refresh must run on a committed stack")
+    val st = graft.operators.Manifest.read(s, root).get
+    require(st.baseV == st.globalV && st.baseV > 3L,
+      "one swap must move the codes base and quantizer pointers together")
+    TxVectorStack.resolve(s, root)._1
+      .withColumn("codes", array_join(col("codes"), ","))
+      .orderBy("vec_id")
+  }
+
+  val round17: Seq[Q] = Seq(annIndexManifest, annRefreshManifest)
+}

@@ -410,5 +410,6 @@ object RegistryExt {
     Registry6.round7 ++ Registry7.round8 ++ Registry8.round9 ++
     Registry9.round9b ++ Registry10.round11 ++ Registry10.round12 ++
     Registry11.round12b ++ Registry12.round12c ++ Registry13.round13 ++
-    Registry14.round14 ++ Registry15.round15 ++ Registry16.round16
+    Registry14.round14 ++ Registry15.round15 ++ Registry16.round16 ++
+    Registry17.round17
 }
