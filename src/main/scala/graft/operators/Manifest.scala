@@ -300,6 +300,20 @@ object TxServeStack {
     else parts.reduce(_ unionByName _)
   }
 
+  /** The delete tombstones a committed state makes visible — the ids
+    * [[commitDelete]] batches have retired since the last compaction
+    * (the base consolidates LIVE rows only, so its pointer move
+    * retires the whole delete window with it). Tiny by contract: one
+    * id row per deleted document per era. */
+  private def readDeletes(spark: SparkSession, root: String,
+                          st: Manifest.State): DataFrame = {
+    val dirs = Manifest.visibleDeltaDirs(spark, root, st, "deletes")
+    if (dirs.isEmpty)
+      spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+    else spark.read.option("basePath", s"$root/deletes")
+      .parquet(dirs: _*).select(col("doc_id"))
+  }
+
   def resolve(spark: SparkSession, root: String,
               statsBuckets: Option[Seq[Int]] = None,
               version: Option[Long] = None)
@@ -312,6 +326,8 @@ object TxServeStack {
           s"version $v at $root is uncommitted or vacuumed"))
     }
     val postings = readPostings(spark, root, st)
+      .join(broadcast(readDeletes(spark, root, st)),
+        Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val pinned = statsBuckets match {
       case None => st.statsV
@@ -389,20 +405,100 @@ object TxServeStack {
     true
   }
 
+  /** TRANSACTIONAL DELETE — the takedown face under the protocol
+    * (soft-delete tombstones, Lucene's live-docs design): the batch's
+    * ids land as a tiny tombstone file at `deletes/batch=N`, every
+    * read anti-joins the visible tombstones, and the SAME commit
+    * folds the retired postings out of the derived stats — the
+    * removed docs' tf rows (read bucket-pruned off the posting
+    * ledger) decrement their terms' buckets
+    * ([[Retrieval.bm25TermStatsRemove]] — df-0 terms drop) and the
+    * 1-row global, all pinned to fresh versions and published by the
+    * one swap. O(touched) end to end: tombstone write ∝ batch, stats
+    * rewrite ∝ the removed terms' buckets, postings untouched.
+    *
+    * Already-deleted and never-indexed ids contribute no tf rows, so
+    * replay and double-delete are stat-exact no-ops. The tombstone
+    * window rides the batch-id sequence and RETIRES at the next
+    * [[compactPostings]] (the base consolidates live rows only) —
+    * which is also the era boundary for re-ingest: within an era, a
+    * deleted id's arriving rows are absorbed by the append anti-join
+    * (indistinguishable from an at-least-once replay); after a
+    * compaction the id is physically gone and re-ingests as a new
+    * document. The delete window's size is bounded by the compaction
+    * cadence — the reason the serve-side anti-join can broadcast. */
+  def commitDelete(spark: SparkSession, root: String,
+                   removals: DataFrame, batchId: Long, idCol: String,
+                   docBuckets: Int, termBuckets: Int,
+                   publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (batchId <= st.batchId) return false // replayed: already committed
+    val vNew = st.version + 1
+    val ids = removals.select(col(idCol).as("doc_id")).distinct()
+    // the retired rows: stored postings for the batch ids' buckets,
+    // minus docs already tombstoned (exactly-once stats decrements)
+    val removedTf = Ledger.prunedToBatch(
+        readPostings(spark, root, st), ids, "doc_id", docBuckets)
+      .join(broadcast(readDeletes(spark, root, st)),
+        Seq("doc_id"), "left_anti")
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .localCheckpoint()
+    removedTf.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    // term stats: the removed terms' buckets re-derived from their
+    // pinned versions minus the decrements
+    val touched = Ledger.keyHashBuckets(
+      removedTf.select("term").distinct(), "term", termBuckets)
+    val pinnedPrev = st.statsV.filter { case (b, _) => touched.contains(b) }
+    val prev =
+      if (pinnedPrev.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("term"), lit(0L).as("df"), lit(0L).as("cf"))
+          .limit(0)
+      else spark.read.option("basePath", s"$root/stats")
+        .parquet(pinnedPrev.toSeq.sorted.map { case (b, v) =>
+          s"$root/stats/v=$v/bkt=$b" }: _*)
+        .select(col("term"), col("df"), col("cf"))
+    // a delete can EMPTY a touched bucket (all its terms' df hit 0 and
+    // dropped) — partitionBy writes no directory for it, so the
+    // manifest must UNPIN it (absent-from-the-map = never written),
+    // not pin a path that does not exist
+    val replaced = Ledger.withHashBucket(
+      Retrieval.bm25TermStatsRemove(prev, removedTf),
+      "term", termBuckets).localCheckpoint()
+    val present = replaced.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSet
+    replaced.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/stats/v=$vNew")
+    val gPrev = spark.read.parquet(Manifest.globalDir(root, st))
+    Retrieval.bm25GlobalStatsRemove(gPrev, removedTf)
+      .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId, globalV = vNew,
+        statsV = st.statsV -- touched.filterNot(present)
+          ++ touched.filter(present).map(_ -> vNew)))
+    true
+  }
+
   /** Posting COMPACTION under the protocol — the drain-age answer the
-    * [[TxServeStack]] scaladoc prescribes: consolidate every visible
-    * posting path (prior base + accumulated per-batch deltas) into a
-    * fresh versioned BASE directory, one file per bucket
-    * ([[Ledger.compactBuckets]]' shape), then commit a manifest whose
-    * base pointer moves and whose delta window restarts — the same
+    * [[TxServeStack]] scaladoc prescribes: consolidate the visible
+    * LIVE posting rows (prior base + accumulated per-batch deltas,
+    * minus tombstoned docs — compaction is where [[commitDelete]]'s
+    * soft deletes purge physically) into a fresh versioned BASE
+    * directory, one file per bucket ([[Ledger.compactBuckets]]'
+    * shape), then commit a manifest whose base pointer moves and
+    * whose delta window — postings AND tombstones — restarts. Same
     * single-swap atomicity as a batch commit, run on a cadence. A
     * crash before the swap leaves the old manifest intact (the new
-    * base is an invisible orphan); rows are untouched by contract, so
-    * a compacted stack serves bit-identically. Superseded batch
-    * directories become garbage the swap already unpinned —
-    * collectable by listing against the manifest. `publish = false`
-    * is the spec's crash face. Returns false when there is nothing
-    * visible to compact. */
+    * base is an invisible orphan); live rows are untouched by
+    * contract, so a compacted stack serves bit-identically.
+    * Superseded batch directories become garbage the swap already
+    * unpinned — collectable by [[vacuum]]. `publish = false` is the
+    * spec's crash face. Returns false when there is nothing visible
+    * to compact. */
   def compactPostings(spark: SparkSession, root: String,
                       publish: Boolean = true): Boolean = {
     val st = Manifest.read(spark, root).getOrElse(
@@ -410,6 +506,8 @@ object TxServeStack {
     if (Manifest.visiblePostingDirs(spark, root, st).isEmpty) return false
     val vNew = st.version + 1
     readPostings(spark, root, st)
+      .join(broadcast(readDeletes(spark, root, st)),
+        Seq("doc_id"), "left_anti")
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/postings/base/v=$vNew")
@@ -471,7 +569,8 @@ object TxServeStack {
         Manifest.SweepFamily("global", 1, keepGlobal),
         Manifest.SweepFamily("postings/base", 1, keepBase),
         Manifest.SweepFamily("postings", 1,
-          n => n == "base" || keepBatch(n))))
+          n => n == "base" || keepBatch(n)),
+        Manifest.SweepFamily("deletes", 1, keepBatch)))
     VacuumStats(deleted, retired, kept)
   }
 }
@@ -548,6 +647,24 @@ object TxVectorStack {
     else parts.reduce(_ unionByName _)
   }
 
+  /** The visible delete tombstones ([[commitDelete]]'s id files since
+    * the last refresh — the refresh base consolidates live rows only,
+    * retiring the window). */
+  private def readDeletes(spark: SparkSession, root: String,
+                          st: Manifest.State): DataFrame = {
+    val dirs = Manifest.visibleDeltaDirs(spark, root, st, "deletes")
+    if (dirs.isEmpty)
+      spark.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0)
+    else spark.read.option("basePath", s"$root/deletes")
+      .parquet(dirs: _*).select(col("vec_id"))
+  }
+
+  private def liveCodes(spark: SparkSession, root: String,
+                        st: Manifest.State): DataFrame =
+    readCodes(spark, root, st)
+      .join(broadcast(readDeletes(spark, root, st)),
+        Seq("vec_id"), "left_anti")
+
   /** Resolve the committed (codes ledger, centroids, codebook) for
     * serving — optionally pinned to a snapshot `version`, which
     * serves the index exactly as of that commit (old quantizer, old
@@ -562,9 +679,36 @@ object TxVectorStack {
         throw new IllegalStateException(
           s"version $v at $root is uncommitted or vacuumed"))
     }
-    (readCodes(spark, root, st).select("vec_id", "cell", "codes"),
+    (liveCodes(spark, root, st).select("vec_id", "cell", "codes"),
       spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids"),
       spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook"))
+  }
+
+  /** TRANSACTIONAL DELETE for the vector index
+    * ([[TxServeStack.commitDelete]]'s twin, minus derived stats —
+    * code rows are independent under a frozen quantizer, so a delete
+    * is PURELY a tombstone): the ids land at `deletes/batch=N`, reads
+    * anti-join them, and the window retires at the next [[refresh]],
+    * which consolidates live rows only (the physical purge and the
+    * re-ingest era boundary — within an era a deleted id's arrival is
+    * absorbed by the append anti-join). Idempotent by batch id AND by
+    * id set: only ids with live code rows are tombstoned. */
+  def commitDelete(spark: SparkSession, root: String,
+                   removals: DataFrame, batchId: Long, idCol: String,
+                   buckets: Int = 16, publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (batchId <= st.batchId) return false // replayed: already committed
+    val ids = removals.select(col(idCol).as("vec_id")).distinct()
+    Ledger.prunedToBatch(liveCodes(spark, root, st), ids,
+        "vec_id", buckets)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct()
+      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = st.version + 1,
+        batchId = batchId))
+    true
   }
 
   /** One arrival batch through the protocol: anti-join the committed
@@ -612,8 +756,9 @@ object TxVectorStack {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     val vNew = st.version + 1
+    // live membership only — the refresh is also the tombstone purge
     val reenc = Similarity.pqIndexReencode(
-      readCodes(spark, root, st).select("vec_id", "cell", "codes"),
+      liveCodes(spark, root, st).select("vec_id", "cell", "codes"),
       corpus, centroids, codebooks, idCol, vecCol)
     Ledger.withBucket(reenc, "vec_id", buckets)
       .repartition(col("bkt"))
@@ -648,7 +793,8 @@ object TxVectorStack {
         Manifest.SweepFamily("quant", 1, keepQuant),
         Manifest.SweepFamily("codes/base", 1, keepBase),
         Manifest.SweepFamily("codes", 1,
-          n => n == "base" || keepBatch(n))))
+          n => n == "base" || keepBatch(n)),
+        Manifest.SweepFamily("deletes", 1, keepBatch)))
     TxServeStack.VacuumStats(deleted, retired, kept)
   }
 }

@@ -539,7 +539,7 @@ object Registry16 {
     * (manifest-protocol commits, 16 doc + 16 term buckets) and return
     * the stack root. One micro-batch per page in mtime order, so
     * batches 0..3 commit manifest versions 0..3. */
-  private def drainTxStack(s: SparkSession, d: String,
+  private[queries] def drainTxStack(s: SparkSession, d: String,
                            tag: String): String = {
     import graft.operators.TxServeStack
     val stage = StreamHarness.runDir(tag)
@@ -566,7 +566,7 @@ object Registry16 {
     * elected — PATH-level pruning, an unelected bucket's directory is
     * never listed — then the O(query) BM25 over docs 0..2's token
     * sets. */
-  private def txBm25Serve(s: SparkSession, d: String, root: String,
+  private[queries] def txBm25Serve(s: SparkSession, d: String, root: String,
                           version: Option[Long] = None): DataFrame = {
     import graft.operators.TxServeStack
     val qt = docs(s, d).filter(col("doc_id") < 3)

@@ -131,5 +131,68 @@ object Registry17 {
       .orderBy("vec_id")
   }
 
-  val round17: Seq[Q] = Seq(annIndexManifest, annRefreshManifest)
+  /** TRANSACTIONAL DELETE on the BM25 stack
+    * ([[graft.operators.TxServeStack.commitDelete]] — soft-delete
+    * tombstones, Lucene's live-docs design): the drained 4-page stack
+    * retires docs ≡ 3 (mod 7) in ONE commit — a tiny tombstone id
+    * file, the removed postings' terms decremented out of their stats
+    * buckets (df-0 terms drop), the 1-row global decremented — and
+    * every read anti-joins the visible tombstones. O(touched): the
+    * postings themselves are never rewritten (the physical purge is
+    * compaction's). The output is the post-delete serve; the oracle
+    * computes BM25 over the SURVIVING corpus from scratch, so a
+    * leaked tombstoned doc, a stale df, or an undecremented N/Σdl
+    * flips scores. ManifestSpec holds the crash face, the
+    * double-delete no-op, and the era/re-ingest semantics. */
+  val streamingStatsDelete = Q("streaming_stats_delete",
+    s"""WITH ${Registry12.sqlBm25(10, "doc_id % 7 <> 3")}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.TxServeStack
+    val root = Registry16.drainTxStack(s, d, "graft_statsdel")
+    require(TxServeStack.commitDelete(s, root,
+      Tables.documents(s, d).filter(col("doc_id") % 7 === 3)
+        .select("doc_id"),
+      batchId = 4L, "doc_id", docBuckets = 16, termBuckets = 16),
+      "the delete batch must commit on the drained stack")
+    Registry16.txBm25Serve(s, d, root)
+  }
+
+  /** Transactional delete on the VECTOR stack
+    * ([[graft.operators.TxVectorStack.commitDelete]]): vec_ids ≡ 3
+    * (mod 7) tombstone in one commit and the IVF-PQ serve anti-joins
+    * them — deleted members can never be returned as neighbors, with
+    * zero code rows rewritten (codes are independent under a frozen
+    * quantizer, so unlike the BM25 twin there are no derived stats to
+    * fold). The oracle restricts the ADC scoring to surviving members
+    * (the codes CTE filtered — routing and distance algebra
+    * unchanged), so a tombstoned member leaking into any top-5 flips
+    * the hash. VectorStackSpec holds the crash face, era semantics,
+    * and the refresh-time purge. */
+  val annIndexDelete = Q("ann_index_delete",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |codes2 AS (SELECT * FROM codes WHERE n_id % 7 <> 3),
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${Registry10.sqlIvfAdcRank("codes2", "qd")}
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val root = drainVectorStack(s, d, "graft_vecdel")
+    val e = emb(s, d)
+    require(TxVectorStack.commitDelete(s, root,
+      e.filter(col("vec_id") % 7 === 3).select("vec_id"),
+      batchId = 4L, "vec_id", buckets = 16),
+      "the delete batch must commit on the drained stack")
+    val (ledger, cent, cb) = TxVectorStack.resolve(s, root)
+    Similarity.ivfPqTopKFromIndex(
+      e.filter(col("vec_id") < 5), ledger, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
+  val round17: Seq[Q] = Seq(annIndexManifest, annRefreshManifest,
+    streamingStatsDelete, annIndexDelete)
 }

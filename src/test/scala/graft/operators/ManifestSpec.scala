@@ -217,6 +217,60 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("commitDelete: tombstone + exact stats fold == from-scratch survivors; era semantics; compaction purges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftdl")
+    try {
+      val root = dir.toString
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      // crash face: tombstone + stats written, swap skipped
+      val before = snapshot(root)
+      TxServeStack.commitDelete(spark, root,
+        Seq(1L, 3L).toDF("doc_id"), 2L, "doc_id", 4, 4, publish = false)
+      assert(snapshot(root) == before, "uncommitted delete leaked")
+      // committed: the whole stack equals a from-scratch survivor build
+      assert(TxServeStack.commitDelete(spark, root,
+        Seq(1L, 3L).toDF("doc_id"), 2L, "doc_id", 4, 4))
+      val survivors = corpus.filter(!$"doc_id".isin(1L, 3L))
+      val ledger = Retrieval.bm25IndexBuild(survivors, "doc_id", "text")
+      val (p, s, g) = TxServeStack.resolve(spark, root)
+      val wantP = Retrieval.withDocNorms(ledger)
+      assert(p.exceptAll(wantP).isEmpty && wantP.exceptAll(p).isEmpty,
+        "tombstoned postings drifted from a survivor build")
+      val wantS = Retrieval.bm25TermStatsBuild(ledger)
+      assert(s.exceptAll(wantS).isEmpty && wantS.exceptAll(s).isEmpty,
+        "decremented stats drifted from a survivor build")
+      assert(g.collect().toSeq ==
+        Retrieval.bm25GlobalStatsBuild(ledger).collect().toSeq,
+        "decremented global drifted from a survivor build")
+      val afterDelete = snapshot(root)
+      // double-delete replays as a stat-exact no-op
+      assert(TxServeStack.commitDelete(spark, root,
+        Seq(1L).toDF("doc_id"), 3L, "doc_id", 4, 4))
+      assert(snapshot(root) == afterDelete,
+        "double-delete moved the stats")
+      // era semantics: within the era a deleted id's re-ingest is
+      // absorbed by the append anti-join
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" === 1L), 4L, "doc_id", "text", 4, 4)
+      assert(snapshot(root) == afterDelete,
+        "a deleted id re-entered before the era boundary")
+      // compaction purges the tombstones; re-ingest then lands
+      assert(TxServeStack.compactPostings(spark, root))
+      assert(snapshot(root) == afterDelete,
+        "compaction changed the served survivor state")
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" === 1L), 5L, "doc_id", "text", 4, 4)
+      val (p2, _, _) = TxServeStack.resolve(spark, root)
+      assert(p2.filter($"doc_id" === 1L).count() > 0,
+        "post-compaction re-ingest must land as a new document")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("tx stack serve == in-place ledgers built from the same corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfteq")
     try {

@@ -133,6 +133,47 @@ class VectorStackSpec extends SparkSpec {
     }
   }
 
+  test("commitDelete: tombstoned serve == survivor build; era semantics; refresh purges and re-encodes survivors only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vxd")
+    try {
+      val root = dir.toString
+      TxVectorStack.init(spark, root, centA, cbA)
+      TxVectorStack.commitBatch(spark, root, corpus, 0L,
+        "vec_id", "embedding", 4)
+      val before = canon(ledgerAt(root))
+      // crash face: tombstone written, swap skipped
+      TxVectorStack.commitDelete(spark, root,
+        Seq(7L, 21L).toDF("vec_id"), 1L, "vec_id", 4, publish = false)
+      assert(canon(ledgerAt(root)) == before, "uncommitted delete leaked")
+      assert(TxVectorStack.commitDelete(spark, root,
+        Seq(7L, 21L).toDF("vec_id"), 1L, "vec_id", 4))
+      val survivors = corpus.filter(!$"vec_id".isin(7L, 21L))
+      assert(canon(ledgerAt(root)) == canon(Similarity.pqIndexBuild(
+        survivors, centA, cbA, "vec_id", "embedding")),
+        "tombstoned ledger drifted from a survivor build")
+      // era semantics: re-ingest of a deleted id absorbed until refresh
+      TxVectorStack.commitBatch(spark, root,
+        corpus.filter($"vec_id" === 7L), 2L, "vec_id", "embedding", 4)
+      assert(!canon(ledgerAt(root)).exists(_.contains("[7,")),
+        "a deleted id re-entered before the era boundary")
+      // refresh purges tombstones and re-encodes SURVIVORS only
+      assert(TxVectorStack.refresh(spark, root, corpus, centB, cbB,
+        "vec_id", "embedding", buckets = 4))
+      assert(canon(ledgerAt(root)) == canon(Similarity.pqIndexBuild(
+        survivors, centB, cbB, "vec_id", "embedding")),
+        "refresh re-encoded tombstoned members")
+      // post-refresh: the id is physically gone, re-ingest lands
+      TxVectorStack.commitBatch(spark, root,
+        corpus.filter($"vec_id" === 7L), 3L, "vec_id", "embedding", 4)
+      assert(canon(ledgerAt(root)) == canon(Similarity.pqIndexBuild(
+        survivors.unionByName(corpus.filter($"vec_id" === 7L)),
+        centB, cbB, "vec_id", "embedding")),
+        "post-refresh re-ingest must land as a new member")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("serve through the stack == ivfPqTopKFromIndex over an in-flow ledger") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vxs")
     try {
