@@ -584,6 +584,85 @@ object ScaleProbe {
         }
       }
 
+      if (want("txstack")) {
+        // manifest-protocol serve stack (round 15): the laws under the
+        // transactional drain. Governing counts — (1) a batch WRITES
+        // its delta rows + its touched stats buckets' occupancy, never
+        // the ledger; (2) a DELETE writes one tombstone row per doc +
+        // rewrites only the removed terms' buckets; (3) a SERVE reads
+        // the query terms' pinned stats paths (path-level pruning: an
+        // unelected bucket's directory is never listed) + one manifest
+        // file; (4) VACUUM reclaims ∝ commit history (superseded
+        // versions), never ∝ corpus. Wall times at toy scale are
+        // commit-constant-dominated; the counts are what scale.
+        import graft.operators.{Ledger, Manifest, Retrieval, TxServeStack}
+        val d = graft.Tables.documents(spark, dir)
+        val nD = d.count()
+        val stage = java.nio.file.Files.createTempDirectory("graft_txp")
+        val root = stage.resolve("stack").toString
+        try {
+          val docB = 64; val termB = 256
+          val qn = nD / 4
+          for (p <- 0 until 4) {
+            val lo = math.max(0L, p * qn - 10)
+            val hi = if (p == 3) nD else (p + 1) * qn
+            TxServeStack.commitBatch(spark, root,
+              d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              p.toLong, "doc_id", "text", docB, termB)
+          }
+          val st = Manifest.read(spark, root).get
+          val ledgerRows = TxServeStack.resolve(spark, root)._1.count()
+          val vocabRows = TxServeStack.resolve(spark, root)._2.count()
+          val lastDelta = spark.read
+            .parquet(s"$root/postings/batch=3").count()
+          val lastTouched = st.statsV.count(_._2 == st.version)
+          val lastStatsRows = spark.read.option("basePath", s"$root/stats")
+            .parquet(st.statsV.filter(_._2 == st.version).toSeq.sorted
+              .map { case (b, v) => s"$root/stats/v=$v/bkt=$b" }: _*)
+            .count()
+          println(s"PROBE txstack $scale docs=$nD ledger_rows=$ledgerRows " +
+            s"vocab_rows=$vocabRows batch4_delta_rows=$lastDelta " +
+            s"batch4_stats_buckets=$lastTouched of $termB " +
+            s"batch4_stats_rows=$lastStatsRows")
+          // transactional delete: 1% of the corpus retires
+          TxServeStack.commitDelete(spark, root,
+            d.filter(col("doc_id") % 100 === 3).select("doc_id"), 4L,
+            "doc_id", docB, termB)
+          val st2 = Manifest.read(spark, root).get
+          val tomb = spark.read.parquet(s"$root/deletes/batch=4").count()
+          val delTouched = st2.statsV.count(_._2 == st2.version)
+          val delStatsRows =
+            if (delTouched == 0) 0L
+            else spark.read.option("basePath", s"$root/stats")
+              .parquet(st2.statsV.filter(_._2 == st2.version).toSeq.sorted
+                .map { case (b, v) => s"$root/stats/v=$v/bkt=$b" }: _*)
+              .count()
+          println(s"PROBE txstack $scale delete_docs=$tomb " +
+            s"delete_stats_buckets=$delTouched of $termB " +
+            s"delete_stats_rows=$delStatsRows postings_rewritten=0")
+          // manifest-resolved serve: 3-term query, path-level pruning
+          val qterms = d.filter(col("doc_id") === 0)
+            .select(explode(split(col("text"), " ")).as("term"))
+            .filter(col("term") =!= "").distinct()
+            .orderBy("term").limit(3)
+          val bkts = Ledger.keyHashBuckets(qterms, "term", termB)
+          val (_, sPruned, _) = TxServeStack.resolve(spark, root,
+            statsBuckets = Some(bkts))
+          val statsRead = sPruned.count()
+          val dirsOpened = st2.statsV.keySet.count(bkts.contains)
+          println(s"PROBE txstack $scale serve_q_terms=3 " +
+            s"stats_dirs_opened=$dirsOpened of ${st2.statsV.size} " +
+            s"stats_rows_read=$statsRead vs vocab_rows=$vocabRows")
+          // compaction + vacuum: reclaim ∝ history, serve unchanged
+          TxServeStack.compactPostings(spark, root)
+          val vs = TxServeStack.vacuum(spark, root)
+          println(s"PROBE txstack $scale vacuum_deleted_dirs=${vs.deletedDirs} " +
+            s"retired_manifests=${vs.deletedManifests} kept_dirs=${vs.keptDirs}")
+        } finally {
+          graft.queries.FixtureCache.deleteRecursively(stage)
+        }
+      }
+
       if (want("semdedup")) {
         // PQ-prefix semantic blocking: the governing count is the
         // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a
