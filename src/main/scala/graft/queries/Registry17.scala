@@ -193,6 +193,76 @@ object Registry17 {
       .orderBy("q_id", "rnk")
   }
 
+  /** STREAMING arrival for the vector stack — the sixth streaming
+    * ledger family (after tf, PQ codes, graph, positions, semantic
+    * labels): Structured Streaming pages drain through
+    * [[graft.operators.TxVectorStack.commitBatch]], so every
+    * micro-batch is one atomic manifest commit — encode-under-pinned-
+    * quantizer, bucket-pruned anti-join, versioned delta write, swap.
+    * The foreachBatch batch ID is the protocol's high-water id, which
+    * makes the sink EXACTLY-ONCE end to end (a replayed micro-batch
+    * skips whole — stronger than the in-place drains' anti-join
+    * absorption, which is merely idempotent). The serve is
+    * `ann_index_manifest`'s, so the oracle is the same raw-corpus
+    * routing + restricted-ADC algebra. */
+  val streamingVectorIngest = Q("streaming_vector_ingest",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${Registry10.sqlIvfAdcRank("codes", "qd")}
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+    val n = e.select("vec_id").count()
+    val fx = FixtureCache.cached(d, "vecpages", 1, Seq("embeddings")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      val qn = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * qn - 10)
+        val hi = if (p == 3) n else (p + 1) * qn
+        val tmpd = tmp.resolve(s"tmp$p")
+        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val parts = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val dest = pages.resolve(s"page$p-$i.parquet")
+          java.nio.file.Files.move(f.toPath, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        }
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+    val stage = StreamHarness.runDir("graft_vecingest")
+    val root = stage.resolve("stack").toString
+    TxVectorStack.init(s, root, cent, cb)
+    val stream = s.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val run = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TxVectorStack.commitBatch(s, root, b, id, "vec_id", "embedding",
+          buckets = 16)
+        ()
+      }
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    val (ledger, centR, cbR) = TxVectorStack.resolve(s, root)
+    Similarity.ivfPqTopKFromIndex(
+      emb(s, d).filter(col("vec_id") < 5), ledger, centR, cbR,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round17: Seq[Q] = Seq(annIndexManifest, annRefreshManifest,
-    streamingStatsDelete, annIndexDelete)
+    streamingStatsDelete, annIndexDelete, streamingVectorIngest)
 }

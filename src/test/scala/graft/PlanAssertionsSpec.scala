@@ -584,6 +584,43 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("manifest serve: the stats read resolves only elected pinned paths; the tombstone anti-join broadcasts") {
+    import graft.operators.{Ledger, TxServeStack}
+    val dcs = Tables.documents(spark, sf)
+    val stage = java.nio.file.Files.createTempDirectory("graft_mftplan")
+    try {
+      val root = stage.resolve("stack").toString
+      TxServeStack.commitBatch(spark, root,
+        dcs.filter(col("doc_id") < 100), 0L, "doc_id", "text", 8, 16)
+      TxServeStack.commitBatch(spark, root,
+        dcs.filter(col("doc_id") >= 100), 1L, "doc_id", "text", 8, 16)
+      TxServeStack.commitDelete(spark, root,
+        dcs.filter(col("doc_id") % 9 === 4).select("doc_id"), 2L,
+        "doc_id", 8, 16)
+      val qterms = dcs.filter(col("doc_id") === 0)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val bkts = Ledger.keyHashBuckets(qterms, "term", 16)
+      val (postings, stats, _) = TxServeStack.resolve(spark, root,
+        statsBuckets = Some(bkts))
+      // PATH-level pruning: every file the stats frame can read lives
+      // under an ELECTED bucket's pinned version directory — an
+      // unelected bucket's directory was never even listed
+      val okDir = bkts.map(b => s"/bkt=$b/").toSet
+      val stray = stats.inputFiles.filterNot(f => okDir.exists(f.contains))
+      assert(stats.inputFiles.nonEmpty && stray.isEmpty,
+        s"stats read resolved unelected paths: ${stray.take(3).mkString(", ")}")
+      // the tombstone anti-join must broadcast the (tiny) delete frame,
+      // not shuffle the posting ledger
+      val plan = postings.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"tombstone anti-join is not a broadcast:\n${plan.take(3000)}")
+      assert(postings.count() > 0)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(stage)
+    }
+  }
+
   test("pruned snippet serve: the stored positional scan carries a bkt partition filter; windows equal the unpruned serve") {
     import graft.operators.{Ledger, Retrieval}
     val dcs = Tables.documents(spark, sf)
