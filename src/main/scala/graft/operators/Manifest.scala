@@ -275,11 +275,17 @@ object TxServeStack {
     * `statsBuckets` restricts the stats read to an elected bucket set
     * (the serve-side O(query) pruning — here it is PATH-level: an
     * unelected bucket's directory is never even listed). */
-  /** Read the committed postings (doc_id, term, tf, dl, bkt) through
-    * the manifest. The consolidated base and the per-batch deltas
-    * live under DIFFERENT partition-path shapes (`base/v=V/bkt=M` vs
-    * `batch=N/bkt=M`), so they read in two groups and union on the
-    * shared columns — one frame, still only manifest-pinned paths. */
+  /** Read the committed postings (doc_id, term, tf, dl, bkt, _b)
+    * through the manifest — `_b` is each row's BATCH PROVENANCE,
+    * derived from the partition path it lives under (`batch=N` for
+    * deltas; the base consolidates live rows as of `baseBatch`, so
+    * its rows carry that). Provenance is what makes the tombstone
+    * liveness rule ([[livePostings]]) ordered: a tombstone at batch N
+    * kills rows born BEFORE N and nothing after. The consolidated
+    * base and the per-batch deltas live under DIFFERENT
+    * partition-path shapes (`base/v=V/bkt=M` vs `batch=N/bkt=M`), so
+    * they read in two groups and union on the shared columns — one
+    * frame, still only manifest-pinned paths. */
   private def readPostings(spark: SparkSession, root: String,
                            st: Manifest.State): DataFrame = {
     val cols = Seq(col("doc_id"), col("term"), col("tf"), col("dl"),
@@ -289,29 +295,55 @@ object TxServeStack {
     val parts =
       (if (baseDirs.isEmpty) Seq.empty
        else Seq(spark.read.option("basePath", s"$root/postings/base")
-         .parquet(baseDirs: _*).select(cols: _*))) ++
+         .parquet(baseDirs: _*)
+         .select(cols :+ lit(st.baseBatch).as("_b"): _*))) ++
       (if (deltaDirs.isEmpty) Seq.empty
        else Seq(spark.read.option("basePath", s"$root/postings")
-         .parquet(deltaDirs: _*).select(cols: _*)))
+         .parquet(deltaDirs: _*)
+         .select(cols :+ col("batch").cast("long").as("_b"): _*)))
     if (parts.isEmpty)
       spark.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit("").as("term"),
-          lit(0L).as("tf"), lit(0L).as("dl"), lit(0).as("bkt")).limit(0)
+          lit(0L).as("tf"), lit(0L).as("dl"), lit(0).as("bkt"),
+          lit(0L).as("_b")).limit(0)
     else parts.reduce(_ unionByName _)
   }
 
-  /** The delete tombstones a committed state makes visible — the ids
-    * [[commitDelete]] batches have retired since the last compaction
-    * (the base consolidates LIVE rows only, so its pointer move
-    * retires the whole delete window with it). Tiny by contract: one
-    * id row per deleted document per era. */
+  /** The tombstones a committed state makes visible, as
+    * (doc_id, asof) — `asof` is the tombstoning batch's id, derived
+    * from the partition path, folded to the LATEST per doc. A
+    * tombstone at asof = N kills posting rows with provenance
+    * `_b` < N and nothing born at or after N — which is what lets
+    * [[commitUpsert]] retire a document's old rows and land its
+    * replacement in the SAME batch, and lets a post-delete re-ingest
+    * land as a new document with no era restriction. The window
+    * retires at the next compaction (the base consolidates live rows
+    * only, so its pointer move subsumes every visible tombstone).
+    * Tiny by contract: one id row per retired document per window. */
   private def readDeletes(spark: SparkSession, root: String,
                           st: Manifest.State): DataFrame = {
     val dirs = Manifest.visibleDeltaDirs(spark, root, st, "deletes")
     if (dirs.isEmpty)
-      spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
+      spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("asof")).limit(0)
     else spark.read.option("basePath", s"$root/deletes")
-      .parquet(dirs: _*).select(col("doc_id"))
+      .parquet(dirs: _*)
+      .groupBy("doc_id")
+      .agg(max(col("batch").cast("long")).as("asof"))
+  }
+
+  /** The LIVE posting rows of a committed state: provenance-carrying
+    * postings minus what the tombstones kill (`_b < asof`). The
+    * tombstone side broadcasts — its size is bounded by the
+    * compaction cadence, the same contract as Lucene's in-RAM
+    * live-docs. */
+  private def livePostings(spark: SparkSession, root: String,
+                           st: Manifest.State): DataFrame = {
+    val tomb = readDeletes(spark, root, st)
+    readPostings(spark, root, st)
+      .join(broadcast(tomb), Seq("doc_id"), "left_outer")
+      .filter(col("asof").isNull || col("_b") >= col("asof"))
+      .drop("asof")
   }
 
   def resolve(spark: SparkSession, root: String,
@@ -325,9 +357,7 @@ object TxServeStack {
         throw new IllegalStateException(
           s"version $v at $root is uncommitted or vacuumed"))
     }
-    val postings = readPostings(spark, root, st)
-      .join(broadcast(readDeletes(spark, root, st)),
-        Seq("doc_id"), "left_anti")
+    val postings = livePostings(spark, root, st)
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val pinned = statsBuckets match {
       case None => st.statsV
@@ -360,13 +390,18 @@ object TxServeStack {
       Manifest.State(-1L, -1L, -1L, Map.empty))
     if (batchId <= st.batchId) return false // replayed: already committed
     val vNew = st.version + 1
-    // delta vs the COMMITTED postings only (orphans invisible) —
-    // bucket-pruned to the batch's doc buckets like every drain
-    val storedTf = Ledger.prunedToBatch(
-      readPostings(spark, root, st).select(col("doc_id"), col("bkt")),
-      batch, idCol, docBuckets)
+    // delta vs the COMMITTED LIVE postings only (orphans invisible,
+    // tombstoned docs re-ingestable) — bucket-pruned to the batch's
+    // doc buckets like every drain
+    val storedLive = Ledger.prunedToBatch(
+        readPostings(spark, root, st)
+          .select(col("doc_id"), col("bkt"), col("_b")),
+        batch, idCol, docBuckets)
+      .join(broadcast(readDeletes(spark, root, st)),
+        Seq("doc_id"), "left_outer")
+      .filter(col("asof").isNull || col("_b") >= col("asof"))
     val delta = Retrieval.bm25IndexAppend(
-      storedTf.select(col("doc_id")), batch, idCol, textCol,
+      storedLive.select(col("doc_id")), batch, idCol, textCol,
       deltaOnly = true).localCheckpoint()
     Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id", docBuckets)
       .write.partitionBy("bkt").mode("overwrite")
@@ -418,15 +453,15 @@ object TxServeStack {
     * rewrite ∝ the removed terms' buckets, postings untouched.
     *
     * Already-deleted and never-indexed ids contribute no tf rows, so
-    * replay and double-delete are stat-exact no-ops. The tombstone
-    * window rides the batch-id sequence and RETIRES at the next
-    * [[compactPostings]] (the base consolidates live rows only) —
-    * which is also the era boundary for re-ingest: within an era, a
-    * deleted id's arriving rows are absorbed by the append anti-join
-    * (indistinguishable from an at-least-once replay); after a
-    * compaction the id is physically gone and re-ingests as a new
-    * document. The delete window's size is bounded by the compaction
-    * cadence — the reason the serve-side anti-join can broadcast. */
+    * replay and double-delete are stat-exact no-ops. Tombstones are
+    * ORDERED by batch provenance (asof = this batch's id kills rows
+    * born before it, nothing after), so a later arrival of the same
+    * id simply lands as a new document — no era restriction — and
+    * [[commitUpsert]] can retire and replace in one commit. The
+    * tombstone window RETIRES at the next [[compactPostings]] (the
+    * base consolidates live rows only); its size is bounded by the
+    * compaction cadence — the reason the liveness join can
+    * broadcast. */
   def commitDelete(spark: SparkSession, root: String,
                    removals: DataFrame, batchId: Long, idCol: String,
                    docBuckets: Int, termBuckets: Int,
@@ -436,12 +471,14 @@ object TxServeStack {
     if (batchId <= st.batchId) return false // replayed: already committed
     val vNew = st.version + 1
     val ids = removals.select(col(idCol).as("doc_id")).distinct()
-    // the retired rows: stored postings for the batch ids' buckets,
-    // minus docs already tombstoned (exactly-once stats decrements)
+    // the retired rows: LIVE postings for the batch ids' buckets —
+    // already-tombstoned docs contribute nothing (exactly-once stats
+    // decrements; double-delete is a stat-exact no-op)
     val removedTf = Ledger.prunedToBatch(
         readPostings(spark, root, st), ids, "doc_id", docBuckets)
       .join(broadcast(readDeletes(spark, root, st)),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_outer")
+      .filter(col("asof").isNull || col("_b") >= col("asof"))
       .join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("term"), col("tf"))
       .localCheckpoint()
@@ -483,6 +520,82 @@ object TxServeStack {
     true
   }
 
+  /** TRANSACTIONAL UPSERT — replace documents in ONE commit (the
+    * re-crawl face: a page's new version supersedes the old): the
+    * batch ids' live rows retire under a tombstone at THIS batch id,
+    * the batch's postings build WHOLE and land at `batch=N` — born AT
+    * N, the tombstone kills only rows born BEFORE N, so the
+    * replacement survives its own commit's tombstone — and the stats
+    * fold is the exact net (old rows decremented, new rows
+    * incremented, both sides' terms' buckets re-pinned), all
+    * published by the one swap. Ids with no live rows are pure
+    * inserts; `batch` carries each document once (its new full text —
+    * two rows for one id would merge into one document's tf).
+    * Idempotent by batch id; `publish = false` is the crash face. */
+  def commitUpsert(spark: SparkSession, root: String, batch: DataFrame,
+                   batchId: Long, idCol: String, textCol: String,
+                   docBuckets: Int, termBuckets: Int,
+                   publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (batchId <= st.batchId) return false // replayed: already committed
+    val vNew = st.version + 1
+    val ids = batch.select(col(idCol).as("doc_id")).distinct()
+    val removedTf = Ledger.prunedToBatch(
+        readPostings(spark, root, st), ids, "doc_id", docBuckets)
+      .join(broadcast(readDeletes(spark, root, st)),
+        Seq("doc_id"), "left_outer")
+      .filter(col("asof").isNull || col("_b") >= col("asof"))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .localCheckpoint()
+    removedTf.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    // the replacements build WHOLE — an upsert supersedes, it is not
+    // absorbed by what it replaces
+    val delta = Retrieval.bm25IndexBuild(batch, idCol, textCol)
+      .localCheckpoint()
+    Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id", docBuckets)
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/postings/batch=$batchId")
+    // stats: net fold over the union of both sides' terms' buckets
+    val touchedTerms = removedTf.select("term")
+      .unionByName(delta.select("term")).distinct()
+    val touched = Ledger.keyHashBuckets(touchedTerms, "term", termBuckets)
+    val pinnedPrev = st.statsV.filter { case (b, _) => touched.contains(b) }
+    val prev =
+      if (pinnedPrev.isEmpty)
+        spark.emptyDataFrame
+          .select(lit("").as("term"), lit(0L).as("df"), lit(0L).as("cf"))
+          .limit(0)
+      else spark.read.option("basePath", s"$root/stats")
+        .parquet(pinnedPrev.toSeq.sorted.map { case (b, v) =>
+          s"$root/stats/v=$v/bkt=$b" }: _*)
+        .select(col("term"), col("df"), col("cf"))
+    val replaced = Ledger.withHashBucket(
+      Retrieval.bm25TermStatsAppend(
+        Retrieval.bm25TermStatsRemove(prev, removedTf), delta),
+      "term", termBuckets).localCheckpoint()
+    val present = replaced.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSet
+    replaced.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/stats/v=$vNew")
+    val gPrev =
+      if (st.globalV < 0) {
+        import spark.implicits._
+        Seq((0L, 0L)).toDF("n_docs", "sum_dl")
+      } else spark.read.parquet(Manifest.globalDir(root, st))
+    Retrieval.bm25GlobalStatsAppend(
+        Retrieval.bm25GlobalStatsRemove(gPrev, removedTf), delta)
+      .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId, globalV = vNew,
+        statsV = st.statsV -- touched.filterNot(present)
+          ++ touched.filter(present).map(_ -> vNew)))
+    true
+  }
+
   /** Posting COMPACTION under the protocol — the drain-age answer the
     * [[TxServeStack]] scaladoc prescribes: consolidate the visible
     * LIVE posting rows (prior base + accumulated per-batch deltas,
@@ -505,9 +618,7 @@ object TxServeStack {
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (Manifest.visiblePostingDirs(spark, root, st).isEmpty) return false
     val vNew = st.version + 1
-    readPostings(spark, root, st)
-      .join(broadcast(readDeletes(spark, root, st)),
-        Seq("doc_id"), "left_anti")
+    livePostings(spark, root, st).drop("_b")
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/postings/base/v=$vNew")
@@ -628,6 +739,9 @@ object TxVectorStack {
       .write.mode("overwrite").parquet(s"$root/quant/v=$v/codebook")
   }
 
+  /** Committed codes with BATCH PROVENANCE (`_b`, from the partition
+    * path; base rows carry `baseBatch`) — what makes the tombstone
+    * rule ordered, exactly as [[TxServeStack]]'s postings. */
   private def readCodes(spark: SparkSession, root: String,
                         st: Manifest.State): DataFrame = {
     val cols = Seq(col("vec_id"), col("cell"), col("codes"), col("bkt"))
@@ -636,34 +750,43 @@ object TxVectorStack {
     val parts =
       (if (baseDirs.isEmpty) Seq.empty
        else Seq(spark.read.option("basePath", s"$root/codes/base")
-         .parquet(baseDirs: _*).select(cols: _*))) ++
+         .parquet(baseDirs: _*)
+         .select(cols :+ lit(st.baseBatch).as("_b"): _*))) ++
       (if (deltaDirs.isEmpty) Seq.empty
        else Seq(spark.read.option("basePath", s"$root/codes")
-         .parquet(deltaDirs: _*).select(cols: _*)))
+         .parquet(deltaDirs: _*)
+         .select(cols :+ col("batch").cast("long").as("_b"): _*)))
     if (parts.isEmpty)
       spark.emptyDataFrame.select(lit(0L).as("vec_id"),
         lit(0).as("cell"), array().cast("array<int>").as("codes"),
-        lit(0).as("bkt")).limit(0)
+        lit(0).as("bkt"), lit(0L).as("_b")).limit(0)
     else parts.reduce(_ unionByName _)
   }
 
-  /** The visible delete tombstones ([[commitDelete]]'s id files since
-    * the last refresh — the refresh base consolidates live rows only,
-    * retiring the window). */
+  /** Visible tombstones as (vec_id, asof), latest per id — a
+    * tombstone at asof = N kills code rows born before N and nothing
+    * after ([[TxServeStack]]'s ordered rule), so [[commitUpsert]]
+    * replaces in one commit and a post-delete re-ingest just lands.
+    * The window retires at the next [[refresh]]. */
   private def readDeletes(spark: SparkSession, root: String,
                           st: Manifest.State): DataFrame = {
     val dirs = Manifest.visibleDeltaDirs(spark, root, st, "deletes")
     if (dirs.isEmpty)
-      spark.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0)
+      spark.emptyDataFrame
+        .select(lit(0L).as("vec_id"), lit(0L).as("asof")).limit(0)
     else spark.read.option("basePath", s"$root/deletes")
-      .parquet(dirs: _*).select(col("vec_id"))
+      .parquet(dirs: _*)
+      .groupBy("vec_id")
+      .agg(max(col("batch").cast("long")).as("asof"))
   }
 
   private def liveCodes(spark: SparkSession, root: String,
                         st: Manifest.State): DataFrame =
     readCodes(spark, root, st)
       .join(broadcast(readDeletes(spark, root, st)),
-        Seq("vec_id"), "left_anti")
+        Seq("vec_id"), "left_outer")
+      .filter(col("asof").isNull || col("_b") >= col("asof"))
+      .drop("asof")
 
   /** Resolve the committed (codes ledger, centroids, codebook) for
     * serving — optionally pinned to a snapshot `version`, which
@@ -688,11 +811,11 @@ object TxVectorStack {
     * ([[TxServeStack.commitDelete]]'s twin, minus derived stats —
     * code rows are independent under a frozen quantizer, so a delete
     * is PURELY a tombstone): the ids land at `deletes/batch=N`, reads
-    * anti-join them, and the window retires at the next [[refresh]],
-    * which consolidates live rows only (the physical purge and the
-    * re-ingest era boundary — within an era a deleted id's arrival is
-    * absorbed by the append anti-join). Idempotent by batch id AND by
-    * id set: only ids with live code rows are tombstoned. */
+    * apply the ordered liveness rule (asof kills rows born before
+    * it, so a later re-ingest of the same id just lands), and the
+    * window retires at the next [[refresh]], the physical purge.
+    * Idempotent by batch id AND by id set: only ids with live code
+    * rows are tombstoned. */
   def commitDelete(spark: SparkSession, root: String,
                    removals: DataFrame, batchId: Long, idCol: String,
                    buckets: Int = 16, publish: Boolean = true): Boolean = {
@@ -726,10 +849,42 @@ object TxVectorStack {
     val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
     val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
     val stored = Ledger.prunedToBatch(
-      readCodes(spark, root, st).select(col("vec_id"), col("bkt")),
-      batch.select(col(idCol).as("vec_id")), "vec_id", buckets)
+        liveCodes(spark, root, st).select(col("vec_id"), col("bkt")),
+        batch.select(col(idCol).as("vec_id")), "vec_id", buckets)
     val delta = Similarity.pqIndexAppend(stored, batch, cent, cb,
       idCol, vecCol, deltaOnly = true)
+    Ledger.withBucket(delta, "vec_id", buckets)
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/codes/batch=$batchId")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = st.version + 1,
+        batchId = batchId))
+    true
+  }
+
+  /** TRANSACTIONAL UPSERT for the vector index
+    * ([[TxServeStack.commitUpsert]]'s twin): the batch ids' live code
+    * rows retire under a tombstone at THIS batch id and the batch's
+    * vectors encode WHOLE under the pinned quantizer into
+    * `codes/batch=N` — born at N, surviving their own tombstone —
+    * one swap publishes both. The re-embed face: a document's vector
+    * changes when its content (or the embedding model's input) does,
+    * and the index must atomically stop serving the stale vector. */
+  def commitUpsert(spark: SparkSession, root: String, batch: DataFrame,
+                   batchId: Long, idCol: String, vecCol: String,
+                   buckets: Int = 16, publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (batchId <= st.batchId) return false // replayed: already committed
+    val ids = batch.select(col(idCol).as("vec_id")).distinct()
+    Ledger.prunedToBatch(liveCodes(spark, root, st), ids,
+        "vec_id", buckets)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct()
+      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
+    val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
+    val delta = Similarity.pqIndexBuild(batch, cent, cb, idCol, vecCol)
     Ledger.withBucket(delta, "vec_id", buckets)
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/codes/batch=$batchId")

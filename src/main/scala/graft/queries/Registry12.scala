@@ -167,10 +167,11 @@ object Registry12 {
        |    PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
        |  FROM sc_$out) WHERE rnk <= $k)""".stripMargin
 
-  private[queries] def sqlBm25(k: Int, where: String = "TRUE"): String =
+  private[queries] def sqlBm25(k: Int, where: String = "TRUE",
+                               src: String = "documents"): String =
     s"""toks AS (SELECT doc_id, term FROM (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-       |  FROM documents WHERE $where) WHERE term <> ''),
+       |  FROM $src WHERE $where) WHERE term <> ''),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),

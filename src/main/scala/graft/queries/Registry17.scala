@@ -263,6 +263,114 @@ object Registry17 {
       .orderBy("q_id", "rnk")
   }
 
+  /** TRANSACTIONAL UPSERT on the BM25 stack
+    * ([[graft.operators.TxServeStack.commitUpsert]] — the re-crawl
+    * face): after the 4-page drain, docs ≡ 5 (mod 10) arrive AGAIN
+    * with new text (`text || ' updated'`), and ONE commit retires
+    * their old rows (ordered tombstone at this batch id — the
+    * replacement rows, born at the same id, survive it), lands the
+    * new postings, and folds the exact stats net (old decremented,
+    * new incremented, both sides' buckets re-pinned). The oracle
+    * computes BM25 over the UPDATED corpus from scratch, so a stale
+    * row still serving, a double-counted df, or a missed global move
+    * flips scores — including for query doc 0's own scores against
+    * the shifted collection statistics. ManifestSpec holds the crash
+    * face and last-writer-wins. */
+  val streamingStatsUpsert = Q("streaming_stats_upsert",
+    s"""WITH ${Registry12.sqlBm25(10, "TRUE",
+         """(SELECT doc_id, CASE WHEN doc_id % 10 = 5
+           |  THEN text || ' updated' ELSE text END AS text
+           |  FROM documents)""".stripMargin)}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.TxServeStack
+    val root = Registry16.drainTxStack(s, d, "graft_statsup")
+    val up = Tables.documents(s, d).filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"))
+    require(TxServeStack.commitUpsert(s, root, up, 4L,
+      "doc_id", "text", docBuckets = 16, termBuckets = 16),
+      "the upsert batch must commit on the drained stack")
+    Registry16.txBm25Serve(s, d, root)
+  }
+
+  /** Transactional upsert on the VECTOR stack
+    * ([[graft.operators.TxVectorStack.commitUpsert]] — the re-embed
+    * face): vectors ≡ 5 (mod 10) re-arrive ROTATED (halves swapped —
+    * the content-derived stand-in for "the document changed, its
+    * embedding moved"), and one commit tombstones the stale codes and
+    * encodes the replacements under the PINNED quantizer. The oracle
+    * re-derives assignment + codes over the UPDATED corpus while the
+    * quantizer CTEs stay on the original seed vectors (the stack's
+    * quantizer does not move on upsert — exactly the frozen-quantizer
+    * invariant), so a stale code serving or a replacement encoded
+    * against the wrong codebook flips the ranking. */
+  val annIndexUpsert = Q("ann_index_upsert",
+    s"""WITH mod AS (SELECT vec_id,
+       |    CASE WHEN vec_id % 10 = 5
+       |      THEN embedding[33:64] || embedding[1:32]
+       |      ELSE embedding END AS embedding
+       |  FROM embeddings),
+       |cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
+       |  FROM embeddings WHERE vec_id < 16),
+       |js AS (SELECT unnest(range(0, 8)) AS j),
+       |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
+       |  FROM mod b CROSS JOIN js CROSS JOIN cw c),
+       |codes AS (SELECT n_id, sub, code, dist FROM (
+       |  SELECT n_id, sub, code, dist, ROW_NUMBER() OVER (
+       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
+       |  FROM cd) WHERE rn = 1),
+       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
+       |  FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT n_id, cell FROM (
+       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY b.vec_id
+       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM mod b CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT q_id, cell FROM (
+       |  SELECT q.vec_id AS q_id, c.cell, ROW_NUMBER() OVER (
+       |    PARTITION BY q.vec_id
+       |    ORDER BY ${Registry10.sqlCos("q.embedding", "c.c_vec")} DESC,
+       |      c.cell DESC) AS rn
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+       |  WHERE rn <= 4),
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |cand AS (SELECT p.q_id, a.n_id FROM probes p JOIN asg a USING (cell)
+       |  WHERE p.q_id <> a.n_id),
+       |adc AS (SELECT x.q_id, x.n_id,
+       |    list_reduce(list_prepend(0.0, list(x.dist ORDER BY x.sub)),
+       |      (u, y) -> u + y) AS adc
+       |  FROM (SELECT c2.q_id, c2.n_id, q.sub, q.dist
+       |    FROM cand c2 JOIN codes n ON n.n_id = c2.n_id
+       |    JOIN qd q ON q.q_id = c2.q_id AND q.sub = n.sub
+       |      AND q.code = n.code) x
+       |  GROUP BY x.q_id, x.n_id),
+       |r AS (SELECT q_id, n_id, adc, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM adc)
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val root = drainVectorStack(s, d, "graft_vecup")
+    val e = emb(s, d)
+    val rot = e.filter(col("vec_id") % 10 === 5)
+      .select(col("vec_id"), concat(slice(col("embedding"), 33, 32),
+        slice(col("embedding"), 1, 32)).as("embedding"))
+    require(TxVectorStack.commitUpsert(s, root, rot, 4L,
+      "vec_id", "embedding", buckets = 16),
+      "the upsert batch must commit on the drained stack")
+    val (ledger, cent, cb) = TxVectorStack.resolve(s, root)
+    Similarity.ivfPqTopKFromIndex(
+      e.filter(col("vec_id") < 5), ledger, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round17: Seq[Q] = Seq(annIndexManifest, annRefreshManifest,
-    streamingStatsDelete, annIndexDelete, streamingVectorIngest)
+    streamingStatsDelete, annIndexDelete, streamingVectorIngest,
+    streamingStatsUpsert, annIndexUpsert)
 }

@@ -610,11 +610,13 @@ class PlanAssertionsSpec extends SparkSpec {
       val stray = stats.inputFiles.filterNot(f => okDir.exists(f.contains))
       assert(stats.inputFiles.nonEmpty && stray.isEmpty,
         s"stats read resolved unelected paths: ${stray.take(3).mkString(", ")}")
-      // the tombstone anti-join must broadcast the (tiny) delete frame,
-      // not shuffle the posting ledger
+      // the ordered-liveness join must broadcast the (tiny) tombstone
+      // frame, not shuffle the posting ledger
       val plan = postings.queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
-        s"tombstone anti-join is not a broadcast:\n${plan.take(3000)}")
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+        s"tombstone liveness join is not a broadcast:\n${plan.take(3000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        "the liveness join shuffled the posting ledger")
       assert(postings.count() > 0)
     } finally {
       graft.queries.FixtureCache.deleteRecursively(stage)

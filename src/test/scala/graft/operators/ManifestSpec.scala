@@ -251,21 +251,78 @@ class ManifestSpec extends SparkSpec {
         Seq(1L).toDF("doc_id"), 3L, "doc_id", 4, 4))
       assert(snapshot(root) == afterDelete,
         "double-delete moved the stats")
-      // era semantics: within the era a deleted id's re-ingest is
-      // absorbed by the append anti-join
+      // ordered tombstones: a post-delete re-ingest LANDS (born after
+      // the tombstone's asof) — the whole stack equals a from-scratch
+      // build of the corpus with only doc 3 still deleted
       TxServeStack.commitBatch(spark, root,
         corpus.filter($"doc_id" === 1L), 4L, "doc_id", "text", 4, 4)
-      assert(snapshot(root) == afterDelete,
-        "a deleted id re-entered before the era boundary")
-      // compaction purges the tombstones; re-ingest then lands
+      val afterReadd = snapshot(root)
+      val led2 = Retrieval.bm25IndexBuild(
+        corpus.filter($"doc_id" =!= 3L), "doc_id", "text")
+      val (pR, sR, gR) = TxServeStack.resolve(spark, root)
+      val wantP2 = Retrieval.withDocNorms(led2)
+      assert(pR.exceptAll(wantP2).isEmpty && wantP2.exceptAll(pR).isEmpty,
+        "post-delete re-ingest did not land as a new document")
+      val wantS2 = Retrieval.bm25TermStatsBuild(led2)
+      assert(sR.exceptAll(wantS2).isEmpty && wantS2.exceptAll(sR).isEmpty,
+        "re-ingest stats drifted from the from-scratch build")
+      assert(gR.collect().toSeq ==
+        Retrieval.bm25GlobalStatsBuild(led2).collect().toSeq)
+      // compaction purges tombstones, serve unchanged
       assert(TxServeStack.compactPostings(spark, root))
-      assert(snapshot(root) == afterDelete,
-        "compaction changed the served survivor state")
+      assert(snapshot(root) == afterReadd,
+        "compaction changed the served state")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("commitUpsert: one commit replaces documents — postings, stats, and global equal a from-scratch build of the updated corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftup")
+    try {
+      val root = dir.toString
       TxServeStack.commitBatch(spark, root,
-        corpus.filter($"doc_id" === 1L), 5L, "doc_id", "text", 4, 4)
-      val (p2, _, _) = TxServeStack.resolve(spark, root)
-      assert(p2.filter($"doc_id" === 1L).count() > 0,
-        "post-compaction re-ingest must land as a new document")
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      // upsert: doc 1 gets new text, doc 9 is brand new (pure insert)
+      val up = Seq((1L, "the dog barks at noon"),
+        (9L, "a brand new page")).toDF("doc_id", "text")
+      val before = snapshot(root)
+      TxServeStack.commitUpsert(spark, root, up, 2L,
+        "doc_id", "text", 4, 4, publish = false)
+      assert(snapshot(root) == before, "uncommitted upsert leaked")
+      assert(TxServeStack.commitUpsert(spark, root, up, 2L,
+        "doc_id", "text", 4, 4))
+      val updated = corpus.filter($"doc_id" =!= 1L).unionByName(up)
+      val ledger = Retrieval.bm25IndexBuild(updated, "doc_id", "text")
+      val (p, s, g) = TxServeStack.resolve(spark, root)
+      val wantP = Retrieval.withDocNorms(ledger)
+      assert(p.exceptAll(wantP).isEmpty && wantP.exceptAll(p).isEmpty,
+        "upserted postings drifted from a from-scratch updated build")
+      val wantS = Retrieval.bm25TermStatsBuild(ledger)
+      assert(s.exceptAll(wantS).isEmpty && wantS.exceptAll(s).isEmpty,
+        "upsert stats fold drifted from a from-scratch updated build")
+      assert(g.collect().toSeq ==
+        Retrieval.bm25GlobalStatsBuild(ledger).collect().toSeq,
+        "upsert global fold drifted")
+      // upsert twice more (doc 1 again) — last writer wins
+      val up2 = Seq((1L, "the dog sleeps again")).toDF("doc_id", "text")
+      TxServeStack.commitUpsert(spark, root, up2, 3L,
+        "doc_id", "text", 4, 4)
+      val updated2 = updated.filter($"doc_id" =!= 1L).unionByName(up2)
+      val ledger2 = Retrieval.bm25IndexBuild(updated2, "doc_id", "text")
+      val (p2, s2, _) = TxServeStack.resolve(spark, root)
+      val wantP3 = Retrieval.withDocNorms(ledger2)
+      assert(p2.exceptAll(wantP3).isEmpty && wantP3.exceptAll(p2).isEmpty,
+        "second upsert of the same id is not last-writer-wins")
+      val wantS3 = Retrieval.bm25TermStatsBuild(ledger2)
+      assert(s2.exceptAll(wantS3).isEmpty && wantS3.exceptAll(s2).isEmpty)
+      // compaction carries the updated state
+      assert(TxServeStack.compactPostings(spark, root))
+      val (p3, _, _) = TxServeStack.resolve(spark, root)
+      assert(p3.exceptAll(wantP3).isEmpty && wantP3.exceptAll(p3).isEmpty,
+        "compaction lost upserted state")
     } finally {
       graft.queries.FixtureCache.deleteRecursively(dir)
     }

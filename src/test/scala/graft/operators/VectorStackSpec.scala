@@ -151,24 +151,55 @@ class VectorStackSpec extends SparkSpec {
       assert(canon(ledgerAt(root)) == canon(Similarity.pqIndexBuild(
         survivors, centA, cbA, "vec_id", "embedding")),
         "tombstoned ledger drifted from a survivor build")
-      // era semantics: re-ingest of a deleted id absorbed until refresh
+      // ordered tombstones: a post-delete re-ingest LANDS (born after
+      // the tombstone's asof)
       TxVectorStack.commitBatch(spark, root,
         corpus.filter($"vec_id" === 7L), 2L, "vec_id", "embedding", 4)
-      assert(!canon(ledgerAt(root)).exists(_.contains("[7,")),
-        "a deleted id re-entered before the era boundary")
-      // refresh purges tombstones and re-encodes SURVIVORS only
+      val withReadd = survivors.unionByName(corpus.filter($"vec_id" === 7L))
+      assert(canon(ledgerAt(root)) == canon(Similarity.pqIndexBuild(
+        withReadd, centA, cbA, "vec_id", "embedding")),
+        "post-delete re-ingest did not land as a new member")
+      // refresh purges tombstones and re-encodes the LIVE membership
       assert(TxVectorStack.refresh(spark, root, corpus, centB, cbB,
         "vec_id", "embedding", buckets = 4))
       assert(canon(ledgerAt(root)) == canon(Similarity.pqIndexBuild(
-        survivors, centB, cbB, "vec_id", "embedding")),
-        "refresh re-encoded tombstoned members")
-      // post-refresh: the id is physically gone, re-ingest lands
-      TxVectorStack.commitBatch(spark, root,
-        corpus.filter($"vec_id" === 7L), 3L, "vec_id", "embedding", 4)
+        withReadd, centB, cbB, "vec_id", "embedding")),
+        "refresh drifted from the live membership")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("commitUpsert: one commit replaces a vector — stale codes retire, the replacement serves, refresh carries it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vxu")
+    try {
+      val root = dir.toString
+      TxVectorStack.init(spark, root, centA, cbA)
+      TxVectorStack.commitBatch(spark, root, corpus, 0L,
+        "vec_id", "embedding", 4)
+      // vec 7 re-embeds as a rotation of itself; vec 200 is new
+      val rot = emb.filter($"vec_id" === 7L || $"vec_id" === 200L)
+        .select($"vec_id", concat(slice($"embedding", 33, 32),
+          slice($"embedding", 1, 32)).as("embedding"))
+      val before = canon(ledgerAt(root))
+      TxVectorStack.commitUpsert(spark, root, rot, 1L,
+        "vec_id", "embedding", 4, publish = false)
+      assert(canon(ledgerAt(root)) == before, "uncommitted upsert leaked")
+      assert(TxVectorStack.commitUpsert(spark, root, rot, 1L,
+        "vec_id", "embedding", 4))
+      val updated = corpus.select($"vec_id", $"embedding")
+        .filter($"vec_id" =!= 7L).unionByName(rot)
       assert(canon(ledgerAt(root)) == canon(Similarity.pqIndexBuild(
-        survivors.unionByName(corpus.filter($"vec_id" === 7L)),
-        centB, cbB, "vec_id", "embedding")),
-        "post-refresh re-ingest must land as a new member")
+        updated, centA, cbA, "vec_id", "embedding")),
+        "upserted codes drifted from a from-scratch updated build")
+      // refresh re-encodes the updated membership's CURRENT floats —
+      // the corpus passed to refresh carries the updated vectors
+      val corpusNow = updated
+      assert(TxVectorStack.refresh(spark, root, corpusNow, centB, cbB,
+        "vec_id", "embedding", buckets = 4))
+      assert(canon(ledgerAt(root)) == canon(Similarity.pqIndexBuild(
+        updated, centB, cbB, "vec_id", "embedding")),
+        "refresh lost the upserted state")
     } finally {
       graft.queries.FixtureCache.deleteRecursively(dir)
     }
