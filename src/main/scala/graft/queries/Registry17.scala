@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Similarity, TxVectorStack}
+import graft.operators.{Retrieval, Similarity, TxVectorStack}
 
 /** Round-15 transactional index lifecycle: the [[graft.operators.Manifest]]
   * commit protocol extended from the BM25 serve stack to the VECTOR
@@ -370,7 +370,67 @@ object Registry17 {
       .orderBy("q_id", "rnk")
   }
 
+  /** The TRANSACTIONAL search page ([[Retrieval.rrfFuse]] over BOTH
+    * manifest stacks): the lexical leg serves
+    * [[Retrieval.bm25TopKFromStats]] from the drained
+    * [[graft.operators.TxServeStack]] (stats path-pruned to the query
+    * terms' pinned buckets), the dense leg serves
+    * [[Similarity.ivfPqTopKFromIndex]] from the drained
+    * [[graft.operators.TxVectorStack]] (codes + quantizer from one
+    * pinned cut), and the fuse is rank arithmetic over two
+    * query-sized frames — the complete production deployment: every
+    * corpus-sized asset behind an atomic manifest, every query-time
+    * read O(query), two metadata files as the whole serve overhead.
+    * The oracle is `hybrid_stats_topk`'s verbatim (each leg is
+    * bit-equal to its in-flow twin — gated identities — so the fused
+    * ranking cannot differ); any torn cut on either stack flips it. */
+  val hybridManifestTopK = Q("hybrid_manifest_topk",
+    s"""WITH ${Registry12.sqlBm25(20)},
+       |${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 3),
+       |${Registry10.sqlIvfAdcRank("codes", "qd")},
+       |den AS (SELECT q_id, n_id, rnk FROM r WHERE rnk <= 20),
+       |lc AS (SELECT q_id, doc_id AS n_id,
+       |    1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS c0 FROM lex),
+       |dc AS (SELECT q_id, n_id,
+       |    1.0 / (60.0 + CAST(rnk AS DOUBLE)) AS c1 FROM den),
+       |fz AS (SELECT COALESCE(l.q_id, r2.q_id) AS q_id,
+       |    COALESCE(l.n_id, r2.n_id) AS n_id,
+       |    COALESCE(l.c0, 0.0) + COALESCE(r2.c1, 0.0) AS rrf
+       |  FROM lc l FULL OUTER JOIN dc r2
+       |    ON l.q_id = r2.q_id AND l.n_id = r2.n_id),
+       |fr AS (SELECT q_id, n_id, rrf, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS BIGINT) AS rnk
+       |  FROM fz)
+       |SELECT q_id, n_id, rnk, rrf FROM fr WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.{Ledger, TxServeStack}
+    val lexRoot = Registry16.drainTxStack(s, d, "graft_hymftx")
+    val vecRoot = drainVectorStack(s, d, "graft_hymfvec")
+    val qt = Tables.documents(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qBkts = Ledger.keyHashBuckets(qt.select("term").distinct(),
+      "term", 16)
+    val (postings, stats, global) =
+      TxServeStack.resolve(s, lexRoot, statsBuckets = Some(qBkts))
+    val lex = Retrieval.bm25TopKFromStats(qt, postings, stats, global,
+        k = 20)
+      .select(col("q_id"), col("doc_id").as("n_id"), col("rnk"))
+    val (codes, cent, cb) = TxVectorStack.resolve(s, vecRoot)
+    val den = Similarity.ivfPqTopKFromIndex(
+        emb(s, d).filter(col("vec_id") < 3), codes, cent, cb,
+        "vec_id", "embedding", k = 20, nProbe = 4)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    Retrieval.rrfFuse(Seq(lex, den), k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round17: Seq[Q] = Seq(annIndexManifest, annRefreshManifest,
     streamingStatsDelete, annIndexDelete, streamingVectorIngest,
-    streamingStatsUpsert, annIndexUpsert)
+    streamingStatsUpsert, annIndexUpsert, hybridManifestTopK)
 }
