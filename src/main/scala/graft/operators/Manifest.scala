@@ -346,6 +346,65 @@ object TxServeStack {
       .drop("asof")
   }
 
+  /** The POSITIONAL rows (doc_id, term, pos, bkt, _b) a committed
+    * state makes visible — the stack's optional fourth asset
+    * (phrase/NEAR/snippet serving), term-hash-bucketed inside each
+    * versioned directory so a phrase serve prunes to its terms'
+    * buckets. Same provenance + window as the postings: deltas at
+    * `positions/batch=N`, consolidated base at `positions/base/v=V`
+    * under the SAME base pointer ([[compactPostings]] compacts both
+    * families in its one swap). Empty when the drain never carried
+    * positions. */
+  private def readPositions(spark: SparkSession, root: String,
+                            st: Manifest.State): DataFrame = {
+    val cols = Seq(col("doc_id"), col("term"), col("positions"),
+      col("bkt"))
+    val dirs = Manifest.visibleDeltaDirs(spark, root, st, "positions")
+    val (baseDirs, deltaDirs) = dirs.partition(_.contains("/base/"))
+    val parts =
+      (if (baseDirs.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", s"$root/positions/base")
+         .parquet(baseDirs: _*)
+         .select(cols :+ lit(st.baseBatch).as("_b"): _*))) ++
+      (if (deltaDirs.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", s"$root/positions")
+         .parquet(deltaDirs: _*)
+         .select(cols :+ col("batch").cast("long").as("_b"): _*)))
+    if (parts.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit("").as("term"),
+          array().cast("array<int>").as("positions"), lit(0).as("bkt"),
+          lit(0L).as("_b")).limit(0)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Resolve the committed LIVE positional rows for a phrase/NEAR/
+    * snippet serve, path-pruned to `termBucketsOf`'s elected buckets
+    * when given (an unelected bucket's rows never load — the
+    * tombstone liveness rule applies after the prune, a semantic
+    * no-op on term-equi consumers). Returns (doc_id, term, positions). */
+  def resolvePositions(spark: SparkSession, root: String,
+                       termBuckets: Option[Seq[Int]] = None,
+                       version: Option[Long] = None): DataFrame = {
+    val st = version match {
+      case None => Manifest.read(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest at $root"))
+      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $root is uncommitted or vacuumed"))
+    }
+    val raw = readPositions(spark, root, st)
+    val pruned = termBuckets match {
+      case None => raw
+      case Some(bs) => raw.filter(col("bkt").isin(bs: _*))
+    }
+    pruned
+      .join(broadcast(readDeletes(spark, root, st)),
+        Seq("doc_id"), "left_outer")
+      .filter(col("asof").isNull || col("_b") >= col("asof"))
+      .select(col("doc_id"), col("term"), col("positions"))
+  }
+
   def resolve(spark: SparkSession, root: String,
               statsBuckets: Option[Seq[Int]] = None,
               version: Option[Long] = None)
@@ -385,7 +444,8 @@ object TxServeStack {
   def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
                   batchId: Long, idCol: String, textCol: String,
                   docBuckets: Int, termBuckets: Int,
-                  publish: Boolean = true): Boolean = {
+                  publish: Boolean = true,
+                  positions: Boolean = false): Boolean = {
     val st = Manifest.read(spark, root).getOrElse(
       Manifest.State(-1L, -1L, -1L, Map.empty))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -406,6 +466,14 @@ object TxServeStack {
     Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id", docBuckets)
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/postings/batch=$batchId")
+    // positions (optional fourth asset): the SAME fresh-docs decision
+    // the posting delta made — absorbed docs contribute no rows here
+    // either, so the two assets can never disagree on membership
+    if (positions)
+      writePositions(spark, root, batchId,
+        batch.join(delta.select(col("doc_id").as(idCol)).distinct(),
+          Seq(idCol), "left_semi"),
+        idCol, textCol, termBuckets)
     // term stats: touched buckets re-derived from their pinned versions
     val batchTerms = delta.select("term").distinct()
     val touched = Ledger.keyHashBuckets(batchTerms, "term", termBuckets)
@@ -520,6 +588,18 @@ object TxServeStack {
     true
   }
 
+  /** Land a batch's positional rows at `positions/batch=N`,
+    * term-hash-bucketed for the phrase serve's pruning. */
+  private def writePositions(spark: SparkSession, root: String,
+                             batchId: Long, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             termBuckets: Int): Unit =
+    Ledger.withHashBucket(
+        Retrieval.positionalIndexBuild(docs, idCol, textCol),
+        "term", termBuckets)
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/positions/batch=$batchId")
+
   /** TRANSACTIONAL UPSERT — replace documents in ONE commit (the
     * re-crawl face: a page's new version supersedes the old): the
     * batch ids' live rows retire under a tombstone at THIS batch id,
@@ -535,7 +615,8 @@ object TxServeStack {
   def commitUpsert(spark: SparkSession, root: String, batch: DataFrame,
                    batchId: Long, idCol: String, textCol: String,
                    docBuckets: Int, termBuckets: Int,
-                   publish: Boolean = true): Boolean = {
+                   publish: Boolean = true,
+                   positions: Boolean = false): Boolean = {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -558,6 +639,11 @@ object TxServeStack {
     Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id", docBuckets)
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/postings/batch=$batchId")
+    // positions: the replacements' rows land whole; the shared
+    // tombstone retires the old rows on the positional read too
+    if (positions)
+      writePositions(spark, root, batchId, batch, idCol, textCol,
+        termBuckets)
     // stats: net fold over the union of both sides' terms' buckets
     val touchedTerms = removedTf.select("term")
       .unionByName(delta.select("term")).distinct()
@@ -622,6 +708,17 @@ object TxServeStack {
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/postings/base/v=$vNew")
+    // the positional family (when the drain carried one) compacts in
+    // the SAME swap — one base pointer covers both row-append assets
+    if (Manifest.visibleDeltaDirs(spark, root, st, "positions").nonEmpty)
+      readPositions(spark, root, st)
+        .join(broadcast(readDeletes(spark, root, st)),
+          Seq("doc_id"), "left_outer")
+        .filter(col("asof").isNull || col("_b") >= col("asof"))
+        .select(col("doc_id"), col("term"), col("positions"), col("bkt"))
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/positions/base/v=$vNew")
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         baseV = vNew, baseBatch = st.batchId))
@@ -680,6 +777,9 @@ object TxServeStack {
         Manifest.SweepFamily("global", 1, keepGlobal),
         Manifest.SweepFamily("postings/base", 1, keepBase),
         Manifest.SweepFamily("postings", 1,
+          n => n == "base" || keepBatch(n)),
+        Manifest.SweepFamily("positions/base", 1, keepBase),
+        Manifest.SweepFamily("positions", 1,
           n => n == "base" || keepBatch(n)),
         Manifest.SweepFamily("deletes", 1, keepBatch)))
     VacuumStats(deleted, retired, kept)

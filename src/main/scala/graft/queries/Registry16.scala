@@ -540,7 +540,8 @@ object Registry16 {
     * the stack root. One micro-batch per page in mtime order, so
     * batches 0..3 commit manifest versions 0..3. */
   private[queries] def drainTxStack(s: SparkSession, d: String,
-                           tag: String): String = {
+                           tag: String,
+                           positions: Boolean = false): String = {
     import graft.operators.TxServeStack
     val stage = StreamHarness.runDir(tag)
     val root = stage.resolve("stack").toString
@@ -551,7 +552,7 @@ object Registry16 {
     val run = stream.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         TxServeStack.commitBatch(s, root, b, id, "doc_id", "text",
-          docBuckets = 16, termBuckets = 16)
+          docBuckets = 16, termBuckets = 16, positions = positions)
         ()
       }
       .option("checkpointLocation", stage.resolve("ckpt").toString)

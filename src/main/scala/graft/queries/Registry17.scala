@@ -430,7 +430,67 @@ object Registry17 {
       .orderBy("q_id", "rnk")
   }
 
+  /** The POSITIONAL family under the manifest — the lexical stack's
+    * fourth asset ([[graft.operators.TxServeStack.resolvePositions]]),
+    * committed in the SAME swap as postings/stats/global so a phrase
+    * serve can never see a cut where a document's tf exists but its
+    * positions don't (or vice versa). The gate drains four pages WITH
+    * positions, then UPSERTS docs ≡ 5 (mod 10) with new text — the
+    * shared ordered tombstone retires the old positional rows and the
+    * replacements land in the same commit — and serves
+    * [[Retrieval.phraseMatch]] (docs 0..2's first-3-term phrases) from
+    * the manifest-resolved rows under term-bucket pruning. The oracle
+    * replays the exact shifted-base intersection over the UPDATED
+    * corpus, so a stale position row, a lost replacement, or a torn
+    * postings/positions cut flips occurrence counts. */
+  val textPhraseManifest = Q("text_phrase_manifest",
+    s"""WITH src AS (SELECT doc_id, CASE WHEN doc_id % 10 = 5
+       |    THEN text || ' updated' ELSE text END AS text
+       |  FROM documents),
+       |pl AS (SELECT doc_id, term, pos FROM (
+       |  SELECT d.doc_id, u.i - 1 AS pos, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM src) d,
+       |  UNNEST(range(1, len(d.parts) + 1)) AS u(i))
+       |  WHERE term <> ''),
+       |ph AS (SELECT q_id, idx, term FROM (
+       |  SELECT d.doc_id AS q_id, u.i - 1 AS idx, d.parts[u.i] AS term
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+       |    FROM src WHERE doc_id < 3) d,
+       |  UNNEST(range(1, 4)) AS u(i)) WHERE term <> ''),
+       |hits AS (SELECT p.q_id, l.doc_id, l.pos - p.idx AS base,
+       |    COUNT(*) AS k
+       |  FROM pl l JOIN ph p ON p.term = l.term
+       |  WHERE l.pos - p.idx >= 0
+       |  GROUP BY 1, 2, 3),
+       |nt AS (SELECT q_id, COUNT(DISTINCT idx) AS n FROM ph GROUP BY 1)
+       |SELECT h.q_id, h.doc_id, CAST(COUNT(*) AS BIGINT) AS occurrences
+       |FROM hits h JOIN nt ON nt.q_id = h.q_id WHERE h.k = nt.n
+       |GROUP BY h.q_id, h.doc_id
+       |ORDER BY h.q_id, h.doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.{Ledger, TxServeStack}
+    val root = Registry16.drainTxStack(s, d, "graft_posmft",
+      positions = true)
+    val up = Tables.documents(s, d).filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id"), concat(col("text"), lit(" updated")).as("text"))
+    require(TxServeStack.commitUpsert(s, root, up, 4L,
+      "doc_id", "text", docBuckets = 16, termBuckets = 16,
+      positions = true),
+      "the upsert batch must commit on the drained stack")
+    val ph = Tables.documents(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(split(col("text"), " "), 1, 3))
+          .as(Seq("idx", "term")))
+    val phBkts = Ledger.keyHashBuckets(ph.select("term").distinct(),
+      "term", 16)
+    Retrieval.phraseMatch(ph,
+        TxServeStack.resolvePositions(s, root,
+          termBuckets = Some(phBkts)))
+      .orderBy("q_id", "doc_id")
+  }
+
   val round17: Seq[Q] = Seq(annIndexManifest, annRefreshManifest,
     streamingStatsDelete, annIndexDelete, streamingVectorIngest,
-    streamingStatsUpsert, annIndexUpsert, hybridManifestTopK)
+    streamingStatsUpsert, annIndexUpsert, hybridManifestTopK,
+    textPhraseManifest)
 }

@@ -328,6 +328,59 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("positional family: delete/upsert ride the shared tombstone; compaction carries both assets in one swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftpos")
+    try {
+      val root = dir.toString
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4,
+        positions = true)
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4,
+        positions = true)
+      def live = TxServeStack.resolvePositions(spark, root)
+      def want(dcs: org.apache.spark.sql.DataFrame) =
+        Retrieval.positionalIndexBuild(dcs, "doc_id", "text")
+      def eq(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      assert(eq(live, want(corpus)),
+        "drained positions drifted from a from-scratch build")
+      // delete retires the doc's positional rows via the SAME tombstone
+      TxServeStack.commitDelete(spark, root,
+        Seq(1L).toDF("doc_id"), 2L, "doc_id", 4, 4)
+      assert(eq(live, want(corpus.filter($"doc_id" =!= 1L))),
+        "delete did not retire positional rows")
+      // upsert replaces the doc's positions in the same commit
+      val up = Seq((0L, "fox then dog then fox")).toDF("doc_id", "text")
+      TxServeStack.commitUpsert(spark, root, up, 3L,
+        "doc_id", "text", 4, 4, positions = true)
+      val updated = corpus.filter($"doc_id" > 1L).unionByName(up)
+      assert(eq(live, want(updated)),
+        "upsert did not replace positional rows")
+      // compaction consolidates BOTH families under one base pointer
+      assert(TxServeStack.compactPostings(spark, root))
+      assert(eq(live, want(updated)),
+        "compaction lost or duplicated positional rows")
+      val st = Manifest.read(spark, root).get
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        s"$root/positions/base/v=${st.baseV}")),
+        "positions must compact into the same base version")
+      // vacuum sweeps the compacted-away positional deltas too
+      TxServeStack.vacuum(spark, root)
+      val strays = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$root/positions")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+      assert(strays.isEmpty,
+        s"compacted-away positional deltas survived vacuum: $strays")
+      assert(eq(live, want(updated)))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("tx stack serve == in-place ledgers built from the same corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfteq")
     try {
