@@ -83,4 +83,21 @@ object FixtureCache {
     }
     root
   }
+
+  /** Stage a MUTABLE copy of a cached fixture subtree: gates that
+    * mutate state a builder produced (the manifest stacks — deletes,
+    * upserts, compactions, vacuums) copy the deterministic drained
+    * fixture into their run-scoped stage instead of re-paying the
+    * drain, exactly the read-side/write-side attribution the cache
+    * exists for. Plain file copy — the fixtures are KB..MB-scale. */
+  def copyInto(src: Path, dst: Path): Unit = {
+    if (Files.isDirectory(src)) {
+      Files.createDirectories(dst)
+      val st = Files.list(src)
+      try st.forEach(c => copyInto(c.asInstanceOf[Path],
+        dst.resolve(c.asInstanceOf[Path].getFileName)))
+      finally st.close()
+    } else if (src.getFileName.toString != "_GRAFT_READY")
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+  }
 }

@@ -543,23 +543,34 @@ object Registry16 {
                            tag: String,
                            positions: Boolean = false): String = {
     import graft.operators.TxServeStack
+    // the 4-page drain is deterministic (same pages → same 4 commits),
+    // so it stages ONCE per (dataset, builder version) and each gate
+    // mutates its own copy — eight gates share one drain instead of
+    // eight. Version couples to TxServeStack.commitBatch's on-disk
+    // format: bump it whenever the drained bytes change.
+    val fx = FixtureCache.cached(d,
+      if (positions) "txstackpos" else "txstack", 1,
+      Seq("documents")) { tmp =>
+      val root = tmp.resolve("stack").toString
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(bmPagesFixture(s, d).resolve("pages").toString)
+      val run = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          TxServeStack.commitBatch(s, root, b, id, "doc_id", "text",
+            docBuckets = 16, termBuckets = 16, positions = positions)
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      run.awaitTermination()
+      FixtureCache.deleteRecursively(tmp.resolve("ckpt"))
+    }
     val stage = StreamHarness.runDir(tag)
-    val root = stage.resolve("stack").toString
-    val stream = s.readStream
-      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(bmPagesFixture(s, d).resolve("pages").toString)
-    val run = stream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        TxServeStack.commitBatch(s, root, b, id, "doc_id", "text",
-          docBuckets = 16, termBuckets = 16, positions = positions)
-        ()
-      }
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    run.awaitTermination()
-    root
+    FixtureCache.copyInto(fx.resolve("stack"), stage.resolve("stack"))
+    stage.resolve("stack").toString
   }
 
   /** The manifest gates' serve: resolve the stack (optionally pinned

@@ -29,19 +29,27 @@ object Registry17 {
     * (the shared seed inputs). Returns the stack root. */
   private def drainVectorStack(s: SparkSession, d: String,
                                tag: String): String = {
-    val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
-    val root = StreamHarness.runDir(tag).resolve("stack").toString
-    TxVectorStack.init(s, root, cent, cb)
-    val n = e.select("vec_id").count()
-    val qn = n / 4
-    for (p <- 0 until 4) {
-      val lo = math.max(0L, p * qn - 10)
-      val hi = if (p == 3) n else (p + 1) * qn
-      TxVectorStack.commitBatch(s, root,
-        e.filter(col("vec_id") >= lo && col("vec_id") < hi),
-        p.toLong, "vec_id", "embedding", buckets = 16)
+    // deterministic drain, staged once per (dataset, builder version);
+    // each gate mutates its own copy (drainTxStack's discipline —
+    // bump the version when TxVectorStack's on-disk format changes)
+    val fx = FixtureCache.cached(d, "vecstack", 1,
+      Seq("embeddings")) { tmp =>
+      val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
+      val root = tmp.resolve("stack").toString
+      TxVectorStack.init(s, root, cent, cb)
+      val n = e.select("vec_id").count()
+      val qn = n / 4
+      for (p <- 0 until 4) {
+        val lo = math.max(0L, p * qn - 10)
+        val hi = if (p == 3) n else (p + 1) * qn
+        TxVectorStack.commitBatch(s, root,
+          e.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          p.toLong, "vec_id", "embedding", buckets = 16)
+      }
     }
-    root
+    val stage = StreamHarness.runDir(tag)
+    FixtureCache.copyInto(fx.resolve("stack"), stage.resolve("stack"))
+    stage.resolve("stack").toString
   }
 
   /** The vector index under the MANIFEST protocol
