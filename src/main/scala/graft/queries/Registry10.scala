@@ -32,15 +32,19 @@ object Registry10 {
        |  (x, y) -> x + y)""".stripMargin
 
   /** Shared oracle CTEs: the seed-rule PQ codebook (codeword c of
-    * subspace j = sub-vector j of the vector with vec_id c, c < 16) and
-    * every corpus vector's per-subspace argmin codes. */
-  private[queries] def sqlPqCodes: String =
+    * subspace j = sub-vector j of the vector with vec_id c, c < 16 —
+    * always the ORIGINAL embeddings, a pinned quantizer never moves)
+    * and every `corpus` vector's per-subspace argmin codes (`corpus`
+    * defaults to the raw table; the upsert gate passes its modified
+    * CTE). */
+  private[queries] def sqlPqCodes: String = sqlPqCodesOver("embeddings")
+  private[queries] def sqlPqCodesOver(corpus: String): String =
     s"""cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
        |  FROM embeddings WHERE vec_id < 16),
        |js AS (SELECT unnest(range(0, 8)) AS j),
        |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
        |    ${sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
-       |  FROM embeddings b CROSS JOIN js CROSS JOIN cw c),
+       |  FROM $corpus b CROSS JOIN js CROSS JOIN cw c),
        |codes AS (SELECT n_id, sub, code, dist FROM (
        |  SELECT n_id, sub, code, dist, ROW_NUMBER() OVER (
        |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
@@ -192,14 +196,15 @@ object Registry10 {
     * CODES CTE and per-query distance-table CTE (seed vs trained
     * codebooks differ only in those two inputs). */
   private[queries] def sqlIvfAdcRank(codesCte: String, qdCte: String,
-                                     candJoin: String = ""): String =
+                                     candJoin: String = "",
+                                     corpus: String = "embeddings"): String =
     s"""cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
        |  FROM embeddings WHERE vec_id < 16),
        |asg AS (SELECT n_id, cell FROM (
        |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
        |    PARTITION BY b.vec_id
        |    ORDER BY ${sqlCos("b.embedding", "c.c_vec")} DESC, c.cell DESC) AS rn
-       |  FROM embeddings b CROSS JOIN cent c) WHERE rn = 1),
+       |  FROM $corpus b CROSS JOIN cent c) WHERE rn = 1),
        |probes AS (SELECT q_id, cell FROM (
        |  SELECT q.vec_id AS q_id, c.cell, ROW_NUMBER() OVER (
        |    PARTITION BY q.vec_id

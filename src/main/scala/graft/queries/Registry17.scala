@@ -318,48 +318,12 @@ object Registry17 {
        |      THEN embedding[33:64] || embedding[1:32]
        |      ELSE embedding END AS embedding
        |  FROM embeddings),
-       |cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
-       |  FROM embeddings WHERE vec_id < 16),
-       |js AS (SELECT unnest(range(0, 8)) AS j),
-       |cd AS (SELECT b.vec_id AS n_id, js.j AS sub, c.code,
-       |    ${Registry10.sqlSubDist("b.embedding", "c.w", "js.j")} AS dist
-       |  FROM mod b CROSS JOIN js CROSS JOIN cw c),
-       |codes AS (SELECT n_id, sub, code, dist FROM (
-       |  SELECT n_id, sub, code, dist, ROW_NUMBER() OVER (
-       |    PARTITION BY n_id, sub ORDER BY dist ASC, code ASC) AS rn
-       |  FROM cd) WHERE rn = 1),
-       |cent AS (SELECT CAST(vec_id AS INT) AS cell, embedding AS c_vec
-       |  FROM embeddings WHERE vec_id < 16),
-       |asg AS (SELECT n_id, cell FROM (
-       |  SELECT b.vec_id AS n_id, c.cell, ROW_NUMBER() OVER (
-       |    PARTITION BY b.vec_id
-       |    ORDER BY ${Registry10.sqlCos("b.embedding", "c.c_vec")} DESC,
-       |      c.cell DESC) AS rn
-       |  FROM mod b CROSS JOIN cent c) WHERE rn = 1),
-       |probes AS (SELECT q_id, cell FROM (
-       |  SELECT q.vec_id AS q_id, c.cell, ROW_NUMBER() OVER (
-       |    PARTITION BY q.vec_id
-       |    ORDER BY ${Registry10.sqlCos("q.embedding", "c.c_vec")} DESC,
-       |      c.cell DESC) AS rn
-       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
-       |  WHERE rn <= 4),
+       |${Registry10.sqlPqCodesOver("mod")},
        |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
        |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
        |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
        |  WHERE q.vec_id < 5),
-       |cand AS (SELECT p.q_id, a.n_id FROM probes p JOIN asg a USING (cell)
-       |  WHERE p.q_id <> a.n_id),
-       |adc AS (SELECT x.q_id, x.n_id,
-       |    list_reduce(list_prepend(0.0, list(x.dist ORDER BY x.sub)),
-       |      (u, y) -> u + y) AS adc
-       |  FROM (SELECT c2.q_id, c2.n_id, q.sub, q.dist
-       |    FROM cand c2 JOIN codes n ON n.n_id = c2.n_id
-       |    JOIN qd q ON q.q_id = c2.q_id AND q.sub = n.sub
-       |      AND q.code = n.code) x
-       |  GROUP BY x.q_id, x.n_id),
-       |r AS (SELECT q_id, n_id, adc, CAST(ROW_NUMBER() OVER (
-       |  PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS BIGINT) AS rnk
-       |  FROM adc)
+       |${Registry10.sqlIvfAdcRank("codes", "qd", corpus = "mod")}
        |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val root = drainVectorStack(s, d, "graft_vecup")
@@ -497,8 +461,43 @@ object Registry17 {
       .orderBy("q_id", "doc_id")
   }
 
+  /** SNAPSHOT reads on the vector stack: the head moves on (an upsert
+    * re-embeds vectors ≡ 5 mod 10), but a reader pinned to the
+    * pre-upsert version serves the index EXACTLY as drained — original
+    * codes, original membership — concurrent with the new head. The
+    * oracle is `ann_index_manifest`'s raw-corpus algebra verbatim
+    * (the snapshot must be bit-blind to the upsert), so any leak of
+    * post-snapshot state through the pinned read flips the ranking.
+    * The BM25 twin is `streaming_stats_snapshot`. */
+  val annIndexSnapshot = Q("ann_index_snapshot",
+    s"""WITH ${Registry10.sqlPqCodes},
+       |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
+       |    ${Registry10.sqlSubDist("q.embedding", "c.w", "js.j")} AS dist
+       |  FROM embeddings q CROSS JOIN js CROSS JOIN cw c
+       |  WHERE q.vec_id < 5),
+       |${Registry10.sqlIvfAdcRank("codes", "qd")}
+       |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val root = drainVectorStack(s, d, "graft_vecsnap")
+    val e = emb(s, d)
+    val vPre = graft.operators.Manifest.read(s, root).get.version
+    val rot = e.filter(col("vec_id") % 10 === 5)
+      .select(col("vec_id"), concat(slice(col("embedding"), 33, 32),
+        slice(col("embedding"), 1, 32)).as("embedding"))
+    require(TxVectorStack.commitUpsert(s, root, rot, 4L,
+      "vec_id", "embedding", buckets = 16),
+      "the upsert batch must commit so the head moves past the snapshot")
+    val (ledger, cent, cb) = TxVectorStack.resolve(s, root,
+      version = Some(vPre))
+    Similarity.ivfPqTopKFromIndex(
+      e.filter(col("vec_id") < 5), ledger, cent, cb,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round17: Seq[Q] = Seq(annIndexManifest, annRefreshManifest,
     streamingStatsDelete, annIndexDelete, streamingVectorIngest,
     streamingStatsUpsert, annIndexUpsert, hybridManifestTopK,
-    textPhraseManifest)
+    textPhraseManifest, annIndexSnapshot)
 }

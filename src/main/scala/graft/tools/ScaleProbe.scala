@@ -640,6 +640,23 @@ object ScaleProbe {
           println(s"PROBE txstack $scale delete_docs=$tomb " +
             s"delete_stats_buckets=$delTouched of $termB " +
             s"delete_stats_rows=$delStatsRows postings_rewritten=0")
+          // transactional upsert: 1% of the corpus re-crawled with new
+          // text — one commit writes tombstones ∝ batch, the
+          // replacements' postings ∝ batch, and the stats NET of both
+          // sides' buckets; old posting rows: zero rewritten
+          TxServeStack.commitUpsert(spark, root,
+            d.filter(col("doc_id") % 100 === 7)
+              .select(col("doc_id"),
+                concat(col("text"), lit(" updated")).as("text")),
+            5L, "doc_id", "text", docB, termB)
+          val st3 = Manifest.read(spark, root).get
+          val upTomb = spark.read.parquet(s"$root/deletes/batch=5").count()
+          val upDelta = spark.read.parquet(s"$root/postings/batch=5").count()
+          val upTouched = st3.statsV.count(_._2 == st3.version)
+          println(s"PROBE txstack $scale upsert_docs=$upTomb " +
+            s"upsert_delta_rows=$upDelta " +
+            s"upsert_stats_buckets=$upTouched of $termB " +
+            s"old_rows_rewritten=0")
           // manifest-resolved serve: 3-term query, path-level pruning
           val qterms = d.filter(col("doc_id") === 0)
             .select(explode(split(col("text"), " ")).as("term"))
