@@ -97,10 +97,14 @@ object Manifest {
     val out = f.create(tmp, true)
     try out.write(bytes) finally out.close()
     val dst = new org.apache.hadoop.fs.Path(base, "manifest")
-    if (f.exists(dst)) f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"manifest commit failed: rename $tmp -> $dst")
+    // rename-with-OVERWRITE, not delete+rename: the latter opens a
+    // window where a concurrent reader finds NO manifest and a
+    // committed, retained snapshot read fails — the contract readAt
+    // advertises ("concurrent with any number of later commits")
+    // requires the pointer to be replaced atomically
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def parse(txt: String): State = {
@@ -198,8 +202,12 @@ object Manifest {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
     val f = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // sweep candidates are DIRECTORIES only: a live version dir's
+    // _SUCCESS marker must neither be deleted out of a pinned asset
+    // nor counted as reclaimed garbage
     def ls(p: Path): Seq[Path] =
-      if (!f.exists(p)) Seq.empty else f.listStatus(p).toSeq.map(_.getPath)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
     var deleted = 0; var kept = 0
     families.foreach { fam =>
       val top = new Path(root, fam.subdir)
@@ -213,11 +221,16 @@ object Manifest {
         else { f.delete(p, true); deleted += 1 }
       }
       if (fam.depth == 2)
-        ls(top).filter(v => f.listStatus(v).isEmpty)
+        // a version dir whose buckets were all swept is spent even if
+        // a write marker remains — remove the husk (not counted: its
+        // content was already counted bucket by bucket)
+        ls(top).filter(v => ls(v).isEmpty)
           .foreach(v => f.delete(v, true))
     }
+    // history manifests and scratch leftovers are FILES — list the
+    // root unfiltered (the dir-only `ls` above is for asset sweeps)
     var retired = 0
-    ls(root).foreach { p =>
+    f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
       val stale =
         (n.startsWith("manifest.v=") && n.drop(11).toLong < floor) ||
@@ -332,19 +345,85 @@ object TxServeStack {
       .agg(max(col("batch").cast("long")).as("asof"))
   }
 
-  /** The LIVE posting rows of a committed state: provenance-carrying
-    * postings minus what the tombstones kill (`_b < asof`). The
-    * tombstone side broadcasts — its size is bounded by the
-    * compaction cadence, the same contract as Lucene's in-RAM
-    * live-docs. */
-  private def livePostings(spark: SparkSession, root: String,
-                           st: Manifest.State): DataFrame = {
-    val tomb = readDeletes(spark, root, st)
-    readPostings(spark, root, st)
-      .join(broadcast(tomb), Seq("doc_id"), "left_outer")
+  /** The ordered-liveness rule, applied: keep `rows` (carrying
+    * doc_id + `_b` provenance) not killed by a visible tombstone
+    * (`_b < asof`). The tombstone side broadcasts — its size is
+    * bounded by the compaction cadence, the same contract as
+    * Lucene's in-RAM live-docs. */
+  private def liveOnly(rows: DataFrame, tomb: DataFrame): DataFrame =
+    rows.join(broadcast(tomb), Seq("doc_id"), "left_outer")
       .filter(col("asof").isNull || col("_b") >= col("asof"))
       .drop("asof")
+
+  /** The LIVE posting rows of a committed state. */
+  private def livePostings(spark: SparkSession, root: String,
+                           st: Manifest.State): DataFrame =
+    liveOnly(readPostings(spark, root, st), readDeletes(spark, root, st))
+
+  /** Resolve the state a reader pins: the committed pointer, or a
+    * [[Manifest.readAt]] snapshot when `version` is given. */
+  private def stateAt(spark: SparkSession, root: String,
+                      version: Option[Long]): Manifest.State =
+    version match {
+      case None => Manifest.read(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest at $root"))
+      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $root is uncommitted or vacuumed"))
+    }
+
+  /** The pinned term-stats content of `buckets` (each bucket read at
+    * ITS version) — the O(touched) `prev` leg every stats fold
+    * re-derives from. */
+  private def readPinnedStats(spark: SparkSession, root: String,
+                              st: Manifest.State,
+                              buckets: Seq[Int]): DataFrame = {
+    val pinned = st.statsV.filter { case (b, _) => buckets.contains(b) }
+    if (pinned.isEmpty)
+      spark.emptyDataFrame
+        .select(lit("").as("term"), lit(0L).as("df"), lit(0L).as("cf"))
+        .limit(0)
+    else spark.read.option("basePath", s"$root/stats")
+      .parquet(pinned.toSeq.sorted.map { case (b, v) =>
+        s"$root/stats/v=$v/bkt=$b" }: _*)
+      .select(col("term"), col("df"), col("cf"))
   }
+
+  /** Write the re-derived content of the touched stats buckets at
+    * version `vNew` and return the UPDATED pin map: buckets with
+    * surviving rows re-pin to `vNew`; touched buckets the fold
+    * EMPTIED (every term's df hit 0) unpin — partitionBy writes no
+    * directory for them, so pinning would point at a path that does
+    * not exist. */
+  private def writeStatsAndRepin(spark: SparkSession, root: String,
+                                 st: Manifest.State, vNew: Long,
+                                 replaced: DataFrame, termBuckets: Int,
+                                 touched: Seq[Int]): Map[Int, Long] = {
+    val bucketed = Ledger.withHashBucket(replaced, "term", termBuckets)
+      .localCheckpoint()
+    val present = bucketed.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSet
+    bucketed.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/stats/v=$vNew")
+    st.statsV -- touched.filterNot(present) ++
+      touched.filter(present).map(_ -> vNew)
+  }
+
+  /** The LIVE tf rows of `ids` (bucket-pruned read, ordered-liveness
+    * filter, id semi-join) — what a delete retires and an upsert's
+    * decrement side folds; already-tombstoned and never-indexed ids
+    * contribute nothing, which is what makes both faces replay- and
+    * double-apply-exact. */
+  private def liveRemovedTf(spark: SparkSession, root: String,
+                            st: Manifest.State, ids: DataFrame,
+                            docBuckets: Int): DataFrame =
+    liveOnly(
+      Ledger.prunedToBatch(readPostings(spark, root, st), ids,
+        "doc_id", docBuckets),
+      readDeletes(spark, root, st))
+      .join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("term"), col("tf"))
+      .localCheckpoint()
 
   /** The POSITIONAL rows (doc_id, term, pos, bkt, _b) a committed
     * state makes visible — the stack's optional fourth asset
@@ -386,22 +465,13 @@ object TxServeStack {
   def resolvePositions(spark: SparkSession, root: String,
                        termBuckets: Option[Seq[Int]] = None,
                        version: Option[Long] = None): DataFrame = {
-    val st = version match {
-      case None => Manifest.read(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest at $root"))
-      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v at $root is uncommitted or vacuumed"))
-    }
+    val st = stateAt(spark, root, version)
     val raw = readPositions(spark, root, st)
     val pruned = termBuckets match {
       case None => raw
       case Some(bs) => raw.filter(col("bkt").isin(bs: _*))
     }
-    pruned
-      .join(broadcast(readDeletes(spark, root, st)),
-        Seq("doc_id"), "left_outer")
-      .filter(col("asof").isNull || col("_b") >= col("asof"))
+    liveOnly(pruned, readDeletes(spark, root, st))
       .select(col("doc_id"), col("term"), col("positions"))
   }
 
@@ -409,13 +479,7 @@ object TxServeStack {
               statsBuckets: Option[Seq[Int]] = None,
               version: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val st = version match {
-      case None => Manifest.read(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest at $root"))
-      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v at $root is uncommitted or vacuumed"))
-    }
+    val st = stateAt(spark, root, version)
     val postings = livePostings(spark, root, st)
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val pinned = statsBuckets match {
@@ -453,13 +517,12 @@ object TxServeStack {
     // delta vs the COMMITTED LIVE postings only (orphans invisible,
     // tombstoned docs re-ingestable) — bucket-pruned to the batch's
     // doc buckets like every drain
-    val storedLive = Ledger.prunedToBatch(
+    val storedLive = liveOnly(
+      Ledger.prunedToBatch(
         readPostings(spark, root, st)
           .select(col("doc_id"), col("bkt"), col("_b")),
-        batch, idCol, docBuckets)
-      .join(broadcast(readDeletes(spark, root, st)),
-        Seq("doc_id"), "left_outer")
-      .filter(col("asof").isNull || col("_b") >= col("asof"))
+        batch, idCol, docBuckets),
+      readDeletes(spark, root, st))
     val delta = Retrieval.bm25IndexAppend(
       storedLive.select(col("doc_id")), batch, idCol, textCol,
       deltaOnly = true).localCheckpoint()
@@ -475,22 +538,12 @@ object TxServeStack {
           Seq(idCol), "left_semi"),
         idCol, textCol, termBuckets)
     // term stats: touched buckets re-derived from their pinned versions
-    val batchTerms = delta.select("term").distinct()
-    val touched = Ledger.keyHashBuckets(batchTerms, "term", termBuckets)
-    val pinnedPrev = st.statsV.filter { case (b, _) => touched.contains(b) }
-    val prev =
-      if (pinnedPrev.isEmpty)
-        spark.emptyDataFrame
-          .select(lit("").as("term"), lit(0L).as("df"), lit(0L).as("cf"))
-          .limit(0)
-      else spark.read.option("basePath", s"$root/stats")
-        .parquet(pinnedPrev.toSeq.sorted.map { case (b, v) =>
-          s"$root/stats/v=$v/bkt=$b" }: _*)
-        .select(col("term"), col("df"), col("cf"))
-    val replaced = Retrieval.bm25TermStatsAppend(prev, delta)
-    Ledger.withHashBucket(replaced, "term", termBuckets)
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/stats/v=$vNew")
+    val touched = Ledger.keyHashBuckets(delta.select("term").distinct(),
+      "term", termBuckets)
+    val replaced = Retrieval.bm25TermStatsAppend(
+      readPinnedStats(spark, root, st, touched), delta)
+    val statsV = writeStatsAndRepin(spark, root, st, vNew, replaced,
+      termBuckets, touched)
     // global: pinned 1-row read + integer increment, fresh version
     val gPrev =
       if (st.globalV < 0) {
@@ -503,8 +556,7 @@ object TxServeStack {
       // copy, not construct: the base pointer (baseV/baseBatch) from a
       // prior compaction must ride through every subsequent commit
       Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, globalV = vNew,
-        statsV = st.statsV ++ touched.map(_ -> vNew)))
+        batchId = batchId, globalV = vNew, statsV = statsV))
     true
   }
 
@@ -539,52 +591,24 @@ object TxServeStack {
     if (batchId <= st.batchId) return false // replayed: already committed
     val vNew = st.version + 1
     val ids = removals.select(col(idCol).as("doc_id")).distinct()
-    // the retired rows: LIVE postings for the batch ids' buckets —
-    // already-tombstoned docs contribute nothing (exactly-once stats
-    // decrements; double-delete is a stat-exact no-op)
-    val removedTf = Ledger.prunedToBatch(
-        readPostings(spark, root, st), ids, "doc_id", docBuckets)
-      .join(broadcast(readDeletes(spark, root, st)),
-        Seq("doc_id"), "left_outer")
-      .filter(col("asof").isNull || col("_b") >= col("asof"))
-      .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("term"), col("tf"))
-      .localCheckpoint()
+    val removedTf = liveRemovedTf(spark, root, st, ids, docBuckets)
     removedTf.select("doc_id").distinct()
       .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
     // term stats: the removed terms' buckets re-derived from their
-    // pinned versions minus the decrements
+    // pinned versions minus the decrements (a fold that EMPTIES a
+    // bucket unpins it — writeStatsAndRepin)
     val touched = Ledger.keyHashBuckets(
       removedTf.select("term").distinct(), "term", termBuckets)
-    val pinnedPrev = st.statsV.filter { case (b, _) => touched.contains(b) }
-    val prev =
-      if (pinnedPrev.isEmpty)
-        spark.emptyDataFrame
-          .select(lit("").as("term"), lit(0L).as("df"), lit(0L).as("cf"))
-          .limit(0)
-      else spark.read.option("basePath", s"$root/stats")
-        .parquet(pinnedPrev.toSeq.sorted.map { case (b, v) =>
-          s"$root/stats/v=$v/bkt=$b" }: _*)
-        .select(col("term"), col("df"), col("cf"))
-    // a delete can EMPTY a touched bucket (all its terms' df hit 0 and
-    // dropped) — partitionBy writes no directory for it, so the
-    // manifest must UNPIN it (absent-from-the-map = never written),
-    // not pin a path that does not exist
-    val replaced = Ledger.withHashBucket(
-      Retrieval.bm25TermStatsRemove(prev, removedTf),
-      "term", termBuckets).localCheckpoint()
-    val present = replaced.select("bkt").distinct()
-      .collect().map(_.getInt(0)).toSet
-    replaced.write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/stats/v=$vNew")
+    val replaced = Retrieval.bm25TermStatsRemove(
+      readPinnedStats(spark, root, st, touched), removedTf)
+    val statsV = writeStatsAndRepin(spark, root, st, vNew, replaced,
+      termBuckets, touched)
     val gPrev = spark.read.parquet(Manifest.globalDir(root, st))
     Retrieval.bm25GlobalStatsRemove(gPrev, removedTf)
       .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, globalV = vNew,
-        statsV = st.statsV -- touched.filterNot(present)
-          ++ touched.filter(present).map(_ -> vNew)))
+        batchId = batchId, globalV = vNew, statsV = statsV))
     true
   }
 
@@ -622,14 +646,7 @@ object TxServeStack {
     if (batchId <= st.batchId) return false // replayed: already committed
     val vNew = st.version + 1
     val ids = batch.select(col(idCol).as("doc_id")).distinct()
-    val removedTf = Ledger.prunedToBatch(
-        readPostings(spark, root, st), ids, "doc_id", docBuckets)
-      .join(broadcast(readDeletes(spark, root, st)),
-        Seq("doc_id"), "left_outer")
-      .filter(col("asof").isNull || col("_b") >= col("asof"))
-      .join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("term"), col("tf"))
-      .localCheckpoint()
+    val removedTf = liveRemovedTf(spark, root, st, ids, docBuckets)
     removedTf.select("doc_id").distinct()
       .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
     // the replacements build WHOLE — an upsert supersedes, it is not
@@ -645,27 +662,14 @@ object TxServeStack {
       writePositions(spark, root, batchId, batch, idCol, textCol,
         termBuckets)
     // stats: net fold over the union of both sides' terms' buckets
-    val touchedTerms = removedTf.select("term")
-      .unionByName(delta.select("term")).distinct()
-    val touched = Ledger.keyHashBuckets(touchedTerms, "term", termBuckets)
-    val pinnedPrev = st.statsV.filter { case (b, _) => touched.contains(b) }
-    val prev =
-      if (pinnedPrev.isEmpty)
-        spark.emptyDataFrame
-          .select(lit("").as("term"), lit(0L).as("df"), lit(0L).as("cf"))
-          .limit(0)
-      else spark.read.option("basePath", s"$root/stats")
-        .parquet(pinnedPrev.toSeq.sorted.map { case (b, v) =>
-          s"$root/stats/v=$v/bkt=$b" }: _*)
-        .select(col("term"), col("df"), col("cf"))
-    val replaced = Ledger.withHashBucket(
-      Retrieval.bm25TermStatsAppend(
-        Retrieval.bm25TermStatsRemove(prev, removedTf), delta),
-      "term", termBuckets).localCheckpoint()
-    val present = replaced.select("bkt").distinct()
-      .collect().map(_.getInt(0)).toSet
-    replaced.write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/stats/v=$vNew")
+    val touched = Ledger.keyHashBuckets(
+      removedTf.select("term").unionByName(delta.select("term"))
+        .distinct(), "term", termBuckets)
+    val replaced = Retrieval.bm25TermStatsAppend(
+      Retrieval.bm25TermStatsRemove(
+        readPinnedStats(spark, root, st, touched), removedTf), delta)
+    val statsV = writeStatsAndRepin(spark, root, st, vNew, replaced,
+      termBuckets, touched)
     val gPrev =
       if (st.globalV < 0) {
         import spark.implicits._
@@ -676,9 +680,7 @@ object TxServeStack {
       .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, globalV = vNew,
-        statsV = st.statsV -- touched.filterNot(present)
-          ++ touched.filter(present).map(_ -> vNew)))
+        batchId = batchId, globalV = vNew, statsV = statsV))
     true
   }
 
@@ -711,10 +713,8 @@ object TxServeStack {
     // the positional family (when the drain carried one) compacts in
     // the SAME swap — one base pointer covers both row-append assets
     if (Manifest.visibleDeltaDirs(spark, root, st, "positions").nonEmpty)
-      readPositions(spark, root, st)
-        .join(broadcast(readDeletes(spark, root, st)),
-          Seq("doc_id"), "left_outer")
-        .filter(col("asof").isNull || col("_b") >= col("asof"))
+      liveOnly(readPositions(spark, root, st),
+          readDeletes(spark, root, st))
         .select(col("doc_id"), col("term"), col("positions"), col("bkt"))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").mode("overwrite")
@@ -759,8 +759,12 @@ object TxServeStack {
     val cur = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     val floor = cur.version - retainVersions.toLong
-    val retained = (floor to cur.version)
-      .flatMap(v => Manifest.readAt(spark, root, v))
+    // the pointer state ALWAYS retains — on a stack whose history
+    // files predate the snapshot feature (or were lost), readAt
+    // yields nothing and a history-only keep-set would sweep every
+    // LIVE pinned directory
+    val retained = ((floor to cur.version)
+      .flatMap(v => Manifest.readAt(spark, root, v)) :+ cur).distinct
     // every (family, identifier) some retained manifest still pins;
     // stats sweep at (version, bucket) granularity — one commit's
     // version dir can hold both live and superseded buckets
@@ -888,6 +892,18 @@ object TxVectorStack {
       .filter(col("asof").isNull || col("_b") >= col("asof"))
       .drop("asof")
 
+  /** Tombstone the batch ids that still have live code rows at
+    * `deletes/batch=N` — [[commitDelete]]'s whole write and
+    * [[commitUpsert]]'s retire half. */
+  private def writeTombstones(spark: SparkSession, root: String,
+                              st: Manifest.State, ids: DataFrame,
+                              buckets: Int, batchId: Long): Unit =
+    Ledger.prunedToBatch(liveCodes(spark, root, st), ids,
+        "vec_id", buckets)
+      .join(ids, Seq("vec_id"), "left_semi")
+      .select("vec_id").distinct()
+      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+
   /** Resolve the committed (codes ledger, centroids, codebook) for
     * serving — optionally pinned to a snapshot `version`, which
     * serves the index exactly as of that commit (old quantizer, old
@@ -922,12 +938,9 @@ object TxVectorStack {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
-    val ids = removals.select(col(idCol).as("vec_id")).distinct()
-    Ledger.prunedToBatch(liveCodes(spark, root, st), ids,
-        "vec_id", buckets)
-      .join(ids, Seq("vec_id"), "left_semi")
-      .select("vec_id").distinct()
-      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    writeTombstones(spark, root, st,
+      removals.select(col(idCol).as("vec_id")).distinct(),
+      buckets, batchId)
     if (publish)
       Manifest.commit(spark, root, st.copy(version = st.version + 1,
         batchId = batchId))
@@ -976,12 +989,9 @@ object TxVectorStack {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
-    val ids = batch.select(col(idCol).as("vec_id")).distinct()
-    Ledger.prunedToBatch(liveCodes(spark, root, st), ids,
-        "vec_id", buckets)
-      .join(ids, Seq("vec_id"), "left_semi")
-      .select("vec_id").distinct()
-      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    writeTombstones(spark, root, st,
+      batch.select(col(idCol).as("vec_id")).distinct(),
+      buckets, batchId)
     val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
     val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
     val delta = Similarity.pqIndexBuild(batch, cent, cb, idCol, vecCol)
@@ -1036,8 +1046,12 @@ object TxVectorStack {
     val cur = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     val floor = cur.version - retainVersions.toLong
-    val retained = (floor to cur.version)
-      .flatMap(v => Manifest.readAt(spark, root, v))
+    // the pointer state ALWAYS retains — on a stack whose history
+    // files predate the snapshot feature (or were lost), readAt
+    // yields nothing and a history-only keep-set would sweep every
+    // LIVE pinned directory
+    val retained = ((floor to cur.version)
+      .flatMap(v => Manifest.readAt(spark, root, v)) :+ cur).distinct
     val keepQuant = retained.map(st => s"v=${st.globalV}").toSet
     val keepBase = retained.filter(_.baseV >= 0)
       .map(st => s"v=${st.baseV}").toSet

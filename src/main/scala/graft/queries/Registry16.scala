@@ -504,14 +504,16 @@ object Registry16 {
       .orderBy("q_id", "rnk")
   }
 
-  /** The shared 4-page streaming fixture (FixtureCache "bmidx"): the
-    * corpus split into four mtime-ordered parquet page files with
-    * 10-doc overlaps (the at-least-once replay the drains absorb),
-    * page p covering [max(0, p·⌊n/4⌋ − 10), (p+1)·⌊n/4⌋). */
-  private def bmPagesFixture(s: SparkSession, d: String): java.nio.file.Path = {
-    val dcs = docs(s, d)
-    val n = dcs.count()
-    FixtureCache.cached(d, "bmidx", 1, Seq("documents")) { tmp =>
+  /** A 4-page streaming fixture over any id-keyed table: rows split
+    * into four mtime-ordered parquet page files with 10-id overlaps
+    * (the at-least-once replay the drains absorb), page p covering
+    * [max(0, p·⌊n/4⌋ − 10), (p+1)·⌊n/4⌋). `table` keys the
+    * FixtureCache dependency; `tag` names the cache entry. */
+  private[queries] def pagesFixture(s: SparkSession, d: String,
+      tag: String, table: String, rows: DataFrame,
+      idCol: String): java.nio.file.Path = {
+    val n = rows.count()
+    FixtureCache.cached(d, tag, 1, Seq(table)) { tmp =>
       val pages = tmp.resolve("pages")
       java.nio.file.Files.createDirectories(pages)
       val base = System.currentTimeMillis() - 3600L * 1000
@@ -520,7 +522,7 @@ object Registry16 {
         val lo = math.max(0L, p * qn - 10)
         val hi = if (p == 3) n else (p + 1) * qn
         val tmpd = tmp.resolve(s"tmp$p")
-        dcs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        rows.filter(col(idCol) >= lo && col(idCol) < hi)
           .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
         val parts = tmpd.toFile.listFiles().toSeq
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
@@ -534,6 +536,10 @@ object Registry16 {
       }
     }
   }
+
+  /** The document corpus's pages fixture (FixtureCache "bmidx"). */
+  private def bmPagesFixture(s: SparkSession, d: String): java.nio.file.Path =
+    pagesFixture(s, d, "bmidx", "documents", docs(s, d), "doc_id")
 
   /** Drain the pages fixture through [[graft.operators.TxServeStack.commitBatch]]
     * (manifest-protocol commits, 16 doc + 16 term buckets) and return

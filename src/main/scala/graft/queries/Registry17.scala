@@ -223,29 +223,8 @@ object Registry17 {
        |SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
-    val n = e.select("vec_id").count()
-    val fx = FixtureCache.cached(d, "vecpages", 1, Seq("embeddings")) { tmp =>
-      val pages = tmp.resolve("pages")
-      java.nio.file.Files.createDirectories(pages)
-      val base = System.currentTimeMillis() - 3600L * 1000
-      val qn = n / 4
-      for (p <- 0 until 4) {
-        val lo = math.max(0L, p * qn - 10)
-        val hi = if (p == 3) n else (p + 1) * qn
-        val tmpd = tmp.resolve(s"tmp$p")
-        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
-          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
-        val parts = tmpd.toFile.listFiles().toSeq
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          val dest = pages.resolve(s"page$p-$i.parquet")
-          java.nio.file.Files.move(f.toPath, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
-        }
-        FixtureCache.deleteRecursively(tmpd)
-      }
-    }
+    val fx = Registry16.pagesFixture(s, d, "vecpages", "embeddings",
+      e, "vec_id")
     val stage = StreamHarness.runDir("graft_vecingest")
     val root = stage.resolve("stack").toString
     TxVectorStack.init(s, root, cent, cb)

@@ -666,9 +666,12 @@ object ScaleProbe {
           val (_, sPruned, _) = TxServeStack.resolve(spark, root,
             statsBuckets = Some(bkts))
           val statsRead = sPruned.count()
-          val dirsOpened = st2.statsV.keySet.count(bkts.contains)
+          // census against the manifest the serve actually resolves
+          // (the current head, after the upsert)
+          val stServe = Manifest.read(spark, root).get
+          val dirsOpened = stServe.statsV.keySet.count(bkts.contains)
           println(s"PROBE txstack $scale serve_q_terms=3 " +
-            s"stats_dirs_opened=$dirsOpened of ${st2.statsV.size} " +
+            s"stats_dirs_opened=$dirsOpened of ${stServe.statsV.size} " +
             s"stats_rows_read=$statsRead vs vocab_rows=$vocabRows")
           // compaction + vacuum: reclaim ∝ history, serve unchanged
           TxServeStack.compactPostings(spark, root)

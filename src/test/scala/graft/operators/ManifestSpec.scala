@@ -206,6 +206,14 @@ class ManifestSpec extends SparkSpec {
         s"compacted-away delta dirs survived vacuum: $batchDirs")
       // idempotent: nothing left to reclaim
       assert(TxServeStack.vacuum(spark, root).deletedDirs == 0)
+      // a stack with NO history files (pre-snapshot-feature, or lost)
+      // must still vacuum safely: the pointer state always retains
+      f.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("manifest.v="))
+        .foreach(p => f.delete(p, false))
+      TxServeStack.vacuum(spark, root, retainVersions = 0)
+      assert(snapshot(root) == before,
+        "vacuum on a history-less stack swept live pinned assets")
       // and the stack still APPENDS after a full vacuum
       TxServeStack.commitBatch(spark, root,
         Seq((4L, "brown dog jumps")).toDF("doc_id", "text"), 8L,
