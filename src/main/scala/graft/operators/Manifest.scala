@@ -40,17 +40,52 @@ object Manifest {
   /** One consistent cut of a multi-asset stack: the replay high-water
     * batch id, the manifest version, the global ledger's version, and
     * each stats bucket's pinned version (buckets absent from the map
-    * have never been written). */
+    * have never been written). `auxV` is a SECOND per-bucket pin map
+    * for stacks whose state is dual-keyed (the semantic-label stack
+    * pins its by-id view in `statsV` and its by-cluster view here);
+    * single-view stacks leave it empty. `pos` records whether the
+    * stack carries the positional family — a property of the STACK,
+    * not of any one commit, so later commits derive the write decision
+    * from it instead of trusting every caller to re-pass the flag
+    * (omitting it on a positional stack would tear the
+    * postings/positions families: tombstones retire old positional
+    * rows with no replacements landing). */
   case class State(version: Long, batchId: Long, globalV: Long,
                    statsV: Map[Int, Long], baseV: Long = -1L,
-                   baseBatch: Long = -1L) {
+                   baseBatch: Long = -1L,
+                   auxV: Map[Int, Long] = Map.empty,
+                   pos: Boolean = false) {
     def render: String = {
-      val sv = statsV.toSeq.sorted.map { case (b, v) => s"$b:$v" }
-        .mkString(",")
-      s"version=$version\nbatch=$batchId\nglobal=$globalV\nstats=$sv\n" +
-        s"base=$baseV\nbasebatch=$baseBatch\n"
+      def pins(m: Map[Int, Long]) = m.toSeq.sorted
+        .map { case (b, v) => s"$b:$v" }.mkString(",")
+      s"version=$version\nbatch=$batchId\nglobal=$globalV\n" +
+        s"stats=${pins(statsV)}\nbase=$baseV\nbasebatch=$baseBatch\n" +
+        s"aux=${pins(auxV)}\npos=${if (pos) 1 else 0}\n"
     }
   }
+
+  /** Thrown by [[commit]] when the committed pointer is no longer at
+    * the version the state was derived from — the optimistic-CAS
+    * writer fence. The loser's versioned asset writes are crash-orphan
+    * garbage ([[sweepUnpinned]] reclaims them); the clean retry is to
+    * RE-DERIVE the whole commit from the advanced head (every TxStack
+    * commit* re-reads the manifest at entry, so calling it again IS
+    * the retry). */
+  final case class CommitConflict(root: String, expected: Long,
+                                  found: Long)
+    extends RuntimeException(
+      s"manifest at $root moved to version $found while this commit " +
+        s"derived from ${expected - 1}; re-derive and retry")
+
+  /** Per-root in-process commit mutex: makes the version check and the
+    * pointer swap one atomic step for every committer in this JVM (the
+    * local[*] deployment — a drain racing its maintenance compactor).
+    * Cross-PROCESS committers still race in the check-to-swap window;
+    * closing that needs a conditional put / rename-if-match primitive,
+    * which is exactly why table formats make the commit protocol
+    * pluggable per store. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def fs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -86,38 +121,71 @@ object Manifest {
     * deterministic) and overwrites the torn file in place. */
   def commit(spark: SparkSession, dir: String, state: State): Unit = {
     val (f, base) = fs(spark, dir)
-    f.mkdirs(base)
-    val bytes = state.render.getBytes("UTF-8")
-    val hist = new org.apache.hadoop.fs.Path(base,
-      s"manifest.v=${state.version}")
-    val hOut = f.create(hist, true)
-    try hOut.write(bytes) finally hOut.close()
-    val tmp = new org.apache.hadoop.fs.Path(base,
-      s"manifest.tmp-${state.version}")
-    val out = f.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(base, "manifest")
-    // rename-with-OVERWRITE, not delete+rename: the latter opens a
-    // window where a concurrent reader finds NO manifest and a
-    // committed, retained snapshot read fails — the contract readAt
-    // advertises ("concurrent with any number of later commits")
-    // requires the pointer to be replaced atomically
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dst.toUri, spark.sessionState.newHadoopConf())
-    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val lock = commitLocks.computeIfAbsent(
+      f.makeQualified(base).toString, _ => new Object)
+    lock.synchronized {
+      // WRITER FENCE (optimistic CAS): this state was derived from the
+      // cut at version - 1; if the pointer has advanced past it, a
+      // concurrent committer (drain vs compactor vs vacuum cadence)
+      // already landed a commit this one never read — swapping anyway
+      // would silently drop the winner's pins (the lost update). Fenced
+      // BEFORE the history write too: version N may now be the
+      // winner's committed `manifest.v=N`, which a loser must not
+      // overwrite. A replayed crashed batch re-derives the SAME
+      // version (pointer unmoved) and passes.
+      val cur = read(spark, dir).map(_.version).getOrElse(-1L)
+      if (cur != state.version - 1)
+        throw CommitConflict(dir, state.version, cur)
+      f.mkdirs(base)
+      val bytes = state.render.getBytes("UTF-8")
+      val hist = new org.apache.hadoop.fs.Path(base,
+        s"manifest.v=${state.version}")
+      val hOut = f.create(hist, true)
+      try hOut.write(bytes) finally hOut.close()
+      val tmp = new org.apache.hadoop.fs.Path(base,
+        s"manifest.tmp-${state.version}")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(base, "manifest")
+      // rename-with-OVERWRITE, not delete+rename: the latter opens a
+      // window where a concurrent reader finds NO manifest and a
+      // committed, retained snapshot read fails — the contract readAt
+      // advertises ("concurrent with any number of later commits")
+      // requires the pointer to be replaced atomically. On the `file`
+      // scheme Hadoop's LocalFs implements overwrite-rename as
+      // delete(dst)+rename — NOT atomic — so the swap goes through
+      // java.nio ATOMIC_MOVE (rename(2) on POSIX) there; HDFS keeps
+      // the FileContext path, whose overwrite-rename is atomic by
+      // contract. An object store without atomic rename needs a
+      // conditional put instead (the pluggable-commit reason above).
+      if (f.getScheme == "file") {
+        val tq = f.makeQualified(tmp).toUri.getPath
+        val dq = f.makeQualified(dst).toUri.getPath
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tq), java.nio.file.Paths.get(dq),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, spark.sessionState.newHadoopConf())
+        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    }
   }
 
   private def parse(txt: String): State = {
     val kv = txt.linesIterator.filter(_.contains("="))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
       .toMap
-    val sv = kv("stats").split(",").filter(_.nonEmpty).map { e =>
+    def pins(s: String) = s.split(",").filter(_.nonEmpty).map { e =>
       val Array(b, v) = e.split(":"); b.toInt -> v.toLong
     }.toMap
     State(kv("version").toLong, kv("batch").toLong,
-      kv("global").toLong, sv,
+      kv("global").toLong, pins(kv("stats")),
       kv.getOrElse("base", "-1").toLong,
-      kv.getOrElse("basebatch", "-1").toLong)
+      kv.getOrElse("basebatch", "-1").toLong,
+      pins(kv.getOrElse("aux", "")),
+      kv.getOrElse("pos", "0") == "1")
   }
 
   /** SNAPSHOT read — resolve the state committed as `version` (time
@@ -232,8 +300,12 @@ object Manifest {
     var retired = 0
     f.listStatus(root).toSeq.map(_.getPath).foreach { p =>
       val n = p.getName
+      // toLongOption, not toLong: a foreign file matching the prefix
+      // but not parsing (an editor backup "manifest.v=3~") must be
+      // SKIPPED, not abort the sweep mid-delete with the stats lost
       val stale =
-        (n.startsWith("manifest.v=") && n.drop(11).toLong < floor) ||
+        (n.startsWith("manifest.v=") &&
+          n.drop(11).toLongOption.exists(_ < floor)) ||
           n.startsWith("manifest.tmp-")
       if (stale) { f.delete(p, false); retired += 1 }
     }
@@ -514,6 +586,10 @@ object TxServeStack {
       Manifest.State(-1L, -1L, -1L, Map.empty))
     if (batchId <= st.batchId) return false // replayed: already committed
     val vNew = st.version + 1
+    // the positional family is a property of the STACK: once any commit
+    // carried it, every later commit must too (the manifest records it),
+    // or tombstones would retire positional rows no commit replaces
+    val withPos = positions || st.pos
     // delta vs the COMMITTED LIVE postings only (orphans invisible,
     // tombstoned docs re-ingestable) — bucket-pruned to the batch's
     // doc buckets like every drain
@@ -532,7 +608,7 @@ object TxServeStack {
     // positions (optional fourth asset): the SAME fresh-docs decision
     // the posting delta made — absorbed docs contribute no rows here
     // either, so the two assets can never disagree on membership
-    if (positions)
+    if (withPos)
       writePositions(spark, root, batchId,
         batch.join(delta.select(col("doc_id").as(idCol)).distinct(),
           Seq(idCol), "left_semi"),
@@ -556,7 +632,8 @@ object TxServeStack {
       // copy, not construct: the base pointer (baseV/baseBatch) from a
       // prior compaction must ride through every subsequent commit
       Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, globalV = vNew, statsV = statsV))
+        batchId = batchId, globalV = vNew, statsV = statsV,
+        pos = withPos))
     true
   }
 
@@ -645,6 +722,11 @@ object TxServeStack {
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
     val vNew = st.version + 1
+    // stack-derived, like commitBatch: an upsert on a positional stack
+    // that omitted the flag would retire the old positional rows via
+    // the shared tombstone and land NO replacements — phrase serves
+    // would silently miss the document while BM25 serves it
+    val withPos = positions || st.pos
     val ids = batch.select(col(idCol).as("doc_id")).distinct()
     val removedTf = liveRemovedTf(spark, root, st, ids, docBuckets)
     removedTf.select("doc_id").distinct()
@@ -658,7 +740,7 @@ object TxServeStack {
       .parquet(s"$root/postings/batch=$batchId")
     // positions: the replacements' rows land whole; the shared
     // tombstone retires the old rows on the positional read too
-    if (positions)
+    if (withPos)
       writePositions(spark, root, batchId, batch, idCol, textCol,
         termBuckets)
     // stats: net fold over the union of both sides' terms' buckets
@@ -680,7 +762,8 @@ object TxServeStack {
       .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, globalV = vNew, statsV = statsV))
+        batchId = batchId, globalV = vNew, statsV = statsV,
+        pos = withPos))
     true
   }
 

@@ -1,0 +1,285 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SEMANTIC-DEDUP family under the [[Manifest]] commit protocol —
+  * the transactional face of `streaming_semantic_ingest`'s drain,
+  * which maintains THREE mutually-derived assets per micro-batch:
+  *
+  *  - the label ledger BY ID (`labels/v=V/bkt=B`, bkt = pmod(id, B)) —
+  *    the seen check, the endpoint-label lookups, the authoritative
+  *    output; pinned per-bucket in [[Manifest.State.statsV]];
+  *  - the SAME facts keyed BY CLUSTER
+  *    (`labels_by_cluster/v=V/bkt=B`, bkt = pmod(cluster, B)) — the
+  *    relabel side, where touched COMPONENTS' members are found by
+  *    cluster key; pinned in [[Manifest.State.auxV]];
+  *  - the block index (`blkidx/base/v=0` + `blkidx/batch=N`,
+  *    bkt = pmod(xxhash64(blk), B)) — append-only PQ-prefix blocking
+  *    rows; the base pointer + batch-id window, like postings.
+  *
+  * The in-place drain commits these with three independent dynamic
+  * overwrites — a crash between them leaves the dual-keyed label views
+  * DISAGREEING (the fact table forked), and the replayed batch's
+  * seen-check/lookup reads run against the half-mutated state. Under
+  * the protocol every write lands at a fresh versioned path, one swap
+  * publishes all three, and a replayed batch re-derives from the
+  * committed cut — the torn window is structurally gone. Per-bucket
+  * MVCC also absorbs the one layout hazard the in-place drain had to
+  * special-case: a touched cluster-bucket whose every row migrated out
+  * simply UNPINS (the in-place form had to delete the stale directory
+  * behind dynamic overwrite's back).
+  *
+  * Scale shape unchanged: all reads pruned to elected buckets at the
+  * PATH level, writes ∝ touched buckets, incremental CC label-graph-
+  * sized ([[Dedup.connectedComponentsIncrementalDelta]]).
+  */
+object TxSemanticStack {
+
+  private def ibktOf(buckets: Int) =
+    pmod(col("id"), lit(buckets.toLong)).cast("int")
+  private def cbktOf(buckets: Int) =
+    pmod(col("cluster"), lit(buckets.toLong)).cast("int")
+  private def kbktOf(buckets: Int) =
+    pmod(xxhash64(col("blk")), lit(buckets.toLong)).cast("int")
+
+  private def elected(df: DataFrame,
+                      bkt: org.apache.spark.sql.Column): Seq[Int] =
+    df.select(bkt.as("_b")).distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Create the stack from a batch-built base: the label ledger
+    * (id, cluster) lands in BOTH keyed layouts at v=0 and the block
+    * index (id, blk) as the blkidx base; one commit pins all three. */
+  def init(spark: SparkSession, root: String, ledger: DataFrame,
+           blockIndex: DataFrame, buckets: Int): Unit = {
+    require(Manifest.read(spark, root).isEmpty,
+      s"semantic stack already initialized at $root")
+    val l = ledger.select(col("id"), col("cluster")).localCheckpoint()
+    val byId = l.withColumn("bkt", ibktOf(buckets)).localCheckpoint()
+    val byCl = l.withColumn("bkt", cbktOf(buckets)).localCheckpoint()
+    byId.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/labels/v=0")
+    byCl.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/labels_by_cluster/v=0")
+    blockIndex.select(col("id"), col("blk"))
+      .withColumn("bkt", kbktOf(buckets))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/blkidx/base/v=0")
+    Manifest.commit(spark, root, Manifest.State(0L, -1L, -1L,
+      byId.select("bkt").distinct().collect()
+        .map(r => r.getInt(0) -> 0L).toMap,
+      baseV = 0L, baseBatch = -1L,
+      auxV = byCl.select("bkt").distinct().collect()
+        .map(r => r.getInt(0) -> 0L).toMap))
+  }
+
+  /** Pinned per-bucket read of one label family, path-pruned to
+    * `restrict`'s buckets when given. */
+  private def readPinned(spark: SparkSession, root: String,
+                         family: String, pins: Map[Int, Long],
+                         restrict: Option[Seq[Int]]): DataFrame = {
+    val pinned = restrict match {
+      case None => pins
+      case Some(bs) => pins.filter { case (b, _) => bs.contains(b) }
+    }
+    if (pinned.isEmpty)
+      spark.emptyDataFrame.select(lit(0L).as("id"),
+        lit(0L).as("cluster"), lit(0).as("bkt")).limit(0)
+    else spark.read.option("basePath", s"$root/$family")
+      .parquet(pinned.toSeq.sorted.map { case (b, v) =>
+        s"$root/$family/v=$v/bkt=$b" }: _*)
+      .select(col("id"), col("cluster"), col("bkt"))
+  }
+
+  private def stateAt(spark: SparkSession, root: String,
+                      version: Option[Long]): Manifest.State =
+    version match {
+      case None => Manifest.read(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest at $root"))
+      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $root is uncommitted or vacuumed"))
+    }
+
+  /** Resolve the committed label ledger (id, cluster) — the
+    * authoritative by-id view, optionally path-pruned to `idBuckets`
+    * and/or pinned to a snapshot `version`. */
+  def resolveLabels(spark: SparkSession, root: String,
+                    idBuckets: Option[Seq[Int]] = None,
+                    version: Option[Long] = None): DataFrame =
+    readPinned(spark, root, "labels",
+      stateAt(spark, root, version).statsV, idBuckets)
+      .select("id", "cluster")
+
+  /** The by-cluster view of the same facts — exposed so consumers (and
+    * the drift gate) can verify the dual-keyed views agree at every
+    * committed cut, which the one-swap commit makes invariant. */
+  def resolveLabelsByCluster(spark: SparkSession, root: String,
+                             clusterBuckets: Option[Seq[Int]] = None,
+                             version: Option[Long] = None): DataFrame =
+    readPinned(spark, root, "labels_by_cluster",
+      stateAt(spark, root, version).auxV, clusterBuckets)
+      .select("id", "cluster")
+
+  /** The committed block index (id, blk), path-pruned to `keyBuckets`
+    * (the batch's block keys' buckets) when given. */
+  def resolveBlockIndex(spark: SparkSession, root: String,
+                        keyBuckets: Option[Seq[Int]] = None,
+                        version: Option[Long] = None): DataFrame = {
+    val st = stateAt(spark, root, version)
+    val dirs = Manifest.visibleDeltaDirs(spark, root, st, "blkidx")
+    val (baseDirs, deltaDirs) = dirs.partition(_.contains("/base/"))
+    val parts =
+      (if (baseDirs.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", s"$root/blkidx/base")
+         .parquet(baseDirs: _*)
+         .select(col("id"), col("blk"), col("bkt")))) ++
+      (if (deltaDirs.isEmpty) Seq.empty
+       else Seq(spark.read.option("basePath", s"$root/blkidx")
+         .parquet(deltaDirs: _*)
+         .select(col("id"), col("blk"), col("bkt"))))
+    val all =
+      if (parts.isEmpty)
+        spark.emptyDataFrame.select(lit(0L).as("id"), lit("").as("blk"),
+          lit(0).as("bkt")).limit(0)
+      else parts.reduce(_ unionByName _)
+    (keyBuckets match {
+      case None => all
+      case Some(bs) => all.filter(col("bkt").isin(bs.map(Int.box): _*))
+    }).select("id", "blk")
+  }
+
+  /** One arrival batch through the protocol, the in-place drain's
+    * exact dataflow with every read against the COMMITTED cut and
+    * every write versioned: anti-join already-seen ids (their own
+    * id-buckets only), encode the fresh rows against the FROZEN
+    * `codebooks`, block vs the stored index (batch block-keys'
+    * buckets only) + within the batch, merge incident edges with
+    * label-graph-sized incremental CC, land the touched cluster- and
+    * id-buckets' replacement content at v=N and the block delta at
+    * `blkidx/batch=N`, swap ONCE. Exactly-once by batch id;
+    * `publish = false` is the crash face. */
+  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long, codebooks: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, threshold: Double,
+                  prefix: Int, buckets: Int,
+                  publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"semantic stack not initialized at $root — call init first"))
+    if (batchId <= st.batchId) return false // replayed: already committed
+    val vNew = st.version + 1
+    val bIds = batch.select(col(idCol)).distinct().localCheckpoint()
+    // seen check: batch ids can only live in their own id-buckets
+    val seen = readPinned(spark, root, "labels", st.statsV,
+      Some(elected(bIds, pmod(col(idCol), lit(buckets.toLong)).cast("int"))))
+      .select(col("id").as(idCol))
+    val fresh = batch.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val bIdx = Similarity.semanticBlockIndex(fresh, codebooks,
+      idCol, vecCol, prefix).localCheckpoint()
+    // pair join: only the batch's block keys' buckets are probed
+    val sIdx = resolveBlockIndex(spark, root,
+      Some(elected(bIdx, kbktOf(buckets))))
+    val incident = Similarity.semanticPqPairsAgainst(bIdx, sIdx,
+        corpus, idCol, vecCol, threshold)
+      .unionByName(Similarity.semanticPqPairs(fresh, codebooks, idCol,
+        vecCol, threshold, prefix))
+      .localCheckpoint()
+    // endpoint-label lookup: endpoints' id-buckets only
+    val ends = incident.select(col("a_id").as("id"))
+      .unionByName(incident.select(col("b_id").as("id"))).distinct()
+    val lookup = readPinned(spark, root, "labels", st.statsV,
+      Some(elected(ends, ibktOf(buckets)))).select("id", "cluster")
+    val (mapping0, fresh0) = Dedup.connectedComponentsIncrementalDelta(
+      lookup, fresh.select(col(idCol)), idCol, incident, "a_id", "b_id")
+    val mapping = mapping0.localCheckpoint()
+    val freshLb = fresh0.localCheckpoint()
+    // touched CLUSTER buckets: old labels, their new labels, and the
+    // fresh rows' labels — every bucket whose content changes
+    val tcb = (elected(mapping,
+        pmod(col("_old"), lit(buckets.toLong)).cast("int")) ++
+      elected(mapping, pmod(col("_new"), lit(buckets.toLong)).cast("int")) ++
+      elected(freshLb, cbktOf(buckets))).distinct
+    var idPins = st.statsV
+    var clPins = st.auxV
+    if (tcb.nonEmpty) {
+      val relabel: DataFrame => DataFrame = df => df
+        .join(broadcast(mapping), df("cluster") === col("_old"), "left")
+        .select(df("id"),
+          coalesce(col("_new"), df("cluster")).as("cluster"))
+      // by-cluster replacement: touched components' member rows are IN
+      // the touched cluster-buckets by construction (a row's bucket
+      // only changes when its label does, and both old and new label
+      // buckets are in tcb); reads come from the PINNED old versions,
+      // so no self-overwrite checkpoint is needed
+      val oldCl = readPinned(spark, root, "labels_by_cluster", st.auxV,
+        Some(tcb)).select("id", "cluster").localCheckpoint()
+      val replCl = relabel(oldCl).unionByName(freshLb)
+        .withColumn("bkt", cbktOf(buckets)).localCheckpoint()
+      replCl.write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/labels_by_cluster/v=$vNew")
+      // a touched cluster-bucket whose every row migrated out (and
+      // gained none) has an empty replacement: it UNPINS — per-bucket
+      // MVCC's answer to the stale-directory hazard the in-place
+      // drain had to delete around
+      val present = replCl.select("bkt").distinct().collect()
+        .map(_.getInt(0)).toSet
+      clPins = st.auxV -- tcb.filterNot(present) ++
+        tcb.filter(present).map(_ -> vNew)
+      // by-id replacement: only the id-buckets holding a CHANGED row
+      // or a fresh id rewrite (an id never changes ITS bucket)
+      val changedRows = oldCl.join(broadcast(mapping),
+          oldCl("cluster") === col("_old"))
+        .select(oldCl("id"))
+      val tib = (elected(changedRows, ibktOf(buckets)) ++
+        elected(freshLb, ibktOf(buckets))).distinct
+      val replId = relabel(readPinned(spark, root, "labels", st.statsV,
+          Some(tib)).select("id", "cluster"))
+        .unionByName(freshLb)
+        .withColumn("bkt", ibktOf(buckets)).localCheckpoint()
+      replId.write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/labels/v=$vNew")
+      val presentId = replId.select("bkt").distinct().collect()
+        .map(_.getInt(0)).toSet
+      idPins = st.statsV -- tib.filterNot(presentId) ++
+        tib.filter(presentId).map(_ -> vNew)
+    }
+    // block-index delta append: O(batch) rows, the positional posture
+    bIdx.withColumn("bkt", kbktOf(buckets))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/blkidx/batch=$batchId")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId, statsV = idPins, auxV = clPins))
+    true
+  }
+
+  /** [[TxServeStack.vacuum]]'s twin for the semantic stack: reclaim
+    * superseded label-bucket versions on BOTH keyed views, crash
+    * orphans, compacted-away block deltas, and history manifests below
+    * the retention floor. */
+  def vacuum(spark: SparkSession, root: String,
+             retainVersions: Int = 0): TxServeStack.VacuumStats = {
+    val cur = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    val floor = cur.version - retainVersions.toLong
+    val retained = ((floor to cur.version)
+      .flatMap(v => Manifest.readAt(spark, root, v)) :+ cur).distinct
+    val keepId = retained.flatMap(_.statsV.map { case (b, v) =>
+      s"v=$v/bkt=$b" }).toSet
+    val keepCl = retained.flatMap(_.auxV.map { case (b, v) =>
+      s"v=$v/bkt=$b" }).toSet
+    val keepBase = retained.filter(_.baseV >= 0)
+      .map(st => s"v=${st.baseV}").toSet
+    val keepBatch = retained.flatMap(st =>
+      (st.baseBatch + 1) to st.batchId).map(b => s"batch=$b").toSet
+    val (deleted, retired, kept) = Manifest.sweepUnpinned(spark, root,
+      floor, Seq(
+        Manifest.SweepFamily("labels", 2, keepId),
+        Manifest.SweepFamily("labels_by_cluster", 2, keepCl),
+        Manifest.SweepFamily("blkidx/base", 1, keepBase),
+        Manifest.SweepFamily("blkidx", 1,
+          n => n == "base" || keepBatch(n))))
+    TxServeStack.VacuumStats(deleted, retired, kept)
+  }
+}

@@ -281,43 +281,15 @@ object Registry13 {
        |$gout AS (SELECT src_id, nbr_id, cos FROM rec$i WHERE r <= 4)""".stripMargin
   }
 
-  /** STREAMING graph-index ingest: the third ledger family's arrival
-    * face, completing the triple (`streaming_index_ingest` for PQ
-    * codes, `streaming_bm25_ingest` for tf rows, now the kNN graph):
-    * node pages arrive as file-source micro-batches, each batch
-    * appends to a BUCKET-PARTITIONED parquet graph with per-batch
-    * write I/O O(touched), not O(graph): a graph append RECAPS
-    * existing rows, but only the TOUCHED sources' lists change, so
-    * [[Similarity.graphAppendBucketDelta]] computes just the touched
-    * buckets' replacement content and dynamic partition-overwrite
-    * rewrites those bucket directories alone (the materialize-then-
-    * write discipline makes the swap safe). Pages overlap by one node
-    * (at-least-once replay), absorbed by graphAppend's already-
-    * inserted anti-join. Unlike the row-ledger families the drained
-    * graph is NOT arrival-order-free in general — it equals the SAME
-    * page sequence applied as batch appends, which is exactly what the
-    * oracle replays: the pinned 200-node build, then two unrolled
-    * append journeys (the second's dedup'd batch) with each search
-    * running over the PREVIOUS append's graph. */
-  val streamingGraphIngest = Q("streaming_graph_ingest",
-    s"""WITH ${Registry12.sqlKnnGraph},
-       |allv AS (SELECT vec_id, embedding FROM embeddings),
-       |${sqlGraphAppendReplay(1, "g", "g1", 200, 205)},
-       |${sqlGraphAppendReplay(2, "g1", "g2", 205, 210)}
-       |SELECT src_id, nbr_id, cos FROM g2
-       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+  /** The graph/semantic drains' SHARED page+corpus fixture: two
+    * mtime-ordered embedding pages covering [200,205) and [204,210)
+    * (one-node overlap — the at-least-once replay the drains absorb)
+    * plus the corpus staged bucket-partitioned on pmod(vec_id, 16),
+    * the layout that makes per-hop vector reads partition-prune. */
+  private[queries] def gingestFixture(s: SparkSession,
+                                      d: String): java.nio.file.Path = {
     val e = emb(s, d)
-    val base = e.filter(col("vec_id") < 200)
-    val cent = base.filter(col("vec_id") === 0)
-      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
-    val g0 = Similarity.knnGraph(base, cent, "vec_id", "embedding", k = 3)
-      .select("src_id", "nbr_id", "cos")
-    // v2: the fixture also stages the CORPUS bucket-partitioned on
-    // pmod(vec_id, 16) — the layout that makes the drain's per-hop
-    // VECTOR reads partition-prune (corpusBuckets below), completing
-    // the read-side O(touched) discipline for the score leg
-    val nBkt = 16
-    val fx = FixtureCache.cached(d, "gingest", 2, Seq("embeddings")) { tmp =>
+    FixtureCache.cached(d, "gingest", 2, Seq("embeddings")) { tmp =>
       val pages = tmp.resolve("pages")
       java.nio.file.Files.createDirectories(pages)
       val pbase = System.currentTimeMillis() - 3600L * 1000
@@ -336,52 +308,89 @@ object Registry13 {
         }
         FixtureCache.deleteRecursively(tmpd)
       }
-      e.withColumn("bkt", pmod(col("vec_id"), lit(nBkt.toLong)).cast("int"))
+      e.withColumn("bkt", pmod(col("vec_id"), lit(16L)).cast("int"))
         .write.partitionBy("bkt").mode("overwrite")
         .parquet(tmp.resolve("corpus").toString)
     }
-    val stage = StreamHarness.runDir("graft_gingest")
-    val ledgerDir = stage.resolve("ledger").toString
-    // the ledger is BUCKET-PARTITIONED by pmod(src_id, 16): the drain
-    // below writes only the buckets a batch touches
-    g0.withColumn("bkt", pmod(col("src_id"), lit(nBkt.toLong)).cast("int"))
-      .write.partitionBy("bkt").mode("overwrite").parquet(ledgerDir)
-    val stream = s.readStream
-      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(fx.resolve("pages").toString)
-    // O(touched) sink discipline: graphAppend's recap is touched-only
-    // BY CONSTRUCTION (untouched sources' edge lists are bit-identical),
-    // so the drain computes only the touched buckets' replacement rows
-    // ([[Similarity.graphAppendBucketDelta]] — the survivors leg reads
-    // JUST those buckets under a literal partition predicate) and
-    // dynamic partition-overwrite rewrites just those bucket
-    // directories; the rest of the stored graph is neither re-read on
-    // the survivors leg nor rewritten. localCheckpoint materializes
-    // the (touched-sized) frame before the overwrite clears the
-    // directories it read from.
-    val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
-      val stored = s.read.parquet(ledgerDir)
-      // the corpus reads back from ITS bucket-partitioned layout too:
-      // each hop's scoring join loads only the candidate buckets'
-      // vectors (corpusBuckets), so neither the edge ledger nor the
-      // corpus floats are scanned whole per micro-batch
-      val eB = s.read.parquet(fx.resolve("corpus").toString)
-      val out = Similarity.graphAppendBucketDelta(stored, eB, b,
-        "vec_id", "embedding", k = 3, buckets = nBkt,
-        beam = 4, hops = 3, maxDegree = 4,
-        corpusBuckets = Some(nBkt)).localCheckpoint()
-      out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bkt").parquet(ledgerDir)
+  }
+
+  /** Drain the two-page fixture through
+    * [[graft.operators.TxGraphStack.commitBatch]] (manifest-protocol
+    * commits over the 200-node base graph, 16 edge buckets) and return
+    * the stack root — staged once per (dataset, builder version), each
+    * gate mutating its own copy (drainTxStack's discipline). Commit
+    * versions: init = 0, page batches = 1, 2. */
+  private[queries] def drainGraphStack(s: SparkSession, d: String,
+                                       tag: String): String = {
+    import graft.operators.TxGraphStack
+    val nBkt = 16
+    val fx0 = gingestFixture(s, d)
+    val fx = FixtureCache.cached(d, "gstack", 1, Seq("embeddings")) { tmp =>
+      val e = emb(s, d)
+      val base = e.filter(col("vec_id") < 200)
+      val cent = base.filter(col("vec_id") === 0)
+        .select(lit(0).cast("int").as("cell"),
+          col("embedding").as("c_vec"))
+      val g0 = Similarity.knnGraph(base, cent, "vec_id", "embedding",
+        k = 3).select("src_id", "nbr_id", "cos")
+      val root = tmp.resolve("stack").toString
+      TxGraphStack.init(s, root, g0, nBkt)
+      val corpus = s.read.parquet(fx0.resolve("corpus").toString)
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(fx0.resolve("pages").toString)
+      val run = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          TxGraphStack.commitBatch(s, root, corpus, b, id,
+            "vec_id", "embedding", k = 3, buckets = nBkt,
+            beam = 4, hops = 3, maxDegree = 4,
+            corpusBuckets = Some(nBkt))
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      run.awaitTermination()
+      FixtureCache.deleteRecursively(tmp.resolve("ckpt"))
     }
-    val run = stream.writeStream
-      .foreachBatch(appendBatch)
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    run.awaitTermination()
-    s.read.parquet(ledgerDir).select("src_id", "nbr_id", "cos")
+    val stage = StreamHarness.runDir(tag)
+    FixtureCache.copyInto(fx.resolve("stack"), stage.resolve("stack"))
+    stage.resolve("stack").toString
+  }
+
+  /** STREAMING graph-index ingest UNDER THE MANIFEST PROTOCOL: the
+    * third ledger family's arrival face (`streaming_index_ingest` for
+    * PQ codes, `streaming_bm25_ingest` for tf rows, now the kNN
+    * graph), drained through [[graft.operators.TxGraphStack]] — each
+    * micro-batch beam-links its nodes against the COMMITTED graph
+    * (every ledger read bucket-pruned, every corpus-vector read
+    * partition-pruned — the O(touched) discipline
+    * [[Similarity.graphAppendBucketDelta]] carries), writes the
+    * touched buckets' replacement content at a fresh version, and ONE
+    * manifest swap publishes it. This closes the in-place drain's
+    * torn-commit window: a multi-bucket dynamic overwrite can tear
+    * mid-write, and a graph append is NOT idempotent by anti-join (the
+    * recap derives from stored lists), so a replay against
+    * half-overwritten state committed garbage; under the protocol the
+    * crashed batch's writes are invisible orphans and its replay
+    * recaps against the clean committed cut, exactly-once by batch-id
+    * high-water (GraphStackSpec holds the crash faces). Pages overlap
+    * by one node (at-least-once), absorbed by the append's anti-join.
+    * The drained graph equals the SAME page sequence applied as batch
+    * appends — exactly what the oracle replays: the pinned 200-node
+    * build, then two unrolled append journeys with each search running
+    * over the PREVIOUS append's graph. */
+  val streamingGraphIngest = Q("streaming_graph_ingest",
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |allv AS (SELECT vec_id, embedding FROM embeddings),
+       |${sqlGraphAppendReplay(1, "g", "g1", 200, 205)},
+       |${sqlGraphAppendReplay(2, "g1", "g2", 205, 210)}
+       |SELECT src_id, nbr_id, cos FROM g2
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    graft.operators.TxGraphStack
+      .resolve(s, drainGraphStack(s, d, "graft_gingest"))
+      .select("src_id", "nbr_id", "cos")
       .orderBy("src_id", "nbr_id")
   }
 

@@ -555,7 +555,7 @@ object Registry16 {
     // eight. Version couples to TxServeStack.commitBatch's on-disk
     // format: bump it whenever the drained bytes change.
     val fx = FixtureCache.cached(d,
-      if (positions) "txstackpos" else "txstack", 1,
+      if (positions) "txstackpos" else "txstack", 2,
       Seq("documents")) { tmp =>
       val root = tmp.resolve("stack").toString
       val stream = s.readStream

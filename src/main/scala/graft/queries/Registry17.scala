@@ -32,7 +32,7 @@ object Registry17 {
     // deterministic drain, staged once per (dataset, builder version);
     // each gate mutates its own copy (drainTxStack's discipline —
     // bump the version when TxVectorStack's on-disk format changes)
-    val fx = FixtureCache.cached(d, "vecstack", 1,
+    val fx = FixtureCache.cached(d, "vecstack", 2,
       Seq("embeddings")) { tmp =>
       val (e, cent, cb) = Registry10.ivfPqSparkInputs(s, d)
       val root = tmp.resolve("stack").toString

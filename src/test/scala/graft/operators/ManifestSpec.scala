@@ -30,11 +30,18 @@ class ManifestSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_mftrt")
     try {
       assert(Manifest.read(spark, dir.toString).isEmpty)
-      val st = Manifest.State(3L, 2L, 3L, Map(0 -> 1L, 5 -> 3L))
+      // the fence rejects a first commit whose version is not 0 (a
+      // state derived from a cut this dir never committed)
+      intercept[Manifest.CommitConflict] {
+        Manifest.commit(spark, dir.toString,
+          Manifest.State(3L, 2L, 3L, Map(0 -> 1L)))
+      }
+      val st = Manifest.State(0L, 2L, 0L, Map(0 -> 0L, 5 -> 0L),
+        auxV = Map(2 -> 0L), pos = true)
       Manifest.commit(spark, dir.toString, st)
       assert(Manifest.read(spark, dir.toString).contains(st))
       // re-commit overwrites (the pointer swap)
-      val st2 = st.copy(version = 4L, batchId = 3L)
+      val st2 = st.copy(version = 1L, batchId = 3L)
       Manifest.commit(spark, dir.toString, st2)
       assert(Manifest.read(spark, dir.toString).contains(st2))
     } finally {
@@ -384,6 +391,107 @@ class ManifestSpec extends SparkSpec {
       assert(strays.isEmpty,
         s"compacted-away positional deltas survived vacuum: $strays")
       assert(eq(live, want(updated)))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("writer fence: a commit derived from a superseded cut aborts; re-derivation retries cleanly and keeps the winner's pins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftcas")
+    try {
+      val root = dir.toString
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      // interleave: a compactor derives its commit from the current
+      // head and writes its versioned base...
+      val stale = Manifest.read(spark, root).get
+      TxServeStack.compactPostings(spark, root, publish = false)
+      // ...but before its swap, a delete commits and moves the pointer
+      assert(TxServeStack.commitDelete(spark, root,
+        Seq(1L).toDF("doc_id"), 2L, "doc_id", 4, 4))
+      val winner = Manifest.read(spark, root).get
+      // the compactor's stale swap must ABORT, not drop the delete
+      val ex = intercept[Manifest.CommitConflict] {
+        Manifest.commit(spark, root, stale.copy(
+          version = stale.version + 1,
+          baseV = stale.version + 1, baseBatch = stale.batchId))
+      }
+      assert(ex.found == winner.version)
+      assert(Manifest.read(spark, root).get == winner,
+        "a fenced commit must leave the winner's pointer untouched")
+      // clean retry: re-derive from the advanced head — the winner's
+      // tombstone survives the retried compaction
+      assert(TxServeStack.compactPostings(spark, root))
+      val survivors = corpus.filter($"doc_id" =!= 1L)
+      val (p, _, _) = TxServeStack.resolve(spark, root)
+      val wantP = Retrieval.withDocNorms(
+        Retrieval.bm25IndexBuild(survivors, "doc_id", "text"))
+      assert(p.exceptAll(wantP).isEmpty && wantP.exceptAll(p).isEmpty,
+        "the retried compaction lost the winner's delete")
+      // a replayed crashed batch still commits: same derived version,
+      // pointer unmoved — the fence only rejects ADVANCED pointers
+      TxServeStack.commitBatch(spark, root,
+        Seq((7L, "replayed page")).toDF("doc_id", "text"), 3L,
+        "doc_id", "text", 4, 4, publish = false)
+      assert(TxServeStack.commitBatch(spark, root,
+        Seq((7L, "replayed page")).toDF("doc_id", "text"), 3L,
+        "doc_id", "text", 4, 4))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("positional family is stack-derived: a later commit omitting the flag still lands replacements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftpd")
+    try {
+      val root = dir.toString
+      TxServeStack.commitBatch(spark, root, corpus, 0L,
+        "doc_id", "text", 4, 4, positions = true)
+      assert(Manifest.read(spark, root).get.pos,
+        "the manifest must record the positional family")
+      // upsert WITHOUT positions = true: the stack knows better — the
+      // shared tombstone retires doc 0's old positional rows AND the
+      // replacements land (pre-fix, phrase serves silently lost doc 0)
+      val up = Seq((0L, "fox then dog then fox")).toDF("doc_id", "text")
+      TxServeStack.commitUpsert(spark, root, up, 1L,
+        "doc_id", "text", 4, 4)
+      val updated = corpus.filter($"doc_id" =!= 0L).unionByName(up)
+      val live = TxServeStack.resolvePositions(spark, root)
+      val want = Retrieval.positionalIndexBuild(updated, "doc_id", "text")
+      assert(live.exceptAll(want).isEmpty && want.exceptAll(live).isEmpty,
+        "a flag-less upsert on a positional stack tore the families")
+      // plain append without the flag: the fresh doc's positions land
+      TxServeStack.commitBatch(spark, root,
+        Seq((9L, "a brand new page")).toDF("doc_id", "text"), 2L,
+        "doc_id", "text", 4, 4)
+      assert(TxServeStack.resolvePositions(spark, root)
+        .filter($"doc_id" === 9L).count() > 0,
+        "a flag-less append on a positional stack skipped the family")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("vacuum skips unparseable manifest-prefixed strays instead of aborting mid-sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftst")
+    try {
+      val root = dir.toString
+      TxServeStack.commitBatch(spark, root, corpus, 0L,
+        "doc_id", "text", 4, 4)
+      TxServeStack.commitBatch(spark, root,
+        Seq((8L, "more text here")).toDF("doc_id", "text"), 1L,
+        "doc_id", "text", 4, 4)
+      // a foreign file matching the history prefix but not the format
+      val stray = dir.resolve("manifest.v=0~")
+      java.nio.file.Files.writeString(stray, "editor backup")
+      val before = snapshot(root)
+      val vs = TxServeStack.vacuum(spark, root, retainVersions = 0)
+      assert(vs.deletedManifests > 0, "retired history must still sweep")
+      assert(java.nio.file.Files.exists(stray),
+        "an unrecognized file must be skipped, not deleted")
+      assert(snapshot(root) == before)
     } finally {
       graft.queries.FixtureCache.deleteRecursively(dir)
     }
