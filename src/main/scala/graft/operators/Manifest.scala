@@ -213,6 +213,33 @@ object Manifest {
     }
   }
 
+  /** A page-level cut across TWO manifest stacks (the lexical serve
+    * stack ⊕ the vector stack a hybrid search page fuses): one
+    * committed version per stack, captured together at page open. */
+  case class PagePin(lexVersion: Long, vecVersion: Long)
+
+  /** PIN a search page's consistent cut: read both stacks' committed
+    * pointers once and hold the pair for the page's lifetime. The
+    * consistency model, stated: each pointer read is atomic (a
+    * committed cut — never torn), but the PAIR is read-committed
+    * across stacks, not a joint transaction — the two pointers may
+    * straddle an in-flight cross-stack update (there is no cross-stack
+    * commit to be atomic against; the stacks are independent tables).
+    * What the pin buys is REPEATABLE reads: every leg of the page
+    * (lexical top-k, dense top-k, re-fetches, pagination, the snippet
+    * pass) resolves through [[readAt]] on the SAME pair, so later
+    * commits on either stack — including quantizer refreshes that
+    * would otherwise re-rank mid-pagination — are invisible until the
+    * caller re-pins. Bounded by each stack's vacuum retention, the
+    * standard snapshot trade. */
+  def pinPage(spark: SparkSession, lexRoot: String,
+              vecRoot: String): PagePin =
+    PagePin(
+      read(spark, lexRoot).getOrElse(throw new IllegalStateException(
+        s"no committed manifest at $lexRoot")).version,
+      read(spark, vecRoot).getOrElse(throw new IllegalStateException(
+        s"no committed manifest at $vecRoot")).version)
+
   /** The delta directories a committed state makes visible for a
     * row-append asset family (`family/base/v=V` if a compaction has
     * moved the base pointer, then `family/batch=baseBatch+1 ..

@@ -2202,14 +2202,46 @@ object Similarity {
     * and [[graphAppendDelta]]: beam-search each genuinely-new batch
     * node's k nearest, union both edge directions. Truncated — the
     * frame feeds the touched election AND the recap union. */
+  /** Rebuild a frame as an all-nullable RELATION (outer nullability +
+    * array containsNull) without introducing any null — a semantic
+    * no-op. CATALYST GUARD for the append faces: an in-memory batch
+    * (Seq.toDF marks primitive ids and array elements non-null) trips
+    * a constraint-rewrite crash in Spark's Union.validConstraints
+    * under the recap's Window-over-Union (NoSuchElementException:
+    * key not found src_id#N — the non-nullable relation mints
+    * constraints whose union-side rewrite map misses an attribute);
+    * file-sourced batches are nullable and never form them. Verified
+    * empirically: the identical plan succeeds the moment the batch
+    * RELATION is nullable (a nullable re-projection above the
+    * non-nullable relation is NOT enough — the constraints rise from
+    * the relation itself), hence the RDD round-trip; the already-
+    * nullable production shape short-circuits to zero cost. */
+  private def nullableShape(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    def loosen(dt: DataType): DataType = dt match {
+      case at: ArrayType =>
+        at.copy(elementType = loosen(at.elementType), containsNull = true)
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = loosen(f.dataType), nullable = true)))
+      case mt: MapType =>
+        mt.copy(valueType = loosen(mt.valueType), valueContainsNull = true)
+      case o => o
+    }
+    val schema = StructType(df.schema.fields.map(f =>
+      f.copy(dataType = loosen(f.dataType), nullable = true)))
+    if (schema == df.schema) df
+    else df.sparkSession.createDataFrame(df.rdd, schema)
+  }
+
   private def graphLinkEdges(graph: DataFrame, corpus: DataFrame,
-                             batch: DataFrame, idCol: String, vecCol: String,
+                             batch0: DataFrame, idCol: String, vecCol: String,
                              k: Int, beam: Int, hops: Int, maxDegree: Int,
                              dim: Int, maxQueryRows: Long,
                              edgeBuckets: Option[Int] = None,
                              probe: Option[LedgerReadProbe] = None,
                              corpusBuckets: Option[Int] = None): DataFrame = {
     require(maxDegree >= k, "maxDegree must be >= k (inserts add k edges per side)")
+    val batch = nullableShape(batch0)
     // idempotence under at-least-once replay (the pqIndexAppend /
     // bm25IndexAppend posture): a batch node that already has
     // out-edges was already inserted — re-searching it would union

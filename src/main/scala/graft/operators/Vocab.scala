@@ -386,6 +386,29 @@ object Vocab {
       .crossJoin(broadcast(oov))
   }
 
+  /** GUARDED mid-path BPE — [[bpeTrainHead]] behind the closure check
+    * its scaladoc prescribes: the head path is only sound when the
+    * head's base alphabet CLOSES over the corpus (an OOV character —
+    * one appearing only in tail words — can never occur inside a
+    * learned merge, and head-training cannot recover it; its words
+    * would tokenize to raw characters forever). This face measures
+    * [[bpeHeadClosure]] first (ONE distributed pass) and takes the
+    * head path only when `oov_chars` = 0; otherwise it REFUSES the
+    * head cut and falls back to the full election ([[bpeTrain]] —
+    * distributed above the driver caps), so every character votes.
+    * The promotion rule is measured, not assumed: the production
+    * cadence runs the closure pass per corpus snapshot and the head
+    * path activates exactly where Zipf actually concentrated the
+    * alphabet. */
+  def bpeTrainHeadGuarded(docs: DataFrame, textCol: String, merges: Int,
+                          headChars: Long,
+                          maxHeadRows: Long = 1L << 20): DataFrame = {
+    val closure = bpeHeadClosure(docs, textCol, headChars).head()
+    val oov = closure.getLong(closure.fieldIndex("oov_chars"))
+    if (oov > 0) bpeTrain(docs, textCol, merges)
+    else bpeTrainHead(docs, textCol, merges, headChars, maxHeadRows)
+  }
+
   /** APPLY a learned merge table ([[bpeTrain]]'s output) to a corpus
     * and return the subword-token histogram (token, cnt — counts
     * weighted by word frequency): the tokenizer's serving side, and

@@ -257,8 +257,9 @@ object Registry13 {
     * global degree recap (equal to the operator's touched-only recap:
     * an untouched source's rank-and-keep over its own ≤ cap edges is a
     * no-op) yields `gout`. */
-  private def sqlGraphAppendReplay(i: Int, gin: String, gout: String,
-                                   lo: Int, hi: Int): String = {
+  private[queries] def sqlGraphAppendReplay(i: Int, gin: String,
+                                            gout: String,
+                                            lo: Int, hi: Int): String = {
     def hop(prev: String, cand: String, scored: String, next: String) =
       sqlCosHopOn(gin, "allv", s"q$i")(prev, cand, scored, next, 4)
     s"""q$i AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
@@ -532,9 +533,10 @@ object Registry13 {
     * symbol strings, and `rounds` unrolled merge rounds — ONE
     * construction for all three BPE gates (drift between copies would
     * make them test different tokenizers). */
-  private[queries] def sqlBpeChainShared(rounds: Int): String =
+  private[queries] def sqlBpeChainShared(rounds: Int,
+                                         src: String = "documents"): String =
     s"""w0 AS (SELECT term AS w, COUNT(*) AS freq FROM (
-       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM $src)
        |  WHERE term <> '' GROUP BY 1),
        |s0 AS MATERIALIZED (SELECT w, freq, ' ' || array_to_string(
        |    list_transform(range(1, length(w) + 1),

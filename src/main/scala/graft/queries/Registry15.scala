@@ -522,28 +522,88 @@ object Registry15 {
       .orderBy("vec_id")
   }
 
-  /** STREAMING semantic-dedup ingest — the FIFTH ledger family's
-    * arrival face under a drain (after PQ codes, BM25 tf, the kNN
-    * graph, and positions): embedding pages arrive as file-source
-    * micro-batches and the drain maintains BOTH stored assets of the
-    * semantic family — the block index (append-only, O(batch) delta
-    * writes like the positional ingest) and the cluster-label ledger,
-    * BUCKET-PARTITIONED on pmod(id, 16) so a batch's label merges
-    * rewrite only the TOUCHED buckets (changed labels + fresh ids)
-    * via dynamic partition overwrite — the gsink write discipline
-    * applied to the label ledger, whose untouched components pass
-    * through without being rewritten. Each batch: anti-join already
-    * -seen ids (idempotent under the one-node replay overlap), encode
-    * the fresh rows against the FROZEN base codebook, block vs the
-    * stored index + within the batch, and merge the incident edges
-    * with [[Dedup.connectedComponentsIncremental]] — label-graph-
-    * sized, never corpus re-propagation. Labels are arrival-order-
-    * free (incremental ≡ batch-global CC — the gated
+  /** Drain the two-page fixture through
+    * [[graft.operators.TxSemanticStack.commitBatch]] (manifest-protocol
+    * commits over the 200-id base clustering, 16 buckets per keyed
+    * view) and return the stack root — staged once per (dataset,
+    * builder version), each gate mutating its own copy. Commit
+    * versions: init = 0, page batches = 1, 2. The frozen codebook is
+    * deterministic from the base corpus ([[Similarity.pqCodebookSeed]]),
+    * so gates re-derive it bit-identically. */
+  private[queries] def drainSemanticStack(s: SparkSession, d: String,
+                                          tag: String): String = {
+    import graft.operators.TxSemanticStack
+    val fx0 = Registry13.gingestFixture(s, d)
+    val fx = FixtureCache.cached(d, "semstack", 1, Seq("embeddings")) { tmp =>
+      val e = emb(s, d)
+      val base = e.filter(col("vec_id") < 200)
+      val cb = Similarity.pqCodebookSeed(base, "vec_id", "embedding",
+        m = 8, ksub = 16, subDim = 8)
+      val pairs0 = Similarity.semanticPqPairs(base, cb, "vec_id",
+        "embedding", threshold = 0.3, prefix = 2)
+      val cc0 = Dedup.connectedComponents(pairs0, "a_id", "b_id")
+      val ledger0 = base.select(col("vec_id").as("id"))
+        .join(cc0, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("cluster"), col("id")).as("cluster"))
+      val idx0 = Similarity.semanticBlockIndex(base, cb, "vec_id",
+        "embedding", prefix = 2)
+      val root = tmp.resolve("stack").toString
+      TxSemanticStack.init(s, root, ledger0, idx0, buckets = 16)
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(fx0.resolve("pages").toString)
+      val run = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          TxSemanticStack.commitBatch(s, root, b, id, cb, e,
+            "vec_id", "embedding", threshold = 0.3, prefix = 2,
+            buckets = 16)
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      run.awaitTermination()
+      FixtureCache.deleteRecursively(tmp.resolve("ckpt"))
+    }
+    val stage = StreamHarness.runDir(tag)
+    FixtureCache.copyInto(fx.resolve("stack"), stage.resolve("stack"))
+    stage.resolve("stack").toString
+  }
+
+  /** STREAMING semantic-dedup ingest UNDER THE MANIFEST PROTOCOL — the
+    * FIFTH ledger family's arrival face (after PQ codes, BM25 tf, the
+    * kNN graph, and positions), drained through
+    * [[graft.operators.TxSemanticStack]]: the family's THREE
+    * mutually-derived assets — the label ledger in BOTH keyed layouts
+    * (by id for seen-checks/lookups/serving, by cluster for the
+    * relabel side) and the append-only block index — move in ONE
+    * manifest swap per micro-batch, closing the in-place drain's torn
+    * window (three independent dynamic overwrites could crash apart,
+    * leaving the dual-keyed views DISAGREEING and the replay reading
+    * half-mutated state; now the crashed batch's writes are invisible
+    * orphans and replay re-derives from the committed cut —
+    * exactly-once by batch-id high-water, SemanticStackSpec). Each
+    * batch: anti-join already-seen ids (their own id-buckets only),
+    * encode fresh rows against the FROZEN base codebook, block vs the
+    * stored index (batch block-keys' buckets only) + within the batch,
+    * merge incident edges with label-graph-sized incremental CC, land
+    * touched buckets at a fresh version. Labels are arrival-order-free
+    * (incremental ≡ batch-global CC — the gated
     * `dedup_semantic_incremental` identity), so the oracle is simply
-    * the full-corpus semantic-cluster chain over every arrived id. */
-  val streamingSemanticIngest = Q("streaming_semantic_ingest",
+    * the full-corpus semantic-cluster chain over every arrived id; the
+    * gate also asserts the dual-keyed views agree at the committed
+    * cut, which the one-swap commit makes invariant. */
+  /** The semantic-ingest oracle, parameterized by the arrived-id bound
+    * (< `bound`): full-corpus PQ-prefix blocking + exact-cosine pairs
+    * + recursive-CTE connected components — incremental ≡ batch-global
+    * CC is the gated identity that makes this the drain's truth at ANY
+    * committed cut, which is why the snapshot gate can reuse it with
+    * the pre-snapshot bound. */
+  private[queries] def sqlSemanticIngestOracle(bound: Int): String =
     s"""WITH RECURSIVE eb AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE vec_id < 210),
+       |  WHERE vec_id < $bound),
        |cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
        |  FROM embeddings WHERE vec_id < 16),
        |js AS (SELECT unnest(range(0, 8)) AS j),
@@ -573,164 +633,17 @@ object Registry15 {
        |lbl AS (SELECT id, MIN(r) AS cl FROM reach GROUP BY id)
        |SELECT b.vec_id, COALESCE(l.cl, b.vec_id) AS cluster_id
        |FROM eb b LEFT JOIN lbl l ON b.vec_id = l.id
-       |ORDER BY b.vec_id""".stripMargin) { (s, d) =>
-    val e = emb(s, d)
-    val base = e.filter(col("vec_id") < 200)
-    val cb = Similarity.pqCodebookSeed(base, "vec_id", "embedding",
-      m = 8, ksub = 16, subDim = 8)
-    val nBkt = 16
-    val fx = FixtureCache.cached(d, "gingest", 2, Seq("embeddings")) { tmp =>
-      // shared with streaming_graph_ingest (same page bounds + corpus)
-      val pages = tmp.resolve("pages")
-      java.nio.file.Files.createDirectories(pages)
-      val pbase = System.currentTimeMillis() - 3600L * 1000
-      val bounds = Seq((200L, 205L), (204L, 210L))
-      bounds.zipWithIndex.foreach { case ((lo, hi), p) =>
-        val tmpd = tmp.resolve(s"tmp$p")
-        e.filter(col("vec_id") >= lo && col("vec_id") < hi)
-          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
-        val parts = tmpd.toFile.listFiles().toSeq
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        parts.zipWithIndex.foreach { case (f, i) =>
-          val dest = pages.resolve(s"page$p-$i.parquet")
-          java.nio.file.Files.move(f.toPath, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(pbase + p * 60000L))
-        }
-        FixtureCache.deleteRecursively(tmpd)
-      }
-      e.withColumn("bkt", pmod(col("vec_id"), lit(16L)).cast("int"))
-        .write.partitionBy("bkt").mode("overwrite")
-        .parquet(tmp.resolve("corpus").toString)
-    }
-    val stage = StreamHarness.runDir("graft_semingest")
-    val byIdDir = stage.resolve("labels").toString
-    val byClDir = stage.resolve("labels_by_cluster").toString
-    val blkDir = stage.resolve("blkidx").toString
-    // pre-batch assets, each bucket-partitioned ON ITS LOOKUP KEY so
-    // every per-batch access partition-prunes (O(touched) READS, the
-    // gsink discipline applied to all three):
-    //  - labels/           (id, cluster) by pmod(id, 16)      — seen
-    //    check + endpoint-label lookups + the authoritative output
-    //  - labels_by_cluster (id, cluster) by pmod(cluster, 16) — the
-    //    relabel side: touched COMPONENTS' members are found by
-    //    cluster key, never by scanning ids
-    //  - blkidx/           (id, blk) by pmod(xxhash64(blk), 16) — the
-    //    pair join probes only the batch's own block keys
-    val ibktOf = pmod(col("id"), lit(nBkt.toLong)).cast("int")
-    val cbktOf = pmod(col("cluster"), lit(nBkt.toLong)).cast("int")
-    val kbktOf = pmod(xxhash64(col("blk")), lit(nBkt.toLong)).cast("int")
-    val pairs0 = Similarity.semanticPqPairs(base, cb, "vec_id",
-      "embedding", threshold = 0.3, prefix = 2)
-    val cc0 = Dedup.connectedComponents(pairs0, "a_id", "b_id")
-    val ledger0 = base.select(col("vec_id").as("id"))
-      .join(cc0, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-      .localCheckpoint()
-    ledger0.withColumn("bkt", ibktOf)
-      .write.partitionBy("bkt").mode("overwrite").parquet(byIdDir)
-    ledger0.withColumn("bkt", cbktOf)
-      .write.partitionBy("bkt").mode("overwrite").parquet(byClDir)
-    Similarity.semanticBlockIndex(base, cb, "vec_id", "embedding",
-      prefix = 2)
-      .withColumn("bkt", kbktOf)
-      .write.partitionBy("bkt").mode("overwrite").parquet(blkDir)
-    val stream = s.readStream
-      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(fx.resolve("pages").toString)
-    def bktsOf(df: DataFrame, key: org.apache.spark.sql.Column): Seq[Int] =
-      df.select(key.as("b")).distinct().collect().map(_.getInt(0)).toSeq
-    def pruned(dir: String, bkts: Seq[Int]): DataFrame = {
-      val df = s.read.parquet(dir)
-      if (bkts.isEmpty) df.filter(lit(false))
-      else df.filter(col("bkt").isin(bkts.map(Int.box): _*))
-    }
-    val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
-      val bIds = b.select(col("vec_id")).distinct().localCheckpoint()
-      // seen check: batch ids can only live in their own id-buckets
-      val seen = pruned(byIdDir,
-        bktsOf(bIds, pmod(col("vec_id"), lit(nBkt.toLong)).cast("int")))
-        .select(col("id").as("vec_id"))
-      val fresh = b.join(seen, Seq("vec_id"), "left_anti").localCheckpoint()
-      val bIdx = Similarity.semanticBlockIndex(fresh, cb,
-        "vec_id", "embedding", prefix = 2).localCheckpoint()
-      // pair join: only the batch's block keys' buckets are probed
-      val sIdx = pruned(blkDir, bktsOf(bIdx, kbktOf)).select("id", "blk")
-      val incident = Similarity.semanticPqPairsAgainst(bIdx, sIdx,
-          e, "vec_id", "embedding", threshold = 0.3)
-        .unionByName(Similarity.semanticPqPairs(fresh, cb, "vec_id",
-          "embedding", threshold = 0.3, prefix = 2))
-        .localCheckpoint()
-      // endpoint-label lookup: endpoints' id-buckets only
-      val ends = incident.select(col("a_id").as("id"))
-        .unionByName(incident.select(col("b_id").as("id"))).distinct()
-      val lookup = pruned(byIdDir, bktsOf(ends, ibktOf))
-        .select("id", "cluster")
-      val (mapping0, fresh0) = Dedup.connectedComponentsIncrementalDelta(
-        lookup, fresh.select(col("vec_id")), "vec_id",
-        incident, "a_id", "b_id")
-      val mapping = mapping0.localCheckpoint()
-      val freshLb = fresh0.localCheckpoint()
-      // touched CLUSTER buckets: old labels, their new labels, and the
-      // fresh rows' labels — every bucket whose content changes
-      val tcb = (bktsOf(mapping, pmod(col("_old"), lit(nBkt.toLong)).cast("int")) ++
-        bktsOf(mapping, pmod(col("_new"), lit(nBkt.toLong)).cast("int")) ++
-        bktsOf(freshLb, cbktOf)).distinct
-      if (tcb.nonEmpty) {
-        val relabel: DataFrame => DataFrame = df => df
-          .join(broadcast(mapping), df("cluster") === col("_old"), "left")
-          .select(df("id"),
-            coalesce(col("_new"), df("cluster")).as("cluster"))
-        // by-cluster replacement: touched components' member rows are
-        // IN the touched cluster-buckets by construction (a row's
-        // bucket only changes when its label does, and both old and
-        // new label buckets are in tcb)
-        val oldCl = pruned(byClDir, tcb).select("id", "cluster")
-          .localCheckpoint()
-        val replCl = relabel(oldCl).unionByName(freshLb).localCheckpoint()
-        // by-id replacement: only the id-buckets holding a CHANGED row
-        // or a fresh id rewrite
-        val changedRows = oldCl.join(broadcast(mapping),
-            oldCl("cluster") === col("_old"))
-          .select(oldCl("id"))
-        val tib = (bktsOf(changedRows, ibktOf) ++
-          bktsOf(freshLb, ibktOf)).distinct
-        val replId = relabel(pruned(byIdDir, tib).select("id", "cluster"))
-          .unionByName(freshLb).localCheckpoint()
-        replCl.withColumn("bkt", cbktOf)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bkt").parquet(byClDir)
-        // dynamic overwrite only replaces partitions PRESENT in the
-        // write: a touched cluster-bucket whose every row migrated out
-        // (and gained none) has an EMPTY replacement and would keep
-        // its stale rows — delete those directories explicitly (the
-        // id-keyed ledger cannot hit this: ids never change buckets)
-        val kept = bktsOf(replCl, cbktOf).toSet
-        tcb.filterNot(kept).foreach { bk =>
-          FixtureCache.deleteRecursively(
-            java.nio.file.Paths.get(byClDir, s"bkt=$bk"))
-        }
-        replId.withColumn("bkt", ibktOf)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bkt").parquet(byIdDir)
-      }
-      // block-index delta append: O(batch) rows, the positional posture
-      bIdx.withColumn("bkt", kbktOf).write.mode("append")
-        .partitionBy("bkt").parquet(blkDir)
-    }
-    val run = stream.writeStream
-      .foreachBatch(appendBatch)
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    run.awaitTermination()
+       |ORDER BY b.vec_id""".stripMargin
+
+  val streamingSemanticIngest = Q("streaming_semantic_ingest",
+    sqlSemanticIngestOracle(210)) { (s, d) =>
+    import graft.operators.TxSemanticStack
+    val root = drainSemanticStack(s, d, "graft_semingest")
     // the two ledgers are dual-keyed views of ONE fact table — assert
-    // they never drifted before serving the authoritative one
-    val byId = s.read.parquet(byIdDir).select("id", "cluster")
-    val byCl = s.read.parquet(byClDir).select("id", "cluster")
+    // they never drifted before serving the authoritative one (the
+    // one-swap commit makes this invariant at every committed cut)
+    val byId = TxSemanticStack.resolveLabels(s, root)
+    val byCl = TxSemanticStack.resolveLabelsByCluster(s, root)
     require(byId.exceptAll(byCl).isEmpty && byCl.exceptAll(byId).isEmpty,
       "streaming_semantic_ingest: dual-keyed label ledgers drifted")
     byId.select(col("id").as("vec_id"), col("cluster").as("cluster_id"))

@@ -27,8 +27,8 @@ object Registry17 {
     * four overlapping arrival batches (10-id overlaps — the
     * at-least-once replay the anti-join absorbs) under quantizer A
     * (the shared seed inputs). Returns the stack root. */
-  private def drainVectorStack(s: SparkSession, d: String,
-                               tag: String): String = {
+  private[queries] def drainVectorStack(s: SparkSession, d: String,
+                                        tag: String): String = {
     // deterministic drain, staged once per (dataset, builder version);
     // each gate mutates its own copy (drainTxStack's discipline —
     // bump the version when TxVectorStack's on-disk format changes)
@@ -335,7 +335,11 @@ object Registry17 {
     * The oracle is `hybrid_stats_topk`'s verbatim (each leg is
     * bit-equal to its in-flow twin — gated identities — so the fused
     * ranking cannot differ); any torn cut on either stack flips it. */
-  val hybridManifestTopK = Q("hybrid_manifest_topk",
+  /** The hybrid manifest-stack oracle (raw-corpus BM25 ⊕ IVF-ADC, RRF
+    * fuse) — shared verbatim by `hybrid_manifest_topk` and the
+    * joint-snapshot gate (whose pinned pre-upsert serve must equal
+    * exactly this). */
+  private[queries] val sqlHybridOracle: String =
     s"""WITH ${Registry12.sqlBm25(20)},
        |${Registry10.sqlPqCodes},
        |qd AS (SELECT q.vec_id AS q_id, js.j AS sub, c.code,
@@ -357,21 +361,29 @@ object Registry17 {
        |  PARTITION BY q_id ORDER BY rrf DESC, n_id ASC) AS BIGINT) AS rnk
        |  FROM fz)
        |SELECT q_id, n_id, rnk, rrf FROM fr WHERE rnk <= 10
-       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+       |ORDER BY q_id, rnk""".stripMargin
+
+  /** The hybrid serve over BOTH manifest stacks at given version pins
+    * — [[hybridManifestTopK]]'s dataflow, parameterized so the
+    * joint-snapshot gate can serve a pinned (lexical, vector) cut. */
+  private[queries] def hybridManifestServe(s: SparkSession, d: String,
+      lexRoot: String, vecRoot: String,
+      lexVersion: Option[Long] = None,
+      vecVersion: Option[Long] = None): DataFrame = {
     import graft.operators.{Ledger, TxServeStack}
-    val lexRoot = Registry16.drainTxStack(s, d, "graft_hymftx")
-    val vecRoot = drainVectorStack(s, d, "graft_hymfvec")
     val qt = Tables.documents(s, d).filter(col("doc_id") < 3)
       .select(col("doc_id").as("q_id"),
         explode(split(col("text"), " ")).as("term"))
     val qBkts = Ledger.keyHashBuckets(qt.select("term").distinct(),
       "term", 16)
     val (postings, stats, global) =
-      TxServeStack.resolve(s, lexRoot, statsBuckets = Some(qBkts))
+      TxServeStack.resolve(s, lexRoot, statsBuckets = Some(qBkts),
+        version = lexVersion)
     val lex = Retrieval.bm25TopKFromStats(qt, postings, stats, global,
         k = 20)
       .select(col("q_id"), col("doc_id").as("n_id"), col("rnk"))
-    val (codes, cent, cb) = TxVectorStack.resolve(s, vecRoot)
+    val (codes, cent, cb) = TxVectorStack.resolve(s, vecRoot,
+      version = vecVersion)
     val den = Similarity.ivfPqTopKFromIndex(
         emb(s, d).filter(col("vec_id") < 3), codes, cent, cb,
         "vec_id", "embedding", k = 20, nProbe = 4)
@@ -379,6 +391,13 @@ object Registry17 {
     Retrieval.rrfFuse(Seq(lex, den), k = 10)
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("q_id", "rnk")
+  }
+
+  val hybridManifestTopK = Q("hybrid_manifest_topk",
+    sqlHybridOracle) { (s, d) =>
+    hybridManifestServe(s, d,
+      Registry16.drainTxStack(s, d, "graft_hymftx"),
+      drainVectorStack(s, d, "graft_hymfvec"))
   }
 
   /** The POSITIONAL family under the manifest — the lexical stack's

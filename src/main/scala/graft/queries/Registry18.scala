@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Manifest, TxGraphStack, TxSemanticStack,
+  TxServeStack, TxVectorStack, Vocab}
+
+/** Round-16 additions: the last two streaming families (kNN graph,
+  * semantic labels) brought under the [[Manifest]] commit protocol get
+  * their snapshot-read and vacuum faces; the search page gets a JOINT
+  * (lexical, vector) version pin; and the mid-path BPE trainer gets
+  * the tail-OOV guard its closure pass prescribed.
+  *
+  * Reference (jurimetria-etl) has no index/streaming surface; these
+  * are the LLM-training-data extensions (brief §"Beyond the
+  * reference").
+  */
+object Registry18 {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  // -------------------------------------------- graph stack faces
+
+  /** SNAPSHOT read on the graph stack ([[Manifest.readAt]] through
+    * [[TxGraphStack.resolve]]): both pages drain (commit versions
+    * 1, 2 over the init at 0), but a reader pinned to version 1 serves
+    * the graph EXACTLY as of the first page's commit — the second
+    * append's insertions, bidirectional back-edges, and degree recaps
+    * are all invisible. The oracle replays the 200-node build plus
+    * ONLY the first unrolled append journey; any leak of
+    * post-snapshot state (one recapped edge list, one new node) flips
+    * the hash. The BM25/vector twins are `streaming_stats_snapshot` /
+    * `ann_index_snapshot`. */
+  val annGraphSnapshot = Q("ann_graph_snapshot",
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |allv AS (SELECT vec_id, embedding FROM embeddings),
+       |${Registry13.sqlGraphAppendReplay(1, "g", "g1", 200, 205)}
+       |SELECT src_id, nbr_id, cos FROM g1
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    TxGraphStack
+      .resolve(s, Registry13.drainGraphStack(s, d, "graft_gsnap"),
+        version = Some(1L))
+      .select("src_id", "nbr_id", "cos")
+      .orderBy("src_id", "nbr_id")
+  }
+
+  /** GARBAGE COLLECTION on the graph stack ([[TxGraphStack.vacuum]]):
+    * each commit strands the touched buckets' previous versions, and a
+    * crashed batch (asset writes landed, swap skipped — simulated with
+    * `publish = false`) strands a whole orphan version. The gate
+    * drains, orphans one batch, vacuums with retention 0, and REQUIRES
+    * garbage was reclaimed with the committed pointer undisturbed; the
+    * output is the post-vacuum serve vs the full two-append oracle —
+    * a vacuum that deleted one live pinned bucket flips the hash. */
+  val annGraphVacuum = Q("ann_graph_vacuum",
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |allv AS (SELECT vec_id, embedding FROM embeddings),
+       |${Registry13.sqlGraphAppendReplay(1, "g", "g1", 200, 205)},
+       |${Registry13.sqlGraphAppendReplay(2, "g1", "g2", 205, 210)}
+       |SELECT src_id, nbr_id, cos FROM g2
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val root = Registry13.drainGraphStack(s, d, "graft_gvac")
+    val fx0 = Registry13.gingestFixture(s, d)
+    val corpus = s.read.parquet(fx0.resolve("corpus").toString)
+    // a crashed batch: the touched buckets' replacement content lands
+    // at an unpinned version, the swap never runs
+    TxGraphStack.commitBatch(s, root, corpus,
+      emb(s, d).filter(col("vec_id") >= 210 && col("vec_id") < 215),
+      99L, "vec_id", "embedding", k = 3, buckets = 16,
+      beam = 4, hops = 3, maxDegree = 4, corpusBuckets = Some(16),
+      publish = false)
+    val vs = TxGraphStack.vacuum(s, root, retainVersions = 0)
+    require(vs.deletedDirs > 0,
+      "superseded bucket versions + the orphan must be reclaimed")
+    require(Manifest.read(s, root).get.batchId == 1L,
+      "vacuum must not disturb the committed pointer")
+    TxGraphStack.resolve(s, root)
+      .select("src_id", "nbr_id", "cos")
+      .orderBy("src_id", "nbr_id")
+  }
+
+  // -------------------------------------------- semantic stack faces
+
+  /** SNAPSHOT read on the semantic stack: the full drain commits both
+    * pages, but a reader pinned to version 1 serves the label ledger
+    * EXACTLY as of the first page's commit — ids 205..209 absent,
+    * every component merge the second page caused undone. The oracle
+    * is the full-corpus CC truth over arrivals < 205 (incremental ≡
+    * batch-global CC at any cut — the `dedup_semantic_incremental`
+    * identity is what makes a bounded oracle exist at all). */
+  val dedupSemanticSnapshot = Q("dedup_semantic_snapshot",
+    Registry15.sqlSemanticIngestOracle(205)) { (s, d) =>
+    TxSemanticStack
+      .resolveLabels(s,
+        Registry15.drainSemanticStack(s, d, "graft_semsnap"),
+        version = Some(1L))
+      .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** GARBAGE COLLECTION on the semantic stack
+    * ([[TxSemanticStack.vacuum]]): label merges strand superseded
+    * bucket versions on BOTH keyed views, and a crashed batch strands
+    * orphans across all three asset families. Drain, orphan one batch
+    * (`publish = false` under the same frozen codebook), vacuum with
+    * retention 0, REQUIRE reclaim + an undisturbed pointer, then serve
+    * — and assert the dual-keyed views still agree, since a vacuum
+    * that swept a live pinned bucket on one view would desynchronize
+    * them before it flipped the oracle hash. */
+  val dedupSemanticVacuum = Q("dedup_semantic_vacuum",
+    Registry15.sqlSemanticIngestOracle(210)) { (s, d) =>
+    import graft.operators.Similarity
+    val root = Registry15.drainSemanticStack(s, d, "graft_semvac")
+    val e = emb(s, d)
+    val cb = Similarity.pqCodebookSeed(e.filter(col("vec_id") < 200),
+      "vec_id", "embedding", m = 8, ksub = 16, subDim = 8)
+    TxSemanticStack.commitBatch(s, root,
+      e.filter(col("vec_id") >= 210 && col("vec_id") < 215), 99L,
+      cb, e, "vec_id", "embedding", threshold = 0.3, prefix = 2,
+      buckets = 16, publish = false)
+    val vs = TxSemanticStack.vacuum(s, root, retainVersions = 0)
+    require(vs.deletedDirs > 0,
+      "superseded label-bucket versions + the orphan must be reclaimed")
+    require(Manifest.read(s, root).get.batchId == 1L,
+      "vacuum must not disturb the committed pointer")
+    val byId = TxSemanticStack.resolveLabels(s, root)
+    val byCl = TxSemanticStack.resolveLabelsByCluster(s, root)
+    require(byId.exceptAll(byCl).isEmpty && byCl.exceptAll(byId).isEmpty,
+      "dedup_semantic_vacuum: dual-keyed label ledgers drifted")
+    byId.select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  // -------------------------------------------- joint page snapshot
+
+  /** The search page's JOINT snapshot ([[Manifest.pinPage]]): a page
+    * pins (lexical version, vector version) ONCE at open, then both
+    * stacks move on — a document upsert re-scores the lexical side, a
+    * vector upsert re-embeds the dense side — and every leg of the
+    * pinned page still serves the pre-upsert cut of BOTH stacks. This
+    * is the repeatable-read face the per-stack snapshots
+    * (`streaming_stats_snapshot`, `ann_index_snapshot`) compose into:
+    * without the pin, pagination after a mid-page commit fuses
+    * lexical-at-T2 against vector-at-T1 and the ranks drift
+    * mid-scroll. The oracle is `hybrid_manifest_topk`'s raw-corpus
+    * algebra VERBATIM (the pre-upsert corpus), so any leak of either
+    * upsert through the pinned pair flips the fused ranking. */
+  val hybridSnapshotTopK = Q("hybrid_snapshot_topk",
+    Registry17.sqlHybridOracle) { (s, d) =>
+    val lexRoot = Registry16.drainTxStack(s, d, "graft_hysnlex")
+    val vecRoot = Registry17.drainVectorStack(s, d, "graft_hysnvec")
+    val pin = Manifest.pinPage(s, lexRoot, vecRoot)
+    // both heads move AFTER the pin
+    val up = docs(s, d).filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" updated")).as("text"))
+    require(TxServeStack.commitUpsert(s, lexRoot, up, 4L,
+      "doc_id", "text", docBuckets = 16, termBuckets = 16),
+      "the lexical upsert must commit so the head moves past the pin")
+    val rot = emb(s, d).filter(col("vec_id") % 10 === 5)
+      .select(col("vec_id"), concat(slice(col("embedding"), 33, 32),
+        slice(col("embedding"), 1, 32)).as("embedding"))
+    require(TxVectorStack.commitUpsert(s, vecRoot, rot, 4L,
+      "vec_id", "embedding", buckets = 16),
+      "the vector upsert must commit so the head moves past the pin")
+    Registry17.hybridManifestServe(s, d, lexRoot, vecRoot,
+      lexVersion = Some(pin.lexVersion),
+      vecVersion = Some(pin.vecVersion))
+  }
+
+  // -------------------------------------------- BPE tail-OOV guard
+
+  /** The mid-path BPE trainer's TAIL-OOV guard under the gate
+    * ([[Vocab.bpeTrainHeadGuarded]]): the corpus is perturbed so its
+    * TAIL contains a character the head's alphabet lacks (doc 0 gains
+    * one freq-1 word carrying '§' — ranked dead last by
+    * (freq DESC, w ASC), so the 300-char head cut excludes it), the
+    * exact case head-training cannot close: an OOV character can never
+    * appear inside any learned merge. The guard measures the closure
+    * pass, detects oov_chars > 0 (REQUIREd in-gate — a fixture drift
+    * that closed the alphabet would silently gate nothing), REFUSES
+    * the head cut, and falls back to the full election. The oracle is
+    * the full-corpus 8-merge replay over the perturbed corpus — had
+    * the guard taken the head path anyway, every merge's cnt (and
+    * possibly its election) would carry only head votes and the hash
+    * flips. */
+  val textBpeOovGuard = Q("text_bpe_oov_guard",
+    s"""WITH ${Registry13.sqlBpeChainShared(8,
+         """(SELECT CASE WHEN doc_id = 0 THEN text || ' §q§q'
+           |  ELSE text END AS text FROM documents) AS src""".stripMargin)}
+       |SELECT step, l AS lhs, r AS rhs, cnt
+       |FROM (${(1 to 8).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})
+       |ORDER BY step""".stripMargin) { (s, d) =>
+    val mod = docs(s, d).withColumn("text",
+      when(col("doc_id") === 0, concat(col("text"), lit(" §q§q")))
+        .otherwise(col("text")))
+    val cl = Vocab.bpeHeadClosure(mod, "text", headChars = 300).head()
+    require(cl.getLong(cl.fieldIndex("oov_chars")) > 0,
+      "the fixture must leave an OOV char in the tail — the guarded " +
+        "path has nothing to refuse otherwise")
+    Vocab.bpeTrainHeadGuarded(mod, "text", merges = 8, headChars = 300)
+      .orderBy("step")
+  }
+
+  val round18: Seq[Q] = Seq(annGraphSnapshot, annGraphVacuum,
+    dedupSemanticSnapshot, dedupSemanticVacuum, hybridSnapshotTopK,
+    textBpeOovGuard)
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[TxGraphStack]] — the kNN-graph ledger under the manifest
+  * protocol. The load-bearing claims, beyond ManifestSpec's generic
+  * ones: (1) a crashed batch's partial bucket writes are invisible and
+  * its REPLAY recaps against the clean committed cut (the in-place
+  * drain's fatal case — graph append is not idempotent by anti-join);
+  * (2) snapshot reads pin the graph as of an old commit; (3) vacuum
+  * reclaims superseded bucket versions and orphans without touching a
+  * live pin. */
+class GraphStackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 64
+  private def vec(i: Int): Array[Float] =
+    Array.tabulate(dim)(j => (((i * 31 + j * 7) % 17) - 8) / 8.0f)
+
+  private def vecs(ids: Seq[Int]) =
+    ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  // the corpus stages through bucketed parquet — the drain's real
+  // shape (fresh scan attributes per read, partition-prunable layout)
+  private lazy val corpusDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gscorp")
+    vecs(0 until 22)
+      .withColumn("bkt", pmod($"vec_id", lit(4L)).cast("int"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(dir.toString)
+    dir.toString
+  }
+  private def corpus = spark.read.parquet(corpusDir)
+
+  private def initStack(root: String): Unit = {
+    val cent = corpus.filter($"vec_id" === 0)
+      .select(lit(0).cast("int").as("cell"), $"embedding".as("c_vec"))
+    val g0 = Similarity.knnGraph(corpus.filter($"vec_id" < 12), cent,
+      "vec_id", "embedding", k = 2).select("src_id", "nbr_id", "cos")
+    TxGraphStack.init(spark, root, g0, buckets = 4)
+  }
+
+  private def commit(root: String, ids: Seq[Int], id: Long,
+                     publish: Boolean = true): Boolean =
+    TxGraphStack.commitBatch(spark, root, corpus, vecs(ids), id,
+      "vec_id", "embedding", k = 2, buckets = 4, beam = 3, hops = 2,
+      maxDegree = 3, corpusBuckets = Some(4), publish = publish)
+
+  private def snap(root: String): Set[String] =
+    TxGraphStack.resolve(spark, root).collect().map(_.toString).toSet
+
+  test("uncommitted batch invisible; crash replay recaps against the committed cut and converges") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_gsa")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_gsb")
+    try {
+      initStack(dirA.toString); initStack(dirB.toString)
+      // A: straight through (one-node overlap between batches)
+      commit(dirA.toString, 12 to 16, 0L)
+      commit(dirA.toString, 16 to 21, 1L)
+      // B: batch 1 crashes AFTER its versioned writes, BEFORE the swap
+      commit(dirB.toString, 12 to 16, 0L)
+      val afterB0 = snap(dirB.toString)
+      commit(dirB.toString, 16 to 21, 1L, publish = false)
+      assert(snap(dirB.toString) == afterB0,
+        "bucket writes before the manifest swap leaked to a reader")
+      assert(Manifest.read(spark, dirB.toString).get.batchId == 0L)
+      // replay: the delta derivation reads the COMMITTED cut — the
+      // exact property the in-place drain lacks (its replay would
+      // recap against the half-overwritten ledger)
+      commit(dirB.toString, 16 to 21, 1L)
+      assert(snap(dirB.toString) == snap(dirA.toString),
+        "crash + replay drifted from the straight-through run")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dirA)
+      graft.queries.FixtureCache.deleteRecursively(dirB)
+    }
+  }
+
+  test("high-water mark: a committed batch replays as a no-op; fence rejects a stale committer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gshw")
+    try {
+      val root = dir.toString
+      initStack(root)
+      assert(commit(root, 12 to 16, 0L))
+      val s0 = snap(root)
+      val v0 = Manifest.read(spark, root).get.version
+      assert(!commit(root, 12 to 16, 0L))
+      assert(snap(root) == s0)
+      assert(Manifest.read(spark, root).get.version == v0)
+      // a committer that derived from a superseded cut is fenced
+      val stale = Manifest.read(spark, root).get
+      assert(commit(root, 16 to 18, 1L))
+      intercept[Manifest.CommitConflict] {
+        Manifest.commit(spark, root,
+          stale.copy(version = stale.version + 1, batchId = 5L))
+      }
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("snapshot pins an old cut; vacuum reclaims superseded versions + orphans, keeps live pins, bounds time travel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gsvc")
+    try {
+      val root = dir.toString
+      initStack(root)
+      commit(root, 12 to 16, 0L)
+      val v1 = Manifest.read(spark, root).get.version
+      val afterB0 = snap(root)
+      commit(root, 16 to 21, 1L)
+      assert(snap(root) != afterB0) // the head moved on
+      val pinned = TxGraphStack.resolve(spark, root, version = Some(v1))
+        .collect().map(_.toString).toSet
+      assert(pinned == afterB0,
+        "snapshot read drifted from the state committed as that version")
+      // a crashed batch leaves orphan bucket writes
+      commit(root, 18 to 21, 9L, publish = false)
+      val before = snap(root)
+      val vs = TxGraphStack.vacuum(spark, root, retainVersions = 0)
+      assert(vs.deletedDirs > 0,
+        "superseded bucket versions + the orphan must be reclaimed")
+      assert(snap(root) == before, "vacuum changed the served state")
+      assert(Manifest.readAt(spark, root, v1).isEmpty,
+        "retain-0 vacuum must retire history below the head")
+      // idempotent; and the stack still appends after a full vacuum
+      assert(TxGraphStack.vacuum(spark, root).deletedDirs == 0)
+      assert(commit(root, 18 to 21, 2L))
+      assert(TxGraphStack.resolve(spark, root)
+        .filter($"src_id" === 21L).count() > 0)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+}
