@@ -121,32 +121,65 @@ object TxSemanticStack {
       stateAt(spark, root, version).auxV, clusterBuckets)
       .select("id", "cluster")
 
-  /** The committed block index (id, blk), path-pruned to `keyBuckets`
-    * (the batch's block keys' buckets) when given. */
-  def resolveBlockIndex(spark: SparkSession, root: String,
-                        keyBuckets: Option[Seq[Int]] = None,
-                        version: Option[Long] = None): DataFrame = {
-    val st = stateAt(spark, root, version)
+  /** Raw committed block-index rows with BATCH PROVENANCE (`_b` from
+    * the partition path; base rows carry `baseBatch`) — what makes the
+    * takedown tombstones ordered, exactly as [[TxServeStack]]'s
+    * postings: a tombstone at asof = N kills block rows born before N
+    * and nothing after, so a takedown-then-re-ingest of the same id
+    * just lands (the re-ingest's block row is born later). */
+  private def readBlockIndex(spark: SparkSession, root: String,
+                             st: Manifest.State): DataFrame = {
     val dirs = Manifest.visibleDeltaDirs(spark, root, st, "blkidx")
     val (baseDirs, deltaDirs) = dirs.partition(_.contains("/base/"))
     val parts =
       (if (baseDirs.isEmpty) Seq.empty
        else Seq(spark.read.option("basePath", s"$root/blkidx/base")
          .parquet(baseDirs: _*)
-         .select(col("id"), col("blk"), col("bkt")))) ++
+         .select(col("id"), col("blk"), col("bkt"),
+           lit(st.baseBatch).as("_b")))) ++
       (if (deltaDirs.isEmpty) Seq.empty
        else Seq(spark.read.option("basePath", s"$root/blkidx")
          .parquet(deltaDirs: _*)
-         .select(col("id"), col("blk"), col("bkt"))))
-    val all =
-      if (parts.isEmpty)
-        spark.emptyDataFrame.select(lit(0L).as("id"), lit("").as("blk"),
-          lit(0).as("bkt")).limit(0)
-      else parts.reduce(_ unionByName _)
-    (keyBuckets match {
+         .select(col("id"), col("blk"), col("bkt"),
+           col("batch").cast("long").as("_b"))))
+    if (parts.isEmpty)
+      spark.emptyDataFrame.select(lit(0L).as("id"), lit("").as("blk"),
+        lit(0).as("bkt"), lit(0L).as("_b")).limit(0)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Visible takedown tombstones as (id, asof), latest per id. Tiny by
+    * contract (one row per removed id per retention window). */
+  private def readDeletes(spark: SparkSession, root: String,
+                          st: Manifest.State): DataFrame = {
+    val dirs = Manifest.visibleDeltaDirs(spark, root, st, "deletes")
+    if (dirs.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("asof")).limit(0)
+    else spark.read.option("basePath", s"$root/deletes")
+      .parquet(dirs: _*)
+      .groupBy("id")
+      .agg(max(col("batch").cast("long")).as("asof"))
+  }
+
+  /** The committed LIVE block index (id, blk), path-pruned to
+    * `keyBuckets` (the batch's block keys' buckets) when given — the
+    * ordered-liveness rule applied after the prune (a semantic no-op
+    * on the blk-equi pair join). Removed ids' block rows never pair an
+    * arriving batch again. */
+  def resolveBlockIndex(spark: SparkSession, root: String,
+                        keyBuckets: Option[Seq[Int]] = None,
+                        version: Option[Long] = None): DataFrame = {
+    val st = stateAt(spark, root, version)
+    val all = readBlockIndex(spark, root, st)
+    val pruned = keyBuckets match {
       case None => all
       case Some(bs) => all.filter(col("bkt").isin(bs.map(Int.box): _*))
-    }).select("id", "blk")
+    }
+    pruned.join(broadcast(readDeletes(spark, root, st)),
+        Seq("id"), "left_outer")
+      .filter(col("asof").isNull || col("_b") >= col("asof"))
+      .select("id", "blk")
   }
 
   /** One arrival batch through the protocol, the in-place drain's
@@ -254,6 +287,107 @@ object TxSemanticStack {
     true
   }
 
+  /** TRANSACTIONAL TAKEDOWN — [[Similarity.semanticClustersRemove]]'s
+    * dataflow under the protocol, in ONE commit: removing a vector can
+    * SPLIT its component (it may be the only cosine bridge), so the
+    * touched components' surviving members genuinely re-pair (via the
+    * stored block index + exact-cosine confirm) and re-propagate —
+    * a label mapping cannot express it. The commit writes: (1) a tiny
+    * tombstone file at `deletes/batch=N` retiring the removed ids'
+    * block-index rows at read (ORDERED — asof kills rows born before
+    * it, so a takedown-then-re-ingest just lands); (2) the touched
+    * cluster-buckets' replacement content on the by-cluster view —
+    * old touched buckets ∪ the rebuilt labels' buckets, untouched
+    * components riding through; (3) the touched id-buckets on the
+    * by-id view (removed rows DROP, relabeled members update). One
+    * swap publishes all three; crash anywhere leaves the pre-takedown
+    * cut serving.
+    *
+    * Scale shape: removal + touched-cluster + member frames broadcast
+    * (takedown batches are small by contract); label reads prune to
+    * elected buckets; the one full-asset access is the members'
+    * block-row semi-join (id-keyed access on the blk-bucketed index —
+    * a slim (id, blk) scan, the same honest cost as the in-flow
+    * face); re-propagation runs over touched-component pairs only.
+    * Rebuilt labels are indistinguishable from never having ingested
+    * the removed vectors — the gate's oracle. */
+  def commitRemove(spark: SparkSession, root: String,
+                   removals: DataFrame, batchId: Long, corpus: DataFrame,
+                   idCol: String, vecCol: String, threshold: Double,
+                   buckets: Int, publish: Boolean = true): Boolean = {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (batchId <= st.batchId) return false // replayed: already committed
+    val vNew = st.version + 1
+    val rm = removals.select(col(idCol).as("id")).distinct()
+      .localCheckpoint()
+    // removed ids' committed labels: their own id-buckets only
+    val rmLabels = readPinned(spark, root, "labels", st.statsV,
+        Some(elected(rm, ibktOf(buckets))))
+      .join(broadcast(rm), Seq("id"))
+      .select("id", "cluster").localCheckpoint()
+    val touchedCl = rmLabels.select("cluster").distinct().localCheckpoint()
+    val tcbOld = elected(touchedCl,
+      pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
+    // surviving members of touched components, found BY CLUSTER KEY
+    val members = readPinned(spark, root, "labels_by_cluster", st.auxV,
+        Some(tcbOld))
+      .join(broadcast(touchedCl), Seq("cluster"))
+      .join(broadcast(rm), Seq("id"), "left_anti")
+      .select("id").localCheckpoint()
+    // members' LIVE block rows (slim full-asset semi-join — id-keyed
+    // access on the blk-bucketed index, the in-flow face's cost), then
+    // re-pair within the touched components and re-propagate
+    val mIdx = resolveBlockIndex(spark, root)
+      .join(broadcast(members), Seq("id"))
+      .select("id", "blk").localCheckpoint()
+    val confirmed = Similarity.semanticPqPairsAgainst(mIdx, mIdx,
+        corpus, idCol, vecCol, threshold)
+      .filter(col("a_id") =!= col("b_id"))
+    val rebuilt = Dedup.connectedComponents(confirmed, "a_id", "b_id")
+      .select(col("id"), col("cluster").as("_nc"))
+    val relabeled = members.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("_nc"), col("id")).as("cluster"))
+      .localCheckpoint()
+    // (1) tombstones — retire the removed ids' block rows at read
+    rm.write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    // (2) by-cluster: old touched buckets lose their components' rows
+    // (and the removed ids); the rebuilt labels' buckets gain them
+    val wb = (tcbOld ++ elected(relabeled, cbktOf(buckets))).distinct
+    val replCl = readPinned(spark, root, "labels_by_cluster", st.auxV,
+        Some(wb))
+      .join(broadcast(touchedCl), Seq("cluster"), "left_anti")
+      .select("id", "cluster")
+      .unionByName(relabeled)
+      .withColumn("bkt", cbktOf(buckets)).localCheckpoint()
+    replCl.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/labels_by_cluster/v=$vNew")
+    val presentCl = replCl.select("bkt").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val clPins = st.auxV -- wb.filterNot(presentCl) ++
+      wb.filter(presentCl).map(_ -> vNew)
+    // (3) by-id: removed ids' buckets (rows drop) + relabeled members'
+    // buckets (labels update); a bucket emptied by the removal unpins
+    val tib = (elected(rm, ibktOf(buckets)) ++
+      elected(members, ibktOf(buckets))).distinct
+    val newLb = relabeled.select(col("id"), col("cluster").as("_nc"))
+    val replId = readPinned(spark, root, "labels", st.statsV, Some(tib))
+      .join(broadcast(rm), Seq("id"), "left_anti")
+      .join(broadcast(newLb), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_nc"), col("cluster")).as("cluster"))
+      .withColumn("bkt", ibktOf(buckets)).localCheckpoint()
+    replId.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/labels/v=$vNew")
+    val presentId = replId.select("bkt").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val idPins = st.statsV -- tib.filterNot(presentId) ++
+      tib.filter(presentId).map(_ -> vNew)
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId, statsV = idPins, auxV = clPins))
+    true
+  }
+
   /** [[TxServeStack.vacuum]]'s twin for the semantic stack: reclaim
     * superseded label-bucket versions on BOTH keyed views, crash
     * orphans, compacted-away block deltas, and history manifests below
@@ -279,7 +413,8 @@ object TxSemanticStack {
         Manifest.SweepFamily("labels_by_cluster", 2, keepCl),
         Manifest.SweepFamily("blkidx/base", 1, keepBase),
         Manifest.SweepFamily("blkidx", 1,
-          n => n == "base" || keepBatch(n))))
+          n => n == "base" || keepBatch(n)),
+        Manifest.SweepFamily("deletes", 1, keepBatch)))
     TxServeStack.VacuumStats(deleted, retired, kept)
   }
 }

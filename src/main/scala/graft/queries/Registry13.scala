@@ -204,7 +204,11 @@ object Registry13 {
     * link election, the bidirectional union, and the per-source recap
     * rank. RetrievalSpec proves the recall recovery on the two-island
     * fixture. */
-  val annGraphRepair = Q("ann_graph_repair",
+  /** The remove-then-repair oracle (shared verbatim by the in-flow
+    * `ann_graph_repair` and the transactional `ann_graph_tx_repair` —
+    * the stack's commitRemove∘commitRepair must compose to exactly the
+    * in-flow semantics). */
+  private[queries] val sqlGraphRepairOracle: String =
     s"""WITH ${Registry12.sqlKnnGraph},
        |rm AS (SELECT CAST(unnest(range(10, 30)) AS BIGINT) AS rid),
        |gp AS (SELECT src_id, nbr_id, cos FROM g
@@ -236,7 +240,10 @@ object Registry13 {
        |  WHERE p.src_id NOT IN (SELECT src_id FROM tch)
        |  UNION ALL SELECT src_id, nbr_id, cos FROM rec WHERE r <= 4)
        |SELECT src_id, nbr_id, cos FROM outg
-       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+       |ORDER BY src_id, nbr_id""".stripMargin
+
+  val annGraphRepair = Q("ann_graph_repair",
+    sqlGraphRepairOracle) { (s, d) =>
     val e = emb(s, d).filter(col("vec_id") < 200)
     val cent = e.filter(col("vec_id") === 0)
       .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
@@ -326,7 +333,7 @@ object Registry13 {
     import graft.operators.TxGraphStack
     val nBkt = 16
     val fx0 = gingestFixture(s, d)
-    val fx = FixtureCache.cached(d, "gstack", 1, Seq("embeddings")) { tmp =>
+    val fx = FixtureCache.cached(d, "gstack", 2, Seq("embeddings")) { tmp =>
       val e = emb(s, d)
       val base = e.filter(col("vec_id") < 200)
       val cent = base.filter(col("vec_id") === 0)

@@ -601,9 +601,10 @@ object Registry15 {
     * CC is the gated identity that makes this the drain's truth at ANY
     * committed cut, which is why the snapshot gate can reuse it with
     * the pre-snapshot bound. */
-  private[queries] def sqlSemanticIngestOracle(bound: Int): String =
+  private[queries] def sqlSemanticIngestOracle(bound: Int,
+      extra: String = "TRUE"): String =
     s"""WITH RECURSIVE eb AS (SELECT vec_id, embedding FROM embeddings
-       |  WHERE vec_id < $bound),
+       |  WHERE vec_id < $bound AND $extra),
        |cw AS (SELECT CAST(vec_id AS INT) AS code, embedding AS w
        |  FROM embeddings WHERE vec_id < 16),
        |js AS (SELECT unnest(range(0, 8)) AS j),

@@ -133,6 +133,134 @@ object Registry18 {
       .orderBy("vec_id")
   }
 
+  /** TRANSACTIONAL TAKEDOWN on the semantic stack
+    * ([[TxSemanticStack.commitRemove]]): vectors ≡ 23 (mod 50) among
+    * the arrivals retire in ONE commit — an ordered tombstone kills
+    * their block-index rows at read, the touched components' surviving
+    * members re-pair via the stored index + exact-cosine confirm and
+    * re-propagate (removal can SPLIT a component — no label mapping
+    * expresses it), and BOTH keyed label views land their touched
+    * buckets at a fresh version under the one swap. The oracle is the
+    * from-scratch CC truth over the survivors under the same frozen
+    * codebook — deletion maintenance must be indistinguishable from
+    * never having ingested the removed vectors (the in-flow
+    * `dedup_semantic_remove` contract, now crash-safe). */
+  val dedupSemanticTxRemove = Q("dedup_semantic_tx_remove",
+    Registry15.sqlSemanticIngestOracle(210, "vec_id % 50 <> 23")) { (s, d) =>
+    import graft.operators.Similarity
+    val root = Registry15.drainSemanticStack(s, d, "graft_semtxrm")
+    val e = emb(s, d)
+    require(TxSemanticStack.commitRemove(s, root,
+      e.filter(col("vec_id") < 210 && col("vec_id") % 50 === 23)
+        .select("vec_id"),
+      batchId = 4L, e, "vec_id", "embedding", threshold = 0.3,
+      buckets = 16),
+      "the takedown batch must commit on the drained stack")
+    val byId = TxSemanticStack.resolveLabels(s, root)
+    val byCl = TxSemanticStack.resolveLabelsByCluster(s, root)
+    require(byId.exceptAll(byCl).isEmpty && byCl.exceptAll(byId).isEmpty,
+      "dedup_semantic_tx_remove: dual-keyed label ledgers drifted")
+    byId.select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  /** TRANSACTIONAL TAKEDOWN on the graph stack
+    * ([[TxGraphStack.commitRemove]] — node tombstones, the soft-delete
+    * law with a graph's twist): removing nodes 10..29 writes (id,
+    * asof) rows into their tombstone buckets and ZERO edge rows —
+    * every edge touching them (including stale in-edges scattered
+    * across buckets no prune could cheaply rewrite) dies at read under
+    * the ordered two-endpoint rule. The serve is the full drained
+    * graph (two appended pages) minus everything incident to the
+    * removed set; the oracle filters the two-append replay the same
+    * way. */
+  val annGraphTxRemove = Q("ann_graph_tx_remove",
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |allv AS (SELECT vec_id, embedding FROM embeddings),
+       |${Registry13.sqlGraphAppendReplay(1, "g", "g1", 200, 205)},
+       |${Registry13.sqlGraphAppendReplay(2, "g1", "g2", 205, 210)}
+       |SELECT src_id, nbr_id, cos FROM g2
+       |WHERE src_id NOT BETWEEN 10 AND 29
+       |  AND nbr_id NOT BETWEEN 10 AND 29
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val root = Registry13.drainGraphStack(s, d, "graft_gtxrm")
+    require(TxGraphStack.commitRemove(s, root,
+      emb(s, d).filter(col("vec_id") >= 10 && col("vec_id") < 30)
+        .select("vec_id"),
+      batchId = 4L, "vec_id", buckets = 16),
+      "the takedown batch must commit on the drained stack")
+    TxGraphStack.resolve(s, root)
+      .select("src_id", "nbr_id", "cos")
+      .orderBy("src_id", "nbr_id")
+  }
+
+  /** TRANSACTIONAL REPAIR on the graph stack
+    * ([[TxGraphStack.commitRemove]] ∘ [[TxGraphStack.commitRepair]]):
+    * on the 200-node base stack, nodes 10..29 tombstone (batch 0),
+    * then the repair (batch 1) elects the orphaned neighborhood from
+    * the RAW rows' dead edges, beam-searches each orphan's 3 nearest
+    * over the LIVE graph, and writes the touched sources' recapped
+    * lists as their buckets' replacement — two commits whose composed
+    * serve must equal the in-flow remove-then-repair bit-for-bit: the
+    * oracle is `ann_graph_repair`'s full replay VERBATIM. */
+  val annGraphTxRepair = Q("ann_graph_tx_repair",
+    Registry13.sqlGraphRepairOracle) { (s, d) =>
+    import graft.operators.Similarity
+    val e = emb(s, d).filter(col("vec_id") < 200)
+    val cent = e.filter(col("vec_id") === 0)
+      .select(lit(0).cast("int").as("cell"), col("embedding").as("c_vec"))
+    val g = Similarity.knnGraph(e, cent, "vec_id", "embedding", k = 3)
+      .select("src_id", "nbr_id", "cos")
+    val stage = StreamHarness.runDir("graft_gtxrp")
+    val root = stage.resolve("stack").toString
+    TxGraphStack.init(s, root, g, buckets = 16)
+    val rm = e.filter(col("vec_id") >= 10 && col("vec_id") < 30)
+      .select("vec_id")
+    require(TxGraphStack.commitRemove(s, root, rm, 0L, "vec_id",
+      buckets = 16), "the takedown must commit")
+    require(TxGraphStack.commitRepair(s, root, emb(s, d), 1L,
+      "vec_id", "embedding", k = 3, buckets = 16, beam = 4, hops = 3,
+      maxDegree = 4), "the repair must commit")
+    TxGraphStack.resolve(s, root)
+      .select("src_id", "nbr_id", "cos")
+      .orderBy("src_id", "nbr_id")
+  }
+
+  /** Graph COMPACTION under the protocol ([[TxGraphStack.compactEdges]]
+    * — the physical purge the soft deletes defer to): after the
+    * takedown, compaction consolidates the LIVE rows into fresh
+    * one-file bucket versions and RETIRES the tombstone family in the
+    * same swap. The serve must be bit-identical to the pre-compaction
+    * tombstoned serve (`ann_graph_tx_remove`'s oracle), the tombstone
+    * pin map must be empty, and vacuum must reclaim the superseded
+    * versions — all REQUIREd in-gate. */
+  val annGraphTxCompact = Q("ann_graph_tx_compact",
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |allv AS (SELECT vec_id, embedding FROM embeddings),
+       |${Registry13.sqlGraphAppendReplay(1, "g", "g1", 200, 205)},
+       |${Registry13.sqlGraphAppendReplay(2, "g1", "g2", 205, 210)}
+       |SELECT src_id, nbr_id, cos FROM g2
+       |WHERE src_id NOT BETWEEN 10 AND 29
+       |  AND nbr_id NOT BETWEEN 10 AND 29
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val root = Registry13.drainGraphStack(s, d, "graft_gtxcp")
+    require(TxGraphStack.commitRemove(s, root,
+      emb(s, d).filter(col("vec_id") >= 10 && col("vec_id") < 30)
+        .select("vec_id"),
+      batchId = 4L, "vec_id", buckets = 16),
+      "the takedown batch must commit on the drained stack")
+    require(TxGraphStack.compactEdges(s, root),
+      "compaction must run on the tombstoned stack")
+    require(Manifest.read(s, root).get.auxV.isEmpty,
+      "compaction must retire the whole tombstone family")
+    val vs = TxGraphStack.vacuum(s, root, retainVersions = 0)
+    require(vs.deletedDirs > 0,
+      "compaction strands superseded versions; vacuum must reclaim them")
+    TxGraphStack.resolve(s, root)
+      .select("src_id", "nbr_id", "cos")
+      .orderBy("src_id", "nbr_id")
+  }
+
   // -------------------------------------------- joint page snapshot
 
   /** The search page's JOINT snapshot ([[Manifest.pinPage]]): a page
@@ -206,5 +334,6 @@ object Registry18 {
 
   val round18: Seq[Q] = Seq(annGraphSnapshot, annGraphVacuum,
     dedupSemanticSnapshot, dedupSemanticVacuum, hybridSnapshotTopK,
-    textBpeOovGuard)
+    textBpeOovGuard, dedupSemanticTxRemove, annGraphTxRemove,
+    annGraphTxRepair, annGraphTxCompact)
 }

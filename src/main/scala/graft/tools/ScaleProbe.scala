@@ -683,6 +683,57 @@ object ScaleProbe {
         }
       }
 
+      if (want("txgraph")) {
+        // graph stack under the manifest protocol (round 16): the
+        // data-plane law is gsink's (unchanged — the protocol lands
+        // the SAME touched-bucket replacement content at a versioned
+        // path instead of overwriting in place); what this probe pins
+        // is the protocol's own cost: a commit writes the touched
+        // buckets + TWO metadata files (manifest + history) at any
+        // corpus size, and vacuum reclaims ∝ commit history (the
+        // superseded pins), never ∝ corpus.
+        import graft.operators.{Lineage, Manifest, Similarity, TxGraphStack}
+        val e = graft.Tables.embeddings(spark, dir)
+        val nV = e.count()
+        val buckets = 4096
+        val nCellsT = if (dir == sfDir) 64 else 64 * factor
+        val cent = e.filter(col("vec_id") < nCellsT)
+          .select(col("vec_id").cast("int").as("cell"),
+            col("embedding").as("c_vec"))
+        val batch = e.orderBy(col("vec_id").desc).limit(5)
+        val base = e.join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+        val g = Lineage.truncate(
+          Similarity.knnGraph(base, cent, "vec_id", "embedding", k = 3)
+            .select("src_id", "nbr_id", "cos"))
+        val stage = java.nio.file.Files.createTempDirectory("graft_txg")
+        val root = stage.resolve("gstack").toString
+        try {
+          TxGraphStack.init(spark, root, g, buckets)
+          val eB = e.withColumn("bkt",
+            pmod(col("vec_id"), lit(buckets.toLong)).cast("int"))
+          TxGraphStack.commitBatch(spark, root, eB, batch, 0L,
+            "vec_id", "embedding", k = 3, buckets = buckets,
+            beam = 4, hops = 3, maxDegree = 4,
+            corpusBuckets = Some(buckets))
+          val st = Manifest.read(spark, root).get
+          val touched = st.statsV.count(_._2 == st.version)
+          val writeRows = spark.read
+            .parquet(s"$root/edges/v=${st.version}").count()
+          val ledgerRows = TxGraphStack.resolve(spark, root).count()
+          println(s"PROBE txgraph $scale nodes=$nV " +
+            s"ledger_rows=$ledgerRows batch=5 " +
+            s"commit_write_rows=$writeRows " +
+            s"commit_buckets=$touched of $buckets metadata_files=2")
+          val vs = TxGraphStack.vacuum(spark, root)
+          println(s"PROBE txgraph $scale " +
+            s"vacuum_deleted_dirs=${vs.deletedDirs} " +
+            s"retired_manifests=${vs.deletedManifests} " +
+            s"kept_dirs=${vs.keptDirs}")
+        } finally {
+          graft.queries.FixtureCache.deleteRecursively(stage)
+        }
+      }
+
       if (want("semdedup")) {
         // PQ-prefix semantic blocking: the governing count is the
         // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a

@@ -99,6 +99,80 @@ class GraphStackSpec extends SparkSpec {
     }
   }
 
+  test("takedown: tombstones kill both endpoints' edges; re-ingest lands fresh past its tombstone; compaction purges and retires the window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gsrm")
+    try {
+      val root = dir.toString
+      initStack(root)
+      commit(root, 12 to 16, 0L)
+      val before = TxGraphStack.resolve(spark, root)
+        .select("src_id", "nbr_id", "cos").localCheckpoint()
+      // remove two nodes — crash face first (invisible), then commit
+      val rm = Seq(3L, 14L).toDF("vec_id")
+      TxGraphStack.commitRemove(spark, root, rm, 1L, "vec_id",
+        buckets = 4, publish = false)
+      assert(snap(root) == before.withColumn("bkt",
+        pmod($"src_id", lit(4L)).cast("int"))
+        .collect().map(_.toString).toSet,
+        "an uncommitted takedown leaked")
+      assert(TxGraphStack.commitRemove(spark, root, rm, 1L, "vec_id",
+        buckets = 4))
+      val want = Similarity.graphRemove(before, rm, "vec_id")
+      val got = TxGraphStack.resolve(spark, root)
+        .select("src_id", "nbr_id", "cos")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "tombstoned serve drifted from graphRemove semantics")
+      // re-ingest node 14: its new edges are born PAST the tombstone
+      // — the composed serve equals graphAppend over the pruned graph
+      assert(commit(root, Seq(14), 2L))
+      val want2 = Similarity.graphAppend(want, corpus, vecs(Seq(14)),
+        "vec_id", "embedding", k = 2, beam = 3, hops = 2, maxDegree = 3)
+      val got2 = TxGraphStack.resolve(spark, root)
+        .select("src_id", "nbr_id", "cos")
+      assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty,
+        "post-takedown re-ingest drifted from append-over-pruned " +
+          "(stale rows resurrected, or the new edges died)")
+      // compaction: bit-identical serve, tombstone family retired
+      val g2 = got2.localCheckpoint()
+      assert(TxGraphStack.compactEdges(spark, root))
+      val got3 = TxGraphStack.resolve(spark, root)
+        .select("src_id", "nbr_id", "cos")
+      assert(got3.exceptAll(g2).isEmpty && g2.exceptAll(got3).isEmpty,
+        "compaction changed the served graph")
+      assert(Manifest.read(spark, root).get.auxV.isEmpty,
+        "compaction must retire the tombstone family")
+      assert(TxGraphStack.vacuum(spark, root).deletedDirs > 0)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
+  test("repair composes with takedown to in-flow remove-then-repair semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gsrp")
+    try {
+      val root = dir.toString
+      initStack(root)
+      val g0 = TxGraphStack.resolve(spark, root)
+        .select("src_id", "nbr_id", "cos").localCheckpoint()
+      val rm = Seq(2L, 7L).toDF("vec_id")
+      assert(TxGraphStack.commitRemove(spark, root, rm, 0L, "vec_id",
+        buckets = 4))
+      assert(TxGraphStack.commitRepair(spark, root, corpus, 1L,
+        "vec_id", "embedding", k = 2, buckets = 4, beam = 3, hops = 2,
+        maxDegree = 3))
+      val surviving = corpus.join(rm.select($"vec_id"), Seq("vec_id"),
+        "left_anti")
+      val want = Similarity.graphRepair(g0, surviving, rm,
+        "vec_id", "embedding", k = 2, beam = 3, hops = 2, maxDegree = 3)
+      val got = TxGraphStack.resolve(spark, root)
+        .select("src_id", "nbr_id", "cos")
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "commitRemove ∘ commitRepair drifted from in-flow graphRepair")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("snapshot pins an old cut; vacuum reclaims superseded versions + orphans, keeps live pins, bounds time travel") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gsvc")
     try {

@@ -53,8 +53,8 @@ class SemanticStackSpec extends SparkSpec {
 
   /** From-scratch truth over an arrived id set: global CC over the
     * full blocked-pair graph. */
-  private def truth(n: Int): Set[(Long, Long)] = {
-    val arrived = vecs(0 until n)
+  private def truthOver(ids: Seq[Int]): Set[(Long, Long)] = {
+    val arrived = vecs(ids)
     val pairs = Similarity.semanticPqPairs(arrived, cb, "vec_id",
       "embedding", threshold = 0.95, prefix = 2)
     val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
@@ -63,6 +63,7 @@ class SemanticStackSpec extends SparkSpec {
       .select($"id", coalesce($"cluster", $"id").as("cluster"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
+  private def truth(n: Int): Set[(Long, Long)] = truthOver(0 until n)
 
   private def viewsAgree(root: String): Boolean = {
     val byId = TxSemanticStack.resolveLabels(spark, root)
@@ -117,6 +118,37 @@ class SemanticStackSpec extends SparkSpec {
     } finally {
       graft.queries.FixtureCache.deleteRecursively(dirA)
       graft.queries.FixtureCache.deleteRecursively(dirB)
+    }
+  }
+
+  test("takedown: component splits re-propagate exactly; re-ingest after takedown lands past its tombstone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssrm")
+    try {
+      val root = dir.toString
+      initStack(root)
+      commit(root, 10 to 13, 0L)
+      // node 3 bridges the {3, 8, 13} component — removing it splits
+      val rm = Seq(3L).toDF("vec_id")
+      // crash face first: invisible
+      TxSemanticStack.commitRemove(spark, root, rm, 1L, all,
+        "vec_id", "embedding", threshold = 0.95, buckets = 4,
+        publish = false)
+      assert(labels(root) == truth(14), "uncommitted takedown leaked")
+      assert(TxSemanticStack.commitRemove(spark, root, rm, 1L, all,
+        "vec_id", "embedding", threshold = 0.95, buckets = 4))
+      val survivors = (0 until 14).filterNot(_ == 3)
+      assert(labels(root) == truthOver(survivors),
+        "takedown drifted from never-having-ingested the removed id")
+      assert(viewsAgree(root), "takedown desynchronized the views")
+      // re-ingest id 3 (batch also carries 14): the ordered tombstone
+      // lets the re-arrival land — labels equal the full truth again
+      assert(commit(root, Seq(3, 14), 2L))
+      assert(labels(root) == truth(15),
+        "post-takedown re-ingest did not land (dead block rows paired," +
+          " or the tombstone outlived the re-arrival)")
+      assert(viewsAgree(root))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
     }
   }
 
