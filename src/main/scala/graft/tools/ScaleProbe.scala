@@ -103,7 +103,7 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$scratch/documents.parquet")
     }
     if (rebuild && (want("ann") || want("pq") || want("retr") ||
-        want("semdedup") || want("gsink"))) {
+        want("semdedup") || want("gsink") || want("txgraph"))) {
       val c = col("_c")
       val k = (c % 64).cast("int")
       val e = col("embedding")
