@@ -374,6 +374,44 @@ object TxGraphStack {
     true
   }
 
+  /** Transactional RE-BUCKET — [[Similarity.rebucketLedger]]'s
+    * migration protocol ("write to a NEW path, then swap readers")
+    * made executable in ONE commit: the live rows re-derive `bkt`
+    * under B′ = `newBuckets`, land as fresh one-file-per-bucket
+    * versions (the rewrite is also a physical purge, so the tombstone
+    * family retires in the same swap), and the manifest's pin map
+    * moves wholesale to the new keyspace. A crash anywhere leaves the
+    * old B serving; a reader can never observe the two numberings
+    * interleaved — the exact hazard the in-place migration note warns
+    * about. Callers pass B′ to every subsequent [[commitBatch]], the
+    * same contract as [[init]]. A re-bucket is inherently O(ledger);
+    * it amortizes over every batch-sized append after it (the
+    * measured rebucket law: an undersized-B ledger's per-batch writes
+    * shrink ~46× at 100× — SCALE.md). */
+  def rebucket(spark: SparkSession, root: String, newBuckets: Int,
+               publish: Boolean = true): Boolean = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (st.statsV.isEmpty) return false
+    val vNew = st.version + 1
+    val live = liveEdges(readEdges(spark, root, st, None),
+        readTombstones(spark, root, st))
+      .drop("bkt")
+      .withColumn("bkt", bktOf(col("src_id"), newBuckets))
+      .repartition(col("bkt"))
+      .localCheckpoint()
+    val present = live.select("bkt").distinct().collect()
+      .map(_.getInt(0))
+    if (present.nonEmpty)
+      live.write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/edges/v=$vNew")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        statsV = present.map(_ -> vNew).toMap, auxV = Map.empty))
+    true
+  }
+
   /** [[TxServeStack.vacuum]]'s twin for the graph stack: reclaim
     * superseded bucket versions on BOTH families (edges, tombstones),
     * crash orphans, and history manifests below the retention floor.

@@ -261,6 +261,48 @@ object Registry18 {
       .orderBy("src_id", "nbr_id")
   }
 
+  /** Transactional RE-BUCKET mid-life ([[TxGraphStack.rebucket]] —
+    * the migration the gsink sizing rule "B ∝ corpus" prescribes,
+    * executable as one commit): the drained B=16 stack re-buckets to
+    * B′=64 (one swap moves the whole pin map to the new keyspace — a
+    * reader can never observe the numberings interleaved), and a
+    * THIRD append batch then commits under B′. The oracle replays all
+    * three appends — the re-bucket must be invisible to every
+    * consumer and the post-migration append bit-exact. In-gate
+    * REQUIREs pin the migration actually happened (a pin above the
+    * old keyspace exists; the old version dirs are unpinned). */
+  val annGraphTxRebucket = Q("ann_graph_tx_rebucket",
+    // the intermediate graphs + the corpus MATERIALIZE: a third
+    // unrolled append would otherwise re-scan embeddings.parquet once
+    // per CTE reference and blow DuckDB past the fd limit
+    s"""WITH ${Registry12.sqlKnnGraph},
+       |gm AS MATERIALIZED (SELECT * FROM g),
+       |allv AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |${Registry13.sqlGraphAppendReplay(1, "gm", "g1", 200, 205)},
+       |g1m AS MATERIALIZED (SELECT * FROM g1),
+       |${Registry13.sqlGraphAppendReplay(2, "g1m", "g2", 205, 210)},
+       |g2m AS MATERIALIZED (SELECT * FROM g2),
+       |${Registry13.sqlGraphAppendReplay(3, "g2m", "g3", 210, 215)}
+       |SELECT src_id, nbr_id, cos FROM g3
+       |ORDER BY src_id, nbr_id""".stripMargin) { (s, d) =>
+    val root = Registry13.drainGraphStack(s, d, "graft_gtxrb")
+    require(TxGraphStack.rebucket(s, root, newBuckets = 64),
+      "the drained stack must re-bucket")
+    val pins = Manifest.read(s, root).get.statsV
+    require(pins.keys.exists(_ >= 16),
+      s"B'=64 pins must use the new keyspace, got ${pins.keys.toSeq.sorted}")
+    val fx0 = Registry13.gingestFixture(s, d)
+    val corpus = s.read.parquet(fx0.resolve("corpus").toString)
+    require(TxGraphStack.commitBatch(s, root, corpus,
+      emb(s, d).filter(col("vec_id") >= 210 && col("vec_id") < 215),
+      2L, "vec_id", "embedding", k = 3, buckets = 64,
+      beam = 4, hops = 3, maxDegree = 4, corpusBuckets = Some(16)),
+      "the post-migration append must commit under B'")
+    TxGraphStack.resolve(s, root)
+      .select("src_id", "nbr_id", "cos")
+      .orderBy("src_id", "nbr_id")
+  }
+
   // -------------------------------------------- joint page snapshot
 
   /** The search page's JOINT snapshot ([[Manifest.pinPage]]): a page
@@ -335,5 +377,5 @@ object Registry18 {
   val round18: Seq[Q] = Seq(annGraphSnapshot, annGraphVacuum,
     dedupSemanticSnapshot, dedupSemanticVacuum, hybridSnapshotTopK,
     textBpeOovGuard, dedupSemanticTxRemove, annGraphTxRemove,
-    annGraphTxRepair, annGraphTxCompact)
+    annGraphTxRepair, annGraphTxCompact, annGraphTxRebucket)
 }

@@ -99,6 +99,31 @@ object BpeReport {
       f"per_round=${tDistW / math.max(1L, nDist)}%.3f s " +
       f"projected_${merges}m=${tDistW / math.max(1L, nDist) * merges}%.0f s " +
       f"vs mid-path $tHead%.1f s")
+    // TAIL-OOV GUARD (round 16): perturb the above-cap corpus so its
+    // TAIL carries a character absent from the head's alphabet — the
+    // case head-training can never close (an OOV char cannot appear
+    // inside any learned merge). bpeTrainHeadGuarded measures the
+    // closure, detects oov_chars > 0, REFUSES the head cut, and falls
+    // back to the full election; the table is asserted identical to
+    // the full-vocabulary train (every character votes).
+    val oovC = wide.withColumn("text",
+      when(col("doc_id") === 0, concat(col("text"), lit(" §q§q")))
+        .otherwise(col("text"))).localCheckpoint()
+    val clsO = graft.operators.Vocab.bpeHeadClosure(oovC, "text", headCap)
+      .head()
+    println(s"BPE oov-corpus headChars=$headCap " +
+      s"oov_chars=${clsO.getLong(4)} tail_words=${clsO.getLong(1)}")
+    t0 = System.nanoTime()
+    val guarded = graft.operators.Vocab.bpeTrainHeadGuarded(oovC, "text",
+      merges, headChars = headCap).localCheckpoint()
+    val tGuard = (System.nanoTime() - t0) / 1e9
+    val fullO = graft.operators.Vocab.bpeTrain(oovC, "text", merges)
+      .localCheckpoint()
+    require(guarded.exceptAll(fullO).isEmpty &&
+      fullO.exceptAll(guarded).isEmpty,
+      "the guard must fall back to the full election on an OOV tail")
+    println(f"BPE train(guarded, oov fallback) wall=$tGuard%.1f s " +
+      s"== full-vocabulary table (head path refused)")
     spark.stop()
   }
 }

@@ -173,6 +173,44 @@ class GraphStackSpec extends SparkSpec {
     }
   }
 
+  test("bucket-restricted resolve lists ONLY the elected pinned paths; rebucket migrates the pin map in one swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gswit")
+    try {
+      val root = dir.toString
+      initStack(root)
+      commit(root, 12 to 16, 0L)
+      val pins = Manifest.read(spark, root).get.statsV
+      val k = pins.keys.min
+      // PATH-level pruning witness: an unelected bucket's directory is
+      // never even listed — stronger than a partition filter
+      val files = TxGraphStack.resolve(spark, root,
+        buckets = Some(Seq(k))).inputFiles
+      assert(files.nonEmpty && files.forall(_.contains(s"/bkt=$k/")),
+        s"restricted resolve read outside its elected bucket: " +
+          files.filterNot(_.contains(s"/bkt=$k/")).take(3).mkString(","))
+      // rebucket 4 → 8: rows identical, pin map on the new keyspace,
+      // a reader can never observe the numberings interleaved
+      val before = TxGraphStack.resolve(spark, root)
+        .select("src_id", "nbr_id", "cos").localCheckpoint()
+      assert(TxGraphStack.rebucket(spark, root, newBuckets = 8))
+      val after = TxGraphStack.resolve(spark, root)
+        .select("src_id", "nbr_id", "cos")
+      assert(after.exceptAll(before).isEmpty &&
+        before.exceptAll(after).isEmpty,
+        "re-bucketing changed the served rows")
+      assert(Manifest.read(spark, root).get.statsV.keys.exists(_ >= 4),
+        "the pin map must move to the new keyspace")
+      // appends continue under B′
+      assert(TxGraphStack.commitBatch(spark, root, corpus,
+        vecs(Seq(21)), 1L, "vec_id", "embedding", k = 2, buckets = 8,
+        beam = 3, hops = 2, maxDegree = 3, corpusBuckets = Some(4)))
+      assert(TxGraphStack.resolve(spark, root)
+        .filter($"src_id" === 21L).count() > 0)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("snapshot pins an old cut; vacuum reclaims superseded versions + orphans, keeps live pins, bounds time travel") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gsvc")
     try {

@@ -152,6 +152,24 @@ class SemanticStackSpec extends SparkSpec {
     }
   }
 
+  test("bucket-restricted label resolve lists ONLY the elected pinned paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sswit")
+    try {
+      val root = dir.toString
+      initStack(root)
+      commit(root, 10 to 13, 0L)
+      val pins = Manifest.read(spark, root).get.statsV
+      val k = pins.keys.min
+      val files = TxSemanticStack.resolveLabels(spark, root,
+        idBuckets = Some(Seq(k))).inputFiles
+      assert(files.nonEmpty && files.forall(_.contains(s"/bkt=$k/")),
+        s"restricted resolve read outside its elected bucket: " +
+          files.filterNot(_.contains(s"/bkt=$k/")).take(3).mkString(","))
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("snapshot pins an old cut; vacuum reclaims superseded versions + orphans on all families, keeps live pins") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssvc")
     try {
