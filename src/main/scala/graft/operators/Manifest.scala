@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** MANIFEST commit protocol for multi-asset serve stacks — the
   * transactional face the plain drains document as their crash
@@ -90,6 +90,25 @@ object Manifest {
   private def fs(spark: SparkSession, dir: String) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Run `body` holding the root's in-process commit mutex — the
+    * single-writer discipline for a WHOLE commit (derive + versioned
+    * asset writes + swap), not just the pointer swap: two racing
+    * committers both derive vNew = head + 1 and would write the SAME
+    * version-keyed asset directories, so the loser's
+    * mode("overwrite") could clobber the winner's just-committed
+    * files BEFORE its own swap hits the fence. Every TxStack
+    * commit/compact/refresh/vacuum wraps its whole body (vacuum too:
+    * an in-flight committer's un-swapped fresh-version writes would
+    * otherwise look like reclaimable orphans). Re-entrant — the
+    * inner [[commit]] synchronizes on the same monitor. Cross-PROCESS
+    * writers remain the documented conditional-put gap. */
+  def withCommitLock[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val (f, base) = fs(spark, dir)
+    val lock = commitLocks.computeIfAbsent(
+      f.makeQualified(base).toString, _ => new Object)
+    lock.synchronized(body)
   }
 
   /** Resolve the current committed state; None before the first
@@ -280,6 +299,52 @@ object Manifest {
   def globalDir(dir: String, state: State): String =
     s"$dir/global/v=${state.globalV}"
 
+  /** Resolve the state a reader pins: the committed pointer, or a
+    * [[readAt]] snapshot when `version` is given — the shared
+    * resolve-entry every stack's readers use. */
+  private[operators] def stateAt(spark: SparkSession, root: String,
+                                 version: Option[Long]): State =
+    version match {
+      case None => read(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed manifest at $root"))
+      case Some(v) => readAt(spark, root, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $root is uncommitted or vacuumed"))
+    }
+
+  /** Write one per-bucket-MVCC family's touched-bucket replacement at
+    * `family/v=vNew` and return the UPDATED pin map: touched buckets
+    * with surviving rows re-pin to vNew; touched buckets the
+    * replacement EMPTIED unpin (partitionBy writes no directory for
+    * them, so pinning would point at a path that does not exist) —
+    * the one write-and-repin kernel every MVCC family shares. */
+  private[operators] def writeRepin(replaced: DataFrame, family: String,
+                                    root: String, vNew: Long,
+                                    touched: Seq[Int],
+                                    pins: Map[Int, Long]): Map[Int, Long] = {
+    val frame = replaced.localCheckpoint()
+    val present = frame.select(org.apache.spark.sql.functions.col("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (present.nonEmpty)
+      frame.write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/$family/v=$vNew")
+    pins -- touched.filterNot(present) ++
+      touched.filter(present).map(_ -> vNew)
+  }
+
+  /** The retention set every vacuum keeps: (floor, the states of every
+    * retained history version plus the pointer itself — the pointer
+    * ALWAYS retains, so a stack whose history files predate the
+    * snapshot feature still keeps its live pins). */
+  private[operators] def retainedStates(spark: SparkSession, root: String,
+                                        retainVersions: Int): (Long, Seq[State]) = {
+    val cur = read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    val floor = cur.version - retainVersions.toLong
+    (floor, ((floor to cur.version)
+      .flatMap(v => readAt(spark, root, v)) :+ cur).distinct)
+  }
+
   /** One asset family for [[sweepUnpinned]]: list `subdir` at `depth`
     * directory levels below it (1 = version dirs, 2 = version/bucket
     * dirs) and keep entries whose relative name — `v=V` at depth 1,
@@ -459,17 +524,6 @@ object TxServeStack {
                            st: Manifest.State): DataFrame =
     liveOnly(readPostings(spark, root, st), readDeletes(spark, root, st))
 
-  /** Resolve the state a reader pins: the committed pointer, or a
-    * [[Manifest.readAt]] snapshot when `version` is given. */
-  private def stateAt(spark: SparkSession, root: String,
-                      version: Option[Long]): Manifest.State =
-    version match {
-      case None => Manifest.read(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest at $root"))
-      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v at $root is uncommitted or vacuumed"))
-    }
 
   /** The pinned term-stats content of `buckets` (each bucket read at
     * ITS version) — the O(touched) `prev` leg every stats fold
@@ -564,7 +618,7 @@ object TxServeStack {
   def resolvePositions(spark: SparkSession, root: String,
                        termBuckets: Option[Seq[Int]] = None,
                        version: Option[Long] = None): DataFrame = {
-    val st = stateAt(spark, root, version)
+    val st = Manifest.stateAt(spark, root, version)
     val raw = readPositions(spark, root, st)
     val pruned = termBuckets match {
       case None => raw
@@ -578,7 +632,7 @@ object TxServeStack {
               statsBuckets: Option[Seq[Int]] = None,
               version: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val st = stateAt(spark, root, version)
+    val st = Manifest.stateAt(spark, root, version)
     val postings = livePostings(spark, root, st)
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val pinned = statsBuckets match {
@@ -608,7 +662,8 @@ object TxServeStack {
                   batchId: Long, idCol: String, textCol: String,
                   docBuckets: Int, termBuckets: Int,
                   publish: Boolean = true,
-                  positions: Boolean = false): Boolean = {
+                  positions: Boolean = false): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       Manifest.State(-1L, -1L, -1L, Map.empty))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -689,7 +744,8 @@ object TxServeStack {
   def commitDelete(spark: SparkSession, root: String,
                    removals: DataFrame, batchId: Long, idCol: String,
                    docBuckets: Int, termBuckets: Int,
-                   publish: Boolean = true): Boolean = {
+                   publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -744,7 +800,8 @@ object TxServeStack {
                    batchId: Long, idCol: String, textCol: String,
                    docBuckets: Int, termBuckets: Int,
                    publish: Boolean = true,
-                   positions: Boolean = false): Boolean = {
+                   positions: Boolean = false): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -811,7 +868,8 @@ object TxServeStack {
     * spec's crash face. Returns false when there is nothing visible
     * to compact. */
   def compactPostings(spark: SparkSession, root: String,
-                      publish: Boolean = true): Boolean = {
+                      publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (Manifest.visiblePostingDirs(spark, root, st).isEmpty) return false
@@ -865,16 +923,10 @@ object TxServeStack {
     * swapped (its fresh-version writes look like orphans); run it
     * from the same maintenance cadence as compaction. */
   def vacuum(spark: SparkSession, root: String,
-             retainVersions: Int = 0): VacuumStats = {
-    val cur = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    val floor = cur.version - retainVersions.toLong
-    // the pointer state ALWAYS retains — on a stack whose history
-    // files predate the snapshot feature (or were lost), readAt
-    // yields nothing and a history-only keep-set would sweep every
-    // LIVE pinned directory
-    val retained = ((floor to cur.version)
-      .flatMap(v => Manifest.readAt(spark, root, v)) :+ cur).distinct
+             retainVersions: Int = 0): VacuumStats =
+    Manifest.withCommitLock(spark, root) {
+    val (floor, retained) =
+      Manifest.retainedStates(spark, root, retainVersions)
     // every (family, identifier) some retained manifest still pins;
     // stats sweep at (version, bucket) granularity — one commit's
     // version dir can hold both live and superseded buckets
@@ -937,7 +989,8 @@ object TxVectorStack {
     * PINNED quantizer, never retrains ([[Similarity.pqIndexAppend]]'s
     * frozen-quantizer invariant). */
   def init(spark: SparkSession, root: String, centroids: DataFrame,
-           codebooks: DataFrame): Unit = {
+           codebooks: DataFrame): Unit =
+    Manifest.withCommitLock(spark, root) {
     require(Manifest.read(spark, root).isEmpty,
       s"vector stack already initialized at $root")
     writeQuant(root, 0L, centroids, codebooks)
@@ -1021,13 +1074,7 @@ object TxVectorStack {
   def resolve(spark: SparkSession, root: String,
               version: Option[Long] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val st = version match {
-      case None => Manifest.read(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest at $root"))
-      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v at $root is uncommitted or vacuumed"))
-    }
+    val st = Manifest.stateAt(spark, root, version)
     (liveCodes(spark, root, st).select("vec_id", "cell", "codes"),
       spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids"),
       spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook"))
@@ -1044,7 +1091,8 @@ object TxVectorStack {
     * rows are tombstoned. */
   def commitDelete(spark: SparkSession, root: String,
                    removals: DataFrame, batchId: Long, idCol: String,
-                   buckets: Int = 16, publish: Boolean = true): Boolean = {
+                   buckets: Int = 16, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -1064,7 +1112,8 @@ object TxVectorStack {
     * is the crash face. */
   def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
                   batchId: Long, idCol: String, vecCol: String,
-                  buckets: Int = 16, publish: Boolean = true): Boolean = {
+                  buckets: Int = 16, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(
         s"vector stack not initialized at $root — call init first"))
@@ -1095,7 +1144,8 @@ object TxVectorStack {
     * and the index must atomically stop serving the stale vector. */
   def commitUpsert(spark: SparkSession, root: String, batch: DataFrame,
                    batchId: Long, idCol: String, vecCol: String,
-                   buckets: Int = 16, publish: Boolean = true): Boolean = {
+                   buckets: Int = 16, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -1127,7 +1177,8 @@ object TxVectorStack {
   def refresh(spark: SparkSession, root: String, corpus: DataFrame,
               centroids: DataFrame, codebooks: DataFrame,
               idCol: String, vecCol: String, buckets: Int = 16,
-              publish: Boolean = true): Boolean = {
+              publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     val vNew = st.version + 1
@@ -1152,16 +1203,10 @@ object TxVectorStack {
     * manifests below the retention floor. Same writer caveat: not
     * concurrent with an in-flight commit. */
   def vacuum(spark: SparkSession, root: String,
-             retainVersions: Int = 0): TxServeStack.VacuumStats = {
-    val cur = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    val floor = cur.version - retainVersions.toLong
-    // the pointer state ALWAYS retains — on a stack whose history
-    // files predate the snapshot feature (or were lost), readAt
-    // yields nothing and a history-only keep-set would sweep every
-    // LIVE pinned directory
-    val retained = ((floor to cur.version)
-      .flatMap(v => Manifest.readAt(spark, root, v)) :+ cur).distinct
+             retainVersions: Int = 0): TxServeStack.VacuumStats =
+    Manifest.withCommitLock(spark, root) {
+    val (floor, retained) =
+      Manifest.retainedStates(spark, root, retainVersions)
     val keepQuant = retained.map(st => s"v=${st.globalV}").toSet
     val keepBase = retained.filter(_.baseV >= 0)
       .map(st => s"v=${st.baseV}").toSet

@@ -2198,10 +2198,6 @@ object Similarity {
     untouched.unionByName(recapTouched(old, touched, newE, maxDegree))
   }
 
-  /** The search + bidirectional-link half shared by [[graphAppend]]
-    * and [[graphAppendDelta]]: beam-search each genuinely-new batch
-    * node's k nearest, union both edge directions. Truncated — the
-    * frame feeds the touched election AND the recap union. */
   /** Rebuild a frame as an all-nullable RELATION (outer nullability +
     * array containsNull) without introducing any null — a semantic
     * no-op. CATALYST GUARD for the append faces: an in-memory batch
@@ -2233,6 +2229,10 @@ object Similarity {
     else df.sparkSession.createDataFrame(df.rdd, schema)
   }
 
+  /** The search + bidirectional-link half shared by [[graphAppend]]
+    * and [[graphAppendDelta]]: beam-search each genuinely-new batch
+    * node's k nearest, union both edge directions. Truncated — the
+    * frame feeds the touched election AND the recap union. */
   private def graphLinkEdges(graph: DataFrame, corpus: DataFrame,
                              batch0: DataFrame, idCol: String, vecCol: String,
                              k: Int, beam: Int, hops: Int, maxDegree: Int,

@@ -63,7 +63,8 @@ object TxGraphStack {
     * pmod(src_id, B) layout — the same B every subsequent commit must
     * pass. */
   def init(spark: SparkSession, root: String, edges: DataFrame,
-           buckets: Int): Unit = {
+           buckets: Int): Unit =
+    Manifest.withCommitLock(spark, root) {
     require(Manifest.read(spark, root).isEmpty,
       s"graph stack already initialized at $root")
     val b = Ledger.withBucket(
@@ -120,29 +121,29 @@ object TxGraphStack {
       .select(col("id"), col("asof"), col("bkt"))
   }
 
-  /** The ordered two-endpoint liveness rule: an edge born at `b` is
-    * dead iff either endpoint carries a tombstone with asof > b. The
-    * tombstone side broadcasts. */
-  private def liveEdges(raw: DataFrame, tomb: DataFrame): DataFrame =
+  /** The ordered two-endpoint rule, parameterized: `keepLive = true`
+    * keeps edges NEITHER endpoint's tombstone postdates (the serve
+    * side); `false` keeps the complement — the DEAD rows, which are
+    * not garbage: a dead row S→X is [[commitRepair]]'s evidence that
+    * S lost an out-edge, so bucket rewrites must carry touched
+    * sources' dead rows through untouched. The tombstone side
+    * broadcasts. */
+  private def edgesWhere(raw: DataFrame, tomb: DataFrame,
+                         keepLive: Boolean): DataFrame = {
+    val alive = (col("_sa").isNull || col("b") >= col("_sa")) &&
+      (col("_na").isNull || col("b") >= col("_na"))
     raw
       .join(broadcast(tomb.select(col("id").as("src_id"),
         col("asof").as("_sa"))), Seq("src_id"), "left_outer")
       .join(broadcast(tomb.select(col("id").as("nbr_id"),
         col("asof").as("_na"))), Seq("nbr_id"), "left_outer")
-      .filter((col("_sa").isNull || col("b") >= col("_sa")) &&
-        (col("_na").isNull || col("b") >= col("_na")))
+      .filter(if (keepLive) alive else !alive)
       .select(col("src_id"), col("nbr_id"), col("cos"), col("b"),
         col("bkt"))
+  }
 
-  private def stateAt(spark: SparkSession, root: String,
-                      version: Option[Long]): Manifest.State =
-    version match {
-      case None => Manifest.read(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest at $root"))
-      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v at $root is uncommitted or vacuumed"))
-    }
+  private def liveEdges(raw: DataFrame, tomb: DataFrame): DataFrame =
+    edgesWhere(raw, tomb, keepLive = true)
 
   /** Resolve the committed LIVE graph for searching — optionally
     * pruned to `buckets` (path-level; a semantic no-op on src-keyed
@@ -152,25 +153,10 @@ object TxGraphStack {
   def resolve(spark: SparkSession, root: String,
               buckets: Option[Seq[Int]] = None,
               version: Option[Long] = None): DataFrame = {
-    val st = stateAt(spark, root, version)
+    val st = Manifest.stateAt(spark, root, version)
     liveEdges(readEdges(spark, root, st, buckets),
         readTombstones(spark, root, st))
       .select("src_id", "nbr_id", "cos", "bkt")
-  }
-
-  /** Write one label family's touched-bucket replacement at `v=vNew`
-    * and return the updated pin map (emptied touched buckets unpin). */
-  private def writeRepin(replaced: DataFrame, family: String,
-                         root: String, vNew: Long, touched: Seq[Int],
-                         pins: Map[Int, Long]): Map[Int, Long] = {
-    val frame = replaced.localCheckpoint()
-    val present = frame.select(col("bkt")).distinct().collect()
-      .map(_.getInt(0)).toSet
-    if (present.nonEmpty)
-      frame.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/$family/v=$vNew")
-    pins -- touched.filterNot(present) ++
-      touched.filter(present).map(_ -> vNew)
   }
 
   /** Reattach birth batches to a replacement frame: rows matching a
@@ -202,32 +188,59 @@ object TxGraphStack {
                   vecCol: String, k: Int, buckets: Int, beam: Int = 8,
                   hops: Int = 3, maxDegree: Int = 8,
                   corpusBuckets: Option[Int] = None,
-                  publish: Boolean = true): Boolean = {
+                  publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(
         s"graph stack not initialized at $root — call init first"))
-    if (batchId <= st.batchId) return false // replayed: already committed
+    if (batchId <= st.batchId) false // replayed: already committed
+    else {
     val vNew = st.version + 1
-    val live = liveEdges(readEdges(spark, root, st, None),
-      readTombstones(spark, root, st)).localCheckpoint()
-    val replaced = Similarity.graphAppendBucketDelta(live, corpus,
-      batch, idCol, vecCol, k = k, buckets = buckets, beam = beam,
-      hops = hops, maxDegree = maxDegree, corpusBuckets = corpusBuckets)
-      .localCheckpoint()
-    val touched = replaced.select(col("bkt")).distinct()
+    val raw = readEdges(spark, root, st, None)
+    val tomb = readTombstones(spark, root, st).localCheckpoint()
+    // the live view stays LAZY: the append's bucket-pruned legs filter
+    // `bkt` above the (broadcast) tombstone joins, and the predicate
+    // pushes through to the pinned-path scans — checkpointing here
+    // would materialize the whole graph per micro-batch and sever the
+    // partition layout the O(touched) law depends on (the in-place
+    // drain's self-overwrite rationale for a checkpoint is gone: the
+    // protocol only ever writes fresh versioned paths)
+    val live = liveEdges(raw, tomb)
+    // touched sources' complete new lists only (every ledger leg
+    // bucket-pruned) — the bucket replacement composes below so the
+    // pass-through leg can come from RAW rows, not the live view
+    val recapped = Lineage.truncate(Similarity.graphAppendDelta(
+      live, corpus, batch, idCol, vecCol, k = k, beam = beam,
+      hops = hops, maxDegree = maxDegree,
+      edgeBuckets = Some(buckets), corpusBuckets = corpusBuckets))
+    val touched = recapped
+      .select(bktOf(col("src_id"), buckets).as("bkt")).distinct()
       .collect().map(_.getInt(0))
-    if (touched.nonEmpty)
-      // the touched buckets' replacement carries LIVE rows only —
-      // their dead rows purge physically here (the tombstones that
-      // killed them still stand for the untouched buckets' stale
-      // in-edges, which is what the ordered rule exists for)
-      withBirth(replaced, live, batchId)
+    if (touched.nonEmpty) {
+      val rawTb = raw.filter(col("bkt").isin(touched.map(Int.box): _*))
+      val srcs = recapped.select(col("src_id")).distinct()
+      // three legs: untouched sources' RAW rows (live AND dead) ride
+      // through; touched sources' lists replace with their recapped
+      // LIVE content; and touched sources' DEAD rows ride through too
+      // — they are commitRepair's orphan-election evidence, which a
+      // live-only rewrite would silently destroy
+      rawTb.join(srcs, Seq("src_id"), "left_anti")
+        .select(col("src_id"), col("nbr_id"), col("cos"), col("b"),
+          col("bkt"))
+        .unionByName(withBirth(
+          recapped.withColumn("bkt", bktOf(col("src_id"), buckets)),
+          live, batchId))
+        .unionByName(edgesWhere(rawTb, tomb, keepLive = false)
+          .join(srcs, Seq("src_id"), "left_semi"))
+        .localCheckpoint()
         .write.partitionBy("bkt").mode("overwrite")
         .parquet(s"$root/edges/v=$vNew")
+    }
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         batchId = batchId, statsV = st.statsV ++ touched.map(_ -> vNew)))
     true
+    }
   }
 
   /** TRANSACTIONAL TAKEDOWN — node tombstones under per-bucket MVCC:
@@ -242,7 +255,8 @@ object TxGraphStack {
     * Idempotent by batch id. */
   def commitRemove(spark: SparkSession, root: String,
                    removals: DataFrame, batchId: Long, idCol: String,
-                   buckets: Int, publish: Boolean = true): Boolean = {
+                   buckets: Int, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -255,7 +269,8 @@ object TxGraphStack {
       .select("id", "asof")
       .unionByName(rm.select(col("id"), lit(batchId).as("asof")))
       .withColumn("bkt", bktOf(col("id"), buckets))
-    val auxPins = writeRepin(replaced, "tomb", root, vNew, tb, st.auxV)
+    val auxPins = Manifest.writeRepin(replaced, "tomb", root, vNew, tb,
+      st.auxV)
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         batchId = batchId, auxV = auxPins))
@@ -278,16 +293,18 @@ object TxGraphStack {
                    batchId: Long, idCol: String, vecCol: String,
                    k: Int, buckets: Int, beam: Int = 8, hops: Int = 3,
                    maxDegree: Int = 8,
-                   publish: Boolean = true): Boolean = {
+                   publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     require(maxDegree >= k,
       "maxDegree must be >= k (repairs add k edges per side)")
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
-    if (batchId <= st.batchId) return false // replayed: already committed
+    if (batchId <= st.batchId) false // replayed: already committed
+    else {
     val vNew = st.version + 1
     val raw = readEdges(spark, root, st, None)
     val tomb = readTombstones(spark, root, st).localCheckpoint()
-    val live = liveEdges(raw, tomb).localCheckpoint()
+    val live = liveEdges(raw, tomb) // lazy — see commitBatch
     // orphaned neighborhood: live sources whose RAW row at a dead
     // nbr proves a lost out-edge
     val rmIds = tomb.select(col("id").as("_rid"), col("asof"))
@@ -324,24 +341,30 @@ object TxGraphStack {
       .select(col("src_id"), col("nbr_id"), col("cos"))
       .localCheckpoint()
     val tbkts = elected(recapped, bktOf(col("src_id"), buckets))
-    // touched buckets' replacement: untouched sources' RAW rows ride
-    // through (their dead rows stay, pruned at read), touched sources'
-    // lists replace with their recapped LIVE content
-    val replaced = raw.filter(
-        if (tbkts.isEmpty) lit(false)
-        else col("bkt").isin(tbkts.map(Int.box): _*))
-      .join(recapped.select(col("src_id")).distinct(),
-        Seq("src_id"), "left_anti")
-      .select(col("src_id"), col("nbr_id"), col("cos"), col("b"))
+    // touched buckets' replacement, three legs (commitBatch's shape):
+    // untouched sources' RAW rows ride through; touched sources' lists
+    // replace with their recapped LIVE content; touched sources' DEAD
+    // rows ride through too — evidence for a LATER repair after
+    // further takedowns must survive this rewrite
+    val rawTb = raw.filter(
+      if (tbkts.isEmpty) lit(false)
+      else col("bkt").isin(tbkts.map(Int.box): _*))
+    val srcs = recapped.select(col("src_id")).distinct()
+    val replaced = rawTb.join(srcs, Seq("src_id"), "left_anti")
+      .select(col("src_id"), col("nbr_id"), col("cos"), col("b"),
+        col("bkt"))
       .unionByName(withBirth(
         recapped.withColumn("bkt", bktOf(col("src_id"), buckets)),
-        live, batchId).drop("bkt"))
-      .withColumn("bkt", bktOf(col("src_id"), buckets))
-    val pins = writeRepin(replaced, "edges", root, vNew, tbkts, st.statsV)
+        live, batchId))
+      .unionByName(edgesWhere(rawTb, tomb, keepLive = false)
+        .join(srcs, Seq("src_id"), "left_semi"))
+    val pins = Manifest.writeRepin(replaced, "edges", root, vNew, tbkts,
+      st.statsV)
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         batchId = batchId, statsV = pins))
     true
+    }
   }
 
   /** Graph COMPACTION under the protocol — the physical purge the
@@ -352,7 +375,8 @@ object TxGraphStack {
     * window closes). Serves bit-identically; superseded versions
     * become vacuum-collectable garbage. */
   def compactEdges(spark: SparkSession, root: String,
-                   publish: Boolean = true): Boolean = {
+                   publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (st.statsV.isEmpty) return false
@@ -389,7 +413,8 @@ object TxGraphStack {
     * measured rebucket law: an undersized-B ledger's per-batch writes
     * shrink ~46× at 100× — SCALE.md). */
   def rebucket(spark: SparkSession, root: String, newBuckets: Int,
-               publish: Boolean = true): Boolean = {
+               publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     require(newBuckets > 0, "newBuckets must be positive")
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
@@ -419,12 +444,10 @@ object TxGraphStack {
     * ([[Manifest.commit]]'s fence protects the pointer, not un-swapped
     * fresh-version writes). */
   def vacuum(spark: SparkSession, root: String,
-             retainVersions: Int = 0): TxServeStack.VacuumStats = {
-    val cur = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    val floor = cur.version - retainVersions.toLong
-    val retained = ((floor to cur.version)
-      .flatMap(v => Manifest.readAt(spark, root, v)) :+ cur).distinct
+             retainVersions: Int = 0): TxServeStack.VacuumStats =
+    Manifest.withCommitLock(spark, root) {
+    val (floor, retained) =
+      Manifest.retainedStates(spark, root, retainVersions)
     val keepEdges = retained.flatMap(_.statsV.map { case (b, v) =>
       s"v=$v/bkt=$b" }).toSet
     val keepTomb = retained.flatMap(_.auxV.map { case (b, v) =>

@@ -51,7 +51,8 @@ object TxSemanticStack {
     * (id, cluster) lands in BOTH keyed layouts at v=0 and the block
     * index (id, blk) as the blkidx base; one commit pins all three. */
   def init(spark: SparkSession, root: String, ledger: DataFrame,
-           blockIndex: DataFrame, buckets: Int): Unit = {
+           blockIndex: DataFrame, buckets: Int): Unit =
+    Manifest.withCommitLock(spark, root) {
     require(Manifest.read(spark, root).isEmpty,
       s"semantic stack already initialized at $root")
     val l = ledger.select(col("id"), col("cluster")).localCheckpoint()
@@ -91,16 +92,6 @@ object TxSemanticStack {
       .select(col("id"), col("cluster"), col("bkt"))
   }
 
-  private def stateAt(spark: SparkSession, root: String,
-                      version: Option[Long]): Manifest.State =
-    version match {
-      case None => Manifest.read(spark, root).getOrElse(
-        throw new IllegalStateException(s"no committed manifest at $root"))
-      case Some(v) => Manifest.readAt(spark, root, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v at $root is uncommitted or vacuumed"))
-    }
-
   /** Resolve the committed label ledger (id, cluster) — the
     * authoritative by-id view, optionally path-pruned to `idBuckets`
     * and/or pinned to a snapshot `version`. */
@@ -108,7 +99,7 @@ object TxSemanticStack {
                     idBuckets: Option[Seq[Int]] = None,
                     version: Option[Long] = None): DataFrame =
     readPinned(spark, root, "labels",
-      stateAt(spark, root, version).statsV, idBuckets)
+      Manifest.stateAt(spark, root, version).statsV, idBuckets)
       .select("id", "cluster")
 
   /** The by-cluster view of the same facts — exposed so consumers (and
@@ -118,7 +109,7 @@ object TxSemanticStack {
                              clusterBuckets: Option[Seq[Int]] = None,
                              version: Option[Long] = None): DataFrame =
     readPinned(spark, root, "labels_by_cluster",
-      stateAt(spark, root, version).auxV, clusterBuckets)
+      Manifest.stateAt(spark, root, version).auxV, clusterBuckets)
       .select("id", "cluster")
 
   /** Raw committed block-index rows with BATCH PROVENANCE (`_b` from
@@ -170,7 +161,7 @@ object TxSemanticStack {
   def resolveBlockIndex(spark: SparkSession, root: String,
                         keyBuckets: Option[Seq[Int]] = None,
                         version: Option[Long] = None): DataFrame = {
-    val st = stateAt(spark, root, version)
+    val st = Manifest.stateAt(spark, root, version)
     val all = readBlockIndex(spark, root, st)
     val pruned = keyBuckets match {
       case None => all
@@ -196,7 +187,8 @@ object TxSemanticStack {
                   batchId: Long, codebooks: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, threshold: Double,
                   prefix: Int, buckets: Int,
-                  publish: Boolean = true): Boolean = {
+                  publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(
         s"semantic stack not initialized at $root — call init first"))
@@ -247,18 +239,14 @@ object TxSemanticStack {
       // so no self-overwrite checkpoint is needed
       val oldCl = readPinned(spark, root, "labels_by_cluster", st.auxV,
         Some(tcb)).select("id", "cluster").localCheckpoint()
-      val replCl = relabel(oldCl).unionByName(freshLb)
-        .withColumn("bkt", cbktOf(buckets)).localCheckpoint()
-      replCl.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/labels_by_cluster/v=$vNew")
       // a touched cluster-bucket whose every row migrated out (and
       // gained none) has an empty replacement: it UNPINS — per-bucket
       // MVCC's answer to the stale-directory hazard the in-place
-      // drain had to delete around
-      val present = replCl.select("bkt").distinct().collect()
-        .map(_.getInt(0)).toSet
-      clPins = st.auxV -- tcb.filterNot(present) ++
-        tcb.filter(present).map(_ -> vNew)
+      // drain had to delete around ([[Manifest.writeRepin]]'s kernel)
+      clPins = Manifest.writeRepin(
+        relabel(oldCl).unionByName(freshLb)
+          .withColumn("bkt", cbktOf(buckets)),
+        "labels_by_cluster", root, vNew, tcb, st.auxV)
       // by-id replacement: only the id-buckets holding a CHANGED row
       // or a fresh id rewrite (an id never changes ITS bucket)
       val changedRows = oldCl.join(broadcast(mapping),
@@ -266,16 +254,12 @@ object TxSemanticStack {
         .select(oldCl("id"))
       val tib = (elected(changedRows, ibktOf(buckets)) ++
         elected(freshLb, ibktOf(buckets))).distinct
-      val replId = relabel(readPinned(spark, root, "labels", st.statsV,
-          Some(tib)).select("id", "cluster"))
-        .unionByName(freshLb)
-        .withColumn("bkt", ibktOf(buckets)).localCheckpoint()
-      replId.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/labels/v=$vNew")
-      val presentId = replId.select("bkt").distinct().collect()
-        .map(_.getInt(0)).toSet
-      idPins = st.statsV -- tib.filterNot(presentId) ++
-        tib.filter(presentId).map(_ -> vNew)
+      idPins = Manifest.writeRepin(
+        relabel(readPinned(spark, root, "labels", st.statsV,
+            Some(tib)).select("id", "cluster"))
+          .unionByName(freshLb)
+          .withColumn("bkt", ibktOf(buckets)),
+        "labels", root, vNew, tib, st.statsV)
     }
     // block-index delta append: O(batch) rows, the positional posture
     bIdx.withColumn("bkt", kbktOf(buckets))
@@ -314,7 +298,8 @@ object TxSemanticStack {
   def commitRemove(spark: SparkSession, root: String,
                    removals: DataFrame, batchId: Long, corpus: DataFrame,
                    idCol: String, vecCol: String, threshold: Double,
-                   buckets: Int, publish: Boolean = true): Boolean = {
+                   buckets: Int, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
     val st = Manifest.read(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (batchId <= st.batchId) return false // replayed: already committed
@@ -354,34 +339,26 @@ object TxSemanticStack {
     // (2) by-cluster: old touched buckets lose their components' rows
     // (and the removed ids); the rebuilt labels' buckets gain them
     val wb = (tcbOld ++ elected(relabeled, cbktOf(buckets))).distinct
-    val replCl = readPinned(spark, root, "labels_by_cluster", st.auxV,
-        Some(wb))
-      .join(broadcast(touchedCl), Seq("cluster"), "left_anti")
-      .select("id", "cluster")
-      .unionByName(relabeled)
-      .withColumn("bkt", cbktOf(buckets)).localCheckpoint()
-    replCl.write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/labels_by_cluster/v=$vNew")
-    val presentCl = replCl.select("bkt").distinct().collect()
-      .map(_.getInt(0)).toSet
-    val clPins = st.auxV -- wb.filterNot(presentCl) ++
-      wb.filter(presentCl).map(_ -> vNew)
+    val clPins = Manifest.writeRepin(
+      readPinned(spark, root, "labels_by_cluster", st.auxV, Some(wb))
+        .join(broadcast(touchedCl), Seq("cluster"), "left_anti")
+        .select("id", "cluster")
+        .unionByName(relabeled)
+        .withColumn("bkt", cbktOf(buckets)),
+      "labels_by_cluster", root, vNew, wb, st.auxV)
     // (3) by-id: removed ids' buckets (rows drop) + relabeled members'
     // buckets (labels update); a bucket emptied by the removal unpins
     val tib = (elected(rm, ibktOf(buckets)) ++
       elected(members, ibktOf(buckets))).distinct
     val newLb = relabeled.select(col("id"), col("cluster").as("_nc"))
-    val replId = readPinned(spark, root, "labels", st.statsV, Some(tib))
-      .join(broadcast(rm), Seq("id"), "left_anti")
-      .join(broadcast(newLb), Seq("id"), "left")
-      .select(col("id"), coalesce(col("_nc"), col("cluster")).as("cluster"))
-      .withColumn("bkt", ibktOf(buckets)).localCheckpoint()
-    replId.write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/labels/v=$vNew")
-    val presentId = replId.select("bkt").distinct().collect()
-      .map(_.getInt(0)).toSet
-    val idPins = st.statsV -- tib.filterNot(presentId) ++
-      tib.filter(presentId).map(_ -> vNew)
+    val idPins = Manifest.writeRepin(
+      readPinned(spark, root, "labels", st.statsV, Some(tib))
+        .join(broadcast(rm), Seq("id"), "left_anti")
+        .join(broadcast(newLb), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("_nc"), col("cluster")).as("cluster"))
+        .withColumn("bkt", ibktOf(buckets)),
+      "labels", root, vNew, tib, st.statsV)
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         batchId = batchId, statsV = idPins, auxV = clPins))
@@ -393,12 +370,10 @@ object TxSemanticStack {
     * orphans, compacted-away block deltas, and history manifests below
     * the retention floor. */
   def vacuum(spark: SparkSession, root: String,
-             retainVersions: Int = 0): TxServeStack.VacuumStats = {
-    val cur = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    val floor = cur.version - retainVersions.toLong
-    val retained = ((floor to cur.version)
-      .flatMap(v => Manifest.readAt(spark, root, v)) :+ cur).distinct
+             retainVersions: Int = 0): TxServeStack.VacuumStats =
+    Manifest.withCommitLock(spark, root) {
+    val (floor, retained) =
+      Manifest.retainedStates(spark, root, retainVersions)
     val keepId = retained.flatMap(_.statsV.map { case (b, v) =>
       s"v=$v/bkt=$b" }).toSet
     val keepCl = retained.flatMap(_.auxV.map { case (b, v) =>

@@ -402,9 +402,14 @@ object Vocab {
     * alphabet. */
   def bpeTrainHeadGuarded(docs: DataFrame, textCol: String, merges: Int,
                           headChars: Long,
-                          maxHeadRows: Long = 1L << 20): DataFrame = {
-    val closure = bpeHeadClosure(docs, textCol, headChars).head()
-    val oov = closure.getLong(closure.fieldIndex("oov_chars"))
+                          maxHeadRows: Long = 1L << 20,
+                          closure: Option[Row] = None): DataFrame = {
+    // callers that already ran the closure pass (the promotion-gate
+    // read every pipeline does first) hand its row in — the guard must
+    // not re-pay the distributed scan it exists to interpret
+    val cl = closure.getOrElse(
+      bpeHeadClosure(docs, textCol, headChars).head())
+    val oov = cl.getLong(cl.fieldIndex("oov_chars"))
     if (oov > 0) bpeTrain(docs, textCol, merges)
     else bpeTrainHead(docs, textCol, merges, headChars, maxHeadRows)
   }

@@ -333,7 +333,7 @@ object Registry13 {
     import graft.operators.TxGraphStack
     val nBkt = 16
     val fx0 = gingestFixture(s, d)
-    val fx = FixtureCache.cached(d, "gstack", 2, Seq("embeddings")) { tmp =>
+    val fx = FixtureCache.cached(d, "gstack", 3, Seq("embeddings")) { tmp =>
       val e = emb(s, d)
       val base = e.filter(col("vec_id") < 200)
       val cent = base.filter(col("vec_id") === 0)

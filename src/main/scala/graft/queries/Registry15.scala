@@ -534,7 +534,7 @@ object Registry15 {
                                           tag: String): String = {
     import graft.operators.TxSemanticStack
     val fx0 = Registry13.gingestFixture(s, d)
-    val fx = FixtureCache.cached(d, "semstack", 1, Seq("embeddings")) { tmp =>
+    val fx = FixtureCache.cached(d, "semstack", 2, Seq("embeddings")) { tmp =>
       val e = emb(s, d)
       val base = e.filter(col("vec_id") < 200)
       val cb = Similarity.pqCodebookSeed(base, "vec_id", "embedding",

@@ -370,7 +370,8 @@ object Registry18 {
     require(cl.getLong(cl.fieldIndex("oov_chars")) > 0,
       "the fixture must leave an OOV char in the tail — the guarded " +
         "path has nothing to refuse otherwise")
-    Vocab.bpeTrainHeadGuarded(mod, "text", merges = 8, headChars = 300)
+    Vocab.bpeTrainHeadGuarded(mod, "text", merges = 8, headChars = 300,
+        closure = Some(cl))
       .orderBy("step")
   }
 

@@ -115,7 +115,7 @@ object BpeReport {
       s"oov_chars=${clsO.getLong(4)} tail_words=${clsO.getLong(1)}")
     t0 = System.nanoTime()
     val guarded = graft.operators.Vocab.bpeTrainHeadGuarded(oovC, "text",
-      merges, headChars = headCap).localCheckpoint()
+      merges, headChars = headCap, closure = Some(clsO)).localCheckpoint()
     val tGuard = (System.nanoTime() - t0) / 1e9
     val fullO = graft.operators.Vocab.bpeTrain(oovC, "text", merges)
       .localCheckpoint()

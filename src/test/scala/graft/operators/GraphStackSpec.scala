@@ -173,6 +173,45 @@ class GraphStackSpec extends SparkSpec {
     }
   }
 
+  test("repair evidence survives an interleaved append: touched buckets' dead rows ride through the rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gsev")
+    try {
+      val root = dir.toString
+      initStack(root)
+      val before = TxGraphStack.resolve(spark, root).localCheckpoint()
+      val rm = Seq(3L).toDF("vec_id")
+      assert(TxGraphStack.commitRemove(spark, root, rm, 0L, "vec_id",
+        buckets = 4))
+      // the orphaned neighborhood: survivors that pointed at node 3
+      val orphans = before.filter($"nbr_id" === 3L && $"src_id" =!= 3L)
+        .select($"src_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(orphans.nonEmpty, "fixture must orphan someone")
+      // an append touching EVERY bucket (ids 16..19 cover pmod 4):
+      // its bucket rewrites must NOT purge the orphans' dead rows —
+      // the evidence a later repair's election reads
+      assert(commit(root, 16 to 19, 1L))
+      def degrees = TxGraphStack.resolve(spark, root)
+        .filter($"src_id".isin(orphans.toSeq.map(Long.box): _*))
+        .groupBy("src_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // fixture sanity: at least one orphan still carries the lost
+      // out-edge (degree < k) — otherwise the repair has nothing to
+      // prove and the test passes vacuously
+      val preRepair = degrees
+      assert(orphans.exists(o => preRepair.getOrElse(o, 0L) < 2L),
+        s"no orphan left under-degree before repair: $preRepair")
+      assert(TxGraphStack.commitRepair(spark, root, corpus, 2L,
+        "vec_id", "embedding", k = 2, buckets = 4, beam = 3, hops = 2,
+        maxDegree = 3))
+      val postRepair = degrees
+      assert(orphans.forall(o => postRepair.getOrElse(o, 0L) >= 2L),
+        "an orphan stayed under-degree after repair — its dead-row " +
+          s"evidence was purged by the interleaved append: $postRepair")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("bucket-restricted resolve lists ONLY the elected pinned paths; rebucket migrates the pin map in one swap") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gswit")
     try {
