@@ -102,6 +102,47 @@ object Sampling {
     df.withColumn(outCol, ladder)
   }
 
+  /** LEAKAGE-FREE split: near-dup clusters move between splits as
+    * UNITS. [[assignSplit]] draws on the row key, so two near-duplicate
+    * documents can land on opposite sides of a train/test cut — the
+    * classic eval leak (the test document's near-copy trained the
+    * model, so held-out loss is memorization, not generalization).
+    * Here the draw key is the cluster REPRESENTATIVE: `labels` is the
+    * dedup stage's connected-components output (id, cluster) —
+    * [[Dedup.connectedComponents]]' min-label — and every member
+    * inherits its cluster's single draw (singletons, absent from
+    * `labels`, represent themselves). Same salted ladder, same
+    * stability under corpus growth — growing a CLUSTER never moves it
+    * (the min-label representative only changes if a smaller id joins,
+    * which is the same contract the dedup survivors already live
+    * with).
+    *
+    * Scale shape: one broadcast-or-shuffle left join against the label
+    * table (cluster members ≪ corpus — labels only exist for docs
+    * with at least one near-dup pair), then [[assignSplit]]'s pure
+    * per-row predicate. The CC labels are the dedup pipeline's
+    * existing artifact, not a new corpus pass.
+    *
+    * DuckDB oracle mirror: the recursive-CTE closure's min-label per
+    * id, then [[assignSplit]]'s ladder over
+    * `'salt:split:' || COALESCE(cl, id)`. */
+  def assignSplitLeakFree(df: DataFrame, key: Column, labels: DataFrame,
+                          splits: Seq[(String, Double)],
+                          salt: String = "graft",
+                          outCol: String = "split"): DataFrame = {
+    val rep = "_graft_split_rep"
+    require(!df.columns.contains(rep), s"input already has a $rep column")
+    val lab = labels.select(col("id").as(rep + "_id"),
+      col("cluster").as(rep))
+    // no broadcast hint: the label table is usually small (docs with at
+    // least one pair) but CAN approach corpus scale on a dup-heavy crawl
+    // — let AQE pick broadcast vs shuffle from its measured size
+    val joined = df.join(lab, key === col(rep + "_id"), "left")
+    assignSplit(joined.withColumn(rep, coalesce(col(rep), key)),
+        col(rep), splits, salt, outCol)
+      .drop(rep, rep + "_id")
+  }
+
   /** Per-group quota: at most `n` rows per group, chosen by a
     * deterministic salted-hash order (a fixed "random" draw) with the key
     * itself as the tiebreak. The standard cap-per-domain /

@@ -60,6 +60,39 @@ class SamplingSpec extends SparkSpec {
   }
 
 
+  test("assignSplitLeakFree: a cluster never straddles splits; members inherit the rep's draw") {
+    // chains of 5: docs 10k..10k+4 share cluster k (CC min-label = 10k);
+    // 1500 singleton docs carry no label row at all
+    val pairs = (0 until 100).flatMap { k =>
+      (0 until 4).map(i => (10000L + k * 10 + i, 10000L + k * 10 + i + 1))
+    }.toDF("a_id", "b_id")
+    val members = (0 until 100).flatMap(k => (0 to 4).map(i => 10000L + k * 10 + i))
+    val all = (members ++ (1 to 1500).map(_.toLong)).toDF("id")
+    val labels = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplitLeakFree(all, $"id", labels, splits)
+    assert(out.count() == all.count()) // one label per row, none duplicated
+    // no cluster straddles: every member carries its cluster's single label
+    val straddle = out
+      .join(labels.select($"id".as("lab_id"), $"cluster"), $"id" === $"lab_id")
+      .groupBy("cluster").agg(count_distinct($"split").as("k"))
+      .filter($"k" > 1)
+    assert(straddle.isEmpty)
+    // the inherited label IS the representative's own draw
+    val reps = out.filter($"id" >= 10000 && $"id" % 10 === 0)
+      .select($"id".as("rep_id"), $"split".as("rep_split"))
+    val mismatch = out.filter($"id" >= 10000)
+      .withColumn("rep", ($"id" - ($"id" % 10)))
+      .join(reps, $"rep" === $"rep_id")
+      .filter($"split" =!= $"rep_split")
+    assert(mismatch.isEmpty)
+    // singletons (no label row) fall back to their own key: identical to
+    // the plain per-row split
+    val singles = out.filter($"id" < 10000)
+    val plain = Sampling.assignSplit(all.filter($"id" < 10000), $"id", splits)
+    assert(singles.exceptAll(plain).isEmpty && plain.exceptAll(singles).isEmpty)
+  }
+
   test("tokenBudgetPerSource: bucketed prefix equals the naive per-source running sum") {
     val docs = (1 to 600).map { i =>
       (i.toLong, s"src${i % 5}", (i % 37 + 3).toLong)
