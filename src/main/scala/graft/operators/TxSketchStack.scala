@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGEABLE-SKETCH ledger under the [[Manifest]] commit protocol: a
+  * distinct-count profile (HLL sketch + exact row tally per key)
+  * maintained incrementally from a stream and served WITHOUT touching
+  * raw data — the cardinality face of the stats-ledger idea
+  * ([[Ledger]]'s "the ledger IS the state").
+  *
+  * Why sketches and not exact distinct state: at 100 TB the per-key
+  * distinct sets (users per event type, n-grams per shard, URLs per
+  * domain) are themselves corpus-scale, so an exact serve either
+  * re-scans raw data per query or stores state ∝ cardinality. An HLL
+  * register array is KBs per key at any cardinality, merges by
+  * slot-max (order- and partition-insensitive — the estimate is a pure
+  * function of the observed value SET), and unions across keys for
+  * roll-ups the raw data would need another full pass to answer. The
+  * kernels are Spark's codegen'd Datasketches expressions
+  * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`) — no UDFs.
+  *
+  * Layout: one family (`sketch/v=V/bkt=B`) of rows
+  * (key, n_rows, sk) under per-bucket MVCC, bucketed by
+  * pmod(xxhash64(key), B) and pinned in [[Manifest.State.statsV]].
+  * A batch aggregates ONCE map-side (hll_sketch_agg has a partial
+  * merge, so the shuffle carries one sketch per key per partition,
+  * never raw values), merges against exactly its touched buckets'
+  * pinned rows, writes the replacement at the fresh version, and ONE
+  * swap re-pins. Exactly-once by batch-id high-water; a crashed
+  * batch's writes are invisible orphans. Serve = elect buckets from
+  * the queried keys (bounded collect), read only their pinned paths.
+  *
+  * Accuracy contract: standard HLL relative error ≈ 1.04/√2^lgK
+  * (~1.6% at the default lgK=12); the estimate is deterministic for a
+  * given value set, so gates pin it with an exact-twin witness. */
+object TxSketchStack {
+
+  private def bktOf(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+
+  /** Create an EMPTY stack: first manifest pins nothing; `buckets`
+    * fixes the pmod(xxhash64(key), B) layout every commit must pass
+    * (recorded here only as convention — the protocol state keeps pin
+    * maps, not B; callers own B exactly as the graph stack's do). */
+  def init(spark: SparkSession, root: String): Unit =
+    Manifest.withCommitLock(spark, root) {
+      require(Manifest.read(spark, root).isEmpty,
+        s"sketch stack already initialized at $root")
+      Manifest.commit(spark, root,
+        Manifest.State(0L, -1L, -1L, Map.empty))
+    }
+
+  /** Raw committed sketch rows (key, n_rows, sk, bkt), each bucket at
+    * its pinned version; `restrict` prunes at the PATH level (an
+    * unelected bucket's directory is never listed). */
+  private def readSketches(spark: SparkSession, root: String,
+                           st: Manifest.State,
+                           restrict: Option[Seq[Int]]): DataFrame = {
+    val pinned = restrict match {
+      case None => st.statsV
+      case Some(bs) => st.statsV.filter { case (b, _) => bs.contains(b) }
+    }
+    if (pinned.isEmpty)
+      spark.emptyDataFrame.select(lit("").as("key"),
+        lit(0L).as("n_rows"), lit(Array.empty[Byte]).as("sk"),
+        lit(0).as("bkt")).limit(0)
+    else spark.read.option("basePath", s"$root/sketch")
+      .parquet(pinned.toSeq.sorted.map { case (b, v) =>
+        s"$root/sketch/v=$v/bkt=$b" }: _*)
+      .select(col("key"), col("n_rows"), col("sk"), col("bkt"))
+  }
+
+  /** One arrival batch through the protocol: aggregate the batch to
+    * (key, count, sketch) — one partial-merge shuffle on the key —
+    * merge with exactly the touched buckets' pinned rows (slot-max
+    * union; exact tallies add), write the replacement, swap.
+    * Idempotent by batch id: a replayed micro-batch skips whole, so a
+    * value double-delivered by the source can never double-count
+    * `n_rows` (HLL would absorb it; the exact tally would not).
+    * `publish = false` is the crash face. */
+  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long, keyCol: String, valCol: String,
+                  buckets: Int, lgK: Int = 12,
+                  publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"sketch stack not initialized at $root — call init first"))
+    if (batchId <= st.batchId) false // replayed: already committed
+    else {
+    val vNew = st.version + 1
+    val agg = batch
+      .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("_bn"),
+        hll_sketch_agg(col(valCol), lit(lgK)).as("_bsk"))
+      .withColumn("bkt", bktOf(col("key"), buckets))
+      .localCheckpoint() // keys-sized; feeds election + merge
+    val touched = agg.select(col("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val old = readSketches(spark, root, st, Some(touched))
+        .select(col("key"), col("n_rows").as("_on"), col("sk").as("_osk"))
+      val replaced = old.join(agg.drop("bkt"), Seq("key"), "full_outer")
+        .select(col("key"),
+          (coalesce(col("_on"), lit(0L)) + coalesce(col("_bn"), lit(0L)))
+            .as("n_rows"),
+          when(col("_osk").isNull, col("_bsk"))
+            .when(col("_bsk").isNull, col("_osk"))
+            .otherwise(hll_union(col("_osk"), col("_bsk"))).as("sk"))
+        .withColumn("bkt", bktOf(col("key"), buckets))
+      val pins = Manifest.writeRepin(replaced, "sketch", root, vNew,
+        touched, st.statsV)
+      if (publish)
+        Manifest.commit(spark, root, st.copy(version = vNew,
+          batchId = batchId, statsV = pins))
+    } else if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId))
+    true
+    }
+  }
+
+  /** Resolve committed sketch rows (key, n_rows, sk) — optionally
+    * restricted to `keys` under the stack's bucket count B (the
+    * election derives the queried keys' buckets from the QUERY frame,
+    * a query-sized collect, and the storage read prunes to exactly
+    * those pinned paths — an unelected bucket's directory is never
+    * listed) and/or pinned to a snapshot `version`
+    * ([[Manifest.readAt]] time travel). B is the caller's contract,
+    * the same one every [[commitBatch]] passes. */
+  def resolve(spark: SparkSession, root: String,
+              keys: Option[(DataFrame, Int)] = None,
+              version: Option[Long] = None): DataFrame = {
+    val st = Manifest.stateAt(spark, root, version)
+    keys match {
+      case None => readSketches(spark, root, st, None).drop("bkt")
+      case Some((ks, buckets)) =>
+        val kf = ks.select(col(ks.columns.head).cast("string").as("key"))
+          .distinct().localCheckpoint()
+        val elected = kf.select(bktOf(col("key"), buckets).as("_b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        readSketches(spark, root, st, Some(elected))
+          .join(kf, Seq("key"), "left_semi")
+          .drop("bkt")
+    }
+  }
+
+  /** Estimates view over [[resolve]] output: (key, n_rows, est) with
+    * est = round(HLL estimate) — the serve a dashboard reads. */
+  def estimates(resolved: DataFrame): DataFrame =
+    resolved.select(col("key"), col("n_rows"),
+      round(hll_sketch_estimate(col("sk"))).cast("long").as("est"))
+
+  /** Cross-key ROLL-UP: union the sketches of `resolved` rows into one
+    * estimate — "distinct users over ALL event types" without a raw
+    * pass (sketch union is exact over the union of the observed sets,
+    * not a sum of per-key estimates — overlap between keys is handled
+    * by construction). */
+  def rollup(resolved: DataFrame): DataFrame =
+    resolved.agg(sum(col("n_rows")).as("n_rows"),
+      round(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
+        .cast("long").as("est"))
+
+  /** [[TxServeStack.vacuum]]'s twin: reclaim superseded sketch-bucket
+    * versions, crash orphans, and history manifests below the floor. */
+  def vacuum(spark: SparkSession, root: String,
+             retainVersions: Int = 0): TxServeStack.VacuumStats =
+    Manifest.withCommitLock(spark, root) {
+      val (floor, retained) =
+        Manifest.retainedStates(spark, root, retainVersions)
+      val keep = retained.flatMap(_.statsV.map { case (b, v) =>
+        s"v=$v/bkt=$b" }).toSet
+      val (deleted, retired, kept) = Manifest.sweepUnpinned(spark, root,
+        floor, Seq(Manifest.SweepFamily("sketch", 2, keep)))
+      TxServeStack.VacuumStats(deleted, retired, kept)
+    }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Sampling, TxSketchStack}
 
 /** Round-16 second wave: the leakage-free dataset split (near-dup
   * clusters cross the train/test cut as units) and the mergeable-sketch
@@ -88,5 +88,190 @@ object Registry19 {
       .orderBy("split")
   }
 
-  val round19: Seq[Q] = Seq(sampleSplitLeakFree)
+  // -------------------------------------------- sketch ledger family
+
+  /** Four NON-overlapping event pages in arrival order (mtime + name
+    * ascending) — the sketch drain's exact row tallies make page
+    * overlap a semantic change (HLL absorbs a re-delivered row,
+    * `n_rows` must not), so this fixture does not reuse the
+    * deliberately-overlapping `pagesFixture`. Dense event_ids make the
+    * page boundary `n/4` oracle-expressible. */
+  private def eventPagesFixture(s: SparkSession, d: String): java.nio.file.Path =
+    FixtureCache.cached(d, "skpages", 1, Seq("events")) { tmp =>
+      val pages = tmp.resolve("pages")
+      java.nio.file.Files.createDirectories(pages)
+      val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
+      val n = ev.count()
+      val qn = n / 4
+      val base = System.currentTimeMillis() - 3600L * 1000
+      for (p <- 0 until 4) {
+        val lo = p * qn
+        val hi = if (p == 3) n else (p + 1) * qn
+        val tmpd = tmp.resolve(s"tmp$p")
+        ev.filter(col("event_id") >= lo && col("event_id") < hi)
+          .repartition(1).write.mode("overwrite").parquet(tmpd.toString)
+        val part = tmpd.toFile.listFiles().toSeq
+          .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+        val dest = pages.resolve(s"page$p.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(base + p * 60000L))
+        FixtureCache.deleteRecursively(tmpd)
+      }
+    }
+
+  /** Drain the event pages into a fresh sketch stack: one
+    * [[TxSketchStack.commitBatch]] per micro-batch (key = event_type,
+    * value = user_id, B = 8), exactly-once by the foreachBatch id. */
+  private[queries] def drainSketchStack(s: SparkSession, d: String,
+                                        tag: String): String = {
+    val fx = eventPagesFixture(s, d)
+    val stage = StreamHarness.runDir(tag)
+    val root = stage.resolve("stack").toString
+    TxSketchStack.init(s, root)
+    val stream = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(fx.resolve("pages").toString)
+    val run = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TxSketchStack.commitBatch(s, root, b, id, "event_type",
+          "user_id", buckets = 8)
+        ()
+      }
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    root
+  }
+
+  /** Exact-twin witness frame: the stack's (n_rows, estimate) joined
+    * against the raw corpus's exact distinct counts. `est_ok` pins the
+    * HLL estimate inside its published error envelope (±5% ≫ the
+    * 1.04/√2¹² ≈ 1.6% bound at lgK=12) — a dropped page, a
+    * double-counted replay, or a mis-merged bucket moves `exact_users`
+    * / `n_rows` / `est` far past it. The oracle carries the exact
+    * columns and a literal TRUE: cross-engine the ESTIMATE itself is
+    * not replayable (DuckDB has no Datasketches HLL), the law it must
+    * satisfy is. */
+  private def sketchWitness(s: SparkSession, d: String,
+                            resolved: DataFrame): DataFrame = {
+    val exact = Tables.events(s, d)
+      .groupBy(col("event_type").as("key"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    TxSketchStack.estimates(resolved)
+      .join(exact, Seq("key"))
+      .select(col("key"), col("n_rows"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("est_ok"))
+      .orderBy("key")
+  }
+
+  /** STREAMING sketch-ledger ingest
+    * ([[graft.operators.TxSketchStack.commitBatch]]): the
+    * distinct-count profile (exact row tally + HLL user sketch per
+    * event type) maintained from the stream under the manifest
+    * protocol — every micro-batch is one atomic commit (batch agg →
+    * touched-bucket merge → versioned write → swap), exactly-once by
+    * batch-id high-water. The serve reads ONLY the 5-row sketch ledger
+    * — no raw-event pass; the oracle's exact distinct counts pin the
+    * estimates through the ±5% witness and the tallies exactly. */
+  val streamingSketchIngest = Q("streaming_sketch_ingest",
+    """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events GROUP BY 1 ORDER BY key""".stripMargin) { (s, d) =>
+    val root = drainSketchStack(s, d, "graft_skingest")
+    sketchWitness(s, d, TxSketchStack.resolve(s, root))
+  }
+
+  /** PRUNED sketch serve: two queried keys elect their buckets from
+    * the query frame (a 2-row collect) and the read opens ONLY those
+    * pinned bucket directories — the serve-side O(touched) law
+    * (SketchStackSpec holds the inputFiles path witness; this gate
+    * pins the pruned read's RESULTS cross-engine). */
+  val sketchDistinctServe = Q("sketch_distinct_serve",
+    """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events WHERE event_type IN ('click', 'purchase')
+      |GROUP BY 1 ORDER BY key""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val root = drainSketchStack(s, d, "graft_skserve")
+    val keys = Seq("click", "purchase").toDF("key")
+    sketchWitness(s, d,
+      TxSketchStack.resolve(s, root, keys = Some((keys, 8))))
+  }
+
+  /** Cross-key ROLL-UP ([[graft.operators.TxSketchStack.rollup]]):
+    * "distinct users across ALL event types" answered by sketch UNION
+    * over the 5 stored rows — per-key estimates cannot sum (every user
+    * appears under several types; 5 × 150 ≫ 150), slot-max union
+    * handles the overlap by construction. The oracle's global exact
+    * distinct pins it through the same ±5% witness. */
+  val sketchRollupDistinct = Q("sketch_rollup_distinct",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events""".stripMargin) { (s, d) =>
+    val root = drainSketchStack(s, d, "graft_skroll")
+    val exact = Tables.events(s, d)
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    TxSketchStack.rollup(TxSketchStack.resolve(s, root))
+      .crossJoin(broadcast(exact))
+      .select(col("n_rows"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("est_ok"))
+  }
+
+  /** SNAPSHOT read on the sketch stack ([[Manifest.readAt]] through
+    * [[TxSketchStack.resolve]]): all four pages drain, but a reader
+    * pinned to version 1 serves the profile EXACTLY as of the first
+    * page's commit — later pages' rows and users invisible. The oracle
+    * restricts the raw pass to the first page's dense-id window
+    * (event_id < n/4); any post-snapshot leak moves its exact
+    * columns. */
+  val sketchSnapshotServe = Q("sketch_snapshot_serve",
+    """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events
+      |WHERE event_id < (SELECT COUNT(*) // 4 FROM events)
+      |GROUP BY 1 ORDER BY key""".stripMargin) { (s, d) =>
+    val root = drainSketchStack(s, d, "graft_sksnap")
+    val n = Tables.events(s, d).count()
+    val exact = Tables.events(s, d)
+      .filter(col("event_id") < n / 4)
+      .groupBy(col("event_type").as("key"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    TxSketchStack.estimates(
+        TxSketchStack.resolve(s, root, version = Some(1L)))
+      .join(exact, Seq("key"))
+      .select(col("key"), col("n_rows"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("est_ok"))
+      .orderBy("key")
+  }
+
+  /** VACUUM on the sketch stack: drop every superseded bucket version
+    * and history manifest (retention 0), then serve the full profile —
+    * bit-identical to `streaming_sketch_ingest`, with reclaim
+    * REQUIREd (4 commits over 8 buckets supersede at least one
+    * version). */
+  val sketchVacuumServe = Q("sketch_vacuum_serve",
+    """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events GROUP BY 1 ORDER BY key""".stripMargin) { (s, d) =>
+    val root = drainSketchStack(s, d, "graft_skvac")
+    val vs = TxSketchStack.vacuum(s, root, retainVersions = 0)
+    require(vs.deletedDirs > 0,
+      s"vacuum must reclaim superseded sketch versions, got $vs")
+    sketchWitness(s, d, TxSketchStack.resolve(s, root))
+  }
+
+  val round19: Seq[Q] = Seq(sampleSplitLeakFree, streamingSketchIngest,
+    sketchDistinctServe, sketchRollupDistinct, sketchSnapshotServe,
+    sketchVacuumServe)
 }

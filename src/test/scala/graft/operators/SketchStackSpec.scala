@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[TxSketchStack]] — the mergeable-sketch ledger under the manifest
+  * protocol. Load-bearing claims beyond the gates' oracle rows:
+  * (1) exactly-once by batch id — a replayed batch must not
+  * double-count the EXACT row tally (HLL would absorb it silently);
+  * (2) a crashed commit's versioned writes are invisible orphans;
+  * (3) the pruned serve never lists an unelected bucket's directory;
+  * (4) the HLL estimate holds its published error envelope at a
+  * cardinality far past the gates' 150-user corpus, and cross-key
+  * rollup handles overlap (union, not sum); (5) vacuum reclaims
+  * superseded versions without touching a live pin. */
+class SketchStackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchDf(keys: Seq[String], usersPerKey: Int, offset: Int = 0) =
+    keys.flatMap(k => (0 until usersPerKey).map(u =>
+      (k, (k.hashCode.abs % 97) * 1000000L + offset + u)))
+      .toDF("key", "user")
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_skspec").toString
+
+  test("exactly-once: a replayed batch id skips whole; tallies never double") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    val b0 = batchDf(Seq("a", "b"), 50)
+    assert(TxSketchStack.commitBatch(spark, root, b0, 0L, "key", "user", 4))
+    // replay of batch 0 (same id) must be a no-op, not a re-merge
+    assert(!TxSketchStack.commitBatch(spark, root, b0, 0L, "key", "user", 4))
+    val est = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(est("a")._1 == 50L && est("b")._1 == 50L,
+      s"replay double-counted the exact tally: $est")
+    // distinct merge across batches: batch 1 re-sends half of a's users
+    // and adds 25 new — n_rows adds all 75, distinct grows by 25
+    val b1 = batchDf(Seq("a"), 50, offset = 25)
+    assert(TxSketchStack.commitBatch(spark, root, b1, 1L, "key", "user", 4))
+    val est2 = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .filter($"key" === "a").collect().head
+    assert(est2.getLong(1) == 100L)
+    assert(math.abs(est2.getLong(2) - 75L) <= 4L,
+      s"merged estimate far from 75 true distinct: ${est2.getLong(2)}")
+  }
+
+  test("crash face: unpublished writes are invisible; replay commits once") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    assert(TxSketchStack.commitBatch(spark, root, batchDf(Seq("a"), 30),
+      0L, "key", "user", 4))
+    val before = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch 1 crashes after its versioned writes, before the swap
+    TxSketchStack.commitBatch(spark, root, batchDf(Seq("a", "c"), 40),
+      1L, "key", "user", 4, publish = false)
+    val mid = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mid == before, s"torn commit visible: $mid vs $before")
+    // the replay re-runs the same writes and commits exactly once
+    assert(TxSketchStack.commitBatch(spark, root, batchDf(Seq("a", "c"), 40),
+      1L, "key", "user", 4))
+    val after = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("a") == 70L && after("c") == 40L, s"replay wrong: $after")
+  }
+
+  test("pruned serve: an unelected bucket's directory is never listed") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    // 16 keys over 8 buckets so several buckets are populated
+    val keys = (0 until 16).map(i => s"k$i")
+    assert(TxSketchStack.commitBatch(spark, root, batchDf(keys, 20),
+      0L, "key", "user", 8))
+    val q = Seq("k3").toDF("key")
+    val resolved = TxSketchStack.resolve(spark, root, Some((q, 8)))
+    val kbkt = spark.range(1)
+      .select(pmod(xxhash64(lit("k3")), lit(8L)).cast("int"))
+      .collect().head.getInt(0)
+    val files = resolved.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"/bkt=$kbkt/")),
+      s"pruned resolve read outside bkt=$kbkt: " +
+        files.filterNot(_.contains(s"/bkt=$kbkt/")).take(3).mkString(","))
+    assert(resolved.count() == 1L)
+  }
+
+  test("error envelope at 50k distinct; rollup unions overlap instead of summing") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    // two keys sharing 25k of 50k users each: true union = 75k
+    val big = spark.range(0, 50000)
+      .select(lit("x").as("key"), $"id".as("user"))
+      .unionAll(spark.range(25000, 75000)
+        .select(lit("y").as("key"), $"id".as("user")))
+    assert(TxSketchStack.commitBatch(spark, root, big, 0L, "key", "user", 4))
+    val resolved = TxSketchStack.resolve(spark, root)
+    val perKey = TxSketchStack.estimates(resolved)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(math.abs(perKey("x") - 50000L) <= 2500L, s"x: ${perKey("x")}")
+    assert(math.abs(perKey("y") - 50000L) <= 2500L, s"y: ${perKey("y")}")
+    val roll = TxSketchStack.rollup(resolved).collect().head
+    assert(roll.getLong(0) == 100000L) // tallies SUM
+    assert(math.abs(roll.getLong(1) - 75000L) <= 3750L, // distinct UNIONS
+      s"rollup should estimate ~75k (union), not 100k (sum): ${roll.getLong(1)}")
+  }
+
+  test("snapshot + vacuum: time travel pins old cuts; vacuum keeps live pins") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    assert(TxSketchStack.commitBatch(spark, root, batchDf(Seq("a"), 10),
+      0L, "key", "user", 4))
+    assert(TxSketchStack.commitBatch(spark, root, batchDf(Seq("a"), 10,
+      offset = 10), 1L, "key", "user", 4))
+    val atV1 = TxSketchStack.estimates(
+      TxSketchStack.resolve(spark, root, version = Some(1L)))
+      .collect().head
+    assert(atV1.getLong(1) == 10L, s"snapshot leaked batch 1: $atV1")
+    val vs = TxSketchStack.vacuum(spark, root, retainVersions = 0)
+    assert(vs.deletedDirs > 0, s"nothing reclaimed: $vs")
+    val head = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().head
+    assert(head.getLong(1) == 20L && math.abs(head.getLong(2) - 20L) <= 2L)
+    // the vacuumed snapshot version is gone
+    assertThrows[IllegalStateException] {
+      TxSketchStack.resolve(spark, root, version = Some(1L)).collect()
+    }
+  }
+}
