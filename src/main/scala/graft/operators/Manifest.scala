@@ -893,6 +893,67 @@ object TxServeStack {
     true
   }
 
+  /** Transactional RE-BUCKET for the lexical stack —
+    * [[TxGraphStack.rebucket]]'s twin, moving BOTH keyspaces in one
+    * commit: the live postings consolidate into a fresh base under
+    * `newDocBuckets` (pmod(doc_id, B′) — also a physical purge: the
+    * tombstone window restarts with the base pointer), the positional
+    * family re-keys under the TERM keyspace it prunes by, and the
+    * whole term-stats ledger rewrites under `newTermBuckets` with its
+    * pin map moving wholesale. A crash anywhere leaves the old
+    * keyspaces serving; a reader can never observe the two numberings
+    * interleaved. Callers pass B′ to every subsequent
+    * commit/serve election — the same contract as the graph stack's.
+    * Inherently O(ledger), amortized over every batch-sized commit
+    * after it: the undersized-B case is term-DF skew — with B fixed
+    * while the vocabulary grows ∝ corpus, every stats bucket's
+    * replacement write grows ∝ vocabulary/B, and the serve's elected
+    * "3 buckets of 16" stops pruning (3 of 16 is 19% of a ledger that
+    * should have been 3 of 512 = 0.6%). */
+  def rebucket(spark: SparkSession, root: String, newDocBuckets: Int,
+               newTermBuckets: Int, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+    require(newDocBuckets > 0 && newTermBuckets > 0,
+      "bucket counts must be positive")
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (Manifest.visiblePostingDirs(spark, root, st).isEmpty &&
+      st.statsV.isEmpty) return false
+    val vNew = st.version + 1
+    Ledger.withBucket(
+        livePostings(spark, root, st).drop("_b", "bkt"),
+        "doc_id", newDocBuckets)
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/postings/base/v=$vNew")
+    if (Manifest.visibleDeltaDirs(spark, root, st, "positions").nonEmpty)
+      Ledger.withHashBucket(
+          liveOnly(readPositions(spark, root, st),
+              readDeletes(spark, root, st))
+            .select(col("doc_id"), col("term"), col("positions")),
+          "term", newTermBuckets)
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/positions/base/v=$vNew")
+    val statsPins =
+      if (st.statsV.isEmpty) st.statsV
+      else {
+        val bucketed = Ledger.withHashBucket(
+          readPinnedStats(spark, root, st, st.statsV.keys.toSeq),
+          "term", newTermBuckets).localCheckpoint()
+        val present = bucketed.select("bkt").distinct()
+          .collect().map(_.getInt(0))
+        if (present.nonEmpty)
+          bucketed.write.partitionBy("bkt").mode("overwrite")
+            .parquet(s"$root/stats/v=$vNew")
+        present.map(_ -> vNew).toMap
+      }
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        baseV = vNew, baseBatch = st.batchId, statsV = statsPins))
+    true
+  }
+
   /** What [[vacuum]] did: asset directories deleted (superseded
     * versions, compacted-away batch deltas, crash orphans), history
     * manifests retired (bounding time travel), and asset directories

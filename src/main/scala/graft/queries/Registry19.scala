@@ -271,7 +271,45 @@ object Registry19 {
     sketchWitness(s, d, TxSketchStack.resolve(s, root))
   }
 
+  // -------------------------------------------- lexical re-bucket
+
+  /** Transactional RE-BUCKET on the LEXICAL stack
+    * ([[graft.operators.TxServeStack.rebucket]] —
+    * `ann_graph_tx_rebucket`'s twin): after the 4-page drain, ONE
+    * commit moves both keyspaces 16 → 32 (postings consolidated under
+    * pmod(doc_id, 32); the whole term-stats ledger re-keyed under
+    * xxhash-32 with its pin map moving wholesale), then a
+    * post-migration DELETE commits under the NEW keyspace and the
+    * serve elects its query terms' buckets under B′=32. The oracle is
+    * the delete gate's scratch BM25 over the surviving corpus — a row
+    * lost in migration, a stats bucket left under the old numbering,
+    * or a delete landing in the wrong doc bucket all flip scores. */
+  val textIndexRebucket = Q("text_index_rebucket",
+    s"""WITH ${Registry12.sqlBm25(10, "doc_id % 7 <> 3")}
+       |SELECT q_id, doc_id, rnk, score FROM lex
+       |ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.{Ledger, Retrieval, TxServeStack}
+    val root = Registry16.drainTxStack(s, d, "graft_statsrb")
+    require(TxServeStack.rebucket(s, root, newDocBuckets = 32,
+      newTermBuckets = 32),
+      "the re-bucket migration must commit on the drained stack")
+    require(TxServeStack.commitDelete(s, root,
+      docs(s, d).filter(col("doc_id") % 7 === 3).select("doc_id"),
+      batchId = 4L, "doc_id", docBuckets = 32, termBuckets = 32),
+      "the post-migration delete must commit under the new keyspace")
+    val qt = docs(s, d).filter(col("doc_id") < 3)
+      .select(col("doc_id").as("q_id"),
+        explode(split(col("text"), " ")).as("term"))
+    val qBkts = Ledger.keyHashBuckets(qt.select("term").distinct(),
+      "term", 32)
+    val (postings, stats, global) =
+      TxServeStack.resolve(s, root, statsBuckets = Some(qBkts))
+    Retrieval.bm25TopKFromStats(qt, postings, stats, global, k = 10)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("q_id", "rnk")
+  }
+
   val round19: Seq[Q] = Seq(sampleSplitLeakFree, streamingSketchIngest,
     sketchDistinctServe, sketchRollupDistinct, sketchSnapshotServe,
-    sketchVacuumServe)
+    sketchVacuumServe, textIndexRebucket)
 }

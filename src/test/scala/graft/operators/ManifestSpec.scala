@@ -142,6 +142,55 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("rebucket: serve bit-identical under the new keyspaces; crash face leaves the old numbering; post-migration commits compose") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftrb")
+    try {
+      TxServeStack.commitBatch(spark, dir.toString,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      TxServeStack.commitBatch(spark, dir.toString,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      val before = snapshot(dir.toString)
+      val pinsBefore = Manifest.read(spark, dir.toString).get.statsV
+      // crash face: all three asset rewrites landed, swap did not —
+      // the old keyspaces keep serving, pin map untouched
+      TxServeStack.rebucket(spark, dir.toString, 8, 8, publish = false)
+      assert(snapshot(dir.toString) == before,
+        "an uncommitted re-bucket leaked to a reader")
+      assert(Manifest.read(spark, dir.toString).get.statsV == pinsBefore)
+      // committed migration: same rows, both pin maps on the new keyspace
+      assert(TxServeStack.rebucket(spark, dir.toString, 8, 8))
+      assert(snapshot(dir.toString) == before,
+        "the re-bucket changed the served state")
+      val stM = Manifest.read(spark, dir.toString).get
+      assert(stM.statsV.values.forall(_ == stM.version),
+        s"stats pins must move wholesale: ${stM.statsV}")
+      // the new stats numbering prunes correctly: one term's elected
+      // bucket under B'=8 reads ONLY that bucket's directory
+      val qb = Ledger.keyHashBuckets(Seq("fox").toDF("term"), "term", 8)
+      val (_, sPruned, _) = TxServeStack.resolve(spark, dir.toString,
+        statsBuckets = Some(qb))
+      val sf = sPruned.inputFiles
+      assert(sf.nonEmpty && sf.forall(f => qb.exists(b => f.contains(s"/bkt=$b/"))),
+        s"pruned stats read outside its elected buckets: ${sf.take(3).mkString(",")}")
+      assert(sPruned.filter($"term" === "fox").count() == 1L)
+      // post-migration append under B'=8 composes to a from-scratch build
+      val more = Seq((4L, "brown dog jumps the fence")).toDF("doc_id", "text")
+      TxServeStack.commitBatch(spark, dir.toString, more, 2L,
+        "doc_id", "text", 8, 8)
+      val (p, _, g) = TxServeStack.resolve(spark, dir.toString)
+      val all = corpus.unionByName(more)
+      val wantP = Retrieval.withDocNorms(
+        Retrieval.bm25IndexBuild(all, "doc_id", "text"))
+      assert(p.exceptAll(wantP).isEmpty && wantP.exceptAll(p).isEmpty,
+        "post-migration append drifted from a from-scratch build")
+      val wantG = Retrieval.bm25GlobalStatsBuild(
+        Retrieval.bm25IndexBuild(all, "doc_id", "text")).collect().toSeq
+      assert(g.collect().toSeq == wantG)
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("snapshot reads: readAt pins an old consistent cut; refuses torn and future versions") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mftsn")
     try {
