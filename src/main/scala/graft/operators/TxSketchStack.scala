@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   * (`hll_sketch_agg` / `hll_union` / `hll_sketch_estimate`) — no UDFs.
   *
   * Layout: one family (`sketch/v=V/bkt=B`) of rows
-  * (key, n_rows, sk) under per-bucket MVCC, bucketed by
-  * pmod(xxhash64(key), B) and pinned in [[Manifest.State.statsV]].
+  * (key, n_rows, sk, th) under per-bucket MVCC, bucketed by
+  * pmod(xxhash64(key), B) and pinned in [[Manifest.State.statsV]]:
+  * `sk` an HLL register array (cheapest cardinality), `th` a Theta
+  * sample set (cardinality + [[overlap]]'s set algebra) — both ride
+  * the same merge pass.
   * A batch aggregates ONCE map-side (hll_sketch_agg has a partial
   * merge, so the shuffle carries one sketch per key per partition,
   * never raw values), merges against exactly its touched buckets'
@@ -51,9 +54,13 @@ object TxSketchStack {
         Manifest.State(0L, -1L, -1L, Map.empty))
     }
 
-  /** Raw committed sketch rows (key, n_rows, sk, bkt), each bucket at
-    * its pinned version; `restrict` prunes at the PATH level (an
-    * unelected bucket's directory is never listed). */
+  /** Raw committed sketch rows (key, n_rows, sk, th, bkt), each bucket
+    * at its pinned version; `restrict` prunes at the PATH level (an
+    * unelected bucket's directory is never listed). `sk` is the HLL
+    * register array (cardinality), `th` the Theta sample set (same
+    * cardinality PLUS set algebra — intersection/difference across
+    * keys, which HLL registers cannot express). Both maintain by the
+    * same slot/sample union, so one merge pass carries both. */
   private def readSketches(spark: SparkSession, root: String,
                            st: Manifest.State,
                            restrict: Option[Seq[Int]]): DataFrame = {
@@ -64,11 +71,12 @@ object TxSketchStack {
     if (pinned.isEmpty)
       spark.emptyDataFrame.select(lit("").as("key"),
         lit(0L).as("n_rows"), lit(Array.empty[Byte]).as("sk"),
-        lit(0).as("bkt")).limit(0)
+        lit(Array.empty[Byte]).as("th"), lit(0).as("bkt")).limit(0)
     else spark.read.option("basePath", s"$root/sketch")
       .parquet(pinned.toSeq.sorted.map { case (b, v) =>
         s"$root/sketch/v=$v/bkt=$b" }: _*)
-      .select(col("key"), col("n_rows"), col("sk"), col("bkt"))
+      .select(col("key"), col("n_rows"), col("sk"), col("th"),
+        col("bkt"))
   }
 
   /** One arrival batch through the protocol: aggregate the batch to
@@ -94,21 +102,26 @@ object TxSketchStack {
       .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("_bn"),
-        hll_sketch_agg(col(valCol), lit(lgK)).as("_bsk"))
+        hll_sketch_agg(col(valCol), lit(lgK)).as("_bsk"),
+        theta_sketch_agg(col(valCol)).as("_bth"))
       .withColumn("bkt", bktOf(col("key"), buckets))
       .localCheckpoint() // keys-sized; feeds election + merge
     val touched = agg.select(col("bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
       val old = readSketches(spark, root, st, Some(touched))
-        .select(col("key"), col("n_rows").as("_on"), col("sk").as("_osk"))
+        .select(col("key"), col("n_rows").as("_on"),
+          col("sk").as("_osk"), col("th").as("_oth"))
       val replaced = old.join(agg.drop("bkt"), Seq("key"), "full_outer")
         .select(col("key"),
           (coalesce(col("_on"), lit(0L)) + coalesce(col("_bn"), lit(0L)))
             .as("n_rows"),
           when(col("_osk").isNull, col("_bsk"))
             .when(col("_bsk").isNull, col("_osk"))
-            .otherwise(hll_union(col("_osk"), col("_bsk"))).as("sk"))
+            .otherwise(hll_union(col("_osk"), col("_bsk"))).as("sk"),
+          when(col("_oth").isNull, col("_bth"))
+            .when(col("_bth").isNull, col("_oth"))
+            .otherwise(theta_union(col("_oth"), col("_bth"))).as("th"))
         .withColumn("bkt", bktOf(col("key"), buckets))
       val pins = Manifest.writeRepin(replaced, "sketch", root, vNew,
         touched, st.statsV)
@@ -162,6 +175,29 @@ object TxSketchStack {
     resolved.agg(sum(col("n_rows")).as("n_rows"),
       round(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
         .cast("long").as("est"))
+
+  /** Cross-key SET ALGEBRA over the theta family: |A∩B|, |A∖B|, |A∪B|
+    * estimates between two keys' stored sample sets — the
+    * audience-overlap / retention question a register sketch cannot
+    * answer (HLL unions; it cannot intersect). Two 1-row lookups from
+    * the resolved frame, a 1×1 cross, three sample-set operations —
+    * no raw pass at any corpus size. Below the theta nominal-entries
+    * threshold (4096) the sample set IS the distinct set, so the
+    * estimates are exact; above it they carry the published
+    * sampling error. */
+  def overlap(resolved: DataFrame, keyA: String, keyB: String): DataFrame = {
+    val a = resolved.filter(col("key") === keyA)
+      .select(col("th").as("_ta"))
+    val b = resolved.filter(col("key") === keyB)
+      .select(col("th").as("_tb"))
+    a.crossJoin(broadcast(b)).select(
+      round(theta_sketch_estimate(theta_intersection(col("_ta"),
+        col("_tb")))).cast("long").as("inter_est"),
+      round(theta_sketch_estimate(theta_difference(col("_ta"),
+        col("_tb")))).cast("long").as("diff_est"),
+      round(theta_sketch_estimate(theta_union(col("_ta"), col("_tb"))))
+        .cast("long").as("union_est"))
+  }
 
   /** [[TxServeStack.vacuum]]'s twin: reclaim superseded sketch-bucket
     * versions, crash orphans, and history manifests below the floor. */

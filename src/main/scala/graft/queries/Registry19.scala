@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Dedup, Sampling, TxSketchStack}
@@ -271,6 +271,61 @@ object Registry19 {
     sketchWitness(s, d, TxSketchStack.resolve(s, root))
   }
 
+  /** Cross-key SET ALGEBRA from stored THETA sketches
+    * ([[graft.operators.TxSketchStack.overlap]]): "users who clicked
+    * AND purchased / clicked but never purchased" answered from the
+    * committed sample sets — two 1-row lookups and three sketch
+    * operations, no raw pass. This is the face HLL registers cannot
+    * serve (registers union; they cannot intersect) and the reason
+    * the stack carries both families. The corpus is value-filtered so
+    * the per-type user sets genuinely differ (unfiltered, every type
+    * saw every user — the overlap would be degenerate); below theta's
+    * 4096-sample threshold the estimates are EXACT, so the ±5%
+    * witness has no slack to hide in. */
+  val sketchOverlapServe = Q("sketch_overlap_serve",
+    """WITH f AS (SELECT * FROM events WHERE value >= 90),
+      |a AS (SELECT DISTINCT user_id FROM f WHERE event_type = 'click'),
+      |b AS (SELECT DISTINCT user_id FROM f WHERE event_type = 'purchase')
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+      |    AS exact_inter,
+      |  CAST((SELECT COUNT(*) FROM a ANTI JOIN b USING (user_id)) AS BIGINT)
+      |    AS exact_diff,
+      |  CAST((SELECT COUNT(*) FROM (SELECT user_id FROM a
+      |    UNION SELECT user_id FROM b)) AS BIGINT) AS exact_union,
+      |  TRUE AS est_ok""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val stage = StreamHarness.runDir("graft_skovl")
+    val root = stage.resolve("stack").toString
+    TxSketchStack.init(s, root)
+    require(TxSketchStack.commitBatch(s, root,
+      Tables.events(s, d).filter(col("value") >= 90),
+      0L, "event_type", "user_id", buckets = 8),
+      "the filtered batch must commit")
+    val resolved = TxSketchStack.resolve(s, root,
+      keys = Some((Seq("click", "purchase").toDF("key"), 8)))
+    val f = Tables.events(s, d).filter(col("value") >= 90)
+    def users(t: String) = f.filter(col("event_type") === t)
+      .select("user_id").distinct()
+    val exact = users("click").withColumn("_a", lit(1))
+      .join(users("purchase").withColumn("_b", lit(1)),
+        Seq("user_id"), "full_outer")
+      .agg(
+        sum(when(col("_a").isNotNull && col("_b").isNotNull, 1L)
+          .otherwise(0L)).as("exact_inter"),
+        sum(when(col("_a").isNotNull && col("_b").isNull, 1L)
+          .otherwise(0L)).as("exact_diff"),
+        count(lit(1)).as("exact_union"))
+    def ok(est: Column, exact: Column): Column =
+      abs(est - exact) <= greatest(exact * lit(0.05), lit(2.0))
+    TxSketchStack.overlap(resolved, "click", "purchase")
+      .crossJoin(broadcast(exact))
+      .select(col("exact_inter"), col("exact_diff"), col("exact_union"),
+        (ok(col("inter_est"), col("exact_inter")) &&
+          ok(col("diff_est"), col("exact_diff")) &&
+          ok(col("union_est"), col("exact_union"))).as("est_ok"))
+  }
+
   // -------------------------------------------- lexical re-bucket
 
   /** Transactional RE-BUCKET on the LEXICAL stack
@@ -311,5 +366,5 @@ object Registry19 {
 
   val round19: Seq[Q] = Seq(sampleSplitLeakFree, streamingSketchIngest,
     sketchDistinctServe, sketchRollupDistinct, sketchSnapshotServe,
-    sketchVacuumServe, textIndexRebucket)
+    sketchVacuumServe, sketchOverlapServe, textIndexRebucket)
 }

@@ -106,6 +106,25 @@ class SketchStackSpec extends SparkSpec {
       s"rollup should estimate ~75k (union), not 100k (sum): ${roll.getLong(1)}")
   }
 
+  test("theta overlap: intersection/difference exact below the sample threshold, across batches") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    // x = {0..999}, y = {600..1599}: |x∩y| = 400, |x∖y| = 600,
+    // |x∪y| = 1600 — y arrives over TWO batches, so the served
+    // intersection also proves theta_union maintenance composes
+    val x = spark.range(0, 1000).select(lit("x").as("key"), $"id".as("user"))
+    val y1 = spark.range(600, 1100).select(lit("y").as("key"), $"id".as("user"))
+    val y2 = spark.range(1100, 1600).select(lit("y").as("key"), $"id".as("user"))
+    assert(TxSketchStack.commitBatch(spark, root, x.unionAll(y1), 0L,
+      "key", "user", 4))
+    assert(TxSketchStack.commitBatch(spark, root, y2, 1L, "key", "user", 4))
+    val got = TxSketchStack.overlap(
+      TxSketchStack.resolve(spark, root), "x", "y").collect().head
+    assert(got.getLong(0) == 400L, s"inter: $got")
+    assert(got.getLong(1) == 600L, s"diff: $got")
+    assert(got.getLong(2) == 1600L, s"union: $got")
+  }
+
   test("snapshot + vacuum: time travel pins old cuts; vacuum keeps live pins") {
     val root = newRoot()
     TxSketchStack.init(spark, root)
