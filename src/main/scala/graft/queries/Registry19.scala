@@ -326,6 +326,64 @@ object Registry19 {
           ok(col("union_est"), col("exact_union"))).as("est_ok"))
   }
 
+  /** DAY-OVER-DAY RETENTION from stored theta sketches: the classic
+    * product question ("of yesterday's users, how many returned
+    * today?") answered by ONE intersection over two stored sample
+    * sets — at 100 TB the daily sketch rows are the only state, and
+    * any D×D retention matrix is D² sketch intersections with zero
+    * raw-event passes. Keys here are calendar days (the sketch stack
+    * is key-agnostic — same ledger, time keys instead of type keys);
+    * both engines derive the day by UTC truncation. */
+  val sketchRetentionServe = Q("sketch_retention_serve",
+    """WITH a AS (SELECT DISTINCT user_id FROM events
+      |  WHERE strftime(ts, '%Y-%m-%d') = '2024-01-01'),
+      |b AS (SELECT DISTINCT user_id FROM events
+      |  WHERE strftime(ts, '%Y-%m-%d') = '2024-01-02')
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_d1,
+      |  CAST((SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS BIGINT)
+      |    AS exact_retained,
+      |  CAST((SELECT COUNT(*) FROM b ANTI JOIN a USING (user_id)) AS BIGINT)
+      |    AS exact_new,
+      |  TRUE AS est_ok""".stripMargin) { (s, d) =>
+    val stage = StreamHarness.runDir("graft_skret")
+    val root = stage.resolve("stack").toString
+    TxSketchStack.init(s, root)
+    val keyed = Tables.events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+    require(TxSketchStack.commitBatch(s, root, keyed, 0L, "day",
+      "user_id", buckets = 8),
+      "the day-keyed batch must commit")
+    val resolved = TxSketchStack.resolve(s, root)
+    def users(day: String) = keyed.filter(col("day") === day)
+      .select("user_id").distinct()
+    val exact = users("2024-01-01").withColumn("_a", lit(1))
+      .join(users("2024-01-02").withColumn("_b", lit(1)),
+        Seq("user_id"), "full_outer")
+      .agg(
+        sum(when(col("_a").isNotNull, 1L).otherwise(0L)).as("exact_d1"),
+        sum(when(col("_a").isNotNull && col("_b").isNotNull, 1L)
+          .otherwise(0L)).as("exact_retained"),
+        sum(when(col("_a").isNull && col("_b").isNotNull, 1L)
+          .otherwise(0L)).as("exact_new"))
+    def ok(est: Column, exact: Column): Column =
+      abs(est - exact) <= greatest(exact * lit(0.05), lit(2.0))
+    // d1 cardinality, retained = d1 ∩ d2, new = d2 ∖ d1
+    val ests = TxSketchStack.overlap(resolved, "2024-01-01", "2024-01-02")
+      .crossJoin(broadcast(TxSketchStack.estimates(
+        resolved.filter(col("key") === "2024-01-01"))
+        .select(col("est").as("d1_est"))))
+    // overlap's diff is A∖B (churned); NEW users are B∖A — derive from
+    // union − |A| (exact set identity, carried by the same sketches)
+    ests.crossJoin(broadcast(exact))
+      .select(col("exact_d1"), col("exact_retained"), col("exact_new"),
+        (ok(col("d1_est"), col("exact_d1")) &&
+          ok(col("inter_est"), col("exact_retained")) &&
+          ok(col("union_est") - col("d1_est"), col("exact_new")))
+          .as("est_ok"))
+  }
+
   // -------------------------------------------- lexical re-bucket
 
   /** Transactional RE-BUCKET on the LEXICAL stack
@@ -366,5 +424,6 @@ object Registry19 {
 
   val round19: Seq[Q] = Seq(sampleSplitLeakFree, streamingSketchIngest,
     sketchDistinctServe, sketchRollupDistinct, sketchSnapshotServe,
-    sketchVacuumServe, sketchOverlapServe, textIndexRebucket)
+    sketchVacuumServe, sketchOverlapServe, sketchRetentionServe,
+    textIndexRebucket)
 }

@@ -734,6 +734,86 @@ object ScaleProbe {
         }
       }
 
+      if (want("txsketch")) {
+        // sketch ledger under the manifest protocol (round 16): the
+        // law that makes sketches THE answer at 100 TB — state bytes
+        // per key are ~CONSTANT while the tracked distinct set grows
+        // ∝ corpus (an HLL register array + a capped theta sample set
+        // vs the exact distinct set itself), a batch commit writes
+        // only its touched buckets' key rows + two metadata files,
+        // and a serve opens the elected buckets' pinned dirs only.
+        // Keys: a 256-way synthetic domain over the doc text hash —
+        // the realistic many-key profile (per-domain distinct doc
+        // tracking); values: doc_id (distinct ∝ corpus).
+        import graft.operators.{Manifest, TxSketchStack}
+        val d = graft.Tables.documents(spark, dir)
+        val keyed = d.select(
+          concat(lit("d"), pmod(xxhash64(col("text")), lit(256L)))
+            .as("dom"),
+          col("doc_id"))
+        val nD = d.count()
+        val stage = java.nio.file.Files.createTempDirectory("graft_txsk")
+        val root = stage.resolve("stack").toString
+        try {
+          TxSketchStack.init(spark, root)
+          val qn = nD / 4
+          for (p <- 0 until 4) {
+            val lo = p * qn
+            val hi = if (p == 3) nD else (p + 1) * qn
+            TxSketchStack.commitBatch(spark, root,
+              keyed.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              p.toLong, "dom", "doc_id", buckets = 64)
+          }
+          val st = Manifest.read(spark, root).get
+          val lastRows = spark.read
+            .parquet(s"$root/sketch/v=${st.version}").count()
+          val lastTouched = st.statsV.count(_._2 == st.version)
+          // total pinned state bytes: the constant-per-key law
+          val fsys = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val pinnedBytes = st.statsV.toSeq.map { case (b, v) =>
+            fsys.getContentSummary(new org.apache.hadoop.fs.Path(
+              s"$root/sketch/v=$v/bkt=$b")).getLength
+          }.sum
+          val resolved = TxSketchStack.resolve(spark, root)
+            .localCheckpoint()
+          val nKeys = resolved.count()
+          println(s"PROBE txsketch $scale docs=$nD keys=$nKeys " +
+            s"batch4_write_rows=$lastRows " +
+            s"batch4_buckets=$lastTouched of 64 " +
+            s"pinned_state_bytes=$pinnedBytes metadata_files=2")
+          // estimate quality at this cardinality: worst relative
+          // error across keys (HLL lgK=12 bound ~1.6%; theta exact
+          // below 4096 samples/key)
+          val exact = keyed.groupBy(col("dom").as("key"))
+            .agg(count_distinct(col("doc_id")).as("ex"))
+          val worst = TxSketchStack.estimates(resolved)
+            .join(exact, Seq("key"))
+            .select(max(abs(col("est") - col("ex")) / col("ex")))
+            .head().getDouble(0)
+          println(f"PROBE txsketch $scale worst_rel_err=$worst%.4f " +
+            s"of hll_bound=0.016")
+          // pruned serve: 2 queried keys open <= 2 of the pinned dirs
+          import spark.implicits._
+          val q2 = Seq("d3", "d7").toDF("key")
+          val served = TxSketchStack.resolve(spark, root,
+            keys = Some((q2, 64)))
+          val files = served.inputFiles
+          val dirsOpened = files.map(f =>
+            f.substring(0, f.lastIndexOf('/'))).distinct.length
+          println(s"PROBE txsketch $scale serve_q_keys=2 " +
+            s"sketch_dirs_opened=$dirsOpened of ${st.statsV.size} " +
+            s"rows_read=${served.count()}")
+          val vs = TxSketchStack.vacuum(spark, root)
+          println(s"PROBE txsketch $scale " +
+            s"vacuum_deleted_dirs=${vs.deletedDirs} " +
+            s"retired_manifests=${vs.deletedManifests} " +
+            s"kept_dirs=${vs.keptDirs}")
+        } finally {
+          graft.queries.FixtureCache.deleteRecursively(stage)
+        }
+      }
+
       if (want("semdedup")) {
         // PQ-prefix semantic blocking: the governing count is the
         // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a
