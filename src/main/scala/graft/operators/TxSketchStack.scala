@@ -199,6 +199,92 @@ object TxSketchStack {
         .cast("long").as("union_est"))
   }
 
+  /** KEY-LEVEL REPLACE — the takedown face, shaped by what sketches
+    * are: HLL registers and theta samples are NOT invertible (a
+    * slot-max cannot un-see a value), so "remove user X" or "drop the
+    * events before T" cannot edit a sketch — the honest operation is
+    * to REBUILD the affected keys' rows from a re-scan and swap them
+    * in whole. One commit: the re-derived (key, tally, sketches) rows
+    * replace exactly their keys in exactly their buckets (other keys
+    * in touched buckets ride through); keys in `drop` with no
+    * replacement row disappear. O(touched buckets) write, one swap —
+    * the same discipline as every other stack's upsert, with the
+    * rebuild cost ∝ the re-scanned slice, not the ledger.
+    * Idempotent by batch id. */
+  def commitReplace(spark: SparkSession, root: String,
+                    rebuilt: DataFrame, drop: DataFrame, batchId: Long,
+                    keyCol: String, valCol: String, buckets: Int,
+                    lgK: Int = 12, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"sketch stack not initialized at $root — call init first"))
+    if (batchId <= st.batchId) false // replayed: already committed
+    else {
+    val vNew = st.version + 1
+    val agg = rebuilt
+      .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(valCol), lit(lgK)).as("sk"),
+        theta_sketch_agg(col(valCol)).as("th"))
+      .withColumn("bkt", bktOf(col("key"), buckets))
+      .localCheckpoint()
+    val dropKeys = drop
+      .select(col(drop.columns.head).cast("string").as("key")).distinct()
+      .withColumn("bkt", bktOf(col("key"), buckets))
+      .localCheckpoint()
+    val touched = agg.select(col("bkt"))
+      .unionByName(dropKeys.select(col("bkt")))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val untouched = readSketches(spark, root, st, Some(touched))
+        .join(agg.select("key"), Seq("key"), "left_anti")
+        .join(dropKeys.select("key"), Seq("key"), "left_anti")
+        .select("key", "n_rows", "sk", "th", "bkt")
+      val replaced = untouched.unionByName(agg)
+      val pins = Manifest.writeRepin(replaced, "sketch", root, vNew,
+        touched, st.statsV)
+      if (publish)
+        Manifest.commit(spark, root, st.copy(version = vNew,
+          batchId = batchId, statsV = pins))
+    } else if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId))
+    true
+    }
+  }
+
+  /** Transactional RE-BUCKET — [[TxGraphStack.rebucket]]'s twin for
+    * the sketch family: every committed row re-derives `bkt` under B′
+    * and lands at one fresh version, the pin map moves wholesale, one
+    * swap. Callers pass B′ to every subsequent commit/serve election
+    * — the shared migration contract. O(keys), amortized over every
+    * batch after it. */
+  def rebucket(spark: SparkSession, root: String,
+               newBuckets: Int, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (st.statsV.isEmpty) return false
+    val vNew = st.version + 1
+    val moved = readSketches(spark, root, st, None)
+      .drop("bkt")
+      .withColumn("bkt", bktOf(col("key"), newBuckets))
+      .repartition(col("bkt"))
+      .localCheckpoint()
+    val present = moved.select("bkt").distinct()
+      .collect().map(_.getInt(0))
+    if (present.nonEmpty)
+      moved.write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/sketch/v=$vNew")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        statsV = present.map(_ -> vNew).toMap))
+    true
+  }
+
   /** [[TxServeStack.vacuum]]'s twin: reclaim superseded sketch-bucket
     * versions, crash orphans, and history manifests below the floor. */
   def vacuum(spark: SparkSession, root: String,

@@ -384,6 +384,46 @@ object Registry19 {
           .as("est_ok"))
   }
 
+  /** KEY-LEVEL REPLACE on the sketch stack
+    * ([[graft.operators.TxSketchStack.commitReplace]]) — the takedown
+    * face, shaped by non-invertibility: registers and sample sets
+    * cannot un-see a value, so removal is REBUILD-AND-SWAP. One commit
+    * rebuilds `click` from a re-scan that excludes the withdrawn
+    * users (user_id ≡ 0 mod 10), drops `error` entirely, and leaves
+    * the other keys' rows riding through their shared buckets. The
+    * oracle recomputes the profile over exactly that corpus cut — a
+    * stale click sketch still counting a withdrawn user moves
+    * `exact_users` past the witness; a leaked `error` row changes the
+    * row count. */
+  val sketchReplaceServe = Q("sketch_replace_serve",
+    """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events
+      |WHERE event_type <> 'error'
+      |  AND NOT (event_type = 'click' AND user_id % 10 = 0)
+      |GROUP BY 1 ORDER BY key""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val root = drainSketchStack(s, d, "graft_skrepl")
+    val rebuilt = Tables.events(s, d)
+      .filter(col("event_type") === "click" && col("user_id") % 10 =!= 0)
+    require(TxSketchStack.commitReplace(s, root, rebuilt,
+      Seq("error").toDF("key"), 4L, "event_type", "user_id",
+      buckets = 8),
+      "the replace batch must commit on the drained stack")
+    val exact = Tables.events(s, d)
+      .filter(col("event_type") =!= "error" &&
+        !(col("event_type") === "click" && col("user_id") % 10 === 0))
+      .groupBy(col("event_type").as("key"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    TxSketchStack.estimates(TxSketchStack.resolve(s, root))
+      .join(exact, Seq("key"))
+      .select(col("key"), col("n_rows"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("est_ok"))
+      .orderBy("key")
+  }
+
   // -------------------------------------------- lexical re-bucket
 
   /** Transactional RE-BUCKET on the LEXICAL stack
@@ -425,5 +465,6 @@ object Registry19 {
   val round19: Seq[Q] = Seq(sampleSplitLeakFree, streamingSketchIngest,
     sketchDistinctServe, sketchRollupDistinct, sketchSnapshotServe,
     sketchVacuumServe, sketchOverlapServe, sketchRetentionServe,
+    sketchReplaceServe,
     textIndexRebucket)
 }

@@ -125,6 +125,64 @@ class SketchStackSpec extends SparkSpec {
     assert(got.getLong(2) == 1600L, s"union: $got")
   }
 
+  test("commitReplace: rebuilt keys swap in whole, dropped keys vanish, neighbors ride through") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    // three keys over FEW buckets so replaced and untouched keys share one
+    val keys = Seq("a", "b", "c")
+    assert(TxSketchStack.commitBatch(spark, root, batchDf(keys, 40),
+      0L, "key", "user", 2))
+    // rebuild a from a re-scan keeping 10 users; take b down entirely
+    val rebuilt = batchDf(Seq("a"), 10)
+    val crash = TxSketchStack.commitReplace(spark, root, rebuilt,
+      Seq("b").toDF("key"), 1L, "key", "user", 2, publish = false)
+    assert(crash)
+    val mid = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mid == Map("a" -> 40L, "b" -> 40L, "c" -> 40L),
+      s"torn replace visible: $mid")
+    assert(TxSketchStack.commitReplace(spark, root, rebuilt,
+      Seq("b").toDF("key"), 1L, "key", "user", 2))
+    val after = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after.keySet == Set("a", "c"), s"b must vanish: $after")
+    assert(after("a")._1 == 10L && math.abs(after("a")._2 - 10L) <= 1L,
+      s"a must serve the rebuilt set only: $after")
+    assert(after("c")._1 == 40L, s"untouched neighbor moved: $after")
+    // replay skips whole
+    assert(!TxSketchStack.commitReplace(spark, root, rebuilt,
+      Seq("b").toDF("key"), 1L, "key", "user", 2))
+  }
+
+  test("rebucket: rows identical under the new keyspace; pruned serve elects under B'") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    val keys = (0 until 12).map(i => s"k$i")
+    assert(TxSketchStack.commitBatch(spark, root, batchDf(keys, 15),
+      0L, "key", "user", 2))
+    val before = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().map(_.toString).toSet
+    assert(TxSketchStack.rebucket(spark, root, newBuckets = 8))
+    val after = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .collect().map(_.toString).toSet
+    assert(after == before, "rebucket changed the served profile")
+    // pruned serve under B'=8 opens only the elected bucket
+    val q = Seq("k5").toDF("key")
+    val resolved = TxSketchStack.resolve(spark, root, Some((q, 8)))
+    val kbkt = spark.range(1)
+      .select(pmod(xxhash64(lit("k5")), lit(8L)).cast("int"))
+      .collect().head.getInt(0)
+    val files = resolved.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"/bkt=$kbkt/")),
+      s"post-migration pruned resolve read outside bkt=$kbkt")
+    // a later batch commits under B' and merges correctly
+    assert(TxSketchStack.commitBatch(spark, root,
+      batchDf(Seq("k5"), 15, offset = 15), 1L, "key", "user", 8))
+    val k5 = TxSketchStack.estimates(TxSketchStack.resolve(spark, root))
+      .filter($"key" === "k5").collect().head
+    assert(k5.getLong(1) == 30L && math.abs(k5.getLong(2) - 30L) <= 2L)
+  }
+
   test("snapshot + vacuum: time travel pins old cuts; vacuum keeps live pins") {
     val root = newRoot()
     TxSketchStack.init(spark, root)
