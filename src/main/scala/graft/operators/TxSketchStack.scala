@@ -86,7 +86,15 @@ object TxSketchStack {
     * Idempotent by batch id: a replayed micro-batch skips whole, so a
     * value double-delivered by the source can never double-count
     * `n_rows` (HLL would absorb it; the exact tally would not).
-    * `publish = false` is the crash face. */
+    * `publish = false` is the crash face.
+    *
+    * `lgK` is the stack's contract like `buckets` is (same value every
+    * commit): unlike the positional-family hazard this repo fixed by
+    * recording the property in [[Manifest.State]], a mismatched lgK
+    * cannot tear silently — `hll_union` REFUSES differing register
+    * widths (allowDifferentLgConfigK is deliberately not passed), so
+    * the drift surfaces as a loud per-batch failure, never as a
+    * degraded estimate. */
   def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
                   batchId: Long, keyCol: String, valCol: String,
                   buckets: Int, lgK: Int = 12,

@@ -120,30 +120,37 @@ object Registry19 {
       }
     }
 
-  /** Drain the event pages into a fresh sketch stack: one
+  /** Drain the event pages into a sketch stack: one
     * [[TxSketchStack.commitBatch]] per micro-batch (key = event_type,
-    * value = user_id, B = 8), exactly-once by the foreachBatch id. */
+    * value = user_id, B = 8), exactly-once by the foreachBatch id.
+    * The drain is deterministic (same pages → same 4 commits), so it
+    * stages ONCE per (dataset, builder version) and each gate mutates
+    * its own copy — `drainTxStack`'s caching discipline. Version
+    * couples to TxSketchStack's on-disk format. */
   private[queries] def drainSketchStack(s: SparkSession, d: String,
                                         tag: String): String = {
-    val fx = eventPagesFixture(s, d)
+    val fx = FixtureCache.cached(d, "skstack", 2, Seq("events")) { tmp =>
+      val root = tmp.resolve("stack").toString
+      TxSketchStack.init(s, root)
+      val stream = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(eventPagesFixture(s, d).resolve("pages").toString)
+      val run = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          TxSketchStack.commitBatch(s, root, b, id, "event_type",
+            "user_id", buckets = 8)
+          ()
+        }
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      run.awaitTermination()
+      FixtureCache.deleteRecursively(tmp.resolve("ckpt"))
+    }
     val stage = StreamHarness.runDir(tag)
-    val root = stage.resolve("stack").toString
-    TxSketchStack.init(s, root)
-    val stream = s.readStream
-      .schema("event_id LONG, user_id LONG, event_type STRING")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(fx.resolve("pages").toString)
-    val run = stream.writeStream
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        TxSketchStack.commitBatch(s, root, b, id, "event_type",
-          "user_id", buckets = 8)
-        ()
-      }
-      .option("checkpointLocation", stage.resolve("ckpt").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    run.awaitTermination()
-    root
+    FixtureCache.copyInto(fx.resolve("stack"), stage.resolve("stack"))
+    stage.resolve("stack").toString
   }
 
   /** Exact-twin witness frame: the stack's (n_rows, estimate) joined
