@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** STICKY dataset-split ledger under the [[Manifest]] commit protocol
+  * — the stability face [[Sampling.assignSplitLeakFree]]'s scaladoc
+  * caveats: the CC min-label representative CHANGES when a smaller id
+  * joins a cluster, so re-running the leak-free split over a grown
+  * corpus can move an entire cluster across the train/test cut —
+  * silently invalidating every eval computed against the old split.
+  * A dataset with versioned evals needs assignment to be WRITE-ONCE:
+  * a document's split is drawn when it first arrives and never moves.
+  *
+  * The ledger is one asset family (`assign/v=V/bkt=B`, rows
+  * (doc_id, split), pmod(doc_id, B), pinned in
+  * [[Manifest.State.statsV]]). [[commitAssign]] takes the arrivals
+  * and the CURRENT near-dup labels and draws each arrival's split as:
+  * the stored split of its cluster's MINIMUM-id already-assigned
+  * member (deterministic inheritance — leak-freedom against
+  * everything already ingested), else the
+  * [[Sampling.assignSplit]] ladder over its cluster representative
+  * (leak-freedom within the batch). Stored rows ride through
+  * untouched; re-delivered docs are absorbed by anti-join; the whole
+  * batch is one versioned write + one swap, exactly-once by batch id.
+  *
+  * The tension this design makes EXPLICIT instead of hiding: sticky
+  * assignment and leak-freedom cannot both survive a cluster MERGE
+  * (two clusters assigned to different splits at different times, a
+  * later arrival bridges them — re-drawing would break stability,
+  * keeping both breaks leak-freedom). [[quarantine]] is the honest
+  * resolution: list every assigned doc whose current cluster carries
+  * ≥ 2 distinct stored splits, for eval-time exclusion — the
+  * downstream consumer decides, with the conflict visible, instead
+  * of a silent leak or a silent re-shuffle. */
+object TxSplitStack {
+
+  private def bktOf(c: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(c, lit(buckets.toLong)).cast("int")
+
+  /** Create an empty ledger: first manifest pins nothing. */
+  def init(spark: SparkSession, root: String): Unit =
+    Manifest.withCommitLock(spark, root) {
+      require(Manifest.read(spark, root).isEmpty,
+        s"split ledger already initialized at $root")
+      Manifest.commit(spark, root,
+        Manifest.State(0L, -1L, -1L, Map.empty))
+    }
+
+  private def readAssigned(spark: SparkSession, root: String,
+                           st: Manifest.State,
+                           restrict: Option[Seq[Int]]): DataFrame = {
+    val pinned = restrict match {
+      case None => st.statsV
+      case Some(bs) => st.statsV.filter { case (b, _) => bs.contains(b) }
+    }
+    if (pinned.isEmpty)
+      spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+        lit("").as("split"), lit(0).as("bkt")).limit(0)
+    else spark.read.option("basePath", s"$root/assign")
+      .parquet(pinned.toSeq.sorted.map { case (b, v) =>
+        s"$root/assign/v=$v/bkt=$b" }: _*)
+      .select(col("doc_id"), col("split"), col("bkt"))
+  }
+
+  /** The committed assignment (doc_id, split), optionally pinned to a
+    * snapshot `version` — the exact split an old eval ran against is
+    * always reconstructible. */
+  def resolve(spark: SparkSession, root: String,
+              version: Option[Long] = None): DataFrame =
+    readAssigned(spark, root, Manifest.stateAt(spark, root, version),
+      None).drop("bkt")
+
+  /** Assign `arrivals` (a frame with `idCol`) under the CURRENT
+    * near-dup `labels` ((id, cluster) — [[Dedup.connectedComponents]]
+    * over everything ingested so far, the dedup stage's artifact).
+    * Already-assigned docs are skipped whole (write-once); the rest
+    * draw by inheritance-then-ladder (scaladoc above). One commit:
+    * the touched buckets' replacement = stored rows ∪ new rows.
+    * Idempotent by batch id; `publish = false` is the crash face.
+    *
+    * Scale shape: the stored side is read bucket-pruned to the
+    * arrivals' elected buckets for the anti-join, but the INHERITANCE
+    * leg joins the full assigned ledger against the arrival clusters'
+    * members — bounded by the labels frame (docs with at least one
+    * near-dup pair), not the corpus. */
+  def commitAssign(spark: SparkSession, root: String, arrivals: DataFrame,
+                   labels: DataFrame, batchId: Long, idCol: String,
+                   splits: Seq[(String, Double)], buckets: Int,
+                   salt: String = "graft",
+                   publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"split ledger not initialized at $root — call init first"))
+    if (batchId <= st.batchId) false // replayed: already committed
+    else {
+    val vNew = st.version + 1
+    val ids = arrivals.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("bkt", bktOf(col("doc_id"), buckets))
+      .localCheckpoint()
+    val touched = ids.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) {
+      if (publish) Manifest.commit(spark, root,
+        st.copy(version = vNew, batchId = batchId))
+      return true
+    }
+    val lab = labels.select(col("id").as("doc_id"),
+      col("cluster").as("cl"))
+    // arrivals not yet assigned, with their cluster (own id when
+    // unclustered — the same fallback the leak-free split uses)
+    val newIds = ids
+      .join(readAssigned(spark, root, st, Some(touched))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bkt"),
+        coalesce(col("cl"), col("doc_id")).as("cl"))
+    // inheritance: the stored split of the cluster's minimum-id
+    // already-assigned member (deterministic, order-free)
+    val assignedAll = readAssigned(spark, root, st, None).drop("bkt")
+    val clusterStored = assignedAll
+      .join(lab, Seq("doc_id"))
+      .groupBy("cl")
+      .agg(min(struct(col("doc_id"), col("split"))).as("_m"))
+      .select(col("cl"), col("_m.split").as("_inherit"))
+    val drawn = Sampling.assignSplit(
+      newIds.join(clusterStored, Seq("cl"), "left"),
+      col("cl"), splits, salt, outCol = "_ladder")
+    val newRows = drawn
+      .select(col("doc_id"),
+        coalesce(col("_inherit"), col("_ladder")).as("split"),
+        col("bkt"))
+    val replaced = readAssigned(spark, root, st, Some(touched))
+      .unionByName(newRows)
+    val pins = Manifest.writeRepin(replaced, "assign", root, vNew,
+      touched, st.statsV)
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId, statsV = pins))
+    true
+    }
+  }
+
+  /** The MERGE-CONFLICT quarantine: every assigned doc whose current
+    * cluster (under `labels`) carries ≥ 2 distinct stored splits —
+    * the docs an eval must exclude to stay leak-free without breaking
+    * anyone's stored assignment. Returns (doc_id, split, cl). Empty
+    * when no merge ever bridged differently-assigned clusters. */
+  def quarantine(spark: SparkSession, root: String,
+                 labels: DataFrame): DataFrame = {
+    val assigned = resolve(spark, root)
+    val lab = labels.select(col("id").as("doc_id"),
+      col("cluster").as("cl"))
+    val withCl = assigned.join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("cl"), col("doc_id")).as("cl"))
+    val conflicted = withCl.groupBy("cl")
+      .agg(count_distinct(col("split")).as("_k"))
+      .filter(col("_k") > 1)
+      .select("cl")
+    withCl.join(conflicted, Seq("cl"), "left_semi")
+      .select("doc_id", "split", "cl")
+  }
+
+  /** [[TxServeStack.vacuum]]'s twin for the assignment ledger. */
+  def vacuum(spark: SparkSession, root: String,
+             retainVersions: Int = 0): TxServeStack.VacuumStats =
+    Manifest.withCommitLock(spark, root) {
+      val (floor, retained) =
+        Manifest.retainedStates(spark, root, retainVersions)
+      val keep = retained.flatMap(_.statsV.map { case (b, v) =>
+        s"v=$v/bkt=$b" }).toSet
+      val (deleted, retired, kept) = Manifest.sweepUnpinned(spark, root,
+        floor, Seq(Manifest.SweepFamily("assign", 2, keep)))
+      TxServeStack.VacuumStats(deleted, retired, kept)
+    }
+}

@@ -88,6 +88,147 @@ object Registry19 {
       .orderBy("split")
   }
 
+  /** The shared recursive-CTE minhash closure (dedup_cluster_sizes'
+    * oracle machinery), parameterized by a doc filter and a CTE name
+    * prefix so one oracle can close over two corpus cuts. */
+  private def sqlCc(prefix: String, where: String): String =
+    s"""${prefix}w AS (SELECT doc_id, string_split(text, ' ') AS wl
+       |  FROM documents WHERE $where),
+       |${prefix}sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
+       |  i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS shl FROM ${prefix}w),
+       |${prefix}sig AS (SELECT doc_id, list_transform(range(0, 8),
+       |  j -> list_min(list_transform(shl,
+       |    x -> substr(md5(CAST(j // 4 AS VARCHAR) || ':' || x),
+       |                CAST((j % 4) * 8 + 1 AS INT), 8)))) AS mh
+       |  FROM ${prefix}sh),
+       |${prefix}bands AS (SELECT doc_id, t.bnd,
+       |    md5(mh[2*t.bnd+1] || mh[2*t.bnd+2]) AS bk
+       |  FROM ${prefix}sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd) t),
+       |${prefix}pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM ${prefix}bands a JOIN ${prefix}bands b
+       |  ON a.bnd = b.bnd AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |${prefix}edges AS (SELECT a_id AS s, b_id AS t FROM ${prefix}pairs
+       |  UNION SELECT b_id, a_id FROM ${prefix}pairs),
+       |${prefix}reach(id, r) AS (
+       |  SELECT s, s FROM ${prefix}edges
+       |  UNION
+       |  SELECT e.s, ${prefix}reach.r FROM ${prefix}edges e
+       |    JOIN ${prefix}reach ON ${prefix}reach.id = e.t),
+       |${prefix}lbl AS (SELECT id, MIN(r) AS cl FROM ${prefix}reach GROUP BY id),
+       |${prefix}lab AS (SELECT d.doc_id, COALESCE(l.cl, d.doc_id) AS cl
+       |  FROM documents d LEFT JOIN ${prefix}lbl l ON d.doc_id = l.id
+       |  WHERE $where)""".stripMargin
+
+  private def sqlLadder(key: String): String =
+    s"""CASE WHEN substr(md5('graft:split:' || CAST($key AS VARCHAR)), 1, 8)
+       |  < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+       |WHEN substr(md5('graft:split:' || CAST($key AS VARCHAR)), 1, 8)
+       |  < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+       |ELSE 'test' END""".stripMargin
+
+  /** STICKY split assignment
+    * ([[graft.operators.TxSplitStack.commitAssign]]): the write-once
+    * ledger closing `sample_split_leakfree`'s documented caveat — a
+    * grown corpus can re-elect a cluster's min-label and MOVE the
+    * whole cluster across the cut on re-assignment; here assignment
+    * is drawn once at arrival and never changes. Two commits: the
+    * stored corpus (docs < 250) under its own closure, then the
+    * arrivals under the FULL closure — an arrival joining a cluster
+    * with already-assigned members INHERITS the minimum-id stored
+    * member's split (leak-free against everything ingested); an
+    * arrival in a new cluster draws the ladder over its
+    * representative. The oracle replays both closures and both rules;
+    * a stored row moving, an inheritance missed, or a ladder drawn
+    * over the wrong representative all shift the per-split tallies. */
+  val sampleSplitSticky = Q("sample_split_sticky",
+    s"""WITH RECURSIVE ${sqlCc("p1", "doc_id < 250")},
+       |${sqlCc("pf", "TRUE")},
+       |s1 AS (SELECT doc_id, cl, ${sqlLadder("cl")} AS split FROM p1lab),
+       |m AS (SELECT lf.cl AS fcl, MIN(s1.doc_id) AS mdoc
+       |  FROM pflab lf JOIN s1 ON s1.doc_id = lf.doc_id GROUP BY lf.cl),
+       |inh AS (SELECT m.fcl, s1.split AS isplit
+       |  FROM m JOIN s1 ON s1.doc_id = m.mdoc),
+       |arr AS (SELECT doc_id, cl FROM pflab WHERE doc_id >= 250),
+       |s2 AS (SELECT a.doc_id,
+       |    COALESCE(i.isplit, ${sqlLadder("a.cl")}) AS split
+       |  FROM arr a LEFT JOIN inh i ON a.cl = i.fcl),
+       |allrows AS (SELECT doc_id, split FROM s1
+       |  UNION ALL SELECT doc_id, split FROM s2)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_stored,
+       |  CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_arrivals
+       |FROM allrows GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    import graft.operators.TxSplitStack
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val stage = StreamHarness.runDir("graft_spsticky")
+    val root = stage.resolve("ledger").toString
+    TxSplitStack.init(s, root)
+    val corpus = docs(s, d)
+    val stored = corpus.filter(col("doc_id") < 250)
+    val l1 = Dedup.connectedComponents(
+      Dedup.minhashCandidates(stored, "doc_id", "text"), "a_id", "b_id")
+    require(TxSplitStack.commitAssign(s, root, stored, l1, 0L,
+      "doc_id", splits, buckets = 8), "phase-1 assign must commit")
+    val lF = Dedup.connectedComponents(
+      Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id")
+    require(TxSplitStack.commitAssign(s, root,
+      corpus.filter(col("doc_id") >= 250), lF, 1L,
+      "doc_id", splits, buckets = 8), "phase-2 assign must commit")
+    TxSplitStack.resolve(s, root)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") < 250, 1L).otherwise(0L)).as("n_stored"),
+        sum(when(col("doc_id") >= 250, 1L).otherwise(0L))
+          .as("n_arrivals"))
+      .orderBy("split")
+  }
+
+  /** MERGE-CONFLICT QUARANTINE
+    * ([[graft.operators.TxSplitStack.quarantine]]): sticky assignment
+    * and leak-freedom cannot both survive a cluster MERGE — two
+    * clusters assigned different splits at different times, later
+    * bridged, leave near-duplicates on both sides of the cut, and
+    * re-drawing would break every stored eval. The ledger surfaces
+    * the conflict instead of hiding it: every assigned doc whose
+    * CURRENT cluster carries ≥ 2 distinct stored splits, as the
+    * eval-time exclusion list. Labels here are arithmetic pair/block
+    * clusters (cl = id − id mod 2, then id − id mod 4) so the merges
+    * — and therefore the conflict set — are deterministic and
+    * oracle-expressible without a closure; the conflict RULE is
+    * what's under test. */
+  val sampleSplitQuarantine = Q("sample_split_quarantine",
+    s"""WITH s1 AS (SELECT doc_id, doc_id - doc_id % 2 AS cl1,
+       |    ${sqlLadder("doc_id - doc_id % 2")} AS split
+       |  FROM documents WHERE doc_id < 250),
+       |mrg AS (SELECT doc_id, split, doc_id - doc_id % 4 AS clf FROM s1),
+       |bad AS (SELECT clf FROM mrg GROUP BY clf
+       |  HAVING COUNT(DISTINCT split) > 1)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_quarantined
+       |FROM mrg JOIN bad USING (clf)
+       |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    import graft.operators.TxSplitStack
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val stage = StreamHarness.runDir("graft_spquar")
+    val root = stage.resolve("ledger").toString
+    TxSplitStack.init(s, root)
+    val stored = docs(s, d).filter(col("doc_id") < 250)
+    // phase 1: pair clusters (id − id%2) — every pair draws one split
+    val l1 = stored.select(col("doc_id").as("id"),
+      (col("doc_id") - col("doc_id") % 2).as("cluster"))
+    require(TxSplitStack.commitAssign(s, root, stored, l1, 0L,
+      "doc_id", splits, buckets = 8), "phase-1 assign must commit")
+    // later, 4-blocks merge adjacent pairs; differently-drawn pairs
+    // now share a cluster — the quarantine set
+    val lF = stored.select(col("doc_id").as("id"),
+      (col("doc_id") - col("doc_id") % 4).as("cluster"))
+    TxSplitStack.quarantine(s, root, lF)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_quarantined"))
+      .orderBy("split")
+  }
+
   // -------------------------------------------- sketch ledger family
 
   /** Four NON-overlapping event pages in arrival order (mtime + name
@@ -288,7 +429,7 @@ object Registry19 {
     * the per-type user sets genuinely differ (unfiltered, every type
     * saw every user — the overlap would be degenerate); below theta's
     * 4096-sample threshold the estimates are EXACT, so the ±5%
-    * witness has no slack to hide in. */
+    * witness has no headroom to hide in. */
   val sketchOverlapServe = Q("sketch_overlap_serve",
     """WITH f AS (SELECT * FROM events WHERE value >= 90),
       |a AS (SELECT DISTINCT user_id FROM f WHERE event_type = 'click'),
@@ -469,7 +610,8 @@ object Registry19 {
       .orderBy("q_id", "rnk")
   }
 
-  val round19: Seq[Q] = Seq(sampleSplitLeakFree, streamingSketchIngest,
+  val round19: Seq[Q] = Seq(sampleSplitLeakFree, sampleSplitSticky,
+    sampleSplitQuarantine, streamingSketchIngest,
     sketchDistinctServe, sketchRollupDistinct, sketchSnapshotServe,
     sketchVacuumServe, sketchOverlapServe, sketchRetentionServe,
     sketchReplaceServe,
