@@ -185,6 +185,40 @@ object Registry19 {
       .orderBy("split")
   }
 
+  /** SNAPSHOT read on the split ledger ([[Manifest.readAt]] through
+    * [[graft.operators.TxSplitStack.resolve]]): both assignment phases
+    * commit, but a reader pinned to version 1 reconstructs EXACTLY
+    * the split the phase-1 eval ran against — the arrivals invisible.
+    * Dataset versioning's core requirement: an old eval's
+    * train/test cut is recoverable forever (until vacuumed). The
+    * oracle replays only the phase-1 closure and ladder. */
+  val sampleSplitSnapshot = Q("sample_split_snapshot",
+    s"""WITH RECURSIVE ${sqlCc("p1", "doc_id < 250")},
+       |s1 AS (SELECT doc_id, ${sqlLadder("cl")} AS split FROM p1lab)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM s1 GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    import graft.operators.TxSplitStack
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val stage = StreamHarness.runDir("graft_spsnap")
+    val root = stage.resolve("ledger").toString
+    TxSplitStack.init(s, root)
+    val corpus = docs(s, d)
+    val stored = corpus.filter(col("doc_id") < 250)
+    val l1 = Dedup.connectedComponents(
+      Dedup.minhashCandidates(stored, "doc_id", "text"), "a_id", "b_id")
+    require(TxSplitStack.commitAssign(s, root, stored, l1, 0L,
+      "doc_id", splits, buckets = 8), "phase-1 assign must commit")
+    val lF = Dedup.connectedComponents(
+      Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id")
+    require(TxSplitStack.commitAssign(s, root,
+      corpus.filter(col("doc_id") >= 250), lF, 1L,
+      "doc_id", splits, buckets = 8), "phase-2 assign must commit")
+    TxSplitStack.resolve(s, root, version = Some(1L))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
   /** MERGE-CONFLICT QUARANTINE
     * ([[graft.operators.TxSplitStack.quarantine]]): sticky assignment
     * and leak-freedom cannot both survive a cluster MERGE — two
@@ -611,6 +645,7 @@ object Registry19 {
   }
 
   val round19: Seq[Q] = Seq(sampleSplitLeakFree, sampleSplitSticky,
+    sampleSplitSnapshot,
     sampleSplitQuarantine, streamingSketchIngest,
     sketchDistinctServe, sketchRollupDistinct, sketchSnapshotServe,
     sketchVacuumServe, sketchOverlapServe, sketchRetentionServe,
