@@ -50,6 +50,13 @@ object FixtureCache {
     * dir `d`; `build` runs at most once per (tag, version, source
     * content).
     *
+    * `tag` must be GLOBALLY unique across every call site: the key
+    * cannot see the builder, so two builders sharing a tag (and
+    * source tables) silently serve each other's bytes — the
+    * round-16 "spledger" collision (span ledger vs split ledger)
+    * surfaced exactly this way, as a missing-subtree failure at the
+    * second call site. Grep existing tags before adding one.
+    *
     * `version` is the call site's BUILDER version and is part of the
     * cache key: the key cannot see the build lambda's logic, so an
     * edited builder would otherwise silently serve the previous run's

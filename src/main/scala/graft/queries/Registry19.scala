@@ -126,6 +126,33 @@ object Registry19 {
        |  < '${Sampling.hexThreshold(0.9)}' THEN 'val'
        |ELSE 'test' END""".stripMargin
 
+  /** The deterministic two-phase assignment drain the sticky/snapshot
+    * gates share (same pages → same two commits): staged once per
+    * (dataset, builder version), each gate reads its own copy. */
+  private def drainSplitLedger(s: SparkSession, d: String,
+                               tag: String): String = {
+    import graft.operators.TxSplitStack
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val fx = FixtureCache.cached(d, "splitledger", 1, Seq("documents")) { tmp =>
+      val root = tmp.resolve("ledger").toString
+      TxSplitStack.init(s, root)
+      val corpus = docs(s, d)
+      val stored = corpus.filter(col("doc_id") < 250)
+      val l1 = Dedup.connectedComponents(
+        Dedup.minhashCandidates(stored, "doc_id", "text"), "a_id", "b_id")
+      require(TxSplitStack.commitAssign(s, root, stored, l1, 0L,
+        "doc_id", splits, buckets = 8), "phase-1 assign must commit")
+      val lF = Dedup.connectedComponents(
+        Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id")
+      require(TxSplitStack.commitAssign(s, root,
+        corpus.filter(col("doc_id") >= 250), lF, 1L,
+        "doc_id", splits, buckets = 8), "phase-2 assign must commit")
+    }
+    val stage = StreamHarness.runDir(tag)
+    FixtureCache.copyInto(fx.resolve("ledger"), stage.resolve("ledger"))
+    stage.resolve("ledger").toString
+  }
+
   /** STICKY split assignment
     * ([[graft.operators.TxSplitStack.commitAssign]]): the write-once
     * ledger closing `sample_split_leakfree`'s documented caveat — a
@@ -161,21 +188,7 @@ object Registry19 {
        |    AS n_arrivals
        |FROM allrows GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
     import graft.operators.TxSplitStack
-    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    val stage = StreamHarness.runDir("graft_spsticky")
-    val root = stage.resolve("ledger").toString
-    TxSplitStack.init(s, root)
-    val corpus = docs(s, d)
-    val stored = corpus.filter(col("doc_id") < 250)
-    val l1 = Dedup.connectedComponents(
-      Dedup.minhashCandidates(stored, "doc_id", "text"), "a_id", "b_id")
-    require(TxSplitStack.commitAssign(s, root, stored, l1, 0L,
-      "doc_id", splits, buckets = 8), "phase-1 assign must commit")
-    val lF = Dedup.connectedComponents(
-      Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id")
-    require(TxSplitStack.commitAssign(s, root,
-      corpus.filter(col("doc_id") >= 250), lF, 1L,
-      "doc_id", splits, buckets = 8), "phase-2 assign must commit")
+    val root = drainSplitLedger(s, d, "graft_spsticky")
     TxSplitStack.resolve(s, root)
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
@@ -198,21 +211,7 @@ object Registry19 {
        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM s1 GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
     import graft.operators.TxSplitStack
-    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    val stage = StreamHarness.runDir("graft_spsnap")
-    val root = stage.resolve("ledger").toString
-    TxSplitStack.init(s, root)
-    val corpus = docs(s, d)
-    val stored = corpus.filter(col("doc_id") < 250)
-    val l1 = Dedup.connectedComponents(
-      Dedup.minhashCandidates(stored, "doc_id", "text"), "a_id", "b_id")
-    require(TxSplitStack.commitAssign(s, root, stored, l1, 0L,
-      "doc_id", splits, buckets = 8), "phase-1 assign must commit")
-    val lF = Dedup.connectedComponents(
-      Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id")
-    require(TxSplitStack.commitAssign(s, root,
-      corpus.filter(col("doc_id") >= 250), lF, 1L,
-      "doc_id", splits, buckets = 8), "phase-2 assign must commit")
+    val root = drainSplitLedger(s, d, "graft_spsnap")
     TxSplitStack.resolve(s, root, version = Some(1L))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"))
