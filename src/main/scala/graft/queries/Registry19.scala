@@ -218,6 +218,38 @@ object Registry19 {
       .orderBy("split")
   }
 
+  /** VACUUM on the split ledger: retention 0 reclaims the
+    * phase-1-superseded bucket versions and history manifests, the
+    * resolved assignment is unchanged (same rollup as
+    * `sample_split_sticky`'s oracle), and the phase-1 snapshot is
+    * gone — retention bounds time travel, stated on every stack. */
+  val sampleSplitVacuum = Q("sample_split_vacuum",
+    s"""WITH RECURSIVE ${sqlCc("p1", "doc_id < 250")},
+       |${sqlCc("pf", "TRUE")},
+       |s1 AS (SELECT doc_id, cl, ${sqlLadder("cl")} AS split FROM p1lab),
+       |m AS (SELECT lf.cl AS fcl, MIN(s1.doc_id) AS mdoc
+       |  FROM pflab lf JOIN s1 ON s1.doc_id = lf.doc_id GROUP BY lf.cl),
+       |inh AS (SELECT m.fcl, s1.split AS isplit
+       |  FROM m JOIN s1 ON s1.doc_id = m.mdoc),
+       |arr AS (SELECT doc_id, cl FROM pflab WHERE doc_id >= 250),
+       |s2 AS (SELECT a.doc_id,
+       |    COALESCE(i.isplit, ${sqlLadder("a.cl")}) AS split
+       |  FROM arr a LEFT JOIN inh i ON a.cl = i.fcl),
+       |allrows AS (SELECT doc_id, split FROM s1
+       |  UNION ALL SELECT doc_id, split FROM s2)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM allrows GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    import graft.operators.TxSplitStack
+    val root = drainSplitLedger(s, d, "graft_spvac")
+    val vs = TxSplitStack.vacuum(s, root, retainVersions = 0)
+    require(vs.deletedDirs > 0,
+      s"vacuum must reclaim superseded assignment versions, got $vs")
+    TxSplitStack.resolve(s, root)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+  }
+
   /** MERGE-CONFLICT QUARANTINE
     * ([[graft.operators.TxSplitStack.quarantine]]): sticky assignment
     * and leak-freedom cannot both survive a cluster MERGE — two
@@ -644,7 +676,7 @@ object Registry19 {
   }
 
   val round19: Seq[Q] = Seq(sampleSplitLeakFree, sampleSplitSticky,
-    sampleSplitSnapshot,
+    sampleSplitSnapshot, sampleSplitVacuum,
     sampleSplitQuarantine, streamingSketchIngest,
     sketchDistinctServe, sketchRollupDistinct, sketchSnapshotServe,
     sketchVacuumServe, sketchOverlapServe, sketchRetentionServe,
