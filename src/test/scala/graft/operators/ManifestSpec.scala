@@ -440,6 +440,17 @@ class ManifestSpec extends SparkSpec {
       assert(strays.isEmpty,
         s"compacted-away positional deltas survived vacuum: $strays")
       assert(eq(live, want(updated)))
+      // re-bucket moves the positional family to the NEW term keyspace
+      // in the same swap, bit-identically; a phrase append after the
+      // migration composes under B'
+      assert(TxServeStack.rebucket(spark, root, 8, 8))
+      assert(eq(live, want(updated)),
+        "re-bucket changed the served positional rows")
+      val more = Seq((9L, "dog before fox")).toDF("doc_id", "text")
+      TxServeStack.commitBatch(spark, root, more, 4L,
+        "doc_id", "text", 8, 8, positions = true)
+      assert(eq(live, want(updated.unionByName(more))),
+        "post-migration positional append drifted from a from-scratch build")
     } finally {
       graft.queries.FixtureCache.deleteRecursively(dir)
     }
