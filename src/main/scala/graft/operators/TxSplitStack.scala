@@ -79,11 +79,13 @@ object TxSplitStack {
     * the touched buckets' replacement = stored rows ∪ new rows.
     * Idempotent by batch id; `publish = false` is the crash face.
     *
-    * Scale shape: the stored side is read bucket-pruned to the
-    * arrivals' elected buckets for the anti-join, but the INHERITANCE
-    * leg joins the full assigned ledger against the arrival clusters'
-    * members — bounded by the labels frame (docs with at least one
-    * near-dup pair), not the corpus. */
+    * Scale shape — every ledger read is O(touched): the
+    * already-assigned anti-join reads the arrivals' elected buckets,
+    * and the INHERITANCE leg first narrows `labels` to the arrival
+    * clusters' members (bounded by the labels frame, itself the dedup
+    * stage's artifact), elects THOSE members' buckets (≤ B collect),
+    * and reads only those pinned paths — a batch never scans the
+    * corpus-sized assignment ledger. */
   def commitAssign(spark: SparkSession, root: String, arrivals: DataFrame,
                    labels: DataFrame, batchId: Long, idCol: String,
                    splits: Seq[(String, Double)], buckets: Int,
@@ -117,10 +119,19 @@ object TxSplitStack {
       .select(col("doc_id"), col("bkt"),
         coalesce(col("cl"), col("doc_id")).as("cl"))
     // inheritance: the stored split of the cluster's minimum-id
-    // already-assigned member (deterministic, order-free)
-    val assignedAll = readAssigned(spark, root, st, None).drop("bkt")
-    val clusterStored = assignedAll
-      .join(lab, Seq("doc_id"))
+    // already-assigned member (deterministic, order-free). The read
+    // prunes to the member buckets: narrow labels to the arrival
+    // clusters' members, elect their buckets (≤ B), open only those
+    // pinned paths — never the whole ledger.
+    val arrivalCls = newIds.select("cl").distinct()
+    val memberIds = lab.join(arrivalCls, Seq("cl"), "left_semi")
+      .localCheckpoint()
+    val mBkts = memberIds
+      .select(bktOf(col("doc_id"), buckets).as("_b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val clusterStored = readAssigned(spark, root, st, Some(mBkts))
+      .drop("bkt")
+      .join(memberIds, Seq("doc_id"))
       .groupBy("cl")
       .agg(min(struct(col("doc_id"), col("split"))).as("_m"))
       .select(col("cl"), col("_m.split").as("_inherit"))
