@@ -80,10 +80,10 @@ object Manifest {
   /** Per-root in-process commit mutex: makes the version check and the
     * pointer swap one atomic step for every committer in this JVM (the
     * local[*] deployment — a drain racing its maintenance compactor).
-    * Cross-PROCESS committers still race in the check-to-swap window;
-    * closing that needs a conditional put / rename-if-match primitive,
-    * which is exactly why table formats make the commit protocol
-    * pluggable per store. */
+    * Cross-PROCESS committers are fenced by [[commit]]'s
+    * create-exclusive history-file CAS — exactly one of two processes
+    * that derived the same version can publish `manifest.v=N`; the
+    * loser re-derives. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -102,8 +102,22 @@ object Manifest {
     * commit/compact/refresh/vacuum wraps its whole body (vacuum too:
     * an in-flight committer's un-swapped fresh-version writes would
     * otherwise look like reclaimable orphans). Re-entrant — the
-    * inner [[commit]] synchronizes on the same monitor. Cross-PROCESS
-    * writers remain the documented conditional-put gap. */
+    * inner [[commit]] synchronizes on the same monitor.
+    *
+    * Cross-PROCESS, [[commit]]'s history-file CAS closes the POINTER
+    * lost-update (exactly one process publishes version N), but the
+    * pre-commit asset clobber stays open for two SAME-face committers:
+    * both derive vNew = N and their mode("overwrite") asset writes
+    * target the same version-keyed paths before either reaches the
+    * fence, so the loser can overwrite files the winner just pinned.
+    * The supported concurrent pair — one drain ⊕ one maintenance
+    * compactor/vacuum — writes DISJOINT families at any shared version
+    * (deltas are batch-keyed; a compaction writes only `base/v=N`;
+    * vacuum writes nothing), so the fence alone is sufficient for it;
+    * two drains on one stack is a deployment error (the source would
+    * be double-delivering batches anyway). Full same-face closure
+    * needs attempt-unique asset paths recorded in the manifest —
+    * Iceberg's snapshot-file design — noted, not implemented. */
   def withCommitLock[T](spark: SparkSession, dir: String)(body: => T): T = {
     val (f, base) = fs(spark, dir)
     val lock = commitLocks.computeIfAbsent(
@@ -126,18 +140,45 @@ object Manifest {
     }
   }
 
-  /** COMMIT: write the rendered state to a scratch name, then rename
-    * onto `manifest` — the swap is the transaction's only visible
-    * effect; everything written before it was invisible.
+  /** COMMIT: publish the immutable history file `manifest.v=N`
+    * CREATE-EXCLUSIVE (the cross-process CAS), then rename the rendered
+    * state onto `manifest` (the pointer readers resolve).
     *
-    * Each commit ALSO writes the immutable history file
-    * `manifest.v=N` (before the swap), which is what makes
-    * [[readAt]] snapshot reads possible. The ordering is safe: a
-    * crash between the history write and the swap leaves a history
-    * file for a version the pointer never reached — [[readAt]]
-    * refuses versions above the committed pointer, and the replayed
-    * batch re-derives the SAME version (version = committed + 1 is
-    * deterministic) and overwrites the torn file in place. */
+    * TWO fences, innermost wins:
+    *
+    *  - the optimistic version CAS (in-process, cheap): if the pointer
+    *    advanced past the derivation cut, throw [[CommitConflict]]
+    *    before writing anything;
+    *  - the history-file CAS (cross-PROCESS): `manifest.v=N` is
+    *    published by writing a scratch file and linking/renaming it
+    *    into place WITHOUT overwrite — atomic create-exclusive on
+    *    POSIX (hard link via rename(2) semantics) and HDFS (namenode
+    *    rename without OVERWRITE). Two processes that both read
+    *    version N−1 and both derive version N race THIS step, and
+    *    exactly one wins. The loser finds the winner's file and
+    *    cannot clobber it.
+    *
+    * Losing the history CAS resolves by CONTENT:
+    *
+    *  - identical bytes ⇒ this is OUR OWN replayed commit — the
+    *    original crashed after publishing `manifest.v=N` but before
+    *    the pointer swap (derivation is deterministic, so the replay
+    *    renders the same bytes). Fall through and heal the pointer.
+    *  - different bytes ⇒ a FOREIGN committer owns version N. Its
+    *    asset writes are complete (every TxStack calls [[commit]]
+    *    last), so roll ITS pointer forward — un-wedging the stack if
+    *    the winner crashed between its two steps; idempotent if it is
+    *    alive and about to swap the same bytes — then throw
+    *    [[CommitConflict]] so the caller re-derives from version N.
+    *
+    * A crash between the history publish and the pointer swap
+    * therefore leaves a COMMITTED version the pointer has not reached:
+    * invisible to [[readAt]] (which refuses versions above the
+    * pointer) until either the owner's replay or the next committer's
+    * roll-forward heals the pointer. History files are never torn —
+    * the scratch write + atomic link means `manifest.v=N` appears
+    * complete or not at all (scratch leftovers match the
+    * `manifest.tmp-` sweep prefix [[sweepUnpinned]] reclaims). */
   def commit(spark: SparkSession, dir: String, state: State): Unit = {
     val (f, base) = fs(spark, dir)
     val lock = commitLocks.computeIfAbsent(
@@ -147,11 +188,7 @@ object Manifest {
       // cut at version - 1; if the pointer has advanced past it, a
       // concurrent committer (drain vs compactor vs vacuum cadence)
       // already landed a commit this one never read — swapping anyway
-      // would silently drop the winner's pins (the lost update). Fenced
-      // BEFORE the history write too: version N may now be the
-      // winner's committed `manifest.v=N`, which a loser must not
-      // overwrite. A replayed crashed batch re-derives the SAME
-      // version (pointer unmoved) and passes.
+      // would silently drop the winner's pins (the lost update).
       val cur = read(spark, dir).map(_.version).getOrElse(-1L)
       if (cur != state.version - 1)
         throw CommitConflict(dir, state.version, cur)
@@ -159,36 +196,107 @@ object Manifest {
       val bytes = state.render.getBytes("UTF-8")
       val hist = new org.apache.hadoop.fs.Path(base,
         s"manifest.v=${state.version}")
-      val hOut = f.create(hist, true)
-      try hOut.write(bytes) finally hOut.close()
-      val tmp = new org.apache.hadoop.fs.Path(base,
-        s"manifest.tmp-${state.version}")
-      val out = f.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      val dst = new org.apache.hadoop.fs.Path(base, "manifest")
-      // rename-with-OVERWRITE, not delete+rename: the latter opens a
-      // window where a concurrent reader finds NO manifest and a
-      // committed, retained snapshot read fails — the contract readAt
-      // advertises ("concurrent with any number of later commits")
-      // requires the pointer to be replaced atomically. On the `file`
-      // scheme Hadoop's LocalFs implements overwrite-rename as
-      // delete(dst)+rename — NOT atomic — so the swap goes through
-      // java.nio ATOMIC_MOVE (rename(2) on POSIX) there; HDFS keeps
-      // the FileContext path, whose overwrite-rename is atomic by
-      // contract. An object store without atomic rename needs a
-      // conditional put instead (the pluggable-commit reason above).
+      val won = publishExclusive(spark, f, base, hist, bytes,
+        state.version)
+      val pointerBytes =
+        if (won) bytes
+        else {
+          val theirs = readFully(f, hist)
+          if (java.util.Arrays.equals(theirs, bytes)) bytes // our replay
+          else {
+            // foreign winner: validate, roll its pointer forward, conflict
+            val theirState =
+              try parse(new String(theirs, "UTF-8"))
+              catch { case e: Exception => throw new IllegalStateException(
+                s"unparseable foreign history file $hist", e) }
+            require(theirState.version == state.version,
+              s"history file $hist renders version ${theirState.version}")
+            swapPointer(spark, f, base, theirs, state.version)
+            throw CommitConflict(dir, state.version, state.version)
+          }
+        }
+      swapPointer(spark, f, base, pointerBytes, state.version)
+    }
+  }
+
+  /** Publish `bytes` at `hist` create-EXCLUSIVE: scratch write + atomic
+    * no-overwrite move. Returns false when `hist` already exists (the
+    * CAS loss); never overwrites and never leaves a torn `hist`. */
+  private def publishExclusive(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      hist: org.apache.hadoop.fs.Path, bytes: Array[Byte],
+      version: Long): Boolean = {
+    val tmp = new org.apache.hadoop.fs.Path(base,
+      s"manifest.tmp-hist-$version-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    try {
       if (f.getScheme == "file") {
-        val tq = f.makeQualified(tmp).toUri.getPath
-        val dq = f.makeQualified(dst).toUri.getPath
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tq), java.nio.file.Paths.get(dq),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // hard-link, not move: link(2) fails atomically when the target
+        // exists — nio's ATOMIC_MOVE maps to rename(2), which REPLACES
+        val tq = java.nio.file.Paths.get(
+          f.makeQualified(tmp).toUri.getPath)
+        val hq = java.nio.file.Paths.get(
+          f.makeQualified(hist).toUri.getPath)
+        try { java.nio.file.Files.createLink(hq, tq); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } else {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          dst.toUri, spark.sessionState.newHadoopConf())
-        fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          hist.toUri, spark.sessionState.newHadoopConf())
+        // no Rename.OVERWRITE: atomic fail-if-exists on HDFS
+        try { fc.rename(tmp, hist); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
       }
+    } finally if (f.exists(tmp)) f.delete(tmp, false)
+  }
+
+  private def readFully(f: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  /** Swap `bytes` onto the `manifest` pointer — rename-with-OVERWRITE,
+    * not delete+rename: the latter opens a window where a concurrent
+    * reader finds NO manifest and a committed, retained snapshot read
+    * fails — the contract [[readAt]] advertises ("concurrent with any
+    * number of later commits") requires the pointer to be replaced
+    * atomically. On the `file` scheme Hadoop's LocalFs implements
+    * overwrite-rename as delete(dst)+rename — NOT atomic — so the swap
+    * goes through java.nio ATOMIC_MOVE (rename(2) on POSIX) there; HDFS
+    * keeps the FileContext path, whose overwrite-rename is atomic by
+    * contract. An object store without atomic rename needs a
+    * conditional put instead (the pluggable-commit reason above). */
+  private def swapPointer(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, bytes: Array[Byte],
+      version: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(base,
+      s"manifest.tmp-$version-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(base, "manifest")
+    if (f.getScheme == "file") {
+      val tq = f.makeQualified(tmp).toUri.getPath
+      val dq = f.makeQualified(dst).toUri.getPath
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tq), java.nio.file.Paths.get(dq),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sessionState.newHadoopConf())
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 

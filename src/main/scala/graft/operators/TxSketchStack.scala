@@ -181,7 +181,9 @@ object TxSketchStack {
     * by construction). */
   def rollup(resolved: DataFrame): DataFrame =
     resolved.agg(sum(col("n_rows")).as("n_rows"),
-      round(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
+      // strict like hll_union: cross-KEY lgK drift must fail loudly too,
+      // not silently degrade the rolled-up estimate to the coarsest row
+      round(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
         .cast("long").as("est"))
 
   /** Cross-key SET ALGEBRA over the theta family: |A∩B|, |A∖B|, |A∪B|
@@ -192,12 +194,20 @@ object TxSketchStack {
     * no raw pass at any corpus size. Below the theta nominal-entries
     * threshold (4096) the sample set IS the distinct set, so the
     * estimates are exact; above it they carry the published
-    * sampling error. */
+    * sampling error. Both keys MUST have a stored row: a typo'd or
+    * never-ingested key would otherwise make the cross join silently
+    * empty — indistinguishable from "no data" — so the lookup REQUIREs
+    * exactly one row per key (keys are unique in the ledger by the
+    * full-outer merge; 0 means absent). */
   def overlap(resolved: DataFrame, keyA: String, keyB: String): DataFrame = {
     val a = resolved.filter(col("key") === keyA)
-      .select(col("th").as("_ta"))
+      .select(col("th").as("_ta")).localCheckpoint()
     val b = resolved.filter(col("key") === keyB)
-      .select(col("th").as("_tb"))
+      .select(col("th").as("_tb")).localCheckpoint()
+    require(a.count() == 1,
+      s"overlap: key '$keyA' has no stored sketch row")
+    require(b.count() == 1,
+      s"overlap: key '$keyB' has no stored sketch row")
     a.crossJoin(broadcast(b)).select(
       round(theta_sketch_estimate(theta_intersection(col("_ta"),
         col("_tb")))).cast("long").as("inter_est"),
@@ -259,6 +269,57 @@ object TxSketchStack {
     } else if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         batchId = batchId))
+    true
+    }
+  }
+
+  /** Transactional RECONFIGURATION — `ann_index_reencode`'s twin for
+    * the sketch family: change the accuracy budget (HLL lgK and/or the
+    * theta nominal-entries exponent) of a LIVE stack. Sketches are NOT
+    * mergeable across register widths (`hll_union` refuses — the
+    * stack's loud-failure contract), so the migration cannot re-encode
+    * stored rows: it re-aggregates the WHOLE profile from `raw` (the
+    * retained source slice every non-invertible-state migration needs
+    * — the same contract as [[commitReplace]]'s rebuild) under the new
+    * parameters, replaces the ledger wholesale at one fresh version,
+    * and swaps once. The old cut stays reconstructible via
+    * [[Manifest.readAt]] until vacuumed — its rows still carry the old
+    * lgK, which is exactly why snapshot reads never mix cuts.
+    *
+    * Callers pass the new `lgK`/`thetaLgNom` to every subsequent
+    * [[commitBatch]]/[[commitReplace]] — the shared migration contract
+    * (a later batch at the OLD lgK fails loudly at its merge).
+    * O(raw) by definition, amortized over every batch-sized commit
+    * after it; `n_rows` tallies rebuild exactly from the slice.
+    * Idempotent by batch id; `publish = false` is the crash face. */
+  def commitResize(spark: SparkSession, root: String, raw: DataFrame,
+                   batchId: Long, keyCol: String, valCol: String,
+                   buckets: Int, lgK: Int = 12, thetaLgNom: Int = 12,
+                   publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"sketch stack not initialized at $root — call init first"))
+    if (batchId <= st.batchId) false // replayed: already committed
+    else {
+    val vNew = st.version + 1
+    val moved = raw
+      .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(valCol), lit(lgK)).as("sk"),
+        theta_sketch_agg(col(valCol), lit(thetaLgNom)).as("th"))
+      .withColumn("bkt", bktOf(col("key"), buckets))
+      .repartition(col("bkt"))
+      .localCheckpoint()
+    val present = moved.select("bkt").distinct()
+      .collect().map(_.getInt(0))
+    if (present.nonEmpty)
+      moved.write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/sketch/v=$vNew")
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        batchId = batchId, statsV = present.map(_ -> vNew).toMap))
     true
     }
   }

@@ -71,6 +71,26 @@ object TxSplitStack {
     readAssigned(spark, root, Manifest.stateAt(spark, root, version),
       None).drop("bkt")
 
+  /** The incrementally-maintained CONFLICT family (doc_id, split, cl,
+    * bkt): rows for every assigned doc whose cluster was found
+    * split-conflicted the last time a commit touched it. Doc-bucketed
+    * like the assignment family, pinned in [[Manifest.State.auxV]]. */
+  private def readConflicts(spark: SparkSession, root: String,
+                            st: Manifest.State,
+                            restrict: Option[Seq[Int]]): DataFrame = {
+    val pinned = restrict match {
+      case None => st.auxV
+      case Some(bs) => st.auxV.filter { case (b, _) => bs.contains(b) }
+    }
+    if (pinned.isEmpty)
+      spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+        lit("").as("split"), lit(0L).as("cl"), lit(0).as("bkt")).limit(0)
+    else spark.read.option("basePath", s"$root/conflict")
+      .parquet(pinned.toSeq.sorted.map { case (b, v) =>
+        s"$root/conflict/v=$v/bkt=$b" }: _*)
+      .select(col("doc_id"), col("split"), col("cl"), col("bkt"))
+  }
+
   /** Assign `arrivals` (a frame with `idCol`) under the CURRENT
     * near-dup `labels` ((id, cluster) — [[Dedup.connectedComponents]]
     * over everything ingested so far, the dedup stage's artifact).
@@ -129,29 +149,71 @@ object TxSplitStack {
     val mBkts = memberIds
       .select(bktOf(col("doc_id"), buckets).as("_b")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val clusterStored = readAssigned(spark, root, st, Some(mBkts))
+    val storedMembers = readAssigned(spark, root, st, Some(mBkts))
       .drop("bkt")
       .join(memberIds, Seq("doc_id"))
+      .localCheckpoint() // feeds the inheritance fold AND the conflict audit
+    val clusterStored = storedMembers
       .groupBy("cl")
       .agg(min(struct(col("doc_id"), col("split"))).as("_m"))
       .select(col("cl"), col("_m.split").as("_inherit"))
     val drawn = Sampling.assignSplit(
       newIds.join(clusterStored, Seq("cl"), "left"),
       col("cl"), splits, salt, outCol = "_ladder")
-    val newRows = drawn
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cl"),
         coalesce(col("_inherit"), col("_ladder")).as("split"),
         col("bkt"))
+      .localCheckpoint()
+    val newRows = drawn.select("doc_id", "split", "bkt")
     val replaced = readAssigned(spark, root, st, Some(touched))
       .unionByName(newRows)
     val pins = Manifest.writeRepin(replaced, "assign", root, vNew,
       touched, st.statsV)
+    // INCREMENTAL conflict maintenance: merge conflicts can only be
+    // CREATED by a commit (an arrival's labels bridging
+    // differently-assigned clusters), so re-auditing exactly the
+    // batch's clusters here keeps [[quarantineIncremental]]'s serve
+    // O(conflicted) instead of [[quarantine]]'s O(ledger) scan. The
+    // member assignments (stored ∪ just-drawn) decide each touched
+    // cluster's status; member docs' conflict rows REPLACE wholesale —
+    // a cluster audited clean drops its members' stale rows.
+    val memberAssigned = storedMembers
+      .unionByName(drawn.select("doc_id", "split", "cl"))
+    val confCl = memberAssigned.groupBy("cl")
+      .agg(count_distinct(col("split")).as("_k"))
+      .filter(col("_k") > 1).select("cl")
+    val confRows = memberAssigned.join(confCl, Seq("cl"), "left_semi")
+      .select(col("doc_id"), col("split"), col("cl"))
+      .withColumn("bkt", bktOf(col("doc_id"), buckets))
+    val touchedC = memberAssigned
+      .select(bktOf(col("doc_id"), buckets).as("_b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val replacedC = readConflicts(spark, root, st, Some(touchedC))
+      .join(memberAssigned.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(confRows)
+    val auxPins = Manifest.writeRepin(replacedC, "conflict", root, vNew,
+      touchedC, st.auxV)
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, statsV = pins))
+        batchId = batchId, statsV = pins, auxV = auxPins))
     true
     }
   }
+
+  /** The incrementally-maintained quarantine serve — equal to
+    * [[quarantine]] whenever every conflicted cluster was touched (its
+    * bridging labels passed to some [[commitAssign]]) since its last
+    * merge, which is the natural cadence: a merge IS an arrival's
+    * labels, and that arrival's commit audits the cluster. Reads ONLY
+    * the pinned conflict rows — O(conflicted), never the assignment
+    * ledger. Contract, stated: each cluster's status is as of the
+    * labels the LAST commit touching it passed; labels that merge
+    * already-stored clusters WITHOUT any arrival are only visible to
+    * the full-scan [[quarantine]]. */
+  def quarantineIncremental(spark: SparkSession, root: String,
+                            version: Option[Long] = None): DataFrame =
+    readConflicts(spark, root,
+      Manifest.stateAt(spark, root, version), None).drop("bkt")
 
   /** The MERGE-CONFLICT quarantine: every assigned doc whose current
     * cluster (under `labels`) carries ≥ 2 distinct stored splits —
@@ -182,8 +244,11 @@ object TxSplitStack {
         Manifest.retainedStates(spark, root, retainVersions)
       val keep = retained.flatMap(_.statsV.map { case (b, v) =>
         s"v=$v/bkt=$b" }).toSet
+      val keepC = retained.flatMap(_.auxV.map { case (b, v) =>
+        s"v=$v/bkt=$b" }).toSet
       val (deleted, retired, kept) = Manifest.sweepUnpinned(spark, root,
-        floor, Seq(Manifest.SweepFamily("assign", 2, keep)))
+        floor, Seq(Manifest.SweepFamily("assign", 2, keep),
+          Manifest.SweepFamily("conflict", 2, keepC)))
       TxServeStack.VacuumStats(deleted, retired, kept)
     }
 }

@@ -91,7 +91,7 @@ object Registry19 {
   /** The shared recursive-CTE minhash closure (dedup_cluster_sizes'
     * oracle machinery), parameterized by a doc filter and a CTE name
     * prefix so one oracle can close over two corpus cuts. */
-  private def sqlCc(prefix: String, where: String): String =
+  private[queries] def sqlCc(prefix: String, where: String): String =
     s"""${prefix}w AS (SELECT doc_id, string_split(text, ' ') AS wl
        |  FROM documents WHERE $where),
        |${prefix}sh AS (SELECT doc_id, list_transform(range(1, len(wl) - 1),
@@ -119,7 +119,7 @@ object Registry19 {
        |  FROM documents d LEFT JOIN ${prefix}lbl l ON d.doc_id = l.id
        |  WHERE $where)""".stripMargin
 
-  private def sqlLadder(key: String): String =
+  private[queries] def sqlLadder(key: String): String =
     s"""CASE WHEN substr(md5('graft:split:' || CAST($key AS VARCHAR)), 1, 8)
        |  < '${Sampling.hexThreshold(0.8)}' THEN 'train'
        |WHEN substr(md5('graft:split:' || CAST($key AS VARCHAR)), 1, 8)
@@ -133,7 +133,8 @@ object Registry19 {
                                tag: String): String = {
     import graft.operators.TxSplitStack
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
-    val fx = FixtureCache.cached(d, "splitledger", 1, Seq("documents")) { tmp =>
+    // v2: commitAssign also maintains the conflict family (auxV pins)
+    val fx = FixtureCache.cached(d, "splitledger", 2, Seq("documents")) { tmp =>
       val root = tmp.resolve("ledger").toString
       TxSplitStack.init(s, root)
       val corpus = docs(s, d)
@@ -368,7 +369,7 @@ object Registry19 {
     * columns and a literal TRUE: cross-engine the ESTIMATE itself is
     * not replayable (DuckDB has no Datasketches HLL), the law it must
     * satisfy is. */
-  private def sketchWitness(s: SparkSession, d: String,
+  private[queries] def sketchWitness(s: SparkSession, d: String,
                             resolved: DataFrame): DataFrame = {
     val exact = Tables.events(s, d)
       .groupBy(col("event_type").as("key"))
@@ -629,8 +630,12 @@ object Registry19 {
         !(col("event_type") === "click" && col("user_id") % 10 === 0))
       .groupBy(col("event_type").as("key"))
       .agg(count_distinct(col("user_id")).as("exact_users"))
+    // LEFT join from the STACK side: a dropped key leaking through
+    // commitReplace (e.g. a surviving 'error' row) yields an extra row
+    // with null exact columns — a row-set change the gate sees — instead
+    // of being silently filtered by an inner join against the oracle cut
     TxSketchStack.estimates(TxSketchStack.resolve(s, root))
-      .join(exact, Seq("key"))
+      .join(exact, Seq("key"), "left")
       .select(col("key"), col("n_rows"), col("exact_users"),
         (abs(col("est") - col("exact_users")) <=
           col("exact_users") * lit(0.05)).as("est_ok"))

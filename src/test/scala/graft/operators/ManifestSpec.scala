@@ -503,6 +503,62 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("cross-process fence: history-file CAS — exactly one winner, loser rolls the pointer forward and retries cleanly, own replay heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mftxp")
+    try {
+      val root = dir.toString
+      Manifest.commit(spark, root,
+        Manifest.State(0L, 0L, -1L, Map.empty))
+      // a FOREIGN process derived version 1 from the same cut, published
+      // its history file (the atomic create-exclusive step) and crashed
+      // before its pointer swap — the in-process lock cannot see it, the
+      // version CAS cannot see it (the pointer is still at 0); only the
+      // history-file CAS can
+      val foreign = Manifest.State(1L, 100L, -1L, Map.empty)
+      java.nio.file.Files.write(dir.resolve("manifest.v=1"),
+        foreign.render.getBytes("UTF-8"))
+      val ours = Manifest.State(1L, 1L, -1L, Map.empty)
+      val ex = intercept[Manifest.CommitConflict] {
+        Manifest.commit(spark, root, ours)
+      }
+      assert(ex.found == 1L)
+      // the loser ROLLED the crashed winner's pointer FORWARD — the
+      // stack is un-wedged, not stuck conflicting on version 1 forever
+      assert(Manifest.read(spark, root).contains(foreign),
+        "the loser must heal the winner's unswapped pointer")
+      // clean retry: re-derive from the advanced head and win version 2
+      val retry = foreign.copy(version = 2L, batchId = 101L)
+      Manifest.commit(spark, root, retry)
+      assert(Manifest.read(spark, root).contains(retry))
+      // OWN replay heal: a commit that crashed after publishing its
+      // history file re-derives byte-identical content — the CAS loss
+      // resolves as "already ours", the pointer swap completes
+      val replay = retry.copy(version = 3L, batchId = 102L)
+      java.nio.file.Files.write(dir.resolve("manifest.v=3"),
+        replay.render.getBytes("UTF-8"))
+      Manifest.commit(spark, root, replay) // must NOT throw
+      assert(Manifest.read(spark, root).contains(replay))
+      // snapshot reads see every version the fence let through
+      assert(Manifest.readAt(spark, root, 1L).contains(foreign))
+      assert(Manifest.readAt(spark, root, 2L).contains(retry))
+      // no scratch leftovers from the exclusive-publish machinery
+      val strays = dir.toFile.listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("manifest.tmp-"))
+      assert(strays.isEmpty, s"scratch files leaked: $strays")
+      // an unparseable foreign history file must abort loudly, not
+      // brick the pointer with garbage
+      java.nio.file.Files.write(dir.resolve("manifest.v=4"),
+        "not a manifest".getBytes("UTF-8"))
+      intercept[IllegalStateException] {
+        Manifest.commit(spark, root, replay.copy(version = 4L))
+      }
+      assert(Manifest.read(spark, root).contains(replay),
+        "a garbage history file must leave the pointer untouched")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("positional family is stack-derived: a later commit omitting the flag still lands replacements") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mftpd")
     try {

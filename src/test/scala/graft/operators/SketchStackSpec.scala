@@ -183,6 +183,46 @@ class SketchStackSpec extends SparkSpec {
     assert(k5.getLong(1) == 30L && math.abs(k5.getLong(2) - 30L) <= 2L)
   }
 
+  test("commitResize: rebuilds under lgK'; old cut reconstructible; post-resize batches merge; stale-lgK batches fail loudly") {
+    val root = newRoot()
+    TxSketchStack.init(spark, root)
+    val b0 = batchDf(Seq("a", "b"), 500)
+    assert(TxSketchStack.commitBatch(spark, root, b0, 0L, "key", "user",
+      buckets = 4)) // lgK = 12
+    val pre = Manifest.read(spark, root).get
+    // resize re-aggregates from the raw slice (== everything ingested)
+    assert(TxSketchStack.commitResize(spark, root, b0, 1L, "key", "user",
+      buckets = 4, lgK = 14, thetaLgNom = 13))
+    def estMap(v: Option[Long] = None) = TxSketchStack.estimates(
+        TxSketchStack.resolve(spark, root, version = v))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val est = estMap()
+    assert(est("a")._1 == 500L && est("b")._1 == 500L,
+      s"exact tallies must rebuild from the slice: $est")
+    assert(math.abs(est("a")._2 - 500L) <= 25L,
+      s"lgK=14 estimate out of envelope: $est")
+    // the pre-resize cut still serves its lgK=12 rows (cuts never mix)
+    assert(estMap(Some(pre.version)).keySet == Set("a", "b"))
+    // a later batch at the NEW lgK merges cleanly
+    assert(TxSketchStack.commitBatch(spark, root,
+      batchDf(Seq("a"), 100, offset = 500000), 2L, "key", "user",
+      buckets = 4, lgK = 14))
+    assert(estMap()("a")._1 == 600L)
+    // a batch still at the OLD lgK fails LOUDLY at its merge (the
+    // stack's drift contract), and the failed commit leaves no trace
+    val vBefore = Manifest.read(spark, root).get.version
+    intercept[Exception] {
+      TxSketchStack.commitBatch(spark, root,
+        batchDf(Seq("a"), 10, offset = 900000), 3L, "key", "user",
+        buckets = 4, lgK = 12)
+    }
+    assert(Manifest.read(spark, root).get.version == vBefore,
+      "a failed merge must not advance the manifest")
+    assert(estMap()("a")._1 == 600L,
+      "a failed merge must not change the served profile")
+  }
+
   test("snapshot + vacuum: time travel pins old cuts; vacuum keeps live pins") {
     val root = newRoot()
     TxSketchStack.init(spark, root)

@@ -98,4 +98,56 @@ class SplitStackSpec extends SparkSpec {
     assert(got == expected, s"quarantine mismatch: got ${got.size}, " +
       s"expected ${expected.size}")
   }
+
+  test("incremental quarantine: equals the full scan after a bridging ingest; a cluster re-audited clean drops its members' rows") {
+    val root = newRoot()
+    val none = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    // 200 singletons draw independently at batch 0
+    assert(TxSplitStack.commitAssign(spark, root, (1L to 200L).toDF("doc_id"),
+      none, 0L, "doc_id", splits, buckets = 4))
+    assert(TxSplitStack.quarantineIncremental(spark, root).isEmpty,
+      "singleton draws must audit clean")
+    val assigned = TxSplitStack.resolve(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // arrivals 1001..1100 bridge the pairs (2i-1, 2i): the commit that
+    // CREATES each merge audits exactly that cluster
+    val lF = ((1L to 200L).map(i => (i, i - ((i - 1) % 2))) ++
+      (1L to 100L).map(i => (1000L + i, 2 * i - 1))).toDF("id", "cluster")
+    assert(TxSplitStack.commitAssign(spark, root,
+      (1001L to 1100L).toDF("doc_id"), lF, 1L, "doc_id", splits,
+      buckets = 4))
+    val inc = TxSplitStack.quarantineIncremental(spark, root)
+      .localCheckpoint()
+    val full = TxSplitStack.quarantine(spark, root, lF).localCheckpoint()
+    assert(inc.count() > 0, "the fixture must produce conflicts")
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental quarantine must equal the full scan when every " +
+        "merge arrived through a commit")
+    // a conflicted pair, by construction: arrivals inherit the min
+    // stored member (2i-1), so cluster 2i-1 conflicts iff the pair's
+    // own draws differ
+    val confBase = (1L to 100L).map(i => 2 * i - 1)
+      .find(b => assigned(b) != assigned(b + 1)).get
+    // batch 2: labels REFINE — the conflicted cluster's odd member and
+    // a fresh arrival form a clean 2-cluster; the re-audit must DROP
+    // the odd member's conflict row while the pair's other members
+    // keep theirs (stale by the stated as-of-last-touch contract)
+    val l2 = Seq((confBase, confBase), (2000L, confBase))
+      .toDF("id", "cluster")
+    assert(TxSplitStack.commitAssign(spark, root, Seq(2000L).toDF("doc_id"),
+      l2, 2L, "doc_id", splits, buckets = 4))
+    val after = TxSplitStack.quarantineIncremental(spark, root)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!after.contains(confBase),
+      "a cluster re-audited clean must drop its members' conflict rows")
+    assert(after.contains(confBase + 1),
+      "an untouched member keeps its as-of-last-touch conflict row")
+    // the conflict family snapshots like every other asset: the batch-1
+    // cut still lists the dropped member
+    val atV = TxSplitStack.quarantineIncremental(spark, root,
+      version = Some(2L)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(atV.contains(confBase),
+      "the pre-refinement snapshot must keep the old conflict set")
+  }
 }
