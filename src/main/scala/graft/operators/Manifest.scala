@@ -125,6 +125,30 @@ object Manifest {
     lock.synchronized(body)
   }
 
+  /** The shared BATCH-COMMIT shell every Tx*Stack batch face wraps:
+    * hold the root's commit lock, resolve the head (or `orElse` before
+    * the first commit), skip whole when `batchId` is at or below the
+    * high-water mark (exactly-once by batch id), run
+    * `derive(head, head.version + 1)` — the versioned asset writes —
+    * and publish the state it returns unless `publish` is false (the
+    * crash face: everything derive wrote stays an invisible orphan).
+    * Centralizing the shell keeps the fence → skip → derive → swap
+    * choreography in ONE place instead of a hand-rolled copy per face
+    * — the copy that drifts (a present-set ordering bug once lived in
+    * exactly one of them). */
+  private[operators] def commitGuard(spark: SparkSession, root: String,
+      batchId: Long, publish: Boolean)(orElse: => State)
+      (derive: (State, Long) => State): Boolean =
+    withCommitLock(spark, root) {
+      val st = read(spark, root).getOrElse(orElse)
+      if (batchId <= st.batchId) false // replayed: already committed
+      else {
+        val newSt = derive(st, st.version + 1)
+        if (publish) commit(spark, root, newSt)
+        true
+      }
+    }
+
   /** Resolve the current committed state; None before the first
     * commit. Reads ONE small file — the serve-side cost of the
     * protocol is a single metadata read per query batch. */
@@ -771,11 +795,8 @@ object TxServeStack {
                   docBuckets: Int, termBuckets: Int,
                   publish: Boolean = true,
                   positions: Boolean = false): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
-      Manifest.State(-1L, -1L, -1L, Map.empty))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    val vNew = st.version + 1
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      Manifest.State(-1L, -1L, -1L, Map.empty)) { (st, vNew) =>
     // the positional family is a property of the STACK: once any commit
     // carried it, every later commit must too (the manifest records it),
     // or tombstones would retire positional rows no commit replaces
@@ -818,13 +839,10 @@ object TxServeStack {
       } else spark.read.parquet(Manifest.globalDir(root, st))
     Retrieval.bm25GlobalStatsAppend(gPrev, delta)
       .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
-    if (publish)
-      // copy, not construct: the base pointer (baseV/baseBatch) from a
-      // prior compaction must ride through every subsequent commit
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, globalV = vNew, statsV = statsV,
-        pos = withPos))
-    true
+    // copy, not construct: the base pointer (baseV/baseBatch) from a
+    // prior compaction must ride through every subsequent commit
+    st.copy(version = vNew, batchId = batchId, globalV = vNew,
+      statsV = statsV, pos = withPos)
   }
 
   /** TRANSACTIONAL DELETE — the takedown face under the protocol
@@ -853,11 +871,9 @@ object TxServeStack {
                    removals: DataFrame, batchId: Long, idCol: String,
                    docBuckets: Int, termBuckets: Int,
                    publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    val vNew = st.version + 1
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(s"no committed manifest at $root")
+    ) { (st, vNew) =>
     val ids = removals.select(col(idCol).as("doc_id")).distinct()
     val removedTf = liveRemovedTf(spark, root, st, ids, docBuckets)
     removedTf.select("doc_id").distinct()
@@ -874,10 +890,8 @@ object TxServeStack {
     val gPrev = spark.read.parquet(Manifest.globalDir(root, st))
     Retrieval.bm25GlobalStatsRemove(gPrev, removedTf)
       .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, globalV = vNew, statsV = statsV))
-    true
+    st.copy(version = vNew, batchId = batchId, globalV = vNew,
+      statsV = statsV)
   }
 
   /** Land a batch's positional rows at `positions/batch=N`,
@@ -909,11 +923,9 @@ object TxServeStack {
                    docBuckets: Int, termBuckets: Int,
                    publish: Boolean = true,
                    positions: Boolean = false): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    val vNew = st.version + 1
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(s"no committed manifest at $root")
+    ) { (st, vNew) =>
     // stack-derived, like commitBatch: an upsert on a positional stack
     // that omitted the flag would retire the old positional rows via
     // the shared tombstone and land NO replacements — phrase serves
@@ -952,11 +964,8 @@ object TxServeStack {
     Retrieval.bm25GlobalStatsAppend(
         Retrieval.bm25GlobalStatsRemove(gPrev, removedTf), delta)
       .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, globalV = vNew, statsV = statsV,
-        pos = withPos))
-    true
+    st.copy(version = vNew, batchId = batchId, globalV = vNew,
+      statsV = statsV, pos = withPos)
   }
 
   /** Posting COMPACTION under the protocol — the drain-age answer the
@@ -1261,18 +1270,14 @@ object TxVectorStack {
   def commitDelete(spark: SparkSession, root: String,
                    removals: DataFrame, batchId: Long, idCol: String,
                    buckets: Int = 16, publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    writeTombstones(spark, root, st,
-      removals.select(col(idCol).as("vec_id")).distinct(),
-      buckets, batchId)
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = st.version + 1,
-        batchId = batchId))
-    true
-  }
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(s"no committed manifest at $root")
+    ) { (st, vNew) =>
+      writeTombstones(spark, root, st,
+        removals.select(col(idCol).as("vec_id")).distinct(),
+        buckets, batchId)
+      st.copy(version = vNew, batchId = batchId)
+    }
 
   /** One arrival batch through the protocol: anti-join the committed
     * membership (bucket-pruned to the batch's buckets), encode the
@@ -1282,26 +1287,22 @@ object TxVectorStack {
   def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
                   batchId: Long, idCol: String, vecCol: String,
                   buckets: Int = 16, publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
+    Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
-        s"vector stack not initialized at $root — call init first"))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
-    val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
-    val stored = Ledger.prunedToBatch(
-        liveCodes(spark, root, st).select(col("vec_id"), col("bkt")),
-        batch.select(col(idCol).as("vec_id")), "vec_id", buckets)
-    val delta = Similarity.pqIndexAppend(stored, batch, cent, cb,
-      idCol, vecCol, deltaOnly = true)
-    Ledger.withBucket(delta, "vec_id", buckets)
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/codes/batch=$batchId")
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = st.version + 1,
-        batchId = batchId))
-    true
-  }
+        s"vector stack not initialized at $root — call init first")
+    ) { (st, vNew) =>
+      val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
+      val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
+      val stored = Ledger.prunedToBatch(
+          liveCodes(spark, root, st).select(col("vec_id"), col("bkt")),
+          batch.select(col(idCol).as("vec_id")), "vec_id", buckets)
+      val delta = Similarity.pqIndexAppend(stored, batch, cent, cb,
+        idCol, vecCol, deltaOnly = true)
+      Ledger.withBucket(delta, "vec_id", buckets)
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/codes/batch=$batchId")
+      st.copy(version = vNew, batchId = batchId)
+    }
 
   /** TRANSACTIONAL UPSERT for the vector index
     * ([[TxServeStack.commitUpsert]]'s twin): the batch ids' live code
@@ -1314,24 +1315,20 @@ object TxVectorStack {
   def commitUpsert(spark: SparkSession, root: String, batch: DataFrame,
                    batchId: Long, idCol: String, vecCol: String,
                    buckets: Int = 16, publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    writeTombstones(spark, root, st,
-      batch.select(col(idCol).as("vec_id")).distinct(),
-      buckets, batchId)
-    val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
-    val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
-    val delta = Similarity.pqIndexBuild(batch, cent, cb, idCol, vecCol)
-    Ledger.withBucket(delta, "vec_id", buckets)
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/codes/batch=$batchId")
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = st.version + 1,
-        batchId = batchId))
-    true
-  }
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(s"no committed manifest at $root")
+    ) { (st, vNew) =>
+      writeTombstones(spark, root, st,
+        batch.select(col(idCol).as("vec_id")).distinct(),
+        buckets, batchId)
+      val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
+      val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
+      val delta = Similarity.pqIndexBuild(batch, cent, cb, idCol, vecCol)
+      Ledger.withBucket(delta, "vec_id", buckets)
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/codes/batch=$batchId")
+      st.copy(version = vNew, batchId = batchId)
+    }
 
   /** QUANTIZER REFRESH as one transaction: re-encode the committed
     * membership under a NEW quantizer ([[Similarity.pqIndexReencode]]

@@ -189,13 +189,10 @@ object TxGraphStack {
                   hops: Int = 3, maxDegree: Int = 8,
                   corpusBuckets: Option[Int] = None,
                   publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
+    Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
-        s"graph stack not initialized at $root — call init first"))
-    if (batchId <= st.batchId) false // replayed: already committed
-    else {
-    val vNew = st.version + 1
+        s"graph stack not initialized at $root — call init first")
+    ) { (st, vNew) =>
     val raw = readEdges(spark, root, st, None)
     val tomb = readTombstones(spark, root, st).localCheckpoint()
     // the live view stays LAZY: the append's bucket-pruned legs filter
@@ -236,12 +233,9 @@ object TxGraphStack {
         .write.partitionBy("bkt").mode("overwrite")
         .parquet(s"$root/edges/v=$vNew")
     }
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, statsV = st.statsV ++ touched.map(_ -> vNew)))
-    true
+    st.copy(version = vNew, batchId = batchId,
+      statsV = st.statsV ++ touched.map(_ -> vNew))
     }
-  }
 
   /** TRANSACTIONAL TAKEDOWN — node tombstones under per-bucket MVCC:
     * the removed ids land as (id, asof = this batch) in their own
@@ -256,11 +250,9 @@ object TxGraphStack {
   def commitRemove(spark: SparkSession, root: String,
                    removals: DataFrame, batchId: Long, idCol: String,
                    buckets: Int, publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    val vNew = st.version + 1
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(s"no committed manifest at $root")
+    ) { (st, vNew) =>
     val rm = removals.select(col(idCol).as("id")).distinct()
       .localCheckpoint()
     val tb = elected(rm, bktOf(col("id"), buckets))
@@ -271,11 +263,8 @@ object TxGraphStack {
       .withColumn("bkt", bktOf(col("id"), buckets))
     val auxPins = Manifest.writeRepin(replaced, "tomb", root, vNew, tb,
       st.auxV)
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, auxV = auxPins))
-    true
-  }
+    st.copy(version = vNew, batchId = batchId, auxV = auxPins)
+    }
 
   /** TRANSACTIONAL REPAIR — [[Similarity.graphRepair]]'s dataflow
     * under the protocol: elect the orphaned neighborhood (surviving
@@ -293,15 +282,12 @@ object TxGraphStack {
                    batchId: Long, idCol: String, vecCol: String,
                    k: Int, buckets: Int, beam: Int = 8, hops: Int = 3,
                    maxDegree: Int = 8,
-                   publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
+                   publish: Boolean = true): Boolean = {
     require(maxDegree >= k,
       "maxDegree must be >= k (repairs add k edges per side)")
-    val st = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    if (batchId <= st.batchId) false // replayed: already committed
-    else {
-    val vNew = st.version + 1
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(s"no committed manifest at $root")
+    ) { (st, vNew) =>
     val raw = readEdges(spark, root, st, None)
     val tomb = readTombstones(spark, root, st).localCheckpoint()
     val live = liveEdges(raw, tomb) // lazy — see commitBatch
@@ -360,10 +346,7 @@ object TxGraphStack {
         .join(srcs, Seq("src_id"), "left_semi"))
     val pins = Manifest.writeRepin(replaced, "edges", root, vNew, tbkts,
       st.statsV)
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, statsV = pins))
-    true
+    st.copy(version = vNew, batchId = batchId, statsV = pins)
     }
   }
 

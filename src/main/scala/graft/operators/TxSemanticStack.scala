@@ -188,12 +188,10 @@ object TxSemanticStack {
                   idCol: String, vecCol: String, threshold: Double,
                   prefix: Int, buckets: Int,
                   publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
+    Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
-        s"semantic stack not initialized at $root — call init first"))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    val vNew = st.version + 1
+        s"semantic stack not initialized at $root — call init first")
+    ) { (st, vNew) =>
     val bIds = batch.select(col(idCol)).distinct().localCheckpoint()
     // seen check: batch ids can only live in their own id-buckets
     val seen = readPinned(spark, root, "labels", st.statsV,
@@ -265,11 +263,9 @@ object TxSemanticStack {
     bIdx.withColumn("bkt", kbktOf(buckets))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/blkidx/batch=$batchId")
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, statsV = idPins, auxV = clPins))
-    true
-  }
+    st.copy(version = vNew, batchId = batchId, statsV = idPins,
+      auxV = clPins)
+    }
 
   /** TRANSACTIONAL TAKEDOWN — [[Similarity.semanticClustersRemove]]'s
     * dataflow under the protocol, in ONE commit: removing a vector can
@@ -299,11 +295,9 @@ object TxSemanticStack {
                    removals: DataFrame, batchId: Long, corpus: DataFrame,
                    idCol: String, vecCol: String, threshold: Double,
                    buckets: Int, publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed manifest at $root"))
-    if (batchId <= st.batchId) return false // replayed: already committed
-    val vNew = st.version + 1
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(s"no committed manifest at $root")
+    ) { (st, vNew) =>
     val rm = removals.select(col(idCol).as("id")).distinct()
       .localCheckpoint()
     // removed ids' committed labels: their own id-buckets only
@@ -359,11 +353,9 @@ object TxSemanticStack {
           coalesce(col("_nc"), col("cluster")).as("cluster"))
         .withColumn("bkt", ibktOf(buckets)),
       "labels", root, vNew, tib, st.statsV)
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, statsV = idPins, auxV = clPins))
-    true
-  }
+    st.copy(version = vNew, batchId = batchId, statsV = idPins,
+      auxV = clPins)
+    }
 
   /** [[TxServeStack.vacuum]]'s twin for the semantic stack: reclaim
     * superseded label-bucket versions on BOTH keyed views, crash

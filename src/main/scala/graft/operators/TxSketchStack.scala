@@ -99,13 +99,10 @@ object TxSketchStack {
                   batchId: Long, keyCol: String, valCol: String,
                   buckets: Int, lgK: Int = 12,
                   publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
+    Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
-        s"sketch stack not initialized at $root — call init first"))
-    if (batchId <= st.batchId) false // replayed: already committed
-    else {
-    val vNew = st.version + 1
+        s"sketch stack not initialized at $root — call init first")
+    ) { (st, vNew) =>
     val agg = batch
       .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("key"))
@@ -133,15 +130,9 @@ object TxSketchStack {
         .withColumn("bkt", bktOf(col("key"), buckets))
       val pins = Manifest.writeRepin(replaced, "sketch", root, vNew,
         touched, st.statsV)
-      if (publish)
-        Manifest.commit(spark, root, st.copy(version = vNew,
-          batchId = batchId, statsV = pins))
-    } else if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId))
-    true
+      st.copy(version = vNew, batchId = batchId, statsV = pins)
+    } else st.copy(version = vNew, batchId = batchId)
     }
-  }
 
   /** Resolve committed sketch rows (key, n_rows, sk) — optionally
     * restricted to `keys` under the stack's bucket count B (the
@@ -233,13 +224,10 @@ object TxSketchStack {
                     rebuilt: DataFrame, drop: DataFrame, batchId: Long,
                     keyCol: String, valCol: String, buckets: Int,
                     lgK: Int = 12, publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
+    Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
-        s"sketch stack not initialized at $root — call init first"))
-    if (batchId <= st.batchId) false // replayed: already committed
-    else {
-    val vNew = st.version + 1
+        s"sketch stack not initialized at $root — call init first")
+    ) { (st, vNew) =>
     val agg = rebuilt
       .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("key"))
@@ -263,15 +251,9 @@ object TxSketchStack {
       val replaced = untouched.unionByName(agg)
       val pins = Manifest.writeRepin(replaced, "sketch", root, vNew,
         touched, st.statsV)
-      if (publish)
-        Manifest.commit(spark, root, st.copy(version = vNew,
-          batchId = batchId, statsV = pins))
-    } else if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId))
-    true
+      st.copy(version = vNew, batchId = batchId, statsV = pins)
+    } else st.copy(version = vNew, batchId = batchId)
     }
-  }
 
   /** Transactional RECONFIGURATION — `ann_index_reencode`'s twin for
     * the sketch family: change the accuracy budget (HLL lgK and/or the
@@ -296,13 +278,10 @@ object TxSketchStack {
                    batchId: Long, keyCol: String, valCol: String,
                    buckets: Int, lgK: Int = 12, thetaLgNom: Int = 12,
                    publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
+    Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
-        s"sketch stack not initialized at $root — call init first"))
-    if (batchId <= st.batchId) false // replayed: already committed
-    else {
-    val vNew = st.version + 1
+        s"sketch stack not initialized at $root — call init first")
+    ) { (st, vNew) =>
     val moved = raw
       .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("key"))
@@ -317,12 +296,9 @@ object TxSketchStack {
     if (present.nonEmpty)
       moved.write.partitionBy("bkt").mode("overwrite")
         .parquet(s"$root/sketch/v=$vNew")
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, statsV = present.map(_ -> vNew).toMap))
-    true
+    st.copy(version = vNew, batchId = batchId,
+      statsV = present.map(_ -> vNew).toMap)
     }
-  }
 
   /** Transactional RE-BUCKET — [[TxGraphStack.rebucket]]'s twin for
     * the sketch family: every committed row re-derives `bkt` under B′

@@ -111,23 +111,19 @@ object TxSplitStack {
                    splits: Seq[(String, Double)], buckets: Int,
                    salt: String = "graft",
                    publish: Boolean = true): Boolean =
-    Manifest.withCommitLock(spark, root) {
-    val st = Manifest.read(spark, root).getOrElse(
+    Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
-        s"split ledger not initialized at $root — call init first"))
-    if (batchId <= st.batchId) false // replayed: already committed
-    else {
-    val vNew = st.version + 1
+        s"split ledger not initialized at $root — call init first")
+    ) { (st, vNew) =>
     val ids = arrivals.select(col(idCol).as("doc_id")).distinct()
       .withColumn("bkt", bktOf(col("doc_id"), buckets))
       .localCheckpoint()
     val touched = ids.select("bkt").distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) {
-      if (publish) Manifest.commit(spark, root,
-        st.copy(version = vNew, batchId = batchId))
-      return true
-    }
+    if (touched.isEmpty)
+      // empty arrivals still advance the high-water mark (replay safe)
+      st.copy(version = vNew, batchId = batchId)
+    else {
     val lab = labels.select(col("id").as("doc_id"),
       col("cluster").as("cl"))
     // arrivals not yet assigned, with their cluster (own id when
@@ -193,12 +189,10 @@ object TxSplitStack {
       .unionByName(confRows)
     val auxPins = Manifest.writeRepin(replacedC, "conflict", root, vNew,
       touchedC, st.auxV)
-    if (publish)
-      Manifest.commit(spark, root, st.copy(version = vNew,
-        batchId = batchId, statsV = pins, auxV = auxPins))
-    true
+    st.copy(version = vNew, batchId = batchId, statsV = pins,
+      auxV = auxPins)
     }
-  }
+    }
 
   /** The incrementally-maintained quarantine serve — equal to
     * [[quarantine]] whenever every conflicted cluster was touched (its
