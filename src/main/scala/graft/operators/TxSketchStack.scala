@@ -97,7 +97,7 @@ object TxSketchStack {
     * degraded estimate. */
   def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
                   batchId: Long, keyCol: String, valCol: String,
-                  buckets: Int, lgK: Int = 12,
+                  buckets: Int, lgK: Int = 12, thetaLgNom: Int = 12,
                   publish: Boolean = true): Boolean =
     Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
@@ -108,7 +108,10 @@ object TxSketchStack {
       .groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("_bn"),
         hll_sketch_agg(col(valCol), lit(lgK)).as("_bsk"),
-        theta_sketch_agg(col(valCol)).as("_bth"))
+        // theta merges across nominal sizes (union keeps min θ), so a
+        // drifted thetaLgNom degrades gracefully rather than failing —
+        // still pass the stack's contract value like lgK
+        theta_sketch_agg(col(valCol), lit(thetaLgNom)).as("_bth"))
       .withColumn("bkt", bktOf(col("key"), buckets))
       .localCheckpoint() // keys-sized; feeds election + merge
     val touched = agg.select(col("bkt")).distinct()
@@ -223,7 +226,8 @@ object TxSketchStack {
   def commitReplace(spark: SparkSession, root: String,
                     rebuilt: DataFrame, drop: DataFrame, batchId: Long,
                     keyCol: String, valCol: String, buckets: Int,
-                    lgK: Int = 12, publish: Boolean = true): Boolean =
+                    lgK: Int = 12, thetaLgNom: Int = 12,
+                    publish: Boolean = true): Boolean =
     Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(
         s"sketch stack not initialized at $root — call init first")
@@ -233,7 +237,7 @@ object TxSketchStack {
       .groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n_rows"),
         hll_sketch_agg(col(valCol), lit(lgK)).as("sk"),
-        theta_sketch_agg(col(valCol)).as("th"))
+        theta_sketch_agg(col(valCol), lit(thetaLgNom)).as("th"))
       .withColumn("bkt", bktOf(col("key"), buckets))
       .localCheckpoint()
     val dropKeys = drop

@@ -230,6 +230,47 @@ object TxSplitStack {
       .select("doc_id", "split", "cl")
   }
 
+  /** Transactional RE-BUCKET — [[TxSketchStack.rebucket]]'s twin for
+    * the split ledger: every committed assignment row (and every
+    * conflict row) re-derives `bkt` under B′ and lands at one fresh
+    * version, both pin maps move wholesale, one swap. The cure for the
+    * undersized-B law the probe measures: with B fixed while the
+    * corpus grows, each batch's touched-bucket replacement rewrites
+    * ledger/B rows per bucket — B′ ∝ corpus restores write ∝ batch.
+    * Callers pass B′ to every subsequent commit — the shared
+    * migration contract. O(ledger) by definition, amortized. */
+  def rebucket(spark: SparkSession, root: String,
+               newBuckets: Int, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val st = Manifest.read(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed manifest at $root"))
+    if (st.statsV.isEmpty) return false
+    val vNew = st.version + 1
+    def move(read: DataFrame, family: String,
+             pins: Map[Int, Long]): Map[Int, Long] = {
+      val moved = read.drop("bkt")
+        .withColumn("bkt", bktOf(col("doc_id"), newBuckets))
+        .repartition(col("bkt"))
+        .localCheckpoint()
+      val present = moved.select("bkt").distinct()
+        .collect().map(_.getInt(0))
+      if (present.nonEmpty)
+        moved.write.partitionBy("bkt").mode("overwrite")
+          .parquet(s"$root/$family/v=$vNew")
+      present.map(_ -> vNew).toMap
+    }
+    val pins = move(readAssigned(spark, root, st, None), "assign",
+      st.statsV)
+    val auxPins =
+      if (st.auxV.isEmpty) st.auxV
+      else move(readConflicts(spark, root, st, None), "conflict", st.auxV)
+    if (publish)
+      Manifest.commit(spark, root, st.copy(version = vNew,
+        statsV = pins, auxV = auxPins))
+    true
+  }
+
   /** [[TxServeStack.vacuum]]'s twin for the assignment ledger. */
   def vacuum(spark: SparkSession, root: String,
              retainVersions: Int = 0): TxServeStack.VacuumStats =

@@ -394,6 +394,66 @@ object Registry20 {
       .orderBy("split")
   }
 
+  /** Transactional RE-BUCKET on the split ledger
+    * ([[TxSplitStack.rebucket]] — the sketch/lexical stacks' twin): the
+    * cure for the undersized-B law (with B fixed while the corpus
+    * grows, every batch's touched-bucket replacement rewrites
+    * ledger/B rows per bucket). The stored corpus assigns under B=8,
+    * ONE commit moves assignment + conflict families wholesale to
+    * B′=32, then the arrivals assign under the NEW keyspace — the
+    * inheritance read must elect member buckets under B′ or it misses
+    * the stored members entirely. The oracle is the sticky gate's
+    * two-phase replay: a row lost in migration, an inheritance read
+    * against the old numbering, or a new row landing in a wrong bucket
+    * all shift the tallies. */
+  val sampleSplitRebucket = Q("sample_split_rebucket",
+    s"""WITH RECURSIVE ${Registry19.sqlCc("p1", "doc_id < 250")},
+       |${Registry19.sqlCc("pf", "TRUE")},
+       |s1 AS (SELECT doc_id, cl, ${Registry19.sqlLadder("cl")} AS split
+       |  FROM p1lab),
+       |m AS (SELECT lf.cl AS fcl, MIN(s1.doc_id) AS mdoc
+       |  FROM pflab lf JOIN s1 ON s1.doc_id = lf.doc_id GROUP BY lf.cl),
+       |inh AS (SELECT m.fcl, s1.split AS isplit
+       |  FROM m JOIN s1 ON s1.doc_id = m.mdoc),
+       |arr AS (SELECT doc_id, cl FROM pflab WHERE doc_id >= 250),
+       |s2 AS (SELECT a.doc_id,
+       |    COALESCE(i.isplit, ${Registry19.sqlLadder("a.cl")}) AS split
+       |  FROM arr a LEFT JOIN inh i ON a.cl = i.fcl),
+       |allrows AS (SELECT doc_id, split FROM s1
+       |  UNION ALL SELECT doc_id, split FROM s2)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_stored,
+       |  CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_arrivals
+       |FROM allrows GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val stage = StreamHarness.runDir("graft_sprebkt")
+    val root = stage.resolve("ledger").toString
+    TxSplitStack.init(s, root)
+    val corpus = docs(s, d)
+    val stored = corpus.filter(col("doc_id") < 250)
+    val l1 = Dedup.connectedComponents(
+      Dedup.minhashCandidates(stored, "doc_id", "text"), "a_id", "b_id")
+    require(TxSplitStack.commitAssign(s, root, stored, l1, 0L,
+      "doc_id", splits3, buckets = 8), "phase-1 assign must commit")
+    require(TxSplitStack.rebucket(s, root, newBuckets = 32),
+      "the re-bucket migration must commit on the assigned ledger")
+    val lF = Dedup.connectedComponents(
+      Dedup.minhashCandidates(corpus, "doc_id", "text"), "a_id", "b_id")
+    require(TxSplitStack.commitAssign(s, root,
+      corpus.filter(col("doc_id") >= 250), lF, 1L,
+      "doc_id", splits3, buckets = 32),
+      "the post-migration assign must commit under the new keyspace")
+    TxSplitStack.resolve(s, root)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") < 250, 1L).otherwise(0L)).as("n_stored"),
+        sum(when(col("doc_id") >= 250, 1L).otherwise(0L))
+          .as("n_arrivals"))
+      .orderBy("split")
+  }
+
   val round20: Seq[Q] = Seq(manifestFenceRace, sketchResizeServe,
-    streamingSplitAssign, sampleSplitQuarantineInc, curateSplitProfile)
+    streamingSplitAssign, sampleSplitQuarantineInc, curateSplitProfile,
+    sampleSplitRebucket)
 }

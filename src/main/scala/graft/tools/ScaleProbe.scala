@@ -814,6 +814,90 @@ object ScaleProbe {
         }
       }
 
+      if (want("txsplit")) {
+        // split-assignment ledger (round 16/17): the laws that govern
+        // it at 100 TB — (1) pinned state is one tiny row per assigned
+        // doc (bytes/doc ~constant as the corpus grows); (2) a small
+        // batch's commit cost is the undersized-B law: each touched
+        // bucket's REPLACEMENT rewrites ledger/B rows, so with B fixed
+        // the write grows ∝ corpus — measured here, with the rebucket
+        // migration as the cure (B′ ∝ corpus restores write ∝ batch);
+        // (3) the inheritance read elects MEMBER buckets only, so the
+        // arrival path's reads stay ≤ B dirs at any corpus size.
+        import graft.operators.{Manifest, TxSplitStack}
+        val ids = d.select("doc_id")
+        val nD = ids.count()
+        val sp = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        val stage = java.nio.file.Files.createTempDirectory("graft_txsp")
+        val root = stage.resolve("ledger").toString
+        try {
+          TxSplitStack.init(spark, root)
+          // pair clusters (stable labels): the bulk drain, 4 quarters
+          val labels = ids.select(col("doc_id").as("id"),
+            (col("doc_id") - col("doc_id") % 2).as("cluster"))
+          val qn = nD / 4
+          for (p <- 0 until 4) {
+            val lo = p * qn
+            val hi = if (p == 3) nD else (p + 1) * qn
+            TxSplitStack.commitAssign(spark, root,
+              ids.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              labels, p.toLong, "doc_id", sp, buckets = 64)
+          }
+          val st = Manifest.read(spark, root).get
+          val fsys = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val pinnedBytes = st.statsV.toSeq.map { case (b, v) =>
+            fsys.getContentSummary(new org.apache.hadoop.fs.Path(
+              s"$root/assign/v=$v/bkt=$b")).getLength
+          }.sum
+          println(s"PROBE txsplit $scale docs=$nD " +
+            s"pinned_state_bytes=$pinnedBytes " +
+            s"bytes_per_doc=${pinnedBytes / math.max(nD, 1)}")
+          // small-batch commit at B=64: 256 arrivals, each pairing with
+          // a stored doc (the inheritance path on the grown ledger) —
+          // the write is the touched buckets' replacement, ∝ ledger/B
+          def arrivalsAt(base: Long) = {
+            val a = spark.range(base, base + 256).toDF("doc_id")
+            val lab = a.select(col("doc_id").as("id"),
+              ((col("doc_id") - base) * 2).as("cluster"))
+              .unionByName(ids.select(col("doc_id").as("id"),
+                col("doc_id").as("cluster"))
+                .filter(col("id") % 2 === 0 && col("id") < 512))
+            (a, lab)
+          }
+          val (a5, l5) = arrivalsAt(nD)
+          val t5 = System.nanoTime()
+          TxSplitStack.commitAssign(spark, root, a5, l5, 4L, "doc_id",
+            sp, buckets = 64)
+          val dt5 = (System.nanoTime() - t5) / 1e9
+          val st5 = Manifest.read(spark, root).get
+          val wrote5 = spark.read
+            .parquet(s"$root/assign/v=${st5.version}").count()
+          println(f"PROBE txsplit $scale batch_256_at_B64 " +
+            f"write_rows=$wrote5 of_ledger=$nD secs=$dt5%.2f")
+          // the cure: rebucket to B' = 1024, same 256-doc batch shape —
+          // replacement rows drop to ~ledger/B' per touched bucket
+          TxSplitStack.rebucket(spark, root, newBuckets = 1024)
+          val (a6, l6) = arrivalsAt(nD + 1000000L)
+          val t6 = System.nanoTime()
+          TxSplitStack.commitAssign(spark, root, a6, l6, 5L, "doc_id",
+            sp, buckets = 1024)
+          val dt6 = (System.nanoTime() - t6) / 1e9
+          val st6 = Manifest.read(spark, root).get
+          val wrote6 = spark.read
+            .parquet(s"$root/assign/v=${st6.version}").count()
+          println(f"PROBE txsplit $scale batch_256_at_B1024 " +
+            f"write_rows=$wrote6 of_ledger=${nD + 256} secs=$dt6%.2f")
+          // incremental-quarantine serve: O(conflicted) pinned rows
+          val qRows = TxSplitStack.quarantineIncremental(spark, root)
+            .count()
+          println(s"PROBE txsplit $scale quarantine_inc_rows=$qRows " +
+            s"of_ledger=${nD + 512}")
+        } finally {
+          graft.queries.FixtureCache.deleteRecursively(stage)
+        }
+      }
+
       if (want("semdedup")) {
         // PQ-prefix semantic blocking: the governing count is the
         // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a

@@ -150,4 +150,40 @@ class SplitStackSpec extends SparkSpec {
     assert(atV.contains(confBase),
       "the pre-refinement snapshot must keep the old conflict set")
   }
+
+  test("rebucket: assignment and conflict families identical under B'; post-migration commits compose") {
+    val root = newRoot()
+    val none = Seq.empty[(Long, Long)].toDF("id", "cluster")
+    assert(TxSplitStack.commitAssign(spark, root, (1L to 100L).toDF("doc_id"),
+      none, 0L, "doc_id", splits, buckets = 4))
+    // bridge the pairs so the conflict family is non-empty
+    val lF = ((1L to 100L).map(i => (i, i - ((i - 1) % 2))) ++
+      (1L to 50L).map(i => (1000L + i, 2 * i - 1))).toDF("id", "cluster")
+    assert(TxSplitStack.commitAssign(spark, root,
+      (1001L to 1050L).toDF("doc_id"), lF, 1L, "doc_id", splits,
+      buckets = 4))
+    val assignBefore = TxSplitStack.resolve(spark, root).localCheckpoint()
+    val confBefore = TxSplitStack.quarantineIncremental(spark, root)
+      .localCheckpoint()
+    assert(confBefore.count() > 0, "fixture must carry conflicts")
+    assert(TxSplitStack.rebucket(spark, root, newBuckets = 16))
+    val assignAfter = TxSplitStack.resolve(spark, root)
+    val confAfter = TxSplitStack.quarantineIncremental(spark, root)
+    assert(assignAfter.exceptAll(assignBefore).isEmpty &&
+      assignBefore.exceptAll(assignAfter).isEmpty,
+      "re-bucket changed the served assignment")
+    assert(confAfter.exceptAll(confBefore).isEmpty &&
+      confBefore.exceptAll(confAfter).isEmpty,
+      "re-bucket changed the conflict family")
+    // a post-migration arrival composes under B' — inheritance reads
+    // the NEW keyspace's member buckets
+    assert(TxSplitStack.commitAssign(spark, root, Seq(3000L).toDF("doc_id"),
+      Seq((3000L, 1L), (1L, 1L)).toDF("id", "cluster"), 2L, "doc_id",
+      splits, buckets = 16))
+    val got = TxSplitStack.resolve(spark, root)
+      .filter($"doc_id" === 3000L).collect().head.getString(1)
+    val want = assignBefore.filter($"doc_id" === 1L)
+      .collect().head.getString(1)
+    assert(got == want, "post-migration inheritance must read B' buckets")
+  }
 }
