@@ -105,19 +105,19 @@ object Manifest {
     * inner [[commit]] synchronizes on the same monitor.
     *
     * Cross-PROCESS, [[commit]]'s history-file CAS closes the POINTER
-    * lost-update (exactly one process publishes version N), but the
-    * pre-commit asset clobber stays open for two SAME-face committers:
-    * both derive vNew = N and their mode("overwrite") asset writes
-    * target the same version-keyed paths before either reaches the
-    * fence, so the loser can overwrite files the winner just pinned.
-    * The supported concurrent pair — one drain ⊕ one maintenance
-    * compactor/vacuum — writes DISJOINT families at any shared version
-    * (deltas are batch-keyed; a compaction writes only `base/v=N`;
-    * vacuum writes nothing), so the fence alone is sufficient for it;
-    * two drains on one stack is a deployment error (the source would
-    * be double-delivering batches anyway). Full same-face closure
-    * needs attempt-unique asset paths recorded in the manifest —
-    * Iceberg's snapshot-file design — noted, not implemented. */
+    * lost-update (exactly one process publishes version N), and the
+    * SAME-face asset clobber is closed for every per-bucket-MVCC
+    * family + the BM25 global ledger by [[attemptVersion]] tokens:
+    * two committers that both derive ordinal N write DISJOINT `v=`
+    * directories, so the CAS loser's writes are pure orphans — it can
+    * never have touched a path the winner pinned (batch-keyed delta
+    * families are disjoint-by-batchId already; a same-batchId replay
+    * writes the same logical content). The remaining ordinal-keyed
+    * writers are the MAINTENANCE faces (compaction bases, quantizer
+    * refresh, rebucket) — same-face concurrency there means two
+    * schedulers running the same maintenance job, a deployment error;
+    * the supported pair (one drain ⊕ one maintenance cadence) writes
+    * disjoint paths throughout. */
   def withCommitLock[T](spark: SparkSession, dir: String)(body: => T): T = {
     val (f, base) = fs(spark, dir)
     val lock = commitLocks.computeIfAbsent(
@@ -444,24 +444,43 @@ object Manifest {
           s"version $v at $root is uncommitted or vacuumed"))
     }
 
+  /** Attempt-unique version token for version-keyed asset paths: the
+    * high bits carry the ordinal (human-readable ordering; vacuum and
+    * listings stay interpretable), the low 24 bits a per-attempt
+    * nonce. Two committers that both derived ordinal N therefore write
+    * DISJOINT `v=` directories — the loser of the commit CAS can never
+    * have clobbered files the winner just pinned (the SAME-face
+    * cross-process closure; Iceberg's unique-snapshot-file idea).
+    * Readers are untouched: every consumer resolves paths from the
+    * manifest's pin VALUES, never by arithmetic on the ordinal. The
+    * orphaned loser/crashed-attempt directories are invisible (no pin
+    * references them) and vacuum reclaims them. */
+  private[operators] def attemptVersion(ordinal: Long): Long =
+    (ordinal << 24) |
+      java.util.concurrent.ThreadLocalRandom.current().nextInt(1 << 24)
+
   /** Write one per-bucket-MVCC family's touched-bucket replacement at
-    * `family/v=vNew` and return the UPDATED pin map: touched buckets
-    * with surviving rows re-pin to vNew; touched buckets the
-    * replacement EMPTIED unpin (partitionBy writes no directory for
-    * them, so pinning would point at a path that does not exist) —
-    * the one write-and-repin kernel every MVCC family shares. */
+    * `family/v=<attempt token>` and return the UPDATED pin map:
+    * touched buckets with surviving rows re-pin to the token; touched
+    * buckets the replacement EMPTIED unpin (partitionBy writes no
+    * directory for them, so pinning would point at a path that does
+    * not exist) — the one write-and-repin kernel every MVCC family
+    * shares. The token (not the bare ordinal) is what makes two
+    * same-ordinal committers' writes disjoint — see
+    * [[attemptVersion]]. */
   private[operators] def writeRepin(replaced: DataFrame, family: String,
                                     root: String, vNew: Long,
                                     touched: Seq[Int],
                                     pins: Map[Int, Long]): Map[Int, Long] = {
+    val tok = attemptVersion(vNew)
     val frame = replaced.localCheckpoint()
     val present = frame.select(org.apache.spark.sql.functions.col("bkt"))
       .distinct().collect().map(_.getInt(0)).toSet
     if (present.nonEmpty)
       frame.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/$family/v=$vNew")
+        .parquet(s"$root/$family/v=$tok")
     pins -- touched.filterNot(present) ++
-      touched.filter(present).map(_ -> vNew)
+      touched.filter(present).map(_ -> tok)
   }
 
   /** The retention set every vacuum keeps: (floor, the states of every
@@ -683,16 +702,10 @@ object TxServeStack {
   private def writeStatsAndRepin(spark: SparkSession, root: String,
                                  st: Manifest.State, vNew: Long,
                                  replaced: DataFrame, termBuckets: Int,
-                                 touched: Seq[Int]): Map[Int, Long] = {
-    val bucketed = Ledger.withHashBucket(replaced, "term", termBuckets)
-      .localCheckpoint()
-    val present = bucketed.select("bkt").distinct()
-      .collect().map(_.getInt(0)).toSet
-    bucketed.write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/stats/v=$vNew")
-    st.statsV -- touched.filterNot(present) ++
-      touched.filter(present).map(_ -> vNew)
-  }
+                                 touched: Seq[Int]): Map[Int, Long] =
+    Manifest.writeRepin(
+      Ledger.withHashBucket(replaced, "term", termBuckets),
+      "stats", root, vNew, touched, st.statsV)
 
   /** The LIVE tf rows of `ids` (bucket-pruned read, ordered-liveness
     * filter, id semi-join) — what a delete retires and an upsert's
@@ -837,11 +850,12 @@ object TxServeStack {
         import spark.implicits._
         Seq((0L, 0L)).toDF("n_docs", "sum_dl")
       } else spark.read.parquet(Manifest.globalDir(root, st))
+    val gv = Manifest.attemptVersion(vNew)
     Retrieval.bm25GlobalStatsAppend(gPrev, delta)
-      .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
+      .write.mode("overwrite").parquet(s"$root/global/v=$gv")
     // copy, not construct: the base pointer (baseV/baseBatch) from a
     // prior compaction must ride through every subsequent commit
-    st.copy(version = vNew, batchId = batchId, globalV = vNew,
+    st.copy(version = vNew, batchId = batchId, globalV = gv,
       statsV = statsV, pos = withPos)
   }
 
@@ -888,9 +902,10 @@ object TxServeStack {
     val statsV = writeStatsAndRepin(spark, root, st, vNew, replaced,
       termBuckets, touched)
     val gPrev = spark.read.parquet(Manifest.globalDir(root, st))
+    val gv = Manifest.attemptVersion(vNew)
     Retrieval.bm25GlobalStatsRemove(gPrev, removedTf)
-      .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
-    st.copy(version = vNew, batchId = batchId, globalV = vNew,
+      .write.mode("overwrite").parquet(s"$root/global/v=$gv")
+    st.copy(version = vNew, batchId = batchId, globalV = gv,
       statsV = statsV)
   }
 
@@ -961,10 +976,11 @@ object TxServeStack {
         import spark.implicits._
         Seq((0L, 0L)).toDF("n_docs", "sum_dl")
       } else spark.read.parquet(Manifest.globalDir(root, st))
+    val gv = Manifest.attemptVersion(vNew)
     Retrieval.bm25GlobalStatsAppend(
         Retrieval.bm25GlobalStatsRemove(gPrev, removedTf), delta)
-      .write.mode("overwrite").parquet(s"$root/global/v=$vNew")
-    st.copy(version = vNew, batchId = batchId, globalV = vNew,
+      .write.mode("overwrite").parquet(s"$root/global/v=$gv")
+    st.copy(version = vNew, batchId = batchId, globalV = gv,
       statsV = statsV, pos = withPos)
   }
 

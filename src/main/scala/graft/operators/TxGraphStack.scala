@@ -213,28 +213,28 @@ object TxGraphStack {
     val touched = recapped
       .select(bktOf(col("src_id"), buckets).as("bkt")).distinct()
       .collect().map(_.getInt(0))
-    if (touched.nonEmpty) {
-      val rawTb = raw.filter(col("bkt").isin(touched.map(Int.box): _*))
-      val srcs = recapped.select(col("src_id")).distinct()
-      // three legs: untouched sources' RAW rows (live AND dead) ride
-      // through; touched sources' lists replace with their recapped
-      // LIVE content; and touched sources' DEAD rows ride through too
-      // — they are commitRepair's orphan-election evidence, which a
-      // live-only rewrite would silently destroy
-      rawTb.join(srcs, Seq("src_id"), "left_anti")
-        .select(col("src_id"), col("nbr_id"), col("cos"), col("b"),
-          col("bkt"))
-        .unionByName(withBirth(
-          recapped.withColumn("bkt", bktOf(col("src_id"), buckets)),
-          live, batchId))
-        .unionByName(edgesWhere(rawTb, tomb, keepLive = false)
-          .join(srcs, Seq("src_id"), "left_semi"))
-        .localCheckpoint()
-        .write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/edges/v=$vNew")
-    }
-    st.copy(version = vNew, batchId = batchId,
-      statsV = st.statsV ++ touched.map(_ -> vNew))
+    val pins =
+      if (touched.isEmpty) st.statsV
+      else {
+        val rawTb = raw.filter(col("bkt").isin(touched.map(Int.box): _*))
+        val srcs = recapped.select(col("src_id")).distinct()
+        // three legs: untouched sources' RAW rows (live AND dead) ride
+        // through; touched sources' lists replace with their recapped
+        // LIVE content; and touched sources' DEAD rows ride through too
+        // — they are commitRepair's orphan-election evidence, which a
+        // live-only rewrite would silently destroy
+        Manifest.writeRepin(
+          rawTb.join(srcs, Seq("src_id"), "left_anti")
+            .select(col("src_id"), col("nbr_id"), col("cos"), col("b"),
+              col("bkt"))
+            .unionByName(withBirth(
+              recapped.withColumn("bkt", bktOf(col("src_id"), buckets)),
+              live, batchId))
+            .unionByName(edgesWhere(rawTb, tomb, keepLive = false)
+              .join(srcs, Seq("src_id"), "left_semi")),
+          "edges", root, vNew, touched.toSeq, st.statsV)
+      }
+    st.copy(version = vNew, batchId = batchId, statsV = pins)
     }
 
   /** TRANSACTIONAL TAKEDOWN — node tombstones under per-bucket MVCC:

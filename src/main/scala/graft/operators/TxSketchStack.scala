@@ -286,6 +286,7 @@ object TxSketchStack {
       throw new IllegalStateException(
         s"sketch stack not initialized at $root — call init first")
     ) { (st, vNew) =>
+    val tok = Manifest.attemptVersion(vNew)
     val moved = raw
       .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("key"))
@@ -299,9 +300,9 @@ object TxSketchStack {
       .collect().map(_.getInt(0))
     if (present.nonEmpty)
       moved.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/sketch/v=$vNew")
+        .parquet(s"$root/sketch/v=$tok")
     st.copy(version = vNew, batchId = batchId,
-      statsV = present.map(_ -> vNew).toMap)
+      statsV = present.map(_ -> tok).toMap)
     }
 
   /** Transactional RE-BUCKET — [[TxGraphStack.rebucket]]'s twin for

@@ -611,13 +611,18 @@ object ScaleProbe {
               p.toLong, "doc_id", "text", docB, termB)
           }
           val st = Manifest.read(spark, root).get
+          // the last commit's stats write = the pins it CHANGED vs the
+          // prior head (attempt tokens — never reconstruct paths from
+          // the ordinal)
+          val stPrev3 = Manifest.readAt(spark, root, st.version - 1).get
+          val changed3 = st.statsV.toSeq.diff(stPrev3.statsV.toSeq)
           val ledgerRows = TxServeStack.resolve(spark, root)._1.count()
           val vocabRows = TxServeStack.resolve(spark, root)._2.count()
           val lastDelta = spark.read
             .parquet(s"$root/postings/batch=3").count()
-          val lastTouched = st.statsV.count(_._2 == st.version)
+          val lastTouched = changed3.size
           val lastStatsRows = spark.read.option("basePath", s"$root/stats")
-            .parquet(st.statsV.filter(_._2 == st.version).toSeq.sorted
+            .parquet(changed3.sorted
               .map { case (b, v) => s"$root/stats/v=$v/bkt=$b" }: _*)
             .count()
           println(s"PROBE txstack $scale docs=$nD ledger_rows=$ledgerRows " +
@@ -630,11 +635,12 @@ object ScaleProbe {
             "doc_id", docB, termB)
           val st2 = Manifest.read(spark, root).get
           val tomb = spark.read.parquet(s"$root/deletes/batch=4").count()
-          val delTouched = st2.statsV.count(_._2 == st2.version)
+          val changed4 = st2.statsV.toSeq.diff(st.statsV.toSeq)
+          val delTouched = changed4.size
           val delStatsRows =
             if (delTouched == 0) 0L
             else spark.read.option("basePath", s"$root/stats")
-              .parquet(st2.statsV.filter(_._2 == st2.version).toSeq.sorted
+              .parquet(changed4.sorted
                 .map { case (b, v) => s"$root/stats/v=$v/bkt=$b" }: _*)
               .count()
           println(s"PROBE txstack $scale delete_docs=$tomb " +
@@ -652,7 +658,7 @@ object ScaleProbe {
           val st3 = Manifest.read(spark, root).get
           val upTomb = spark.read.parquet(s"$root/deletes/batch=5").count()
           val upDelta = spark.read.parquet(s"$root/postings/batch=5").count()
-          val upTouched = st3.statsV.count(_._2 == st3.version)
+          val upTouched = st3.statsV.toSeq.diff(st2.statsV.toSeq).size
           println(s"PROBE txstack $scale upsert_docs=$upTomb " +
             s"upsert_delta_rows=$upDelta " +
             s"upsert_stats_buckets=$upTouched of $termB " +
@@ -716,9 +722,13 @@ object ScaleProbe {
             beam = 4, hops = 3, maxDegree = 4,
             corpusBuckets = Some(buckets))
           val st = Manifest.read(spark, root).get
-          val touched = st.statsV.count(_._2 == st.version)
+          val st0 = Manifest.readAt(spark, root, st.version - 1).get
+          val changedG = st.statsV.toSeq.diff(st0.statsV.toSeq)
+          val touched = changedG.size
           val writeRows = spark.read
-            .parquet(s"$root/edges/v=${st.version}").count()
+            .option("basePath", s"$root/edges")
+            .parquet(changedG.sorted.map { case (b, v) =>
+              s"$root/edges/v=$v/bkt=$b" }: _*).count()
           val ledgerRows = TxGraphStack.resolve(spark, root).count()
           println(s"PROBE txgraph $scale nodes=$nV " +
             s"ledger_rows=$ledgerRows batch=5 " +
@@ -757,17 +767,25 @@ object ScaleProbe {
         try {
           TxSketchStack.init(spark, root)
           val qn = nD / 4
-          for (p <- 0 until 4) {
-            val lo = p * qn
-            val hi = if (p == 3) nD else (p + 1) * qn
+          for (p <- 0 until 3) {
             TxSketchStack.commitBatch(spark, root,
-              keyed.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              keyed.filter(col("doc_id") >= p * qn &&
+                col("doc_id") < (p + 1) * qn),
               p.toLong, "dom", "doc_id", buckets = 64)
           }
+          val stPrev = Manifest.read(spark, root).get
+          TxSketchStack.commitBatch(spark, root,
+            keyed.filter(col("doc_id") >= 3 * qn && col("doc_id") < nD),
+            3L, "dom", "doc_id", buckets = 64)
           val st = Manifest.read(spark, root).get
+          // the last commit's write = the pins it CHANGED (attempt
+          // tokens, so paths resolve through the pin map, never v=N)
+          val changed = st.statsV.toSeq.diff(stPrev.statsV.toSeq)
           val lastRows = spark.read
-            .parquet(s"$root/sketch/v=${st.version}").count()
-          val lastTouched = st.statsV.count(_._2 == st.version)
+            .option("basePath", s"$root/sketch")
+            .parquet(changed.map { case (b, v) =>
+              s"$root/sketch/v=$v/bkt=$b" }: _*).count()
+          val lastTouched = changed.size
           // total pinned state bytes: the constant-per-key law
           val fsys = new org.apache.hadoop.fs.Path(root)
             .getFileSystem(spark.sessionState.newHadoopConf())
@@ -865,27 +883,33 @@ object ScaleProbe {
                 .filter(col("id") % 2 === 0 && col("id") < 512))
             (a, lab)
           }
+          def changedRows(prev: Manifest.State,
+                          now: Manifest.State): Long = {
+            val changed = now.statsV.toSeq.diff(prev.statsV.toSeq)
+            if (changed.isEmpty) 0L
+            else spark.read.option("basePath", s"$root/assign")
+              .parquet(changed.map { case (b, v) =>
+                s"$root/assign/v=$v/bkt=$b" }: _*).count()
+          }
           val (a5, l5) = arrivalsAt(nD)
+          val st4 = Manifest.read(spark, root).get
           val t5 = System.nanoTime()
           TxSplitStack.commitAssign(spark, root, a5, l5, 4L, "doc_id",
             sp, buckets = 64)
           val dt5 = (System.nanoTime() - t5) / 1e9
-          val st5 = Manifest.read(spark, root).get
-          val wrote5 = spark.read
-            .parquet(s"$root/assign/v=${st5.version}").count()
+          val wrote5 = changedRows(st4, Manifest.read(spark, root).get)
           println(f"PROBE txsplit $scale batch_256_at_B64 " +
             f"write_rows=$wrote5 of_ledger=$nD secs=$dt5%.2f")
           // the cure: rebucket to B' = 1024, same 256-doc batch shape —
           // replacement rows drop to ~ledger/B' per touched bucket
           TxSplitStack.rebucket(spark, root, newBuckets = 1024)
           val (a6, l6) = arrivalsAt(nD + 1000000L)
+          val st5b = Manifest.read(spark, root).get
           val t6 = System.nanoTime()
           TxSplitStack.commitAssign(spark, root, a6, l6, 5L, "doc_id",
             sp, buckets = 1024)
           val dt6 = (System.nanoTime() - t6) / 1e9
-          val st6 = Manifest.read(spark, root).get
-          val wrote6 = spark.read
-            .parquet(s"$root/assign/v=${st6.version}").count()
+          val wrote6 = changedRows(st5b, Manifest.read(spark, root).get)
           println(f"PROBE txsplit $scale batch_256_at_B1024 " +
             f"write_rows=$wrote6 of_ledger=${nD + 256} secs=$dt6%.2f")
           // incremental-quarantine serve: O(conflicted) pinned rows

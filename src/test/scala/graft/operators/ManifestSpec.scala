@@ -559,6 +559,41 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("same-face attempt tokens: a crashed same-ordinal attempt's writes are disjoint orphans; vacuum reclaims them, serve untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfttok")
+    try {
+      val root = dir.toString
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" < 2), 0L, "doc_id", "text", 4, 4)
+      // attempt A at the next ordinal: all asset writes land, commit
+      // does not (the same-face race's loser / a crashed committer)
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4,
+        publish = false)
+      // attempt B at the SAME ordinal commits — under ordinal-keyed
+      // paths A's mode("overwrite") writes would have shared B's
+      // directories; under attempt tokens they are disjoint
+      TxServeStack.commitBatch(spark, root,
+        corpus.filter($"doc_id" >= 2), 1L, "doc_id", "text", 4, 4)
+      val served = snapshot(root)
+      val stats = new java.io.File(dir.toFile, "stats")
+        .listFiles().toSeq.filter(_.isDirectory).map(_.getName).toSet
+      val pinned = Manifest.read(spark, root).get.statsV.values.toSet
+        .map((v: Long) => s"v=$v")
+      assert(pinned.subsetOf(stats), "every pin must resolve on disk")
+      assert(stats.size > pinned.size,
+        s"the crashed attempt must own DISJOINT directories: $stats")
+      // the orphans are invisible garbage; vacuum reclaims them and the
+      // committed serve is bit-identical
+      val vs = TxServeStack.vacuum(spark, root)
+      assert(vs.deletedDirs > 0, "vacuum must reclaim the orphan attempt")
+      assert(snapshot(root) == served,
+        "reclaiming orphans changed the served state")
+    } finally {
+      graft.queries.FixtureCache.deleteRecursively(dir)
+    }
+  }
+
   test("positional family is stack-derived: a later commit omitting the flag still lands replacements") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mftpd")
     try {
