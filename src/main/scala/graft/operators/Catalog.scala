@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CROSS-STACK CATALOG — a manifest OF manifests.
+  *
+  * Each Tx*Stack is an independently-committed table: atomic within
+  * itself, but a pipeline that derives several of them in one wave
+  * (the curation DAG's "dedup ledger + split ledger + sketch profile
+  * per nightly append") leaves readers exposed to a TORN cross-stack
+  * view — stack A already at tonight's cut while stack B still serves
+  * yesterday's ([[Manifest.pinPage]] states this read-committed gap
+  * honestly for the two-stack search page). The catalog closes it the
+  * same way the manifest closed the multi-ASSET gap, one level up:
+  * the DAG commits each stack (each swap atomic as before), then
+  * publishes ONE catalog cut pinning every stack's version; readers
+  * resolve versions through the catalog and serve each stack via
+  * [[Manifest.readAt]] snapshot reads. A crash between the stack
+  * commits and the catalog publish leaves the new stack versions
+  * committed but UNREFERENCED — readers stay on the previous
+  * consistent cut, exactly the protocol's invisible-orphan posture.
+  *
+  * The catalog's own state rides the [[Manifest]] commit protocol
+  * UNCHANGED — version CAS, create-exclusive history CAS, atomic
+  * pointer swap, `manifest.v=N` time travel: its single versioned
+  * asset is the PIN TABLE, a stacks-sized parquet of
+  * (stack, root, version) rows written at an attempt-unique token and
+  * pinned in the manifest's `globalV` slot. Cross-stack serve cost:
+  * one catalog pointer read + one tiny pin-table read + each stack's
+  * own O(query) serve — nothing scales with the corpus. */
+object Catalog {
+
+  /** Publish a catalog cut pinning `pins` (stack, root, version) rows;
+    * returns the new catalog version. The caller passes versions its
+    * own stack commits just returned (or read back) — the catalog
+    * records, it does not inspect the stacks. Concurrent publishers
+    * are fenced exactly like stack committers: in-process by the
+    * root's commit lock, cross-process by the history-file CAS
+    * (losing surfaces [[Manifest.CommitConflict]]; re-derive the pin
+    * set from the advanced head and retry). */
+  def publish(spark: SparkSession, catRoot: String,
+              pins: Seq[(String, String, Long)]): Long =
+    Manifest.withCommitLock(spark, catRoot) {
+      import spark.implicits._
+      require(pins.map(_._1).distinct.length == pins.length,
+        s"duplicate stack names in catalog pins: ${pins.map(_._1)}")
+      val st = Manifest.read(spark, catRoot)
+        .getOrElse(Manifest.State(-1L, -1L, -1L, Map.empty))
+      val vNew = st.version + 1
+      val tok = Manifest.attemptVersion(vNew)
+      pins.toDF("stack", "root", "version").coalesce(1)
+        .write.mode("overwrite").parquet(s"$catRoot/pins/v=$tok")
+      Manifest.commit(spark, catRoot,
+        Manifest.State(vNew, vNew, tok, Map.empty))
+      vNew
+    }
+
+  /** The pin table of a catalog cut — the committed head, or a
+    * `version` snapshot ([[Manifest.readAt]] time travel; bounded by
+    * retention like any snapshot read). */
+  def pins(spark: SparkSession, catRoot: String,
+           version: Option[Long] = None): DataFrame = {
+    val st = Manifest.stateAt(spark, catRoot, version)
+    spark.read.parquet(s"$catRoot/pins/v=${st.globalV}")
+      .select(col("stack"), col("root"), col("version"))
+  }
+
+  /** Resolve one stack's pinned version under a catalog cut — the
+    * bounded (rows = stacks) driver read every cross-stack serve
+    * starts from. REQUIREs exactly one pin row: a never-pinned stack
+    * name must fail loudly, not serve an empty frame. */
+  def pinnedVersion(spark: SparkSession, catRoot: String, stack: String,
+                    version: Option[Long] = None): Long = {
+    val rows = pins(spark, catRoot, version)
+      .filter(col("stack") === stack).select("version").collect()
+    require(rows.length == 1,
+      s"catalog at $catRoot pins ${rows.length} rows for stack '$stack'")
+    rows.head.getLong(0)
+  }
+}

@@ -798,6 +798,80 @@ object TxServeStack {
     (postings, stats, global)
   }
 
+  /** DOC-LEVEL CHANGE DATA FEED between two committed cuts — which
+    * documents a downstream consumer must re-process (re-embed,
+    * re-profile, re-ship), classified `insert` (live at `toVersion`
+    * only), `delete` (live at `fromVersion` only), `update` (live at
+    * both, replaced inside the window by [[commitUpsert]]).
+    *
+    * Served from the WINDOW's per-batch assets, never a two-snapshot
+    * diff: posting deltas in `(fromBatch, toBatch]` carry births
+    * ([[commitBatch]] absorbs already-live re-ingests — an absorbed
+    * doc lands no delta row and emits no change), tombstone files
+    * carry retirements (only previously-LIVE ids land in
+    * `deletes/batch=N`, so a no-op delete emits nothing). The two
+    * liveness probes that classify the candidates read the posting
+    * ledger PRUNED to the candidates' doc buckets (a `bkt IN`
+    * partition filter) — O(window + touched buckets) end to end. A
+    * doc born AND retired inside the window was visible at neither
+    * cut and emits nothing. Bounded by vacuum retention exactly like
+    * [[Manifest.readAt]]: the feed needs the window's delta
+    * directories on disk (a delete-only batch legitimately has no
+    * posting dir — missing dirs inside retention are fine). */
+  def docChanges(spark: SparkSession, root: String, fromVersion: Long,
+                 toVersion: Long, docBuckets: Int): DataFrame = {
+    val stF = Manifest.stateAt(spark, root, Some(fromVersion))
+    val stT = Manifest.stateAt(spark, root, Some(toVersion))
+    require(stT.batchId >= stF.batchId,
+      s"change window is inverted: batch ${stF.batchId} → ${stT.batchId}")
+    val basePath = new org.apache.hadoop.fs.Path(root)
+    val f = basePath.getFileSystem(spark.sessionState.newHadoopConf())
+    def windowDirs(family: String): Seq[String] =
+      ((stF.batchId + 1) to stT.batchId)
+        .map(b => new org.apache.hadoop.fs.Path(basePath,
+          s"$family/batch=$b"))
+        .filter(f.exists).map(_.toString)
+    def emptyIds = spark.emptyDataFrame
+      .select(lit(0L).as("doc_id")).limit(0)
+    def idsIn(family: String): DataFrame = {
+      val dirs = windowDirs(family)
+      if (dirs.isEmpty) emptyIds
+      // explicit schema: a batch whose delta ABSORBED whole (or whose
+      // delete matched nothing) leaves a zero-file directory that
+      // schema inference refuses; only the id column is needed anyway
+      else spark.read.schema("doc_id LONG")
+        .option("basePath", s"$root/$family")
+        .parquet(dirs: _*).select(col("doc_id")).distinct()
+    }
+    val candidates = Ledger.withBucket(
+      idsIn("postings").unionByName(idsIn("deletes")).distinct(),
+      "doc_id", docBuckets).localCheckpoint()
+    val cBkts = candidates.select("bkt").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (cBkts.isEmpty)
+      emptyIds.select(col("doc_id"), lit("").as("change")).limit(0)
+    else {
+      def liveAt(st: Manifest.State): DataFrame =
+        liveOnly(
+          readPostings(spark, root, st)
+            .filter(col("bkt").isin(cBkts: _*)),
+          readDeletes(spark, root, st))
+          .join(candidates.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id").distinct()
+      val lb = liveAt(stF).withColumn("_lb", lit(true))
+      val la = liveAt(stT).withColumn("_la", lit(true))
+      candidates.select("doc_id")
+        .join(lb, Seq("doc_id"), "left").join(la, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("_lb").isNull && col("_la").isNotNull, lit("insert"))
+            .when(col("_lb").isNotNull && col("_la").isNull,
+              lit("delete"))
+            .when(col("_lb").isNotNull && col("_la").isNotNull,
+              lit("update")).as("change"))
+        .filter(col("change").isNotNull)
+    }
+  }
+
   /** One micro-batch through the protocol. `publish = false`
     * simulates a crash after ALL asset writes but before the commit
     * point (the spec's crash face — a reader must see no change).

@@ -168,6 +168,51 @@ object TxSketchStack {
     resolved.select(col("key"), col("n_rows"),
       round(hll_sketch_estimate(col("sk"))).cast("long").as("est"))
 
+  /** CHANGE DATA FEED between two committed cuts of the profile
+    * (`fromVersion` → `toVersion`, both resolved through
+    * [[Manifest.readAt]] time travel): which keys a downstream
+    * consumer must re-read, classified `insert` / `delete` / `update`,
+    * with the after-image (`n_rows_after`, `sk`, `th`) riding along so
+    * a replica can be maintained from the feed ALONE — no snapshot
+    * diff, no raw pass.
+    *
+    * The scale law is the PIN DIFF: a bucket whose pinned version is
+    * identical between the cuts cannot contain a changed row (commits
+    * replace touched buckets at fresh versions and carry untouched
+    * rows through BYTE-VERBATIM — the merge coalesces an absent batch
+    * side to the stored row), so only re-pinned buckets are read, at
+    * both cuts — O(changed buckets), never O(ledger). Change detection
+    * compares the exact tally and the sketch ESTIMATES (deterministic
+    * functions of the observed value set — the stack's serveable
+    * content), not register bytes: a maintenance rewrite that
+    * re-serializes the same set (e.g. a replace whose exclusion
+    * matched nothing) is not a logical change. Bounded by vacuum
+    * retention exactly like any snapshot read. */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    val stF = Manifest.stateAt(spark, root, Some(fromVersion))
+    val stT = Manifest.stateAt(spark, root, Some(toVersion))
+    require(stT.batchId >= stF.batchId,
+      s"change window is inverted: batch ${stF.batchId} → ${stT.batchId}")
+    val changed = (stF.statsV.keySet ++ stT.statsV.keySet).toSeq
+      .filter(b => stF.statsV.get(b) != stT.statsV.get(b))
+    val before = readSketches(spark, root, stF, Some(changed))
+      .select(col("key"), col("n_rows").as("_fn"),
+        round(hll_sketch_estimate(col("sk"))).cast("long").as("_fe"))
+    val after = readSketches(spark, root, stT, Some(changed))
+      .select(col("key"), col("n_rows"), col("sk"), col("th"),
+        round(hll_sketch_estimate(col("sk"))).cast("long").as("_te"))
+    before.join(after, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("_fn").isNull, lit("insert"))
+          .when(col("n_rows").isNull, lit("delete"))
+          .when(col("n_rows") =!= col("_fn") || col("_te") =!= col("_fe"),
+            lit("update")).as("change"),
+        col("_fn").as("n_rows_before"),
+        col("n_rows").as("n_rows_after"), col("sk"), col("th"))
+      .filter(col("change").isNotNull)
+  }
+
   /** Cross-key ROLL-UP: union the sketches of `resolved` rows into one
     * estimate — "distinct users over ALL event types" without a raw
     * pass (sketch union is exact over the union of the observed sets,
