@@ -66,6 +66,38 @@ object Catalog {
       .select(col("stack"), col("root"), col("version"))
   }
 
+  /** The retention count a stack's vacuum must be passed so every
+    * stack version still pinned by a RETAINED catalog cut stays
+    * readable — the missing coupling between per-stack garbage
+    * collection and cross-stack pins: a stack vacuuming on its own
+    * cadence would otherwise retire a version an old release catalog
+    * still references (and an eval re-run against that release would
+    * fail). Scans the retained catalog cuts' pin tables (catalog head
+    * back `catRetainVersions` — mirror of each stack vacuum's own
+    * knob; cuts already vacuumed are skipped) and returns
+    * `stackHead − min(pinned)`, clamped at 0 — pass it as
+    * `retainVersions` to the stack's vacuum. A stack the retained
+    * cuts never pin gets 0: the catalog imposes nothing. */
+  def vacuumRetain(spark: SparkSession, catRoot: String, stack: String,
+                   stackRoot: String, catRetainVersions: Int = 0): Int = {
+    val catHead = Manifest.read(spark, catRoot).getOrElse(
+      throw new IllegalStateException(
+        s"no committed catalog at $catRoot")).version
+    val floorCat = math.max(0L, catHead - catRetainVersions)
+    val pinned = (floorCat to catHead).flatMap { v =>
+      Manifest.readAt(spark, catRoot, v).toSeq.flatMap { st =>
+        spark.read.parquet(s"$catRoot/pins/v=${st.globalV}")
+          .filter(col("stack") === stack)
+          .select("version").collect().map(_.getLong(0))
+      }
+    }
+    val head = Manifest.read(spark, stackRoot).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest at $stackRoot")).version
+    if (pinned.isEmpty) 0
+    else math.max(0L, head - pinned.min).toInt
+  }
+
   /** Resolve one stack's pinned version under a catalog cut — the
     * bounded (rows = stacks) driver read every cross-stack serve
     * starts from. REQUIREs exactly one pin row: a never-pinned stack

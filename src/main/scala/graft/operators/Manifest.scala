@@ -444,6 +444,16 @@ object Manifest {
           s"version $v at $root is uncommitted or vacuumed"))
     }
 
+  /** The buckets whose pin differs between two cuts of one
+    * per-bucket-MVCC family — a change feed's read set: a bucket
+    * pinned IDENTICALLY at both cuts cannot contain a changed row
+    * (commits replace touched buckets at fresh attempt tokens and
+    * carry untouched rows through verbatim), so the feed reads only
+    * these, at both cuts. */
+  private[operators] def repinnedBuckets(a: Map[Int, Long],
+                                         b: Map[Int, Long]): Seq[Int] =
+    (a.keySet ++ b.keySet).toSeq.filter(k => a.get(k) != b.get(k))
+
   /** Attempt-unique version token for version-keyed asset paths: the
     * high bits carry the ordinal (human-readable ordering; vacuum and
     * listings stay interpretable), the low 24 bits a per-attempt

@@ -194,8 +194,7 @@ object TxSketchStack {
     val stT = Manifest.stateAt(spark, root, Some(toVersion))
     require(stT.batchId >= stF.batchId,
       s"change window is inverted: batch ${stF.batchId} → ${stT.batchId}")
-    val changed = (stF.statsV.keySet ++ stT.statsV.keySet).toSeq
-      .filter(b => stF.statsV.get(b) != stT.statsV.get(b))
+    val changed = Manifest.repinnedBuckets(stF.statsV, stT.statsV)
     val before = readSketches(spark, root, stF, Some(changed))
       .select(col("key"), col("n_rows").as("_fn"),
         round(hll_sketch_estimate(col("sk"))).cast("long").as("_fe"))

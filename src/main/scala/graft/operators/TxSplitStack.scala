@@ -71,6 +71,41 @@ object TxSplitStack {
     readAssigned(spark, root, Manifest.stateAt(spark, root, version),
       None).drop("bkt")
 
+  /** CHANGE DATA FEED between two committed cuts of the assignment
+    * ledger — which (doc_id, split) rows a downstream consumer (the
+    * eval runner shipping new train/val/test members) must pick up,
+    * classified `insert` / `delete` / `update` with the after-image
+    * split riding along (null on delete). The pin diff bounds the
+    * read to re-pinned buckets at both cuts
+    * ([[Manifest.repinnedBuckets]]).
+    *
+    * The WRITE-ONCE contract makes this feed insert-only in normal
+    * operation: stored rows never move, so `update` / `delete` rows
+    * signal a takedown face this ledger does not have yet — a
+    * consumer can treat them as alarms. A [[rebucket]] migration
+    * re-pins every bucket with identical content: the feed across it
+    * correctly emits NOTHING (row equality, not pin equality, decides
+    * — one O(ledger) read, the migration's own amortized cost). */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+              toVersion: Long): DataFrame = {
+    val stF = Manifest.stateAt(spark, root, Some(fromVersion))
+    val stT = Manifest.stateAt(spark, root, Some(toVersion))
+    require(stT.batchId >= stF.batchId,
+      s"change window is inverted: batch ${stF.batchId} → ${stT.batchId}")
+    val changed = Manifest.repinnedBuckets(stF.statsV, stT.statsV)
+    val before = readAssigned(spark, root, stF, Some(changed))
+      .select(col("doc_id"), col("split").as("_fs"))
+    val after = readAssigned(spark, root, stT, Some(changed))
+      .select(col("doc_id"), col("split"))
+    before.join(after, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_fs").isNull, lit("insert"))
+          .when(col("split").isNull, lit("delete"))
+          .when(col("split") =!= col("_fs"), lit("update")).as("change"),
+        col("split"))
+      .filter(col("change").isNotNull)
+  }
+
   /** The incrementally-maintained CONFLICT family (doc_id, split, cl,
     * bkt): rows for every assigned doc whose cluster was found
     * split-conflicted the last time a commit touched it. Doc-bucketed

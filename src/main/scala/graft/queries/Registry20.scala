@@ -139,8 +139,8 @@ object Registry20 {
     * member is the block's first odd doc — the inheritance path runs on
     * every arrival. Deterministic (same pages → same 4 commits), staged
     * once per (dataset, builder version). */
-  private def drainSplitStream(s: SparkSession, d: String,
-                               tag: String): String = {
+  private[queries] def drainSplitStream(s: SparkSession, d: String,
+                                        tag: String): String = {
     val fx = FixtureCache.cached(d, "spstream", 1, Seq("documents")) { tmp =>
       val root = tmp.resolve("ledger").toString
       TxSplitStack.init(s, root)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Catalog, Manifest, TxServeStack, TxSketchStack}
+import graft.operators.{Catalog, Manifest, TxServeStack, TxSketchStack, TxSplitStack}
 
 /** Round-17 second wave: CHANGE DATA FEEDS between committed manifest
   * cuts (the pin-diff kernel on per-bucket-MVCC families, the
@@ -246,6 +246,95 @@ object Registry21 {
     pinned.unionByName(head).orderBy("cut", "stack", "key")
   }
 
+  /** SPLIT-LEDGER CHANGE FEED ([[TxSplitStack.changes]]): between the
+    * streaming drain's 2-page cut and its head, the feed is exactly
+    * the two later pages' arrivals — INSERT-only, the write-once
+    * ledger's signature (stored rows never move; an update or delete
+    * row in this feed is an alarm, not data). Each insert carries its
+    * after-image split, which the oracle replays closed-form: every
+    * even arrival inherited the minimum stored member of its 8-block
+    * (the block's first odd doc, split = ladder(block + 1)). The pin
+    * diff bounds the read to the arrivals' re-pinned buckets at both
+    * cuts. */
+  val splitChanges = Q("split_changes",
+    s"""SELECT doc_id, 'insert' AS change,
+       |  ${Registry19.sqlLadder("doc_id - doc_id % 8 + 1")} AS split
+       |FROM documents
+       |WHERE doc_id % 2 = 0 AND doc_id % 6 IN (2, 4)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = Registry20.drainSplitStream(s, d, "graft_spcdc")
+    val head = Manifest.read(s, root).get.version
+    TxSplitStack.changes(s, root, 2L, head).orderBy("doc_id")
+  }
+
+  /** MULTI-WINDOW FEED REPLAY ([[TxSketchStack.changes]]'s
+    * composability law): a replica pinned at the FIRST drain cut is
+    * walked to the head by applying the per-commit feeds
+    * (v→v+1, one per micro-batch) in order — the exactly-once
+    * consumer loop a downstream system runs on a cadence. The result
+    * must serve the full-corpus profile through the exact-tally +
+    * ±5% estimate witness: a feed window lost, double-applied, or
+    * mis-classified moves `n_rows` exactly. */
+  val sketchFeedReplay = Q("sketch_feed_replay",
+    """SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events GROUP BY 1 ORDER BY key""".stripMargin) { (s, d) =>
+    val root = Registry19.drainSketchStack(s, d, "graft_skfr")
+    val head = Manifest.read(s, root).get.version
+    val replica0 = TxSketchStack.resolve(s, root, version = Some(1L))
+    val replica = (1L until head).foldLeft(replica0) { (rep, v) =>
+      val feed = TxSketchStack.changes(s, root, v, v + 1)
+        .localCheckpoint()
+      rep.join(feed.select("key"), Seq("key"), "left_anti")
+        .unionByName(feed.filter(col("change") =!= "delete")
+          .select(col("key"), col("n_rows_after").as("n_rows"),
+            col("sk"), col("th")))
+    }
+    Registry19.sketchWitness(s, d, replica)
+  }
+
+  /** CATALOG-AWARE VACUUM ([[Catalog.vacuumRetain]]): a release
+    * catalog pins the 2-page profile cut; the stack then vacuums on
+    * its own cadence with the retention the catalog computes — every
+    * version BELOW the pinned floor is retired (REQUIREd in-gate:
+    * version 1's snapshot is gone), while the pinned release cut
+    * still serves exactly the 2-page profile. Without the coupling, a
+    * head-only vacuum would have retired the release an old eval
+    * still references. */
+  val catalogVacuumFloor = Q("catalog_vacuum_floor",
+    """WITH q AS (SELECT (COUNT(*) // 4) AS qn FROM events)
+      |SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events, q WHERE event_id < 2 * q.qn
+      |GROUP BY 1 ORDER BY key""".stripMargin) { (s, d) =>
+    val root = Registry19.drainSketchStack(s, d, "graft_catvac")
+    val cat = StreamHarness.runDir("graft_catvac_cat")
+      .resolve("cat").toString
+    Catalog.publish(s, cat, Seq(("profile", root, 2L)))
+    val retain = Catalog.vacuumRetain(s, cat, "profile", root)
+    require(retain == 2, s"head 4 − pinned 2 must retain 2, got $retain")
+    TxSketchStack.vacuum(s, root, retainVersions = retain)
+    // below the floor: version 1's history is retired
+    require(Manifest.readAt(s, root, 1L).isEmpty,
+      "vacuum must retire versions below the catalog floor")
+    val pinned = Catalog.pinnedVersion(s, cat, "profile")
+    val cut = TxSketchStack.estimates(
+      TxSketchStack.resolve(s, root, version = Some(pinned)))
+    val qn = Tables.events(s, d).count() / 4
+    val exact = Tables.events(s, d)
+      .filter(col("event_id") < 2 * qn)
+      .groupBy(col("event_type").as("key"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    cut.join(exact, Seq("key"), "full_outer")
+      .select(col("key"), col("n_rows"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("est_ok"))
+      .orderBy("key")
+  }
+
   lazy val round21: Seq[Q] = Seq(sketchChanges, sketchChangesApply,
-    textIndexChanges, catalogPinCut)
+    textIndexChanges, catalogPinCut, splitChanges, sketchFeedReplay,
+    catalogVacuumFloor)
 }

@@ -44,6 +44,35 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("vacuumRetain: retained catalog cuts floor the stack's vacuum") {
+    val cat = newRoot("graft_cat_vr")
+    val stack = newRoot("graft_cat_vr_stack")
+    TxSketchStack.init(spark, stack)
+    for (b <- 0 to 3)
+      assert(TxSketchStack.commitBatch(spark, stack,
+        Seq(("k", b.toLong)).toDF("key", "user"), b.toLong, "key",
+        "user", 4))
+    // stack head = 4; catalog cut 0 pins v1, cut 1 pins v3
+    Catalog.publish(spark, cat, Seq(("s", stack, 1L)))
+    Catalog.publish(spark, cat, Seq(("s", stack, 3L)))
+    // head-only retention: floor at v3
+    assert(Catalog.vacuumRetain(spark, cat, "s", stack) == 1)
+    // one cut back: the v1 pin floors it
+    assert(Catalog.vacuumRetain(spark, cat, "s", stack, 1) == 3)
+    // an unpinned stack imposes nothing
+    assert(Catalog.vacuumRetain(spark, cat, "other", stack, 1) == 0)
+    // the floor holds end to end: vacuum with the catalog retention,
+    // then the OLDER pinned cut must still snapshot-read
+    TxSketchStack.vacuum(spark, stack,
+      Catalog.vacuumRetain(spark, cat, "s", stack, 1))
+    assert(Manifest.readAt(spark, stack, 1L).isDefined,
+      "vacuum retired a version a retained catalog cut pins")
+    assert(Manifest.readAt(spark, stack, 0L).isEmpty,
+      "vacuum must still retire versions below the catalog floor")
+    assert(TxSketchStack.estimates(TxSketchStack.resolve(spark, stack,
+      version = Some(1L))).collect().head.getLong(1) == 1L)
+  }
+
   test("cross-process CAS: a foreign catalog history file wins") {
     val cat = newRoot("graft_cat_race")
     Catalog.publish(spark, cat, Seq(("lex", "/tmp/lex", 1L)))

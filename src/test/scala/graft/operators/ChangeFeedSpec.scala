@@ -118,6 +118,31 @@ class ChangeFeedSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("split feed: insert-only under write-once; rebucket emits nothing") {
+    val root = newRoot("graft_cdc_split")
+    TxSplitStack.init(spark, root)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labels = (0L until 40L).map(i => (i, i - i % 4)).toDF("id", "cluster")
+    assert(TxSplitStack.commitAssign(spark, root,
+      (0L until 20L).toDF("doc_id"), labels, 0L, "doc_id", splits, 8))
+    val v1 = Manifest.read(spark, root).get.version
+    assert(TxSplitStack.commitAssign(spark, root,
+      (20L until 40L).toDF("doc_id"), labels, 1L, "doc_id", splits, 8))
+    val v2 = Manifest.read(spark, root).get.version
+    val feed = TxSplitStack.changes(spark, root, v1, v2).collect()
+    assert(feed.length == 20 && feed.forall(_.getString(1) == "insert"),
+      "a write-once ledger's feed must be insert-only")
+    assert(feed.map(_.getLong(0)).toSet == (20L until 40L).toSet)
+    // every insert carries its after-image split
+    assert(feed.forall(r => Set("train", "val", "test")(r.getString(2))))
+    // a rebucket migration re-pins every bucket with identical content:
+    // the feed across it must emit NOTHING (row equality decides)
+    assert(TxSplitStack.rebucket(spark, root, newBuckets = 16))
+    val v3 = Manifest.read(spark, root).get.version
+    assert(TxSplitStack.changes(spark, root, v2, v3).isEmpty,
+      "a content-preserving migration leaked phantom changes")
+  }
+
   test("replica law: from-cut + feed ≡ to-cut on the sketch stack") {
     val root = newRoot("graft_cdc_rep")
     TxSketchStack.init(spark, root)
