@@ -303,7 +303,7 @@ object Registry19 {
     * `n_rows` must not), so this fixture does not reuse the
     * deliberately-overlapping `pagesFixture`. Dense event_ids make the
     * page boundary `n/4` oracle-expressible. */
-  private def eventPagesFixture(s: SparkSession, d: String): java.nio.file.Path =
+  private[queries] def eventPagesFixture(s: SparkSession, d: String): java.nio.file.Path =
     FixtureCache.cached(d, "skpages", 1, Seq("events")) { tmp =>
       val pages = tmp.resolve("pages")
       java.nio.file.Files.createDirectories(pages)

@@ -23,7 +23,7 @@ object Registry21 {
     * users) then an arrival of a brand-new key ('zz_new' — the first 7
     * events re-keyed). Returns the head version after both commits.
     * Deterministic — the oracle replays both cuts in SQL. */
-  private def cdcMutations(s: SparkSession, d: String,
+  private[queries] def cdcMutations(s: SparkSession, d: String,
                            root: String): Long = {
     val rebuilt = Tables.events(s, d)
       .filter(col("event_type") === "click" && col("user_id") % 10 =!= 0)
