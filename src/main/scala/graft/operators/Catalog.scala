@@ -41,6 +41,15 @@ object Catalog {
     * set from the advanced head and retry). */
   def publish(spark: SparkSession, catRoot: String,
               pins: Seq[(String, String, Long)]): Long =
+    publishWith(spark, catRoot, pins, None)
+
+  /** [[publish]] with an optional fork point to record: `State.baseV`
+    * carries a staging catalog's fork ([[branch]]) and survives
+    * re-publishes — an audit-fix re-stage must not lose the fence
+    * [[fastForward]] checks against. */
+  private def publishWith(spark: SparkSession, catRoot: String,
+                          pins: Seq[(String, String, Long)],
+                          fork: Option[Long]): Long =
     Manifest.withCommitLock(spark, catRoot) {
       import spark.implicits._
       require(pins.map(_._1).distinct.length == pins.length,
@@ -52,9 +61,97 @@ object Catalog {
       pins.toDF("stack", "root", "version").coalesce(1)
         .write.mode("overwrite").parquet(s"$catRoot/pins/v=$tok")
       Manifest.commit(spark, catRoot,
-        Manifest.State(vNew, vNew, tok, Map.empty))
+        Manifest.State(vNew, vNew, tok, Map.empty,
+          baseV = fork.getOrElse(st.baseV)))
       vNew
     }
+
+  /** Fork a STAGING catalog from `mainRoot`'s head — the
+    * write-audit-publish entry point: the pipeline wave publishes its
+    * new stack versions HERE, audit queries resolve through here, and
+    * only [[fastForward]] ever moves main. The staging catalog's first
+    * cut copies main's head pin set (an audit can diff staged against
+    * inherited stacks), and main's head version is recorded as the
+    * FORK POINT (`State.baseV`) — the fence that keeps a fast-forward
+    * from silently discarding a publish that landed on main while the
+    * audit ran. Returns the staging catalog's version 0. */
+  def branch(spark: SparkSession, mainRoot: String,
+             stagingRoot: String): Long =
+    Manifest.withCommitLock(spark, stagingRoot) {
+      require(Manifest.read(spark, stagingRoot).isEmpty,
+        s"staging catalog already exists at $stagingRoot")
+      val mainV = Manifest.read(spark, mainRoot).getOrElse(
+        throw new IllegalStateException(
+          s"no committed catalog at $mainRoot to branch from")).version
+      val inherited = pins(spark, mainRoot).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      publishWith(spark, stagingRoot, inherited, Some(mainV))
+    }
+
+  /** Publish the staging catalog's HEAD pin set to main — the
+    * write-audit-publish commit point, one atomic main-catalog swap
+    * (readers see the whole audited wave or none of it). Fenced on the
+    * fork point: if main has advanced since [[branch]], the
+    * fast-forward would silently drop that publish, so it surfaces
+    * [[Manifest.CommitConflict]] instead — re-branch from the new
+    * head, re-audit, retry. A failed audit simply never calls this;
+    * the staged stack versions stay invisible orphans to main's
+    * readers and the catalog-floored vacuum reclaims them. Returns
+    * main's new version. */
+  def fastForward(spark: SparkSession, mainRoot: String,
+                  stagingRoot: String): Long =
+    Manifest.withCommitLock(spark, mainRoot) {
+      val stg = Manifest.read(spark, stagingRoot).getOrElse(
+        throw new IllegalStateException(
+          s"no committed staging catalog at $stagingRoot"))
+      require(stg.baseV >= 0,
+        s"staging catalog at $stagingRoot has no recorded fork point " +
+          "— was it created by branch?")
+      val mainV = Manifest.read(spark, mainRoot).getOrElse(
+        throw new IllegalStateException(
+          s"no committed catalog at $mainRoot")).version
+      if (mainV != stg.baseV)
+        throw Manifest.CommitConflict(mainRoot, stg.baseV + 1, mainV)
+      val staged = pins(spark, stagingRoot).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      publish(spark, mainRoot, staged)
+    }
+
+  /** Create an IMMUTABLE named ref to a catalog cut — the "release"
+    * handle an eval re-run resolves months later. Tags are files under
+    * `tags/`, written create-exclusive: the same POSIX CAS the commit
+    * fence uses makes re-tagging an existing name fail loudly (a tag
+    * never moves; publish a new cut and tag THAT). A tag does not stop
+    * retention by itself — pair it with [[vacuumRetain]]'s
+    * `catRetainVersions` so tagged cuts stay inside the retained
+    * window. */
+  def tag(spark: SparkSession, catRoot: String, name: String,
+          version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '-' || c == '_' || c == '.'), s"invalid tag name '$name'")
+    require(Manifest.readAt(spark, catRoot, version).isDefined,
+      s"cannot tag uncommitted or vacuumed catalog version $version")
+    val p = new org.apache.hadoop.fs.Path(s"$catRoot/tags/$name")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    f.mkdirs(p.getParent)
+    val out = try f.create(p, false) catch {
+      case _: java.io.IOException => throw new IllegalStateException(
+        s"tag '$name' already exists at $catRoot — tags are immutable")
+    }
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Resolve a tag name to its catalog version; unknown names refuse
+    * loudly. */
+  def resolveTag(spark: SparkSession, catRoot: String,
+                 name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$catRoot/tags/$name")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(f.exists(p), s"no tag '$name' at $catRoot")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
 
   /** The pin table of a catalog cut — the committed head, or a
     * `version` snapshot ([[Manifest.readAt]] time travel; bounded by

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Catalog, Manifest, TxSketchStack}
+
+/** Round-17 fourth wave: WRITE-AUDIT-PUBLISH on the cross-stack
+  * catalog — the release discipline a production training-data
+  * platform runs nightly: stage the pipeline wave on a catalog
+  * branch, audit it there, and only a fenced fast-forward ever moves
+  * what readers see; immutable tags name the cuts evals re-run
+  * against months later.
+  *
+  * Reference (jurimetria-etl) has none of these surfaces; they are
+  * LLM-training-data extensions (brief §"Beyond the reference").
+  */
+object Registry23 {
+
+  /** WRITE-AUDIT-PUBLISH ([[Catalog.branch]] / [[Catalog.fastForward]]
+    * / [[Catalog.tag]]): main pins the drain's 2-page cut and tags it
+    * `release-1`; the nightly wave then double-applies a page under a
+    * fresh batch id (the replay the exactly-once guard can NOT absorb
+    * — a pipeline bug, not a retry), publishes to a staging branch,
+    * and FAILS its audit (staged total tally ≠ raw corpus count), so
+    * main never moves — the poisoned stack version stays an invisible
+    * orphan. Remediation rebuilds every key from the true corpus in
+    * one replace commit; the re-staged wave passes the audit and the
+    * fenced fast-forward lands it as ONE atomic main-catalog swap.
+    * The gate serves both faces through main alone: the healed head,
+    * and the release cut resolved via its tag — a reader that never
+    * learns stack versions, only names. */
+  val catalogWapPublish = Q("catalog_wap_publish",
+    """WITH q AS (SELECT (COUNT(*) // 4) AS qn FROM events)
+      |SELECT * FROM (
+      |  SELECT 'head' AS cut, event_type AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'release' AS cut, event_type,
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM events, q WHERE event_id < 2 * q.qn GROUP BY 2)
+      |ORDER BY cut, key""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val root = Registry19.drainSketchStack(s, d, "graft_wap")
+    val run = StreamHarness.runDir("graft_wap_cat")
+    val main = run.resolve("main").toString
+    val stg = run.resolve("stg").toString
+    Catalog.publish(s, main, Seq(("profile", root, 2L)))
+    Catalog.tag(s, main, "release-1", 0L)
+    val ev = Tables.events(s, d)
+      .select("event_id", "user_id", "event_type")
+    val qn = ev.count() / 4
+    // the wave's bug: page 2 re-applied under a FRESH batch id — the
+    // high-water guard absorbs replays of the same id, not this
+    require(TxSketchStack.commitBatch(s, root,
+      ev.filter(col("event_id") >= 2 * qn && col("event_id") < 3 * qn),
+      100L, "event_type", "user_id", buckets = 8),
+      "the poisoned batch must commit on the drained stack")
+    Catalog.branch(s, main, stg)
+    Catalog.publish(s, stg,
+      Seq(("profile", root, Manifest.read(s, root).get.version)))
+    def stagedTotal(): Long = TxSketchStack.resolve(s, root,
+        version = Some(Catalog.pinnedVersion(s, stg, "profile")))
+      .agg(sum("n_rows")).head().getLong(0)
+    val exactN = ev.count()
+    require(stagedTotal() != exactN,
+      "the poisoned wave must fail its audit")
+    require(Catalog.pinnedVersion(s, main, "profile") == 2L,
+      "a failed audit must leave main untouched")
+    // remediation: rebuild every key from the true corpus, one commit
+    require(TxSketchStack.commitReplace(s, root, ev,
+      Seq.empty[String].toDF("key"), 101L, "event_type", "user_id",
+      buckets = 8), "the remediation replace must commit")
+    Catalog.publish(s, stg,
+      Seq(("profile", root, Manifest.read(s, root).get.version)))
+    require(stagedTotal() == exactN,
+      "the healed wave must pass its audit")
+    Catalog.fastForward(s, main, stg)
+    def serve(cut: String, v: Long): DataFrame =
+      TxSketchStack.estimates(
+          TxSketchStack.resolve(s, root, version = Some(v)))
+        .select(lit(cut).as("cut"), col("key"), col("n_rows"))
+    val headV = Catalog.pinnedVersion(s, main, "profile")
+    val relV = Catalog.pinnedVersion(s, main, "profile",
+      Some(Catalog.resolveTag(s, main, "release-1")))
+    serve("head", headV).unionByName(serve("release", relV))
+      .orderBy("cut", "key")
+  }
+
+  lazy val round23: Seq[Q] = Seq(catalogWapPublish)
+}

@@ -94,4 +94,75 @@ class CatalogSpec extends SparkSpec {
     assert(v == foreign.version + 1)
     assert(Catalog.pinnedVersion(spark, cat, "lex") == 2L)
   }
+
+  test("branch / fastForward: staged pins land as one swap, fenced on the fork") {
+    val main = newRoot("graft_cat_wap_main")
+    val stg = newRoot("graft_cat_wap_stg")
+    Catalog.publish(spark, main, Seq(("lex", "/tmp/lex", 3L)))
+    Catalog.branch(spark, main, stg)
+    // the branch inherits main's head pin set
+    assert(Catalog.pinnedVersion(spark, stg, "lex") == 3L)
+    // the wave stages a new cut; main is untouched until fast-forward
+    Catalog.publish(spark, stg,
+      Seq(("lex", "/tmp/lex", 5L), ("vec", "/tmp/vec", 1L)))
+    assert(Catalog.pinnedVersion(spark, main, "lex") == 3L)
+    val vMain = Catalog.fastForward(spark, main, stg)
+    assert(vMain == 1L)
+    assert(Catalog.pinnedVersion(spark, main, "lex") == 5L)
+    assert(Catalog.pinnedVersion(spark, main, "vec") == 1L)
+    // branching over an existing staging catalog refuses
+    intercept[IllegalArgumentException] {
+      Catalog.branch(spark, main, stg)
+    }
+  }
+
+  test("fastForward fence: a publish that landed on main mid-audit conflicts") {
+    val main = newRoot("graft_cat_ff_main")
+    val stg = newRoot("graft_cat_ff_stg")
+    Catalog.publish(spark, main, Seq(("lex", "/tmp/lex", 3L)))
+    Catalog.branch(spark, main, stg)
+    Catalog.publish(spark, stg, Seq(("lex", "/tmp/lex", 5L)))
+    // a hotfix publish lands on main while the audit runs
+    Catalog.publish(spark, main, Seq(("lex", "/tmp/lex", 4L)))
+    intercept[Manifest.CommitConflict] {
+      Catalog.fastForward(spark, main, stg)
+    }
+    // the fence preserved the hotfix — nothing was silently dropped
+    assert(Catalog.pinnedVersion(spark, main, "lex") == 4L)
+    // the clean retry: re-branch from the advanced head, re-stage
+    val stg2 = newRoot("graft_cat_ff_stg2")
+    Catalog.branch(spark, main, stg2)
+    Catalog.publish(spark, stg2, Seq(("lex", "/tmp/lex", 5L)))
+    Catalog.fastForward(spark, main, stg2)
+    assert(Catalog.pinnedVersion(spark, main, "lex") == 5L)
+    // a never-branched catalog cannot fast-forward (no fork point)
+    val loose = newRoot("graft_cat_ff_loose")
+    Catalog.publish(spark, loose, Seq(("lex", "/tmp/lex", 9L)))
+    intercept[IllegalArgumentException] {
+      Catalog.fastForward(spark, main, loose)
+    }
+  }
+
+  test("tags: immutable named refs, loud on re-tag and unknown names") {
+    val cat = newRoot("graft_cat_tags")
+    Catalog.publish(spark, cat, Seq(("lex", "/tmp/lex", 3L)))
+    Catalog.publish(spark, cat, Seq(("lex", "/tmp/lex", 4L)))
+    Catalog.tag(spark, cat, "release-1", 0L)
+    assert(Catalog.resolveTag(spark, cat, "release-1") == 0L)
+    // the tag keeps resolving the old cut after later publishes
+    assert(Catalog.pinnedVersion(spark, cat, "lex",
+      Some(Catalog.resolveTag(spark, cat, "release-1"))) == 3L)
+    intercept[IllegalStateException] {
+      Catalog.tag(spark, cat, "release-1", 1L) // tags never move
+    }
+    intercept[IllegalArgumentException] {
+      Catalog.resolveTag(spark, cat, "release-2") // unknown name
+    }
+    intercept[IllegalArgumentException] {
+      Catalog.tag(spark, cat, "release-3", 99L) // uncommitted version
+    }
+    intercept[IllegalArgumentException] {
+      Catalog.tag(spark, cat, "rel/../../etc", 0L) // path-shaped name
+    }
+  }
 }
