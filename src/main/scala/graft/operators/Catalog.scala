@@ -141,6 +141,17 @@ object Catalog {
     try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
   }
 
+  /** Every tagged catalog version at the root — tags-sized listing,
+    * the unconditional-retention set [[vacuumRetain]] folds in. */
+  private def taggedVersions(spark: SparkSession,
+                             catRoot: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$catRoot/tags")
+    val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .map(s => resolveTag(spark, catRoot, s.getPath.getName))
+  }
+
   /** Resolve a tag name to its catalog version; unknown names refuse
     * loudly. */
   def resolveTag(spark: SparkSession, catRoot: String,
@@ -174,14 +185,23 @@ object Catalog {
     * knob; cuts already vacuumed are skipped) and returns
     * `stackHead − min(pinned)`, clamped at 0 — pass it as
     * `retainVersions` to the stack's vacuum. A stack the retained
-    * cuts never pin gets 0: the catalog imposes nothing. */
+    * cuts never pin gets 0: the catalog imposes nothing.
+    *
+    * TAGGED cuts retain unconditionally, whatever the version window:
+    * a tag is the promise that an eval can re-run against that release
+    * ([[tag]]), so its pins floor the stack's vacuum even after the
+    * cut ages out of `catRetainVersions` — without this, tagging and
+    * the vacuum cadence would race and the promise would quietly
+    * break. */
   def vacuumRetain(spark: SparkSession, catRoot: String, stack: String,
                    stackRoot: String, catRetainVersions: Int = 0): Int = {
     val catHead = Manifest.read(spark, catRoot).getOrElse(
       throw new IllegalStateException(
         s"no committed catalog at $catRoot")).version
     val floorCat = math.max(0L, catHead - catRetainVersions)
-    val pinned = (floorCat to catHead).flatMap { v =>
+    val cuts =
+      ((floorCat to catHead) ++ taggedVersions(spark, catRoot)).distinct
+    val pinned = cuts.flatMap { v =>
       Manifest.readAt(spark, catRoot, v).toSeq.flatMap { st =>
         spark.read.parquet(s"$catRoot/pins/v=${st.globalV}")
           .filter(col("stack") === stack)

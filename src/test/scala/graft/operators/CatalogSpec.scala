@@ -73,6 +73,29 @@ class CatalogSpec extends SparkSpec {
       version = Some(1L))).collect().head.getLong(1) == 1L)
   }
 
+  test("vacuumRetain: a tagged cut floors the vacuum past the version window") {
+    val cat = newRoot("graft_cat_tagvr")
+    val stack = newRoot("graft_cat_tagvr_stack")
+    TxSketchStack.init(spark, stack)
+    for (b <- 0 to 3)
+      assert(TxSketchStack.commitBatch(spark, stack,
+        Seq(("k", b.toLong)).toDF("key", "user"), b.toLong, "key",
+        "user", 4))
+    Catalog.publish(spark, cat, Seq(("s", stack, 1L))) // cut 0
+    Catalog.publish(spark, cat, Seq(("s", stack, 3L))) // cut 1
+    Catalog.publish(spark, cat, Seq(("s", stack, 4L))) // cut 2 (head)
+    // head-only window: without a tag, only v4 retains
+    assert(Catalog.vacuumRetain(spark, cat, "s", stack) == 0)
+    // tagging cut 0 pulls its v1 pin back into the retention set,
+    // though the cut is two versions below the window
+    Catalog.tag(spark, cat, "old-release", 0L)
+    assert(Catalog.vacuumRetain(spark, cat, "s", stack) == 3)
+    TxSketchStack.vacuum(spark, stack,
+      Catalog.vacuumRetain(spark, cat, "s", stack))
+    assert(Manifest.readAt(spark, stack, 1L).isDefined,
+      "vacuum retired the version the tagged release pins")
+  }
+
   test("cross-process CAS: a foreign catalog history file wins") {
     val cat = newRoot("graft_cat_race")
     Catalog.publish(spark, cat, Seq(("lex", "/tmp/lex", 1L)))
