@@ -832,6 +832,82 @@ object ScaleProbe {
         }
       }
 
+      if (want("txview")) {
+        // change-feed consumer laws (round 17): between adjacent cuts
+        // the feed reads only RE-PINNED upstream buckets (rows ∝ the
+        // changed keys' bucket population, not the ledger), a view
+        // refresh rewrites only the touched GROUPS' member buckets
+        // (rows ∝ group sizes, not corpus), and a 1-group serve opens
+        // one member dir. All three must hold constant while the
+        // corpus grows — the feed/view pair is what makes a nightly
+        // dashboard O(delta) instead of O(corpus).
+        import graft.operators.{Manifest, TxSketchStack, TxViewStack}
+        val dv = graft.Tables.documents(spark, dir)
+        val keyed = dv.select(
+          concat(lit("d"), pmod(xxhash64(col("text")), lit(256L)))
+            .as("dom"),
+          col("doc_id"))
+        val nD = dv.count()
+        val stage = java.nio.file.Files.createTempDirectory("graft_txvw")
+        val root = stage.resolve("stack").toString
+        val view = stage.resolve("view").toString
+        try {
+          TxSketchStack.init(spark, root)
+          val qn = nD / 4
+          for (p <- 0 until 3)
+            TxSketchStack.commitBatch(spark, root,
+              keyed.filter(col("doc_id") >= p * qn &&
+                col("doc_id") < (p + 1) * qn),
+              p.toLong, "dom", "doc_id", buckets = 64)
+          // group = first digit of the domain id: 10 groups, ~26 keys
+          val grpOf: org.apache.spark.sql.Column =>
+            org.apache.spark.sql.Column = c => substring(c, 2, 1)
+          TxViewStack.build(spark, view, root, grpOf, buckets = 16)
+          // the nightly delta: the last quarter's arrivals for TWO
+          // domains only — the small-feed regime a cadence consumer
+          // actually sees
+          val upPrev = Manifest.read(spark, root).get
+          TxSketchStack.commitBatch(spark, root,
+            keyed.filter(col("doc_id") >= 3 * qn &&
+              col("dom").isin("d3", "d7")),
+            3L, "dom", "doc_id", buckets = 64)
+          val upSt = Manifest.read(spark, root).get
+          val upChanged = upSt.statsV.toSeq.diff(upPrev.statsV.toSeq)
+          val feedReadRows = spark.read
+            .option("basePath", s"$root/sketch")
+            .parquet((upChanged ++ upChanged.map { case (b, _) =>
+              b -> upPrev.statsV(b) }).distinct.map { case (b, v) =>
+              s"$root/sketch/v=$v/bkt=$b" }: _*).count()
+          val feedRows = TxSketchStack.changes(spark, root,
+            upPrev.version, upSt.version).count()
+          val ledgerRows = TxSketchStack.resolve(spark, root).count()
+          println(s"PROBE txview $scale docs=$nD feed_keys=$feedRows " +
+            s"feed_buckets=${upChanged.size} of 64 " +
+            s"feed_read_rows=$feedReadRows of ledger_rows=$ledgerRows")
+          val vwPrev = Manifest.read(spark, view).get
+          TxViewStack.refresh(spark, view, root, upSt.version, grpOf,
+            buckets = 16)
+          val vwSt = Manifest.read(spark, view).get
+          val vwChanged = vwSt.statsV.toSeq.diff(vwPrev.statsV.toSeq)
+          val refreshRows = spark.read
+            .option("basePath", s"$view/members")
+            .parquet(vwChanged.map { case (b, v) =>
+              s"$view/members/v=$v/bkt=$b" }: _*).count()
+          println(s"PROBE txview $scale refresh_buckets=" +
+            s"${vwChanged.size} of 16 refresh_write_rows=$refreshRows")
+          import spark.implicits._
+          val served = TxViewStack.members(spark, view,
+            groups = Some((Seq("3").toDF("grp"), 16)))
+          val dirsOpened = served.inputFiles.map(f =>
+            f.substring(0, f.lastIndexOf('/'))).distinct.length
+          println(s"PROBE txview $scale serve_groups=1 " +
+            s"member_dirs_opened=$dirsOpened of ${vwSt.statsV.size} " +
+            s"rows_read=${served.count()}")
+        } finally {
+          graft.queries.FixtureCache.deleteRecursively(stage)
+        }
+      }
+
       if (want("txsplit")) {
         // split-assignment ledger (round 16/17): the laws that govern
         // it at 100 TB — (1) pinned state is one tiny row per assigned
