@@ -88,5 +88,97 @@ object Registry23 {
       .orderBy("cut", "key")
   }
 
-  lazy val round23: Seq[Q] = Seq(catalogWapPublish)
+  /** CATALOG-ORCHESTRATED MAINTENANCE WAVE — the ops capstone a
+    * deployed platform runs on a cadence, composed entirely from
+    * gated faces: two production stacks (the event profile from its
+    * streaming drain; the sticky split ledger from its) are released
+    * as one tagged catalog cut; the corpus then grows (a post-release
+    * arrival lands on the profile); maintenance migrates BOTH
+    * keyspaces (`rebucket` — content-neutral by contract), publishes
+    * the post-maintenance heads as a new catalog cut, and vacuums
+    * each stack under [[Catalog.vacuumRetain]]'s floor. The gate
+    * REQUIREs the destructive half in-flight (pre-release versions
+    * retired on both stacks) and serves all four (cut × stack) faces:
+    * the head through the new catalog cut — under the migrated
+    * keyspaces — and the release through its TAG, which the vacuum
+    * had to keep readable (tags floor retention unconditionally).
+    * The split ledger serves IDENTICAL content at both cuts — the
+    * write-once law across a migration — while the profile's head
+    * carries the arrival the release must not. */
+  val catalogMaintenanceWave = Q("catalog_maintenance_wave",
+    s"""WITH spl AS (SELECT
+       |  CASE WHEN doc_id % 2 = 1 THEN ${Registry19.sqlLadder("doc_id")}
+       |  ELSE ${Registry19.sqlLadder("doc_id - doc_id % 8 + 1")}
+       |  END AS split FROM documents)
+       |SELECT * FROM (
+       |  SELECT 'head' AS cut, 'profile' AS stack, event_type AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 3
+       |  UNION ALL
+       |  SELECT 'head', 'profile', 'zz_new', CAST(COUNT(*) AS BIGINT)
+       |  FROM events WHERE event_id < 7
+       |  UNION ALL
+       |  SELECT 'release', 'profile', event_type,
+       |    CAST(COUNT(*) AS BIGINT)
+       |  FROM events GROUP BY 3
+       |  UNION ALL
+       |  SELECT 'head', 'split', split, CAST(COUNT(*) AS BIGINT)
+       |  FROM spl GROUP BY 3
+       |  UNION ALL
+       |  SELECT 'release', 'split', split, CAST(COUNT(*) AS BIGINT)
+       |  FROM spl GROUP BY 3)
+       |ORDER BY cut, stack, key""".stripMargin) { (s, d) =>
+    import graft.operators.TxSplitStack
+    val skRoot = Registry19.drainSketchStack(s, d, "graft_mw_sk")
+    val spRoot = Registry20.drainSplitStream(s, d, "graft_mw_sp")
+    val cat = StreamHarness.runDir("graft_mw_cat").resolve("cat").toString
+    val skRel = Manifest.read(s, skRoot).get.version
+    val spRel = Manifest.read(s, spRoot).get.version
+    Catalog.publish(s, cat,
+      Seq(("profile", skRoot, skRel), ("split", spRoot, spRel)))
+    Catalog.tag(s, cat, "release-1", 0L)
+    // the corpus grows after the release: a new key arrives
+    require(TxSketchStack.commitBatch(s, skRoot,
+      Tables.events(s, d).filter(col("event_id") < 7)
+        .withColumn("event_type", lit("zz_new")),
+      100L, "event_type", "user_id", buckets = 8),
+      "the post-release arrival must commit")
+    // the maintenance wave: migrate both keyspaces, republish, vacuum
+    require(TxSketchStack.rebucket(s, skRoot, newBuckets = 32),
+      "the profile keyspace migration must commit")
+    require(TxSplitStack.rebucket(s, spRoot, newBuckets = 32),
+      "the split keyspace migration must commit")
+    Catalog.publish(s, cat,
+      Seq(("profile", skRoot, Manifest.read(s, skRoot).get.version),
+        ("split", spRoot, Manifest.read(s, spRoot).get.version)))
+    TxSketchStack.vacuum(s, skRoot,
+      Catalog.vacuumRetain(s, cat, "profile", skRoot))
+    TxSplitStack.vacuum(s, spRoot,
+      Catalog.vacuumRetain(s, cat, "split", spRoot))
+    require(Manifest.readAt(s, skRoot, skRel - 1).isEmpty &&
+      Manifest.readAt(s, spRoot, spRel - 1).isEmpty,
+      "vacuum must retire the pre-release versions below the floor")
+    val relCat = Catalog.resolveTag(s, cat, "release-1")
+    def profile(cut: String, v: Long): DataFrame =
+      TxSketchStack.estimates(
+          TxSketchStack.resolve(s, skRoot, version = Some(v)))
+        .select(lit(cut).as("cut"), lit("profile").as("stack"),
+          col("key"), col("n_rows").as("n"))
+    def splits(cut: String, v: Long): DataFrame =
+      TxSplitStack.resolve(s, spRoot, version = Some(v))
+        .groupBy(col("split").as("key"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(cut).as("cut"), lit("split").as("stack"),
+          col("key"), col("n"))
+    profile("head", Catalog.pinnedVersion(s, cat, "profile"))
+      .unionByName(profile("release",
+        Catalog.pinnedVersion(s, cat, "profile", Some(relCat))))
+      .unionByName(splits("head", Catalog.pinnedVersion(s, cat, "split")))
+      .unionByName(splits("release",
+        Catalog.pinnedVersion(s, cat, "split", Some(relCat))))
+      .orderBy("cut", "stack", "key")
+  }
+
+  lazy val round23: Seq[Q] = Seq(catalogWapPublish,
+    catalogMaintenanceWave)
 }
