@@ -827,9 +827,18 @@ object TxServeStack {
     * cut and emits nothing. Bounded by vacuum retention exactly like
     * [[Manifest.readAt]]: the feed needs the window's delta
     * directories on disk (a delete-only batch legitimately has no
-    * posting dir — missing dirs inside retention are fine). */
+    * posting dir — missing dirs inside retention are fine).
+    *
+    * With `stats = true` the feed adds `dl_before` / `dl_after` — the
+    * document norm at each cut, read from the SAME pruned liveness
+    * probes (dl rides every posting row) — giving this window-asset
+    * kernel the after-image property the pin-diff kernel
+    * ([[TxSketchStack.changes]]) has by construction: a consumer
+    * maintaining a subtractable aggregate (docs / token totals per
+    * class) applies `Σ after − Σ before` from the feed alone. */
   def docChanges(spark: SparkSession, root: String, fromVersion: Long,
-                 toVersion: Long, docBuckets: Int): DataFrame = {
+                 toVersion: Long, docBuckets: Int,
+                 stats: Boolean = false): DataFrame = {
     val stF = Manifest.stateAt(spark, root, Some(fromVersion))
     val stT = Manifest.stateAt(spark, root, Some(toVersion))
     require(stT.batchId >= stF.batchId,
@@ -858,28 +867,41 @@ object TxServeStack {
       "doc_id", docBuckets).localCheckpoint()
     val cBkts = candidates.select("bkt").distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (cBkts.isEmpty)
-      emptyIds.select(col("doc_id"), lit("").as("change")).limit(0)
-    else {
-      def liveAt(st: Manifest.State): DataFrame =
-        liveOnly(
-          readPostings(spark, root, st)
-            .filter(col("bkt").isin(cBkts: _*)),
-          readDeletes(spark, root, st))
-          .join(candidates.select("doc_id"), Seq("doc_id"), "left_semi")
-          .select("doc_id").distinct()
-      val lb = liveAt(stF).withColumn("_lb", lit(true))
-      val la = liveAt(stT).withColumn("_la", lit(true))
-      candidates.select("doc_id")
-        .join(lb, Seq("doc_id"), "left").join(la, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("_lb").isNull && col("_la").isNotNull, lit("insert"))
-            .when(col("_lb").isNotNull && col("_la").isNull,
-              lit("delete"))
-            .when(col("_lb").isNotNull && col("_la").isNotNull,
-              lit("update")).as("change"))
-        .filter(col("change").isNotNull)
-    }
+    val emptyFeed = emptyIds.select(col("doc_id"), lit("").as("change"),
+      lit(0L).as("dl_before"), lit(0L).as("dl_after")).limit(0)
+    val classified =
+      if (cBkts.isEmpty) emptyFeed
+      else {
+        // the liveness probes carry the document NORM along (dl rides
+        // every posting row — norms-in-the-index), so with `stats` the
+        // feed has after-image parity with the pin-diff kernel: a
+        // consumer maintaining a subtractable aggregate (doc counts,
+        // token totals per class) needs no snapshot diff and no raw
+        // pass — dl_before/dl_after ARE the delta's operands
+        def liveAt(st: Manifest.State): DataFrame =
+          liveOnly(
+            readPostings(spark, root, st)
+              .filter(col("bkt").isin(cBkts: _*)),
+            readDeletes(spark, root, st))
+            .join(candidates.select("doc_id"), Seq("doc_id"),
+              "left_semi")
+            .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+        val lb = liveAt(stF).select(col("doc_id"), col("dl").as("_dlb"))
+        val la = liveAt(stT).select(col("doc_id"), col("dl").as("_dla"))
+        candidates.select("doc_id")
+          .join(lb, Seq("doc_id"), "left")
+          .join(la, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("_dlb").isNull && col("_dla").isNotNull,
+              lit("insert"))
+              .when(col("_dlb").isNotNull && col("_dla").isNull,
+                lit("delete"))
+              .when(col("_dlb").isNotNull && col("_dla").isNotNull,
+                lit("update")).as("change"),
+            col("_dlb").as("dl_before"), col("_dla").as("dl_after"))
+          .filter(col("change").isNotNull)
+      }
+    if (stats) classified else classified.select("doc_id", "change")
   }
 
   /** One micro-batch through the protocol. `publish = false`

@@ -135,6 +135,19 @@ object Registry21 {
       |FROM documents
       |WHERE doc_id % 3 = 2 OR doc_id % 6 = 0 OR doc_id % 6 = 3
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val (root, fromV, toV) = cdcLexStack(s, d, "graft_lexcdc")
+    TxServeStack.docChanges(s, root, fromV, toV, docBuckets = 16)
+      .orderBy("doc_id")
+  }
+
+  /** The lexical CDC window both doc-feed gates share: a 2-batch
+    * drained stack (doc_id mod 3 ∈ {0, 1}), then a takedown
+    * (mod 6 = 0) and an upsert that replaces (mod 6 = 3, re-texted —
+    * `reverse` keeps the token COUNT, so the norm survives while the
+    * content changes) and inserts (mod 3 = 2). Returns
+    * (root, fromVersion, toVersion). */
+  private[queries] def cdcLexStack(s: SparkSession, d: String,
+                                   tag: String): (String, Long, Long) = {
     val fx = FixtureCache.cached(d, "cdcstack", 1, Seq("documents")) {
       tmp =>
       val root = tmp.resolve("stack").toString
@@ -145,7 +158,7 @@ object Registry21 {
         1L, "doc_id", "text", docBuckets = 16, termBuckets = 16)
       ()
     }
-    val stage = StreamHarness.runDir("graft_lexcdc")
+    val stage = StreamHarness.runDir(tag)
     FixtureCache.copyInto(fx.resolve("stack"), stage.resolve("stack"))
     val root = stage.resolve("stack").toString
     val dd = docs(s, d)
@@ -157,8 +170,36 @@ object Registry21 {
         .withColumn("text", reverse(col("text")))
         .unionByName(dd.filter(col("doc_id") % 3 === 2)),
       3L, "doc_id", "text", docBuckets = 16, termBuckets = 16)
-    val toV = Manifest.read(s, root).get.version
-    TxServeStack.docChanges(s, root, fromV, toV, docBuckets = 16)
+    (root, fromV, Manifest.read(s, root).get.version)
+  }
+
+  /** DOC FEED WITH AFTER-IMAGES ([[TxServeStack.docChanges]]
+    * `stats = true`): the same window, now carrying `dl_before` /
+    * `dl_after` from the pruned liveness probes — the after-image
+    * parity that lets a consumer maintain subtractable aggregates
+    * (doc counts, token totals per class) from the feed ALONE. The
+    * oracle derives every norm from the raw corpus (non-empty
+    * whitespace tokens — `withDocNorms`' definition); an upsert's
+    * re-text is a `reverse`, so `dl_after = dl_before` is itself a
+    * checked claim (the norm survives the content change), inserts
+    * carry only after, deletes only before. */
+  val textIndexChangesStats = Q("text_index_changes_stats",
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |           FROM documents),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      |       FROM tk WHERE term <> '' GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 3 = 2 THEN 'insert'
+      |       WHEN d.doc_id % 6 = 0 THEN 'delete'
+      |       ELSE 'update' END AS change,
+      |  CASE WHEN d.doc_id % 3 = 2 THEN NULL ELSE dl.dl END AS dl_before,
+      |  CASE WHEN d.doc_id % 6 = 0 THEN NULL ELSE dl.dl END AS dl_after
+      |FROM documents d JOIN dl USING (doc_id)
+      |WHERE d.doc_id % 3 = 2 OR d.doc_id % 6 = 0 OR d.doc_id % 6 = 3
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val (root, fromV, toV) = cdcLexStack(s, d, "graft_lexcdcs")
+    TxServeStack.docChanges(s, root, fromV, toV, docBuckets = 16,
+      stats = true)
       .orderBy("doc_id")
   }
 
@@ -335,6 +376,6 @@ object Registry21 {
   }
 
   lazy val round21: Seq[Q] = Seq(sketchChanges, sketchChangesApply,
-    textIndexChanges, catalogPinCut, splitChanges, sketchFeedReplay,
-    catalogVacuumFloor)
+    textIndexChanges, textIndexChangesStats, catalogPinCut,
+    splitChanges, sketchFeedReplay, catalogVacuumFloor)
 }
