@@ -493,6 +493,30 @@ object Manifest {
       touched.filter(present).map(_ -> tok)
   }
 
+  /** Move one per-bucket-MVCC family WHOLESALE to `family/v=<atV>`
+    * and return its fresh pin map — the shared write kernel of the
+    * migration and full-materialization faces (rebucket, resize, view
+    * build), the whole-family sibling of [[writeRepin]]'s
+    * touched-bucket replacement: `bucketed` carries the TARGET `bkt`,
+    * everything lands at ONE version directory, and buckets the frame
+    * left empty simply don't pin. Callers pass `atV` as the bare
+    * ordinal (maintenance faces — same-face concurrency is a
+    * deployment error, see [[attemptVersion]]) or an attempt token
+    * (replayable batch faces like resize). */
+  private[operators] def moveFamily(bucketed: DataFrame, family: String,
+                                    root: String, atV: Long): Map[Int, Long] = {
+    val moved = bucketed
+      .repartition(org.apache.spark.sql.functions.col("bkt"))
+      .localCheckpoint()
+    val present = moved
+      .select(org.apache.spark.sql.functions.col("bkt"))
+      .distinct().collect().map(_.getInt(0))
+    if (present.nonEmpty)
+      moved.write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/$family/v=$atV")
+    present.map(_ -> atV).toMap
+  }
+
   /** The retention set every vacuum keeps: (floor, the states of every
     * retained history version plus the pointer itself — the pointer
     * ALWAYS retains, so a stack whose history files predate the
@@ -1176,17 +1200,11 @@ object TxServeStack {
         .parquet(s"$root/positions/base/v=$vNew")
     val statsPins =
       if (st.statsV.isEmpty) st.statsV
-      else {
-        val bucketed = Ledger.withHashBucket(
+      else Manifest.moveFamily(
+        Ledger.withHashBucket(
           readPinnedStats(spark, root, st, st.statsV.keys.toSeq),
-          "term", newTermBuckets).localCheckpoint()
-        val present = bucketed.select("bkt").distinct()
-          .collect().map(_.getInt(0))
-        if (present.nonEmpty)
-          bucketed.write.partitionBy("bkt").mode("overwrite")
-            .parquet(s"$root/stats/v=$vNew")
-        present.map(_ -> vNew).toMap
-      }
+          "term", newTermBuckets),
+        "stats", root, vNew)
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         baseV = vNew, baseBatch = st.batchId, statsV = statsPins))

@@ -403,20 +403,14 @@ object TxGraphStack {
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (st.statsV.isEmpty) return false
     val vNew = st.version + 1
-    val live = liveEdges(readEdges(spark, root, st, None),
-        readTombstones(spark, root, st))
-      .drop("bkt")
-      .withColumn("bkt", bktOf(col("src_id"), newBuckets))
-      .repartition(col("bkt"))
-      .localCheckpoint()
-    val present = live.select("bkt").distinct().collect()
-      .map(_.getInt(0))
-    if (present.nonEmpty)
-      live.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/edges/v=$vNew")
+    val pins = Manifest.moveFamily(
+      liveEdges(readEdges(spark, root, st, None),
+          readTombstones(spark, root, st))
+        .withColumn("bkt", bktOf(col("src_id"), newBuckets)),
+      "edges", root, vNew)
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
-        statsV = present.map(_ -> vNew).toMap, auxV = Map.empty))
+        statsV = pins, auxV = Map.empty))
     true
   }
 

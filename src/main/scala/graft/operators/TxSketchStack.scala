@@ -330,23 +330,16 @@ object TxSketchStack {
       throw new IllegalStateException(
         s"sketch stack not initialized at $root — call init first")
     ) { (st, vNew) =>
-    val tok = Manifest.attemptVersion(vNew)
-    val moved = raw
+    val rebuilt = raw
       .filter(col(keyCol).isNotNull && col(valCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n_rows"),
         hll_sketch_agg(col(valCol), lit(lgK)).as("sk"),
         theta_sketch_agg(col(valCol), lit(thetaLgNom)).as("th"))
       .withColumn("bkt", bktOf(col("key"), buckets))
-      .repartition(col("bkt"))
-      .localCheckpoint()
-    val present = moved.select("bkt").distinct()
-      .collect().map(_.getInt(0))
-    if (present.nonEmpty)
-      moved.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/sketch/v=$tok")
     st.copy(version = vNew, batchId = batchId,
-      statsV = present.map(_ -> tok).toMap)
+      statsV = Manifest.moveFamily(rebuilt, "sketch", root,
+        Manifest.attemptVersion(vNew)))
     }
 
   /** Transactional RE-BUCKET — [[TxGraphStack.rebucket]]'s twin for
@@ -363,19 +356,13 @@ object TxSketchStack {
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (st.statsV.isEmpty) return false
     val vNew = st.version + 1
-    val moved = readSketches(spark, root, st, None)
-      .drop("bkt")
-      .withColumn("bkt", bktOf(col("key"), newBuckets))
-      .repartition(col("bkt"))
-      .localCheckpoint()
-    val present = moved.select("bkt").distinct()
-      .collect().map(_.getInt(0))
-    if (present.nonEmpty)
-      moved.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/sketch/v=$vNew")
+    val pins = Manifest.moveFamily(
+      readSketches(spark, root, st, None)
+        .withColumn("bkt", bktOf(col("key"), newBuckets)),
+      "sketch", root, vNew)
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
-        statsV = present.map(_ -> vNew).toMap))
+        statsV = pins))
     true
   }
 

@@ -282,24 +282,14 @@ object TxSplitStack {
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (st.statsV.isEmpty) return false
     val vNew = st.version + 1
-    def move(read: DataFrame, family: String,
-             pins: Map[Int, Long]): Map[Int, Long] = {
-      val moved = read.drop("bkt")
-        .withColumn("bkt", bktOf(col("doc_id"), newBuckets))
-        .repartition(col("bkt"))
-        .localCheckpoint()
-      val present = moved.select("bkt").distinct()
-        .collect().map(_.getInt(0))
-      if (present.nonEmpty)
-        moved.write.partitionBy("bkt").mode("overwrite")
-          .parquet(s"$root/$family/v=$vNew")
-      present.map(_ -> vNew).toMap
-    }
-    val pins = move(readAssigned(spark, root, st, None), "assign",
-      st.statsV)
+    def move(read: DataFrame, family: String): Map[Int, Long] =
+      Manifest.moveFamily(
+        read.withColumn("bkt", bktOf(col("doc_id"), newBuckets)),
+        family, root, vNew)
+    val pins = move(readAssigned(spark, root, st, None), "assign")
     val auxPins =
       if (st.auxV.isEmpty) st.auxV
-      else move(readConflicts(spark, root, st, None), "conflict", st.auxV)
+      else move(readConflicts(spark, root, st, None), "conflict")
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         statsV = pins, auxV = auxPins))

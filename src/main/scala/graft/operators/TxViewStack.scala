@@ -94,8 +94,8 @@ object TxViewStack {
         .select(grpOf(col("key")).cast("string").as("grp"), col("key"),
           col("n_rows"), col("sk"), col("th"))
         .withColumn("bkt", bktOf(col("grp"), buckets))
-      val pins = Manifest.writeRepin(members, "members", viewRoot, 0L,
-        (0 until buckets), Map.empty)
+      val pins = Manifest.moveFamily(members, "members", viewRoot,
+        Manifest.attemptVersion(0L))
       Manifest.commit(spark, viewRoot,
         Manifest.State(0L, upV, -1L, pins, baseV = upV))
       upV
