@@ -118,6 +118,36 @@ class ChangeFeedSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("doc feed after-images: dl_before/dl_after from the pruned probes") {
+    val root = newRoot("graft_cdc_dl")
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    assert(TxServeStack.commitBatch(spark, root,
+      mk(Seq(1L -> "one two three", 2L -> "solo", 3L -> "a b c d")),
+      0L, "doc_id", "text", docBuckets = 4, termBuckets = 4))
+    val v1 = Manifest.read(spark, root).get.version
+    assert(TxServeStack.commitDelete(spark, root, Seq(2L).toDF("doc_id"),
+      1L, "doc_id", docBuckets = 4, termBuckets = 4))
+    assert(TxServeStack.commitUpsert(spark, root,
+      mk(Seq(3L -> "now five tokens long here", 9L -> "fresh pair")),
+      2L, "doc_id", "text", docBuckets = 4, termBuckets = 4))
+    val head = Manifest.read(spark, root).get.version
+    val rows = TxServeStack.docChanges(spark, root, v1, head,
+        docBuckets = 4, stats = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    // the norm is the count of non-empty whitespace tokens at each cut
+    assert(rows(2L) == (("delete", Some(1L), None)))
+    assert(rows(3L) == (("update", Some(4L), Some(5L))))
+    assert(rows(9L) == (("insert", None, Some(2L))))
+    // the default face keeps the 2-column schema a consumer already binds
+    assert(TxServeStack.docChanges(spark, root, v1, head, docBuckets = 4)
+      .columns.toSeq == Seq("doc_id", "change"))
+    // empty stats window keeps the 4-column schema
+    assert(TxServeStack.docChanges(spark, root, head, head,
+      docBuckets = 4, stats = true).columns.toSeq ==
+      Seq("doc_id", "change", "dl_before", "dl_after"))
+  }
+
   test("split feed: insert-only under write-once; rebucket emits nothing") {
     val root = newRoot("graft_cdc_split")
     TxSplitStack.init(spark, root)
