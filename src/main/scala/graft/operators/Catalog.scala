@@ -215,6 +215,34 @@ object Catalog {
     else math.max(0L, head - pinned.min).toInt
   }
 
+  /** Retire the CATALOG'S OWN history — superseded pin tables and
+    * manifest files below the retention floor — the self-vacuum the
+    * stacks already have ([[vacuumRetain]] floors THEIR vacuums; this
+    * floors ours). The floor is `head − retainVersions`, DRAGGED DOWN
+    * to the oldest tagged cut: a tag is the promise that
+    * `resolveTag → pins → stack snapshot` keeps working, so a tagged
+    * cut's manifest and pin table retain unconditionally — and every
+    * cut at or above the dragged floor stays fully readable (a single
+    * floor keeps the retention story one sentence; the conservative
+    * extra cuts between an old tag and the window are tags' carrying
+    * cost, stated not hidden). Stack versions those cuts pin are the
+    * STACKS' vacuums' concern, coupled via [[vacuumRetain]]. */
+  def vacuum(spark: SparkSession, catRoot: String,
+             retainVersions: Int = 0): TxServeStack.VacuumStats =
+    Manifest.withCommitLock(spark, catRoot) {
+      val head = Manifest.read(spark, catRoot).getOrElse(
+        throw new IllegalStateException(
+          s"no committed catalog at $catRoot")).version
+      val floor = (taggedVersions(spark, catRoot) :+
+        math.max(0L, head - retainVersions)).min
+      val keep = (floor to head)
+        .flatMap(v => Manifest.readAt(spark, catRoot, v))
+        .map(st => s"v=${st.globalV}").toSet
+      val (deleted, retired, kept) = Manifest.sweepUnpinned(spark,
+        catRoot, floor, Seq(Manifest.SweepFamily("pins", 1, keep)))
+      TxServeStack.VacuumStats(deleted, retired, kept)
+    }
+
   /** Resolve one stack's pinned version under a catalog cut — the
     * bounded (rows = stacks) driver read every cross-stack serve
     * starts from. REQUIREs exactly one pin row: a never-pinned stack

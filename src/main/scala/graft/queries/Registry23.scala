@@ -179,6 +179,51 @@ object Registry23 {
       .orderBy("cut", "stack", "key")
   }
 
+  /** CATALOG SELF-VACUUM ([[Catalog.vacuum]]): the catalog's own
+    * history is a table too — nightly publishes accumulate pin tables
+    * and manifest files forever without it. Four cuts advance the
+    * profile pin (drain versions 1→4); cut 1 is tagged `release`;
+    * the head-window vacuum then retires ONLY cut 0 (REQUIREd
+    * in-gate: its snapshot is gone) because the tag drags the floor
+    * to 1 — everything at or above it, tagged or not, stays fully
+    * readable. The serve goes the long way through the retained
+    * history: `resolveTag → pins at that cut → stack snapshot at the
+    * pinned version` — the 2-page profile the release froze, while
+    * the head cut serves the full corpus. A pin table swept too
+    * eagerly breaks the release leg; a manifest kept below the floor
+    * without its pin table would break it uglier. */
+  val catalogHistoryVacuum = Q("catalog_history_vacuum",
+    """WITH q AS (SELECT (COUNT(*) // 4) AS qn FROM events)
+      |SELECT * FROM (
+      |  SELECT 'head' AS cut, event_type AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'release', event_type, CAST(COUNT(*) AS BIGINT)
+      |  FROM events, q WHERE event_id < 2 * q.qn GROUP BY 2)
+      |ORDER BY cut, key""".stripMargin) { (s, d) =>
+    val root = Registry19.drainSketchStack(s, d, "graft_chv")
+    val cat = StreamHarness.runDir("graft_chv_cat").resolve("cat").toString
+    for (v <- 1L to 4L)
+      Catalog.publish(s, cat, Seq(("profile", root, v)))
+    Catalog.tag(s, cat, "release", 1L) // pins drain version 2
+    val vs = Catalog.vacuum(s, cat)    // head window, tag drags to 1
+    require(vs.deletedDirs > 0, "cut 0's pin table must sweep")
+    require(Manifest.readAt(s, cat, 0L).isEmpty,
+      "the untagged cut below the floor must retire")
+    require(Manifest.readAt(s, cat, 1L).isDefined &&
+      Manifest.readAt(s, cat, 2L).isDefined,
+      "every cut at or above the dragged floor must stay readable")
+    def serve(cut: String, v: Long): DataFrame =
+      TxSketchStack.estimates(
+          TxSketchStack.resolve(s, root, version = Some(v)))
+        .select(lit(cut).as("cut"), col("key"), col("n_rows"))
+    serve("head", Catalog.pinnedVersion(s, cat, "profile"))
+      .unionByName(serve("release", Catalog.pinnedVersion(s, cat,
+        "profile", Some(Catalog.resolveTag(s, cat, "release")))))
+      .orderBy("cut", "key")
+  }
+
   lazy val round23: Seq[Q] = Seq(catalogWapPublish,
-    catalogMaintenanceWave)
+    catalogMaintenanceWave, catalogHistoryVacuum)
 }

@@ -166,6 +166,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("self-vacuum: history retires below the floor, tags drag it down") {
+    val cat = newRoot("graft_cat_sv")
+    for (v <- 1L to 5L)
+      Catalog.publish(spark, cat, Seq(("s", "/tmp/s", v)))
+    // no tags: head-only window retires cuts 0-3
+    val vs = Catalog.vacuum(spark, cat)
+    assert(vs.deletedDirs == 4 && vs.deletedManifests == 4)
+    assert(Manifest.readAt(spark, cat, 3L).isEmpty)
+    assert(Catalog.pinnedVersion(spark, cat, "s") == 5L)
+    // tagged floor: the tag keeps its cut (and everything above)
+    val cat2 = newRoot("graft_cat_sv2")
+    for (v <- 1L to 5L)
+      Catalog.publish(spark, cat2, Seq(("s", "/tmp/s", v)))
+    Catalog.tag(spark, cat2, "rel", 1L)
+    Catalog.vacuum(spark, cat2)
+    assert(Manifest.readAt(spark, cat2, 0L).isEmpty, "below the tag retires")
+    assert(Manifest.readAt(spark, cat2, 1L).isDefined, "the tagged cut stays")
+    assert(Manifest.readAt(spark, cat2, 3L).isDefined,
+      "cuts above the dragged floor stay readable")
+    assert(Catalog.pinnedVersion(spark, cat2, "s",
+      Some(Catalog.resolveTag(spark, cat2, "rel"))) == 2L)
+  }
+
   test("tags: immutable named refs, loud on re-tag and unknown names") {
     val cat = newRoot("graft_cat_tags")
     Catalog.publish(spark, cat, Seq(("lex", "/tmp/lex", 3L)))
