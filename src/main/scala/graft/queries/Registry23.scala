@@ -224,6 +224,82 @@ object Registry23 {
       .orderBy("cut", "key")
   }
 
+  /** STREAMING MULTI-STACK PIPELINE under the catalog: each
+    * micro-batch commits BOTH profile stacks (by event type; by user
+    * segment) and publishes ONE catalog cut pinning the pair — so at
+    * every instant a reader resolving through the catalog sees a
+    * CONSISTENT two-stack wave, never stack A at tonight's cut while
+    * B serves yesterday's. The publish is guarded by the stacks' own
+    * exactly-once verdicts (a replayed batch skips both commits and
+    * must publish nothing — the catalog has no batch high-water of
+    * its own, the guard IS the consumer pattern); the gate REQUIREs
+    * cuts == waves, then serves the mid-stream pair through cut 1
+    * (both stacks at exactly the 2-page corpus) and the head pair —
+    * the four-leg oracle replays the page algebra per stack. */
+  val streamingCatalogPublish = Q("streaming_catalog_publish",
+    """WITH q AS (SELECT (COUNT(*) // 4) AS qn FROM events)
+      |SELECT * FROM (
+      |  SELECT 'mid' AS cut, 'a' AS stack, event_type AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events, q WHERE event_id < 2 * q.qn GROUP BY 3
+      |  UNION ALL
+      |  SELECT 'mid', 'b', 'u' || CAST(user_id % 7 AS VARCHAR),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM events, q WHERE event_id < 2 * q.qn GROUP BY 3
+      |  UNION ALL
+      |  SELECT 'head', 'a', event_type, CAST(COUNT(*) AS BIGINT)
+      |  FROM events GROUP BY 3
+      |  UNION ALL
+      |  SELECT 'head', 'b', 'u' || CAST(user_id % 7 AS VARCHAR),
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM events GROUP BY 3)
+      |ORDER BY cut, stack, key""".stripMargin) { (s, d) =>
+    val run = StreamHarness.runDir("graft_scat")
+    val rootA = run.resolve("a").toString
+    val rootB = run.resolve("b").toString
+    val cat = run.resolve("cat").toString
+    TxSketchStack.init(s, rootA)
+    TxSketchStack.init(s, rootB)
+    val stream = s.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(Registry19.eventPagesFixture(s, d).resolve("pages").toString)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val segged = b.withColumn("seg",
+          concat(lit("u"), (col("user_id") % 7).cast("string")))
+        val cA = TxSketchStack.commitBatch(s, rootA, b, id,
+          "event_type", "user_id", buckets = 8)
+        val cB = TxSketchStack.commitBatch(s, rootB, segged, id,
+          "seg", "event_id", buckets = 8)
+        if (cA || cB)
+          Catalog.publish(s, cat, Seq(
+            ("a", rootA, Manifest.read(s, rootA).get.version),
+            ("b", rootB, Manifest.read(s, rootB).get.version)))
+        ()
+      }
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val head = Manifest.read(s, cat).get.version
+    require(head == 3L,
+      s"one catalog cut per wave: head version $head for 4 batches")
+    def serve(cut: String, catV: Long, stack: String,
+              root: String): DataFrame =
+      TxSketchStack.estimates(TxSketchStack.resolve(s, root,
+          version = Some(Catalog.pinnedVersion(s, cat, stack,
+            Some(catV)))))
+        .select(lit(cut).as("cut"), lit(stack).as("stack"), col("key"),
+          col("n_rows"))
+    serve("mid", 1L, "a", rootA)
+      .unionByName(serve("mid", 1L, "b", rootB))
+      .unionByName(serve("head", head, "a", rootA))
+      .unionByName(serve("head", head, "b", rootB))
+      .orderBy("cut", "stack", "key")
+  }
+
   lazy val round23: Seq[Q] = Seq(catalogWapPublish,
-    catalogMaintenanceWave, catalogHistoryVacuum)
+    catalogMaintenanceWave, catalogHistoryVacuum,
+    streamingCatalogPublish)
 }
