@@ -117,6 +117,26 @@ object Catalog {
       publish(spark, mainRoot, staged)
     }
 
+  /** Abandon a staging catalog — the failed-audit exit
+    * [[fastForward]]'s scaladoc promises: the branch directory (its
+    * manifests, pin tables, tags) deletes whole; the stack versions
+    * its cuts pinned become invisible orphans main never referenced,
+    * reclaimed by each stack's own catalog-floored vacuum. REFUSES a
+    * catalog with no recorded fork point — a main catalog is not a
+    * branch, and fat-fingering it here must fail loudly, not delete
+    * the table readers resolve through. */
+  def dropBranch(spark: SparkSession, stagingRoot: String): Unit = {
+    val stg = Manifest.read(spark, stagingRoot).getOrElse(
+      throw new IllegalStateException(
+        s"no committed staging catalog at $stagingRoot"))
+    require(stg.baseV >= 0,
+      s"catalog at $stagingRoot has no fork point — refusing to drop " +
+        "what is not a branch")
+    val p = new org.apache.hadoop.fs.Path(stagingRoot)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
+
   /** Create an IMMUTABLE named ref to a catalog cut — the "release"
     * handle an eval re-run resolves months later. Tags are files under
     * `tags/`, written create-exclusive: the same POSIX CAS the commit

@@ -189,6 +189,24 @@ class CatalogSpec extends SparkSpec {
       Some(Catalog.resolveTag(spark, cat2, "rel"))) == 2L)
   }
 
+  test("dropBranch: abandons a staging catalog, refuses a main") {
+    val main = newRoot("graft_cat_db_main")
+    val stg = newRoot("graft_cat_db_stg")
+    Catalog.publish(spark, main, Seq(("lex", "/tmp/lex", 3L)))
+    Catalog.branch(spark, main, stg)
+    Catalog.publish(spark, stg, Seq(("lex", "/tmp/lex", 9L)))
+    // the audit fails; the branch abandons whole
+    Catalog.dropBranch(spark, stg)
+    assert(Manifest.read(spark, stg).isEmpty, "the branch must be gone")
+    assert(Catalog.pinnedVersion(spark, main, "lex") == 3L,
+      "main is untouched by the abandoned branch")
+    // a main catalog (no fork point) refuses loudly
+    intercept[IllegalArgumentException] {
+      Catalog.dropBranch(spark, main)
+    }
+    assert(Catalog.pinnedVersion(spark, main, "lex") == 3L)
+  }
+
   test("tags: immutable named refs, loud on re-tag and unknown names") {
     val cat = newRoot("graft_cat_tags")
     Catalog.publish(spark, cat, Seq(("lex", "/tmp/lex", 3L)))
