@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Manifest, TxJoinViewStack, TxServeStack}
+
+/** Round-17 fifth wave: the materialized JOIN view
+  * ([[graft.operators.TxJoinViewStack]]) — delta-join incremental view
+  * maintenance across TWO upstream stacks' change feeds (the lexical
+  * serve stack's doc-norm feed ⊕ the split ledger's assignment feed),
+  * serving the per-split document/token admission rollup a packing
+  * run reads.
+  *
+  * Reference (jurimetria-etl) has no materialized-view surface; these
+  * are LLM-training-data extensions (brief §"Beyond the reference").
+  */
+object Registry24 {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** The drained-pair fixture both gates start from: the 4-page
+    * lexical drain (manifest versions 0..3 — cumulative doc_id
+    * prefixes) and the 4-page split drain (versions 1..4 — odds seed,
+    * then even thirds inheriting their 8-block's first odd member). */
+  private def drainPair(s: SparkSession, d: String,
+                        tag: String): (String, String, String) = {
+    val lexRoot = Registry16.drainTxStack(s, d, s"${tag}_lex")
+    val splitRoot = Registry20.drainSplitStream(s, d, s"${tag}_spl")
+    val viewRoot = StreamHarness.runDir(s"${tag}_view")
+      .resolve("view").toString
+    (lexRoot, splitRoot, viewRoot)
+  }
+
+  /** The split every drained doc ends at, replayed closed-form: odd
+    * docs (the seed page) drew their own md5 ladder; even docs
+    * inherited the stored minimum member of their 8-block — the
+    * block's first odd doc — except the corpus-end block with no odd
+    * member (max doc_id ≡ 0 mod 8), whose lone even doc drew on its
+    * own cluster label. */
+  private def sqlSplitOf(key: String): String =
+    s"""CASE WHEN $key % 2 = 1 THEN ${Registry19.sqlLadder(key)}
+       |  WHEN $key - $key % 8 + 1 <= (SELECT m FROM mx)
+       |    THEN ${Registry19.sqlLadder(s"$key - $key % 8 + 1")}
+       |  ELSE ${Registry19.sqlLadder(s"$key - $key % 8")} END""".stripMargin
+
+  /** MATERIALIZED JOIN VIEW, inner face
+    * ([[TxJoinViewStack.build]]/[[TxJoinViewStack.refreshLex]]/
+    * [[TxJoinViewStack.refreshSplit]]/[[TxJoinViewStack.serveTokens]]):
+    * built at a MID cut pair (lexical page 1 of 3, split seed page),
+    * each side then advanced to its upstream head by its OWN change
+    * feed — one window spanning multiple upstream commits, applied to
+    * the feed's doc buckets only, the other side's column riding
+    * through — and finally a lexical TAKEDOWN (docs ≡ 3 mod 7)
+    * propagated through one more feed window. Replayed windows on
+    * both cursors must absorb (REQUIREd in-gate). The serve is the
+    * packable-corpus rollup: docs and tokens per split over members
+    * BOTH sides claim; the oracle recomputes it from the raw corpus —
+    * a feed window lost or double-applied, a delete that failed to
+    * null the norm, or a split column clobbered by the lexical
+    * refresh each move exact token counts. */
+  val viewJoinTokens = Q("view_join_tokens",
+    s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |toks AS (SELECT doc_id, term FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents WHERE doc_id % 7 <> 3) WHERE term <> ''),
+       |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |spl AS (SELECT doc_id, ${sqlSplitOf("doc_id")} AS split
+       |  FROM documents)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS n_tokens
+       |FROM dlt JOIN spl USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val (lexRoot, splitRoot, viewRoot) = drainPair(s, d, "graft_jvt")
+    TxJoinViewStack.build(s, viewRoot, lexRoot, splitRoot, buckets = 8,
+      atLexVersion = Some(1L), atSplitVersion = Some(1L))
+    require(TxJoinViewStack.refreshLex(s, viewRoot, lexRoot, 3L,
+      lexDocBuckets = 16, buckets = 8),
+      "the lexical feed window 1→3 must apply")
+    require(TxJoinViewStack.refreshSplit(s, viewRoot, splitRoot, 4L,
+      buckets = 8),
+      "the split feed window 1→4 must apply")
+    require(!TxJoinViewStack.refreshLex(s, viewRoot, lexRoot, 3L,
+      lexDocBuckets = 16, buckets = 8),
+      "a replayed lexical window must absorb at the cursor")
+    require(!TxJoinViewStack.refreshSplit(s, viewRoot, splitRoot, 4L,
+      buckets = 8),
+      "a replayed split window must absorb at the cursor")
+    require(TxServeStack.commitDelete(s, lexRoot,
+      docs(s, d).filter(col("doc_id") % 7 === 3).select("doc_id"),
+      batchId = 4L, "doc_id", docBuckets = 16, termBuckets = 16),
+      "the upstream takedown must commit on the drained stack")
+    require(TxJoinViewStack.refreshLex(s, viewRoot, lexRoot, 4L,
+      lexDocBuckets = 16, buckets = 8),
+      "the takedown feed window 3→4 must apply")
+    TxJoinViewStack.serveTokens(s, viewRoot).orderBy("split")
+  }
+
+  /** MATERIALIZED JOIN VIEW, outer/audit faces + snapshot
+    * ([[TxJoinViewStack.serveLag]]): built at the LAGGED pair (lexical
+    * head, split seed page — every doc indexed, only odd docs
+    * admitted), the audit rollup classifies members by which sides
+    * claim them: `joined` (packable), `indexed_only` (the consumer
+    * lag — indexed, admitted by no split). Closing the lag
+    * (refreshSplit to the split head) flips every lagging member to
+    * `joined`; the gate serves BOTH cuts through the manifest snapshot
+    * (the lag cut at version 0, the closed cut at head) in one frame.
+    * Docs the tokenizer leaves empty would surface as
+    * `assigned_only` — the oracle carries the case so the gate stays
+    * honest on corpora that have them. */
+  val viewJoinLag = Q("view_join_lag",
+    """WITH toks AS (SELECT doc_id, term FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents) WHERE term <> ''),
+      |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |j AS (SELECT d.doc_id, t.dl FROM documents d
+      |  LEFT JOIN dlt t USING (doc_id)),
+      |lag AS (SELECT CASE
+      |    WHEN dl IS NOT NULL AND doc_id % 2 = 1 THEN 'joined'
+      |    WHEN dl IS NOT NULL THEN 'indexed_only'
+      |    WHEN doc_id % 2 = 1 THEN 'assigned_only' END AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS n_tokens
+      |  FROM j GROUP BY 1),
+      |cls AS (SELECT CASE WHEN dl IS NOT NULL THEN 'joined'
+      |    ELSE 'assigned_only' END AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS n_tokens
+      |  FROM j GROUP BY 1)
+      |SELECT 'lag' AS cut, status, n_docs, n_tokens FROM lag
+      |WHERE status IS NOT NULL
+      |UNION ALL
+      |SELECT 'closed' AS cut, status, n_docs, n_tokens FROM cls
+      |ORDER BY cut, status""".stripMargin) { (s, d) =>
+    val (lexRoot, splitRoot, viewRoot) = drainPair(s, d, "graft_jvl")
+    TxJoinViewStack.build(s, viewRoot, lexRoot, splitRoot, buckets = 8,
+      atLexVersion = Some(3L), atSplitVersion = Some(1L))
+    require(!TxJoinViewStack.refreshLex(s, viewRoot, lexRoot, 3L,
+      lexDocBuckets = 16, buckets = 8),
+      "the lexical cursor is already at the head — the window absorbs")
+    require(TxJoinViewStack.refreshSplit(s, viewRoot, splitRoot, 4L,
+      buckets = 8),
+      "the lag-closing split window must apply")
+    TxJoinViewStack.serveLag(s, viewRoot, version = Some(0L))
+      .withColumn("cut", lit("lag"))
+      .unionByName(TxJoinViewStack.serveLag(s, viewRoot)
+        .withColumn("cut", lit("closed")))
+      .select("cut", "status", "n_docs", "n_tokens")
+      .orderBy("cut", "status")
+  }
+
+  lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag)
+}
