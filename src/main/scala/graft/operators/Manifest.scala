@@ -54,13 +54,15 @@ object Manifest {
                    statsV: Map[Int, Long], baseV: Long = -1L,
                    baseBatch: Long = -1L,
                    auxV: Map[Int, Long] = Map.empty,
-                   pos: Boolean = false) {
+                   pos: Boolean = false,
+                   schema: String = "") {
     def render: String = {
       def pins(m: Map[Int, Long]) = m.toSeq.sorted
         .map { case (b, v) => s"$b:$v" }.mkString(",")
       s"version=$version\nbatch=$batchId\nglobal=$globalV\n" +
         s"stats=${pins(statsV)}\nbase=$baseV\nbasebatch=$baseBatch\n" +
-        s"aux=${pins(auxV)}\npos=${if (pos) 1 else 0}\n"
+        s"aux=${pins(auxV)}\npos=${if (pos) 1 else 0}\n" +
+        s"schema=$schema\n"
     }
   }
 
@@ -336,7 +338,8 @@ object Manifest {
       kv.getOrElse("base", "-1").toLong,
       kv.getOrElse("basebatch", "-1").toLong,
       pins(kv.getOrElse("aux", "")),
-      kv.getOrElse("pos", "0") == "1")
+      kv.getOrElse("pos", "0") == "1",
+      kv.getOrElse("schema", ""))
   }
 
   /** SNAPSHOT read — resolve the state committed as `version` (time

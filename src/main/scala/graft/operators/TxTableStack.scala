@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+/** GENERAL KEYED TABLE under the [[Manifest]] protocol, with
+  * TRANSACTIONAL SCHEMA EVOLUTION — the generic form of the
+  * specialized ledger stacks (sketch profiles, split assignments,
+  * view members are all "rows upserted by key in hash buckets"): one
+  * per-bucket-MVCC asset family of after-image rows, upsert/delete/
+  * serve/feed/snapshot/vacuum faces, and the face none of the
+  * specialized stacks needed until now — ADD-COLUMN evolution as a
+  * METADATA-ONLY commit. The training-data use is the doc-metadata
+  * sidecar table (language, source, quality, license flags) that
+  * gains a column every few months: rewriting 100 TB of stored rows
+  * to add a nullable column is exactly what a table format exists to
+  * avoid.
+  *
+  * The manifest carries the CURRENT row schema (DDL in
+  * [[Manifest.State.schema]]), versioned like every pin:
+  *
+  *  - [[evolveSchema]] appends nullable columns and commits — ONE
+  *    pointer swap, ZERO data files touched; old buckets stay pinned
+  *    at their old versions holding their old (narrower) physical
+  *    schema.
+  *  - Readers project every pinned file onto THE CUT'S schema —
+  *    columns a file predates read as null (the add-column contract
+  *    of the published table formats: Iceberg/Delta read missing
+  *    fields as null by field resolution; independently implemented
+  *    here by name). A snapshot BEFORE the evolution serves the OLD
+  *    schema: the cut's manifest renders it, so an old eval replays
+  *    against exactly the columns it was written for.
+  *  - Writers may LAG the schema: a batch carrying a column subset
+  *    null-fills the rest (the crawler fleet that has not deployed
+  *    the new field yet); a batch carrying a column the manifest does
+  *    not know REFUSES loudly (evolve first — silent column drops are
+  *    how data disappears).
+  *
+  * Everything else is the shared choreography: upserts land
+  * after-images in exactly their keys' buckets (O(batch + touched
+  * buckets), exactly-once by batch id), deletes drop rows, the change
+  * feed diffs re-pinned buckets between two cuts — ACROSS an
+  * evolution boundary it projects the before-cut onto the after-cut's
+  * schema, so a consumer always sees feed rows in the schema of the
+  * cut it is advancing to. An evolution commit alone re-pins nothing
+  * and correctly emits an empty feed.
+  *
+  * No reference counterpart (jurimetria-etl fixes its 13-column frame
+  * at parse time); schema evolution follows the published
+  * table-format designs, independently implemented. */
+object TxTableStack {
+
+  private def bktOf(c: Column, buckets: Int): Column =
+    pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+
+  /** Create the table at `root` with its initial row schema (Spark
+    * DDL, e.g. `"doc_id LONG, lang STRING"`). The key column is
+    * passed per call like every stack's, not stored. */
+  def init(spark: SparkSession, root: String, schema: String): Unit =
+    Manifest.withCommitLock(spark, root) {
+      require(Manifest.read(spark, root).isEmpty,
+        s"table already initialized at $root")
+      StructType.fromDDL(schema) // validate: refuse unparseable DDL
+      Manifest.commit(spark, root,
+        Manifest.State(0L, -1L, -1L, Map.empty, schema = schema))
+    }
+
+  /** Committed rows of a cut, projected onto THE CUT'S schema
+    * (+ bkt): pinned buckets read with footer merging (a bucket's
+    * files may span several physical schemas), then every schema
+    * column selected by NAME — present columns cast to the declared
+    * type, columns the file predates null-filled. */
+  private def readRows(spark: SparkSession, root: String,
+                       st: Manifest.State,
+                       restrict: Option[Seq[Int]]): DataFrame = {
+    val target = StructType.fromDDL(st.schema)
+    val pinned = restrict match {
+      case None => st.statsV
+      case Some(bs) => st.statsV.filter { case (b, _) => bs.contains(b) }
+    }
+    if (pinned.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        target.add("bkt", IntegerType))
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .option("basePath", s"$root/rows")
+        .parquet(pinned.toSeq.sorted.map { case (b, v) =>
+          s"$root/rows/v=$v/bkt=$b" }: _*)
+      val have = raw.columns.toSet
+      raw.select(target.fields.toSeq.map { f =>
+        (if (have(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      } :+ col("bkt"): _*)
+    }
+  }
+
+  /** Align `batch` to the manifest schema: columns it carries cast to
+    * their declared types, columns it lags null-filled, columns the
+    * manifest does not know REFUSED. */
+  private def align(batch: DataFrame, schema: StructType): DataFrame = {
+    val known = schema.fieldNames.toSet
+    val extra = batch.columns.filterNot(known)
+    require(extra.isEmpty,
+      s"batch carries columns the table schema does not know: " +
+        s"${extra.mkString(", ")} — evolveSchema first")
+    val have = batch.columns.toSet
+    batch.select(schema.fields.toSeq.map { f =>
+      (if (have(f.name)) col(f.name).cast(f.dataType)
+       else lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+  }
+
+  /** TRANSACTIONAL UPSERT — the batch's rows are AFTER-IMAGES:
+    * each replaces its key's stored row wholesale (or inserts), in
+    * exactly the batch keys' buckets; rows the batch never named ride
+    * through verbatim. The batch must carry each key once. Lagging
+    * writers null-fill (see [[align]]). Exactly-once by batch id. */
+  def commitBatch(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long, keyCol: String, buckets: Int,
+                  publish: Boolean = true): Boolean =
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(
+        s"table not initialized at $root — call init first")
+    ) { (st, vNew) =>
+      val target = StructType.fromDDL(st.schema)
+      require(target.fieldNames.contains(keyCol),
+        s"key column $keyCol is not in the table schema")
+      val rows = align(batch, target)
+        .withColumn("bkt", bktOf(col(keyCol), buckets))
+        .localCheckpoint()
+      val touched = rows.select("bkt").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) st.copy(version = vNew, batchId = batchId)
+      else {
+        val replaced = readRows(spark, root, st, Some(touched))
+          .join(rows.select(keyCol), Seq(keyCol), "left_anti")
+          .unionByName(rows)
+        st.copy(version = vNew, batchId = batchId,
+          statsV = Manifest.writeRepin(replaced, "rows", root, vNew,
+            touched, st.statsV))
+      }
+    }
+
+  /** TRANSACTIONAL DELETE — drop the keys' rows from their buckets;
+    * absent keys are no-ops (replay- and double-delete-exact). */
+  def commitDelete(spark: SparkSession, root: String, keys: DataFrame,
+                   batchId: Long, keyCol: String, buckets: Int,
+                   publish: Boolean = true): Boolean =
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(
+        s"table not initialized at $root — call init first")
+    ) { (st, vNew) =>
+      val ids = keys.select(col(keyCol)).distinct()
+        .withColumn("bkt", bktOf(col(keyCol), buckets))
+        .localCheckpoint()
+      val touched = ids.select("bkt").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) st.copy(version = vNew, batchId = batchId)
+      else {
+        val replaced = readRows(spark, root, st, Some(touched))
+          .join(ids.select(keyCol), Seq(keyCol), "left_anti")
+        st.copy(version = vNew, batchId = batchId,
+          statsV = Manifest.writeRepin(replaced, "rows", root, vNew,
+            touched, st.statsV))
+      }
+    }
+
+  /** ADD-COLUMN SCHEMA EVOLUTION — a METADATA-ONLY commit: `addDdl`
+    * (e.g. `"quality DOUBLE, license STRING"`) appends to the row
+    * schema; every pin rides through untouched, zero data files are
+    * read or written, and ONE pointer swap publishes the new schema.
+    * New columns read as null on every stored row until an upsert
+    * re-images it. Only ADDITION is supported: dropping, renaming, or
+    * re-typing a column would change what stored bytes MEAN and is
+    * refused — the published formats need field ids for those faces;
+    * this stack resolves by name. */
+  def evolveSchema(spark: SparkSession, root: String, addDdl: String,
+                   publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+      val st = Manifest.read(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"table not initialized at $root — call init first"))
+      val added = StructType.fromDDL(addDdl)
+      val existing = StructType.fromDDL(st.schema).fieldNames.toSet
+      val dup = added.fieldNames.filter(existing)
+      require(dup.isEmpty,
+        s"columns already in the table schema: ${dup.mkString(", ")} — " +
+          "only ADD-column evolution is supported")
+      if (publish)
+        Manifest.commit(spark, root, st.copy(version = st.version + 1,
+          schema = s"${st.schema},$addDdl"))
+      true
+    }
+
+  /** The committed rows of a cut, in the cut's schema — a snapshot
+    * BEFORE an evolution serves the narrower schema it was written
+    * for. */
+  def resolve(spark: SparkSession, root: String,
+              version: Option[Long] = None): DataFrame =
+    readRows(spark, root, Manifest.stateAt(spark, root, version), None)
+      .drop("bkt")
+
+  /** The cut's schema as Spark DDL — what [[resolve]] serves. */
+  def schemaAt(spark: SparkSession, root: String,
+               version: Option[Long] = None): String =
+    Manifest.stateAt(spark, root, version).schema
+
+  /** CHANGE DATA FEED between two cuts, classified insert / delete /
+    * update with the after-image riding along (null on delete), IN
+    * THE `toVersion` CUT'S SCHEMA: across an evolution boundary the
+    * before-cut projects onto the after schema (its new columns read
+    * null), so an update whose only difference is a newly-populated
+    * column classifies correctly. The pin diff bounds the read; an
+    * evolution-only window re-pins nothing and emits nothing. */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+              toVersion: Long, keyCol: String): DataFrame = {
+    val stF = Manifest.stateAt(spark, root, Some(fromVersion))
+    val stT = Manifest.stateAt(spark, root, Some(toVersion))
+    require(stT.batchId >= stF.batchId,
+      s"change window is inverted: batch ${stF.batchId} → ${stT.batchId}")
+    val changed = Manifest.repinnedBuckets(stF.statsV, stT.statsV)
+    val target = StructType.fromDDL(stT.schema)
+    val payload = target.fieldNames.toSeq.filterNot(_ == keyCol)
+    // the before cut, projected onto the AFTER schema
+    val beforeRows = readRows(spark, root, stF.copy(schema = stT.schema),
+      Some(changed))
+    val before = beforeRows.select(col(keyCol) +:
+      payload.map(c => col(c).as(s"_b_$c")) :+ lit(true).as("_bp"): _*)
+    val after = readRows(spark, root, stT, Some(changed)).drop("bkt")
+      .withColumn("_ap", lit(true))
+    val bs = struct(payload.map(c => col(s"_b_$c")): _*)
+    val as = struct(payload.map(col): _*)
+    before.join(after, Seq(keyCol), "full_outer")
+      .select(col(keyCol) +: payload.map(col) :+
+        when(col("_bp").isNull, lit("insert"))
+          .when(col("_ap").isNull, lit("delete"))
+          .when(!(bs <=> as), lit("update")).as("change"): _*)
+      .filter(col("change").isNotNull)
+  }
+
+  /** Garbage-collect unpinned row versions and retire history below
+    * the retention floor. */
+  def vacuum(spark: SparkSession, root: String,
+             retainVersions: Int = 0): TxServeStack.VacuumStats =
+    Manifest.withCommitLock(spark, root) {
+      val (floor, retained) = Manifest.retainedStates(spark, root,
+        retainVersions)
+      val live = retained.flatMap(_.statsV.map { case (b, v) =>
+        s"v=$v/bkt=$b" }).toSet
+      val (deleted, retired, kept) = Manifest.sweepUnpinned(spark, root,
+        floor, Seq(Manifest.SweepFamily("rows", 2, live)))
+      TxServeStack.VacuumStats(deleted, retired, kept)
+    }
+}

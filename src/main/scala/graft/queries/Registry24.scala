@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Manifest, TxJoinViewStack, TxServeStack}
+import graft.operators.{Manifest, TxJoinViewStack, TxServeStack,
+  TxTableStack}
 
 /** Round-17 fifth wave: the materialized JOIN view
   * ([[graft.operators.TxJoinViewStack]]) — delta-join incremental view
@@ -149,5 +150,94 @@ object Registry24 {
       .orderBy("cut", "status")
   }
 
-  lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag)
+  /** TRANSACTIONAL SCHEMA EVOLUTION on the general keyed table
+    * ([[TxTableStack.evolveSchema]] — a METADATA-ONLY commit): the
+    * doc-metadata sidecar starts at (doc_id, lang), fills from the
+    * corpus, then gains `quality DOUBLE` without touching a single
+    * stored file — REQUIREd in-gate: the evolution commit re-pins
+    * nothing, and the PRE-evolution snapshot still serves exactly the
+    * two columns it was written for. After the evolution, a current
+    * writer re-images the ≡0 mod 3 docs with their quality, a LAGGING
+    * writer (the crawler that has not deployed the field) re-images
+    * the ≡0 mod 5 docs under the OLD columns — null-filling quality,
+    * the after-image contract — and a batch carrying a column the
+    * schema does not know refuses loudly. The serve is the head cut:
+    * quality is non-null exactly where the newest image carried it. */
+  val tableSchemaEvolve = Q("table_schema_evolve",
+    """SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 3 = 0 AND doc_id % 5 <> 0
+      |    THEN n_chars / 100.0 END AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = StreamHarness.runDir("graft_tbl").resolve("tbl").toString
+    TxTableStack.init(s, root, "doc_id LONG, lang STRING")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).select("doc_id", "lang"), 0L, "doc_id", buckets = 8),
+      "the base batch must commit")
+    val pinsBefore = Manifest.read(s, root).get.statsV
+    require(TxTableStack.evolveSchema(s, root, "quality DOUBLE"),
+      "the evolution must commit")
+    require(Manifest.read(s, root).get.statsV == pinsBefore,
+      "an evolution commit must be metadata-only: zero re-pins")
+    require(TxTableStack.schemaAt(s, root, Some(1L)) ==
+      "doc_id LONG, lang STRING",
+      "the pre-evolution snapshot must serve the old schema")
+    require(TxTableStack.resolve(s, root, Some(1L)).columns.toSeq ==
+      Seq("doc_id", "lang"),
+      "the pre-evolution snapshot must carry exactly the old columns")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / lit(100.0)).as("quality")),
+      1L, "doc_id", buckets = 8),
+      "the current writer's batch must commit")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") % 5 === 0)
+        .select("doc_id", "lang"),
+      2L, "doc_id", buckets = 8),
+      "the lagging writer's old-schema batch must commit (null-fill)")
+    require(scala.util.Try(TxTableStack.commitBatch(s, root,
+      docs(s, d).select(col("doc_id"), col("lang"),
+        col("source").as("bogus")), 3L, "doc_id", buckets = 8)).isFailure,
+      "a batch carrying an unknown column must refuse")
+    TxTableStack.resolve(s, root).orderBy("doc_id")
+  }
+
+  /** CHANGE DATA FEED ACROSS AN EVOLUTION BOUNDARY
+    * ([[TxTableStack.changes]]): the window opens at the two-column
+    * cut and closes after the evolution, a quality back-fill (≡0 mod
+    * 3), and a takedown (≡1 mod 7). The feed arrives in the CLOSING
+    * cut's schema — the before-cut projects onto it, its new column
+    * reading null — so a row whose ONLY difference is the
+    * newly-populated column classifies `update`, takedowns classify
+    * `delete` with null after-images, and rows that rode through
+    * their rewritten buckets unchanged emit nothing (row equality,
+    * not pin equality). */
+  val tableChangesEvolved = Q("table_changes_evolved",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 1 THEN NULL ELSE lang END AS lang,
+      |  CASE WHEN doc_id % 7 = 1 THEN NULL
+      |       WHEN doc_id % 3 = 0 THEN n_chars / 100.0 END AS quality,
+      |  CASE WHEN doc_id % 7 = 1 THEN 'delete'
+      |       WHEN doc_id % 3 = 0 THEN 'update' END AS change
+      |FROM documents
+      |WHERE doc_id % 7 = 1 OR doc_id % 3 = 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = StreamHarness.runDir("graft_tblcdc").resolve("tbl").toString
+    TxTableStack.init(s, root, "doc_id LONG, lang STRING")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).select("doc_id", "lang"), 0L, "doc_id", buckets = 8))
+    require(TxTableStack.evolveSchema(s, root, "quality DOUBLE"))
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / lit(100.0)).as("quality")),
+      1L, "doc_id", buckets = 8))
+    require(TxTableStack.commitDelete(s, root,
+      docs(s, d).filter(col("doc_id") % 7 === 1).select("doc_id"),
+      2L, "doc_id", buckets = 8))
+    TxTableStack.changes(s, root, 1L, 4L, "doc_id").orderBy("doc_id")
+  }
+
+  lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag,
+    tableSchemaEvolve, tableChangesEvolved)
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[TxTableStack]] — the general keyed table with transactional
+  * add-column schema evolution. Load-bearing claims:
+  * (1) upserts are after-images (replace wholesale, insert, ride
+  *     through unnamed rows); deletes drop; both replay-exact;
+  * (2) [[TxTableStack.evolveSchema]] is METADATA-ONLY — zero re-pins —
+  *     and old rows read null in the new column until re-imaged;
+  * (3) a pre-evolution snapshot serves the narrower schema it was
+  *     written for, even read after the evolution;
+  * (4) lagging writers null-fill; unknown columns refuse; duplicate
+  *     evolution refuses;
+  * (5) the change feed classifies across the evolution boundary
+  *     (before projected onto the after schema) and an
+  *     evolution-only window emits nothing;
+  * (6) vacuum retires below the floor, the head keeps serving. */
+class TableStackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 4
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_tbl_spec").toString
+
+  private def rows(root: String, version: Option[Long] = None)
+      : Seq[(Long, String, Option[Double])] =
+    TxTableStack.resolve(spark, root, version)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.length < 3 || r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+
+  private def mk(): String = {
+    val root = newRoot()
+    TxTableStack.init(spark, root, "k LONG, lang STRING")
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((1L, "pt"), (2L, "en"), (3L, "es")).toDF("k", "lang"),
+      0L, "k", B))
+    root
+  }
+
+  test("after-image upsert, delete, ride-through, replay") {
+    val root = mk()
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((2L, "de"), (4L, "fr")).toDF("k", "lang"), 1L, "k", B))
+    assert(rows(root).map(t => (t._1, t._2)) ==
+      Seq((1L, "pt"), (2L, "de"), (3L, "es"), (4L, "fr")))
+    // replay absorbs whole
+    assert(!TxTableStack.commitBatch(spark, root,
+      Seq((9L, "xx")).toDF("k", "lang"), 1L, "k", B))
+    assert(TxTableStack.commitDelete(spark, root,
+      Seq(3L, 99L).toDF("k"), 2L, "k", B),
+      "a delete with an absent key must still commit (no-op member)")
+    assert(rows(root).map(_._1) == Seq(1L, 2L, 4L))
+  }
+
+  test("evolution is metadata-only; old rows read null; lagging writers null-fill") {
+    val root = mk()
+    val pins = Manifest.read(spark, root).get.statsV
+    assert(TxTableStack.evolveSchema(spark, root, "quality DOUBLE"))
+    val st = Manifest.read(spark, root).get
+    assert(st.statsV == pins, "evolution must re-pin nothing")
+    assert(st.schema == "k LONG, lang STRING,quality DOUBLE")
+    assert(rows(root) == Seq((1L, "pt", None), (2L, "en", None),
+      (3L, "es", None)), "stored rows must read null in the new column")
+    // current writer populates; lagging writer null-fills by replacing
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((1L, "pt", 0.5), (2L, "en", 0.9)).toDF("k", "lang", "quality"),
+      1L, "k", B))
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((2L, "en")).toDF("k", "lang"), 2L, "k", B))
+    assert(rows(root) == Seq((1L, "pt", Some(0.5)), (2L, "en", None),
+      (3L, "es", None)))
+  }
+
+  test("pre-evolution snapshot serves the narrower schema") {
+    val root = mk()
+    assert(TxTableStack.evolveSchema(spark, root, "quality DOUBLE"))
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((1L, "pt", 0.5)).toDF("k", "lang", "quality"), 1L, "k", B))
+    assert(TxTableStack.schemaAt(spark, root, Some(1L)) ==
+      "k LONG, lang STRING")
+    assert(TxTableStack.resolve(spark, root, Some(1L)).columns.toSeq ==
+      Seq("k", "lang"))
+    assert(rows(root, Some(1L)) == Seq((1L, "pt", None), (2L, "en", None),
+      (3L, "es", None)).map(t => (t._1, t._2, None)))
+    assert(rows(root).head == ((1L, "pt", Some(0.5))))
+  }
+
+  test("unknown columns and duplicate evolution refuse") {
+    val root = mk()
+    intercept[IllegalArgumentException] {
+      TxTableStack.commitBatch(spark, root,
+        Seq((1L, "pt", 0.5)).toDF("k", "lang", "quality"), 1L, "k", B)
+    }
+    intercept[IllegalArgumentException] {
+      TxTableStack.evolveSchema(spark, root, "lang STRING")
+    }
+    intercept[IllegalStateException] {
+      TxTableStack.commitBatch(spark, newRoot(),
+        Seq((1L, "pt")).toDF("k", "lang"), 0L, "k", B)
+    }
+    intercept[IllegalArgumentException] {
+      TxTableStack.init(spark, root, "again LONG")
+    }
+  }
+
+  test("change feed classifies across the evolution boundary") {
+    val root = mk() // v1: {1 pt, 2 en, 3 es}
+    assert(TxTableStack.evolveSchema(spark, root, "quality DOUBLE")) // v2
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((1L, "pt", 0.5), (4L, "fr", 0.7)).toDF("k", "lang", "quality"),
+      1L, "k", B)) // v3: 1 updated (new column only), 4 inserted
+    assert(TxTableStack.commitDelete(spark, root, Seq(2L).toDF("k"),
+      2L, "k", B)) // v4
+    val feed = TxTableStack.changes(spark, root, 1L, 4L, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(3),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(feed == Seq((1L, "update", Some(0.5)),
+      (2L, "delete", None), (4L, "insert", Some(0.7))),
+      s"got $feed") // row 3 rode through unchanged: no emission
+    // an evolution-only window emits nothing
+    assert(TxTableStack.changes(spark, root, 1L, 2L, "k").isEmpty)
+  }
+
+  test("vacuum retires below the floor; the head keeps serving") {
+    val root = mk()
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((1L, "xx")).toDF("k", "lang"), 1L, "k", B))
+    val head = rows(root)
+    val stats = TxTableStack.vacuum(spark, root, retainVersions = 0)
+    assert(stats.deletedDirs > 0)
+    assert(Manifest.readAt(spark, root, 1L).isEmpty)
+    assert(rows(root) == head)
+  }
+}
