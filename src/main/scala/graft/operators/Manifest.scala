@@ -151,6 +151,29 @@ object Manifest {
       }
     }
 
+  /** RETRY SHELL for optimistic-concurrency losers: run `body` (a
+    * TxStack commit face — any of them), and on [[CommitConflict]]
+    * run it again, up to `attempts` times. Calling the face again IS
+    * the rebase: every commit face re-reads the manifest at entry, so
+    * the retry derives against the winner's pins — including the
+    * winner [[commit]] just rolled forward past a crash — and its
+    * batch id absorbs if the "conflict" was our own already-committed
+    * replay. Exhausting `attempts` rethrows the last conflict (a
+    * livelock under sustained contention is the caller's signal to
+    * back off, not loop forever). */
+  def withConflictRetry[T](attempts: Int = 3)(body: => T): T = {
+    require(attempts > 0, "attempts must be positive")
+    var left = attempts
+    while (true) {
+      try return body
+      catch { case c: CommitConflict =>
+        left -= 1
+        if (left == 0) throw c
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Resolve the current committed state; None before the first
     * commit. Reads ONE small file — the serve-side cost of the
     * protocol is a single metadata read per query batch. */

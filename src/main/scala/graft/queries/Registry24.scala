@@ -238,6 +238,54 @@ object Registry24 {
     TxTableStack.changes(s, root, 1L, 4L, "doc_id").orderBy("doc_id")
   }
 
+  /** COMMIT REBASE under the retry shell
+    * ([[Manifest.withConflictRetry]]) against a REAL racing commit —
+    * `manifest_fence_race`'s sibling with actual data on the line:
+    * the winner commits a real batch (evens re-imaged) and crashes
+    * between its two steps (history file published, pointer swap
+    * never landed — simulated by rewinding the pointer to the prior
+    * cut, the same play the fence gate stages). The loser, derived
+    * from the stale cut, must (1) lose the create-exclusive CAS to
+    * the winner's real history file, (2) roll the winner's pointer
+    * forward — un-wedging the stack — and (3) REBASE: the retry shell
+    * re-runs the commit face, which re-reads the head and derives
+    * against the winner's pins, so the final cut is the SERIAL result
+    * of both commits (REQUIREd in-gate: exactly two attempts ran).
+    * The oracle replays the serial order: tri-images over even-images
+    * over the base corpus. */
+  val manifestCommitRebase = Q("manifest_commit_rebase",
+    """SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'tri'
+      |  WHEN doc_id % 2 = 0 THEN 'even' ELSE lang END AS lang
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = StreamHarness.runDir("graft_rebase").resolve("tbl").toString
+    TxTableStack.init(s, root, "doc_id LONG, lang STRING")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).select("doc_id", "lang"), 0L, "doc_id", buckets = 8)) // v1
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), lit("even").as("lang")),
+      1L, "doc_id", buckets = 8)) // v2: the winner's REAL commit
+    // the winner's crash face: its history file manifest.v=2 is
+    // durable, the pointer never reached it
+    val v1 = Manifest.readAt(s, root, 1L).get
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "manifest"),
+      v1.render.getBytes("UTF-8"))
+    var attempts = 0
+    require(Manifest.withConflictRetry() {
+      attempts += 1
+      TxTableStack.commitBatch(s, root,
+        docs(s, d).filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), lit("tri").as("lang")),
+        2L, "doc_id", buckets = 8)
+    }, "the rebased commit must land")
+    require(attempts == 2,
+      s"the loser must lose the CAS once and land on the rebase, " +
+        s"ran $attempts attempts")
+    require(Manifest.read(s, root).get.version == 3L,
+      "the serial history must be v2 (winner) then v3 (rebase)")
+    TxTableStack.resolve(s, root).orderBy("doc_id")
+  }
+
   lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag,
-    tableSchemaEvolve, tableChangesEvolved)
+    tableSchemaEvolve, tableChangesEvolved, manifestCommitRebase)
 }

@@ -648,6 +648,29 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("withConflictRetry: retries conflicts, rethrows on exhaustion, passes other throws") {
+    var runs = 0
+    assert(Manifest.withConflictRetry(3) {
+      runs += 1
+      if (runs < 3) throw Manifest.CommitConflict("/x", 1L, 1L)
+      42
+    } == 42)
+    assert(runs == 3)
+    intercept[Manifest.CommitConflict] {
+      Manifest.withConflictRetry(2) {
+        throw Manifest.CommitConflict("/x", 1L, 1L)
+      }
+    }
+    intercept[IllegalStateException] {
+      Manifest.withConflictRetry(3) {
+        throw new IllegalStateException("not a conflict")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Manifest.withConflictRetry(0)(42)
+    }
+  }
+
   test("tx stack serve == in-place ledgers built from the same corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfteq")
     try {
