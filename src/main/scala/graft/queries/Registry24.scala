@@ -286,6 +286,56 @@ object Registry24 {
     TxTableStack.resolve(s, root).orderBy("doc_id")
   }
 
+  /** STREAMING table ingest WITH A MID-STREAM EVOLUTION — the
+    * metadata sidecar's streaming face (every ledger family drains
+    * through the harness), plus the deployment reality no batch gate
+    * can stage: the schema changes WHILE the stream runs. Four
+    * metadata pages drain through fenced [[TxTableStack.commitBatch]]
+    * upserts; before page 2 the consumer evolves `quality DOUBLE`
+    * (guarded idempotent — a replayed trigger must not re-evolve),
+    * and pages 2-3 write the new column. The pages overlap at their
+    * boundaries, so the overlap rows are re-imaged INTO the new
+    * schema — the oracle's `2*qn - 10` edge is exactly the
+    * after-image contract under evolution. Exactly-once REQUIREd
+    * in-gate: a re-delivered page absorbs whole. */
+  val streamingTableIngest = Q("streaming_table_ingest",
+    """WITH q AS (SELECT (COUNT(*) // 4) AS qn FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN doc_id >= 2 * qn - 10 THEN n_chars / 100.0 END
+      |    AS quality
+      |FROM documents, q ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = StreamHarness.runDir("graft_tblstr").resolve("tbl").toString
+    TxTableStack.init(s, root, "doc_id LONG, lang STRING")
+    val ckpt = StreamHarness.runDir("graft_tblstr_ck")
+    val pages = Registry16.pagesFixture(s, d, "bmidx", "documents",
+      docs(s, d), "doc_id").resolve("pages").toString
+    val run = s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(pages)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id >= 2 && !TxTableStack.schemaAt(s, root).contains("quality"))
+          TxTableStack.evolveSchema(s, root, "quality DOUBLE")
+        val rows =
+          if (id >= 2) b.select(col("doc_id"), col("lang"),
+            (col("n_chars") / lit(100.0)).as("quality"))
+          else b.select("doc_id", "lang")
+        TxTableStack.commitBatch(s, root, rows, id, "doc_id", buckets = 8)
+        ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    run.awaitTermination()
+    require(!TxTableStack.commitBatch(s, root,
+      docs(s, d).limit(10).select("doc_id", "lang"), 3L, "doc_id",
+      buckets = 8),
+      "a re-delivered page must be absorbed by the high-water mark")
+    TxTableStack.resolve(s, root).orderBy("doc_id")
+  }
+
   lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag,
-    tableSchemaEvolve, tableChangesEvolved, manifestCommitRebase)
+    tableSchemaEvolve, tableChangesEvolved, manifestCommitRebase,
+    streamingTableIngest)
 }
