@@ -390,6 +390,29 @@ object Manifest {
     }
   }
 
+  /** TIME TRAVEL BY BATCH ID — resolve the LATEST committed cut whose
+    * high-water mark is at or below `batchId` (the logical clock
+    * every drain already stamps): "the table as of nightly batch 17",
+    * independent of how many maintenance commits (compaction,
+    * re-bucket, schema evolution — they advance the version, not the
+    * batch) landed on top; those are INCLUDED, being later versions of
+    * the same data cut. Batch ids are non-decreasing over versions, so
+    * the walk down from the pointer stops at the first qualifying
+    * state. Bounded by vacuum retention like [[readAt]]: walking into
+    * retired history returns None — time travel past the floor is
+    * gone, the standard trade. */
+  def readAsOfBatch(spark: SparkSession, dir: String,
+                    batchId: Long): Option[State] =
+    read(spark, dir).flatMap { head =>
+      var cur: Option[State] = Some(head)
+      var v = head.version
+      while (cur.exists(_.batchId > batchId) && v > 0) {
+        v -= 1
+        cur = readAt(spark, dir, v)
+      }
+      cur.filter(_.batchId <= batchId)
+    }
+
   /** A page-level cut across TWO manifest stacks (the lexical serve
     * stack ⊕ the vector stack a hybrid search page fuses): one
     * committed version per stack, captured together at page open. */

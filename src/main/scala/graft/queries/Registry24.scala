@@ -335,7 +335,53 @@ object Registry24 {
     TxTableStack.resolve(s, root).orderBy("doc_id")
   }
 
+  /** TIME TRAVEL BY BATCH ID ([[Manifest.readAsOfBatch]] — the
+    * logical-clock face of [[Manifest.readAt]]'s version snapshots):
+    * "the table as of nightly batch 1" resolves to the LATEST cut at
+    * that high-water mark, maintenance commits included — here batch
+    * 1's upsert (v3) plus a SECOND schema evolution (v4, batch
+    * unchanged), but NOT batch 2's takedown (v5). REQUIREd in-gate:
+    * the resolved version is 4 (a naive first-match walk would stop
+    * at 3 and miss the evolution), batch 0 resolves below the first
+    * evolution, a future batch resolves to the head, and a
+    * pre-history batch resolves to nothing. The serve carries the
+    * post-evolution `license` column all-null — written by no batch,
+    * visible as of batch 1. */
+  val tableReadAsofBatch = Q("table_read_asof_batch",
+    """SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 3 = 0 THEN n_chars / 100.0 END AS quality,
+      |  CAST(NULL AS VARCHAR) AS license
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = StreamHarness.runDir("graft_tblaob").resolve("tbl").toString
+    TxTableStack.init(s, root, "doc_id LONG, lang STRING")      // v0
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).select("doc_id", "lang"), 0L, "doc_id", buckets = 8)) // v1
+    require(TxTableStack.evolveSchema(s, root, "quality DOUBLE"))      // v2
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / lit(100.0)).as("quality")),
+      1L, "doc_id", buckets = 8))                                      // v3
+    require(TxTableStack.evolveSchema(s, root, "license STRING"))      // v4
+    require(TxTableStack.commitDelete(s, root,
+      docs(s, d).filter(col("doc_id") % 7 === 1).select("doc_id"),
+      2L, "doc_id", buckets = 8))                                      // v5
+    require(Manifest.readAsOfBatch(s, root, 0L).map(_.version)
+      .contains(2L),
+      "batch 0 must resolve to v2 — the first evolution rides batch " +
+        "0's cut (maintenance commits keep the batch high-water)")
+    val asOf1 = Manifest.readAsOfBatch(s, root, 1L).get
+    require(asOf1.version == 4L,
+      s"as-of batch 1 must include the maintenance commit on top " +
+        s"(v4), got v${asOf1.version}")
+    require(Manifest.readAsOfBatch(s, root, 99L).map(_.version)
+      .contains(5L), "a future batch must resolve to the head")
+    require(Manifest.readAsOfBatch(s, root, -5L).isEmpty,
+      "a pre-history batch must resolve to nothing")
+    TxTableStack.resolve(s, root, Some(asOf1.version)).orderBy("doc_id")
+  }
+
   lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag,
     tableSchemaEvolve, tableChangesEvolved, manifestCommitRebase,
-    streamingTableIngest)
+    streamingTableIngest, tableReadAsofBatch)
 }
