@@ -239,6 +239,32 @@ object TxTableStack {
       .filter(col("change").isNotNull)
   }
 
+  /** RE-BUCKET MIGRATION — the undersized-B cure every keyed family
+    * carries: one commit moves the whole row family under `newBuckets`
+    * (an O(ledger) rewrite by definition, amortized over the corpus
+    * growth that forced it); later commits must pass the new bucket
+    * count. The row schema rides through unchanged. */
+  def rebucket(spark: SparkSession, root: String, keyCol: String,
+               newBuckets: Int, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+      require(newBuckets > 0, "newBuckets must be positive")
+      val st = Manifest.read(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"table not initialized at $root — call init first"))
+      if (st.statsV.isEmpty) false
+      else {
+        val vNew = st.version + 1
+        val pins = Manifest.moveFamily(
+          readRows(spark, root, st, None)
+            .withColumn("bkt", bktOf(col(keyCol), newBuckets)),
+          "rows", root, vNew)
+        if (publish)
+          Manifest.commit(spark, root,
+            st.copy(version = vNew, statsV = pins))
+        true
+      }
+    }
+
   /** Garbage-collect unpinned row versions and retire history below
     * the retention floor. */
   def vacuum(spark: SparkSession, root: String,

@@ -381,7 +381,38 @@ object Registry24 {
     TxTableStack.resolve(s, root, Some(asOf1.version)).orderBy("doc_id")
   }
 
+  /** TABLE RE-BUCKET ([[TxTableStack.rebucket]] — the undersized-B
+    * cure, `sample_split_rebucket`'s sibling on the general table):
+    * after the fill and a quality back-fill under an EVOLVED schema,
+    * one commit migrates the whole row family 8 → 32 buckets (schema
+    * and content ride through), then a takedown commits under the NEW
+    * keyspace — a delete landing in the wrong bucket numbering would
+    * leave its victim alive, which the oracle's row set catches. */
+  val tableRebucket = Q("table_rebucket",
+    """SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 3 = 0 THEN n_chars / 100.0 END AS quality
+      |FROM documents WHERE doc_id % 7 <> 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = StreamHarness.runDir("graft_tblrb").resolve("tbl").toString
+    TxTableStack.init(s, root, "doc_id LONG, lang STRING")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).select("doc_id", "lang"), 0L, "doc_id", buckets = 8))
+    require(TxTableStack.evolveSchema(s, root, "quality DOUBLE"))
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / lit(100.0)).as("quality")),
+      1L, "doc_id", buckets = 8))
+    require(TxTableStack.rebucket(s, root, "doc_id", newBuckets = 32),
+      "the migration must commit")
+    require(TxTableStack.commitDelete(s, root,
+      docs(s, d).filter(col("doc_id") % 7 === 1).select("doc_id"),
+      2L, "doc_id", buckets = 32),
+      "the post-migration takedown must commit under the new keyspace")
+    TxTableStack.resolve(s, root).orderBy("doc_id")
+  }
+
   lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag,
     tableSchemaEvolve, tableChangesEvolved, manifestCommitRebase,
-    streamingTableIngest, tableReadAsofBatch)
+    streamingTableIngest, tableReadAsofBatch, tableRebucket)
 }

@@ -998,6 +998,132 @@ object ScaleProbe {
         }
       }
 
+      if (want("txtable")) {
+        // general keyed table + join view (round 17): the laws —
+        // (1) SCHEMA EVOLUTION is O(1): zero data rows read or
+        // written, zero re-pins, constant wall at any corpus size
+        // (the whole point of metadata-only add-column vs the
+        // O(corpus) rewrite it replaces); (2) an upsert batch writes
+        // its touched buckets' replacement (the shared undersized-B
+        // law, cured by rebucket-style B' growth); (3) the JOIN
+        // VIEW's refresh reads the FEED + its buckets only — never
+        // either upstream corpus — and its serve aggregates member
+        // rows, not upstream ledgers.
+        import graft.operators.{Manifest, TxJoinViewStack, TxServeStack,
+          TxSplitStack, TxTableStack}
+        val d = graft.Tables.documents(spark, dir)
+        val nD = d.count()
+        val stage = java.nio.file.Files.createTempDirectory("graft_txt")
+        val root = stage.resolve("tbl").toString
+        try {
+          val B = 64
+          TxTableStack.init(spark, root, "doc_id LONG, lang STRING")
+          val qn = nD / 4
+          for (p <- 0 until 4) {
+            val lo = p * qn
+            val hi = if (p == 3) nD else (p + 1) * qn
+            TxTableStack.commitBatch(spark, root,
+              d.filter(col("doc_id") >= lo && col("doc_id") < hi)
+                .select("doc_id", "lang"),
+              p.toLong, "doc_id", B)
+          }
+          val fsys = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          def dataFiles(): Long = {
+            val it = fsys.listFiles(
+              new org.apache.hadoop.fs.Path(s"$root/rows"), true)
+            var n = 0L
+            while (it.hasNext) {
+              if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+            }
+            n
+          }
+          // THE evolution law: O(1) at any scale
+          val filesBefore = dataFiles()
+          val pinsBefore = Manifest.read(spark, root).get.statsV
+          val tEv = System.nanoTime()
+          TxTableStack.evolveSchema(spark, root, "quality DOUBLE")
+          val dtEv = (System.nanoTime() - tEv) / 1e9
+          val stEv = Manifest.read(spark, root).get
+          require(stEv.statsV == pinsBefore && dataFiles() == filesBefore,
+            "evolution must be metadata-only")
+          println(f"PROBE txtable $scale docs=$nD evolve_secs=$dtEv%.2f " +
+            s"data_files_touched=0 repins=0")
+          // small upsert on the grown ledger: touched-bucket law
+          val st0 = Manifest.read(spark, root).get
+          val up = d.filter(col("doc_id") < 256)
+            .select(col("doc_id"), col("lang"), lit(0.5).as("quality"))
+          val tUp = System.nanoTime()
+          TxTableStack.commitBatch(spark, root, up, 4L, "doc_id", B)
+          val dtUp = (System.nanoTime() - tUp) / 1e9
+          val st1 = Manifest.read(spark, root).get
+          val changedT = st1.statsV.toSeq.diff(st0.statsV.toSeq)
+          val wrote = spark.read.option("basePath", s"$root/rows")
+            .parquet(changedT.map { case (b, v) =>
+              s"$root/rows/v=$v/bkt=$b" }: _*).count()
+          println(f"PROBE txtable $scale upsert_256 write_rows=$wrote " +
+            f"of_ledger=$nD buckets=${changedT.size} of $B secs=$dtUp%.2f")
+          // 4-key micro-upsert: the bucket-pruning law (write ∝ the
+          // touched buckets' occupancy ≈ ledger × 4/B, never the
+          // ledger; the undersized-B cure is rebucket, measured once
+          // for the shared writeRepin kernel in the txsplit family)
+          val st1m = Manifest.read(spark, root).get
+          TxTableStack.commitBatch(spark, root,
+            d.filter(col("doc_id") < 4)
+              .select(col("doc_id"), col("lang"), lit(0.9).as("quality")),
+            5L, "doc_id", B)
+          val changedM = Manifest.read(spark, root).get.statsV.toSeq
+            .diff(st1m.statsV.toSeq)
+          val wroteM = spark.read.option("basePath", s"$root/rows")
+            .parquet(changedM.map { case (b, v) =>
+              s"$root/rows/v=$v/bkt=$b" }: _*).count()
+          println(s"PROBE txtable $scale upsert_4 write_rows=$wroteM " +
+            s"of_ledger=$nD buckets=${changedM.size} of $B")
+
+          // join view over a lexical drain + split ledger at this scale
+          val lexRoot = stage.resolve("lex").toString
+          val splRoot = stage.resolve("spl").toString
+          val viewRoot = stage.resolve("view").toString
+          for (p <- 0 until 2)
+            TxServeStack.commitBatch(spark, lexRoot,
+              d.filter(col("doc_id") >= p * (nD / 2) &&
+                col("doc_id") < (if (p == 1) nD else nD / 2)),
+              p.toLong, "doc_id", "text", 64, 256)
+          TxSplitStack.init(spark, splRoot)
+          TxSplitStack.commitAssign(spark, splRoot, d.select("doc_id"),
+            d.select(col("doc_id").as("id"),
+              (col("doc_id") - col("doc_id") % 2).as("cluster")),
+            0L, "doc_id", Seq("train" -> 0.8, "val" -> 0.1,
+              "test" -> 0.1), buckets = 64)
+          TxJoinViewStack.build(spark, viewRoot, lexRoot, splRoot,
+            buckets = 64)
+          // the nightly delta: retire 256 docs from the index, refresh
+          val vw0 = Manifest.read(spark, viewRoot).get
+          TxServeStack.commitDelete(spark, lexRoot,
+            d.filter(col("doc_id") >= nD - 256).select("doc_id"),
+            2L, "doc_id", 64, 256)
+          val tRf = System.nanoTime()
+          TxJoinViewStack.refreshLex(spark, viewRoot, lexRoot,
+            Manifest.read(spark, lexRoot).get.version, 64, 64)
+          val dtRf = (System.nanoTime() - tRf) / 1e9
+          val vw1 = Manifest.read(spark, viewRoot).get
+          val changedV = vw1.statsV.toSeq.diff(vw0.statsV.toSeq)
+          val vWrote = spark.read.option("basePath", s"$viewRoot/members")
+            .parquet(changedV.map { case (b, v) =>
+              s"$viewRoot/members/v=$v/bkt=$b" }: _*).count()
+          println(f"PROBE txjoin $scale docs=$nD feed_docs=256 " +
+            f"refresh_write_rows=$vWrote buckets=${changedV.size} " +
+            f"of 64 secs=$dtRf%.2f")
+          val tSv = System.nanoTime()
+          val served = TxJoinViewStack.serveTokens(spark, viewRoot)
+            .count()
+          println(f"PROBE txjoin $scale serve_splits=$served " +
+            f"secs=${(System.nanoTime() - tSv) / 1e9}%.2f")
+        } finally {
+          graft.queries.FixtureCache.deleteRecursively(stage)
+        }
+      }
+
       if (want("semdedup")) {
         // PQ-prefix semantic blocking: the governing count is the
         // blocked candidate-pair total Sigma n*(n-1)/2 over blocks. At a

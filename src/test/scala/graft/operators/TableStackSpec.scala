@@ -128,6 +128,25 @@ class TableStackSpec extends SparkSpec {
     assert(TxTableStack.changes(spark, root, 1L, 2L, "k").isEmpty)
   }
 
+  test("rebucket migrates the whole family; later commits use the new keyspace") {
+    val root = mk()
+    assert(TxTableStack.evolveSchema(spark, root, "quality DOUBLE"))
+    val before = rows(root)
+    assert(TxTableStack.rebucket(spark, root, "k", newBuckets = 16))
+    assert(rows(root) == before, "content must ride the migration")
+    assert(Manifest.read(spark, root).get.schema ==
+      "k LONG, lang STRING,quality DOUBLE",
+      "the schema must ride the migration")
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((2L, "de", 0.7)).toDF("k", "lang", "quality"), 1L, "k", 16))
+    assert(rows(root) == Seq((1L, "pt", None), (2L, "de", Some(0.7)),
+      (3L, "es", None)))
+    // an empty table refuses the migration as a no-op
+    val empty = newRoot()
+    TxTableStack.init(spark, empty, "k LONG")
+    assert(!TxTableStack.rebucket(spark, empty, "k", 16))
+  }
+
   test("vacuum retires below the floor; the head keeps serving") {
     val root = mk()
     assert(TxTableStack.commitBatch(spark, root,
