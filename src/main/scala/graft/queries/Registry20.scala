@@ -106,7 +106,7 @@ object Registry20 {
     * an even arrival's 8-block always has its odd members already
     * stored, and the minimum stored member (block base + 1) drew its
     * own ladder — a different hash than the block label's. */
-  private def splitPagesFixture(s: SparkSession, d: String): java.nio.file.Path =
+  private[queries] def splitPagesFixture(s: SparkSession, d: String): java.nio.file.Path =
     FixtureCache.cached(d, "sppages", 1, Seq("documents")) { tmp =>
       val pages = tmp.resolve("pages")
       java.nio.file.Files.createDirectories(pages)

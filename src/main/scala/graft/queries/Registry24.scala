@@ -412,7 +412,68 @@ object Registry24 {
     TxTableStack.resolve(s, root).orderBy("doc_id")
   }
 
+  /** STREAMING join-view consumer loop — producer AND consumer in one
+    * foreachBatch ([[TxJoinViewStack.refreshSplit]] chasing
+    * [[graft.operators.TxSplitStack.commitAssign]] trigger by
+    * trigger): the view builds at (lexical head ⊕ the EMPTY split
+    * ledger) — every doc `indexed_only` — then accretes the whole
+    * assignment side from per-commit feed windows, one per
+    * micro-batch, never re-reading either upstream. The serve is the
+    * packable rollup plus the closed-lag witness (REQUIREd: zero
+    * `indexed_only`/`assigned_only` members remain). Same split
+    * algebra as `streaming_split_assign`'s oracle — seed odds draw,
+    * arriving evens inherit their 8-block's first odd. */
+  val streamingViewJoin = Q("streaming_view_join",
+    s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |toks AS (SELECT doc_id, term FROM (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents) WHERE term <> ''),
+       |dlt AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |spl AS (SELECT doc_id, ${sqlSplitOf("doc_id")} AS split
+       |  FROM documents)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS n_tokens
+       |FROM dlt JOIN spl USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.TxSplitStack
+    val lexRoot = Registry16.drainTxStack(s, d, "graft_svj_lex")
+    val run = StreamHarness.runDir("graft_svj")
+    val splitRoot = run.resolve("ledger").toString
+    val viewRoot = run.resolve("view").toString
+    TxSplitStack.init(s, splitRoot)
+    TxJoinViewStack.build(s, viewRoot, lexRoot, splitRoot, buckets = 8)
+    val corpus = docs(s, d)
+    val singles = corpus.select(col("doc_id").as("id"),
+      col("doc_id").as("cluster"))
+    val blocks = corpus.select(col("doc_id").as("id"),
+      (col("doc_id") - col("doc_id") % 8).as("cluster"))
+    val splits3 = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val q = s.readStream.schema("doc_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(Registry20.splitPagesFixture(s, d)
+        .resolve("pages").toString)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        TxSplitStack.commitAssign(s, splitRoot, b,
+          if (id == 0L) singles else blocks, id, "doc_id", splits3,
+          buckets = 8)
+        TxJoinViewStack.refreshSplit(s, viewRoot, splitRoot,
+          Manifest.read(s, splitRoot).get.version, buckets = 8)
+        ()
+      }
+      .option("checkpointLocation", run.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val lag = TxJoinViewStack.serveLag(s, viewRoot)
+      .filter(col("status") =!= "joined").count()
+    require(lag == 0L,
+      s"the drained stream must close the lag — $lag members remain")
+    TxJoinViewStack.serveTokens(s, viewRoot).orderBy("split")
+  }
+
   lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag,
     tableSchemaEvolve, tableChangesEvolved, manifestCommitRebase,
-    streamingTableIngest, tableReadAsofBatch, tableRebucket)
+    streamingTableIngest, tableReadAsofBatch, tableRebucket,
+    streamingViewJoin)
 }
