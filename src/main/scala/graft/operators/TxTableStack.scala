@@ -82,17 +82,26 @@ object TxTableStack {
     if (pinned.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         target.add("bkt", IntegerType))
-    else {
-      val raw = spark.read.option("mergeSchema", "true")
-        .option("basePath", s"$root/rows")
-        .parquet(pinned.toSeq.sorted.map { case (b, v) =>
-          s"$root/rows/v=$v/bkt=$b" }: _*)
-      val have = raw.columns.toSet
-      raw.select(target.fields.toSeq.map { f =>
-        (if (have(f.name)) col(f.name).cast(f.dataType)
-         else lit(null).cast(f.dataType)).as(f.name)
-      } :+ col("bkt"): _*)
-    }
+    else
+      // one read PER VERSION GROUP, each projected onto the cut's
+      // schema: a version's files share the physical schema their
+      // commit wrote, but ACROSS versions both the column set (added
+      // columns) and the column types (widening promotions) may
+      // differ — parquet footer merging refuses the latter, so the
+      // projection (null-fill + cast) happens per group and the
+      // groups union by name. Group count is bounded by the touched
+      // buckets' distinct pins, the same order as the path list
+      // itself.
+      pinned.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, bs) =>
+        val raw = spark.read.option("basePath", s"$root/rows")
+          .parquet(bs.map { case (b, _) =>
+            s"$root/rows/v=$v/bkt=$b" }.sorted: _*)
+        val have = raw.columns.toSet
+        raw.select(target.fields.toSeq.map { f =>
+          (if (have(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType)).as(f.name)
+        } :+ col("bkt"): _*)
+      }.reduce(_.unionByName(_))
   }
 
   /** Align `batch` to the manifest schema: columns it carries cast to
@@ -190,6 +199,52 @@ object TxTableStack {
       if (publish)
         Manifest.commit(spark, root, st.copy(version = st.version + 1,
           schema = s"${st.schema},$addDdl"))
+      true
+    }
+
+  /** The information-preserving type promotions this stack accepts —
+    * the published formats' type-promotion table (Iceberg v2: int →
+    * long, float → double; plus the smaller integral widths). */
+  private val widenings: Set[(String, String)] = {
+    val ints = Seq("TINYINT", "SMALLINT", "INT", "BIGINT")
+    (for {
+      (from, i) <- ints.zipWithIndex
+      to <- ints.drop(i + 1)
+    } yield from -> to).toSet + ("FLOAT" -> "DOUBLE")
+  }
+
+  /** TYPE-WIDENING EVOLUTION — promote a column to a wider type as a
+    * METADATA-ONLY commit, [[evolveSchema]]'s second face: zero data
+    * files touched, one pointer swap. Readers already project every
+    * pinned file onto the cut's schema BY NAME WITH A CAST, so files
+    * written under the narrower physical type read widened for free —
+    * which is exactly why only information-preserving promotions are
+    * legal (narrowing or re-typing would corrupt silently where this
+    * cast succeeds and throw where it refuses; both are refused here
+    * instead). Snapshots before the widening keep serving the
+    * narrower type they were written for. */
+  def evolveWiden(spark: SparkSession, root: String, colName: String,
+                  newType: String, publish: Boolean = true): Boolean =
+    Manifest.withCommitLock(spark, root) {
+      val st = Manifest.read(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"table not initialized at $root — call init first"))
+      val cur = StructType.fromDDL(st.schema)
+      val field = cur.find(_.name == colName).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $colName is not in the table schema"))
+      val to = StructType.fromDDL(s"x $newType").head.dataType
+      require(widenings((field.dataType.sql, to.sql)),
+        s"${field.dataType.sql} -> ${to.sql} is not an " +
+          "information-preserving promotion — only integral widening " +
+          "and float -> double are supported")
+      val evolved = cur.fields.map { f =>
+        if (f.name == colName) s"${f.name} ${to.sql}"
+        else s"${f.name} ${f.dataType.sql}"
+      }.mkString(",")
+      if (publish)
+        Manifest.commit(spark, root,
+          st.copy(version = st.version + 1, schema = evolved))
       true
     }
 

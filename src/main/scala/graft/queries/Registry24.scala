@@ -472,8 +472,48 @@ object Registry24 {
     TxJoinViewStack.serveTokens(s, viewRoot).orderBy("split")
   }
 
+  /** TYPE-WIDENING EVOLUTION ([[TxTableStack.evolveWiden]] —
+    * metadata-only type promotion, the add-column face's sibling):
+    * the `views` counter starts INT, fills from the corpus, then
+    * promotes to BIGINT in one pointer swap (zero re-pins, REQUIREd)
+    * — after which a writer lands values PAST the int range (n_chars
+    * × 10⁹), the overflow that forced the promotion. Old buckets'
+    * int-typed files read widened for free (the by-name projection
+    * casts); the pre-widening snapshot still serves INT; narrowing
+    * and non-numeric promotion refuse loudly. */
+  val tableTypeWiden = Q("table_type_widen",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN n_chars * 1000000000
+      |       ELSE CAST(n_chars % 1000 AS BIGINT) END AS views
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = StreamHarness.runDir("graft_tblwd").resolve("tbl").toString
+    TxTableStack.init(s, root, "doc_id LONG, views INT")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).select(col("doc_id"),
+        (col("n_chars") % 1000).cast("int").as("views")),
+      0L, "doc_id", buckets = 8))                                  // v1
+    val pinsBefore = Manifest.read(s, root).get.statsV
+    require(TxTableStack.evolveWiden(s, root, "views", "BIGINT"))  // v2
+    require(Manifest.read(s, root).get.statsV == pinsBefore,
+      "a type promotion must be metadata-only: zero re-pins")
+    require(TxTableStack.schemaAt(s, root, Some(1L)) ==
+      "doc_id LONG, views INT",
+      "the pre-widening snapshot must serve the narrow type")
+    require(scala.util.Try(TxTableStack.evolveWiden(s, root, "views",
+      "INT")).isFailure, "narrowing must refuse")
+    require(scala.util.Try(TxTableStack.evolveWiden(s, root, "views",
+      "STRING")).isFailure, "non-numeric promotion must refuse")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          (col("n_chars") * lit(1000000000L)).as("views")),
+      1L, "doc_id", buckets = 8),
+      "the post-promotion batch must land values past the int range")
+    TxTableStack.resolve(s, root).orderBy("doc_id")
+  }
+
   lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag,
     tableSchemaEvolve, tableChangesEvolved, manifestCommitRebase,
     streamingTableIngest, tableReadAsofBatch, tableRebucket,
-    streamingViewJoin)
+    streamingViewJoin, tableTypeWiden)
 }

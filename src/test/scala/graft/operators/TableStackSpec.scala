@@ -128,6 +128,44 @@ class TableStackSpec extends SparkSpec {
     assert(TxTableStack.changes(spark, root, 1L, 2L, "k").isEmpty)
   }
 
+  test("type widening: old files read promoted, snapshots keep the narrow type, unsafe refuses") {
+    val root = newRoot()
+    TxTableStack.init(spark, root, "k LONG, views INT")
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((1L, 10), (2L, 20)).toDF("k", "views"), 0L, "k", B))
+    assert(TxTableStack.evolveWiden(spark, root, "views", "BIGINT"))
+    assert(TxTableStack.schemaAt(spark, root) == "k BIGINT,views BIGINT")
+    // old int-typed files read as long under the promoted schema
+    val head = TxTableStack.resolve(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(head == Seq((1L, 10L), (2L, 20L)))
+    // a post-promotion writer lands past-int-range values
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((3L, 5000000000L)).toDF("k", "views"), 1L, "k", B))
+    assert(TxTableStack.resolve(spark, root).filter(col("k") === 3L)
+      .head().getLong(1) == 5000000000L)
+    // the pre-widening snapshot serves the narrow type
+    assert(TxTableStack.schemaAt(spark, root, Some(1L)) ==
+      "k LONG, views INT")
+    assert(TxTableStack.resolve(spark, root, Some(1L)).schema("views")
+      .dataType == org.apache.spark.sql.types.IntegerType)
+    // the change feed across the widening classifies in the after schema
+    val feed = TxTableStack.changes(spark, root, 1L, 3L, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(feed == Seq((3L, "insert")))
+    // refusals: narrowing, cross-kind, unknown column
+    intercept[IllegalArgumentException] {
+      TxTableStack.evolveWiden(spark, root, "views", "INT")
+    }
+    intercept[IllegalArgumentException] {
+      TxTableStack.evolveWiden(spark, root, "views", "STRING")
+    }
+    intercept[IllegalArgumentException] {
+      TxTableStack.evolveWiden(spark, root, "missing", "BIGINT")
+    }
+  }
+
   test("rebucket migrates the whole family; later commits use the new keyspace") {
     val root = mk()
     assert(TxTableStack.evolveSchema(spark, root, "quality DOUBLE"))
