@@ -175,6 +175,66 @@ object TxTableStack {
       }
     }
 
+  /** TRANSACTIONAL MERGE — the conditional-upsert face (MERGE INTO
+    * semantics, the published formats' third write shape after upsert
+    * and delete): the batch joins stored rows by key; a MATCHED row is
+    * re-imaged by the `onMatched` column rules (SQL expressions over
+    * the aliases `s` = stored and `b` = batch, e.g.
+    * `"views" -> "s.views + b.views"`); matched columns WITHOUT a rule
+    * keep their stored value (the standard `UPDATE SET <cols>`
+    * contract — [[commitBatch]] is the replace-all `SET *` face);
+    * unmatched batch rows INSERT as-is; stored rows the batch never
+    * named ride through verbatim. One full-outer join on the key,
+    * confined to the batch keys' buckets — O(batch + touched buckets'
+    * occupancy), the upsert law. Additive rules like the running
+    * `views` counter are NOT idempotent, which is exactly why the
+    * guard's batch-id high-water matters: a replayed trigger is
+    * absorbed before the join and can never double-apply. */
+  def commitMerge(spark: SparkSession, root: String, batch: DataFrame,
+                  batchId: Long, keyCol: String, buckets: Int,
+                  onMatched: Map[String, String],
+                  publish: Boolean = true): Boolean =
+    Manifest.commitGuard(spark, root, batchId, publish)(
+      throw new IllegalStateException(
+        s"table not initialized at $root — call init first")
+    ) { (st, vNew) =>
+      val target = StructType.fromDDL(st.schema)
+      require(target.fieldNames.contains(keyCol),
+        s"key column $keyCol is not in the table schema")
+      require(!onMatched.contains(keyCol),
+        s"the key column $keyCol cannot carry a matched rule — " +
+          "re-keying a row is a delete + insert")
+      val unknown = onMatched.keySet -- target.fieldNames
+      require(unknown.isEmpty,
+        s"matched rules name columns the table schema does not know: " +
+          s"${unknown.mkString(", ")} — evolveSchema first")
+      val rows = align(batch, target)
+        .withColumn("bkt", bktOf(col(keyCol), buckets))
+        .localCheckpoint()
+      val touched = rows.select("bkt").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) st.copy(version = vNew, batchId = batchId)
+      else {
+        val sKey = col(s"s.$keyCol")
+        val bKey = col(s"b.$keyCol")
+        val merged = readRows(spark, root, st, Some(touched)).alias("s")
+          .join(rows.alias("b"), sKey === bKey, "full_outer")
+          .select(target.fields.toSeq.map { f =>
+            val sC = col(s"s.${f.name}")
+            val bC = col(s"b.${f.name}")
+            (if (f.name == keyCol) coalesce(sC, bC)
+             else when(sKey.isNotNull && bKey.isNotNull,
+                    onMatched.get(f.name).map(expr).getOrElse(sC))
+                  .when(sKey.isNull, bC)
+                  .otherwise(sC))
+              .cast(f.dataType).as(f.name)
+          } :+ coalesce(col("s.bkt"), col("b.bkt")).as("bkt"): _*)
+        st.copy(version = vNew, batchId = batchId,
+          statsV = Manifest.writeRepin(merged, "rows", root, vNew,
+            touched, st.statsV))
+      }
+    }
+
   /** ADD-COLUMN SCHEMA EVOLUTION — a METADATA-ONLY commit: `addDdl`
     * (e.g. `"quality DOUBLE, license STRING"`) appends to the row
     * schema; every pin rides through untouched, zero data files are

@@ -512,8 +512,69 @@ object Registry24 {
     TxTableStack.resolve(s, root).orderBy("doc_id")
   }
 
+  /** CONDITIONAL UPSERT — MERGE INTO ([[TxTableStack.commitMerge]]):
+    * seed the even docs (lang stored UPPERCASED, so the keep-stored
+    * default is observable), then merge the thirds with an ADDITIVE
+    * views rule (`s.views + b.views`) and a replace rule on
+    * last_source (batch carries a `-b1` suffix). Every row class is
+    * distinguishable in the output: matched (doc_id ≡ 0 mod 6) shows
+    * doubled views + upper lang + suffixed source; inserts (thirds
+    * not even) show batch values verbatim; ride-throughs (evens not
+    * thirds) show seed values. The replayed merge must absorb at the
+    * batch high-water — the additive rule is exactly the
+    * non-idempotent face replay protection exists for. */
+  val tableMergeUpsert = Q("table_merge_upsert",
+    """WITH seed AS (
+      |  SELECT doc_id, upper(lang) AS lang, n_chars AS views,
+      |         source AS last_source
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |delta AS (
+      |  SELECT doc_id, lang, n_chars AS views,
+      |         source || '-b1' AS last_source
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN s.doc_id IS NOT NULL THEN s.lang
+      |       ELSE b.lang END AS lang,
+      |  CASE WHEN s.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+      |       THEN s.views + b.views
+      |       WHEN s.doc_id IS NOT NULL THEN s.views
+      |       ELSE b.views END AS views,
+      |  CASE WHEN b.doc_id IS NOT NULL THEN b.last_source
+      |       ELSE s.last_source END AS last_source
+      |FROM seed s FULL OUTER JOIN delta b ON s.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val root = StreamHarness.runDir("graft_tblm").resolve("tbl").toString
+    TxTableStack.init(s, root,
+      "doc_id LONG, lang STRING, views BIGINT, last_source STRING")
+    require(TxTableStack.commitBatch(s, root,
+      docs(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), upper(col("lang")).as("lang"),
+          col("n_chars").as("views"), col("source").as("last_source")),
+      0L, "doc_id", buckets = 8), "the seed batch must commit")
+    val delta = docs(s, d).filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("views"),
+        concat(col("source"), lit("-b1")).as("last_source"))
+    val rules = Map("views" -> "s.views + b.views",
+      "last_source" -> "b.last_source")
+    require(TxTableStack.commitMerge(s, root, delta, 1L, "doc_id",
+      buckets = 8, onMatched = rules), "the merge must commit")
+    require(!TxTableStack.commitMerge(s, root, delta, 1L, "doc_id",
+      buckets = 8, onMatched = rules),
+      "the replayed merge must absorb — the additive rule would " +
+        "double-apply otherwise")
+    require(scala.util.Try(TxTableStack.commitMerge(s, root, delta, 2L,
+      "doc_id", buckets = 8,
+      onMatched = Map("bogus" -> "1"))).isFailure,
+      "a rule naming an unknown column must refuse")
+    require(scala.util.Try(TxTableStack.commitMerge(s, root, delta, 2L,
+      "doc_id", buckets = 8,
+      onMatched = Map("doc_id" -> "b.doc_id"))).isFailure,
+      "a rule on the key column must refuse")
+    TxTableStack.resolve(s, root).orderBy("doc_id")
+  }
+
   lazy val round24: Seq[Q] = Seq(viewJoinTokens, viewJoinLag,
     tableSchemaEvolve, tableChangesEvolved, manifestCommitRebase,
     streamingTableIngest, tableReadAsofBatch, tableRebucket,
-    streamingViewJoin, tableTypeWiden)
+    streamingViewJoin, tableTypeWiden, tableMergeUpsert)
 }

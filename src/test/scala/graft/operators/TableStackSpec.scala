@@ -195,4 +195,61 @@ class TableStackSpec extends SparkSpec {
     assert(Manifest.readAt(spark, root, 1L).isEmpty)
     assert(rows(root) == head)
   }
+
+  private def mkCounts(): String = {
+    val root = newRoot()
+    TxTableStack.init(spark, root, "k LONG, lang STRING, n BIGINT")
+    assert(TxTableStack.commitBatch(spark, root,
+      Seq((1L, "pt", 10L), (2L, "en", 20L), (3L, "es", 30L))
+        .toDF("k", "lang", "n"), 0L, "k", B))
+    root
+  }
+
+  private def countRows(root: String): Seq[(Long, String, Long)] =
+    TxTableStack.resolve(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("merge: matched rules apply, unruled columns keep stored, " +
+    "unmatched insert, unnamed ride through") {
+    val root = mkCounts()
+    // k=2 matched (n adds, lang unruled → keeps stored "en"),
+    // k=4 inserts verbatim, k=1/3 ride through
+    assert(TxTableStack.commitMerge(spark, root,
+      Seq((2L, "de", 5L), (4L, "fr", 7L)).toDF("k", "lang", "n"),
+      1L, "k", B, onMatched = Map("n" -> "s.n + b.n")))
+    assert(countRows(root) == Seq((1L, "pt", 10L), (2L, "en", 25L),
+      (3L, "es", 30L), (4L, "fr", 7L)))
+  }
+
+  test("merge replay absorbs — the additive rule never double-applies") {
+    val root = mkCounts()
+    val delta = Seq((2L, "de", 5L)).toDF("k", "lang", "n")
+    val rules = Map("n" -> "s.n + b.n")
+    assert(TxTableStack.commitMerge(spark, root, delta, 1L, "k", B,
+      onMatched = rules))
+    assert(!TxTableStack.commitMerge(spark, root, delta, 1L, "k", B,
+      onMatched = rules))
+    assert(countRows(root).find(_._1 == 2L).get._3 == 25L)
+  }
+
+  test("merge refuses rules on the key or on unknown columns; a " +
+    "lagging merge batch null-fills") {
+    val root = mkCounts()
+    val delta = Seq((2L, "de", 5L)).toDF("k", "lang", "n")
+    intercept[IllegalArgumentException] {
+      TxTableStack.commitMerge(spark, root, delta, 1L, "k", B,
+        onMatched = Map("k" -> "b.k"))
+    }
+    intercept[IllegalArgumentException] {
+      TxTableStack.commitMerge(spark, root, delta, 1L, "k", B,
+        onMatched = Map("bogus" -> "1"))
+    }
+    // lagging writer: batch without n — matched rule may still read
+    // b.n (null) but a coalesce rule keeps the counter
+    assert(TxTableStack.commitMerge(spark, root,
+      Seq((2L, "de")).toDF("k", "lang"), 1L, "k", B,
+      onMatched = Map("n" -> "s.n + coalesce(b.n, 0)",
+        "lang" -> "b.lang")))
+    assert(countRows(root).find(_._1 == 2L).get == ((2L, "de", 20L)))
+  }
 }
