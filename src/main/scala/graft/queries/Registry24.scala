@@ -178,8 +178,10 @@ object Registry24 {
       "the evolution must commit")
     require(Manifest.read(s, root).get.statsV == pinsBefore,
       "an evolution commit must be metadata-only: zero re-pins")
-    require(TxTableStack.schemaAt(s, root, Some(1L)) ==
-      "doc_id LONG, lang STRING",
+    require(org.apache.spark.sql.types.StructType.fromDDL(
+      TxTableStack.schemaAt(s, root, Some(1L))) ==
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, lang STRING"),
       "the pre-evolution snapshot must serve the old schema")
     require(TxTableStack.resolve(s, root, Some(1L)).columns.toSeq ==
       Seq("doc_id", "lang"),
@@ -496,8 +498,10 @@ object Registry24 {
     require(TxTableStack.evolveWiden(s, root, "views", "BIGINT"))  // v2
     require(Manifest.read(s, root).get.statsV == pinsBefore,
       "a type promotion must be metadata-only: zero re-pins")
-    require(TxTableStack.schemaAt(s, root, Some(1L)) ==
-      "doc_id LONG, views INT",
+    require(org.apache.spark.sql.types.StructType.fromDDL(
+      TxTableStack.schemaAt(s, root, Some(1L))) ==
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id LONG, views INT"),
       "the pre-widening snapshot must serve the narrow type")
     require(scala.util.Try(TxTableStack.evolveWiden(s, root, "views",
       "INT")).isFailure, "narrowing must refuse")
