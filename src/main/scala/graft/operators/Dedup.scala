@@ -94,14 +94,59 @@ object Dedup {
         s"stack($bands, ${(0 until bands).map(b => s"$b, bk$b").mkString(", ")}) AS (band, bk)")
   }
 
+  /** HOT-BAND GUARD for the LSH self-join, [[Multimodal.phashPairs]]'
+    * `maxBucket` and the n-gram `maxGramDf` cap brought to minhash: a
+    * template-heavy corpus (boilerplate headers, license blocks, empty
+    * bodies) collapses thousands of documents onto ONE (band, key)
+    * bucket, and the self-join on that bucket is QUADRATIC in its
+    * occupancy — silently, since every other bucket stays small. With
+    * `maxBandDf` set, bucket occupancy is counted first (one cheap agg
+    * over the band keys — never the pairs); a bucket over the cap
+    * either REFUSES loudly (`dropOverCap = false`, the default — the
+    * operator names the worst buckets so the caller can raise bands,
+    * pre-filter boilerplate, or opt into the degrade) or is DROPPED
+    * from candidacy (`dropOverCap = true` — the documented degrade: a
+    * band key shared by more than `maxBandDf` documents is template
+    * mass, not near-duplication signal; dropping it bounds every
+    * bucket's fan-in by the cap, so candidate count is ≤ corpus ×
+    * bands × cap — LINEAR in the corpus by construction, the same
+    * argument as the n-gram df cap). Pairs that co-occur ONLY in a
+    * dropped bucket are lost — that is the degrade contract; genuine
+    * near-dups still collide in their other, non-degenerate bands. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 8, bands: Int = 4): DataFrame = {
+                        numHashes: Int = 8, bands: Int = 4,
+                        maxBandDf: Int = Int.MaxValue,
+                        dropOverCap: Boolean = false): DataFrame = {
     // the self-join's two sides share the sig-agg exchange (ReusedExchange
     // — measured: an explicit localCheckpoint here buys nothing), so the
     // shingle-explode + minhash agg runs once despite the two references
     val banded = bandedKeys(docs, idCol, textCol, numHashes, bands)
-    banded.alias("a")
-      .join(banded.alias("b"),
+    val kept =
+      if (maxBandDf == Int.MaxValue) banded
+      else {
+        val occ = banded.groupBy("band", "bk")
+          .agg(count(lit(1)).as("_df"))
+        if (dropOverCap)
+          banded.join(occ.filter(col("_df") <= maxBandDf)
+            .select("band", "bk"), Seq("band", "bk"))
+        else {
+          val worst = occ.filter(col("_df") > maxBandDf)
+            .orderBy(col("_df").desc).limit(5).collect()
+          if (worst.nonEmpty)
+            throw new IllegalStateException(
+              s"minhashCandidates: ${worst.length}+ band buckets " +
+                s"exceed maxBandDf=$maxBandDf (worst: " +
+                worst.map(r => s"band=${r.getInt(0)} df=${r.getLong(2)}")
+                  .mkString(", ") +
+                ") — the self-join on a hot bucket is quadratic in its " +
+                "occupancy. Pre-filter template text, raise bands, or " +
+                "pass dropOverCap=true to degrade per the documented " +
+                "contract")
+          banded
+        }
+      }
+    kept.alias("a")
+      .join(kept.alias("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
