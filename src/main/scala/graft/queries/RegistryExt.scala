@@ -413,5 +413,5 @@ object RegistryExt {
     Registry14.round14 ++ Registry15.round15 ++ Registry16.round16 ++
     Registry17.round17 ++ Registry18.round18 ++ Registry19.round19 ++
     Registry20.round20 ++ Registry21.round21 ++ Registry22.round22 ++
-    Registry23.round23 ++ Registry24.round24
+    Registry23.round23 ++ Registry24.round24 ++ Registry25.round25
 }
