@@ -2,6 +2,9 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional args: bench only the named queries (dev loop); the
+    // driver passes none and benches the full surface.
+    val only = args.toSet
     val spark = GraftSession.create()
     // Warm-up: session/scheduler/codegen bring-up otherwise lands on
     // whichever query happens to run first (~4s of fixed overhead).
@@ -13,7 +16,9 @@ object Bench {
     // second GC/JIT noise on individual queries; the min is the
     // steady-state cost (pass 1 also pays plan compilation).
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.isEmpty || only(n) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
@@ -25,6 +30,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Machine-readable FULL per-query map (the driver's BENCH artifact
+    // truncates its tail, losing cross-round per-query comparability):
+    // when BENCH_FULL_OUT is set, the same name→seconds map lands
+    // whole at that path (e.g. BENCHFULL_r18.json in the repo root).
+    sys.env.get("BENCH_FULL_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        s"""{"sf":"$sfDir","unit":"sec","total":$total,"queries":$qs}""")
+    }
     spark.stop()
   }
 }

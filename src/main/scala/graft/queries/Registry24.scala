@@ -419,8 +419,12 @@ object Registry24 {
     * [[graft.operators.TxSplitStack.commitAssign]] trigger by
     * trigger): the view builds at (lexical head ⊕ the EMPTY split
     * ledger) — every doc `indexed_only` — then accretes the whole
-    * assignment side from per-commit feed windows, one per
-    * micro-batch, never re-reading either upstream. The serve is the
+    * assignment side from multi-commit feed windows — the consumer
+    * runs at HALF the producer's cadence, each refresh batching two
+    * upstream versions into one fenced commit (the amortization the
+    * cursor design buys: per-trigger protocol cost was this gate's
+    * dominant wall, and the feed is pin-diff-bounded either way) —
+    * never re-reading either upstream. The serve is the
     * packable rollup plus the closed-lag witness (REQUIREd: zero
     * `indexed_only`/`assigned_only` members remain). Same split
     * algebra as `streaming_split_assign`'s oracle — seed odds draw,
@@ -459,14 +463,26 @@ object Registry24 {
         TxSplitStack.commitAssign(s, splitRoot, b,
           if (id == 0L) singles else blocks, id, "doc_id", splits3,
           buckets = 8)
-        TxJoinViewStack.refreshSplit(s, viewRoot, splitRoot,
-          Manifest.read(s, splitRoot).get.version, buckets = 8)
+        // AMORTIZED consumer cadence (round-18): the producer must
+        // commit per trigger (exactly-once per page), but the view's
+        // refreshSplit advances its cursor across EVERY upstream
+        // version in the window in ONE fenced commit — so the
+        // consumer runs at half the producer's cadence, halving the
+        // per-trigger fence pair that dominated this gate's wall
+        // (the closing refresh below catches a trailing odd window).
+        if (id % 2 == 1)
+          TxJoinViewStack.refreshSplit(s, viewRoot, splitRoot,
+            Manifest.read(s, splitRoot).get.version, buckets = 8)
         ()
       }
       .option("checkpointLocation", run.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // drain the trailing window (absorbs as a replay when the last
+    // in-stream refresh already reached the split head)
+    TxJoinViewStack.refreshSplit(s, viewRoot, splitRoot,
+      Manifest.read(s, splitRoot).get.version, buckets = 8)
     val lag = TxJoinViewStack.serveLag(s, viewRoot)
       .filter(col("status") =!= "joined").count()
     require(lag == 0L,
