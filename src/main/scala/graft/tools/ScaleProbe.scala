@@ -1365,6 +1365,46 @@ object ScaleProbe {
           println(f"PROBE retr $scale pass$pass " +
             f"graph_search_s=${(System.nanoTime() - t0) / 1e9}%.2f")
         }
+        // RECALL WITNESS at the probe decade (round-18 / VERDICT r17
+        // task 7): wall-clock flatness alone hides a quality collapse
+        // — a beam that never escapes its entry cells is ALSO flat,
+        // and the island `knnGraph` above is exactly that (recall
+        // ~0.08, the round-12 finding re-measured here every decade
+        // as the contrast row). The REQUIREd witness runs on the
+        // graph a user should store — `knnGraphConnected`, the medoid
+        // highway build — at the round-12 quality configuration
+        // (beam 16, hops 8): recall@3 vs the exact bruteForceTopK on
+        // a 16-query sample must clear the floor at EVERY probed
+        // decade, so the quality law rides the probe next to the wall
+        // law instead of living only at fixed SF
+        // (eval_retrieval_quality).
+        val qR = e.filter(col("vec_id") < 16)
+        val exactG = Similarity.bruteForceTopK(qR, e, "vec_id",
+          "embedding", k = 3).select(col("q_id"), col("n_id"))
+          .localCheckpoint()
+        val denomG = exactG.count()
+        def recallOf(graph: DataFrame, beam: Int, hops: Int): Double =
+          Similarity.graphSearchTopK(qR, e, graph, "vec_id",
+            "embedding", k = 3, beam = beam, hops = hops)
+            .select(col("q_id"), col("n_id"))
+            .join(exactG, Seq("q_id", "n_id")).count().toDouble / denomG
+        val recIsl = recallOf(storedGraph, 4, 3)
+        val connPath = s"$scratch/_graphc_$scale.parquet"
+        t0 = System.nanoTime()
+        Similarity.knnGraphConnected(e, centG, "vec_id", "embedding",
+          k = 3).write.mode("overwrite").parquet(connPath)
+        val tConnB = (System.nanoTime() - t0) / 1e9
+        val storedConn = spark.read.parquet(connPath)
+        t0 = System.nanoTime()
+        val recConn = recallOf(storedConn, 16, 8)
+        val tConnS = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE retr $scale graph_recall_at3 island=$recIsl%.3f " +
+          f"connected=$recConn%.3f conn_build_s=$tConnB%.2f " +
+          f"conn_search_s=$tConnS%.2f pairs=$denomG")
+        require(recConn >= 0.45,
+          f"connected-graph beam recall collapsed at $scale: " +
+            f"$recConn%.3f < 0.45 — the wall-flatness law is " +
+            "meaningless without the quality floor")
         // graph-index INSERT: a FIXED 5-node batch appended against the
         // stored graph — beam searches + a touched-sources-only degree
         // recap, so wall must stay near-flat while the graph grows 10×
@@ -1379,6 +1419,34 @@ object ScaleProbe {
             .write.format("noop").mode("overwrite").save()
           println(f"PROBE retr $scale pass$pass " +
             f"graph_append_batch5_s=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        // MINHASH HOT-BAND CAP (round-18 / VERDICT r17 task 5): on a
+        // template-injected corpus (every 20th doc the same
+        // boilerplate) the LSH self-join's governing count is Σ C(n,2)
+        // over band buckets — the template bucket alone is quadratic
+        // in corpus scale. The df-capped variant (maxBandDf's degrade
+        // arm) drops over-cap buckets, so its pair count is bounded by
+        // bands × cap per doc — the measured exponent fix, phash's
+        // capped32 row brought to minhash.
+        {
+          import graft.operators.Dedup
+          val tplM = lit(
+            "terms of service apply to all content provided herein")
+          val modD = d.select(col("doc_id").as("id"),
+            when(col("doc_id") % 20 === 0, tplM)
+              .otherwise(col("text")).as("text"))
+          val bkM = Dedup.bandedKeys(modD, "id", "text")
+            .localCheckpoint()
+          val candU = choose2(
+            bkM.groupBy("band", "bk").agg(count(lit(1)).as("n")))
+          val keptM = bkM.join(
+            bkM.groupBy("band", "bk").agg(count(lit(1)).as("_df"))
+              .filter(col("_df") <= 16).select("band", "bk"),
+            Seq("band", "bk"))
+          val candC = choose2(
+            keptM.groupBy("band", "bk").agg(count(lit(1)).as("n")))
+          println(s"PROBE retr $scale minhash docs=$nDocs " +
+            s"banded_pairs=$candU banded_pairs_capped16=$candC")
         }
         // perceptual-hash near-dup: banded candidate pairs are the
         // governing count (the slice join's fan-in before the Hamming
