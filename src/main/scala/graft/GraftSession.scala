@@ -39,6 +39,21 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Commit cost (guide §6): v2 commits each task file with ONE
+      // rename instead of task-rename + job-rename — measured −4% on
+      // the commit-heavy gate subset (OPTIMIZATION_r18.md). Correct on
+      // any store with atomic rename (local/HDFS); an S3A deployment
+      // overrides to its magic committer via this same knob family.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.props.getOrElse("graft.committer.version", "2"))
+      // Manifest-pinned reads enumerate O(buckets) directories per
+      // family (16-64 paths); the default threshold (32) tips those
+      // listings into a DISTRIBUTED listing job whose scheduling costs
+      // more than the listing at any scale — pinned dir counts are
+      // bounded by bucket counts, not data size. Measured −6% on the
+      // same subset; override for catalogs with thousands of paths.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.props.getOrElse("graft.partitionDiscovery.threshold", "128"))
       // reclaim RELIABLE checkpoints once their frames are GC'd:
       // Lineage.truncate checkpoints one labels frame per CC round when
       // a checkpoint dir is set, and the default (false) leaks every one

@@ -532,14 +532,28 @@ object Manifest {
                                     touched: Seq[Int],
                                     pins: Map[Int, Long]): Map[Int, Long] = {
     val tok = attemptVersion(vNew)
-    val frame = replaced.localCheckpoint()
-    val present = frame.select(org.apache.spark.sql.functions.col("bkt"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    if (present.nonEmpty)
-      frame.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/$family/v=$tok")
+    replaced.write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/$family/v=$tok")
+    // present = the bkt= dirs the ONE write just produced (partitionBy
+    // writes no directory for an empty bucket) — a driver-side listing
+    // instead of the former checkpoint + distinct().collect() pair,
+    // which re-ran the plan as two extra Spark actions per commit
+    val present = writtenBuckets(replaced.sparkSession,
+      s"$root/$family/v=$tok")
     pins -- touched.filterNot(present) ++
       touched.filter(present).map(_ -> tok)
+  }
+
+  /** The bkt= partition values a just-finished partitionBy("bkt") write
+    * landed under `dir` — read from the directory names, no Spark job.
+    * An all-empty write leaves a markers-only dir: empty set. */
+  private[operators] def writtenBuckets(spark: SparkSession,
+                                        dir: String): Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("bkt=")).map(_.drop(4).toInt).toSet
   }
 
   /** Move one per-bucket-MVCC family WHOLESALE to `family/v=<atV>`
@@ -554,16 +568,14 @@ object Manifest {
     * (replayable batch faces like resize). */
   private[operators] def moveFamily(bucketed: DataFrame, family: String,
                                     root: String, atV: Long): Map[Int, Long] = {
-    val moved = bucketed
+    bucketed
       .repartition(org.apache.spark.sql.functions.col("bkt"))
-      .localCheckpoint()
-    val present = moved
-      .select(org.apache.spark.sql.functions.col("bkt"))
-      .distinct().collect().map(_.getInt(0))
-    if (present.nonEmpty)
-      moved.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/$family/v=$atV")
-    present.map(_ -> atV).toMap
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/$family/v=$atV")
+    // pin what the ONE write landed (driver listing — see writeRepin):
+    // buckets the frame left empty produced no bkt= dir and don't pin
+    writtenBuckets(bucketed.sparkSession, s"$root/$family/v=$atV")
+      .map(_ -> atV).toMap
   }
 
   /** The retention set every vacuum keeps: (floor, the states of every

@@ -67,16 +67,18 @@ object TxGraphStack {
     Manifest.withCommitLock(spark, root) {
     require(Manifest.read(spark, root).isEmpty,
       s"graph stack already initialized at $root")
-    val b = Ledger.withBucket(
+    Ledger.withBucket(
       edges.select(col("src_id"), col("nbr_id"), col("cos"),
         lit(-1L).as("b")),
-      "src_id", buckets).localCheckpoint()
-    val present = b.select(col("bkt")).distinct()
-      .collect().map(_.getInt(0))
-    b.write.partitionBy("bkt").mode("overwrite")
+      "src_id", buckets)
+      .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/edges/v=0")
+    // pin what the ONE write landed (driver listing — the former
+    // checkpoint + distinct().collect() pair re-ran the plan as two
+    // extra Spark actions; see Manifest.writtenBuckets)
     Manifest.commit(spark, root, Manifest.State(0L, -1L, -1L,
-      present.map(_ -> 0L).toMap))
+      Manifest.writtenBuckets(spark, s"$root/edges/v=0")
+        .map(_ -> 0L).toMap))
   }
 
   /** RAW committed edge rows (src_id, nbr_id, cos, b, bkt), each
@@ -364,16 +366,15 @@ object TxGraphStack {
       throw new IllegalStateException(s"no committed manifest at $root"))
     if (st.statsV.isEmpty) return false
     val vNew = st.version + 1
-    val live = liveEdges(readEdges(spark, root, st, None),
+    liveEdges(readEdges(spark, root, st, None),
         readTombstones(spark, root, st))
       .select("src_id", "nbr_id", "cos", "b", "bkt")
       .repartition(col("bkt"))
-      .localCheckpoint()
-    val present = live.select("bkt").distinct().collect()
-      .map(_.getInt(0)).toSet
-    if (present.nonEmpty)
-      live.write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/edges/v=$vNew")
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"$root/edges/v=$vNew")
+    // pin what the ONE write landed (driver listing — see
+    // Manifest.writtenBuckets; formerly checkpoint + collect = 2 jobs)
+    val present = Manifest.writtenBuckets(spark, s"$root/edges/v=$vNew")
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         statsV = st.statsV.keySet.filter(present).map(_ -> vNew).toMap,

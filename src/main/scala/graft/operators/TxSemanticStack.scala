@@ -56,22 +56,24 @@ object TxSemanticStack {
     require(Manifest.read(spark, root).isEmpty,
       s"semantic stack already initialized at $root")
     val l = ledger.select(col("id"), col("cluster")).localCheckpoint()
-    val byId = l.withColumn("bkt", ibktOf(buckets)).localCheckpoint()
-    val byCl = l.withColumn("bkt", cbktOf(buckets)).localCheckpoint()
-    byId.write.partitionBy("bkt").mode("overwrite")
+    l.withColumn("bkt", ibktOf(buckets))
+      .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/labels/v=0")
-    byCl.write.partitionBy("bkt").mode("overwrite")
+    l.withColumn("bkt", cbktOf(buckets))
+      .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/labels_by_cluster/v=0")
     blockIndex.select(col("id"), col("blk"))
       .withColumn("bkt", kbktOf(buckets))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"$root/blkidx/base/v=0")
+    // pin what the writes landed (driver listings — formerly two extra
+    // checkpoint + distinct().collect() actions; Manifest.writtenBuckets)
     Manifest.commit(spark, root, Manifest.State(0L, -1L, -1L,
-      byId.select("bkt").distinct().collect()
-        .map(r => r.getInt(0) -> 0L).toMap,
+      Manifest.writtenBuckets(spark, s"$root/labels/v=0")
+        .map(_ -> 0L).toMap,
       baseV = 0L, baseBatch = -1L,
-      auxV = byCl.select("bkt").distinct().collect()
-        .map(r => r.getInt(0) -> 0L).toMap))
+      auxV = Manifest.writtenBuckets(spark, s"$root/labels_by_cluster/v=0")
+        .map(_ -> 0L).toMap))
   }
 
   /** Pinned per-bucket read of one label family, path-pruned to
