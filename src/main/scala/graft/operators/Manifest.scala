@@ -947,9 +947,15 @@ object TxServeStack {
         .option("basePath", s"$root/$family")
         .parquet(dirs: _*).select(col("doc_id")).distinct()
     }
+    // LAZY checkpoint: the election collect right below computes every
+    // partition (its distinct drains the whole frame), so it both
+    // materializes the checkpoint blocks and returns the buckets in
+    // ONE action instead of the former checkpoint-then-collect pair —
+    // the liveness probes then reuse the blocks (guide §2.4: remove
+    // redundant passes)
     val candidates = Ledger.withBucket(
       idsIn("postings").unionByName(idsIn("deletes")).distinct(),
-      "doc_id", docBuckets).localCheckpoint()
+      "doc_id", docBuckets).localCheckpoint(eager = false)
     val cBkts = candidates.select("bkt").distinct()
       .collect().map(_.getInt(0)).toSeq
     val emptyFeed = emptyIds.select(col("doc_id"), lit("").as("change"),
@@ -1017,33 +1023,43 @@ object TxServeStack {
     val delta = Retrieval.bm25IndexAppend(
       storedLive.select(col("doc_id")), batch, idCol, textCol,
       deltaOnly = true).localCheckpoint()
-    Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id", docBuckets)
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/postings/batch=$batchId")
-    // positions (optional fourth asset): the SAME fresh-docs decision
-    // the posting delta made — absorbed docs contribute no rows here
-    // either, so the two assets can never disagree on membership
-    if (withPos)
-      writePositions(spark, root, batchId,
-        batch.join(delta.select(col("doc_id").as(idCol)).distinct(),
-          Seq(idCol), "left_semi"),
-        idCol, textCol, termBuckets)
-    // term stats: touched buckets re-derived from their pinned versions
-    val touched = Ledger.keyHashBuckets(delta.select("term").distinct(),
-      "term", termBuckets)
-    val replaced = Retrieval.bm25TermStatsAppend(
-      readPinnedStats(spark, root, st, touched), delta)
-    val statsV = writeStatsAndRepin(spark, root, st, vNew, replaced,
-      termBuckets, touched)
-    // global: pinned 1-row read + integer increment, fresh version
-    val gPrev =
-      if (st.globalV < 0) {
-        import spark.implicits._
-        Seq((0L, 0L)).toDF("n_docs", "sum_dl")
-      } else spark.read.parquet(Manifest.globalDir(root, st))
+    // the three asset legs below read only the CHECKPOINTED delta and
+    // the COMMITTED state st, write disjoint versioned directories,
+    // and publish together in the one pointer swap — order-free by
+    // the crash contract, so they overlap (guide §2.6 / Par scaladoc)
     val gv = Manifest.attemptVersion(vNew)
-    Retrieval.bm25GlobalStatsAppend(gPrev, delta)
-      .write.mode("overwrite").parquet(s"$root/global/v=$gv")
+    val statsV = Par.all[Any](() => {
+      Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id",
+          docBuckets)
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/postings/batch=$batchId")
+      // positions (optional fourth asset): the SAME fresh-docs decision
+      // the posting delta made — absorbed docs contribute no rows here
+      // either, so the two assets can never disagree on membership
+      if (withPos)
+        writePositions(spark, root, batchId,
+          batch.join(delta.select(col("doc_id").as(idCol)).distinct(),
+            Seq(idCol), "left_semi"),
+          idCol, textCol, termBuckets)
+    }, () => {
+      // global: pinned 1-row read + integer increment, fresh version
+      val gPrev =
+        if (st.globalV < 0) {
+          import spark.implicits._
+          Seq((0L, 0L)).toDF("n_docs", "sum_dl")
+        } else spark.read.parquet(Manifest.globalDir(root, st))
+      Retrieval.bm25GlobalStatsAppend(gPrev, delta)
+        .write.mode("overwrite").parquet(s"$root/global/v=$gv")
+    }, () => {
+      // term stats: touched buckets re-derived from their pinned
+      // versions
+      val touched = Ledger.keyHashBuckets(delta.select("term").distinct(),
+        "term", termBuckets)
+      val replaced = Retrieval.bm25TermStatsAppend(
+        readPinnedStats(spark, root, st, touched), delta)
+      writeStatsAndRepin(spark, root, st, vNew, replaced,
+        termBuckets, touched)
+    })(2).asInstanceOf[Map[Int, Long]]
     // copy, not construct: the base pointer (baseV/baseBatch) from a
     // prior compaction must ride through every subsequent commit
     st.copy(version = vNew, batchId = batchId, globalV = gv,
@@ -1081,21 +1097,27 @@ object TxServeStack {
     ) { (st, vNew) =>
     val ids = removals.select(col(idCol).as("doc_id")).distinct()
     val removedTf = liveRemovedTf(spark, root, st, ids, docBuckets)
-    removedTf.select("doc_id").distinct()
-      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
-    // term stats: the removed terms' buckets re-derived from their
-    // pinned versions minus the decrements (a fold that EMPTIES a
-    // bucket unpins it — writeStatsAndRepin)
-    val touched = Ledger.keyHashBuckets(
-      removedTf.select("term").distinct(), "term", termBuckets)
-    val replaced = Retrieval.bm25TermStatsRemove(
-      readPinnedStats(spark, root, st, touched), removedTf)
-    val statsV = writeStatsAndRepin(spark, root, st, vNew, replaced,
-      termBuckets, touched)
-    val gPrev = spark.read.parquet(Manifest.globalDir(root, st))
+    // three order-free asset legs off the checkpointed removedTf —
+    // disjoint directories, one pointer swap (Par scaladoc)
     val gv = Manifest.attemptVersion(vNew)
-    Retrieval.bm25GlobalStatsRemove(gPrev, removedTf)
-      .write.mode("overwrite").parquet(s"$root/global/v=$gv")
+    val statsV = Par.all[Any](() => {
+      removedTf.select("doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    }, () => {
+      val gPrev = spark.read.parquet(Manifest.globalDir(root, st))
+      Retrieval.bm25GlobalStatsRemove(gPrev, removedTf)
+        .write.mode("overwrite").parquet(s"$root/global/v=$gv")
+    }, () => {
+      // term stats: the removed terms' buckets re-derived from their
+      // pinned versions minus the decrements (a fold that EMPTIES a
+      // bucket unpins it — writeStatsAndRepin)
+      val touched = Ledger.keyHashBuckets(
+        removedTf.select("term").distinct(), "term", termBuckets)
+      val replaced = Retrieval.bm25TermStatsRemove(
+        readPinnedStats(spark, root, st, touched), removedTf)
+      writeStatsAndRepin(spark, root, st, vNew, replaced,
+        termBuckets, touched)
+    })(2).asInstanceOf[Map[Int, Long]]
     st.copy(version = vNew, batchId = batchId, globalV = gv,
       statsV = statsV)
   }
@@ -1138,39 +1160,50 @@ object TxServeStack {
     // would silently miss the document while BM25 serves it
     val withPos = positions || st.pos
     val ids = batch.select(col(idCol).as("doc_id")).distinct()
-    val removedTf = liveRemovedTf(spark, root, st, ids, docBuckets)
-    removedTf.select("doc_id").distinct()
-      .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
-    // the replacements build WHOLE — an upsert supersedes, it is not
-    // absorbed by what it replaces
-    val delta = Retrieval.bm25IndexBuild(batch, idCol, textCol)
-      .localCheckpoint()
-    Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id", docBuckets)
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/postings/batch=$batchId")
-    // positions: the replacements' rows land whole; the shared
-    // tombstone retires the old rows on the positional read too
-    if (withPos)
-      writePositions(spark, root, batchId, batch, idCol, textCol,
-        termBuckets)
-    // stats: net fold over the union of both sides' terms' buckets
-    val touched = Ledger.keyHashBuckets(
-      removedTf.select("term").unionByName(delta.select("term"))
-        .distinct(), "term", termBuckets)
-    val replaced = Retrieval.bm25TermStatsAppend(
-      Retrieval.bm25TermStatsRemove(
-        readPinnedStats(spark, root, st, touched), removedTf), delta)
-    val statsV = writeStatsAndRepin(spark, root, st, vNew, replaced,
-      termBuckets, touched)
-    val gPrev =
-      if (st.globalV < 0) {
-        import spark.implicits._
-        Seq((0L, 0L)).toDF("n_docs", "sum_dl")
-      } else spark.read.parquet(Manifest.globalDir(root, st))
+    // the decrement side (live rows the batch retires) and the
+    // replacement build read independent inputs — overlap their two
+    // checkpoint materializations (guide §2.6), then the four asset
+    // legs: all write disjoint versioned directories published by the
+    // ONE swap, so their order is unobservable (Par scaladoc)
+    val (removedTf, delta) = Par.both(
+      liveRemovedTf(spark, root, st, ids, docBuckets),
+      // the replacements build WHOLE — an upsert supersedes, it is not
+      // absorbed by what it replaces
+      Retrieval.bm25IndexBuild(batch, idCol, textCol).localCheckpoint())
     val gv = Manifest.attemptVersion(vNew)
-    Retrieval.bm25GlobalStatsAppend(
-        Retrieval.bm25GlobalStatsRemove(gPrev, removedTf), delta)
-      .write.mode("overwrite").parquet(s"$root/global/v=$gv")
+    val statsV = Par.all[Any](() => {
+      removedTf.select("doc_id").distinct()
+        .write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    }, () => {
+      Ledger.withBucket(Retrieval.withDocNorms(delta), "doc_id",
+          docBuckets)
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/postings/batch=$batchId")
+      // positions: the replacements' rows land whole; the shared
+      // tombstone retires the old rows on the positional read too
+      if (withPos)
+        writePositions(spark, root, batchId, batch, idCol, textCol,
+          termBuckets)
+    }, () => {
+      val gPrev =
+        if (st.globalV < 0) {
+          import spark.implicits._
+          Seq((0L, 0L)).toDF("n_docs", "sum_dl")
+        } else spark.read.parquet(Manifest.globalDir(root, st))
+      Retrieval.bm25GlobalStatsAppend(
+          Retrieval.bm25GlobalStatsRemove(gPrev, removedTf), delta)
+        .write.mode("overwrite").parquet(s"$root/global/v=$gv")
+    }, () => {
+      // stats: net fold over the union of both sides' terms' buckets
+      val touched = Ledger.keyHashBuckets(
+        removedTf.select("term").unionByName(delta.select("term"))
+          .distinct(), "term", termBuckets)
+      val replaced = Retrieval.bm25TermStatsAppend(
+        Retrieval.bm25TermStatsRemove(
+          readPinnedStats(spark, root, st, touched), removedTf), delta)
+      writeStatsAndRepin(spark, root, st, vNew, replaced,
+        termBuckets, touched)
+    })(3).asInstanceOf[Map[Int, Long]]
     st.copy(version = vNew, batchId = batchId, globalV = gv,
       statsV = statsV, pos = withPos)
   }

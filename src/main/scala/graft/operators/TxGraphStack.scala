@@ -196,7 +196,9 @@ object TxGraphStack {
         s"graph stack not initialized at $root — call init first")
     ) { (st, vNew) =>
     val raw = readEdges(spark, root, st, None)
-    val tomb = readTombstones(spark, root, st).localCheckpoint()
+    // lazy: tombstones are tiny and first materialize inside the
+    // recapped delta's truncate action (guide §2.4 — no separate pass)
+    val tomb = readTombstones(spark, root, st).localCheckpoint(eager = false)
     // the live view stays LAZY: the append's bucket-pruned legs filter
     // `bkt` above the (broadcast) tombstone joins, and the predicate
     // pushes through to the pinned-path scans — checkpointing here
@@ -256,7 +258,9 @@ object TxGraphStack {
       throw new IllegalStateException(s"no committed manifest at $root")
     ) { (st, vNew) =>
     val rm = removals.select(col(idCol).as("id")).distinct()
-      .localCheckpoint()
+      // lazy: the bucket election drains the frame and materializes
+      // the checkpoint in the same action (guide §2.4)
+      .localCheckpoint(eager = false)
     val tb = elected(rm, bktOf(col("id"), buckets))
     val replaced = readTombstones(spark, root, st, Some(tb))
       .join(broadcast(rm), Seq("id"), "left_anti")
@@ -291,7 +295,8 @@ object TxGraphStack {
       throw new IllegalStateException(s"no committed manifest at $root")
     ) { (st, vNew) =>
     val raw = readEdges(spark, root, st, None)
-    val tomb = readTombstones(spark, root, st).localCheckpoint()
+    // lazy: first materialized by the orphans truncate (guide §2.4)
+    val tomb = readTombstones(spark, root, st).localCheckpoint(eager = false)
     val live = liveEdges(raw, tomb) // lazy — see commitBatch
     // orphaned neighborhood: live sources whose RAW row at a dead
     // nbr proves a lost out-edge
@@ -327,7 +332,8 @@ object TxGraphStack {
           .orderBy(col("cos").desc, col("nbr_id").asc)))
       .filter(col("_r") <= maxDegree)
       .select(col("src_id"), col("nbr_id"), col("cos"))
-      .localCheckpoint()
+      // lazy: the bucket election below materializes it (guide §2.4)
+      .localCheckpoint(eager = false)
     val tbkts = elected(recapped, bktOf(col("src_id"), buckets))
     // touched buckets' replacement, three legs (commitBatch's shape):
     // untouched sources' RAW rows ride through; touched sources' lists

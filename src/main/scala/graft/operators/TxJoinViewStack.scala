@@ -131,9 +131,12 @@ object TxJoinViewStack {
       if (replayed(st)) false
       else {
         val vNew = st.version + 1
+        // feed-sized; feeds election + merge. LAZY: the election
+        // collect right below drains every partition, so it
+        // materializes the checkpoint in the same action (guide §2.4)
         val f = feed(st)
           .withColumn("bkt", bktOf(col("doc_id"), buckets))
-          .localCheckpoint() // feed-sized; feeds election + merge
+          .localCheckpoint(eager = false)
         val touched = f.select("bkt").distinct()
           .collect().map(_.getInt(0)).toSeq
         val next =

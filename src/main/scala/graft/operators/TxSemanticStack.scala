@@ -56,16 +56,22 @@ object TxSemanticStack {
     require(Manifest.read(spark, root).isEmpty,
       s"semantic stack already initialized at $root")
     val l = ledger.select(col("id"), col("cluster")).localCheckpoint()
-    l.withColumn("bkt", ibktOf(buckets))
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/labels/v=0")
-    l.withColumn("bkt", cbktOf(buckets))
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/labels_by_cluster/v=0")
-    blockIndex.select(col("id"), col("blk"))
-      .withColumn("bkt", kbktOf(buckets))
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/blkidx/base/v=0")
+    // three disjoint family writes published by the ONE commit below —
+    // order-free, overlap them (guide §2.6); l is EAGER above because
+    // two legs consume it concurrently
+    Par.all[Any](() =>
+      l.withColumn("bkt", ibktOf(buckets))
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/labels/v=0"),
+    () =>
+      l.withColumn("bkt", cbktOf(buckets))
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/labels_by_cluster/v=0"),
+    () =>
+      blockIndex.select(col("id"), col("blk"))
+        .withColumn("bkt", kbktOf(buckets))
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/blkidx/base/v=0"))
     // pin what the writes landed (driver listings — formerly two extra
     // checkpoint + distinct().collect() actions; Manifest.writtenBuckets)
     Manifest.commit(spark, root, Manifest.State(0L, -1L, -1L,
@@ -194,14 +200,19 @@ object TxSemanticStack {
       throw new IllegalStateException(
         s"semantic stack not initialized at $root — call init first")
     ) { (st, vNew) =>
-    val bIds = batch.select(col(idCol)).distinct().localCheckpoint()
+    // LAZY checkpoints in this face: each frame's very next bucket
+    // election (or an eager downstream checkpoint) drains it, so the
+    // materialization fuses into that action (guide §2.4)
+    val bIds = batch.select(col(idCol)).distinct()
+      .localCheckpoint(eager = false)
     // seen check: batch ids can only live in their own id-buckets
     val seen = readPinned(spark, root, "labels", st.statsV,
       Some(elected(bIds, pmod(col(idCol), lit(buckets.toLong)).cast("int"))))
       .select(col("id").as(idCol))
-    val fresh = batch.join(seen, Seq(idCol), "left_anti").localCheckpoint()
+    val fresh = batch.join(seen, Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false)
     val bIdx = Similarity.semanticBlockIndex(fresh, codebooks,
-      idCol, vecCol, prefix).localCheckpoint()
+      idCol, vecCol, prefix).localCheckpoint(eager = false)
     // pair join: only the batch's block keys' buckets are probed
     val sIdx = resolveBlockIndex(spark, root,
       Some(elected(bIdx, kbktOf(buckets))))
@@ -209,7 +220,7 @@ object TxSemanticStack {
         corpus, idCol, vecCol, threshold)
       .unionByName(Similarity.semanticPqPairs(fresh, codebooks, idCol,
         vecCol, threshold, prefix))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // endpoint-label lookup: endpoints' id-buckets only
     val ends = incident.select(col("a_id").as("id"))
       .unionByName(incident.select(col("b_id").as("id"))).distinct()
@@ -217,8 +228,8 @@ object TxSemanticStack {
       Some(elected(ends, ibktOf(buckets)))).select("id", "cluster")
     val (mapping0, fresh0) = Dedup.connectedComponentsIncrementalDelta(
       lookup, fresh.select(col(idCol)), idCol, incident, "a_id", "b_id")
-    val mapping = mapping0.localCheckpoint()
-    val freshLb = fresh0.localCheckpoint()
+    val mapping = mapping0.localCheckpoint(eager = false)
+    val freshLb = fresh0.localCheckpoint(eager = false)
     // touched CLUSTER buckets: old labels, their new labels, and the
     // fresh rows' labels — every bucket whose content changes
     val tcb = (elected(mapping,
@@ -237,29 +248,39 @@ object TxSemanticStack {
       // only changes when its label does, and both old and new label
       // buckets are in tcb); reads come from the PINNED old versions,
       // so no self-overwrite checkpoint is needed
+      // EAGER: oldCl feeds both parallel write legs below — a lazy
+      // checkpoint would be raced by two concurrent materializers
       val oldCl = readPinned(spark, root, "labels_by_cluster", st.auxV,
         Some(tcb)).select("id", "cluster").localCheckpoint()
       // a touched cluster-bucket whose every row migrated out (and
       // gained none) has an empty replacement: it UNPINS — per-bucket
       // MVCC's answer to the stale-directory hazard the in-place
       // drain had to delete around ([[Manifest.writeRepin]]'s kernel)
-      clPins = Manifest.writeRepin(
-        relabel(oldCl).unionByName(freshLb)
-          .withColumn("bkt", cbktOf(buckets)),
-        "labels_by_cluster", root, vNew, tcb, st.auxV)
-      // by-id replacement: only the id-buckets holding a CHANGED row
-      // or a fresh id rewrite (an id never changes ITS bucket)
-      val changedRows = oldCl.join(broadcast(mapping),
-          oldCl("cluster") === col("_old"))
-        .select(oldCl("id"))
-      val tib = (elected(changedRows, ibktOf(buckets)) ++
-        elected(freshLb, ibktOf(buckets))).distinct
-      idPins = Manifest.writeRepin(
-        relabel(readPinned(spark, root, "labels", st.statsV,
-            Some(tib)).select("id", "cluster"))
-          .unionByName(freshLb)
-          .withColumn("bkt", ibktOf(buckets)),
-        "labels", root, vNew, tib, st.statsV)
+      // the two label-family writes read only pinned old versions and
+      // checkpointed frames, write DISJOINT families, and publish in
+      // the one swap — order-free, overlap them (guide §2.6)
+      val (cl2, id2) = Par.both(
+        Manifest.writeRepin(
+          relabel(oldCl).unionByName(freshLb)
+            .withColumn("bkt", cbktOf(buckets)),
+          "labels_by_cluster", root, vNew, tcb, st.auxV),
+        {
+          // by-id replacement: only the id-buckets holding a CHANGED
+          // row or a fresh id rewrite (an id never changes ITS bucket)
+          val changedRows = oldCl.join(broadcast(mapping),
+              oldCl("cluster") === col("_old"))
+            .select(oldCl("id"))
+          val tib = (elected(changedRows, ibktOf(buckets)) ++
+            elected(freshLb, ibktOf(buckets))).distinct
+          Manifest.writeRepin(
+            relabel(readPinned(spark, root, "labels", st.statsV,
+                Some(tib)).select("id", "cluster"))
+              .unionByName(freshLb)
+              .withColumn("bkt", ibktOf(buckets)),
+            "labels", root, vNew, tib, st.statsV)
+        })
+      clPins = cl2
+      idPins = id2
     }
     // block-index delta append: O(batch) rows, the positional posture
     bIdx.withColumn("bkt", kbktOf(buckets))
@@ -300,14 +321,19 @@ object TxSemanticStack {
     Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(s"no committed manifest at $root")
     ) { (st, vNew) =>
+    // LAZY: rm materializes inside its own bucket election; rmLabels
+    // and touchedCl materialize inside tcbOld's election one line down
+    // (guide §2.4). rm then has multiple consumers but is already
+    // materialized by the election before any of them run.
     val rm = removals.select(col(idCol).as("id")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // removed ids' committed labels: their own id-buckets only
     val rmLabels = readPinned(spark, root, "labels", st.statsV,
         Some(elected(rm, ibktOf(buckets))))
       .join(broadcast(rm), Seq("id"))
-      .select("id", "cluster").localCheckpoint()
-    val touchedCl = rmLabels.select("cluster").distinct().localCheckpoint()
+      .select("id", "cluster").localCheckpoint(eager = false)
+    val touchedCl = rmLabels.select("cluster").distinct()
+      .localCheckpoint(eager = false)
     val tcbOld = elected(touchedCl,
       pmod(col("cluster"), lit(buckets.toLong)).cast("int"))
     // surviving members of touched components, found BY CLUSTER KEY
@@ -330,31 +356,42 @@ object TxSemanticStack {
     val relabeled = members.join(rebuilt, Seq("id"), "left")
       .select(col("id"), coalesce(col("_nc"), col("id")).as("cluster"))
       .localCheckpoint()
-    // (1) tombstones — retire the removed ids' block rows at read
-    rm.write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
-    // (2) by-cluster: old touched buckets lose their components' rows
-    // (and the removed ids); the rebuilt labels' buckets gain them
-    val wb = (tcbOld ++ elected(relabeled, cbktOf(buckets))).distinct
-    val clPins = Manifest.writeRepin(
-      readPinned(spark, root, "labels_by_cluster", st.auxV, Some(wb))
-        .join(broadcast(touchedCl), Seq("cluster"), "left_anti")
-        .select("id", "cluster")
-        .unionByName(relabeled)
-        .withColumn("bkt", cbktOf(buckets)),
-      "labels_by_cluster", root, vNew, wb, st.auxV)
-    // (3) by-id: removed ids' buckets (rows drop) + relabeled members'
-    // buckets (labels update); a bucket emptied by the removal unpins
-    val tib = (elected(rm, ibktOf(buckets)) ++
-      elected(members, ibktOf(buckets))).distinct
-    val newLb = relabeled.select(col("id"), col("cluster").as("_nc"))
-    val idPins = Manifest.writeRepin(
-      readPinned(spark, root, "labels", st.statsV, Some(tib))
-        .join(broadcast(rm), Seq("id"), "left_anti")
-        .join(broadcast(newLb), Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("_nc"), col("cluster")).as("cluster"))
-        .withColumn("bkt", ibktOf(buckets)),
-      "labels", root, vNew, tib, st.statsV)
+    // the three asset legs read only checkpointed frames and pinned
+    // old versions, write DISJOINT families, and publish in the one
+    // swap — order-free, overlap them (guide §2.6 / Par scaladoc)
+    val legs = Par.all[Any](() => {
+      // (1) tombstones — retire the removed ids' block rows at read
+      rm.write.mode("overwrite").parquet(s"$root/deletes/batch=$batchId")
+    }, () => {
+      // (2) by-cluster: old touched buckets lose their components'
+      // rows (and the removed ids); the rebuilt labels' buckets gain
+      // them
+      val wb = (tcbOld ++ elected(relabeled, cbktOf(buckets))).distinct
+      Manifest.writeRepin(
+        readPinned(spark, root, "labels_by_cluster", st.auxV, Some(wb))
+          .join(broadcast(touchedCl), Seq("cluster"), "left_anti")
+          .select("id", "cluster")
+          .unionByName(relabeled)
+          .withColumn("bkt", cbktOf(buckets)),
+        "labels_by_cluster", root, vNew, wb, st.auxV)
+    }, () => {
+      // (3) by-id: removed ids' buckets (rows drop) + relabeled
+      // members' buckets (labels update); a bucket emptied by the
+      // removal unpins
+      val tib = (elected(rm, ibktOf(buckets)) ++
+        elected(members, ibktOf(buckets))).distinct
+      val newLb = relabeled.select(col("id"), col("cluster").as("_nc"))
+      Manifest.writeRepin(
+        readPinned(spark, root, "labels", st.statsV, Some(tib))
+          .join(broadcast(rm), Seq("id"), "left_anti")
+          .join(broadcast(newLb), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("_nc"), col("cluster")).as("cluster"))
+          .withColumn("bkt", ibktOf(buckets)),
+        "labels", root, vNew, tib, st.statsV)
+    })
+    val clPins = legs(1).asInstanceOf[Map[Int, Long]]
+    val idPins = legs(2).asInstanceOf[Map[Int, Long]]
     st.copy(version = vNew, batchId = batchId, statsV = idPins,
       auxV = clPins)
     }

@@ -113,7 +113,10 @@ object TxSketchStack {
         // still pass the stack's contract value like lgK
         theta_sketch_agg(col(valCol), lit(thetaLgNom)).as("_bth"))
       .withColumn("bkt", bktOf(col("key"), buckets))
-      .localCheckpoint() // keys-sized; feeds election + merge
+      // keys-sized; feeds election + merge. LAZY: the election collect
+      // drains every partition, materializing the checkpoint in the
+      // same action (guide §2.4 — one pass, not two)
+      .localCheckpoint(eager = false)
     val touched = agg.select(col("bkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
@@ -153,7 +156,7 @@ object TxSketchStack {
       case None => readSketches(spark, root, st, None).drop("bkt")
       case Some((ks, buckets)) =>
         val kf = ks.select(col(ks.columns.head).cast("string").as("key"))
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(eager = false) // the election collect materializes
         val elected = kf.select(bktOf(col("key"), buckets).as("_b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         readSketches(spark, root, st, Some(elected))
@@ -239,9 +242,11 @@ object TxSketchStack {
     * full-outer merge; 0 means absent). */
   def overlap(resolved: DataFrame, keyA: String, keyB: String): DataFrame = {
     val a = resolved.filter(col("key") === keyA)
-      .select(col("th").as("_ta")).localCheckpoint()
+      .select(col("th").as("_ta")).localCheckpoint(eager = false)
     val b = resolved.filter(col("key") === keyB)
-      .select(col("th").as("_tb")).localCheckpoint()
+      .select(col("th").as("_tb")).localCheckpoint(eager = false)
+    // lazy: each REQUIRE count below materializes its frame in the
+    // same action the guard already pays (guide §2.4)
     require(a.count() == 1,
       s"overlap: key '$keyA' has no stored sketch row")
     require(b.count() == 1,
@@ -283,11 +288,13 @@ object TxSketchStack {
         hll_sketch_agg(col(valCol), lit(lgK)).as("sk"),
         theta_sketch_agg(col(valCol), lit(thetaLgNom)).as("th"))
       .withColumn("bkt", bktOf(col("key"), buckets))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val dropKeys = drop
       .select(col(drop.columns.head).cast("string").as("key")).distinct()
       .withColumn("bkt", bktOf(col("key"), buckets))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
+    // lazy pair: the union election below drains BOTH frames,
+    // materializing two checkpoints in one action (guide §2.4)
     val touched = agg.select(col("bkt"))
       .unionByName(dropKeys.select(col("bkt")))
       .distinct().collect().map(_.getInt(0)).toSeq

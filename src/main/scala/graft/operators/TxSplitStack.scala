@@ -150,9 +150,13 @@ object TxSplitStack {
       throw new IllegalStateException(
         s"split ledger not initialized at $root — call init first")
     ) { (st, vNew) =>
+    // LAZY checkpoints throughout this face: each one's very next
+    // election collect computes every partition (distinct drains the
+    // frame), materializing the blocks in the SAME action instead of
+    // a checkpoint-then-collect pair (guide §2.4)
     val ids = arrivals.select(col(idCol).as("doc_id")).distinct()
       .withColumn("bkt", bktOf(col("doc_id"), buckets))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val touched = ids.select("bkt").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty)
@@ -176,14 +180,17 @@ object TxSplitStack {
     // pinned paths — never the whole ledger.
     val arrivalCls = newIds.select("cl").distinct()
     val memberIds = lab.join(arrivalCls, Seq("cl"), "left_semi")
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the mBkts collect
     val mBkts = memberIds
       .select(bktOf(col("doc_id"), buckets).as("_b")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val storedMembers = readAssigned(spark, root, st, Some(mBkts))
       .drop("bkt")
       .join(memberIds, Seq("doc_id"))
-      .localCheckpoint() // feeds the inheritance fold AND the conflict audit
+      // feeds the inheritance fold AND the conflict audit; lazy — the
+      // inheritance fold inside drawn's EAGER checkpoint materializes
+      // it, the conflict audit reuses the blocks
+      .localCheckpoint(eager = false)
     val clusterStored = storedMembers
       .groupBy("cl")
       .agg(min(struct(col("doc_id"), col("split"))).as("_m"))
@@ -198,32 +205,40 @@ object TxSplitStack {
     val newRows = drawn.select("doc_id", "split", "bkt")
     val replaced = readAssigned(spark, root, st, Some(touched))
       .unionByName(newRows)
-    val pins = Manifest.writeRepin(replaced, "assign", root, vNew,
-      touched, st.statsV)
-    // INCREMENTAL conflict maintenance: merge conflicts can only be
-    // CREATED by a commit (an arrival's labels bridging
-    // differently-assigned clusters), so re-auditing exactly the
-    // batch's clusters here keeps [[quarantineIncremental]]'s serve
-    // O(conflicted) instead of [[quarantine]]'s O(ledger) scan. The
-    // member assignments (stored ∪ just-drawn) decide each touched
-    // cluster's status; member docs' conflict rows REPLACE wholesale —
-    // a cluster audited clean drops its members' stale rows.
-    val memberAssigned = storedMembers
-      .unionByName(drawn.select("doc_id", "split", "cl"))
-    val confCl = memberAssigned.groupBy("cl")
-      .agg(count_distinct(col("split")).as("_k"))
-      .filter(col("_k") > 1).select("cl")
-    val confRows = memberAssigned.join(confCl, Seq("cl"), "left_semi")
-      .select(col("doc_id"), col("split"), col("cl"))
-      .withColumn("bkt", bktOf(col("doc_id"), buckets))
-    val touchedC = memberAssigned
-      .select(bktOf(col("doc_id"), buckets).as("_b")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val replacedC = readConflicts(spark, root, st, Some(touchedC))
-      .join(memberAssigned.select("doc_id"), Seq("doc_id"), "left_anti")
-      .unionByName(confRows)
-    val auxPins = Manifest.writeRepin(replacedC, "conflict", root, vNew,
-      touchedC, st.auxV)
+    // the assign-family write and the conflict audit both read only
+    // the COMMITTED state plus the checkpointed storedMembers/drawn,
+    // and write DISJOINT families published by the one pointer swap —
+    // order-free, so the two legs overlap (guide §2.6 / Par scaladoc)
+    val (pins, auxPins) = Par.both(
+      Manifest.writeRepin(replaced, "assign", root, vNew,
+        touched, st.statsV),
+      {
+        // INCREMENTAL conflict maintenance: merge conflicts can only be
+        // CREATED by a commit (an arrival's labels bridging
+        // differently-assigned clusters), so re-auditing exactly the
+        // batch's clusters here keeps [[quarantineIncremental]]'s serve
+        // O(conflicted) instead of [[quarantine]]'s O(ledger) scan. The
+        // member assignments (stored ∪ just-drawn) decide each touched
+        // cluster's status; member docs' conflict rows REPLACE wholesale
+        // — a cluster audited clean drops its members' stale rows.
+        val memberAssigned = storedMembers
+          .unionByName(drawn.select("doc_id", "split", "cl"))
+        val confCl = memberAssigned.groupBy("cl")
+          .agg(count_distinct(col("split")).as("_k"))
+          .filter(col("_k") > 1).select("cl")
+        val confRows = memberAssigned.join(confCl, Seq("cl"), "left_semi")
+          .select(col("doc_id"), col("split"), col("cl"))
+          .withColumn("bkt", bktOf(col("doc_id"), buckets))
+        val touchedC = memberAssigned
+          .select(bktOf(col("doc_id"), buckets).as("_b")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val replacedC = readConflicts(spark, root, st, Some(touchedC))
+          .join(memberAssigned.select("doc_id"), Seq("doc_id"),
+            "left_anti")
+          .unionByName(confRows)
+        Manifest.writeRepin(replacedC, "conflict", root, vNew,
+          touchedC, st.auxV)
+      })
     st.copy(version = vNew, batchId = batchId, statsV = pins,
       auxV = auxPins)
     }

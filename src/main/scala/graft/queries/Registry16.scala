@@ -280,25 +280,33 @@ object Registry16 {
       graft.operators.Ledger.withBucket(
           Retrieval.withDocNorms(delta), "doc_id", nBkt)
         .write.partitionBy("bkt").mode("append").parquet(postDir)
-      // 2. term stats: replace the batch terms' buckets — the pruned
-      // stored rows (batch buckets' FULL content) merge the delta;
-      // non-batch terms sharing a touched bucket ride through the
-      // append's anti-join leg, so the bucket replacement is complete
-      val batchTerms = delta.select("term").distinct()
-      val replaced = Retrieval.bm25TermStatsAppend(
-        graft.operators.Ledger.prunedToKeys(
-            s.read.schema(statsSchema).parquet(statsDir),
-            batchTerms, "term", sBkt)
-          .drop("bkt"), delta)
-      graft.operators.Ledger.overwriteBuckets(
-        graft.operators.Ledger.withHashBucket(replaced, "term", sBkt)
-          .localCheckpoint(),
-        graft.operators.Ledger.keyHashBuckets(batchTerms, "term", sBkt),
-        statsDir)
-      // 3. global: 1-row integer increment, full overwrite
-      val g1 = Retrieval.bm25GlobalStatsAppend(
-        s.read.parquet(globalDir), delta).localCheckpoint()
-      g1.write.mode("overwrite").parquet(globalDir)
+      // 2 and 3 are BOTH derived data recovered by re-derivation from
+      // the (already committed) postings on a crash — their mutual
+      // order is not load-bearing, only postings-first is, so the two
+      // folds overlap (guide §2.6); each leg reads only the
+      // checkpointed delta and its own storage directory
+      graft.operators.Par.both({
+        // 2. term stats: replace the batch terms' buckets — the pruned
+        // stored rows (batch buckets' FULL content) merge the delta;
+        // non-batch terms sharing a touched bucket ride through the
+        // append's anti-join leg, so the bucket replacement is complete
+        val batchTerms = delta.select("term").distinct()
+        val replaced = Retrieval.bm25TermStatsAppend(
+          graft.operators.Ledger.prunedToKeys(
+              s.read.schema(statsSchema).parquet(statsDir),
+              batchTerms, "term", sBkt)
+            .drop("bkt"), delta)
+        graft.operators.Ledger.overwriteBuckets(
+          graft.operators.Ledger.withHashBucket(replaced, "term", sBkt)
+            .localCheckpoint(),
+          graft.operators.Ledger.keyHashBuckets(batchTerms, "term", sBkt),
+          statsDir)
+      }, {
+        // 3. global: 1-row integer increment, full overwrite
+        val g1 = Retrieval.bm25GlobalStatsAppend(
+          s.read.parquet(globalDir), delta).localCheckpoint()
+        g1.write.mode("overwrite").parquet(globalDir)
+      })
     }
     val run = stream.writeStream
       .foreachBatch(appendBatch)
