@@ -201,7 +201,13 @@ object Ledger {
       val pruned = spark.read.parquet(dir)
         .filter(col("bkt").isin(bkts.map(Int.box): _*))
         .repartition(col("bkt"))
-        .localCheckpoint()
+        // LAZY is safe here ONLY because overwriteBuckets runs its
+        // present-set collect BEFORE the write: that collect drains
+        // every partition and materializes the checkpoint, so the
+        // dynamic overwrite that then clears the source directories
+        // reads blocks, never the paths (guide §2.4 — the former
+        // eager call was a separate pass over the same rows)
+        .localCheckpoint(eager = false)
       overwriteBuckets(pruned, bkts, dir)
     }
   }

@@ -1552,15 +1552,24 @@ object TxVectorStack {
     Manifest.commitGuard(spark, root, batchId, publish)(
       throw new IllegalStateException(s"no committed manifest at $root")
     ) { (st, vNew) =>
-      writeTombstones(spark, root, st,
-        batch.select(col(idCol).as("vec_id")).distinct(),
-        buckets, batchId)
-      val cent = spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
-      val cb = spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
-      val delta = Similarity.pqIndexBuild(batch, cent, cb, idCol, vecCol)
-      Ledger.withBucket(delta, "vec_id", buckets)
-        .write.partitionBy("bkt").mode("overwrite")
-        .parquet(s"$root/codes/batch=$batchId")
+      // tombstone and replacement-codes legs read only the committed
+      // cut and the batch, write disjoint directories, and publish in
+      // the one swap — order-free, overlap them (Par scaladoc)
+      Par.both(
+        writeTombstones(spark, root, st,
+          batch.select(col(idCol).as("vec_id")).distinct(),
+          buckets, batchId),
+        {
+          val cent =
+            spark.read.parquet(s"$root/quant/v=${st.globalV}/centroids")
+          val cb =
+            spark.read.parquet(s"$root/quant/v=${st.globalV}/codebook")
+          val delta = Similarity.pqIndexBuild(batch, cent, cb, idCol,
+            vecCol)
+          Ledger.withBucket(delta, "vec_id", buckets)
+            .write.partitionBy("bkt").mode("overwrite")
+            .parquet(s"$root/codes/batch=$batchId")
+        })
       st.copy(version = vNew, batchId = batchId)
     }
 
@@ -1586,11 +1595,14 @@ object TxVectorStack {
     val reenc = Similarity.pqIndexReencode(
       liveCodes(spark, root, st).select("vec_id", "cell", "codes"),
       corpus, centroids, codebooks, idCol, vecCol)
-    Ledger.withBucket(reenc, "vec_id", buckets)
-      .repartition(col("bkt"))
-      .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"$root/codes/base/v=$vNew")
-    writeQuant(root, vNew, centroids, codebooks)
+    // fresh codes base and fresh quant version: disjoint directories
+    // under the one swap — overlap the writes (Par scaladoc)
+    Par.both(
+      Ledger.withBucket(reenc, "vec_id", buckets)
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").mode("overwrite")
+        .parquet(s"$root/codes/base/v=$vNew"),
+      writeQuant(root, vNew, centroids, codebooks))
     if (publish)
       Manifest.commit(spark, root, st.copy(version = vNew,
         globalV = vNew, baseV = vNew, baseBatch = st.batchId))

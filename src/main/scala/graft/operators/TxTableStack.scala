@@ -215,9 +215,16 @@ object TxTableStack {
     * rule WITHIN one commit (the corruption the batch-id guard
     * prevents ACROSS commits). One aggregate pass over the
     * checkpointed batch. */
-  private def requireKeyedBatch(rows: DataFrame, keyCol: String): Unit = {
+  /** The batch-shape guard FUSED with the bucket election: one agg
+    * pass returns the touched `bkt` set (bounded by B) alongside the
+    * null-key and duplicate-key counters, instead of a guard action
+    * plus a separate election action (guide §2.4 — remove redundant
+    * passes). Callers pass a LAZY-checkpointed `rows`: this single
+    * drain is also what materializes the checkpoint. */
+  private def requireKeyedBatchBuckets(rows: DataFrame,
+                                       keyCol: String): Seq[Int] = {
     val c = rows.agg(count(lit(1)), count(col(keyCol)),
-      countDistinct(col(keyCol))).head()
+      countDistinct(col(keyCol)), collect_set(col("bkt"))).head()
     require(c.getLong(0) == c.getLong(1),
       s"${c.getLong(0) - c.getLong(1)} batch rows carry a NULL $keyCol " +
         "— a null key resolves to no bucket; filter or fix upstream")
@@ -225,6 +232,7 @@ object TxTableStack {
       s"batch carries ${c.getLong(1) - c.getLong(2)} duplicate " +
         s"$keyCol rows — an upsert batch is a set of after-images, " +
         "one per key; fold duplicates deterministically upstream")
+    c.getSeq[Int](3)
   }
 
   /** TRANSACTIONAL UPSERT — the batch's rows are AFTER-IMAGES:
@@ -246,10 +254,8 @@ object TxTableStack {
           s"key column $keyCol is not in the table schema")).name
       val rows = align(batch, schema)
         .withColumn("bkt", bktOf(col(key), buckets))
-        .localCheckpoint()
-      requireKeyedBatch(rows, key)
-      val touched = rows.select("bkt").distinct()
-        .collect().map(_.getInt(0)).toSeq
+        .localCheckpoint(eager = false) // materialized by the fused guard
+      val touched = requireKeyedBatchBuckets(rows, key)
       if (touched.isEmpty) st.copy(version = vNew, batchId = batchId)
       else {
         val replaced = readRows(spark, root, st, schema, Some(touched))
@@ -277,7 +283,9 @@ object TxTableStack {
       val ids = keys.select(col(keyCol).as(key))
         .filter(col(key).isNotNull).distinct()
         .withColumn("bkt", bktOf(col(key), buckets))
-        .localCheckpoint()
+        // lazy: the election collect drains the frame and materializes
+        // the checkpoint in the same action (guide §2.4)
+        .localCheckpoint(eager = false)
       val touched = ids.select("bkt").distinct()
         .collect().map(_.getInt(0)).toSeq
       if (touched.isEmpty) st.copy(version = vNew, batchId = batchId)
@@ -349,10 +357,8 @@ object TxTableStack {
           s"${unknown.mkString(", ")} — evolveSchema first")
       val rows = align(batch, schema)
         .withColumn("bkt", bktOf(col(key), buckets))
-        .localCheckpoint()
-      requireKeyedBatch(rows, key)
-      val touched = rows.select("bkt").distinct()
-        .collect().map(_.getInt(0)).toSeq
+        .localCheckpoint(eager = false) // materialized by the fused guard
+      val touched = requireKeyedBatchBuckets(rows, key)
       if (touched.isEmpty) st.copy(version = vNew, batchId = batchId)
       else {
         val sKey = col(s"s.$key")

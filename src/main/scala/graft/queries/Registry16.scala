@@ -274,8 +274,11 @@ object Registry16 {
     val appendBatch: (DataFrame, Long) => Unit = { (b, _) =>
       val storedTf = graft.operators.Ledger.prunedToBatch(
         s.read.schema(postSchema).parquet(postDir), b, "doc_id", nBkt)
+      // lazy: the postings append right below is the first consumer
+      // and drains every partition — it materializes the checkpoint;
+      // the two overlapped folds then reuse the blocks (guide §2.4)
       val delta = Retrieval.bm25IndexAppend(storedTf, b, "doc_id", "text",
-        deltaOnly = true).localCheckpoint()
+        deltaOnly = true).localCheckpoint(eager = false)
       // 1. postings: norm-carrying delta, parquet append
       graft.operators.Ledger.withBucket(
           Retrieval.withDocNorms(delta), "doc_id", nBkt)
@@ -298,7 +301,9 @@ object Registry16 {
             .drop("bkt"), delta)
         graft.operators.Ledger.overwriteBuckets(
           graft.operators.Ledger.withHashBucket(replaced, "term", sBkt)
-            .localCheckpoint(),
+            // lazy: overwriteBuckets' present collect materializes it
+            // BEFORE the dynamic overwrite clears what it read
+            .localCheckpoint(eager = false),
           graft.operators.Ledger.keyHashBuckets(batchTerms, "term", sBkt),
           statsDir)
       }, {

@@ -322,18 +322,23 @@ object Registry18 {
     val lexRoot = Registry16.drainTxStack(s, d, "graft_hysnlex")
     val vecRoot = Registry17.drainVectorStack(s, d, "graft_hysnvec")
     val pin = Manifest.pinPage(s, lexRoot, vecRoot)
-    // both heads move AFTER the pin
+    // both heads move AFTER the pin; the two upserts hit INDEPENDENT
+    // stacks (separate roots, manifests, locks) — overlap them
+    // (guide §2.6), the pinned-snapshot serve below is unaffected
     val up = docs(s, d).filter(col("doc_id") % 10 === 5)
       .select(col("doc_id"),
         concat(col("text"), lit(" updated")).as("text"))
-    require(TxServeStack.commitUpsert(s, lexRoot, up, 4L,
-      "doc_id", "text", docBuckets = 16, termBuckets = 16),
-      "the lexical upsert must commit so the head moves past the pin")
     val rot = emb(s, d).filter(col("vec_id") % 10 === 5)
       .select(col("vec_id"), concat(slice(col("embedding"), 33, 32),
         slice(col("embedding"), 1, 32)).as("embedding"))
-    require(TxVectorStack.commitUpsert(s, vecRoot, rot, 4L,
-      "vec_id", "embedding", buckets = 16),
+    val (upOk, rotOk) = graft.operators.Par.both(
+      TxServeStack.commitUpsert(s, lexRoot, up, 4L,
+        "doc_id", "text", docBuckets = 16, termBuckets = 16),
+      TxVectorStack.commitUpsert(s, vecRoot, rot, 4L,
+        "vec_id", "embedding", buckets = 16))
+    require(upOk,
+      "the lexical upsert must commit so the head moves past the pin")
+    require(rotOk,
       "the vector upsert must commit so the head moves past the pin")
     Registry17.hybridManifestServe(s, d, lexRoot, vecRoot,
       lexVersion = Some(pin.lexVersion),

@@ -268,10 +268,15 @@ object Registry23 {
       .foreachBatch { (b: DataFrame, id: Long) =>
         val segged = b.withColumn("seg",
           concat(lit("u"), (col("user_id") % 7).cast("string")))
-        val cA = TxSketchStack.commitBatch(s, rootA, b, id,
-          "event_type", "user_id", buckets = 8)
-        val cB = TxSketchStack.commitBatch(s, rootB, segged, id,
-          "seg", "event_id", buckets = 8)
+        // two INDEPENDENT stacks (separate roots, manifests, locks):
+        // their commits overlap (guide §2.6); the catalog wave below
+        // still publishes strictly after both, preserving the
+        // one-cut-per-wave law the REQUIRE pins
+        val (cA, cB) = graft.operators.Par.both(
+          TxSketchStack.commitBatch(s, rootA, b, id,
+            "event_type", "user_id", buckets = 8),
+          TxSketchStack.commitBatch(s, rootB, segged, id,
+            "seg", "event_id", buckets = 8))
         if (cA || cB)
           Catalog.publish(s, cat, Seq(
             ("a", rootA, Manifest.read(s, rootA).get.version),
